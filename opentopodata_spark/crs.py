@@ -1,0 +1,325 @@
+"""Vectorized coordinate reprojection (WGS84 lat/lon -> projected CRS).
+
+pyproj/PROJ is unavailable in this environment, so the engine implements the
+projections its raster fixtures need directly in numpy, from the published
+formulas:
+
+* Transverse Mercator via the Krüger series to order n^6 (Karney 2011,
+  "Transverse Mercator with an accuracy of a few nanometers") — covers all
+  UTM zones (EPSG 326xx / 327xx) at sub-millimeter accuracy.
+* Lambert Azimuthal Equal Area, ellipsoidal form (EPSG method 9820 /
+  Snyder 1987 §24) — covers EPSG:3035 (ETRS89-extended / LAEA Europe).
+* Web/spherical Mercator (EPSG:3857).
+
+API mirrors the reference's ``utils.reproject_latlons``
+(/root/reference/opentopodata/utils.py:17-52): EPSG:4326 short-circuits to
+identity, EPSG codes must lie in [1024, 32767], a module-level transformer
+cache amortizes setup, and either ``epsg`` or ``wkt`` (not both) selects the
+target CRS. All functions are numpy-vectorized — inside Spark they run in
+Arrow-batched pandas UDFs, never per-row Python.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+
+import numpy as np
+
+WGS84_LATLON_EPSG = 4326
+
+# Semi-major axis and inverse flattening.
+_WGS84 = (6378137.0, 298.257223563)
+_GRS80 = (6378137.0, 298.257222101)
+
+_TRANSFORMER_CACHE: dict[str, "Transformer"] = {}
+
+
+class CRSError(ValueError):
+    """Unable to build a transform for the requested CRS."""
+
+
+def _kruger_alpha(n: float) -> np.ndarray:
+    n2, n3, n4, n5, n6 = n**2, n**3, n**4, n**5, n**6
+    return np.array([
+        n / 2 - 2 * n2 / 3 + 5 * n3 / 16 + 41 * n4 / 180 - 127 * n5 / 288
+        + 7891 * n6 / 37800,
+        13 * n2 / 48 - 3 * n3 / 5 + 557 * n4 / 1440 + 281 * n5 / 630
+        - 1983433 * n6 / 1935360,
+        61 * n3 / 240 - 103 * n4 / 140 + 15061 * n5 / 26880 + 167603 * n6 / 181440,
+        49561 * n4 / 161280 - 179 * n5 / 168 + 6601661 * n6 / 7257600,
+        34729 * n5 / 80640 - 3418889 * n6 / 1995840,
+        212378941 * n6 / 319334400,
+    ])
+
+
+def _kruger_beta(n: float) -> np.ndarray:
+    n2, n3, n4, n5, n6 = n**2, n**3, n**4, n**5, n**6
+    return np.array([
+        n / 2 - 2 * n2 / 3 + 37 * n3 / 96 - n4 / 360 - 81 * n5 / 512
+        + 96199 * n6 / 604800,
+        n2 / 48 + n3 / 15 - 437 * n4 / 1440 + 46 * n5 / 105
+        - 1118711 * n6 / 3870720,
+        17 * n3 / 480 - 37 * n4 / 840 - 209 * n5 / 4480 + 5569 * n6 / 90720,
+        4397 * n4 / 161280 - 11 * n5 / 504 - 830251 * n6 / 7257600,
+        4583 * n5 / 161280 - 108847 * n6 / 3991680,
+        20648693 * n6 / 638668800,
+    ])
+
+
+class TransverseMercator:
+    def __init__(self, a, inv_f, lon0_deg, k0, false_easting, false_northing):
+        f = 1.0 / inv_f
+        self.e2 = f * (2 - f)
+        self.e = math.sqrt(self.e2)
+        n = f / (2 - f)
+        self.A = a / (1 + n) * (1 + n**2 / 4 + n**4 / 64 + n**6 / 256)
+        self.alpha = _kruger_alpha(n)
+        self.beta = _kruger_beta(n)
+        self.lon0 = math.radians(lon0_deg)
+        self.k0 = k0
+        self.fe = false_easting
+        self.fn = false_northing
+
+    def forward(self, lons, lats):
+        lats = np.asarray(lats, dtype=np.float64)
+        lons = np.asarray(lons, dtype=np.float64)
+        phi = np.radians(lats)
+        lam = np.radians(lons) - self.lon0
+        lam = (lam + np.pi) % (2 * np.pi) - np.pi
+
+        e = self.e
+        sphi = np.sin(phi)
+        # conformal latitude tangent
+        t = np.sinh(np.arctanh(sphi) - e * np.arctanh(e * sphi))
+        xi_p = np.arctan2(t, np.cos(lam))
+        eta_p = np.arcsinh(np.sin(lam) / np.hypot(t, np.cos(lam)))
+
+        xi = xi_p.copy()
+        eta = eta_p.copy()
+        for j, a_j in enumerate(self.alpha, start=1):
+            xi += a_j * np.sin(2 * j * xi_p) * np.cosh(2 * j * eta_p)
+            eta += a_j * np.cos(2 * j * xi_p) * np.sinh(2 * j * eta_p)
+
+        x = self.fe + self.k0 * self.A * eta
+        y = self.fn + self.k0 * self.A * xi
+        return x, y
+
+    def inverse(self, xs, ys):
+        xs = np.asarray(xs, dtype=np.float64)
+        ys = np.asarray(ys, dtype=np.float64)
+        xi = (ys - self.fn) / (self.k0 * self.A)
+        eta = (xs - self.fe) / (self.k0 * self.A)
+
+        xi_p = xi.copy()
+        eta_p = eta.copy()
+        for j, b_j in enumerate(self.beta, start=1):
+            xi_p -= b_j * np.sin(2 * j * xi) * np.cosh(2 * j * eta)
+            eta_p -= b_j * np.cos(2 * j * xi) * np.sinh(2 * j * eta)
+
+        tau_p = np.sin(xi_p) / np.hypot(np.sinh(eta_p), np.cos(xi_p))
+        lam = np.arctan2(np.sinh(eta_p), np.cos(xi_p))
+
+        # invert the conformal latitude: Newton on tau (GeographicLib tauf)
+        e = self.e
+        e2 = self.e2
+        tau = tau_p / math.sqrt(1 - e2)
+        for _ in range(5):
+            sig = np.sinh(e * np.arctanh(e * tau / np.hypot(1.0, tau)))
+            tau_p_i = tau * np.hypot(1.0, sig) - sig * np.hypot(1.0, tau)
+            dtau = (
+                (tau_p - tau_p_i)
+                * (1 + (1 - e2) * tau**2)
+                / ((1 - e2) * np.hypot(1.0, tau_p_i) * np.hypot(1.0, tau))
+            )
+            tau = tau + dtau
+        phi = np.arctan(tau)
+        return np.degrees(self.lon0 + lam), np.degrees(phi)
+
+
+class LambertAzimuthalEqualArea:
+    def __init__(self, a, inv_f, lat0_deg, lon0_deg, false_easting, false_northing):
+        f = 1.0 / inv_f
+        self.a = a
+        self.e2 = f * (2 - f)
+        self.e = math.sqrt(self.e2)
+        self.lon0 = math.radians(lon0_deg)
+        self.fe = false_easting
+        self.fn = false_northing
+        phi0 = math.radians(lat0_deg)
+        self.qp = float(self._q(np.array([math.pi / 2]))[0])
+        q0 = float(self._q(np.array([phi0]))[0])
+        beta0 = math.asin(q0 / self.qp)
+        self.sin_b0 = math.sin(beta0)
+        self.cos_b0 = math.cos(beta0)
+        self.Rq = a * math.sqrt(self.qp / 2)
+        m0 = math.cos(phi0) / math.sqrt(1 - self.e2 * math.sin(phi0) ** 2)
+        self.D = a * m0 / (self.Rq * self.cos_b0)
+
+    def _q(self, phi):
+        e = self.e
+        s = np.sin(phi)
+        return (1 - self.e2) * (
+            s / (1 - self.e2 * s**2) - (1 / (2 * e)) * np.log((1 - e * s) / (1 + e * s))
+        )
+
+    def forward(self, lons, lats):
+        lats = np.asarray(lats, dtype=np.float64)
+        lons = np.asarray(lons, dtype=np.float64)
+        phi = np.radians(lats)
+        lam = np.radians(lons) - self.lon0
+        lam = (lam + np.pi) % (2 * np.pi) - np.pi
+
+        q = self._q(phi)
+        beta = np.arcsin(np.clip(q / self.qp, -1, 1))
+        cb, sb = np.cos(beta), np.sin(beta)
+        B = self.Rq * np.sqrt(
+            2 / (1 + self.sin_b0 * sb + self.cos_b0 * cb * np.cos(lam))
+        )
+        x = self.fe + B * self.D * cb * np.sin(lam)
+        y = self.fn + (B / self.D) * (self.cos_b0 * sb - self.sin_b0 * cb * np.cos(lam))
+        return x, y
+
+
+class WebMercator:
+    R = 6378137.0
+
+    def forward(self, lons, lats):
+        lats = np.asarray(lats, dtype=np.float64)
+        lons = np.asarray(lons, dtype=np.float64)
+        x = self.R * np.radians(lons)
+        y = self.R * np.log(np.tan(np.pi / 4 + np.radians(lats) / 2))
+        return x, y
+
+
+class Identity:
+    def forward(self, lons, lats):
+        return np.asarray(lons, dtype=np.float64), np.asarray(lats, dtype=np.float64)
+
+
+class Transformer:
+    """lon/lat (WGS84, always_xy order) -> projected x/y."""
+
+    def __init__(self, proj):
+        self._proj = proj
+
+    def transform(self, lons, lats):
+        return self._proj.forward(lons, lats)
+
+    @property
+    def proj(self):
+        return self._proj
+
+
+def _projection_for_epsg(epsg: int):
+    if epsg == WGS84_LATLON_EPSG:
+        return Identity()
+    if 32601 <= epsg <= 32660:  # UTM north, WGS84
+        zone = epsg - 32600
+        return TransverseMercator(*_WGS84, lon0_deg=zone * 6 - 183, k0=0.9996,
+                                  false_easting=500000.0, false_northing=0.0)
+    if 32701 <= epsg <= 32760:  # UTM south, WGS84
+        zone = epsg - 32700
+        return TransverseMercator(*_WGS84, lon0_deg=zone * 6 - 183, k0=0.9996,
+                                  false_easting=500000.0, false_northing=10000000.0)
+    if epsg == 3035:  # ETRS89-extended / LAEA Europe
+        return LambertAzimuthalEqualArea(*_GRS80, lat0_deg=52.0, lon0_deg=10.0,
+                                         false_easting=4321000.0,
+                                         false_northing=3210000.0)
+    if epsg == 3857:
+        return WebMercator()
+    raise CRSError(f"EPSG:{epsg} is not supported by this build")
+
+
+_WKT_PARAM_RE = re.compile(r'PARAMETER\s*\[\s*"([^"]+)"\s*,\s*([-\d.eE+]+)', re.I)
+_WKT_PROJ_RE = re.compile(r'PROJECTION\s*\[\s*"([^"]+)"', re.I)
+_WKT_SPHEROID_RE = re.compile(
+    r'(?:SPHEROID|ELLIPSOID)\s*\[\s*"[^"]*"\s*,\s*([-\d.eE+]+)\s*,\s*([-\d.eE+]+)', re.I
+)
+
+
+def _projection_for_wkt(wkt: str):
+    mproj = _WKT_PROJ_RE.search(wkt)
+    msph = _WKT_SPHEROID_RE.search(wkt)
+    if not mproj or not msph:
+        raise CRSError("Unable to parse WKT projection")
+    a = float(msph.group(1))
+    inv_f = float(msph.group(2))
+    params = {k.lower(): float(v) for k, v in _WKT_PARAM_RE.findall(wkt)}
+
+    def p(*names, default=0.0):
+        for n in names:
+            if n in params:
+                return params[n]
+        return default
+
+    name = mproj.group(1).lower()
+    if "transverse_mercator" in name:
+        return TransverseMercator(
+            a, inv_f,
+            lon0_deg=p("central_meridian", "longitude_of_origin"),
+            k0=p("scale_factor", default=1.0),
+            false_easting=p("false_easting"),
+            false_northing=p("false_northing"),
+        )
+    if "azimuthal_equal_area" in name:
+        return LambertAzimuthalEqualArea(
+            a, inv_f,
+            lat0_deg=p("latitude_of_origin", "latitude_of_center"),
+            lon0_deg=p("central_meridian", "longitude_of_center"),
+            false_easting=p("false_easting"),
+            false_northing=p("false_northing"),
+        )
+    raise CRSError(f"WKT projection '{mproj.group(1)}' not supported")
+
+
+def get_transformer(epsg: int | None = None, wkt: str | None = None) -> Transformer:
+    """Build (or fetch from cache) a WGS84->target transformer.
+
+    Same contract as the reference transformer cache
+    (/root/reference/opentopodata/utils.py:38-47).
+    """
+    key = wkt or f"EPSG:{epsg}"
+    tr = _TRANSFORMER_CACHE.get(key)
+    if tr is None:
+        proj = _projection_for_wkt(wkt) if wkt else _projection_for_epsg(epsg)
+        tr = Transformer(proj)
+        _TRANSFORMER_CACHE[key] = tr
+    return tr
+
+
+def reproject_latlons(lats, lons, epsg: int | None = None, wkt: str | None = None):
+    """Convert WGS84 latlons to another projection.
+
+    Bit-parity contract with /root/reference/opentopodata/utils.py:17-52:
+    returns (x, y); EPSG:4326 short-circuits to (lons, lats); EPSG outside
+    [1024, 32767] raises ValueError.
+    """
+    if epsg is None and wkt is None:
+        raise ValueError("Must provide either epsg or wkt.")
+    if epsg and wkt:
+        raise ValueError("Must provide only one of epsg or wkt.")
+    if epsg == WGS84_LATLON_EPSG:
+        return lons, lats
+    if epsg is not None and not 1024 <= epsg <= 32767:
+        raise ValueError("Dataset has invalid epsg projection.")
+    transformer = get_transformer(epsg=epsg, wkt=wkt)
+    x, y = transformer.transform(lons, lats)
+    return x, y
+
+
+# A realistic WKT for EPSG:3035, used by the WKT-only fixture dataset
+# (mirrors the reference's test-eu-dem-subset-no-epsg fixture which carries
+# WKT but no EPSG code — /root/reference/opentopodata/backend.py:97-100).
+ETRS89_LAEA_WKT = (
+    'PROJCS["ETRS89-extended / LAEA Europe",'
+    'GEOGCS["ETRS89",DATUM["European_Terrestrial_Reference_System_1989",'
+    'SPHEROID["GRS 1980",6378137,298.257222101]],'
+    'PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],'
+    'PROJECTION["Lambert_Azimuthal_Equal_Area"],'
+    'PARAMETER["latitude_of_center",52],'
+    'PARAMETER["longitude_of_center",10],'
+    'PARAMETER["false_easting",4321000],'
+    'PARAMETER["false_northing",3210000],'
+    'UNIT["metre",1]]'
+)

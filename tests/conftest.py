@@ -1,0 +1,42 @@
+"""Shared fixtures: synthetic raster corpus, dataset registry, SparkSession."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+FIXTURE_ROOT = os.path.join(os.path.dirname(os.path.dirname(__file__)), ".fixture_cache")
+
+
+@pytest.fixture(scope="session")
+def raster_root() -> str:
+    from opentopodata_spark import fixtures
+
+    fixtures.make_all_rasters(FIXTURE_ROOT)
+    return FIXTURE_ROOT
+
+
+@pytest.fixture(scope="session")
+def datasets(raster_root):
+    from opentopodata_spark import config
+
+    return config.load_datasets(os.path.join(raster_root, "test-config.yaml"))
+
+
+@pytest.fixture(scope="session")
+def documents_path(raster_root) -> str:
+    from opentopodata_spark import fixtures
+
+    path = os.path.join(raster_root, "documents_test.parquet")
+    if not os.path.exists(path):
+        fixtures.make_documents(path, n_docs=400, seed=42)
+    return path
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from opentopodata_spark.session import get_spark
+
+    spark = get_spark(app_name="opentopodata-spark-tests", cores=4, shuffle_partitions=8)
+    yield spark
