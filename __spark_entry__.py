@@ -1,38 +1,770 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship distributed elevation pipeline
+(documents -> coordinate extraction -> tile-join -> raster interpolation
+-> priority coalesce) on deterministic synthetic fixtures at sf0.001
+scale. ``queries()``/``oracle_sql()`` cover the SQL-expressible operator
+inventory (SURVEY.md §2 + the training-data extras) over the driver's
+testdata tables; every aggregate/computed column is aliased identically
+on both sides, and all float expressions are written so Spark and DuckDB
+evaluate the exact same double-precision operation sequence.
 """
 
 from __future__ import annotations
 
+import os
+import sys
+import tempfile
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
 
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from opentopodata_spark.operators import dedup, embeddings as emb, events as ev
+from opentopodata_spark.operators import knn, textops
+
+_PAIR_REGEX = r"(-?\d+(?:\.\d+)?),(-?\d+(?:\.\d+)?)"
+N_MINHASH = 8
+EMB_DIM = 64
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make the package importable in Python workers no matter whose
+    SparkSession we were handed (the driver builds its own)."""
+    from opentopodata_spark.session import _package_zip
+
+    try:
+        spark.sparkContext.addPyFile(_package_zip())
+    except Exception:
+        pass  # already added
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# shared synthetic derivations (identical arithmetic on both engines)
+# ---------------------------------------------------------------------------
+
+def _points(spark, sf_dir):
+    """Deterministic query points derived from customer keys."""
+    return _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("pid"),
+        ((F.col("c_custkey") % 1700) / 10.0 - 85.0 + 0.05).alias("lat"),
+        ((F.col("c_custkey") % 3500) / 10.0 - 175.0 + 0.05).alias("lon"),
+    )
+
+
+_POINTS_SQL = (
+    "SELECT c_custkey AS pid,"
+    " (c_custkey % 1700) / 10.0 - 85.0 + 0.05 AS lat,"
+    " (c_custkey % 3500) / 10.0 - 175.0 + 0.05 AS lon"
+    " FROM customer"
+)
+
+
+def _anchors(spark, sf_dir):
+    """25 spatial anchors (tile centers) derived from nation keys."""
+    return _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("anchor_id"),
+        (((F.col("n_nationkey") * 7) % 180) - 90 + 0.5).cast("double").alias("lat"),
+        (((F.col("n_nationkey") * 13) % 360) - 180 + 0.5).cast("double").alias("lon"),
+    )
+
+
+_ANCHORS_SQL = (
+    "SELECT n_nationkey AS anchor_id,"
+    " CAST((n_nationkey * 7) % 180 - 90 + 0.5 AS DOUBLE) AS lat,"
+    " CAST((n_nationkey * 13) % 360 - 180 + 0.5 AS DOUBLE) AS lon"
+    " FROM nation"
+)
+
+
+def _datasets(spark, sf_dir):
+    """5 overlapping bbox 'datasets' derived from region keys (J2 dims)."""
+    return _t(spark, sf_dir, "region").select(
+        F.col("r_name").alias("name"),
+        F.col("r_regionkey").cast("int").alias("priority"),
+        (F.col("r_regionkey") * 60.0 - 180.0).alias("lon_min"),
+        (F.col("r_regionkey") * 60.0 - 180.0 + 100.0).alias("lon_max"),
+        (F.col("r_regionkey") * 25.0 - 90.0).alias("lat_min"),
+        (F.col("r_regionkey") * 25.0 - 90.0 + 120.0).alias("lat_max"),
+    )
+
+
+_DATASETS_SQL = (
+    "SELECT r_name AS name, CAST(r_regionkey AS INT) AS priority,"
+    " r_regionkey * 60.0 - 180.0 AS lon_min,"
+    " r_regionkey * 60.0 - 180.0 + 100.0 AS lon_max,"
+    " r_regionkey * 25.0 - 90.0 AS lat_min,"
+    " r_regionkey * 25.0 - 90.0 + 120.0 AS lat_max"
+    " FROM region"
+)
+
+_TOKENS_SQL = "list_filter(string_split(text, ' '), x -> x <> '')"
+_SHINGLES_CTE = (
+    "tok AS (SELECT doc_id, "
+    f"{_TOKENS_SQL} AS toks FROM documents), "
+    "sh AS (SELECT doc_id, unnest(list_distinct("
+    "[concat_ws(' ', toks[i], toks[i+1]) for i in "
+    "generate_series(1, greatest(len(toks)-1, 1))])) AS shingle FROM tok)"
+)
+
+
+# ---------------------------------------------------------------------------
+# queries — reference-semantics operators (SURVEY.md §2)
+# ---------------------------------------------------------------------------
+
+def q_tile_floor_keys(spark, sf_dir):
+    """S2/S3/S7/J1 key math: tile floors at three grid sizes + SRTM name."""
+    p = _points(spark, sf_dir)
+    iy1 = F.floor(F.col("lat") / 1.0).cast("long")
+    ix1 = F.floor(F.col("lon") / 1.0).cast("long")
+    return p.select(
+        "pid",
+        "lat",
+        "lon",
+        iy1.alias("iy1"),
+        ix1.alias("ix1"),
+        F.floor(F.col("lat") / 0.25).cast("long").alias("iy025"),
+        F.floor(F.col("lon") / 0.25).cast("long").alias("ix025"),
+        F.floor(F.col("lat") / 5.0).cast("long").alias("iy5"),
+        F.floor(F.col("lon") / 5.0).cast("long").alias("ix5"),
+        F.concat(
+            F.when(iy1 >= 0, F.lit("N")).otherwise(F.lit("S")),
+            F.lpad(F.abs(iy1).cast("string"), 2, "0"),
+            F.when(ix1 >= 0, F.lit("E")).otherwise(F.lit("W")),
+            F.lpad(F.abs(ix1).cast("string"), 3, "0"),
+        ).alias("srtm_name"),
+    )
+
+
+_Q_TILE_FLOOR_SQL = f"""
+WITH pts AS ({_POINTS_SQL})
+SELECT pid, lat, lon,
+  CAST(floor(lat / 1.0) AS BIGINT) AS iy1,
+  CAST(floor(lon / 1.0) AS BIGINT) AS ix1,
+  CAST(floor(lat / 0.25) AS BIGINT) AS iy025,
+  CAST(floor(lon / 0.25) AS BIGINT) AS ix025,
+  CAST(floor(lat / 5.0) AS BIGINT) AS iy5,
+  CAST(floor(lon / 5.0) AS BIGINT) AS ix5,
+  concat(
+    CASE WHEN CAST(floor(lat / 1.0) AS BIGINT) >= 0 THEN 'N' ELSE 'S' END,
+    lpad(CAST(abs(CAST(floor(lat / 1.0) AS BIGINT)) AS VARCHAR), 2, '0'),
+    CASE WHEN CAST(floor(lon / 1.0) AS BIGINT) >= 0 THEN 'E' ELSE 'W' END,
+    lpad(CAST(abs(CAST(floor(lon / 1.0) AS BIGINT)) AS VARCHAR), 3, '0')
+  ) AS srtm_name
+FROM pts
+"""
+
+
+def q_bbox_coverage(spark, sf_dir):
+    """J2: point-in-rectangle dataset-coverage join (broadcast dims)."""
+    p = _points(spark, sf_dir)
+    d = _datasets(spark, sf_dir)
+    cond = (
+        (p["lat"] >= d["lat_min"])
+        & (p["lat"] <= d["lat_max"])
+        & (p["lon"] >= d["lon_min"])
+        & (p["lon"] <= d["lon_max"])
+    )
+    return (
+        p.join(F.broadcast(d), cond, "left")
+        .groupBy(F.coalesce(F.col("name"), F.lit("NONE")).alias("dataset"))
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.min("pid").alias("min_pid"),
+            F.max("pid").alias("max_pid"),
+        )
+    )
+
+
+_Q_BBOX_SQL = f"""
+WITH pts AS ({_POINTS_SQL}), ds AS ({_DATASETS_SQL})
+SELECT coalesce(d.name, 'NONE') AS dataset,
+       count(*) AS n_points, min(p.pid) AS min_pid, max(p.pid) AS max_pid
+FROM pts p LEFT JOIN ds d
+  ON p.lat >= d.lat_min AND p.lat <= d.lat_max
+ AND p.lon >= d.lon_min AND p.lon <= d.lon_max
+GROUP BY 1
+"""
+
+
+def q_priority_coalesce(spark, sf_dir):
+    """J3(b): first-non-null-by-priority via one window (the resolver's
+    coalesce plan on synthetic resolvability)."""
+    p = _points(spark, sf_dir)
+    d = _datasets(spark, sf_dir)
+    cond = (
+        (p["lat"] >= d["lat_min"])
+        & (p["lat"] <= d["lat_max"])
+        & (p["lon"] >= d["lon_min"])
+        & (p["lon"] <= d["lon_max"])
+    )
+    cand = p.join(F.broadcast(d), cond, "left").select(
+        "pid",
+        "lat",
+        "name",
+        "priority",
+        (
+            F.col("priority").isNotNull()
+            & (((F.col("pid") + F.col("priority")) % 3) != 0)
+        ).alias("resolved"),
+        (F.col("lat") + F.col("priority")).alias("elev"),
+    )
+    order = F.when(F.col("resolved"), F.col("priority")).otherwise(-F.col("priority"))
+    w = Window.partitionBy("pid").orderBy(F.col("resolved").desc(), order.asc())
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "pid",
+            F.when(F.col("resolved"), F.col("elev"))
+            .otherwise(F.lit(None).cast("double"))
+            .alias("elevation"),
+            F.coalesce(F.col("name"), F.lit("fallback")).alias("dataset"),
+        )
+    )
+
+
+_Q_PRIORITY_SQL = f"""
+WITH pts AS ({_POINTS_SQL}), ds AS ({_DATASETS_SQL}),
+cand AS (
+  SELECT p.pid, p.lat, d.name, d.priority,
+         (d.priority IS NOT NULL AND (p.pid + d.priority) % 3 <> 0) AS resolved,
+         p.lat + d.priority AS elev
+  FROM pts p LEFT JOIN ds d
+    ON p.lat >= d.lat_min AND p.lat <= d.lat_max
+   AND p.lon >= d.lon_min AND p.lon <= d.lon_max),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY pid
+    ORDER BY resolved DESC,
+             CASE WHEN resolved THEN priority ELSE -priority END ASC) AS rn
+  FROM cand)
+SELECT pid,
+       CASE WHEN resolved THEN elev ELSE NULL END AS elevation,
+       coalesce(name, 'fallback') AS dataset
+FROM ranked WHERE rn = 1
+"""
+
+
+def q_knn_topk(spark, sf_dir):
+    """J5: k nearest anchors per point (broadcast + window top-k)."""
+    p = _points(spark, sf_dir).where(F.col("pid") % 20 == 0)
+    return knn.knn_join(
+        p.withColumnRenamed("pid", "point_id"), _anchors(spark, sf_dir), k=3
+    )
+
+
+_Q_KNN_SQL = f"""
+WITH pts AS (SELECT * FROM ({_POINTS_SQL}) WHERE pid % 20 = 0),
+anc AS ({_ANCHORS_SQL}),
+scored AS (
+  SELECT p.pid AS point_id, a.anchor_id,
+         round((p.lat - a.lat) * (p.lat - a.lat)
+             + (p.lon - a.lon) * (p.lon - a.lon), 6) AS dist
+  FROM pts p CROSS JOIN anc a),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY point_id ORDER BY dist ASC, anchor_id ASC) AS "rank"
+  FROM scored)
+SELECT point_id, anchor_id, "rank", dist FROM ranked WHERE "rank" <= 3
+"""
+
+
+def q_coord_extract(spark, sf_dir):
+    """P1: the lat,lon|lat,lon grammar — build, extract, parse, round-trip."""
+    c = _t(spark, sf_dir, "customer")
+
+    def istr(expr):
+        return expr.cast("long").cast("string")
+
+    k = F.col("c_custkey")
+    loc_text = F.concat(
+        istr(k % 170 - 85), F.lit("."), istr(k % 10), F.lit(","),
+        istr(k % 350 - 175), F.lit("."), istr(k % 7), F.lit("|"),
+        istr(k % 160 - 80), F.lit("."), istr(k % 9), F.lit(","),
+        istr(k % 340 - 170), F.lit("."), istr(k % 8),
+    )
+    src = c.select(k.alias("pid"), loc_text.alias("loc_text"))
+    pairs = F.regexp_extract_all(F.col("loc_text"), F.lit(_PAIR_REGEX), F.lit(0))
+    parsed = src.select("pid", pairs.alias("pairs"))
+    return parsed.select(
+        "pid",
+        F.split(F.element_at("pairs", 1), ",").getItem(0).cast("double").alias("lat1"),
+        F.split(F.element_at("pairs", 1), ",").getItem(1).cast("double").alias("lon1"),
+        F.split(F.element_at("pairs", 2), ",").getItem(0).cast("double").alias("lat2"),
+        F.split(F.element_at("pairs", 2), ",").getItem(1).cast("double").alias("lon2"),
+        F.size("pairs").cast("long").alias("n_points"),
+    )
+
+
+_Q_COORD_SQL = rf"""
+WITH src AS (
+  SELECT c_custkey AS pid,
+    concat(
+      CAST(c_custkey % 170 - 85 AS VARCHAR), '.', CAST(c_custkey % 10 AS VARCHAR), ',',
+      CAST(c_custkey % 350 - 175 AS VARCHAR), '.', CAST(c_custkey % 7 AS VARCHAR), '|',
+      CAST(c_custkey % 160 - 80 AS VARCHAR), '.', CAST(c_custkey % 9 AS VARCHAR), ',',
+      CAST(c_custkey % 340 - 170 AS VARCHAR), '.', CAST(c_custkey % 8 AS VARCHAR)
+    ) AS loc_text
+  FROM customer),
+parsed AS (
+  SELECT pid,
+         regexp_extract_all(loc_text, '{_PAIR_REGEX}', 0) AS pairs
+  FROM src)
+SELECT pid,
+  CAST(string_split(pairs[1], ',')[1] AS DOUBLE) AS lat1,
+  CAST(string_split(pairs[1], ',')[2] AS DOUBLE) AS lon1,
+  CAST(string_split(pairs[2], ',')[1] AS DOUBLE) AS lat2,
+  CAST(string_split(pairs[2], ',')[2] AS DOUBLE) AS lon2,
+  CAST(len(pairs) AS BIGINT) AS n_points
+FROM parsed
+"""
+
+
+# ---------------------------------------------------------------------------
+# queries — training-data pipeline extras (dedup / text / embeddings / events)
+# ---------------------------------------------------------------------------
+
+def q_exact_dedup(spark, sf_dir):
+    return dedup.exact_duplicates(_t(spark, sf_dir, "documents"))
+
+
+_Q_EXACT_DEDUP_SQL = (
+    "SELECT md5(text) AS text_hash, min(doc_id) AS canonical_id,"
+    " count(*) AS n_docs FROM documents GROUP BY md5(text)"
+)
+
+
+def q_minhash(spark, sf_dir):
+    return dedup.minhash_signatures(
+        _t(spark, sf_dir, "documents"), num_hashes=N_MINHASH
+    )
+
+
+_MINHASH_SELECT = (
+    "SELECT doc_id, "
+    + ", ".join(f"min(md5(shingle || '#{i}')) AS h{i}" for i in range(N_MINHASH))
+    + " FROM sh WHERE shingle <> '' GROUP BY doc_id"
+)
+
+
+def _minhash_sql() -> str:
+    return f"WITH {_SHINGLES_CTE} {_MINHASH_SELECT}"
+
+
+def q_lsh_pairs(spark, sf_dir):
+    sigs = dedup.minhash_signatures(
+        _t(spark, sf_dir, "documents"), num_hashes=N_MINHASH
+    )
+    return dedup.lsh_candidate_pairs(sigs, band_size=2)
+
+
+def _lsh_pairs_sql() -> str:
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, concat_ws('|', h{2*b}, h{2*b+1}) AS value FROM sig"
+        for b in range(N_MINHASH // 2)
+    )
+    return (
+        f"WITH {_SHINGLES_CTE}, sig AS ({_MINHASH_SELECT}), "
+        f"buckets AS ({bands}) "
+        "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
+        "FROM buckets a JOIN buckets b "
+        "ON a.band = b.band AND a.value = b.value AND a.doc_id < b.doc_id"
+    )
+
+
+def q_jaccard(spark, sf_dir):
+    return dedup.jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.3)
+
+
+_Q_JACCARD_SQL = f"""
+WITH {_SHINGLES_CTE},
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh WHERE shingle <> '' GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  WHERE a.shingle <> ''
+  GROUP BY a.doc_id, b.doc_id)
+SELECT doc_a, doc_b, inter, sa.sz AS size_a, sb.sz AS size_b,
+       round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= 0.3
+"""
+
+
+def q_simhash(spark, sf_dir):
+    return dedup.simhash(_t(spark, sf_dir, "documents"), bits=16)
+
+
+def _simhash_sql(bits: int = 16) -> str:
+    votes = ", ".join(
+        f"sum(CASE WHEN ((h >> {b}) & 1) = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(bits)
+    )
+    recompose = " + ".join(
+        f"CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(bits)
+    )
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({_TOKENS_SQL}) AS tok FROM documents),
+hashed AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM tok),
+votes AS (SELECT doc_id, {votes} FROM hashed GROUP BY doc_id)
+SELECT doc_id, CAST({recompose} AS BIGINT) AS simhash FROM votes
+"""
+
+
+def q_token_stats(spark, sf_dir):
+    return textops.token_stats(_t(spark, sf_dir, "documents"))
+
+
+_Q_TOKEN_SQL = f"""
+WITH tok AS (SELECT doc_id, text, {_TOKENS_SQL} AS toks FROM documents)
+SELECT doc_id,
+  CAST(length(text) AS BIGINT) AS n_chars,
+  CAST(len(toks) AS BIGINT) AS n_ws_tokens,
+  CAST(len(regexp_extract_all(text, '{textops.BPE_REGEX}', 0)) AS BIGINT) AS n_bpe_tokens,
+  round(list_sum([CAST(length(t) AS BIGINT) for t in toks])
+        / greatest(len(toks), 1), 6) AS avg_token_len
+FROM tok
+"""
+
+
+def q_quality(spark, sf_dir):
+    return textops.quality_score(_t(spark, sf_dir, "documents"))
+
+
+def _quality_sql() -> str:
+    stop = ", ".join(f"'{w}'" for w in textops.STOPWORDS["en"])
+    return f"""
+WITH tok AS (SELECT doc_id, text, {_TOKENS_SQL} AS toks FROM documents),
+c AS (
+  SELECT doc_id,
+    CAST(len(toks) AS BIGINT) AS n_tokens,
+    CAST(len(list_filter(toks, x -> list_contains([{stop}], x))) AS BIGINT) AS n_stop,
+    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]', 0)) AS BIGINT) AS n_punct
+  FROM tok)
+SELECT doc_id, n_tokens, n_stop, n_punct,
+  round(0.4 * least(n_tokens / 64.0, 1.0)
+      + 0.3 * least(n_stop / greatest(n_tokens, 1) * 8.0, 1.0)
+      + 0.3 * (1.0 - least(n_punct / greatest(n_tokens, 1) * 10.0, 1.0)), 6) AS score
+FROM c
+"""
+
+
+def q_lang_id(spark, sf_dir):
+    return textops.lang_id(_t(spark, sf_dir, "documents"))
+
+
+def _lang_id_sql() -> str:
+    langs = list(textops.STOPWORDS)
+    counts = ", ".join(
+        "CAST(len(list_filter(toks, x -> list_contains(["
+        + ", ".join(f"'{w}'" for w in textops.STOPWORDS[lang])
+        + f"], x))) AS BIGINT) AS votes_{lang}"
+        for lang in langs
+    )
+    best = "greatest(" + ", ".join(f"votes_{lang}" for lang in langs) + ")"
+    pred = "CASE WHEN " + best + " = 0 THEN 'und' " + " ".join(
+        f"WHEN votes_{lang} = {best} THEN '{lang}'" for lang in langs
+    ) + " END"
+    cols = ", ".join(f"votes_{lang}" for lang in langs)
+    return f"""
+WITH tok AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents),
+v AS (SELECT doc_id, {counts} FROM tok)
+SELECT doc_id, {cols}, {pred} AS pred_lang FROM v
+"""
+
+
+def q_fingerprint(spark, sf_dir):
+    return textops.fingerprint(_t(spark, sf_dir, "documents"), k=8)
+
+
+_Q_FINGERPRINT_SQL = """
+SELECT doc_id,
+  list_aggregate([md5(substr(text, i, 8))
+                  for i in generate_series(1, greatest(length(text) - 7, 1))],
+                 'min') AS fp,
+  CAST(greatest(length(text) - 7, 1) AS BIGINT) AS n_grams
+FROM documents
+"""
+
+
+def q_embedding_topk(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return emb.cosine_topk(e, e.where(F.col("vec_id") % 100 == 0), k=5)
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return (
+        f"list_sum([{a}[i]::DOUBLE * {b}[i]::DOUBLE "
+        f"for i in generate_series(1, {EMB_DIM})])"
+    )
+
+
+_Q_EMB_TOPK_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+           WHERE vec_id % 100 = 0),
+scored AS (
+  SELECT q.query_id, v.vec_id AS neighbor_id,
+    round({_dot_sql('qvec', 'embedding')}
+          / (sqrt({_dot_sql('qvec', 'qvec')})
+             * sqrt({_dot_sql('embedding', 'embedding')})), 6) AS cos_sim
+  FROM embeddings v CROSS JOIN q WHERE v.vec_id <> q.query_id),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS "rank"
+  FROM scored)
+SELECT query_id, neighbor_id, "rank", cos_sim FROM ranked WHERE "rank" <= 5
+"""
+
+
+def q_emb_lsh_buckets(spark, sf_dir):
+    b = emb.hyperplane_lsh_buckets(_t(spark, sf_dir, "embeddings"), n_planes=8)
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_vecs"), F.min("vec_id").alias("min_vec_id")
+    )
+
+
+def _emb_lsh_sql(n_planes: int = 8) -> str:
+    bits = " + ".join(
+        f"CASE WHEN embedding[{b + 1}]::DOUBLE > 0 THEN {1 << b} ELSE 0 END"
+        for b in range(n_planes)
+    )
+    return f"""
+WITH b AS (SELECT vec_id, CAST({bits} AS BIGINT) AS bucket FROM embeddings)
+SELECT bucket, count(*) AS n_vecs, min(vec_id) AS min_vec_id FROM b GROUP BY bucket
+"""
+
+
+def q_emb_near_dups(spark, sf_dir):
+    return emb.near_duplicate_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.25, n_planes=8
+    )
+
+
+def _emb_near_dups_sql(n_planes: int = 8) -> str:
+    bits = " + ".join(
+        f"CASE WHEN embedding[{b + 1}]::DOUBLE > 0 THEN {1 << b} ELSE 0 END"
+        for b in range(n_planes)
+    )
+    return f"""
+WITH b AS (SELECT vec_id, embedding, CAST({bits} AS BIGINT) AS bucket FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
+    round({_dot_sql('a.embedding', 'b2.embedding')}
+          / (sqrt({_dot_sql('a.embedding', 'a.embedding')})
+             * sqrt({_dot_sql('b2.embedding', 'b2.embedding')})), 6) AS cos_sim
+  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
+SELECT vec_a, vec_b, cos_sim FROM pairs WHERE cos_sim >= 0.25
+"""
+
+
+def q_events_rollup(spark, sf_dir):
+    r = ev.tumbling_rollup(_t(spark, sf_dir, "events"))
+    return r.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n_events",
+        F.round("sum_value", 6).alias("sum_value"),
+        "n_users",
+    )
+
+
+_Q_EVENTS_SQL = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       count(*) AS n_events,
+       round(CAST(sum(value::DECIMAL(28,6)) AS DOUBLE), 6) AS sum_value,
+       count(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_sessionize(spark, sf_dir):
+    s = ev.sessionize(_t(spark, sf_dir, "events"), gap_minutes=30)
+    return s.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_events").alias("total_events"),
+        F.max("n_events").alias("max_session_events"),
+    )
+
+
+_Q_SESSIONIZE_SQL = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS us,
+    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+         THEN 1 ELSE 0 END AS brk
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+sess AS (
+  SELECT user_id,
+    sum(brk) OVER (PARTITION BY user_id ORDER BY us
+                   ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM e),
+per_session AS (
+  SELECT user_id, session_id, count(*) AS n_events
+  FROM sess GROUP BY user_id, session_id)
+SELECT user_id, count(*) AS n_sessions,
+       CAST(sum(n_events) AS BIGINT) AS total_events,
+       max(n_events) AS max_session_events
+FROM per_session GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# rows-only queries (not SQL-expressible: rasters / geodesics / media)
+# ---------------------------------------------------------------------------
+
+def _fixture_root() -> str:
+    return os.path.join(tempfile.gettempdir(), "otds_driver_fixtures")
+
+
+def _prepare_elevation_inputs(n_docs: int, seed: int = 11):
+    from opentopodata_spark import fixtures
+
+    root = _fixture_root()
+    raster_dir = os.path.join(root, "rasters")
+    fixtures.make_all_rasters(raster_dir)
+    docs = os.path.join(root, f"docs_{n_docs}_{seed}.parquet")
+    if not os.path.exists(docs):
+        fixtures.make_documents(docs, n_docs=n_docs, seed=seed)
+    return os.path.join(raster_dir, "test-config.yaml"), docs
+
+
+def _run_elevation(spark: SparkSession, n_docs: int) -> DataFrame:
+    from opentopodata_spark import config
+    from opentopodata_spark.operators import elevation, extract
+
+    _ship_package(spark)
+    cfg_path, docs_path = _prepare_elevation_inputs(n_docs)
+    documents = spark.read.parquet(docs_path)
+    pts = extract.with_point_id(extract.extract_points(documents)).where(
+        F.col("loc_error").isNull()
+    )
+    dsets = config.load_datasets(cfg_path)
+    ordered = config.resolve_dataset_names("multi_eudem_etopo1", dsets)
+    resolver = elevation.ElevationResolver(spark, ordered, "bilinear")
+    resolved = resolver.resolve(pts)
+    return (
+        pts.select("doc_id", "span_pos", "point_pos", "point_id")
+        .join(resolved, "point_id")
+        .select(
+            "doc_id", "span_pos", "point_pos", "lat", "lon", "elevation", "dataset"
+        )
+    )
+
+
+def q_elevation_e2e(spark, sf_dir):
+    """Flagship: documents -> extraction -> tile join -> raster
+    interpolation -> priority coalesce. Rows-only (rasters aren't SQL)."""
+    return _run_elevation(spark, n_docs=1000)
+
+
+def q_geodesic_paths(spark, sf_dir):
+    """S6: geodesic path sampling, distributed per path. Rows-only."""
+    from opentopodata_spark.operators import paths
+
+    _ship_package(spark)
+    a = _anchors(spark, sf_dir)
+    pdf = a.select(
+        F.col("anchor_id").alias("path_id"),
+        F.array(F.col("lat"), F.least(F.col("lat") + 10.0, F.lit(89.0))).alias("lats"),
+        F.array(F.col("lon"), F.least(F.col("lon") + 10.0, F.lit(179.0))).alias("lons"),
+    )
+    return paths.sample_paths(pdf, n_samples=5)
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Media spans -> fetch -> decode/featurize (stubbed codecs, real
+    distributed plumbing). Rows-only."""
+    from opentopodata_spark.operators import multimodal
+
+    _ship_package(spark)
+    _, docs_path = _prepare_elevation_inputs(n_docs=1000)
+    documents = spark.read.parquet(docs_path)
+    spans = multimodal.media_spans(documents)
+    feats = multimodal.decode_and_featurize(multimodal.fetch_media(spans))
+    return feats.select(
+        "doc_id", "span_pos", "media_ref", "media_kind", "n_bytes", "width", "height"
+    )
+
+
+def q_ivf_topk(spark, sf_dir):
+    """IVF approximate nearest neighbors (scale path). Rows-only."""
+    e = _t(spark, sf_dir, "embeddings")
+    centroids = e.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("centroid")
+    )
+    return emb.ivf_topk(
+        e, e.where(F.col("vec_id") % 100 == 0), centroids, k=5, n_probe=2
+    )
+
+
+# ---------------------------------------------------------------------------
+# driver contract
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query at sf0.001 scale; driver checks rows > 0."""
+    return _run_elevation(spark, n_docs=300)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "tile_floor_keys": q_tile_floor_keys,
+        "bbox_coverage": q_bbox_coverage,
+        "priority_coalesce": q_priority_coalesce,
+        "knn_topk": q_knn_topk,
+        "coord_extract": q_coord_extract,
+        "exact_dedup": q_exact_dedup,
+        "minhash_signatures": q_minhash,
+        "lsh_candidate_pairs": q_lsh_pairs,
+        "ngram_jaccard": q_jaccard,
+        "simhash": q_simhash,
+        "token_stats": q_token_stats,
+        "quality_score": q_quality,
+        "lang_id": q_lang_id,
+        "fingerprint": q_fingerprint,
+        "embedding_topk": q_embedding_topk,
+        "embedding_lsh_buckets": q_emb_lsh_buckets,
+        "embedding_near_dups": q_emb_near_dups,
+        "events_rollup": q_events_rollup,
+        "sessionize": q_sessionize,
+        "elevation_e2e": q_elevation_e2e,
+        "geodesic_paths": q_geodesic_paths,
+        "multimodal_features": q_multimodal_features,
+        "ivf_topk": q_ivf_topk,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "tile_floor_keys": _Q_TILE_FLOOR_SQL,
+        "bbox_coverage": _Q_BBOX_SQL,
+        "priority_coalesce": _Q_PRIORITY_SQL,
+        "knn_topk": _Q_KNN_SQL,
+        "coord_extract": _Q_COORD_SQL,
+        "exact_dedup": _Q_EXACT_DEDUP_SQL,
+        "minhash_signatures": _minhash_sql(),
+        "lsh_candidate_pairs": _lsh_pairs_sql(),
+        "ngram_jaccard": _Q_JACCARD_SQL,
+        "simhash": _simhash_sql(),
+        "token_stats": _Q_TOKEN_SQL,
+        "quality_score": _quality_sql(),
+        "lang_id": _lang_id_sql(),
+        "fingerprint": _Q_FINGERPRINT_SQL,
+        "embedding_topk": _Q_EMB_TOPK_SQL,
+        "embedding_lsh_buckets": _emb_lsh_sql(),
+        "embedding_near_dups": _emb_near_dups_sql(),
+        "events_rollup": _Q_EVENTS_SQL,
+        "sessionize": _Q_SESSIONIZE_SQL,
+        # elevation_e2e / geodesic_paths / multimodal_features / ivf_topk:
+        # genuinely non-SQL (rasters, Karney geodesics, binary media, IVF)
+        # -> rows-only checks.
+    }

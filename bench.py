@@ -1,0 +1,107 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line.
+
+Every query is executed to completion through the noop sink (full plan
+runs, nothing collected to the driver, no column-pruning shortcuts a
+count() would allow). The flagship elevation pipeline also reports
+coordinate throughput (coords/sec), the reference's headline metric.
+
+Scaling-efficiency evidence (BASELINE.json north rule, N vs 4N):
+    SPARK_GRAFT_CPUS=8 python bench.py
+    SPARK_GRAFT_CPUS=32 python bench.py
+and compare coords_per_sec / suite seconds (see docs/BENCH.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+import __spark_entry__ as contract  # noqa: E402
+from opentopodata_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def _sf_label(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def run(df) -> float:
+    t0 = time.time()
+    df.write.format("noop").mode("overwrite").save()
+    return time.time() - t0
+
+
+def main() -> None:
+    sf = _sf_label(SF_DIR)
+    spark = get_spark(
+        app_name="opentopodata-spark-bench",
+        cores=CPUS,
+        shuffle_partitions=max(CPUS, 8),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # flagship: documents -> extraction -> tile join -> raster sampling
+    # -> priority coalesce, at a doc count proportional to sf
+    n_docs = max(2_000, int(200_000 * sf))
+    elev_df = contract._run_elevation(spark, n_docs=n_docs)
+    n_coords = elev_df.count()  # warm: fixtures built, rasters opened
+    timings: dict[str, float] = {}
+    timings["elevation_e2e"] = run(elev_df)
+
+    queries = {
+        "minhash_lsh": lambda: contract.q_lsh_pairs(spark, SF_DIR),
+        "ngram_jaccard": lambda: contract.q_jaccard(spark, SF_DIR),
+        "simhash": lambda: contract.q_simhash(spark, SF_DIR),
+        "exact_dedup": lambda: contract.q_exact_dedup(spark, SF_DIR),
+        "token_stats": lambda: contract.q_token_stats(spark, SF_DIR),
+        "quality_score": lambda: contract.q_quality(spark, SF_DIR),
+        "lang_id": lambda: contract.q_lang_id(spark, SF_DIR),
+        "fingerprint": lambda: contract.q_fingerprint(spark, SF_DIR),
+        "embedding_topk": lambda: contract.q_embedding_topk(spark, SF_DIR),
+        "embedding_near_dups": lambda: contract.q_emb_near_dups(spark, SF_DIR),
+        "ivf_topk": lambda: contract.q_ivf_topk(spark, SF_DIR),
+        "knn_topk": lambda: contract.q_knn_topk(spark, SF_DIR),
+        "tile_floor_keys": lambda: contract.q_tile_floor_keys(spark, SF_DIR),
+        "priority_coalesce": lambda: contract.q_priority_coalesce(spark, SF_DIR),
+        "coord_extract": lambda: contract.q_coord_extract(spark, SF_DIR),
+        "events_rollup": lambda: contract.q_events_rollup(spark, SF_DIR),
+        "sessionize": lambda: contract.q_sessionize(spark, SF_DIR),
+    }
+    for name, make in queries.items():
+        timings[name] = run(make())
+
+    total = sum(timings.values())
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_seconds",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": {k: round(v, 3) for k, v in timings.items()},
+                "sf": sf,
+                "cores": CPUS,
+                "elevation_coords": n_coords,
+                "elevation_coords_per_sec": round(
+                    n_coords / timings["elevation_e2e"], 1
+                ),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

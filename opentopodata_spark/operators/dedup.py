@@ -1,0 +1,232 @@
+"""Document deduplication operators for large-scale training-data pipelines.
+
+These have no analog in the reference (opentopodata is an elevation
+server); they are the engine-native extras a 100 TB documents corpus
+needs. Everything here is pure Catalyst column expressions — higher-order
+array functions + hash built-ins — so the whole family runs inside
+whole-stage codegen with zero Python in the hot path.
+
+Scale notes (the design point is 10^12 documents, ~100 TB of text):
+
+* ``exact_duplicates``: one hash-partial + final aggregate on md5(text).
+  Map-side combine collapses most groups before the shuffle; the shuffle
+  key is a fixed-width 32-char hash so skew only occurs for true
+  mega-duplicates (handled by AQE skew splitting).
+* ``minhash_signatures``: shingling + hashing are narrow (per-row array
+  ops); the only shuffle is the groupBy(doc) min-aggregate, which
+  combines map-side to one row per doc per partition.
+* ``lsh_candidate_pairs``: the classic band trick — docs sharing any
+  band bucket become candidates. The self-join is an equi-join on
+  (band, value); bucket sizes are bounded by ``max_bucket`` to cap the
+  quadratic blowup of degenerate buckets (boilerplate/empty docs) —
+  standard practice, and the cap is surfaced to the caller.
+* ``jaccard_pairs``: exact verification for candidate pairs (or, for
+  small corpora, all pairs sharing a shingle). inter/union computed from
+  exact distinct-shingle counts; integer arithmetic, no float ambiguity.
+* ``simhash``: 16/32/64-bit sign-aggregated fingerprint; hamming-near
+  fingerprints => near-duplicates. Bit arithmetic on a 60-bit md5 prefix
+  keeps Spark and external oracles (DuckDB) bit-identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "word_shingles",
+    "exact_duplicates",
+    "minhash_signatures",
+    "lsh_candidate_pairs",
+    "jaccard_pairs",
+    "simhash",
+]
+
+
+def _tokens(text_col: str):
+    """Whitespace tokens, empty strings dropped (split never yields null)."""
+    return F.filter(F.split(F.col(text_col), " "), lambda t: t != F.lit(""))
+
+
+def word_shingles(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 2
+) -> DataFrame:
+    """(id, shingle) with DISTINCT word n-gram shingles per document.
+
+    Shingle construction is a per-row array expression (sequence +
+    transform over the token array) — narrow, codegen'd, no UDF.
+    """
+    toks = _tokens(text_col)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(F.array_distinct(grams)).alias("shingle"))
+        .where(F.col("shingle") != "")
+    )
+
+
+def exact_duplicates(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact dedup groups: (text_hash, canonical_id, n_docs).
+
+    canonical_id = min id per group — the row a dedup pass would keep.
+    One shuffle (hash agg with map-side combine).
+    """
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        .agg(
+            F.min(F.col(id_col)).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    shingle_n: int = 2,
+) -> DataFrame:
+    """MinHash signature per doc: columns doc_id, h0..h{k-1}.
+
+    Hash family i is md5(shingle || '#' || i); the signature element is
+    the lexicographic MIN of the hex digest over the doc's shingle set —
+    a valid min-wise independent family (the digest is uniform in hex
+    space), chosen over integer mixing because the hex-string min is
+    bit-reproducible in any SQL engine (the DuckDB oracle runs the same
+    expression).
+    """
+    sh = word_shingles(df, id_col, text_col, shingle_n)
+    aggs = [
+        F.min(F.md5(F.concat_ws("#", F.col("shingle"), F.lit(str(i))))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, band_size: int = 2, max_bucket: int = 1000
+) -> DataFrame:
+    """LSH band trick: (doc_a, doc_b) candidate pairs sharing >=1 band.
+
+    Bands are concatenations of ``band_size`` adjacent signature columns.
+    Buckets larger than ``max_bucket`` docs are dropped (degenerate
+    boilerplate buckets would otherwise explode quadratically at corpus
+    scale); callers needing them should handle those docs separately.
+    """
+    hash_cols = [c for c in signatures.columns if c.startswith("h")]
+    n_bands = len(hash_cols) // band_size
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "|", *[F.col(hash_cols[b * band_size + j]) for j in range(band_size)]
+                ).alias("value"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    buckets = signatures.select(
+        F.col("doc_id"), F.explode(bands).alias("bv")
+    ).select("doc_id", F.col("bv.band").alias("band"), F.col("bv.value").alias("value"))
+
+    big = (
+        buckets.groupBy("band", "value")
+        .count()
+        .where(F.col("count") > max_bucket)
+        .select("band", "value")
+    )
+    buckets = buckets.join(big, ["band", "value"], "left_anti")
+
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.value") == F.col("b.value"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity: (doc_a, doc_b, inter, size_a,
+    size_b, jaccard) for pairs with jaccard >= threshold.
+
+    Pairs are generated only for docs sharing at least one shingle (an
+    equi-join on the inverted shingle index), so cost is bounded by
+    shingle co-occurrence, not n^2. Jaccard is derived from exact
+    integer counts; the final division is the only float op.
+    """
+    sh = word_shingles(df, id_col, text_col, shingle_n)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = (
+        inter.join(F.broadcast(sizes).withColumnsRenamed({"doc_id": "doc_a", "sz": "size_a"}), "doc_a")
+        .join(F.broadcast(sizes).withColumnsRenamed({"doc_id": "doc_b", "sz": "size_b"}), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return out.select("doc_a", "doc_b", "inter", "size_a", "size_b", "jaccard")
+
+
+def simhash(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 16
+) -> DataFrame:
+    """SimHash fingerprint per doc: (doc_id, simhash).
+
+    Token hash = first 60 bits of md5 (via hex->long), so any SQL engine
+    reproduces it exactly. Bit b of the fingerprint is set iff the sum of
+    (+1/-1) votes of all token hashes' bit b is positive. One explode +
+    one grouped aggregate (map-side combined sums).
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(_tokens(text_col)).alias("tok")
+    )
+    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
+    toks = toks.select("doc_id", h.alias("h"))
+    votes = [
+        F.sum(
+            F.when((F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))) == 1, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(bits)
+    ]
+    agg = toks.groupBy("doc_id").agg(*votes)
+    sim = None
+    for b in range(bits):
+        term = F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return agg.select("doc_id", sim.cast("long").alias("simhash"))

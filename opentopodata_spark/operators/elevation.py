@@ -1,0 +1,274 @@
+"""The distributed elevation resolver — the engine's flagship pipeline.
+
+Replaces the reference's per-request loop (/root/reference/opentopodata/
+backend.py:224-288) with the one-shot Spark plan (SURVEY.md J3(b)):
+
+    points (point_id, lat, lon, ...)
+      -> J2  candidate datasets: broadcast bbox join against the registry
+      -> S1/S3 tile keys: Arrow-batched reprojection + float64 floor
+      -> J1  broadcast tile join (missing tile -> null path)
+      -> A1  shuffle by (path [, salt]) -> mapInPandas raster sampling
+      -> S5  per-dataset NaN fill (nodata_value semantics)
+      -> J3  priority coalesce: one window, first-non-null by priority
+      -> J4  join back to the input rows (order restored by key, no sort)
+
+Semantics parity (verified differentially against oracle.get_elevation):
+  * missing tile / out-of-raster-bounds -> null elevation
+  * NODATA in kernel footprint -> NaN, then nodata_value fill PER dataset
+    (null fill => falls through to next dataset; int/NaN fill => resolves)
+  * attribution = winning dataset, else LAST bbox-matching dataset, else
+    the final dataset name as fallback (backend.py:285-286)
+
+Scale design notes:
+  * registry and tile index are broadcast — points never shuffle for joins
+  * the only wide exchange before the coalesce window is the repartition
+    by tile path, which is exactly the reference's "batch by file" strategy
+    (backend.py:188-203) generalized; ``salt`` splits hot tiles (Zipf
+    coordinate clusters) across multiple tasks
+  * rasters are opened via a per-executor LRU over memory-mapped files —
+    the GDAL-block-cache analog.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, StructField, StructType
+
+from .. import crs as _crs
+from .. import interpolate, tiles
+from ..config import Dataset
+
+_XY_SCHEMA = StructType(
+    [StructField("x", DoubleType()), StructField("y", DoubleType())]
+)
+
+
+@F.pandas_udf(_XY_SCHEMA)
+def project_xy(lat: pd.Series, lon: pd.Series, epsg: pd.Series) -> pd.DataFrame:
+    """WGS84 -> filename CRS, vectorized per distinct EPSG in the batch.
+    (S1: the reference's reproject_latlons with transformer cache,
+    /root/reference/opentopodata/utils.py:17-52.)"""
+    lat_v = lat.to_numpy(dtype=np.float64)
+    lon_v = lon.to_numpy(dtype=np.float64)
+    x = np.full(len(lat_v), np.nan)
+    y = np.full(len(lat_v), np.nan)
+    for code in pd.unique(epsg):
+        if code is None or (isinstance(code, float) and math.isnan(code)):
+            continue
+        m = (epsg == code).to_numpy()
+        xs, ys = _crs.reproject_latlons(lat_v[m], lon_v[m], epsg=int(code))
+        x[m] = xs
+        y[m] = ys
+    return pd.DataFrame({"x": x, "y": y})
+
+
+# state: 0 = value, 1 = NODATA (NaN inside raster), 2 = out-of-coverage.
+# An explicit marker column is REQUIRED: pandas/Arrow coerce NaN to SQL
+# null at the UDF boundary, which would silently merge the NODATA and
+# out-of-coverage cases and break nodata_value semantics (SURVEY.md §7
+# hard part 3 — caught by the differential test).
+_SAMPLE_SCHEMA = (
+    "point_id long, lat double, lon double, dataset string, priority int,"
+    " z double, state tinyint"
+)
+
+_STATE_VALUE, _STATE_NODATA, _STATE_OOB = 0, 1, 2
+
+
+def _make_sampler(interpolation: str):
+    def sample(batches):
+        from ..oracle import _open_cached
+
+        for pdf in batches:
+            pdf = pdf.reset_index(drop=True)
+            n = len(pdf)
+            z = np.zeros(n, dtype=np.float64)
+            state = np.full(n, _STATE_OOB, dtype=np.int8)
+            groups = pdf.groupby("path", sort=False, dropna=True)
+            for path, g in groups:
+                raster = _open_cached(path)
+                zs = interpolate.sample_points_on_raster(
+                    raster,
+                    g["lat"].to_numpy(dtype=np.float64),
+                    g["lon"].to_numpy(dtype=np.float64),
+                    interpolation,
+                )
+                idx = g.index.to_numpy()
+                vals = np.array(
+                    [np.nan if v is None else v for v in zs], dtype=np.float64
+                )
+                st = np.where(
+                    [v is None for v in zs],
+                    _STATE_OOB,
+                    np.where(np.isnan(vals), _STATE_NODATA, _STATE_VALUE),
+                )
+                z[idx] = np.where(np.isfinite(vals), vals, 0.0)
+                state[idx] = st
+            yield pd.DataFrame(
+                {
+                    "point_id": pdf["point_id"],
+                    "lat": pdf["lat"],
+                    "lon": pdf["lon"],
+                    "dataset": pdf["dataset"],
+                    "priority": pdf["priority"],
+                    "z": z,
+                    "state": state,
+                }
+            )
+
+    return sample
+
+
+def _fill_expr(col, nodata_value):
+    """S5: replace NaN (NOT null) with nodata_value
+    (/root/reference/opentopodata/utils.py:89-99)."""
+    if nodata_value is None:
+        return F.when(F.isnan(col), F.lit(None).cast("double")).otherwise(col)
+    if isinstance(nodata_value, float) and math.isnan(nodata_value):
+        return col
+    return F.when(F.isnan(col), F.lit(float(nodata_value))).otherwise(col)
+
+
+class ElevationResolver:
+    """Resolves elevations for a points DataFrame against ordered datasets."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        datasets: list[Dataset],
+        interpolation: str = "bilinear",
+        nodata_value=None,
+        sample_partitions: int | None = None,
+        salt: int = 1,
+    ):
+        if interpolation not in interpolate.INTERPOLATION_METHODS:
+            raise ValueError(f"Invalid interpolation method '{interpolation}'.")
+        self.spark = spark
+        self.datasets = datasets
+        self.interpolation = interpolation
+        self.nodata_value = nodata_value
+        self.sample_partitions = sample_partitions or int(
+            spark.conf.get("spark.sql.shuffle.partitions")
+        )
+        self.salt = max(1, salt)
+        self.registry = tiles.registry_df(spark, datasets)
+        self.tile_index = tiles.tile_index_df(spark, datasets)
+        self.fallback_name = datasets[-1].name
+
+    def candidates(self, points: DataFrame) -> DataFrame:
+        """J2: broadcast bbox coverage join (inclusive bounds, parity with
+        backend.py:254-266). LEFT join so uncovered points survive as a
+        single null-dataset row — the pipeline stays one linear flow with
+        no re-scan of the input subtree."""
+        reg = F.broadcast(self.registry)
+        cond = (
+            (points["lat"] >= reg["bottom"])
+            & (points["lat"] <= reg["top"])
+            & (points["lon"] >= reg["left"])
+            & (points["lon"] <= reg["right"])
+        )
+        return points.select("point_id", "lat", "lon").join(reg, cond, "left")
+
+    def with_tile_paths(self, cand: DataFrame) -> DataFrame:
+        """S1+S3+J1: tile key derivation and broadcast tile join.
+
+        Single-file datasets have null tile_size -> null keys -> no tile
+        match; their path comes from coalesce with single_path. Uncovered
+        points keep a null path end-to-end."""
+        cand = cand.withColumn("xy", project_xy("lat", "lon", "filename_epsg"))
+        # float64 floor(coord / tile_size): same arithmetic as the
+        # reference's decimal_base_floor (utils.py:60-65 divides in float)
+        cand = cand.withColumn(
+            "iy", F.floor(F.col("xy.y") / F.col("tile_size")).cast("long")
+        ).withColumn(
+            "ix", F.floor(F.col("xy.x") / F.col("tile_size")).cast("long")
+        )
+        idx = F.broadcast(
+            self.tile_index.select(
+                F.col("dataset").alias("_tds"),
+                F.col("iy").alias("_tiy"),
+                F.col("ix").alias("_tix"),
+                F.col("path").alias("_tpath"),
+            )
+        )
+        cand = cand.join(
+            idx,
+            (cand["dataset"] == idx["_tds"])
+            & (cand["iy"] == idx["_tiy"])
+            & (cand["ix"] == idx["_tix"]),
+            "left",
+        )
+        return cand.select(
+            "point_id",
+            "lat",
+            "lon",
+            "dataset",
+            "priority",
+            F.coalesce(F.col("_tpath"), F.col("single_path")).alias("path"),
+        )
+
+    def sampled(self, cand_paths: DataFrame) -> DataFrame:
+        """A1+S8: shuffle by tile path, sample rasters in Arrow batches.
+        Null-path rows ride along and come out as state=OOB."""
+        df = cand_paths
+        parts = ["path"]
+        if self.salt > 1:
+            df = df.withColumn("_salt", F.pmod(F.col("point_id"), F.lit(self.salt)))
+            parts = ["path", "_salt"]
+        df = df.repartition(self.sample_partitions, *parts)
+        return df.mapInPandas(_make_sampler(self.interpolation), _SAMPLE_SCHEMA)
+
+    def resolve(self, points: DataFrame) -> DataFrame:
+        """Full pipeline: one linear plan, one scan of the input.
+
+        Input needs (point_id, lat, lon). Output: (point_id, lat, lon,
+        elevation, dataset), exactly one row per input point_id. Use
+        ``attach`` to re-join other input columns."""
+        cand = self.candidates(points)
+        cand = self.with_tile_paths(cand)
+        res = self.sampled(cand)
+
+        elev = (
+            F.when(F.col("state") == _STATE_OOB, F.lit(None).cast("double"))
+            .when(F.col("state") == _STATE_NODATA, F.lit(float("nan")))
+            .otherwise(F.col("z"))
+        )
+        res = res.withColumn("elevation", _fill_expr(elev, self.nodata_value))
+        res = res.withColumn("resolved", F.col("elevation").isNotNull())
+
+        # J3(b): winner = min priority among resolved, else max priority
+        # among attempted (bbox-matched) candidates; null-dataset rows
+        # (uncovered points) are their own single-row groups.
+        order = F.when(F.col("resolved"), F.col("priority")).otherwise(
+            -F.col("priority")
+        )
+        w = Window.partitionBy("point_id").orderBy(
+            F.col("resolved").desc(), order.asc()
+        )
+        picked = (
+            res.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select(
+                "point_id",
+                "lat",
+                "lon",
+                "elevation",
+                F.coalesce(F.col("dataset"), F.lit(self.fallback_name)).alias(
+                    "dataset"
+                ),
+            )
+        )
+        return picked
+
+    @staticmethod
+    def attach(points: DataFrame, resolved: DataFrame) -> DataFrame:
+        """J4: re-attach resolver output to the full input rows by key
+        (no global sort — order is identity, not position)."""
+        return points.join(
+            resolved.select("point_id", "elevation", "dataset"), "point_id", "left"
+        )

@@ -1,0 +1,214 @@
+"""Embedding similarity search: brute-force cosine top-k, hyperplane-LSH
+bucketing, IVF-style coarse search, and embedding near-duplicate pairs.
+
+Engine extras for training-data pipelines (no reference analog). The
+dot products run as Catalyst higher-order array expressions
+(zip_with + aggregate) — JVM-side, no Python. That is deliberately the
+*baseline*; the scale paths are:
+
+* ``hyperplane_lsh_buckets``: partition vectors into 2^n_planes sign
+  buckets. At 100 TB, bucket once, bucket-join queries, and brute-force
+  only within (bucket ∪ hamming-1 neighbors). The planes here are
+  axis-aligned (dims 0..n-1) for cross-engine determinism; production
+  would broadcast a seeded random rotation first — same plan shape.
+* ``ivf_topk``: inverted-file search — assign every vector to its
+  nearest of K centroids (broadcast), then search only the query's
+  ``n_probe`` closest cells. Equi-join on cell id => shuffle bounded by
+  cell sizes instead of |queries| × |corpus|.
+
+Determinism: sums fold left-to-right over the array in both Spark's
+``aggregate`` and the DuckDB oracle's ordered ``list_``/unnest sums, so
+doubles match bitwise; results are rounded once at the end anyway.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "dot",
+    "norm",
+    "cosine",
+    "cosine_topk",
+    "hyperplane_lsh_buckets",
+    "near_duplicate_pairs",
+    "ivf_topk",
+]
+
+
+def dot(a, b):
+    """Σ a_i * b_i in double, left-to-right (order-stable)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a):
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a, b):
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Brute-force cosine top-k: (query_id, neighbor_id, rank, cos_sim).
+
+    queries is broadcast (the typical shape: few queries, huge corpus),
+    so the corpus is scanned once with no shuffle before the per-query
+    top-k window. Ties break on neighbor_id for determinism. Self-hits
+    (query_id == neighbor_id) are excluded.
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+        )
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+    )
+    scored = (
+        c.join(q, F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos_sim", F.round(cosine(F.col("qvec"), F.col("cvec")), round_to))
+        .select("query_id", "neighbor_id", "cos_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )
+
+
+def hyperplane_lsh_buckets(
+    df: DataFrame,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, bucket): sign-pattern bucket over the first n_planes dims.
+
+    bucket = Σ_b [v_b > 0] << b. Axis-aligned planes keep the hash
+    engine-agnostic; see module docstring for the rotated variant.
+    """
+    bucket = None
+    for b in range(n_planes):
+        bit = F.when(
+            F.element_at(F.col(vec_col), b + 1).cast("double") > 0, F.lit(1 << b)
+        ).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return df.select(
+        F.col(id_col).alias("vec_id"), bucket.cast("long").alias("bucket")
+    )
+
+
+def near_duplicate_pairs(
+    df: DataFrame,
+    threshold: float = 0.98,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Embedding near-duplicates: (vec_a, vec_b, cos_sim >= threshold).
+
+    LSH-blocked: exact cosine is evaluated only for pairs landing in the
+    same sign bucket (near-identical vectors always do). The bucket
+    equi-join bounds cost by bucket sizes — the 100 TB-safe shape —
+    at the price of missing near-dups straddling a hyperplane; raise
+    recall with multiple rotated bucketings at scale.
+    """
+    withb = df.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")
+    ).join(
+        hyperplane_lsh_buckets(df, n_planes, id_col, vec_col), "vec_id"
+    )
+    a = withb.select(
+        F.col("vec_id").alias("vec_a"), F.col("vec").alias("va"), "bucket"
+    )
+    b = withb.select(
+        F.col("vec_id").alias("vec_b"), F.col("vec").alias("vb"), "bucket"
+    )
+    return (
+        a.join(b, ["bucket"])
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos_sim", F.round(cosine(F.col("va"), F.col("vb")), round_to))
+        .where(F.col("cos_sim") >= threshold)
+        .select("vec_a", "vec_b", "cos_sim")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k.
+
+    centroids: (cell_id, centroid array). Corpus vectors are assigned to
+    their single nearest cell; each query probes its n_probe nearest
+    cells; candidates = equi-join on cell_id; exact cosine + window
+    top-k on the candidates only. Centroids are broadcast twice (tiny);
+    the heavy side shuffles once on cell_id.
+    """
+    cent = F.broadcast(
+        centroids.select(
+            F.col("cell_id"), F.col("centroid")
+        )
+    )
+
+    def nearest_cells(df: DataFrame, side_id: str, side_vec: str, n: int) -> DataFrame:
+        scored = df.crossJoin(cent).withColumn(
+            "_d", cosine(F.col(side_vec), F.col("centroid"))
+        )
+        w = Window.partitionBy(side_id).orderBy(
+            F.col("_d").desc(), F.col("cell_id").asc()
+        )
+        return (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= n)
+            .drop("_d", "_rn", "centroid")
+        )
+
+    c = nearest_cells(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")),
+        "neighbor_id",
+        "cvec",
+        1,
+    )
+    q = nearest_cells(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")),
+        "query_id",
+        "qvec",
+        n_probe,
+    )
+    scored = (
+        c.join(q, ["cell_id"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos_sim", F.round(cosine(F.col("qvec"), F.col("cvec")), round_to))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )

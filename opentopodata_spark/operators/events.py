@@ -1,0 +1,94 @@
+"""Event-stream rollups (batch + Structured Streaming).
+
+The reference has zero streaming semantics (request/response only —
+SURVEY.md "Streaming operators"); these are the engine extras for the
+events table. The same column logic serves both the batch rollup used
+by the DuckDB-checked contract queries and a Structured Streaming
+variant with watermarked state for live ingestion.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["tumbling_rollup", "streaming_tumbling_rollup", "sessionize"]
+
+
+def tumbling_rollup(events: DataFrame, width: str = "hour") -> DataFrame:
+    """(window_start, event_type, n_events, sum_value, n_users).
+
+    sum_value is accumulated in DECIMAL(28,6): exact, and therefore
+    independent of partial-aggregation order — double sums are not
+    reproducible across partition layouts, decimals are. Cast back to
+    double at the edge.
+    """
+    return (
+        events.groupBy(
+            F.date_trunc(width, F.col("ts")).alias("window_start"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,6)"))
+            .cast("double")
+            .alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+def streaming_tumbling_rollup(
+    events: DataFrame, width: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Structured Streaming twin of ``tumbling_rollup``.
+
+    events must be a streaming DataFrame (spark.readStream...). Late
+    rows beyond the watermark are dropped; state is bounded by
+    (#windows in watermark horizon) x (#event types).
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width).alias("win"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Per-user sessionization: (user_id, session_id, session_start,
+    session_end, n_events). A session breaks when the gap to the
+    previous event exceeds ``gap_minutes``. One shuffle (window by
+    user); the cumulative-sum-of-breaks trick keeps it a single pass.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts")
+    # exact integer microseconds: reproducible in any engine (epoch_us),
+    # unlike second-truncated casts. Parquet NTZ timestamps need a cast
+    # before unix_micros; only *differences* are used, so the session-tz
+    # offset the cast introduces cancels out.
+    gap = F.lit(gap_minutes * 60 * 1_000_000)
+    ts_col = F.col("ts")
+    if dict(events.dtypes).get("ts") == "timestamp_ntz":
+        ts_col = ts_col.cast("timestamp_ltz")
+    us = F.unix_micros(ts_col)
+    breaks = (
+        F.when(us - F.lag(us, 1).over(w) > gap, 1).otherwise(0).alias("brk")
+    )
+    with_sess = events.select("user_id", "ts", breaks).withColumn(
+        "session_id", F.sum("brk").over(w)
+    )
+    return with_sess.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

@@ -1,0 +1,135 @@
+"""Text-analysis operators: language ID, quality scoring, token counts,
+document fingerprinting.
+
+Training-data-pipeline extras with no reference analog (the reference is
+an elevation API). All pure column expressions — regex, array
+higher-order functions, and hash built-ins — evaluated JVM-side under
+whole-stage codegen. No Python UDFs: at 10^12 documents the per-row
+Python boundary is the difference between hours and weeks.
+
+Determinism: every score uses only integer counts and single double
+divisions (rounded), so results are bit-reproducible across engines —
+the DuckDB oracle in ``__spark_entry__.py`` runs the same arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["token_stats", "quality_score", "lang_id", "fingerprint", "STOPWORDS"]
+
+# A BPE-ish pre-tokenizer: letter runs | digit runs | single non-alnum
+# non-space. Written without \w/\s classes so Java-regex (Spark) and
+# RE2 (DuckDB/others) agree exactly.
+BPE_REGEX = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+STOPWORDS = {
+    "en": ["the", "a", "is", "of", "and", "to", "in", "on"],
+    "de": ["der", "die", "das", "und", "ist", "ein"],
+    "fr": ["le", "la", "les", "et", "est", "un"],
+    "es": ["el", "los", "las", "y", "es", "un"],
+}
+
+
+def _tokens(text_col: str):
+    return F.filter(F.split(F.col(text_col), " "), lambda t: t != F.lit(""))
+
+
+def token_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, n_chars, n_ws_tokens, n_bpe_tokens, avg_token_len).
+
+    n_ws_tokens: whitespace tokens; n_bpe_tokens: BPE-ish pre-tokens
+    (letter runs / digit runs / punctuation singletons).
+    """
+    toks = _tokens(text_col)
+    n_ws = F.size(toks)
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.length(F.col(text_col)).cast("long").alias("n_chars"),
+        n_ws.cast("long").alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_REGEX), F.lit(0)))
+        .cast("long")
+        .alias("n_bpe_tokens"),
+        F.round(
+            F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t))
+            / F.greatest(n_ws, F.lit(1)),
+            6,
+        ).alias("avg_token_len"),
+    )
+
+
+def _count_in(toks, words: list[str]):
+    """# tokens that are members of a fixed word list (codegen'd filter)."""
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+
+def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Heuristic quality score in [0,1]:
+    0.4 * min(n_tokens/64, 1)            (enough content)
+    + 0.3 * min(stopword_ratio*8, 1)     (natural-language-ness)
+    + 0.3 * (1 - min(punct_ratio*10, 1)) (not symbol soup)
+    Returns (doc_id, n_tokens, n_stop, n_punct, score).
+    """
+    toks = _tokens(text_col)
+    n_tokens = F.size(toks).cast("long")
+    n_stop = _count_in(toks, STOPWORDS["en"]).cast("long")
+    n_punct = (
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit("[^A-Za-z0-9 ]"), F.lit(0)))
+    ).cast("long")
+    nt = F.greatest(n_tokens, F.lit(1))
+    score = (
+        F.lit(0.4) * F.least(n_tokens / F.lit(64.0), F.lit(1.0))
+        + F.lit(0.3) * F.least(n_stop / nt * F.lit(8.0), F.lit(1.0))
+        + F.lit(0.3) * (F.lit(1.0) - F.least(n_punct / nt * F.lit(10.0), F.lit(1.0)))
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        n_tokens.alias("n_tokens"),
+        n_stop.alias("n_stop"),
+        n_punct.alias("n_punct"),
+        F.round(score, 6).alias("score"),
+    )
+
+
+def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Stopword-vote language ID: (doc_id, votes per lang, pred_lang).
+
+    Ties break by fixed language order (en > de > fr > es); zero votes
+    everywhere => 'und' (undetermined), mirroring CLD-style outputs.
+    """
+    toks = _tokens(text_col)
+    langs = list(STOPWORDS)
+    cols = {lang: _count_in(toks, STOPWORDS[lang]).cast("long") for lang in langs}
+    best = F.greatest(*[cols[lang] for lang in langs])
+    pred = F.when(best == 0, F.lit("und"))
+    for lang in langs:
+        pred = pred.when(cols[lang] == best, F.lit(lang))
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        *[cols[lang].alias(f"votes_{lang}") for lang in langs],
+        pred.alias("pred_lang"),
+    )
+
+
+def fingerprint(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 8
+) -> DataFrame:
+    """Rolling-hash document fingerprint: (doc_id, fp, n_grams).
+
+    fp = lexicographic min of md5 over all character k-grams — the
+    winnowing scheme's global-window special case. Grams are generated
+    with sequence+transform (per-row array expr); the min runs inside
+    the same projection, so the operator is fully narrow (no shuffle).
+    """
+    n_pos = F.greatest(F.length(F.col(text_col)) - (k - 1), F.lit(1))
+    grams = F.transform(
+        F.sequence(F.lit(1), n_pos),
+        lambda i: F.md5(F.substring(F.col(text_col), i, k)),
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_min(grams).alias("fp"),
+        n_pos.cast("long").alias("n_grams"),
+    )

@@ -14,8 +14,30 @@ Defaults chosen for the 100 TB design point (and harmless locally):
 from __future__ import annotations
 
 import os
+import tempfile
+import zipfile
 
 from pyspark.sql import SparkSession
+
+
+def _package_zip() -> str:
+    """Zip this package for shipment to Python workers (the local-mode
+    equivalent of ``spark-submit --py-files``). Cached per process."""
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    out = os.path.join(
+        tempfile.gettempdir(), f"opentopodata_spark_pyfiles_{os.getuid()}.zip"
+    )
+    if not os.path.exists(out):
+        tmp = out + ".tmp"
+        with zipfile.ZipFile(tmp, "w") as zf:
+            for base, _dirs, files in os.walk(pkg_dir):
+                for fn in files:
+                    if fn.endswith(".py"):
+                        full = os.path.join(base, fn)
+                        rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                        zf.write(full, rel)
+        os.replace(tmp, out)
+    return out
 
 
 def get_spark(
@@ -42,4 +64,8 @@ def get_spark(
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    # Make the package importable inside Python workers regardless of how
+    # the driver found it (repo checkout, arbitrary cwd, spark-submit).
+    spark.sparkContext.addPyFile(_package_zip())
+    return spark
