@@ -400,6 +400,45 @@ WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= 0.3
 """
 
 
+def q_near_dup_verified(spark, sf_dir):
+    """The scale-correct near-dup shape: LSH candidates -> exact Jaccard
+    verification on candidates only, with stop-shingle (max_df) removal."""
+    return dedup.verified_near_duplicates(
+        _t(spark, sf_dir, "documents"), threshold=0.3, max_df=200
+    )
+
+
+_Q_NEAR_DUP_SQL = f"""
+WITH {_SHINGLES_CTE},
+sig AS ({_MINHASH_SELECT}),
+buckets AS (
+  SELECT doc_id, 0 AS band, concat_ws('|', h0, h1) AS value FROM sig
+  UNION ALL SELECT doc_id, 1, concat_ws('|', h2, h3) FROM sig
+  UNION ALL SELECT doc_id, 2, concat_ws('|', h4, h5) FROM sig
+  UNION ALL SELECT doc_id, 3, concat_ws('|', h6, h7) FROM sig),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM buckets a JOIN buckets b
+    ON a.band = b.band AND a.value = b.value AND a.doc_id < b.doc_id),
+shf AS (
+  SELECT doc_id, shingle FROM sh
+  WHERE shingle <> '' AND shingle NOT IN (
+    SELECT shingle FROM sh WHERE shingle <> ''
+    GROUP BY shingle HAVING count(*) > 200)),
+sizes AS (SELECT doc_id, count(*) AS sz FROM shf GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS inter
+  FROM cands c
+  JOIN shf a ON a.doc_id = c.doc_a
+  JOIN shf b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY c.doc_a, c.doc_b)
+SELECT doc_a, doc_b, inter, sa.sz AS size_a, sb.sz AS size_b,
+       round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= 0.3
+"""
+
+
 def q_simhash(spark, sf_dir):
     return dedup.simhash(_t(spark, sf_dir, "documents"), bits=16)
 
@@ -726,6 +765,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": q_minhash,
         "lsh_candidate_pairs": q_lsh_pairs,
         "ngram_jaccard": q_jaccard,
+        "near_dup_verified": q_near_dup_verified,
         "simhash": q_simhash,
         "token_stats": q_token_stats,
         "quality_score": q_quality,
@@ -754,6 +794,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_signatures": _minhash_sql(),
         "lsh_candidate_pairs": _lsh_pairs_sql(),
         "ngram_jaccard": _Q_JACCARD_SQL,
+        "near_dup_verified": _Q_NEAR_DUP_SQL,
         "simhash": _simhash_sql(),
         "token_stats": _Q_TOKEN_SQL,
         "quality_score": _quality_sql(),

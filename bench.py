@@ -64,7 +64,7 @@ def main() -> None:
 
     queries = {
         "minhash_lsh": lambda: contract.q_lsh_pairs(spark, SF_DIR),
-        "ngram_jaccard": lambda: contract.q_jaccard(spark, SF_DIR),
+        "near_dup_verified": lambda: contract.q_near_dup_verified(spark, SF_DIR),
         "simhash": lambda: contract.q_simhash(spark, SF_DIR),
         "exact_dedup": lambda: contract.q_exact_dedup(spark, SF_DIR),
         "token_stats": lambda: contract.q_token_stats(spark, SF_DIR),

@@ -39,6 +39,7 @@ __all__ = [
     "minhash_signatures",
     "lsh_candidate_pairs",
     "jaccard_pairs",
+    "verified_near_duplicates",
     "simhash",
 ]
 
@@ -201,6 +202,70 @@ def jaccard_pairs(
         .where(F.col("jaccard") >= threshold)
     )
     return out.select("doc_a", "doc_b", "inter", "size_a", "size_b", "jaccard")
+
+
+def verified_near_duplicates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 2,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """The scale-correct near-dup pipeline: MinHash -> LSH candidate
+    pairs -> exact Jaccard ONLY on candidates.
+
+    This is how 10^12-document dedup must be shaped: the all-pairs
+    shingle self-join of ``jaccard_pairs`` is quadratic in shingle
+    document-frequency (Σ df² explodes on boilerplate), while LSH
+    candidates are near-linear and the verification join touches only
+    |candidates| × avg-shingle-count rows.
+
+    max_df: optionally drop shingles occurring in more than max_df docs
+    before Jaccard (stop-shingle removal) — standard practice; counts
+    then measure the *discriminative* shingle overlap.
+    Returns (doc_a, doc_b, inter, size_a, size_b, jaccard).
+    """
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    cands = lsh_candidate_pairs(sigs, band_size)
+
+    sh = word_shingles(df, id_col, text_col, shingle_n)
+    if max_df is not None:
+        frequent = (
+            sh.groupBy("shingle")
+            .count()
+            .where(F.col("count") > max_df)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(frequent), "shingle", "left_anti")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+
+    # intersection size: attach doc_a's shingles, then equi-join the
+    # b-side on the COMPOSITE key (doc_b, shingle) — one hash join row
+    # per common shingle, never a per-pair shingle cartesian
+    inter = (
+        cands.join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .join(sh.withColumnRenamed("doc_id", "doc_b"), ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(
+            sizes.withColumnsRenamed({"doc_id": "doc_a", "sz": "size_a"}), "doc_a"
+        )
+        .join(sizes.withColumnsRenamed({"doc_id": "doc_b", "sz": "size_b"}), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "inter", "size_a", "size_b", "jaccard")
+    )
 
 
 def simhash(

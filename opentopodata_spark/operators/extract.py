@@ -7,17 +7,26 @@ coordinate (doc_id, span_pos, point_pos, lat, lon, loc_error).
 The reference parses a request's ``locations`` argument as either
 "lat,lon|lat,lon" pipe lists or a Google polyline, dispatching on the
 presence of ',' (/root/reference/opentopodata/api.py:272-299). Here the
-same grammar is applied per text span:
+same grammar is applied per text span, in ONE pass over the table:
 
-* spans containing ',' are scanned with regexp_extract_all (pure Catalyst,
-  whole-stage codegen) for lat,lon pairs;
-* spans with no comma that look like polylines (optional ``enc:`` prefix,
-  polyline alphabet only) are decoded in an Arrow-batched pandas UDF
-  (pure-Python decode, vectorized per batch — the reference uses the
-  ``polyline`` package the same way, api.py:302-340);
-* out-of-range coordinates become ``loc_error`` rows — at 10^12-document
-  scale errors are data, not exceptions (reference raises 400s instead:
-  api.py:389-397).
+* the scan happens once (doc_id + spans only — column pruning);
+* spans containing ',' are parsed with regexp_extract_all + transform
+  into an array of point structs (pure Catalyst, whole-stage codegen);
+* spans that look like polylines (optional ``enc:`` prefix, polyline
+  alphabet only) are decoded by an Arrow-batched pandas UDF into the
+  same struct array. Non-polyline rows enter the UDF as NULL (the UDF
+  is unconditionally evaluated per batch — masking its *input* keeps
+  the per-row cost at a null check);
+* one posexplode of the unified array yields the point rows.
+
+A naive implementation unions a CSV branch and a polyline branch — two
+full scans of a 100 TB table; this shape was chosen off the physical
+plan (.explain showed the double Scan parquet + a double UDF eval).
+
+Out-of-range lat/lon become ``loc_error`` rows — at 10^12-document scale
+errors are data, not exceptions (the reference raises 400s instead:
+api.py:389-397). Undecodable polylines yield no rows (the reference
+rejects the whole request; silently-empty is the scale analog).
 
 The span-sequence invariant is trivially preserved: this operator only
 *derives* rows; the documents table is never rewritten. Results re-attach
@@ -32,6 +41,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     DoubleType,
+    StringType,
     StructField,
     StructType,
 )
@@ -47,13 +57,19 @@ _POLYLINE_REGEX = r"^(enc:)?[\?-~]+$"
 
 _POINT_SCHEMA = ArrayType(
     StructType(
-        [StructField("lat", DoubleType()), StructField("lon", DoubleType())]
+        [
+            StructField("lat", DoubleType()),
+            StructField("lon", DoubleType()),
+            StructField("err", StringType()),
+        ]
     )
 )
 
 
 @F.pandas_udf(_POINT_SCHEMA)
 def _decode_polyline_udf(texts: pd.Series) -> pd.Series:
+    """P2: Google polyline -> point structs. Null in, null out (the
+    caller masks non-polyline rows to null, so this is a fast skip)."""
     out = []
     for t in texts:
         if t is None:
@@ -70,8 +86,28 @@ def _decode_polyline_udf(texts: pd.Series) -> pd.Series:
         ):
             out.append(None)
             continue
-        out.append([{"lat": float(la), "lon": float(lo)} for la, lo in pts])
+        out.append(
+            [{"lat": float(la), "lon": float(lo), "err": None} for la, lo in pts]
+        )
     return pd.Series(out)
+
+
+def _csv_points(text):
+    """P1: 'lat,lon|lat,lon' grammar as a pure column expression.
+    Range-invalid pairs become err rows (errors are data)."""
+    def parse(pair):
+        lat = F.split(pair, ",").getItem(0).cast("double")
+        lon = F.split(pair, ",").getItem(1).cast("double")
+        valid = lat.between(LAT_MIN, LAT_MAX) & lon.between(LON_MIN, LON_MAX)
+        return F.struct(
+            F.when(valid, lat).alias("lat"),
+            F.when(valid, lon).alias("lon"),
+            F.when(~valid, pair).alias("err"),
+        )
+
+    return F.transform(
+        F.regexp_extract_all(text, F.lit(_PAIR_REGEX), F.lit(0)), parse
+    )
 
 
 def explode_text_spans(documents: DataFrame) -> DataFrame:
@@ -91,66 +127,26 @@ def extract_points(documents: DataFrame) -> DataFrame:
     loc_error carry the offending token instead of coordinates."""
     spans = explode_text_spans(documents).where(F.col("text").isNotNull())
 
-    has_comma = spans.where(F.col("text").contains(","))
-    pairs = (
-        has_comma.select(
-            "doc_id",
-            "span_pos",
-            F.posexplode(F.regexp_extract_all("text", F.lit(_PAIR_REGEX), F.lit(0)))
-            .alias("point_pos", "pair"),
-        )
-        .select(
-            "doc_id",
-            "span_pos",
-            "point_pos",
-            F.split("pair", ",").getItem(0).cast("double").alias("lat"),
-            F.split("pair", ",").getItem(1).cast("double").alias("lon"),
-            F.col("pair"),
-        )
-        .select(
-            "doc_id",
-            "span_pos",
-            "point_pos",
-            "lat",
-            "lon",
-            F.when(
-                F.col("lat").between(LAT_MIN, LAT_MAX)
-                & F.col("lon").between(LON_MIN, LON_MAX),
-                F.lit(None).cast("string"),
-            )
-            .otherwise(F.col("pair"))
-            .alias("loc_error"),
-        )
-        .withColumn(
-            "lat", F.when(F.col("loc_error").isNull(), F.col("lat"))
-        )
-        .withColumn(
-            "lon", F.when(F.col("loc_error").isNull(), F.col("lon"))
-        )
+    text = F.col("text")
+    is_pair = text.contains(",")
+    is_poly = (~is_pair) & text.rlike(_POLYLINE_REGEX)
+    pts = F.when(is_pair, _csv_points(text)).otherwise(
+        _decode_polyline_udf(F.when(is_poly, text))
     )
 
-    poly = (
-        spans.where(
-            ~F.col("text").contains(",") & F.col("text").rlike(_POLYLINE_REGEX)
-        )
-        .withColumn("pts", _decode_polyline_udf("text"))
-        .where(F.col("pts").isNotNull())
-        .select(
-            "doc_id",
-            "span_pos",
-            F.posexplode("pts").alias("point_pos", "pt"),
-        )
+    return (
+        spans.select("doc_id", "span_pos", pts.alias("pts"))
+        .where(F.col("pts").isNotNull() & (F.size("pts") > 0))
+        .select("doc_id", "span_pos", F.posexplode("pts").alias("point_pos", "pt"))
         .select(
             "doc_id",
             "span_pos",
             "point_pos",
             F.col("pt.lat").alias("lat"),
             F.col("pt.lon").alias("lon"),
-            F.lit(None).cast("string").alias("loc_error"),
+            F.col("pt.err").alias("loc_error"),
         )
     )
-
-    return pairs.unionByName(poly)
 
 
 def with_point_id(points: DataFrame) -> DataFrame:

@@ -1,0 +1,378 @@
+"""Unit tests for the training-data pipeline operators (dedup, textops,
+embeddings, knn, events, paths, multimodal) on tiny hand-checked inputs.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from opentopodata_spark.operators import (
+    dedup,
+    embeddings as emb,
+    events as ev,
+    knn,
+    multimodal,
+    paths,
+    textops,
+)
+
+
+def md5(s: str) -> str:
+    return hashlib.md5(s.encode()).hexdigest()
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),
+        (3, "entirely different words without overlap whatsoever"),
+        (4, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (5, "a of to in !! ??"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+class TestDedup:
+    def test_word_shingles(self, spark):
+        df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+        got = {
+            r.shingle for r in dedup.word_shingles(df).collect()
+        }
+        assert got == {"a b", "b c"}
+
+    def test_word_shingles_single_token(self, spark):
+        df = spark.createDataFrame([(1, "solo")], "doc_id long, text string")
+        got = [r.shingle for r in dedup.word_shingles(df).collect()]
+        assert got == ["solo"]
+
+    def test_exact_duplicates(self, docs):
+        rows = {r.text_hash: r for r in dedup.exact_duplicates(docs).collect()}
+        dup_hash = md5("the quick brown fox jumps over the lazy dog")
+        assert rows[dup_hash].n_docs == 2
+        assert rows[dup_hash].canonical_id == 1
+        assert sum(r.n_docs for r in rows.values()) == 5
+
+    def test_minhash_identical_docs_equal_signatures(self, docs):
+        sigs = {r.doc_id: r for r in dedup.minhash_signatures(docs).collect()}
+        assert [sigs[1][f"h{i}"] for i in range(8)] == [
+            sigs[4][f"h{i}"] for i in range(8)
+        ]
+        # golden: h0 = min over shingles of md5(shingle + '#0')
+        sh = set()
+        toks = "the quick brown fox jumps over the lazy dog".split()
+        for i in range(len(toks) - 1):
+            sh.add(f"{toks[i]} {toks[i+1]}")
+        assert sigs[1]["h0"] == min(md5(s + "#0") for s in sh)
+
+    def test_lsh_pairs_find_exact_dups(self, docs):
+        sigs = dedup.minhash_signatures(docs)
+        pairs = {
+            (r.doc_a, r.doc_b) for r in dedup.lsh_candidate_pairs(sigs).collect()
+        }
+        assert (1, 4) in pairs
+
+    def test_jaccard_golden(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a b c d"), (2, "a b c e")], "doc_id long, text string"
+        )
+        # shingles: {ab,bc,cd} vs {ab,bc,ce}: inter=2, union=4 -> 0.5
+        rows = dedup.jaccard_pairs(df, threshold=0.1).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert (r.doc_a, r.doc_b, r.inter, r.size_a, r.size_b) == (1, 2, 2, 3, 3)
+        assert r.jaccard == 0.5
+
+    def test_verified_near_duplicates_matches_exact_on_candidates(self, docs):
+        got = {
+            (r.doc_a, r.doc_b): r.jaccard
+            for r in dedup.verified_near_duplicates(docs, threshold=0.2).collect()
+        }
+        assert got[(1, 4)] == 1.0
+        assert (1, 2) in got  # near-dup pair survives verification
+        exact = {
+            (r.doc_a, r.doc_b): r.jaccard
+            for r in dedup.jaccard_pairs(docs, threshold=0.2).collect()
+        }
+        for pair, j in got.items():
+            assert exact[pair] == j
+
+    def test_simhash_identical_docs_equal(self, docs):
+        sims = {r.doc_id: r.simhash for r in dedup.simhash(docs).collect()}
+        assert sims[1] == sims[4]
+        assert 0 <= sims[1] < 2**16
+        # similar docs (1,2) hamming-closer than dissimilar (1,3)
+        def ham(a, b):
+            return bin(a ^ b).count("1")
+
+        assert ham(sims[1], sims[2]) < ham(sims[1], sims[3])
+
+
+# ---------------------------------------------------------------------------
+# textops
+# ---------------------------------------------------------------------------
+
+class TestTextops:
+    def test_token_stats(self, spark):
+        df = spark.createDataFrame(
+            [(1, "hello world, 42 times!")], "doc_id long, text string"
+        )
+        r = textops.token_stats(df).collect()[0]
+        assert r.n_chars == 22
+        assert r.n_ws_tokens == 4
+        # BPE-ish: hello | world | , | 42 | times | !
+        assert r.n_bpe_tokens == 6
+        # token lengths 5+6+2+6=19, /4
+        assert r.avg_token_len == round(19 / 4, 6)
+
+    def test_quality_score_bounds(self, docs):
+        rows = textops.quality_score(docs).collect()
+        for r in rows:
+            assert 0.0 <= r.score <= 1.0
+        scores = {r.doc_id: r.score for r in rows}
+        # natural sentence beats punctuation soup
+        assert scores[1] > scores[5]
+
+    def test_lang_id(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "the cat is on the mat"),
+                (2, "der hund und die katze"),
+                (3, "le chat et la souris"),
+                (4, "xyzzy plugh"),
+            ],
+            "doc_id long, text string",
+        )
+        got = {r.doc_id: r.pred_lang for r in textops.lang_id(df).collect()}
+        assert got == {1: "en", 2: "de", 3: "fr", 4: "und"}
+
+    def test_fingerprint(self, spark):
+        text = "abcdefghij"
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        r = textops.fingerprint(df, k=8).collect()[0]
+        grams = [text[i : i + 8] for i in range(len(text) - 7)]
+        assert r.fp == min(md5(g) for g in grams)
+        assert r.n_grams == 3
+        # identical text -> identical fingerprint (dedup property)
+        df2 = spark.createDataFrame([(2, text)], "doc_id long, text string")
+        assert textops.fingerprint(df2, k=8).collect()[0].fp == r.fp
+
+
+# ---------------------------------------------------------------------------
+# embeddings
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0, 0.0]),
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        (4, [-1.0, 0.0, 0.0, 0.0]),
+        (5, [1.0, 0.0, 0.1, 0.0]),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+class TestEmbeddings:
+    def test_cosine_topk_golden(self, vecs):
+        out = emb.cosine_topk(vecs, vecs.where("vec_id = 1"), k=2).collect()
+        assert [(r.neighbor_id, r.rank) for r in out] == [(5, 1), (2, 2)]
+        r1 = [r for r in out if r.neighbor_id == 5][0]
+        assert r1.cos_sim == round(1.0 / math.sqrt(1.01), 6)
+
+    def test_topk_excludes_self(self, vecs):
+        out = emb.cosine_topk(vecs, vecs, k=10).collect()
+        assert all(r.query_id != r.neighbor_id for r in out)
+
+    def test_lsh_buckets(self, vecs):
+        got = {r.vec_id: r.bucket for r in emb.hyperplane_lsh_buckets(vecs, 4).collect()}
+        assert got[1] == 1          # +x only
+        assert got[3] == 2          # +y only
+        assert got[4] == 0          # negative x
+        assert got[2] == 3          # +x and +y
+
+    def test_near_duplicate_pairs(self, vecs):
+        pairs = {
+            (r.vec_a, r.vec_b): r.cos_sim
+            for r in emb.near_duplicate_pairs(vecs, threshold=0.9, n_planes=1).collect()
+        }
+        assert (1, 5) in pairs  # same sign bucket, cos ~0.995
+        assert pairs[(1, 5)] == round(1.0 / math.sqrt(1.01), 6)
+        assert (1, 4) not in pairs  # opposite bucket (anti-parallel)
+        assert (1, 3) not in pairs  # bucket 0 vs 1 -> never compared
+
+    def test_ivf_recall_on_clustered_data(self, spark):
+        rng = np.random.default_rng(0)
+        centers = np.eye(4, dtype=np.float64)[[0, 1, 2, 3]]
+        rows = []
+        for i in range(200):
+            c = i % 4
+            v = centers[c] + rng.normal(0, 0.05, 4)
+            rows.append((i, [float(x) for x in v]))
+        corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        centroids = spark.createDataFrame(
+            [(c, [float(x) for x in centers[c]]) for c in range(4)],
+            "cell_id long, centroid array<float>",
+        )
+        queries = corpus.where("vec_id < 4")
+        approx = emb.ivf_topk(corpus, queries, centroids, k=3, n_probe=1)
+        exact = emb.cosine_topk(corpus, queries, k=3)
+        a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+        e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+        # tight clusters + probe of the right cell -> perfect recall here
+        assert a == e
+
+
+# ---------------------------------------------------------------------------
+# knn
+# ---------------------------------------------------------------------------
+
+class TestKnn:
+    @pytest.fixture(scope="class")
+    def anchors(self, spark):
+        return spark.createDataFrame(
+            [(1, 0.0, 0.0), (2, 1.0, 1.0), (3, 10.0, 10.0), (4, -5.0, 3.0)],
+            "anchor_id long, lat double, lon double",
+        )
+
+    def test_knn_broadcast_golden(self, spark, anchors):
+        pts = spark.createDataFrame(
+            [(100, 0.1, 0.1)], "point_id long, lat double, lon double"
+        )
+        out = knn.knn_join(pts, anchors, k=2).collect()
+        assert [(r.anchor_id, r.rank) for r in out] == [(1, 1), (2, 2)]
+        assert out[0].dist == round(0.1**2 + 0.1**2, 6)
+
+    def test_gridded_matches_broadcast(self, spark, anchors):
+        pts = spark.createDataFrame(
+            [(i, float(i % 3), float(i % 5)) for i in range(20)],
+            "point_id long, lat double, lon double",
+        )
+        # cell large enough that the 3x3 ring covers all anchors
+        g = knn.knn_join_gridded(pts, anchors, k=1, cell_deg=20.0)
+        b = knn.knn_join(pts, anchors, k=1)
+        assert sorted(map(tuple, g.collect())) == sorted(map(tuple, b.collect()))
+
+    def test_haversine(self, spark, anchors):
+        pts = spark.createDataFrame(
+            [(1, 0.0, 0.0)], "point_id long, lat double, lon double"
+        )
+        out = knn.knn_join(pts, anchors, k=1, metric="haversine").collect()[0]
+        # 1 degree of latitude ~ 111.2 km; nearest anchor is (0,0) -> 0 m
+        assert out.anchor_id == 1 and out.dist == 0.0
+
+
+# ---------------------------------------------------------------------------
+# events
+# ---------------------------------------------------------------------------
+
+class TestEvents:
+    def test_sessionize(self, spark):
+        rows = [
+            (1, "2024-01-01 10:00:00"),
+            (1, "2024-01-01 10:10:00"),
+            (1, "2024-01-01 11:30:00"),  # 80 min gap -> new session
+            (2, "2024-01-01 09:00:00"),
+        ]
+        df = spark.createDataFrame(rows, "user_id long, ts_s string").select(
+            "user_id", F.col("ts_s").cast("timestamp").alias("ts")
+        )
+        out = ev.sessionize(df, gap_minutes=30).collect()
+        per_user = {}
+        for r in out:
+            per_user.setdefault(r.user_id, []).append(r.n_events)
+        assert sorted(per_user[1]) == [1, 2]
+        assert per_user[2] == [1]
+
+    def test_tumbling_rollup_exact_sum(self, spark):
+        rows = [
+            ("2024-01-01 10:05:00", "click", 0.1, 1),
+            ("2024-01-01 10:55:00", "click", 0.2, 2),
+            ("2024-01-01 11:05:00", "click", 0.4, 1),
+        ]
+        df = spark.createDataFrame(
+            rows, "ts_s string, event_type string, value double, user_id long"
+        ).select(F.col("ts_s").cast("timestamp").alias("ts"), "event_type", "value", "user_id")
+        out = {str(r.window_start): r for r in ev.tumbling_rollup(df).collect()}
+        ten = out["2024-01-01 10:00:00"]
+        assert ten.n_events == 2 and ten.n_users == 2
+        assert ten.sum_value == 0.3  # decimal-exact, not 0.30000000000000004
+
+
+# ---------------------------------------------------------------------------
+# paths + multimodal
+# ---------------------------------------------------------------------------
+
+class TestPathsMultimodal:
+    def test_sample_paths_endpoints_exact(self, spark):
+        df = spark.createDataFrame(
+            [(7, [10.0, 11.0], [20.0, 21.0])],
+            "path_id long, lats array<double>, lons array<double>",
+        )
+        out = sorted(paths.sample_paths(df, 5).collect(), key=lambda r: r.sample_pos)
+        assert len(out) == 5
+        assert (out[0].lat, out[0].lon) == (10.0, 20.0)
+        assert (out[-1].lat, out[-1].lon) == (11.0, 21.0)
+        # monotone along the path
+        lats = [r.lat for r in out]
+        assert lats == sorted(lats)
+
+    def test_sample_paths_n2(self, spark):
+        df = spark.createDataFrame(
+            [(1, [0.0, 5.0, 0.0], [0.0, 5.0, 10.0])],
+            "path_id long, lats array<double>, lons array<double>",
+        )
+        out = sorted(paths.sample_paths(df, 2).collect(), key=lambda r: r.sample_pos)
+        assert (out[0].lat, out[0].lon) == (0.0, 0.0)
+        assert (out[1].lat, out[1].lon) == (0.0, 10.0)
+
+    def test_multimodal_pipeline(self, spark, documents_path):
+        documents = spark.read.parquet(documents_path)
+        spans = multimodal.media_spans(documents)
+        n_media = spans.count()
+        assert n_media > 0
+        feats = multimodal.decode_and_featurize(multimodal.fetch_media(spans))
+        rows = feats.collect()
+        assert len(rows) == n_media
+        for r in rows[:20]:
+            assert r.media_kind in ("image", "audio", "video")
+            assert r.n_bytes > 0
+            assert len(r.features) == multimodal.FEATURE_DIM
+        # determinism: same refs -> same features
+        again = multimodal.decode_and_featurize(
+            multimodal.fetch_media(spans)
+        ).collect()
+        assert {(r.doc_id, r.span_pos): tuple(r.features) for r in rows} == {
+            (r.doc_id, r.span_pos): tuple(r.features) for r in again
+        }
+
+    def test_multimodal_real_decoder_raises(self, spark, documents_path):
+        documents = spark.read.parquet(documents_path)
+        spans = multimodal.media_spans(documents).limit(1)
+        fetched = multimodal.fetch_media(spans)
+        with pytest.raises(Exception, match="NotImplementedError|real media decode"):
+            multimodal.decode_and_featurize(fetched, decoder="real").collect()
+
+    def test_span_sequence_invariant(self, spark, documents_path):
+        """Round-trip: processing derives rows but never mutates spans."""
+        documents = spark.read.parquet(documents_path)
+        before = documents.select(
+            "doc_id", F.to_json("spans").alias("js")
+        ).collect()
+        # run both text + media pipelines, then re-read
+        from opentopodata_spark.operators import extract
+
+        extract.extract_points(documents).count()
+        multimodal.media_spans(documents).count()
+        after = documents.select("doc_id", F.to_json("spans").alias("js")).collect()
+        assert sorted(before) == sorted(after)
