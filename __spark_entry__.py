@@ -664,24 +664,24 @@ def _fixture_root() -> str:
     return os.path.join(tempfile.gettempdir(), "otds_driver_fixtures")
 
 
-def _prepare_elevation_inputs(n_docs: int, seed: int = 11):
+def _prepare_elevation_inputs(n_docs: int, seed: int = 11, n_files: int = 1):
     from opentopodata_spark import fixtures
 
     root = _fixture_root()
     raster_dir = os.path.join(root, "rasters")
     fixtures.make_all_rasters(raster_dir)
-    docs = os.path.join(root, f"docs_{n_docs}_{seed}.parquet")
+    docs = os.path.join(root, f"docs_{n_docs}_{seed}x{n_files}.parquet")
     if not os.path.exists(docs):
-        fixtures.make_documents(docs, n_docs=n_docs, seed=seed)
+        fixtures.make_documents(docs, n_docs=n_docs, seed=seed, n_files=n_files)
     return os.path.join(raster_dir, "test-config.yaml"), docs
 
 
-def _run_elevation(spark: SparkSession, n_docs: int) -> DataFrame:
+def _run_elevation(spark: SparkSession, n_docs: int, n_files: int = 1) -> DataFrame:
     from opentopodata_spark import config
     from opentopodata_spark.operators import elevation, extract
 
     _ship_package(spark)
-    cfg_path, docs_path = _prepare_elevation_inputs(n_docs)
+    cfg_path, docs_path = _prepare_elevation_inputs(n_docs, n_files=n_files)
     documents = spark.read.parquet(docs_path)
     pts = extract.with_point_id(extract.extract_points(documents)).where(
         F.col("loc_error").isNull()
@@ -689,13 +689,11 @@ def _run_elevation(spark: SparkSession, n_docs: int) -> DataFrame:
     dsets = config.load_datasets(cfg_path)
     ordered = config.resolve_dataset_names("multi_eudem_etopo1", dsets)
     resolver = elevation.ElevationResolver(spark, ordered, "bilinear")
-    resolved = resolver.resolve(pts)
-    return (
-        pts.select("doc_id", "span_pos", "point_pos", "point_id")
-        .join(resolved, "point_id")
-        .select(
-            "doc_id", "span_pos", "point_pos", "lat", "lon", "elevation", "dataset"
-        )
+    # carry the doc keys through the pipeline instead of joining back:
+    # one scan of documents, no self-join (SURVEY.md J4 at scale).
+    resolved = resolver.resolve(pts, carry=("doc_id", "span_pos", "point_pos"))
+    return resolved.select(
+        "doc_id", "span_pos", "point_pos", "lat", "lon", "elevation", "dataset"
     )
 
 

@@ -39,7 +39,11 @@ def _sf_label(sf_dir: str) -> float:
         return -1.0
 
 
-def run(df) -> float:
+def run(df, warmup: bool = True) -> float:
+    """Steady-state timing: one untimed write (JIT/codegen, Python worker
+    pool, page cache), then one timed write of the full plan."""
+    if warmup:
+        df.write.format("noop").mode("overwrite").save()
     t0 = time.time()
     df.write.format("noop").mode("overwrite").save()
     return time.time() - t0
@@ -57,10 +61,10 @@ def main() -> None:
     # flagship: documents -> extraction -> tile join -> raster sampling
     # -> priority coalesce, at a doc count proportional to sf
     n_docs = max(2_000, int(200_000 * sf))
-    elev_df = contract._run_elevation(spark, n_docs=n_docs)
-    n_coords = elev_df.count()  # warm: fixtures built, rasters opened
+    elev_df = contract._run_elevation(spark, n_docs=n_docs, n_files=CPUS)
+    n_coords = elev_df.count()  # fixtures built, rasters opened
     timings: dict[str, float] = {}
-    timings["elevation_e2e"] = run(elev_df)
+    timings["elevation_e2e"] = run(elev_df)  # run() warms once untimed
 
     queries = {
         "minhash_lsh": lambda: contract.q_lsh_pairs(spark, SF_DIR),

@@ -290,9 +290,18 @@ def _random_coords(rng: np.random.Generator, n: int) -> np.ndarray:
 
 
 def make_documents(
-    out_path: str, n_docs: int = 1000, seed: int = 42, polyline_fraction: float = 0.15
+    out_path: str,
+    n_docs: int = 1000,
+    seed: int = 42,
+    polyline_fraction: float = 0.15,
+    n_files: int = 1,
 ) -> str:
-    """Write the interleaved-span documents parquet table."""
+    """Write the interleaved-span documents parquet table.
+
+    ``n_files > 1`` writes a directory of that many parquet files (same
+    deterministic doc stream, chunked contiguously) so a Spark scan gets
+    that many input splits — small single-file fixtures otherwise collapse
+    the whole extraction stage onto one task."""
     rng = np.random.default_rng(seed)
     doc_ids = []
     all_spans = []
@@ -334,6 +343,15 @@ def make_documents(
     table = pa.Table.from_pydict(
         {"doc_id": doc_ids, "spans": all_spans}, schema=DOCUMENTS_SCHEMA
     )
-    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
-    pq.write_table(table, out_path)
+    if n_files <= 1:
+        os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+        pq.write_table(table, out_path)
+        return out_path
+    os.makedirs(out_path, exist_ok=True)
+    chunk = -(-n_docs // n_files)
+    for i in range(n_files):
+        part = table.slice(i * chunk, chunk)
+        if part.num_rows == 0:
+            break
+        pq.write_table(part, os.path.join(out_path, f"part-{i:05d}.parquet"))
     return out_path

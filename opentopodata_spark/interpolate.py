@@ -150,12 +150,13 @@ def sample_raster_values(
     return out
 
 
-def sample_points_on_raster(raster: Raster, lats, lons, method: str) -> list:
-    """Full single-file read path: reproject -> bounds check -> sample.
+def sample_points_on_raster_arrays(raster: Raster, lats, lons, method: str):
+    """Array-native read path: reproject -> bounds check -> sample.
 
-    Returns a Python list with None for out-of-bounds points and NaN for
-    NODATA — the exact contract of
-    /root/reference/opentopodata/backend.py:_get_elevation_from_path.
+    Returns ``(z, in_bounds)``: z float64 (NaN where the kernel touched
+    NODATA; value at out-of-bounds positions is unspecified), in_bounds
+    bool. This is the hot-path form used inside Spark Arrow UDFs — no
+    per-point Python objects.
     """
     from . import crs as _crs
 
@@ -176,4 +177,13 @@ def sample_points_on_raster(raster: Raster, lats, lons, method: str) -> list:
     z = sample_raster_values(
         band, raster.nodata, rows, cols, method, raster.dtype.kind
     )
+    return z, in_bounds
+
+
+def sample_points_on_raster(raster: Raster, lats, lons, method: str) -> list:
+    """Full single-file read path, list form: None for out-of-bounds points,
+    NaN for NODATA — the exact contract of
+    /root/reference/opentopodata/backend.py:_get_elevation_from_path.
+    """
+    z, in_bounds = sample_points_on_raster_arrays(raster, lats, lons, method)
     return [None if not ok else float(v) for ok, v in zip(in_bounds, z)]

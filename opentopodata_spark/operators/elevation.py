@@ -37,7 +37,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import DoubleType, StructField, StructType
+from pyspark.sql.types import ByteType, DoubleType, StructField, StructType
 
 from .. import crs as _crs
 from .. import interpolate, tiles
@@ -72,6 +72,7 @@ def project_xy(lat: pd.Series, lon: pd.Series, epsg: pd.Series) -> pd.DataFrame:
 # null at the UDF boundary, which would silently merge the NODATA and
 # out-of-coverage cases and break nodata_value semantics (SURVEY.md §7
 # hard part 3 — caught by the differential test).
+_SAMPLE_BASE_COLS = ("point_id", "lat", "lon", "dataset", "priority")
 _SAMPLE_SCHEMA = (
     "point_id long, lat double, lon double, dataset string, priority int,"
     " z double, state tinyint"
@@ -80,7 +81,9 @@ _SAMPLE_SCHEMA = (
 _STATE_VALUE, _STATE_NODATA, _STATE_OOB = 0, 1, 2
 
 
-def _make_sampler(interpolation: str):
+def _make_sampler(interpolation: str, carry: tuple = ()):
+    out_cols = list(_SAMPLE_BASE_COLS) + list(carry)
+
     def sample(batches):
         from ..oracle import _open_cached
 
@@ -92,34 +95,24 @@ def _make_sampler(interpolation: str):
             groups = pdf.groupby("path", sort=False, dropna=True)
             for path, g in groups:
                 raster = _open_cached(path)
-                zs = interpolate.sample_points_on_raster(
+                vals, in_bounds = interpolate.sample_points_on_raster_arrays(
                     raster,
                     g["lat"].to_numpy(dtype=np.float64),
                     g["lon"].to_numpy(dtype=np.float64),
                     interpolation,
                 )
                 idx = g.index.to_numpy()
-                vals = np.array(
-                    [np.nan if v is None else v for v in zs], dtype=np.float64
-                )
                 st = np.where(
-                    [v is None for v in zs],
+                    ~in_bounds,
                     _STATE_OOB,
                     np.where(np.isnan(vals), _STATE_NODATA, _STATE_VALUE),
                 )
-                z[idx] = np.where(np.isfinite(vals), vals, 0.0)
+                z[idx] = np.where(in_bounds & np.isfinite(vals), vals, 0.0)
                 state[idx] = st
-            yield pd.DataFrame(
-                {
-                    "point_id": pdf["point_id"],
-                    "lat": pdf["lat"],
-                    "lon": pdf["lon"],
-                    "dataset": pdf["dataset"],
-                    "priority": pdf["priority"],
-                    "z": z,
-                    "state": state,
-                }
-            )
+            out = {c: pdf[c] for c in out_cols}
+            out["z"] = z
+            out["state"] = state
+            yield pd.DataFrame(out)
 
     return sample
 
@@ -160,7 +153,7 @@ class ElevationResolver:
         self.tile_index = tiles.tile_index_df(spark, datasets)
         self.fallback_name = datasets[-1].name
 
-    def candidates(self, points: DataFrame) -> DataFrame:
+    def candidates(self, points: DataFrame, carry: tuple = ()) -> DataFrame:
         """J2: broadcast bbox coverage join (inclusive bounds, parity with
         backend.py:254-266). LEFT join so uncovered points survive as a
         single null-dataset row — the pipeline stays one linear flow with
@@ -172,9 +165,11 @@ class ElevationResolver:
             & (points["lon"] >= reg["left"])
             & (points["lon"] <= reg["right"])
         )
-        return points.select("point_id", "lat", "lon").join(reg, cond, "left")
+        return points.select("point_id", "lat", "lon", *carry).join(
+            reg, cond, "left"
+        )
 
-    def with_tile_paths(self, cand: DataFrame) -> DataFrame:
+    def with_tile_paths(self, cand: DataFrame, carry: tuple = ()) -> DataFrame:
         """S1+S3+J1: tile key derivation and broadcast tile join.
 
         Single-file datasets have null tile_size -> null keys -> no tile
@@ -209,10 +204,11 @@ class ElevationResolver:
             "lon",
             "dataset",
             "priority",
+            *carry,
             F.coalesce(F.col("_tpath"), F.col("single_path")).alias("path"),
         )
 
-    def sampled(self, cand_paths: DataFrame) -> DataFrame:
+    def sampled(self, cand_paths: DataFrame, carry: tuple = ()) -> DataFrame:
         """A1+S8: shuffle by tile path, sample rasters in Arrow batches.
         Null-path rows ride along and come out as state=OOB."""
         df = cand_paths
@@ -221,17 +217,29 @@ class ElevationResolver:
             df = df.withColumn("_salt", F.pmod(F.col("point_id"), F.lit(self.salt)))
             parts = ["path", "_salt"]
         df = df.repartition(self.sample_partitions, *parts)
-        return df.mapInPandas(_make_sampler(self.interpolation), _SAMPLE_SCHEMA)
+        schema = StructType(
+            [df.schema[c] for c in _SAMPLE_BASE_COLS]
+            + [df.schema[c] for c in carry]
+            + [
+                StructField("z", DoubleType()),
+                StructField("state", ByteType()),
+            ]
+        )
+        return df.mapInPandas(_make_sampler(self.interpolation, carry), schema)
 
-    def resolve(self, points: DataFrame) -> DataFrame:
+    def resolve(self, points: DataFrame, carry: tuple = ()) -> DataFrame:
         """Full pipeline: one linear plan, one scan of the input.
 
         Input needs (point_id, lat, lon). Output: (point_id, lat, lon,
-        elevation, dataset), exactly one row per input point_id. Use
-        ``attach`` to re-join other input columns."""
-        cand = self.candidates(points)
-        cand = self.with_tile_paths(cand)
-        res = self.sampled(cand)
+        elevation, dataset), exactly one row per input point_id. ``carry``
+        names extra input columns to thread through the pipeline — at
+        scale this is strictly cheaper than ``attach``'s join, which
+        would shuffle both sides AND recompute the extraction subtree
+        (a second full scan of the input table)."""
+        carry = tuple(carry)
+        cand = self.candidates(points, carry)
+        cand = self.with_tile_paths(cand, carry)
+        res = self.sampled(cand, carry)
 
         elev = (
             F.when(F.col("state") == _STATE_OOB, F.lit(None).cast("double"))
@@ -257,6 +265,7 @@ class ElevationResolver:
                 "point_id",
                 "lat",
                 "lon",
+                *carry,
                 "elevation",
                 F.coalesce(F.col("dataset"), F.lit(self.fallback_name)).alias(
                     "dataset"

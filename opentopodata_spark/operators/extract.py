@@ -134,9 +134,14 @@ def extract_points(documents: DataFrame) -> DataFrame:
         _decode_polyline_udf(F.when(is_poly, text))
     )
 
+    # NOTE: no null/empty filter on pts — posexplode already emits zero
+    # rows for null and empty arrays, and an explicit filter makes
+    # Catalyst push the predicate below the projection, evaluating the
+    # whole extraction expression (and the polyline UDF) TWICE per row
+    # (seen in .explain: duplicate ArrowEvalPython + the transform inside
+    # both Filter and Project).
     return (
         spans.select("doc_id", "span_pos", pts.alias("pts"))
-        .where(F.col("pts").isNotNull() & (F.size("pts") > 0))
         .select("doc_id", "span_pos", F.posexplode("pts").alias("point_pos", "pt"))
         .select(
             "doc_id",
