@@ -689,6 +689,12 @@ def _run_elevation(spark: SparkSession, n_docs: int, n_files: int = 1) -> DataFr
     dsets = config.load_datasets(cfg_path)
     ordered = config.resolve_dataset_names("multi_eudem_etopo1", dsets)
     resolver = elevation.ElevationResolver(spark, ordered, "bilinear")
+    # skew pre-pass: per-tile salt factors from a 2% document sample
+    # (one global raster otherwise absorbs most points into few tasks)
+    sample_pts = extract.with_point_id(
+        extract.extract_points(documents.sample(0.02, seed=7))
+    ).where(F.col("loc_error").isNull())
+    resolver.set_path_salts(elevation.estimate_path_salts(resolver, sample_pts))
     # carry the doc keys through the pipeline instead of joining back:
     # one scan of documents, no self-join (SURVEY.md J4 at scale).
     resolved = resolver.resolve(pts, carry=("doc_id", "span_pos", "point_pos"))

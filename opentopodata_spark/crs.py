@@ -180,6 +180,37 @@ class LambertAzimuthalEqualArea:
         y = self.fn + (B / self.D) * (self.cos_b0 * sb - self.sin_b0 * cb * np.cos(lam))
         return x, y
 
+    def inverse(self, xs, ys):
+        """Snyder (1987) pp. 187-190, ellipsoidal case; iterative phi(q)."""
+        x = np.asarray(xs, dtype=np.float64) - self.fe
+        y = np.asarray(ys, dtype=np.float64) - self.fn
+        rho = np.hypot(x / self.D, self.D * y)
+        ce = 2.0 * np.arcsin(np.clip(rho / (2.0 * self.Rq), -1.0, 1.0))
+        sce, cce = np.sin(ce), np.cos(ce)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            q = self.qp * (
+                cce * self.sin_b0 + self.D * y * sce * self.cos_b0 / rho
+            )
+            lam = np.arctan2(
+                x * sce,
+                self.D * rho * self.cos_b0 * cce
+                - self.D * self.D * y * self.sin_b0 * sce,
+            )
+        # rho == 0: the projection center
+        center = rho == 0.0
+        q = np.where(center, self.qp * self.sin_b0, q)
+        lam = np.where(center, 0.0, lam)
+        phi = np.arcsin(np.clip(q / 2.0, -1.0, 1.0))
+        e, e2 = self.e, self.e2
+        for _ in range(8):
+            s = np.sin(phi)
+            phi = phi + ((1 - e2 * s * s) ** 2 / (2.0 * np.cos(phi))) * (
+                q / (1 - e2)
+                - s / (1 - e2 * s * s)
+                + (1.0 / (2.0 * e)) * np.log((1 - e * s) / (1 + e * s))
+            )
+        return np.degrees(lam + self.lon0), np.degrees(phi)
+
 
 class WebMercator:
     R = 6378137.0
@@ -191,10 +222,20 @@ class WebMercator:
         y = self.R * np.log(np.tan(np.pi / 4 + np.radians(lats) / 2))
         return x, y
 
+    def inverse(self, xs, ys):
+        x = np.asarray(xs, dtype=np.float64)
+        y = np.asarray(ys, dtype=np.float64)
+        lons = np.degrees(x / self.R)
+        lats = np.degrees(2.0 * np.arctan(np.exp(y / self.R)) - np.pi / 2)
+        return lons, lats
+
 
 class Identity:
     def forward(self, lons, lats):
         return np.asarray(lons, dtype=np.float64), np.asarray(lats, dtype=np.float64)
+
+    def inverse(self, xs, ys):
+        return np.asarray(xs, dtype=np.float64), np.asarray(ys, dtype=np.float64)
 
 
 class Transformer:
@@ -306,6 +347,19 @@ def reproject_latlons(lats, lons, epsg: int | None = None, wkt: str | None = Non
     transformer = get_transformer(epsg=epsg, wkt=wkt)
     x, y = transformer.transform(lons, lats)
     return x, y
+
+
+def unproject_xys(xs, ys, epsg: int | None = None, wkt: str | None = None):
+    """Projected x/y -> WGS84 (lons, lats), when the projection has an
+    inverse. Raises CRSError otherwise — callers that only want a coverage
+    estimate should catch it and fall back to global bounds."""
+    if epsg == WGS84_LATLON_EPSG:
+        return np.asarray(xs, dtype=np.float64), np.asarray(ys, dtype=np.float64)
+    transformer = get_transformer(epsg=epsg, wkt=wkt)
+    proj = transformer.proj
+    if not hasattr(proj, "inverse"):
+        raise CRSError(f"projection {type(proj).__name__} has no inverse")
+    return proj.inverse(xs, ys)
 
 
 # A realistic WKT for EPSG:3035, used by the WKT-only fixture dataset

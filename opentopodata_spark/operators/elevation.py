@@ -137,7 +137,7 @@ class ElevationResolver:
         interpolation: str = "bilinear",
         nodata_value=None,
         sample_partitions: int | None = None,
-        salt: int = 1,
+        salt: int = 0,
     ):
         if interpolation not in interpolate.INTERPOLATION_METHODS:
             raise ValueError(f"Invalid interpolation method '{interpolation}'.")
@@ -148,10 +148,25 @@ class ElevationResolver:
         self.sample_partitions = sample_partitions or int(
             spark.conf.get("spark.sql.shuffle.partitions")
         )
-        self.salt = max(1, salt)
         self.registry = tiles.registry_df(spark, datasets)
-        self.tile_index = tiles.tile_index_df(spark, datasets)
+        tile_rows = tiles.tile_index_rows(datasets)
+        self.tile_index = spark.createDataFrame(
+            tile_rows, tiles.TILE_INDEX_SCHEMA
+        )
         self.fallback_name = datasets[-1].name
+        # Adaptive hot-tile salting: the sampling shuffle hashes on the
+        # raster path, so distinct-path count caps that stage's
+        # parallelism. With fewer tiles than target partitions (small
+        # fixture sets locally; Zipf hotspots at scale where one tile
+        # holds a disproportionate share) every tile is "hot" — split
+        # each across enough tasks to fill the stage. salt=0 requests
+        # this auto mode; an explicit salt>=1 is honored as-is.
+        n_paths = max(
+            1, len(tile_rows) + sum(1 for d in datasets if d.kind == "single")
+        )
+        self.salt = salt if salt >= 1 else max(
+            1, -(-self.sample_partitions // n_paths)
+        )
 
     def candidates(self, points: DataFrame, carry: tuple = ()) -> DataFrame:
         """J2: broadcast bbox coverage join (inclusive bounds, parity with
@@ -208,12 +223,41 @@ class ElevationResolver:
             F.coalesce(F.col("_tpath"), F.col("single_path")).alias("path"),
         )
 
+    def set_path_salts(self, salts: dict[str, int]) -> None:
+        """Install per-path salt factors (from ``estimate_path_salts``).
+
+        Skew is per-tile, not uniform: one global low-res raster (or one
+        Zipf-hot city tile) can hold most points while thousands of tiles
+        hold a handful. A uniform salt either under-splits the hot tile
+        or shatters every cold tile across tasks (each task then opens
+        many rasters — pathological at 10^5 tiles). Per-path salts split
+        each tile across ~its fair share of partitions only."""
+        self._path_salts = {p: int(s) for p, s in salts.items() if s > 1}
+
     def sampled(self, cand_paths: DataFrame, carry: tuple = ()) -> DataFrame:
         """A1+S8: shuffle by tile path, sample rasters in Arrow batches.
         Null-path rows ride along and come out as state=OOB."""
         df = cand_paths
         parts = ["path"]
-        if self.salt > 1:
+        if getattr(self, "_path_salts", None):
+            salt_df = F.broadcast(
+                self.spark.createDataFrame(
+                    list(self._path_salts.items()), "_spath string, _sfactor int"
+                )
+            )
+            df = (
+                df.join(salt_df, df["path"] == salt_df["_spath"], "left")
+                .withColumn(
+                    "_salt",
+                    F.pmod(
+                        F.xxhash64("point_id"),
+                        F.coalesce(F.col("_sfactor"), F.lit(1)),
+                    ),
+                )
+                .drop("_spath", "_sfactor")
+            )
+            parts = ["path", "_salt"]
+        elif self.salt > 1:
             df = df.withColumn("_salt", F.pmod(F.col("point_id"), F.lit(self.salt)))
             parts = ["path", "_salt"]
         df = df.repartition(self.sample_partitions, *parts)
@@ -249,14 +293,30 @@ class ElevationResolver:
         res = res.withColumn("elevation", _fill_expr(elev, self.nodata_value))
         res = res.withColumn("resolved", F.col("elevation").isNotNull())
 
-        # J3(b): winner = min priority among resolved, else max priority
-        # among attempted (bbox-matched) candidates; null-dataset rows
-        # (uncovered points) are their own single-row groups.
-        order = F.when(F.col("resolved"), F.col("priority")).otherwise(
-            -F.col("priority")
-        )
+        # J3(b): winner = min priority among resolved. Unresolved points
+        # take the STATIC attribution expression instead of a candidate
+        # row's dataset: the reference stamps dataset_name on every
+        # config-bbox-matched query even when it returns None
+        # (backend.py:280-286), so unresolved attribution = last
+        # config-matching dataset — which may be a dataset the engine
+        # never sampled because its derived raster coverage (registry
+        # build) excluded the point. Config bounds are a tiny static
+        # list, so this is a chain of K codegen'd comparisons, not a join.
         w = Window.partitionBy("point_id").orderBy(
-            F.col("resolved").desc(), order.asc()
+            F.col("resolved").desc(), F.col("priority").asc()
+        )
+        attrib = F.coalesce(
+            *[
+                F.when(
+                    (F.col("lat") >= float(ds.wgs84_bounds.bottom))
+                    & (F.col("lat") <= float(ds.wgs84_bounds.top))
+                    & (F.col("lon") >= float(ds.wgs84_bounds.left))
+                    & (F.col("lon") <= float(ds.wgs84_bounds.right)),
+                    F.lit(ds.name),
+                )
+                for ds in reversed(self.datasets)
+            ],
+            F.lit(self.fallback_name),
         )
         picked = (
             res.withColumn("_rn", F.row_number().over(w))
@@ -267,9 +327,9 @@ class ElevationResolver:
                 "lon",
                 *carry,
                 "elevation",
-                F.coalesce(F.col("dataset"), F.lit(self.fallback_name)).alias(
-                    "dataset"
-                ),
+                F.when(F.col("resolved"), F.col("dataset"))
+                .otherwise(attrib)
+                .alias("dataset"),
             )
         )
         return picked
@@ -281,3 +341,41 @@ class ElevationResolver:
         return points.join(
             resolved.select("point_id", "elevation", "dataset"), "point_id", "left"
         )
+
+
+def estimate_path_salts(
+    resolver: "ElevationResolver",
+    points_sample: DataFrame,
+) -> dict[str, int]:
+    """Per-path salt factors from a cheap sample of the point stream.
+
+    ``points_sample`` should be the extraction of a SMALL document sample
+    (e.g. ``documents.sample(0.001)`` upstream — sampling documents, not
+    the extracted points, keeps the estimation job's UDF work
+    proportional to the sample). The returned dict maps each raster path
+    to ceil(its share of rows x sample_partitions): a path that would
+    fill k partitions is split into ~k salt buckets; cold tiles stay at
+    salt 1 and are never shattered across tasks. Shares are scale-free,
+    so the sampling fraction needs no correction. Feed the result to
+    ``resolver.set_path_salts``.
+
+    At cluster scale this is one tiny pre-pass (0.1% of the data) that
+    removes the single-hot-tile straggler — the skew case AQE cannot fix
+    for a mapInPandas repartition (it is not a join)."""
+    cand = resolver.with_tile_paths(resolver.candidates(points_sample))
+    rows = (
+        cand.where(F.col("path").isNotNull())
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+    total = sum(r.cnt for r in rows)
+    if total == 0:
+        return {}
+    per_part = max(1.0, total / resolver.sample_partitions)
+    out = {}
+    for r in rows:
+        salt = min(resolver.sample_partitions, math.ceil(r.cnt / per_part))
+        if salt > 1:
+            out[r.path] = salt
+    return out

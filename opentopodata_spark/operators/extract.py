@@ -113,9 +113,13 @@ def _csv_points(text):
 def explode_text_spans(documents: DataFrame) -> DataFrame:
     """documents -> (doc_id, span_pos, text) for text spans only.
 
-    Column pruning matters: only doc_id + spans are read from the scan."""
+    Column pruning matters: only doc_id + spans are read from the scan.
+    The explicit size() predicate replaces InferFiltersFromGenerate
+    (excluded session-wide, see session.get_spark) so empty-span docs are
+    still dropped at the parquet scan."""
     return (
-        documents.select("doc_id", F.posexplode("spans").alias("span_pos", "span"))
+        documents.where(F.size("spans") > 0)
+        .select("doc_id", F.posexplode("spans").alias("span_pos", "span"))
         .where(F.col("span.kind") == "text")
         .select("doc_id", "span_pos", F.col("span.text").alias("text"))
     )

@@ -50,8 +50,96 @@ class RegistryRow:
     single_path: str | None
 
 
+def _wgs84_cover_of_projected_box(
+    x0: float, y0: float, x1: float, y1: float,
+    epsg: int | None = None, wkt: str | None = None,
+) -> tuple[float, float, float, float] | None:
+    """Conservative WGS84 bbox covering a projected rectangle, via dense
+    boundary sampling through the inverse projection. None when the
+    projection has no inverse (caller keeps config bounds)."""
+    from . import crs as _crs
+
+    import numpy as np
+
+    try:
+        ex = np.linspace(x0, x1, 33)
+        ey = np.linspace(y0, y1, 33)
+        xs = np.concatenate([ex, ex, np.full(33, x0), np.full(33, x1)])
+        ys = np.concatenate([np.full(33, y0), np.full(33, y1), ey, ey])
+        lons, lats = _crs.unproject_xys(xs, ys, epsg=epsg, wkt=wkt)
+    except (_crs.CRSError, ValueError, ZeroDivisionError):
+        return None
+    if not (np.all(np.isfinite(lons)) and np.all(np.isfinite(lats))):
+        return None
+    left, right = float(lons.min()), float(lons.max())
+    bottom, top = float(lats.min()), float(lats.max())
+    # pad: residual boundary curvature between samples + epsilon
+    pad_lon = 0.005 * (right - left) + 1e-6
+    pad_lat = 0.005 * (top - bottom) + 1e-6
+    if right - left > 180.0:  # antimeridian wrap: lon estimate is unusable
+        left, right = -180.0, 180.0
+        pad_lon = 0.0
+    return (
+        max(-180.0, left - pad_lon),
+        max(-90.0, bottom - pad_lat),
+        min(180.0, right + pad_lon),
+        min(90.0, top + pad_lat),
+    )
+
+
+def derived_wgs84_bounds(ds) -> tuple[float, float, float, float] | None:
+    """Dataset's true WGS84 coverage derived from raster/tile extents —
+    the engine's version of the reference's advice to hand-set
+    wgs84_bounds for multi-dataset performance
+    (/root/reference/docs/notes/multiple-datasets.md "Performance
+    optimisation", SURVEY.md P4). Conservative by construction (padded);
+    None when underivable (stay with config bounds)."""
+    from . import geotiff
+
+    try:
+        if isinstance(ds, SingleFileDataset):
+            r = geotiff.open_raster(ds.tile_path)
+            b = r.bounds
+            rx, ry = r.res
+            pad = 2.0 * max(abs(rx), abs(ry))
+            ci = r.crs
+            epsg = ci.epsg if ci and ci.epsg else None
+            wkt = None if epsg else (ci.wkt if ci else None)
+            if epsg is None and wkt is None:
+                return None
+            return _wgs84_cover_of_projected_box(
+                b.left - pad, b.bottom - pad, b.right + pad, b.top + pad,
+                epsg=epsg, wkt=wkt,
+            )
+        if isinstance(ds, TiledDataset):
+            if not ds.tile_lookup:
+                return None
+            size = float(ds.filename_tile_size)
+            ns = [float(n) for n, _e in ds.tile_lookup]
+            es = [float(e) for _n, e in ds.tile_lookup]
+            # tiles extend one tile_size up/right of their corner; pad a
+            # bit extra for the SRTM convention ambiguity
+            pad = 0.01 * size
+            return _wgs84_cover_of_projected_box(
+                min(es) - pad, min(ns) - pad,
+                max(es) + size + pad, max(ns) + size + pad,
+                epsg=int(ds.filename_epsg),
+            )
+    except (geotiff.RasterOpenError, OSError, ValueError):
+        return None
+    return None
+
+
 def dataset_registry_rows(datasets: list[Dataset]) -> list[tuple]:
-    """Ordered datasets -> registry rows (priority = position)."""
+    """Ordered datasets -> registry rows (priority = position).
+
+    Bounds are the INTERSECTION of the config wgs84_bounds with the
+    coverage derived from the rasters themselves: the bbox-candidate join
+    (J2) then never fans a point out to a dataset that could only return
+    null for it. Output-identical to config-bounds-only (out-of-raster
+    points yield null and fall through either way — backend.py:254-266 +
+    null propagation), but the shuffle/sampling volume downstream drops
+    by the false-candidate fraction."""
     rows = []
     for priority, ds in enumerate(datasets):
         if isinstance(ds, MultiDataset):
@@ -60,6 +148,10 @@ def dataset_registry_rows(datasets: list[Dataset]) -> list[tuple]:
         left, bottom, right, top = (
             float(b.left), float(b.bottom), float(b.right), float(b.top)
         )
+        d = derived_wgs84_bounds(ds)
+        if d is not None:
+            left, bottom = max(left, d[0]), max(bottom, d[1])
+            right, top = min(right, d[2]), min(top, d[3])
         if isinstance(ds, SingleFileDataset):
             rows.append(
                 (ds.name, priority, "single", left, bottom, right, top,
