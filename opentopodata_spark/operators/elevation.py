@@ -9,7 +9,7 @@ backend.py:224-288) with the one-shot Spark plan (SURVEY.md J3(b)):
       -> J1  broadcast tile join (missing tile -> null path)
       -> A1  shuffle by (path [, salt]) -> mapInPandas raster sampling
       -> S5  per-dataset NaN fill (nodata_value semantics)
-      -> J3  priority coalesce: one window, first-non-null by priority
+      -> J3  priority coalesce: hash agg (min_by), first-non-null by priority
       -> J4  join back to the input rows (order restored by key, no sort)
 
 Semantics parity (verified differentially against oracle.get_elevation):
@@ -35,7 +35,7 @@ import math
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import ByteType, DoubleType, StructField, StructType
 
@@ -293,18 +293,17 @@ class ElevationResolver:
         res = res.withColumn("elevation", _fill_expr(elev, self.nodata_value))
         res = res.withColumn("resolved", F.col("elevation").isNotNull())
 
-        # J3(b): winner = min priority among resolved. Unresolved points
-        # take the STATIC attribution expression instead of a candidate
-        # row's dataset: the reference stamps dataset_name on every
-        # config-bbox-matched query even when it returns None
+        # J3(b): winner = min priority among resolved rows, via a hash
+        # aggregate with map-side partial combine (min_by) — cheaper than
+        # a sort-based row_number window and AQE-coalescible. Unresolved
+        # points take the STATIC attribution expression instead of a
+        # candidate row's dataset: the reference stamps dataset_name on
+        # every config-bbox-matched query even when it returns None
         # (backend.py:280-286), so unresolved attribution = last
         # config-matching dataset — which may be a dataset the engine
         # never sampled because its derived raster coverage (registry
         # build) excluded the point. Config bounds are a tiny static
         # list, so this is a chain of K codegen'd comparisons, not a join.
-        w = Window.partitionBy("point_id").orderBy(
-            F.col("resolved").desc(), F.col("priority").asc()
-        )
         attrib = F.coalesce(
             *[
                 F.when(
@@ -318,19 +317,27 @@ class ElevationResolver:
             ],
             F.lit(self.fallback_name),
         )
-        picked = (
-            res.withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") == 1)
-            .select(
-                "point_id",
-                "lat",
-                "lon",
-                *carry,
-                "elevation",
-                F.when(F.col("resolved"), F.col("dataset"))
-                .otherwise(attrib)
-                .alias("dataset"),
-            )
+        pick_order = F.when(F.col("resolved"), F.col("priority")).otherwise(
+            F.lit(1_000_000)
+        )
+        agg = res.groupBy("point_id").agg(
+            F.first("lat").alias("lat"),
+            F.first("lon").alias("lon"),
+            *[F.first(c).alias(c) for c in carry],
+            F.min_by(
+                F.struct(F.col("elevation"), F.col("dataset")), pick_order
+            ).alias("_win"),
+            F.max("resolved").alias("_any"),
+        )
+        picked = agg.select(
+            "point_id",
+            "lat",
+            "lon",
+            *carry,
+            F.when(F.col("_any"), F.col("_win.elevation")).alias("elevation"),
+            F.when(F.col("_any"), F.col("_win.dataset"))
+            .otherwise(attrib)
+            .alias("dataset"),
         )
         return picked
 
