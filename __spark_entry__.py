@@ -689,12 +689,12 @@ def _run_elevation(spark: SparkSession, n_docs: int, n_files: int = 1) -> DataFr
     dsets = config.load_datasets(cfg_path)
     ordered = config.resolve_dataset_names("multi_eudem_etopo1", dsets)
     resolver = elevation.ElevationResolver(spark, ordered, "bilinear")
-    # skew pre-pass: per-tile salt factors from a 2% document sample
-    # (one global raster otherwise absorbs most points into few tasks)
+    # skew pre-pass: per-spatial-cell salt factors from a 2% document
+    # sample (a Zipf-hot cell otherwise serializes the sampling stage)
     sample_pts = extract.with_point_id(
         extract.extract_points(documents.sample(0.02, seed=7))
     ).where(F.col("loc_error").isNull())
-    resolver.set_path_salts(elevation.estimate_path_salts(resolver, sample_pts))
+    resolver.set_cell_salts(elevation.estimate_cell_salts(resolver, sample_pts))
     # carry the doc keys through the pipeline instead of joining back:
     # one scan of documents, no self-join (SURVEY.md J4 at scale).
     resolved = resolver.resolve(pts, carry=("doc_id", "span_pos", "point_pos"))
@@ -753,6 +753,79 @@ def q_ivf_topk(spark, sf_dir):
 # driver contract
 # ---------------------------------------------------------------------------
 
+# --------------------------------------------------------------------------
+# S2-indexed spatial joins (north rule: H3/S2 index + point-in-polygon)
+# --------------------------------------------------------------------------
+
+_PIP_POLYGONS = [
+    {   # rectilinear L, west hemisphere
+        "polygon_id": "L_WEST",
+        "lats": [-40.0, 40.0, 40.0, 0.0, 0.0, -40.0],
+        "lons": [-100.0, -100.0, -60.0, -60.0, -20.0, -20.0],
+    },
+    {   # rectilinear L, east hemisphere
+        "polygon_id": "L_EAST",
+        "lats": [-60.0, -60.0, 60.0, 60.0, -20.0, -20.0],
+        "lons": [40.0, 160.0, 160.0, 120.0, 120.0, 40.0],
+    },
+]
+
+
+def q_pip_coverage(spark, sf_dir):
+    """Point-in-polygon coverage join: S2 cell cover equi-join + exact
+    even-odd ray-cast refinement (J2 generalized from rectangles)."""
+    from opentopodata_spark.operators import spatial
+
+    _ship_package(spark)
+    p = _points(spark, sf_dir)
+    out = spatial.point_in_polygon_join(
+        p, _PIP_POLYGONS, level=6, lat_col="lat", lon_col="lon"
+    )
+    return out.select(F.col("pid").alias("point_id"), "polygon_id")
+
+
+def _pip_sql() -> str:
+    edge_rows = []
+    for poly in _PIP_POLYGONS:
+        la, lo = poly["lats"], poly["lons"]
+        n = len(la)
+        for k in range(n):
+            y1, x1 = la[k], lo[k]
+            y2, x2 = la[(k + 1) % n], lo[(k + 1) % n]
+            if y1 == y2:
+                continue  # horizontal edges never cross (numpy side skips too)
+            edge_rows.append(
+                f"('{poly['polygon_id']}', {y1!r}, {x1!r}, {y2!r}, {x2!r})"
+            )
+    edges = ",\n    ".join(edge_rows)
+    return f"""
+WITH pts AS ({_POINTS_SQL}),
+edges(polygon_id, y1, x1, y2, x2) AS (VALUES
+    {edges}),
+crossings AS (
+  SELECT p.pid AS point_id, e.polygon_id,
+         CASE WHEN ((e.y1 > p.lat) <> (e.y2 > p.lat))
+               AND (p.lon < (e.x2 - e.x1) * (p.lat - e.y1) / (e.y2 - e.y1) + e.x1)
+              THEN 1 ELSE 0 END AS c
+  FROM pts p CROSS JOIN edges e)
+SELECT point_id, polygon_id
+FROM crossings
+GROUP BY point_id, polygon_id
+HAVING SUM(c) % 2 = 1
+"""
+
+
+def q_s2_cells(spark, sf_dir):
+    """S2 cell encoding (level 8) of the point stream — vectorized Arrow
+    batches, parity-tested against canonical S2 ids (tests/test_s2_spatial).
+    Rows-only (no SQL engine computes S2 Hilbert ids)."""
+    from opentopodata_spark.operators import spatial
+
+    _ship_package(spark)
+    p = _points(spark, sf_dir)
+    return spatial.with_s2_cell(p, level=8).select("pid", "s2_cell")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query at sf0.001 scale; driver checks rows > 0."""
     return _run_elevation(spark, n_docs=300)
@@ -784,6 +857,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geodesic_paths": q_geodesic_paths,
         "multimodal_features": q_multimodal_features,
         "ivf_topk": q_ivf_topk,
+        "pip_coverage": q_pip_coverage,
+        "s2_cells": q_s2_cells,
     }
 
 
@@ -798,6 +873,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_signatures": _minhash_sql(),
         "lsh_candidate_pairs": _lsh_pairs_sql(),
         "ngram_jaccard": _Q_JACCARD_SQL,
+        "pip_coverage": _pip_sql(),
         "near_dup_verified": _Q_NEAR_DUP_SQL,
         "simhash": _simhash_sql(),
         "token_stats": _Q_TOKEN_SQL,

@@ -1,32 +1,36 @@
 """The distributed elevation resolver — the engine's flagship pipeline.
 
 Replaces the reference's per-request loop (/root/reference/opentopodata/
-backend.py:224-288) with the one-shot Spark plan (SURVEY.md J3(b)):
+backend.py:224-288) with a one-shot Spark plan that has exactly ONE wide
+exchange:
 
     points (point_id, lat, lon, ...)
       -> J2  candidate datasets: broadcast bbox join against the registry
+             (registry bounds = config bounds INTERSECT derived raster
+             coverage — false candidates never exist)
       -> S1/S3 tile keys: Arrow-batched reprojection + float64 floor
       -> J1  broadcast tile join (missing tile -> null path)
-      -> A1  shuffle by (path [, salt]) -> mapInPandas raster sampling
-      -> S5  per-dataset NaN fill (nodata_value semantics)
-      -> J3  priority coalesce: hash agg (min_by), first-non-null by priority
-      -> J4  join back to the input rows (order restored by key, no sort)
+      -> A1  THE shuffle: repartition by (spatial cell, point-hash salt),
+             local sort by point_id
+      -> S8+S5+J3 pick-sampler (mapInPandas): windowed raster reads per
+             path, per-dataset nodata fill, priority pick — one output
+             row per point, no second exchange
+      -> J4  carry keys through (no join-back, no global sort)
 
 Semantics parity (verified differentially against oracle.get_elevation):
   * missing tile / out-of-raster-bounds -> null elevation
   * NODATA in kernel footprint -> NaN, then nodata_value fill PER dataset
     (null fill => falls through to next dataset; int/NaN fill => resolves)
-  * attribution = winning dataset, else LAST bbox-matching dataset, else
-    the final dataset name as fallback (backend.py:285-286)
+  * attribution = winning dataset, else LAST config-bbox-matching dataset
+    (static expression), else the final dataset name (backend.py:280-286)
 
 Scale design notes:
   * registry and tile index are broadcast — points never shuffle for joins
-  * the only wide exchange before the coalesce window is the repartition
-    by tile path, which is exactly the reference's "batch by file" strategy
-    (backend.py:188-203) generalized; ``salt`` splits hot tiles (Zipf
-    coordinate clusters) across multiple tasks
-  * rasters are opened via a per-executor LRU over memory-mapped files —
-    the GDAL-block-cache analog.
+  * the shuffle key is the point's spatial cell: tile locality (a task's
+    points hit few rasters — the per-executor mmap LRU is the GDAL-block-
+    cache analog) AND pick locality (a point's candidates co-locate)
+  * per-cell salts from a sampled pre-pass (estimate_cell_salts) split
+    Zipf-hot cells; every candidate row of a point shares its salt
 """
 
 from __future__ import annotations
@@ -37,7 +41,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import ByteType, DoubleType, StructField, StructType
+from pyspark.sql.types import ByteType, DoubleType, IntegerType, StructField, StructType
 
 from .. import crs as _crs
 from .. import interpolate, tiles
@@ -72,59 +76,113 @@ def project_xy(lat: pd.Series, lon: pd.Series, epsg: pd.Series) -> pd.DataFrame:
 # null at the UDF boundary, which would silently merge the NODATA and
 # out-of-coverage cases and break nodata_value semantics (SURVEY.md §7
 # hard part 3 — caught by the differential test).
-_SAMPLE_BASE_COLS = ("point_id", "lat", "lon", "dataset", "priority")
-_SAMPLE_SCHEMA = (
-    "point_id long, lat double, lon double, dataset string, priority int,"
-    " z double, state tinyint"
-)
-
 _STATE_VALUE, _STATE_NODATA, _STATE_OOB = 0, 1, 2
 
 
-def _make_sampler(interpolation: str, carry: tuple = ()):
-    out_cols = list(_SAMPLE_BASE_COLS) + list(carry)
+def _sample_candidate_arrays(pdf: pd.DataFrame, interpolation: str, paths):
+    """Candidate-level raster sampling: one windowed read per distinct
+    tile id in the frame (the reference's per-file batching,
+    backend.py:188-203). Returns (z, state) arrays aligned to pdf rows.
+    tile_id -1 = no raster (missing tile / uncovered) -> stays OOB."""
+    from ..oracle import _open_cached
+
+    n = len(pdf)
+    z = np.zeros(n, dtype=np.float64)
+    state = np.full(n, _STATE_OOB, dtype=np.int8)
+    lats = pdf["lat"].to_numpy(dtype=np.float64)
+    lons = pdf["lon"].to_numpy(dtype=np.float64)
+    for tid, g in pdf.groupby("tile_id", sort=False):
+        if tid < 0:
+            continue
+        raster = _open_cached(paths[int(tid)])
+        idx = g.index.to_numpy()
+        vals, in_bounds = interpolate.sample_points_on_raster_arrays(
+            raster, lats[idx], lons[idx], interpolation
+        )
+        st = np.where(
+            ~in_bounds,
+            _STATE_OOB,
+            np.where(np.isnan(vals), _STATE_NODATA, _STATE_VALUE),
+        )
+        z[idx] = np.where(in_bounds & np.isfinite(vals), vals, 0.0)
+        state[idx] = st
+    return z, state
+
+
+# pick-sampler output states (point-level, after the per-dataset
+# nodata_value fill and the priority pick):
+_OUT_VALUE, _OUT_NAN, _OUT_NULL = 0, 1, 2
+
+
+def _make_pick_sampler(interpolation: str, carry: tuple, nodata_value, paths_bc):
+    """mapInPandas fn: sample ALL candidate rows, apply the per-dataset
+    nodata fill (S5), and pick each point's winner (J3) — entirely inside
+    the partition. Requires input sorted by point_id within the partition
+    (a point's candidate rows are then contiguous; the trailing group of
+    each Arrow batch is held back and prepended to the next batch, so
+    batch boundaries never split a point).
+
+    Emitting one row per point here removes the second wide exchange the
+    groupBy-pick needed: mapInPandas output has fresh attribute ids, so
+    Catalyst cannot reuse the repartition's hash partitioning for a
+    downstream aggregate — the pick must happen before leaving Python.
+    """
+    out_cols = ["point_id", "lat", "lon", *carry]
+    nodata_is_none = nodata_value is None
+    nodata_is_nan = isinstance(nodata_value, float) and math.isnan(nodata_value)
+    fill = None if (nodata_is_none or nodata_is_nan) else float(nodata_value)
+
+    def process(pdf: pd.DataFrame) -> pd.DataFrame:
+        z, state = _sample_candidate_arrays(pdf, interpolation, paths_bc.value)
+        is_nod = state == _STATE_NODATA
+        resolved = (state == _STATE_VALUE) | (is_nod & (not nodata_is_none))
+        eff = z.copy()
+        if fill is not None:
+            eff[is_nod] = fill
+        elif nodata_is_nan:
+            eff[is_nod] = np.nan
+        pid = pdf["point_id"].to_numpy()
+        prio = pdf["priority"].to_numpy(dtype=np.float64)  # null -> nan, last
+        order = np.lexsort((prio, ~resolved, pid))
+        spid = pid[order]
+        first = np.ones(len(spid), dtype=bool)
+        first[1:] = spid[1:] != spid[:-1]
+        win = order[first]
+        w_res = resolved[win]
+        w_eff = eff[win]
+        w_nan = np.isnan(w_eff)
+        out_state = np.where(
+            ~w_res, _OUT_NULL, np.where(w_nan, _OUT_NAN, _OUT_VALUE)
+        ).astype(np.int8)
+        out = {c: pdf[c].to_numpy()[win] for c in out_cols}
+        out["z"] = np.where(w_res & ~w_nan, w_eff, 0.0)
+        out["state"] = out_state
+        w_prio = prio[win]  # winner dataset as its priority index
+        out["priority"] = np.where(
+            np.isnan(w_prio), -1, w_prio
+        ).astype(np.int32)
+        return pd.DataFrame(out)
 
     def sample(batches):
-        from ..oracle import _open_cached
-
+        held = None
         for pdf in batches:
             pdf = pdf.reset_index(drop=True)
-            n = len(pdf)
-            z = np.zeros(n, dtype=np.float64)
-            state = np.full(n, _STATE_OOB, dtype=np.int8)
-            groups = pdf.groupby("path", sort=False, dropna=True)
-            for path, g in groups:
-                raster = _open_cached(path)
-                vals, in_bounds = interpolate.sample_points_on_raster_arrays(
-                    raster,
-                    g["lat"].to_numpy(dtype=np.float64),
-                    g["lon"].to_numpy(dtype=np.float64),
-                    interpolation,
-                )
-                idx = g.index.to_numpy()
-                st = np.where(
-                    ~in_bounds,
-                    _STATE_OOB,
-                    np.where(np.isnan(vals), _STATE_NODATA, _STATE_VALUE),
-                )
-                z[idx] = np.where(in_bounds & np.isfinite(vals), vals, 0.0)
-                state[idx] = st
-            out = {c: pdf[c] for c in out_cols}
-            out["z"] = z
-            out["state"] = state
-            yield pd.DataFrame(out)
+            if held is not None:
+                pdf = pd.concat([held, pdf], ignore_index=True)
+                held = None
+            if len(pdf) == 0:
+                continue
+            pid = pdf["point_id"].to_numpy()
+            not_last = (pid != pid[-1]).nonzero()[0]
+            split = int(not_last[-1]) + 1 if len(not_last) else 0
+            held = pdf.iloc[split:]
+            head = pdf.iloc[:split].reset_index(drop=True)
+            if len(head):
+                yield process(head)
+        if held is not None and len(held):
+            yield process(held.reset_index(drop=True))
 
     return sample
-
-
-def _fill_expr(col, nodata_value):
-    """S5: replace NaN (NOT null) with nodata_value
-    (/root/reference/opentopodata/utils.py:89-99)."""
-    if nodata_value is None:
-        return F.when(F.isnan(col), F.lit(None).cast("double")).otherwise(col)
-    if isinstance(nodata_value, float) and math.isnan(nodata_value):
-        return col
-    return F.when(F.isnan(col), F.lit(float(nodata_value))).otherwise(col)
 
 
 class ElevationResolver:
@@ -148,25 +206,50 @@ class ElevationResolver:
         self.sample_partitions = sample_partitions or int(
             spark.conf.get("spark.sql.shuffle.partitions")
         )
-        self.registry = tiles.registry_df(spark, datasets)
-        tile_rows = tiles.tile_index_rows(datasets)
+        # Integer-encode every string the wide shuffle would otherwise
+        # carry: raster paths (~70 bytes each) become tile ids into a
+        # broadcast list, dataset names become the priority index. This
+        # halves shuffle bytes AND skips the Arrow->pandas object-dtype
+        # conversion for millions of rows inside the sampler (strings are
+        # the dominant per-row cost there; decoded back to names in the
+        # final projection, a K-branch CASE).
+        paths: list[str] = []
+        tile_rows = []
+        for name, iy, ix, path in tiles.tile_index_rows(datasets):
+            prio = next(i for i, d in enumerate(datasets) if d.name == name)
+            tile_rows.append((prio, iy, ix, len(paths)))
+            paths.append(path)
+        reg_rows = []
+        for (
+            _name, priority, kind, left, bottom, right, top, epsg, tsize, spath
+        ) in tiles.dataset_registry_rows(datasets):
+            stid = -1
+            if spath is not None:
+                stid = len(paths)
+                paths.append(spath)
+            reg_rows.append(
+                (priority, left, bottom, right, top, epsg, tsize, stid)
+            )
+        self.registry = spark.createDataFrame(
+            reg_rows,
+            "priority int, left double, bottom double, right double,"
+            " top double, filename_epsg int, tile_size double,"
+            " single_tile_id int",
+        )
         self.tile_index = spark.createDataFrame(
-            tile_rows, tiles.TILE_INDEX_SCHEMA
+            tile_rows, "priority int, iy long, ix long, tile_id int"
         )
+        self._paths_bc = spark.sparkContext.broadcast(paths)
         self.fallback_name = datasets[-1].name
-        # Adaptive hot-tile salting: the sampling shuffle hashes on the
-        # raster path, so distinct-path count caps that stage's
-        # parallelism. With fewer tiles than target partitions (small
-        # fixture sets locally; Zipf hotspots at scale where one tile
-        # holds a disproportionate share) every tile is "hot" — split
-        # each across enough tasks to fill the stage. salt=0 requests
-        # this auto mode; an explicit salt>=1 is honored as-is.
-        n_paths = max(
-            1, len(tile_rows) + sum(1 for d in datasets if d.kind == "single")
-        )
-        self.salt = salt if salt >= 1 else max(
-            1, -(-self.sample_partitions // n_paths)
-        )
+        # Uniform point-hash salt for the spatial-cell shuffle. salt=0 =
+        # auto: 1 when per-cell salts are installed (set_cell_salts — the
+        # intended path, they split exactly the hot cells), else a mild 4
+        # so a corpus concentrated in a handful of cells still spreads.
+        # A point's candidate rows always share a salt value (hashed on
+        # point_id), so the in-sampler pick stays partition-local.
+        self._salt_arg = salt
+        self._cell_salts: dict[int, int] = {}
+        self.cell_deg = 1.0
 
     def candidates(self, points: DataFrame, carry: tuple = ()) -> DataFrame:
         """J2: broadcast bbox coverage join (inclusive bounds, parity with
@@ -188,8 +271,9 @@ class ElevationResolver:
         """S1+S3+J1: tile key derivation and broadcast tile join.
 
         Single-file datasets have null tile_size -> null keys -> no tile
-        match; their path comes from coalesce with single_path. Uncovered
-        points keep a null path end-to-end."""
+        match; their id comes from coalesce with single_tile_id. Uncovered
+        points keep tile_id = -1 end-to-end (int sentinel, not null, so
+        the sampler's groupby never materializes a nullable column)."""
         cand = cand.withColumn("xy", project_xy("lat", "lon", "filename_epsg"))
         # float64 floor(coord / tile_size): same arithmetic as the
         # reference's decimal_base_floor (utils.py:60-65 divides in float)
@@ -200,15 +284,15 @@ class ElevationResolver:
         )
         idx = F.broadcast(
             self.tile_index.select(
-                F.col("dataset").alias("_tds"),
+                F.col("priority").alias("_tprio"),
                 F.col("iy").alias("_tiy"),
                 F.col("ix").alias("_tix"),
-                F.col("path").alias("_tpath"),
+                F.col("tile_id").alias("_ttid"),
             )
         )
         cand = cand.join(
             idx,
-            (cand["dataset"] == idx["_tds"])
+            (cand["priority"] == idx["_tprio"])
             & (cand["iy"] == idx["_tiy"])
             & (cand["ix"] == idx["_tix"]),
             "left",
@@ -217,93 +301,115 @@ class ElevationResolver:
             "point_id",
             "lat",
             "lon",
-            "dataset",
             "priority",
             *carry,
-            F.coalesce(F.col("_tpath"), F.col("single_path")).alias("path"),
+            F.coalesce(
+                F.col("_ttid"),
+                F.nullif(F.col("single_tile_id"), F.lit(-1)),
+                F.lit(-1),
+            ).alias("tile_id"),
         )
 
-    def set_path_salts(self, salts: dict[str, int]) -> None:
-        """Install per-path salt factors (from ``estimate_path_salts``).
+    def set_cell_salts(self, salts: dict[int, int]) -> None:
+        """Install per-spatial-cell salt factors (estimate_cell_salts).
 
-        Skew is per-tile, not uniform: one global low-res raster (or one
-        Zipf-hot city tile) can hold most points while thousands of tiles
-        hold a handful. A uniform salt either under-splits the hot tile
-        or shatters every cold tile across tasks (each task then opens
-        many rasters — pathological at 10^5 tiles). Per-path salts split
-        each tile across ~its fair share of partitions only."""
-        self._path_salts = {p: int(s) for p, s in salts.items() if s > 1}
+        Skew is per-area, not uniform: one Zipf-hot city cell can hold a
+        large share of points while most cells hold a handful. A uniform
+        salt either under-splits the hot cell or shatters every cold
+        cell's tile locality. Per-cell salts split exactly the hot cells
+        across ~their fair share of partitions."""
+        self._cell_salts = {int(c): int(s) for c, s in salts.items() if s > 1}
 
-    def sampled(self, cand_paths: DataFrame, carry: tuple = ()) -> DataFrame:
-        """A1+S8: shuffle by tile path, sample rasters in Arrow batches.
-        Null-path rows ride along and come out as state=OOB."""
-        df = cand_paths
-        parts = ["path"]
-        if getattr(self, "_path_salts", None):
+    def _cell_expr(self):
+        """Dataset-independent spatial cell of the point (packed long).
+        The sampling shuffle keys on this: points of one area co-locate
+        (their rasters too — tile locality for the per-executor LRU), and
+        ALL candidate rows of a point share the key, so the winner pick
+        can happen inside the sampler with no second exchange."""
+        iy = F.floor(F.col("lat") / F.lit(self.cell_deg)).cast("long")
+        ix = F.floor(F.col("lon") / F.lit(self.cell_deg)).cast("long")
+        width = int(360.0 / self.cell_deg) + 4
+        return (iy * F.lit(width) + ix).alias("_cell")
+
+    # hot cells are by definition FEW (share > 1/(4*partitions) each);
+    # past this many entries a literal CASE would bloat the plan, so fall
+    # back to a broadcast join
+    _SALT_LITERAL_LIMIT = 512
+
+    def _partition_exprs(self, cand_paths: DataFrame):
+        """Partitioning expressions for THE shuffle: (spatial cell,
+        point-hash salt). Returned as inline expressions (and an optional
+        pre-joined frame) so the shuffle rows don't carry them — at 10^10
+        rows two extra longs are real bytes."""
+        cell = self._cell_expr()
+        salts = self._cell_salts
+        if salts and len(salts) <= self._SALT_LITERAL_LIMIT:
+            factor = F.lit(1)
+            for c, s in salts.items():
+                factor = F.when(cell == F.lit(c), F.lit(s)).otherwise(factor)
+            return cand_paths, [cell, F.pmod(F.xxhash64("point_id"), factor)]
+        if salts:
             salt_df = F.broadcast(
                 self.spark.createDataFrame(
-                    list(self._path_salts.items()), "_spath string, _sfactor int"
+                    list(salts.items()), "_scell long, _sfactor int"
                 )
             )
-            df = (
-                df.join(salt_df, df["path"] == salt_df["_spath"], "left")
-                .withColumn(
-                    "_salt",
-                    F.pmod(
-                        F.xxhash64("point_id"),
-                        F.coalesce(F.col("_sfactor"), F.lit(1)),
-                    ),
-                )
-                .drop("_spath", "_sfactor")
+            df = cand_paths.withColumn("_cell", cell).join(
+                salt_df, F.col("_cell") == salt_df["_scell"], "left"
             )
-            parts = ["path", "_salt"]
-        elif self.salt > 1:
-            df = df.withColumn("_salt", F.pmod(F.col("point_id"), F.lit(self.salt)))
-            parts = ["path", "_salt"]
-        df = df.repartition(self.sample_partitions, *parts)
-        schema = StructType(
-            [df.schema[c] for c in _SAMPLE_BASE_COLS]
-            + [df.schema[c] for c in carry]
-            + [
-                StructField("z", DoubleType()),
-                StructField("state", ByteType()),
+            return df.drop("_scell"), [
+                F.col("_cell"),
+                F.pmod(
+                    F.xxhash64("point_id"),
+                    F.coalesce(F.col("_sfactor"), F.lit(1)),
+                ),
             ]
-        )
-        return df.mapInPandas(_make_sampler(self.interpolation, carry), schema)
+        salt = self._salt_arg if self._salt_arg >= 1 else 4
+        return cand_paths, [cell, F.pmod(F.xxhash64("point_id"), F.lit(salt))]
 
     def resolve(self, points: DataFrame, carry: tuple = ()) -> DataFrame:
-        """Full pipeline: one linear plan, one scan of the input.
+        """Full pipeline: one linear plan, ONE wide shuffle, one scan.
 
         Input needs (point_id, lat, lon). Output: (point_id, lat, lon,
         elevation, dataset), exactly one row per input point_id. ``carry``
         names extra input columns to thread through the pipeline — at
         scale this is strictly cheaper than ``attach``'s join, which
-        would shuffle both sides AND recompute the extraction subtree
-        (a second full scan of the input table)."""
+        would shuffle both sides AND recompute the extraction subtree.
+
+        Shape: candidates + tile paths are narrow (broadcast joins); the
+        single exchange repartitions by (spatial cell, point-hash salt);
+        a partition-local sort by point_id makes each point's candidate
+        rows contiguous; the pick-sampler emits one row per point; the
+        final projection maps (z, state) to elevation and applies the
+        static config-bounds attribution for unresolved points (the
+        reference stamps dataset_name on every config-bbox-matched query
+        even when it returns None, backend.py:280-286 — config bounds may
+        be wider than the derived raster coverage the candidate join
+        uses, so this must not come from a candidate row)."""
         carry = tuple(carry)
         cand = self.candidates(points, carry)
         cand = self.with_tile_paths(cand, carry)
-        res = self.sampled(cand, carry)
+        df, part_exprs = self._partition_exprs(cand)
+        df = df.repartition(self.sample_partitions, *part_exprs)
+        df = df.sortWithinPartitions("point_id")
+        df = df.drop("_cell", "_sfactor")
 
-        elev = (
-            F.when(F.col("state") == _STATE_OOB, F.lit(None).cast("double"))
-            .when(F.col("state") == _STATE_NODATA, F.lit(float("nan")))
-            .otherwise(F.col("z"))
+        schema = StructType(
+            [df.schema[c] for c in ("point_id", "lat", "lon")]
+            + [df.schema[c] for c in carry]
+            + [
+                StructField("z", DoubleType()),
+                StructField("state", ByteType()),
+                StructField("priority", IntegerType()),
+            ]
         )
-        res = res.withColumn("elevation", _fill_expr(elev, self.nodata_value))
-        res = res.withColumn("resolved", F.col("elevation").isNotNull())
+        out = df.mapInPandas(
+            _make_pick_sampler(
+                self.interpolation, carry, self.nodata_value, self._paths_bc
+            ),
+            schema,
+        )
 
-        # J3(b): winner = min priority among resolved rows, via a hash
-        # aggregate with map-side partial combine (min_by) — cheaper than
-        # a sort-based row_number window and AQE-coalescible. Unresolved
-        # points take the STATIC attribution expression instead of a
-        # candidate row's dataset: the reference stamps dataset_name on
-        # every config-bbox-matched query even when it returns None
-        # (backend.py:280-286), so unresolved attribution = last
-        # config-matching dataset — which may be a dataset the engine
-        # never sampled because its derived raster coverage (registry
-        # build) excluded the point. Config bounds are a tiny static
-        # list, so this is a chain of K codegen'd comparisons, not a join.
         attrib = F.coalesce(
             *[
                 F.when(
@@ -317,29 +423,28 @@ class ElevationResolver:
             ],
             F.lit(self.fallback_name),
         )
-        pick_order = F.when(F.col("resolved"), F.col("priority")).otherwise(
-            F.lit(1_000_000)
+        # decode winner priority -> dataset name (K-branch CASE; strings
+        # re-enter the plan only here, after the per-point collapse)
+        winner_name = F.coalesce(
+            *[
+                F.when(F.col("priority") == i, F.lit(ds.name))
+                for i, ds in enumerate(self.datasets)
+            ],
+            F.lit(None).cast("string"),
         )
-        agg = res.groupBy("point_id").agg(
-            F.first("lat").alias("lat"),
-            F.first("lon").alias("lon"),
-            *[F.first(c).alias(c) for c in carry],
-            F.min_by(
-                F.struct(F.col("elevation"), F.col("dataset")), pick_order
-            ).alias("_win"),
-            F.max("resolved").alias("_any"),
-        )
-        picked = agg.select(
+        return out.select(
             "point_id",
             "lat",
             "lon",
             *carry,
-            F.when(F.col("_any"), F.col("_win.elevation")).alias("elevation"),
-            F.when(F.col("_any"), F.col("_win.dataset"))
+            F.when(F.col("state") == _OUT_VALUE, F.col("z"))
+            .when(F.col("state") == _OUT_NAN, F.lit(float("nan")))
+            .otherwise(F.lit(None).cast("double"))
+            .alias("elevation"),
+            F.when(F.col("state") != _OUT_NULL, winner_name)
             .otherwise(attrib)
             .alias("dataset"),
         )
-        return picked
 
     @staticmethod
     def attach(points: DataFrame, resolved: DataFrame) -> DataFrame:
@@ -350,39 +455,38 @@ class ElevationResolver:
         )
 
 
-def estimate_path_salts(
+def estimate_cell_salts(
     resolver: "ElevationResolver",
     points_sample: DataFrame,
-) -> dict[str, int]:
-    """Per-path salt factors from a cheap sample of the point stream.
+) -> dict[int, int]:
+    """Per-spatial-cell salt factors from a cheap sample of the points.
 
     ``points_sample`` should be the extraction of a SMALL document sample
     (e.g. ``documents.sample(0.001)`` upstream — sampling documents, not
     the extracted points, keeps the estimation job's UDF work
-    proportional to the sample). The returned dict maps each raster path
-    to ceil(its share of rows x sample_partitions): a path that would
-    fill k partitions is split into ~k salt buckets; cold tiles stay at
-    salt 1 and are never shattered across tasks. Shares are scale-free,
+    proportional to the sample). The returned dict maps each cell id to
+    ceil(its share of rows x sample_partitions): a cell that would fill
+    k partitions is split into ~k point-hash salt buckets; cold cells
+    stay at salt 1 and keep their tile locality. Shares are scale-free,
     so the sampling fraction needs no correction. Feed the result to
-    ``resolver.set_path_salts``.
+    ``resolver.set_cell_salts``.
 
     At cluster scale this is one tiny pre-pass (0.1% of the data) that
-    removes the single-hot-tile straggler — the skew case AQE cannot fix
-    for a mapInPandas repartition (it is not a join)."""
-    cand = resolver.with_tile_paths(resolver.candidates(points_sample))
-    rows = (
-        cand.where(F.col("path").isNotNull())
-        .groupBy("path")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .collect()
-    )
+    removes the hot-city straggler — the skew case AQE cannot fix for a
+    mapInPandas repartition (it is not a join)."""
+    cells = points_sample.select(resolver._cell_expr())
+    rows = cells.groupBy("_cell").agg(F.count(F.lit(1)).alias("cnt")).collect()
     total = sum(r.cnt for r in rows)
     if total == 0:
         return {}
-    per_part = max(1.0, total / resolver.sample_partitions)
+    # 4x oversampling: buckets finer than partitions so hash collisions
+    # average out (a hot cell split into exactly its fair share of
+    # buckets still lands 2 buckets on one partition now and then —
+    # finer buckets turn that 2x straggler into a ~1.25x ripple)
+    per_part = max(1.0, total / (4 * resolver.sample_partitions))
     out = {}
     for r in rows:
-        salt = min(resolver.sample_partitions, math.ceil(r.cnt / per_part))
+        salt = min(4 * resolver.sample_partitions, math.ceil(r.cnt / per_part))
         if salt > 1:
-            out[r.path] = salt
+            out[r._cell] = salt
     return out

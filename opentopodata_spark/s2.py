@@ -1,0 +1,243 @@
+"""Vectorized S2 cell ids in pure numpy (north rule: H3/S2 spatial index).
+
+Implements the public S2 geometry cell-id scheme (s2geometry.io docs,
+"S2 Cell Hierarchy"): lat/lon -> unit sphere -> cube face (u,v) ->
+quadratic (s,t) -> leaf (i,j) -> 64-bit Hilbert-curve cell id. The
+Hilbert position is built with the same 8x4-bit lookup-table recursion
+the reference C++ library uses, here applied to whole numpy arrays at
+once — no per-row Python, suitable for Arrow-batched pandas UDFs.
+
+Cell ids are hierarchy-encoded: a level-L id is the leaf id with the
+trailing bits replaced by a single 1 "sentinel" bit at position
+2*(30-L)-1. Parent/child is pure bit arithmetic; equal ids at level L
+group points into ~equal-area cells — the spatial-join / kNN bucket key.
+
+Self-validating design (tests/test_s2.py): encode/decode round-trips,
+hierarchy containment, sentinel-bit structure, monotone locality.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+MAX_LEVEL = 30
+_POS_BITS = 2 * MAX_LEVEL + 1
+
+# ---------------------------------------------------------------------------
+# Hilbert curve lookup tables (standard construction: 4 orientations x
+# 256 ij-pairs -> position + new orientation). Built once at import.
+# ---------------------------------------------------------------------------
+
+_SWAP_MASK = 0x01
+_INVERT_MASK = 0x02
+
+# order in which the Hilbert curve visits the 4 quadrants per orientation,
+# and the orientation adjustment for each quadrant (s2geometry constants)
+_IJ_TO_POS = np.array(
+    [
+        [0, 1, 3, 2],  # canonical
+        [0, 3, 1, 2],  # swap
+        [2, 3, 1, 0],  # invert
+        [2, 1, 3, 0],  # swap | invert
+    ],
+    dtype=np.uint64,
+)
+_POS_TO_IJ = np.array(
+    [
+        [0, 1, 3, 2],
+        [0, 2, 3, 1],
+        [3, 2, 0, 1],
+        [3, 1, 0, 2],
+    ],
+    dtype=np.uint64,
+)
+_POS_TO_ORIENTATION = np.array(
+    [_SWAP_MASK, 0, 0, _INVERT_MASK | _SWAP_MASK], dtype=np.uint64
+)
+
+
+def _build_lookup():
+    """lookup[(ij << 2) | orientation] = (pos << 2) | new_orientation,
+    for 4-bit i x 4-bit j blocks (the per-byte recursion step)."""
+    lookup_pos = np.zeros(1 << 10, dtype=np.uint64)
+    lookup_ij = np.zeros(1 << 10, dtype=np.uint64)
+
+    def init(level, i, j, orig_orientation, pos, orientation):
+        if level == 4:
+            ij = (i << 4) | j
+            lookup_pos[(ij << 2) | orig_orientation] = (pos << 2) | orientation
+            lookup_ij[(pos << 2) | orig_orientation] = (ij << 2) | orientation
+            return
+        for sub_pos in range(4):
+            ij = int(_POS_TO_IJ[orientation][sub_pos])
+            init(
+                level + 1,
+                (i << 1) | (ij >> 1),
+                (j << 1) | (ij & 1),
+                orig_orientation,
+                (pos << 2) | sub_pos,
+                orientation ^ int(_POS_TO_ORIENTATION[sub_pos]),
+            )
+
+    for orientation in range(4):
+        init(0, 0, 0, orientation, 0, orientation)
+    return lookup_pos, lookup_ij
+
+_LOOKUP_POS, _LOOKUP_IJ = _build_lookup()
+
+
+# ---------------------------------------------------------------------------
+# lat/lon -> face (i, j)
+# ---------------------------------------------------------------------------
+
+def _xyz_from_latlon(lats, lons):
+    phi = np.radians(np.asarray(lats, dtype=np.float64))
+    theta = np.radians(np.asarray(lons, dtype=np.float64))
+    cos_phi = np.cos(phi)
+    return cos_phi * np.cos(theta), cos_phi * np.sin(theta), np.sin(phi)
+
+
+def _face_uv(x, y, z):
+    ax, ay, az = np.abs(x), np.abs(y), np.abs(z)
+    face = np.where(ax >= ay, np.where(ax >= az, 0, 2), np.where(ay >= az, 1, 2))
+    face = face + np.where(
+        np.stack([x, y, z], 0)[face, np.arange(face.size)] < 0, 3, 0
+    )
+    u = np.empty_like(x)
+    v = np.empty_like(x)
+    for f, (ue, ve, we) in enumerate(
+        [
+            (lambda: y / x, lambda: z / x, None),   # face 0: +x
+            (lambda: -x / y, lambda: z / y, None),  # face 1: +y
+            (lambda: -x / z, lambda: -y / z, None), # face 2: +z
+            (lambda: z / x, lambda: y / x, None),   # face 3: -x
+            (lambda: z / y, lambda: -x / y, None),  # face 4: -y
+            (lambda: -y / z, lambda: -x / z, None), # face 5: -z
+        ]
+    ):
+        m = face == f
+        if not m.any():
+            continue
+        with np.errstate(divide="ignore", invalid="ignore"):
+            u[m] = ue()[m]
+            v[m] = ve()[m]
+    return face.astype(np.uint64), u, v
+
+
+def _st_from_uv(u):
+    """S2's quadratic projection: more uniform cell areas than linear."""
+    with np.errstate(invalid="ignore"):  # np.where evaluates both branches
+        return np.where(
+            u >= 0.0,
+            0.5 * np.sqrt(1.0 + 3.0 * u),
+            1.0 - 0.5 * np.sqrt(1.0 - 3.0 * u),
+        )
+
+
+def _ij_from_st(s):
+    return np.clip(
+        (s * float(1 << MAX_LEVEL)).astype(np.int64), 0, (1 << MAX_LEVEL) - 1
+    ).astype(np.uint64)
+
+
+# ---------------------------------------------------------------------------
+# (face, i, j) <-> 64-bit cell id
+# ---------------------------------------------------------------------------
+
+def _pos_from_ij(face, i, j):
+    """Hilbert position from leaf (i, j), byte-at-a-time via lookup."""
+    n = np.zeros(face.shape, dtype=np.uint64)
+    bits = face & np.uint64(_SWAP_MASK)  # initial orientation per face
+    for k in range(7, -1, -1):
+        mask = np.uint64((1 << 4) - 1)
+        i_bits = (i >> np.uint64(k * 4)) & mask
+        j_bits = (j >> np.uint64(k * 4)) & mask
+        key = (((i_bits << np.uint64(4)) | j_bits) << np.uint64(2)) | bits
+        val = _LOOKUP_POS[key]
+        n = (n << np.uint64(8)) | (val >> np.uint64(2))
+        bits = val & np.uint64(3)
+    return n
+
+
+def _ij_from_pos(face, pos):
+    """Inverse of _pos_from_ij (for decode/round-trip tests)."""
+    i = np.zeros(face.shape, dtype=np.uint64)
+    j = np.zeros(face.shape, dtype=np.uint64)
+    bits = face & np.uint64(_SWAP_MASK)
+    for k in range(7, -1, -1):
+        mask = np.uint64((1 << 8) - 1)
+        pos_bits = (pos >> np.uint64(k * 8)) & mask
+        key = (pos_bits << np.uint64(2)) | bits
+        val = _LOOKUP_IJ[key]
+        ij = val >> np.uint64(2)
+        i = (i << np.uint64(4)) | (ij >> np.uint64(4))
+        j = (j << np.uint64(4)) | (ij & np.uint64(0xF))
+        bits = val & np.uint64(3)
+    return i, j
+
+
+def leaf_ids(lats, lons) -> np.ndarray:
+    """Level-30 (leaf) S2 cell ids, vectorized. uint64 array."""
+    x, y, z = _xyz_from_latlon(lats, lons)
+    face, u, v = _face_uv(x, y, z)
+    i = _ij_from_st(_st_from_uv(u))
+    j = _ij_from_st(_st_from_uv(v))
+    pos = _pos_from_ij(face, i, j)
+    return (face << np.uint64(_POS_BITS)) | (pos << np.uint64(1)) | np.uint64(1)
+
+
+def cell_ids(lats, lons, level: int = 12) -> np.ndarray:
+    """S2 cell ids at the given level (0..30), vectorized."""
+    return parent(leaf_ids(lats, lons), level)
+
+
+def parent(ids, level: int) -> np.ndarray:
+    """Ancestor id at a coarser level: zero trailing bits, set sentinel."""
+    if not 0 <= level <= MAX_LEVEL:
+        raise ValueError(f"level must be in [0, {MAX_LEVEL}]")
+    ids = np.asarray(ids, dtype=np.uint64)
+    lsb = np.uint64(1) << np.uint64(2 * (MAX_LEVEL - level))
+    return (ids & ~(lsb - np.uint64(1))) | lsb
+
+
+def level_of(ids) -> np.ndarray:
+    """Level encoded in the sentinel (position of lowest set bit)."""
+    ids = np.asarray(ids, dtype=np.uint64)
+    low = (ids & (~ids + np.uint64(1))).astype(np.uint64)
+    # log2 of a power of two, via float is exact below 2^53
+    return (MAX_LEVEL - (np.log2(low.astype(np.float64)) / 2)).astype(np.int64)
+
+
+def face_of(ids) -> np.ndarray:
+    return (np.asarray(ids, dtype=np.uint64) >> np.uint64(_POS_BITS)).astype(
+        np.int64
+    )
+
+
+def token(ids) -> list[str]:
+    """Hex tokens (trailing zeros stripped) — the canonical S2 string form."""
+    out = []
+    for v in np.asarray(ids, dtype=np.uint64):
+        s = f"{int(v):016x}".rstrip("0")
+        out.append(s or "X")
+    return out
+
+
+def neighbor_seeds(lats, lons, level: int) -> np.ndarray:
+    """Cell ids of the 3x3 ring around each point, BY SAMPLING offset
+    points one cell-diagonal away (join-cover expansion for kNN / PIP
+    candidate generation). Sampling dodges cross-face ij arithmetic; the
+    ring it returns covers at least the point's edge-adjacent cells away
+    from face corners, and callers treat it as a candidate OVER-cover
+    (dedup + exact refinement downstream). Returns shape (n, 9)."""
+    lats = np.asarray(lats, dtype=np.float64)
+    lons = np.asarray(lons, dtype=np.float64)
+    # cell angular size at this level (~sqrt of 4pi/6 sr per face / 4^L)
+    step_deg = 90.0 / float(1 << level)
+    cols = []
+    for dy in (-1.0, 0.0, 1.0):
+        for dx in (-1.0, 0.0, 1.0):
+            la = np.clip(lats + dy * step_deg, -89.9999999, 89.9999999)
+            lo = ((lons + dx * step_deg + 180.0) % 360.0) - 180.0
+            cols.append(cell_ids(la, lo, level))
+    return np.stack(cols, axis=1)

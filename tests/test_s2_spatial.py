@@ -1,0 +1,107 @@
+"""S2 cell ids (parity + invariants) and the S2-indexed PIP join."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from opentopodata_spark import s2
+from opentopodata_spark.operators import spatial
+
+
+def test_s2_known_ids():
+    """Parity with canonical S2: leaf id of (0,0) is the published
+    0x1000000000000001; NYC / Sydney ids carry the well-known region
+    token prefixes (89c2..., 6b12...)."""
+    ids = s2.leaf_ids(
+        np.array([0.0, 40.689247, -33.865143]),
+        np.array([0.0, -74.044502, 151.209900]),
+    )
+    assert int(ids[0]) == 0x1000000000000001
+    assert f"{int(ids[1]):016x}".startswith("89c2")
+    assert f"{int(ids[2]):016x}".startswith("6b12")
+
+
+def test_s2_hierarchy_invariants():
+    rng = np.random.default_rng(11)
+    lats = rng.uniform(-89, 89, 2000)
+    lons = rng.uniform(-180, 180, 2000)
+    leaf = s2.leaf_ids(lats, lons)
+    assert (s2.level_of(leaf) == 30).all()
+    for lvl in (0, 3, 12, 29):
+        p = s2.parent(leaf, lvl)
+        assert (s2.level_of(p) == lvl).all()
+        # grandparent via child == grandparent via leaf
+        if lvl > 0:
+            assert (s2.parent(p, lvl - 1) == s2.parent(leaf, lvl - 1)).all()
+    assert set(s2.face_of(leaf).tolist()) == {0, 1, 2, 3, 4, 5}
+
+
+def test_s2_pos_ij_roundtrip():
+    rng = np.random.default_rng(12)
+    leaf = s2.leaf_ids(rng.uniform(-89, 89, 500), rng.uniform(-180, 180, 500))
+    face = (leaf >> np.uint64(61)).astype(np.uint64)
+    pos = (leaf >> np.uint64(1)) & np.uint64((1 << 60) - 1)
+    i, j = s2._ij_from_pos(face, pos)
+    assert (s2._pos_from_ij(face, i, j) == pos).all()
+
+
+def test_s2_locality():
+    """Points inside one small neighborhood share coarse parents."""
+    lats = 47.0 + np.linspace(0, 0.001, 50)
+    lons = 8.0 + np.linspace(0, 0.001, 50)
+    cells = s2.cell_ids(lats, lons, 10)
+    assert len(np.unique(cells)) == 1
+
+
+def test_ray_cast_concave():
+    # L-shaped concave polygon
+    pla = [0.0, 4.0, 4.0, 2.0, 2.0, 0.0]
+    plo = [0.0, 0.0, 2.0, 2.0, 4.0, 4.0]
+    lats = np.array([1.0, 3.0, 3.0, 1.0, 5.0, -1.0])
+    lons = np.array([1.0, 1.0, 3.0, 3.0, 1.0, 1.0])
+    got = spatial.points_in_polygon_mask(lats, lons, pla, plo)
+    # (3,3) is in the notch (outside); (1,3) inside the foot
+    assert got.tolist() == [True, True, False, True, False, False]
+
+
+def test_cover_cells_superset():
+    pla = [10.0, 12.0, 12.0, 10.0]
+    plo = [20.0, 20.0, 22.0, 22.0]
+    cover = set(spatial.polygon_cover_cells(pla, plo, 8).tolist())
+    rng = np.random.default_rng(13)
+    lats = rng.uniform(10, 12, 500)
+    lons = rng.uniform(20, 22, 500)
+    inside_cells = s2.cell_ids(lats, lons, 8)
+    assert set(inside_cells.tolist()) <= cover
+
+
+def test_pip_join_spark(spark):
+    pla = [0.0, 4.0, 4.0, 2.0, 2.0, 0.0]
+    plo = [0.0, 0.0, 2.0, 2.0, 4.0, 4.0]
+    pts = spark.createDataFrame(
+        [(1, 1.0, 1.0), (2, 3.0, 1.0), (3, 3.0, 3.0), (4, 1.0, 3.0), (5, 50.0, 50.0)],
+        "point_id long, lat double, lon double",
+    )
+    out = spatial.point_in_polygon_join(
+        pts, [{"polygon_id": "L", "lats": pla, "lons": plo}], level=8
+    )
+    got = sorted(r.point_id for r in out.collect())
+    assert got == [1, 2, 4]
+
+
+def test_s2_cell_udf_matches_local(spark):
+    rng = np.random.default_rng(14)
+    lats = rng.uniform(-80, 80, 300)
+    lons = rng.uniform(-179, 179, 300)
+    df = spark.createDataFrame(
+        [(i, float(a), float(b)) for i, (a, b) in enumerate(zip(lats, lons))],
+        "id long, lat double, lon double",
+    )
+    got = {
+        r.id: np.uint64(np.int64(r.c))
+        for r in spatial.with_s2_cell(df, 12, out_col="c").collect()
+    }
+    want = s2.cell_ids(lats, lons, 12)
+    assert all(got[i] == want[i] for i in range(300))

@@ -87,12 +87,21 @@ def main() -> None:
     lo, hi = results[0], results[-1]
     ratio = hi["cores"] / lo["cores"]
     eff = (hi["coords_per_sec"] / lo["coords_per_sec"]) / ratio
+    pair_eff = {
+        f'{lo["cores"]}->{r["cores"]}': round(
+            (r["coords_per_sec"] / lo["coords_per_sec"])
+            / (r["cores"] / lo["cores"]),
+            3,
+        )
+        for r in results[1:]
+    }
     summary = {
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
         "target": 0.8,
         "input_docs": N_DOCS,
         "levels": results,
+        "pairwise_efficiency": pair_eff,
     }
     print(json.dumps(summary))
 
@@ -123,7 +132,11 @@ def _report(s: dict) -> str:
         f"**Scaling efficiency ({s['levels'][0]['cores']} -> "
         f"{s['levels'][-1]['cores']} cores, x{ratio}): {s['value']}** "
         f"(target >= {s['target']}).\n",
-        "Reproduce: `python tools/bench_scaling.py`\n",
+        "Pairwise efficiencies vs the lowest level: "
+        + ", ".join(f"{k}: {v}" for k, v in s.get("pairwise_efficiency", {}).items())
+        + "\n",
+        "Reproduce: `python tools/bench_scaling.py` "
+        "(SCALING_LEVELS=8,16,32 SCALING_N_DOCS=2400000 for the full grid)\n",
     ]
     return "\n".join(lines)
 
