@@ -47,28 +47,14 @@ from .. import crs as _crs
 from .. import interpolate, tiles
 from ..config import Dataset
 
-_XY_SCHEMA = StructType(
-    [StructField("x", DoubleType()), StructField("y", DoubleType())]
-)
-
-
-@F.pandas_udf(_XY_SCHEMA)
-def project_xy(lat: pd.Series, lon: pd.Series, epsg: pd.Series) -> pd.DataFrame:
-    """WGS84 -> filename CRS, vectorized per distinct EPSG in the batch.
-    (S1: the reference's reproject_latlons with transformer cache,
-    /root/reference/opentopodata/utils.py:17-52.)"""
-    lat_v = lat.to_numpy(dtype=np.float64)
-    lon_v = lon.to_numpy(dtype=np.float64)
-    x = np.full(len(lat_v), np.nan)
-    y = np.full(len(lat_v), np.nan)
-    for code in pd.unique(epsg):
-        if code is None or (isinstance(code, float) and math.isnan(code)):
-            continue
-        m = (epsg == code).to_numpy()
-        xs, ys = _crs.reproject_latlons(lat_v[m], lon_v[m], epsg=int(code))
-        x[m] = xs
-        y[m] = ys
-    return pd.DataFrame({"x": x, "y": y})
+def _pack_ij(iy, ix):
+    """(iy, ix) tile indices -> one sortable uint64 key (offset-binary so
+    negative indices order correctly). Works on scalars and arrays."""
+    off = np.uint64(1 << 31)
+    return (
+        ((np.asarray(iy).astype(np.int64).astype(np.uint64) + off) << np.uint64(32))
+        | (np.asarray(ix).astype(np.int64).astype(np.uint64) + off)
+    )
 
 
 # state: 0 = value, 1 = NODATA (NaN inside raster), 2 = out-of-coverage.
@@ -79,11 +65,42 @@ def project_xy(lat: pd.Series, lon: pd.Series, epsg: pd.Series) -> pd.DataFrame:
 _STATE_VALUE, _STATE_NODATA, _STATE_OOB = 0, 1, 2
 
 
-def _sample_candidate_arrays(pdf: pd.DataFrame, interpolation: str, paths):
-    """Candidate-level raster sampling: one windowed read per distinct
-    tile id in the frame (the reference's per-file batching,
-    backend.py:188-203). Returns (z, state) arrays aligned to pdf rows.
-    tile_id -1 = no raster (missing tile / uncovered) -> stays OOB."""
+def _assign_tiles(prio, lats, lons, meta) -> np.ndarray:
+    """S1+S3+J1 fused: per dataset (priority group) reproject to the
+    filename CRS, floor to tile indices, and look up the tile id in the
+    sorted packed-key index. Vectorized per group; -1 = no tile.
+
+    Same arithmetic as the reference's TiledDataset.location_paths
+    (/root/reference/opentopodata/config.py:432-451): float64 projection
+    then floor(coord / tile_size), matching decimal_base_floor which
+    also divides in float (utils.py:60-65)."""
+    tile_id = np.full(len(lats), -1, dtype=np.int32)
+    valid = ~np.isnan(prio)
+    for p in np.unique(prio[valid]):
+        m = (prio == p).nonzero()[0]
+        d = meta[int(p)]
+        if d["single"] >= 0:
+            tile_id[m] = d["single"]
+            continue
+        if len(d["keys"]) == 0:
+            continue
+        xs, ys = _crs.reproject_latlons(lats[m], lons[m], epsg=d["epsg"])
+        size = d["tile_size"]
+        iy = np.floor(np.asarray(ys, dtype=np.float64) / size).astype(np.int64)
+        ix = np.floor(np.asarray(xs, dtype=np.float64) / size).astype(np.int64)
+        key = _pack_ij(iy, ix)
+        pos = np.searchsorted(d["keys"], key)
+        pos = np.clip(pos, 0, len(d["keys"]) - 1)
+        hit = d["keys"][pos] == key
+        tile_id[m[hit]] = d["tids"][pos[hit]]
+    return tile_id
+
+
+def _sample_candidate_arrays(pdf: pd.DataFrame, interpolation: str, meta, paths):
+    """Candidate-level tile assignment + raster sampling: one windowed
+    read per distinct tile id in the frame (the reference's per-file
+    batching, backend.py:188-203). Returns (z, state) arrays aligned to
+    pdf rows. tile_id -1 (missing tile / uncovered) stays OOB."""
     from ..oracle import _open_cached
 
     n = len(pdf)
@@ -91,11 +108,15 @@ def _sample_candidate_arrays(pdf: pd.DataFrame, interpolation: str, paths):
     state = np.full(n, _STATE_OOB, dtype=np.int8)
     lats = pdf["lat"].to_numpy(dtype=np.float64)
     lons = pdf["lon"].to_numpy(dtype=np.float64)
-    for tid, g in pdf.groupby("tile_id", sort=False):
+    prio = pdf["priority"].to_numpy(dtype=np.float64)
+    tile_id = _assign_tiles(prio, lats, lons, meta)
+    order = np.argsort(tile_id, kind="stable")
+    bounds = np.searchsorted(tile_id[order], np.arange(-1, tile_id.max() + 2))
+    for tid in np.unique(tile_id):
         if tid < 0:
             continue
+        idx = order[bounds[tid + 1]:bounds[tid + 2]]
         raster = _open_cached(paths[int(tid)])
-        idx = g.index.to_numpy()
         vals, in_bounds = interpolate.sample_points_on_raster_arrays(
             raster, lats[idx], lons[idx], interpolation
         )
@@ -114,7 +135,9 @@ def _sample_candidate_arrays(pdf: pd.DataFrame, interpolation: str, paths):
 _OUT_VALUE, _OUT_NAN, _OUT_NULL = 0, 1, 2
 
 
-def _make_pick_sampler(interpolation: str, carry: tuple, nodata_value, paths_bc):
+def _make_pick_sampler(
+    interpolation: str, carry: tuple, nodata_value, meta_bc, paths_bc
+):
     """mapInPandas fn: sample ALL candidate rows, apply the per-dataset
     nodata fill (S5), and pick each point's winner (J3) — entirely inside
     the partition. Requires input sorted by point_id within the partition
@@ -133,7 +156,9 @@ def _make_pick_sampler(interpolation: str, carry: tuple, nodata_value, paths_bc)
     fill = None if (nodata_is_none or nodata_is_nan) else float(nodata_value)
 
     def process(pdf: pd.DataFrame) -> pd.DataFrame:
-        z, state = _sample_candidate_arrays(pdf, interpolation, paths_bc.value)
+        z, state = _sample_candidate_arrays(
+            pdf, interpolation, meta_bc.value, paths_bc.value
+        )
         is_nod = state == _STATE_NODATA
         resolved = (state == _STATE_VALUE) | (is_nod & (not nodata_is_none))
         eff = z.copy()
@@ -213,11 +238,22 @@ class ElevationResolver:
         # conversion for millions of rows inside the sampler (strings are
         # the dominant per-row cost there; decoded back to names in the
         # final projection, a K-branch CASE).
+        #
+        # Tile ASSIGNMENT (reproject + floor + index lookup, SURVEY.md
+        # S1+S3+J1) happens inside the pick-sampler, not the plan: the
+        # tile index is broadcast metadata either way, and doing it in
+        # Python saves a whole ArrowEvalPython round trip of the
+        # candidate stream plus a broadcast join. The lookup is a packed
+        # (iy, ix) -> searchsorted over a sorted int64 array — O(log n)
+        # vectorized, no per-row Python.
         paths: list[str] = []
-        tile_rows = []
+        ds_meta = []
+        tiled = {
+            i: [] for i, d in enumerate(datasets) if d.kind == "tiled"
+        }
         for name, iy, ix, path in tiles.tile_index_rows(datasets):
             prio = next(i for i, d in enumerate(datasets) if d.name == name)
-            tile_rows.append((prio, iy, ix, len(paths)))
+            tiled[prio].append((iy, ix, len(paths)))
             paths.append(path)
         reg_rows = []
         for (
@@ -227,18 +263,24 @@ class ElevationResolver:
             if spath is not None:
                 stid = len(paths)
                 paths.append(spath)
-            reg_rows.append(
-                (priority, left, bottom, right, top, epsg, tsize, stid)
-            )
+            reg_rows.append((priority, left, bottom, right, top))
+            if kind == "tiled":
+                entries = sorted(
+                    (_pack_ij(iy, ix), tid) for iy, ix, tid in tiled[priority]
+                )
+                keys = np.array([k for k, _t in entries], dtype=np.uint64)
+                tids = np.array([t for _k, t in entries], dtype=np.int32)
+                ds_meta.append(
+                    {"epsg": int(epsg), "tile_size": float(tsize),
+                     "keys": keys, "tids": tids, "single": -1}
+                )
+            else:
+                ds_meta.append({"single": stid})
         self.registry = spark.createDataFrame(
             reg_rows,
-            "priority int, left double, bottom double, right double,"
-            " top double, filename_epsg int, tile_size double,"
-            " single_tile_id int",
+            "priority int, left double, bottom double, right double, top double",
         )
-        self.tile_index = spark.createDataFrame(
-            tile_rows, "priority int, iy long, ix long, tile_id int"
-        )
+        self._meta_bc = spark.sparkContext.broadcast(ds_meta)
         self._paths_bc = spark.sparkContext.broadcast(paths)
         self.fallback_name = datasets[-1].name
         # Uniform point-hash salt for the spatial-cell shuffle. salt=0 =
@@ -265,50 +307,7 @@ class ElevationResolver:
         )
         return points.select("point_id", "lat", "lon", *carry).join(
             reg, cond, "left"
-        )
-
-    def with_tile_paths(self, cand: DataFrame, carry: tuple = ()) -> DataFrame:
-        """S1+S3+J1: tile key derivation and broadcast tile join.
-
-        Single-file datasets have null tile_size -> null keys -> no tile
-        match; their id comes from coalesce with single_tile_id. Uncovered
-        points keep tile_id = -1 end-to-end (int sentinel, not null, so
-        the sampler's groupby never materializes a nullable column)."""
-        cand = cand.withColumn("xy", project_xy("lat", "lon", "filename_epsg"))
-        # float64 floor(coord / tile_size): same arithmetic as the
-        # reference's decimal_base_floor (utils.py:60-65 divides in float)
-        cand = cand.withColumn(
-            "iy", F.floor(F.col("xy.y") / F.col("tile_size")).cast("long")
-        ).withColumn(
-            "ix", F.floor(F.col("xy.x") / F.col("tile_size")).cast("long")
-        )
-        idx = F.broadcast(
-            self.tile_index.select(
-                F.col("priority").alias("_tprio"),
-                F.col("iy").alias("_tiy"),
-                F.col("ix").alias("_tix"),
-                F.col("tile_id").alias("_ttid"),
-            )
-        )
-        cand = cand.join(
-            idx,
-            (cand["priority"] == idx["_tprio"])
-            & (cand["iy"] == idx["_tiy"])
-            & (cand["ix"] == idx["_tix"]),
-            "left",
-        )
-        return cand.select(
-            "point_id",
-            "lat",
-            "lon",
-            "priority",
-            *carry,
-            F.coalesce(
-                F.col("_ttid"),
-                F.nullif(F.col("single_tile_id"), F.lit(-1)),
-                F.lit(-1),
-            ).alias("tile_id"),
-        )
+        ).select("point_id", "lat", "lon", "priority", *carry)
 
     def set_cell_salts(self, salts: dict[int, int]) -> None:
         """Install per-spatial-cell salt factors (estimate_cell_salts).
@@ -388,7 +387,6 @@ class ElevationResolver:
         uses, so this must not come from a candidate row)."""
         carry = tuple(carry)
         cand = self.candidates(points, carry)
-        cand = self.with_tile_paths(cand, carry)
         df, part_exprs = self._partition_exprs(cand)
         df = df.repartition(self.sample_partitions, *part_exprs)
         df = df.sortWithinPartitions("point_id")
@@ -405,7 +403,11 @@ class ElevationResolver:
         )
         out = df.mapInPandas(
             _make_pick_sampler(
-                self.interpolation, carry, self.nodata_value, self._paths_bc
+                self.interpolation,
+                carry,
+                self.nodata_value,
+                self._meta_bc,
+                self._paths_bc,
             ),
             schema,
         )
