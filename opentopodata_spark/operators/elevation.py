@@ -8,13 +8,12 @@ exchange:
       -> J2  candidate datasets: broadcast bbox join against the registry
              (registry bounds = config bounds INTERSECT derived raster
              coverage — false candidates never exist)
-      -> S1/S3 tile keys: Arrow-batched reprojection + float64 floor
-      -> J1  broadcast tile join (missing tile -> null path)
-      -> A1  THE shuffle: repartition by (spatial cell, point-hash salt),
-             local sort by point_id
-      -> S8+S5+J3 pick-sampler (mapInPandas): windowed raster reads per
-             path, per-dataset nodata fill, priority pick — one output
-             row per point, no second exchange
+      -> A1  THE shuffle: repartition by (spatial cell, point-hash salt)
+             via inline expressions, local sort by point_id
+      -> S1+S3+J1+S8+S5+J3 pick-sampler (mapInPandas): tile assignment
+             (reproject + floor + broadcast-index searchsorted), windowed
+             raster reads per tile, per-dataset nodata fill, priority
+             pick — one output row per point, no second exchange
       -> J4  carry keys through (no join-back, no global sort)
 
 Semantics parity (verified differentially against oracle.get_elevation):
