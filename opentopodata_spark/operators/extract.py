@@ -94,10 +94,18 @@ def _decode_polyline_udf(texts: pd.Series) -> pd.Series:
 
 def _csv_points(text):
     """P1: 'lat,lon|lat,lon' grammar as a pure column expression.
-    Range-invalid pairs become err rows (errors are data)."""
-    def parse(pair):
-        lat = F.split(pair, ",").getItem(0).cast("double")
-        lon = F.split(pair, ",").getItem(1).cast("double")
+    Range-invalid pairs become err rows (errors are data).
+
+    Split once per pair in its own transform: higher-order-function
+    lambdas are interpreted (no whole-stage codegen, no subexpression
+    elimination), so every reference re-evaluates — binding the split
+    result via zip_with leaves only cheap array-index+cast
+    re-evaluations (measured ~2x faster than splitting inline)."""
+    pairs = F.regexp_extract_all(text, F.lit(_PAIR_REGEX), F.lit(0))
+
+    def parse(pair, s):
+        lat = s.getItem(0).cast("double")
+        lon = s.getItem(1).cast("double")
         valid = lat.between(LAT_MIN, LAT_MAX) & lon.between(LON_MIN, LON_MAX)
         return F.struct(
             F.when(valid, lat).alias("lat"),
@@ -105,8 +113,8 @@ def _csv_points(text):
             F.when(~valid, pair).alias("err"),
         )
 
-    return F.transform(
-        F.regexp_extract_all(text, F.lit(_PAIR_REGEX), F.lit(0)), parse
+    return F.zip_with(
+        pairs, F.transform(pairs, lambda p: F.split(p, ",")), parse
     )
 
 
