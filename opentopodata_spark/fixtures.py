@@ -57,7 +57,7 @@ def terrain_laea(xs, ys):
     )
 
 
-def make_etopo1deg(dir_path: str) -> str:
+def make_etopo1deg(dir_path: str, **tiff_kwargs) -> str:
     """R1: single-file global GeoTIFF, 361x181 float32, 1-degree pixels,
     pixel centers spanning lon -180..180, lat 90..-90."""
     os.makedirs(dir_path, exist_ok=True)
@@ -68,11 +68,13 @@ def make_etopo1deg(dir_path: str) -> str:
     rng = np.random.default_rng(42)
     grid = grid + rng.normal(0, 5.0, grid.shape)
     write = grid.astype(np.float32)
-    geotiff.write_geotiff(path, write, x0=-180.5, y0=90.5, sx=1.0, sy=1.0, epsg=4326)
+    geotiff.write_geotiff(
+        path, write, x0=-180.5, y0=90.5, sx=1.0, sy=1.0, epsg=4326, **tiff_kwargs
+    )
     return path
 
 
-def make_nodata(dir_path: str) -> str:
+def make_nodata(dir_path: str, **tiff_kwargs) -> str:
     """R2: the fully-pinned 3x3 NODATA fixture
     (values from /root/reference/tests/test_backend.py:166-173)."""
     os.makedirs(dir_path, exist_ok=True)
@@ -81,12 +83,13 @@ def make_nodata(dir_path: str) -> str:
         [[2, 1, 0], [3, 9999, 9999], [4, 9999, 9999]], dtype=np.float32
     )
     geotiff.write_geotiff(
-        path, values, x0=-0.5, y0=2.5, sx=1.0, sy=1.0, epsg=4326, nodata=9999
+        path, values, x0=-0.5, y0=2.5, sx=1.0, sy=1.0, epsg=4326, nodata=9999,
+        **tiff_kwargs,
     )
     return path
 
 
-def make_srtm_subset(dir_path: str) -> list[str]:
+def make_srtm_subset(dir_path: str, **tiff_kwargs) -> list[str]:
     """R3: two SRTM-named 1201x1201 int16 tiles (EPSG:4326), 1-px overlap
     (outer pixel centers on integer degree lines)."""
     os.makedirs(dir_path, exist_ok=True)
@@ -100,13 +103,36 @@ def make_srtm_subset(dir_path: str) -> list[str]:
         arr = np.round(grid).astype(np.int16)
         geotiff.write_geotiff(
             path, arr, x0=lon0 - res / 2, y0=1.0 + res / 2, sx=res, sy=res,
-            epsg=4326, nodata=-32768,
+            epsg=4326, nodata=-32768, **tiff_kwargs,
         )
         paths.append(path)
     return paths
 
 
-def make_srtm_subset_utm(dir_path: str) -> list[str]:
+def make_srtm_hgt_zip(dir_path: str) -> list[str]:
+    """Zipped SRTM ``.hgt.zip`` tiles (1201x1201 big-endian int16) over the
+    same analytic terrain — exercises the GDAL-/vsizip/-equivalent container
+    path (reference gets this free from GDAL,
+    /root/reference/opentopodata/config.py:326-335)."""
+    import zipfile
+
+    os.makedirs(dir_path, exist_ok=True)
+    paths = []
+    side = 1201
+    res = 1.0 / (side - 1)
+    for lon0, stem in ((10, "N00E010"), (11, "N00E011")):
+        lons = lon0 + np.arange(side) * res
+        lats = 1.0 - np.arange(side) * res
+        grid = terrain_wgs84(lats[:, None], lons[None, :])
+        arr = np.round(grid).astype(">i2")
+        path = os.path.join(dir_path, f"{stem}.hgt.zip")
+        with zipfile.ZipFile(path, "w", compression=zipfile.ZIP_DEFLATED) as zf:
+            zf.writestr(f"{stem}.hgt", arr.tobytes())
+        paths.append(path)
+    return paths
+
+
+def make_srtm_subset_utm(dir_path: str, **tiff_kwargs) -> list[str]:
     """R4: same terrain on EPSG:32632 grids with the reference fixture's
     exact tiepoints/sizes; mixed filename styles (incl. USGS_13_ prefix and
     lowercase, exercising the classification regex)."""
@@ -127,13 +153,14 @@ def make_srtm_subset_utm(dir_path: str) -> list[str]:
         inside = (lat >= -0.002) & (lat <= 1.002) & (lon >= 9.998) & (lon <= 12.002)
         arr = np.where(inside, np.round(z), -32768).astype(np.int16).reshape(h, w)
         geotiff.write_geotiff(
-            path, arr, x0=x0, y0=y0, sx=px, sy=px, epsg=32632, nodata=-32768
+            path, arr, x0=x0, y0=y0, sx=px, sy=px, epsg=32632, nodata=-32768,
+            **tiff_kwargs,
         )
         paths.append(path)
     return paths
 
 
-def make_eudem_subset(dir_path: str, with_epsg: bool = True) -> list[str]:
+def make_eudem_subset(dir_path: str, with_epsg: bool = True, **tiff_kwargs) -> list[str]:
     """R5: two 42x42 float32 EPSG:3035 tiles, 25km pixels, buffered 1px
     beyond their nominal 1,000,000 m grid cell; water (incl. the Bay of
     Biscay golden point 44.969186,-3.152424) is NODATA."""
@@ -162,7 +189,8 @@ def make_eudem_subset(dir_path: str, with_epsg: bool = True) -> list[str]:
                     grid[r, c] = EUDEM_NODATA
         kwargs = dict(epsg=3035) if with_epsg else dict(epsg=None, wkt=_crs.ETRS89_LAEA_WKT)
         geotiff.write_geotiff(
-            path, grid, x0=x0, y0=y0, sx=px, sy=px, nodata=EUDEM_NODATA, **kwargs
+            path, grid, x0=x0, y0=y0, sx=px, sy=px, nodata=EUDEM_NODATA,
+            **kwargs, **tiff_kwargs,
         )
         paths.append(path)
     return paths
@@ -206,26 +234,77 @@ datasets:
 """
 
 
-def make_all_rasters(root: str) -> dict[str, list[str]]:
+# Per-dataset GeoTIFF write styles for the compressed fixture corpus: spans
+# DEFLATE + LZW, predictors 2 (int) and 3 (float), tiled and multi-strip
+# layouts — the combinations real DEM distributions use (the reference docs
+# recommend DEFLATE tiles; /root/reference/docs/notes/performance-optimisation.md).
+COMPRESSED_STYLES: dict[str, dict] = {
+    "etopo1deg": dict(compression="deflate", predictor=3, tile_size=(64, 64)),
+    "nodata": dict(compression="deflate"),
+    "srtm90subset": dict(compression="lzw", predictor=2, rows_per_strip=256),
+    "srtm90utm": dict(compression="deflate", predictor=2, tile_size=(256, 256)),
+    "eudemsubset": dict(compression="deflate", predictor=3, rows_per_strip=16),
+    "eudemnoepsg": dict(compression="lzw"),
+}
+
+SRTM_HGT_ZIP_CONFIG_EXTRA = """\
+
+- name: srtmhgtzip
+  path: {root}/test-srtm90m-hgt-zip/
+  wgs84_bounds:
+    left: 10
+    right: 12
+    bottom: 0
+    top: 1
+"""
+
+
+def make_all_rasters(
+    root: str,
+    styles: dict[str, dict] | None = None,
+    with_hgt_zip: bool = False,
+) -> dict[str, list[str]]:
     """Generate the full fixture corpus + config. Idempotent (skips if the
-    config file already exists)."""
+    marker file already exists). ``styles`` maps dataset name -> extra
+    write_geotiff kwargs (compression/predictor/layout); ``with_hgt_zip``
+    additionally generates a zipped-SRTM dataset and registers it."""
+    styles = styles or {}
     os.makedirs(root, exist_ok=True)
     config_path = os.path.join(root, "test-config.yaml")
     marker = os.path.join(root, ".complete")
     if os.path.exists(marker):
         return {"config": [config_path]}
     out = {
-        "etopo1deg": [make_etopo1deg(os.path.join(root, "test-etopo1-resampled-1deg"))],
-        "nodata": [make_nodata(os.path.join(root, "test-nodata"))],
-        "srtm90subset": make_srtm_subset(os.path.join(root, "test-srtm90m-subset")),
-        "srtm90utm": make_srtm_subset_utm(os.path.join(root, "test-srtm90m-subset-utm")),
-        "eudemsubset": make_eudem_subset(os.path.join(root, "test-eu-dem-subset")),
+        "etopo1deg": [
+            make_etopo1deg(
+                os.path.join(root, "test-etopo1-resampled-1deg"),
+                **styles.get("etopo1deg", {}),
+            )
+        ],
+        "nodata": [
+            make_nodata(os.path.join(root, "test-nodata"), **styles.get("nodata", {}))
+        ],
+        "srtm90subset": make_srtm_subset(
+            os.path.join(root, "test-srtm90m-subset"), **styles.get("srtm90subset", {})
+        ),
+        "srtm90utm": make_srtm_subset_utm(
+            os.path.join(root, "test-srtm90m-subset-utm"), **styles.get("srtm90utm", {})
+        ),
+        "eudemsubset": make_eudem_subset(
+            os.path.join(root, "test-eu-dem-subset"), **styles.get("eudemsubset", {})
+        ),
         "eudemnoepsg": make_eudem_subset(
-            os.path.join(root, "test-eu-dem-subset-no-epsg"), with_epsg=False
+            os.path.join(root, "test-eu-dem-subset-no-epsg"),
+            with_epsg=False,
+            **styles.get("eudemnoepsg", {}),
         ),
     }
+    config_text = TEST_CONFIG_YAML.format(root=root)
+    if with_hgt_zip:
+        out["srtmhgtzip"] = make_srtm_hgt_zip(os.path.join(root, "test-srtm90m-hgt-zip"))
+        config_text += SRTM_HGT_ZIP_CONFIG_EXTRA.format(root=root)
     with open(config_path, "w") as f:
-        f.write(TEST_CONFIG_YAML.format(root=root))
+        f.write(config_text)
     out["config"] = [config_path]
     with open(marker, "w") as f:
         f.write("ok\n")

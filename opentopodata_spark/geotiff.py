@@ -1,32 +1,50 @@
-"""Pure-numpy GeoTIFF writer + memory-mapped windowed reader.
+"""Pure-numpy GeoTIFF writer + block-cached windowed reader.
 
 rasterio/GDAL is unavailable in this environment, so the engine ships its own
 minimal GeoTIFF implementation sufficient for elevation rasters:
 
-* single-band, uncompressed, single contiguous strip
+* single-band, strip-based or tiled layout
+* compression: none, DEFLATE (zlib, codes 8 and 32946), LZW (code 5)
+* predictors: 1 (none), 2 (horizontal differencing, integer data),
+  3 (floating-point byte shuffle + differencing)
 * dtypes: float32/float64/int16/int32/uint16
 * georeferencing via ModelPixelScale + ModelTiepoint (north-up affine only)
 * CRS via GeoKeyDirectory (EPSG geographic/projected) or a WKT-only citation
   (mirrors the reference's WKT-only EU-DEM fixture,
   /root/reference/opentopodata/backend.py:97-100)
 * NODATA via the GDAL_NODATA ascii tag (42113)
+* zip containers: ``N00E010.hgt.zip`` / zipped single GeoTIFFs, the
+  moral equivalent of GDAL's /vsizip/ that the reference gets for free
+  (/root/reference/opentopodata/config.py:326-335)
 
-The reader memory-maps the pixel data, so 4x4 interpolation windows touch
-only the OS pages they need — the moral equivalent of GDAL's block cache for
-the uncompressed case. This is the property that matters at 100 TB: executor
-tasks sample tiles without materializing whole rasters.
+The uncompressed contiguous case memory-maps the pixel data, so 4x4
+interpolation windows touch only the OS pages they need. Compressed rasters
+decode per strip/tile on demand through a process-wide, byte-budgeted LRU of
+decoded blocks (``OTDS_BLOCK_CACHE_MB``, default 256) — the moral equivalent
+of GDAL's block cache. Windowed reads (``Raster.read_window``) decode only
+the blocks the window intersects; this is the property that matters at
+100 TB: executor tasks sample tiles without materializing whole rasters, and
+repeated batches hitting the same tile reuse decoded blocks across tasks in
+the same Python worker.
 
-Also reads SRTM ``.hgt`` files (raw big-endian int16, bounds inferred from
-the N00E010-style filename), matching the reference's SRTM support
-(/root/reference/opentopodata/config.py:326-335).
+The reference reads compressed rasters via GDAL
+(/root/reference/opentopodata/backend.py:103) and its docs explicitly
+recommend DEFLATE-tiled datasets
+(/root/reference/docs/notes/performance-optimisation.md) — so compressed
+support is first-class here, not an afterthought.
 """
 
 from __future__ import annotations
 
+import io
 import math
 import os
 import re
 import struct
+import threading
+import zipfile
+import zlib
+from collections import OrderedDict
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -42,6 +60,11 @@ _T_SAMPLES_PER_PIXEL = 277
 _T_ROWS_PER_STRIP = 278
 _T_STRIP_BYTE_COUNTS = 279
 _T_PLANAR_CONFIG = 284
+_T_PREDICTOR = 317
+_T_TILE_WIDTH = 322
+_T_TILE_LENGTH = 323
+_T_TILE_OFFSETS = 324
+_T_TILE_BYTE_COUNTS = 325
 _T_SAMPLE_FORMAT = 339
 _T_MODEL_PIXEL_SCALE = 33550
 _T_MODEL_TIEPOINT = 33922
@@ -57,6 +80,13 @@ _FT_DOUBLE = 12
 
 _FT_SIZE = {_FT_SHORT: 2, _FT_LONG: 4, _FT_ASCII: 1, _FT_DOUBLE: 8}
 
+# Compression codes
+_C_NONE = 1
+_C_LZW = 5
+_C_DEFLATE_ADOBE = 8
+_C_DEFLATE_OLD = 32946
+_COMPRESSION_CODES = {"none": _C_NONE, "deflate": _C_DEFLATE_ADOBE, "lzw": _C_LZW}
+
 # GeoTIFF keys
 _GK_MODEL_TYPE = 1024  # 1=projected 2=geographic
 _GK_RASTER_TYPE = 1025  # 1=PixelIsArea
@@ -66,6 +96,10 @@ _GK_PROJECTED_TYPE = 3072
 
 _SAMPLE_FORMAT_FOR_KIND = {"u": 1, "i": 2, "f": 3}
 _KIND_FOR_SAMPLE_FORMAT = {1: "u", 2: "i", 3: "f"}
+
+
+class RasterOpenError(ValueError):
+    """File is not a readable raster."""
 
 
 @dataclass(frozen=True)
@@ -88,9 +122,327 @@ class BoundingBox:
     top: float
 
 
+# ---------------------------------------------------------------------------
+# Decoded-block LRU (process-wide; shared across Raster instances and tasks
+# within one Python worker — the executor-side block cache)
+# ---------------------------------------------------------------------------
+
+_BLOCK_CACHE_BYTES = int(float(os.environ.get("OTDS_BLOCK_CACHE_MB", "256")) * 2**20)
+_block_cache: OrderedDict[tuple, np.ndarray] = OrderedDict()
+_block_cache_used = 0
+_block_cache_lock = threading.Lock()
+
+
+def _cache_get(key):
+    with _block_cache_lock:
+        arr = _block_cache.get(key)
+        if arr is not None:
+            _block_cache.move_to_end(key)
+        return arr
+
+
+def _cache_put(key, arr: np.ndarray):
+    global _block_cache_used
+    nb = arr.nbytes
+    if nb > _BLOCK_CACHE_BYTES:
+        return
+    with _block_cache_lock:
+        if key in _block_cache:
+            return
+        _block_cache[key] = arr
+        _block_cache_used += nb
+        while _block_cache_used > _BLOCK_CACHE_BYTES and _block_cache:
+            _, old = _block_cache.popitem(last=False)
+            _block_cache_used -= old.nbytes
+
+
+def clear_block_cache():
+    global _block_cache_used
+    with _block_cache_lock:
+        _block_cache.clear()
+        _block_cache_used = 0
+
+
+# ---------------------------------------------------------------------------
+# LZW codec (TIFF flavor: MSB-first bits, 9-bit start, early code-width change)
+# ---------------------------------------------------------------------------
+
+_LZW_CLEAR = 256
+_LZW_EOI = 257
+
+
+def _lzw_encode(data: bytes) -> bytes:
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, width: int):
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            nbits -= 8
+            out.append((acc >> nbits) & 0xFF)
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    emit(_LZW_CLEAR, width)
+    w = b""
+    for b in data:
+        wc = w + bytes([b])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w], width)
+        table[wc] = next_code
+        # TIFF early change: widen when the *next* code would not fit
+        if next_code == (1 << width) - 1:
+            width += 1
+        next_code += 1
+        if next_code >= 4094:
+            emit(_LZW_CLEAR, width)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+        w = bytes([b])
+    if w:
+        emit(table[w], width)
+    emit(_LZW_EOI, width)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes) -> bytes:
+    out = bytearray()
+    table: list[bytes] = []
+    acc = 0
+    nbits = 0
+    width = 9
+    next_code = 258
+    prev: bytes | None = None
+    base = [bytes([i]) for i in range(256)] + [b"", b""]
+    table = list(base)
+    pos = 0
+    n = len(data)
+    while True:
+        while nbits < width:
+            if pos >= n:
+                return bytes(out)
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            nbits += 8
+        nbits -= width
+        code = (acc >> nbits) & ((1 << width) - 1)
+        if code == _LZW_EOI:
+            return bytes(out)
+        if code == _LZW_CLEAR:
+            table = list(base)
+            next_code = 258
+            width = 9
+            prev = None
+            continue
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+            next_code += 1
+        else:
+            entry = prev + prev[:1]
+            table.append(entry)
+            next_code += 1
+        out += entry
+        # decoder mirrors the encoder's early change
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1
+        prev = entry
+
+
+# ---------------------------------------------------------------------------
+# Predictors
+# ---------------------------------------------------------------------------
+
+
+def _predict2_encode(block: np.ndarray) -> np.ndarray:
+    d = block.copy()
+    d[:, 1:] = block[:, 1:] - block[:, :-1]  # modular wrap in the int dtype
+    return d
+
+
+def _predict2_decode(block: np.ndarray) -> np.ndarray:
+    return np.cumsum(block, axis=1, dtype=block.dtype)
+
+
+def _predict3_encode(block: np.ndarray) -> bytes:
+    """TIFF floating-point predictor: big-endian byte planes per row,
+    then horizontal byte differencing."""
+    h, w = block.shape
+    isz = block.dtype.itemsize
+    be = np.ascontiguousarray(block.astype(block.dtype.newbyteorder(">")))
+    b = be.view(np.uint8).reshape(h, w, isz).transpose(0, 2, 1).reshape(h, w * isz)
+    d = np.ascontiguousarray(b)
+    d[:, 1:] = b[:, 1:] - b[:, :-1]
+    return d.tobytes()
+
+
+def _predict3_decode(raw: bytes, h: int, w: int, dtype: np.dtype) -> np.ndarray:
+    isz = dtype.itemsize
+    b = np.frombuffer(raw, dtype=np.uint8).reshape(h, w * isz)
+    b = np.cumsum(b, axis=1, dtype=np.uint8)
+    planes = b.reshape(h, isz, w).transpose(0, 2, 1)  # (h, w, isz) big-endian bytes
+    be = np.ascontiguousarray(planes).view(dtype.newbyteorder(">")).reshape(h, w)
+    return be.astype(dtype.newbyteorder("="))
+
+
+# ---------------------------------------------------------------------------
+# Byte sources: plain file or an in-memory buffer (zip member)
+# ---------------------------------------------------------------------------
+
+
+class _ByteSource:
+    """Random-access bytes from a file path or an in-memory buffer."""
+
+    def __init__(self, path: str, buf: bytes | None = None):
+        self.path = path
+        self.buf = buf
+        if buf is None:
+            st = os.stat(path)
+            self.cache_key = (os.path.abspath(path), st.st_mtime_ns, st.st_size)
+        else:
+            self.cache_key = (os.path.abspath(path), "zip", len(buf))
+
+    def read_at(self, offset: int, size: int) -> bytes:
+        if self.buf is not None:
+            return self.buf[offset : offset + size]
+        with open(self.path, "rb") as f:
+            f.seek(offset)
+            return f.read(size)
+
+    def read_many(self, spans: list[tuple[int, int]]) -> list[bytes]:
+        """Batch form: one file-open for several (offset, size) spans."""
+        if self.buf is not None:
+            return [self.buf[o : o + s] for o, s in spans]
+        out = []
+        with open(self.path, "rb") as f:
+            for o, s in spans:
+                f.seek(o)
+                out.append(f.read(s))
+        return out
+
+    def as_array(self, dtype: np.dtype, offset: int, shape: tuple[int, int]) -> np.ndarray:
+        """Zero-copy view of an uncompressed contiguous band."""
+        if self.buf is not None:
+            return np.frombuffer(self.buf, dtype=dtype, count=shape[0] * shape[1],
+                                 offset=offset).reshape(shape)
+        return np.memmap(self.path, dtype=dtype, mode="r", offset=offset, shape=shape)
+
+
+# ---------------------------------------------------------------------------
+# Block reader: strips or tiles, optionally compressed/predicted
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class _BlockReader:
+    source: _ByteSource
+    dtype: np.dtype  # on-disk dtype (with byte order)
+    height: int
+    width: int
+    block_h: int
+    block_w: int  # == width for strips
+    tiled: bool
+    offsets: list[int]
+    counts: list[int]
+    compression: int
+    predictor: int
+
+    def _decompress(self, raw: bytes) -> bytes:
+        if self.compression in (_C_DEFLATE_ADOBE, _C_DEFLATE_OLD):
+            return zlib.decompress(raw)
+        if self.compression == _C_LZW:
+            return _lzw_decode(raw)
+        return raw
+
+    def _block_shape(self, idx: int) -> tuple[int, int]:
+        if self.tiled:
+            return self.block_h, self.block_w  # edge tiles are padded on disk
+        r0 = idx * self.block_h
+        return min(self.block_h, self.height - r0), self.width
+
+    def _decode(self, idx: int, raw: bytes) -> np.ndarray:
+        h, w = self._block_shape(idx)
+        data = self._decompress(raw)
+        if self.predictor == 3:
+            return _predict3_decode(data, h, w, self.dtype)
+        arr = np.frombuffer(data, dtype=self.dtype, count=h * w).reshape(h, w)
+        arr = arr.astype(self.dtype.newbyteorder("="), copy=False)
+        if self.predictor == 2:
+            arr = _predict2_decode(arr)
+        return arr
+
+    def _blocks_for_window(self, r0, r1, c0, c1) -> list[int]:
+        if self.tiled:
+            tiles_across = -(-self.width // self.block_w)
+            br0 = r0 // self.block_h
+            br1 = (r1 - 1) // self.block_h
+            bc0 = c0 // self.block_w
+            bc1 = (c1 - 1) // self.block_w
+            return [
+                br * tiles_across + bc
+                for br in range(br0, br1 + 1)
+                for bc in range(bc0, bc1 + 1)
+            ]
+        return list(range(r0 // self.block_h, (r1 - 1) // self.block_h + 1))
+
+    def read(self, r0: int, r1: int, c0: int, c1: int) -> np.ndarray:
+        """Decode-and-assemble a clipped [r0:r1, c0:c1] window. Only blocks
+        intersecting the window are decoded; decoded blocks go through the
+        process-wide LRU so repeat reads are free."""
+        out = np.empty((r1 - r0, c1 - c0), dtype=self.dtype.newbyteorder("="))
+        need = self._blocks_for_window(r0, r1, c0, c1)
+        missing = []
+        blocks: dict[int, np.ndarray] = {}
+        for idx in need:
+            arr = _cache_get((self.source.cache_key, idx))
+            if arr is None:
+                missing.append(idx)
+            else:
+                blocks[idx] = arr
+        if missing:
+            raws = self.source.read_many(
+                [(self.offsets[i], self.counts[i]) for i in missing]
+            )
+            for idx, raw in zip(missing, raws):
+                arr = self._decode(idx, raw)
+                _cache_put((self.source.cache_key, idx), arr)
+                blocks[idx] = arr
+        tiles_across = -(-self.width // self.block_w) if self.tiled else 1
+        for idx in need:
+            arr = blocks[idx]
+            if self.tiled:
+                br, bc = divmod(idx, tiles_across)
+            else:
+                br, bc = idx, 0
+            gr0 = br * self.block_h
+            gc0 = bc * self.block_w
+            # overlap of this block with the window, in global coords
+            orow0 = max(r0, gr0)
+            orow1 = min(r1, gr0 + arr.shape[0], self.height)
+            ocol0 = max(c0, gc0)
+            ocol1 = min(c1, gc0 + arr.shape[1], self.width)
+            if orow0 >= orow1 or ocol0 >= ocol1:
+                continue
+            out[orow0 - r0 : orow1 - r0, ocol0 - c0 : ocol1 - c0] = arr[
+                orow0 - gr0 : orow1 - gr0, ocol0 - gc0 : ocol1 - gc0
+            ]
+        return out
+
+
 @dataclass
 class Raster:
-    """An open raster: memory-mapped band + georeferencing metadata.
+    """An open raster: block/memmap band access + georeferencing metadata.
 
     Mirrors the slice of the rasterio dataset API the reference engine uses
     (/root/reference/opentopodata/backend.py:89-151): crs, bounds, res,
@@ -109,6 +461,7 @@ class Raster:
     sx: float
     sy: float
     _data: np.ndarray = field(repr=False, default=None)
+    _blocks: _BlockReader = field(repr=False, default=None)
 
     @property
     def bounds(self) -> BoundingBox:
@@ -132,22 +485,39 @@ class Raster:
         cols = (xs - self.x0) / self.sx
         return rows, cols
 
+    def read_window(self, row0: int, row1: int, col0: int, col1: int) -> tuple[np.ndarray, tuple[int, int]]:
+        """Native-order stored-dtype array for the clipped window, plus the
+        (row, col) origin of the returned array within the full raster.
+        Compressed rasters decode only the intersecting blocks."""
+        r0 = int(max(row0, 0))
+        r1 = int(min(row1, self.height))
+        c0 = int(max(col0, 0))
+        c1 = int(min(col1, self.width))
+        if r1 <= r0 or c1 <= c0:
+            return np.empty((0, 0), dtype=self.dtype.newbyteorder("=")), (r0, c0)
+        if self._data is not None:
+            win = np.asarray(self._data[r0:r1, c0:c1])
+            if win.dtype.byteorder == ">":
+                win = win.astype(win.dtype.newbyteorder("="))
+            return win, (r0, c0)
+        return self._blocks.read(r0, r1, c0, c1), (r0, c0)
+
     def read_block(self, row0: int, row1: int, col0: int, col1: int) -> np.ndarray:
         """Read a [row0:row1, col0:col1] block (clipped) as float64 with
         NaN where NODATA. Out-of-array area is NOT included — callers pad."""
-        r0 = max(row0, 0)
-        r1 = min(row1, self.height)
-        c0 = max(col0, 0)
-        c1 = min(col1, self.width)
-        block = np.asarray(self._data[r0:r1, c0:c1], dtype=np.float64)
+        win, _ = self.read_window(row0, row1, col0, col1)
+        block = np.asarray(win, dtype=np.float64)
         if self.nodata is not None:
             block = np.where(block == float(self.nodata), np.nan, block)
         return block
 
     @property
     def band(self) -> np.ndarray:
-        """Whole band as stored dtype (memory-mapped; slicing is lazy)."""
-        return self._data
+        """Whole band (memory-mapped and lazy when uncompressed; assembled
+        through the block cache otherwise). Prefer read_window in hot paths."""
+        if self._data is not None:
+            return self._data
+        return self._blocks.read(0, self.height, 0, self.width)
 
 
 def write_geotiff(
@@ -161,12 +531,21 @@ def write_geotiff(
     epsg: int | None = 4326,
     wkt: str | None = None,
     nodata: float | None = None,
+    compression: str = "none",
+    predictor: int = 1,
+    tile_size: tuple[int, int] | None = None,
+    rows_per_strip: int | None = None,
 ) -> None:
-    """Write a single-band north-up uncompressed GeoTIFF.
+    """Write a single-band north-up GeoTIFF.
 
     (x0, y0) is the OUTER upper-left edge (GDAL convention); pixel centers
     are offset by half a pixel, exactly the convention the reference's
     bounds-validation relies on (backend.py:46-60).
+
+    compression: "none" | "deflate" | "lzw". predictor: 1 (none),
+    2 (horizontal, integer dtypes), 3 (float byte shuffle, float dtypes).
+    tile_size: (tile_height, tile_width), multiples of 16 → tiled layout;
+    otherwise strips of rows_per_strip rows (default: one strip).
     """
     array = np.ascontiguousarray(array)
     if array.ndim != 2:
@@ -176,32 +555,79 @@ def write_geotiff(
     if kind not in _SAMPLE_FORMAT_FOR_KIND:
         raise ValueError(f"unsupported dtype {array.dtype}")
     bits = array.dtype.itemsize * 8
+    if compression not in _COMPRESSION_CODES:
+        raise ValueError(f"unsupported compression '{compression}'")
+    comp = _COMPRESSION_CODES[compression]
+    if predictor not in (1, 2, 3):
+        raise ValueError("predictor must be 1, 2 or 3")
+    if predictor == 2 and kind == "f":
+        raise ValueError("predictor 2 requires an integer dtype (use 3 for floats)")
+    if predictor == 3 and kind != "f":
+        raise ValueError("predictor 3 requires a float dtype")
 
-    # little-endian on disk
-    data = array.astype(array.dtype.newbyteorder("<"), copy=False).tobytes()
+    le_dtype = array.dtype.newbyteorder("<")
 
-    entries: list[tuple[int, int, int, bytes]] = []  # (tag, type, count, packed value bytes)
+    def encode_block(blk: np.ndarray) -> bytes:
+        if predictor == 2:
+            raw = _predict2_encode(blk).astype(le_dtype, copy=False).tobytes()
+        elif predictor == 3:
+            raw = _predict3_encode(blk)
+        else:
+            raw = blk.astype(le_dtype, copy=False).tobytes()
+        if comp == _C_DEFLATE_ADOBE:
+            return zlib.compress(raw, 6)
+        if comp == _C_LZW:
+            return _lzw_encode(raw)
+        return raw
 
-    def short(tag, v):
-        entries.append((tag, _FT_SHORT, 1, struct.pack("<H", v)))
+    blocks: list[bytes] = []
+    if tile_size is not None:
+        th, tw = tile_size
+        if th % 16 or tw % 16:
+            raise ValueError("tile_size dims must be multiples of 16")
+        pad_value = array.dtype.type(nodata) if nodata is not None else array.dtype.type(0)
+        for r0 in range(0, h, th):
+            for c0 in range(0, w, tw):
+                blk = np.full((th, tw), pad_value, dtype=array.dtype)
+                sub = array[r0 : r0 + th, c0 : c0 + tw]
+                blk[: sub.shape[0], : sub.shape[1]] = sub
+                blocks.append(encode_block(blk))
+    else:
+        rsp = rows_per_strip or h
+        for r0 in range(0, h, rsp):
+            blocks.append(encode_block(array[r0 : r0 + rsp]))
 
-    def long_(tag, v):
-        entries.append((tag, _FT_LONG, 1, struct.pack("<I", v)))
+    entries: list[tuple[int, int, int, bytes]] = []  # (tag, type, count, inline-or-offset)
+    out_of_line: list[tuple[int, int, int, bytes]] = []
 
-    short(_T_BITS, bits)
-    long_(_T_WIDTH, w)
-    long_(_T_HEIGHT, h)
-    short(_T_COMPRESSION, 1)
-    short(_T_PHOTOMETRIC, 1)
-    short(_T_SAMPLES_PER_PIXEL, 1)
-    long_(_T_ROWS_PER_STRIP, h)
-    long_(_T_STRIP_BYTE_COUNTS, len(data))
-    short(_T_PLANAR_CONFIG, 1)
-    short(_T_SAMPLE_FORMAT, _SAMPLE_FORMAT_FOR_KIND[kind])
+    def add(tag: int, ftype: int, values) -> None:
+        if isinstance(values, (bytes, bytearray)):
+            payload = bytes(values)
+            count = len(payload) // _FT_SIZE[ftype]
+        else:
+            vals = list(values)
+            count = len(vals)
+            fmt = {_FT_SHORT: "H", _FT_LONG: "I", _FT_DOUBLE: "d"}[ftype]
+            payload = struct.pack(f"<{count}{fmt}", *vals)
+        if len(payload) <= 4:
+            entries.append((tag, ftype, count, payload))
+        else:
+            out_of_line.append((tag, ftype, count, payload))
 
-    # geo tags (values > 4 bytes go out-of-line)
-    pixel_scale = struct.pack("<3d", sx, sy, 0.0)
-    tiepoint = struct.pack("<6d", 0.0, 0.0, 0.0, x0, y0, 0.0)
+    add(_T_WIDTH, _FT_LONG, [w])
+    add(_T_HEIGHT, _FT_LONG, [h])
+    add(_T_BITS, _FT_SHORT, [bits])
+    add(_T_COMPRESSION, _FT_SHORT, [comp])
+    add(_T_PHOTOMETRIC, _FT_SHORT, [1])
+    add(_T_SAMPLES_PER_PIXEL, _FT_SHORT, [1])
+    add(_T_PLANAR_CONFIG, _FT_SHORT, [1])
+    add(_T_SAMPLE_FORMAT, _FT_SHORT, [_SAMPLE_FORMAT_FOR_KIND[kind]])
+    if predictor != 1:
+        add(_T_PREDICTOR, _FT_SHORT, [predictor])
+
+    # geo tags
+    add(_T_MODEL_PIXEL_SCALE, _FT_DOUBLE, [sx, sy, 0.0])
+    add(_T_MODEL_TIEPOINT, _FT_DOUBLE, [0.0, 0.0, 0.0, x0, y0, 0.0])
 
     geo_keys: list[tuple[int, int, int, int]] = [(_GK_RASTER_TYPE, 0, 1, 1)]
     ascii_params = b""
@@ -222,25 +648,35 @@ def write_geotiff(
     gk = struct.pack("<4H", 1, 1, 0, len(geo_keys))
     for key in geo_keys:
         gk += struct.pack("<4H", *key)
-
-    out_of_line: list[tuple[int, int, int, bytes]] = [
-        (_T_MODEL_PIXEL_SCALE, _FT_DOUBLE, 3, pixel_scale),
-        (_T_MODEL_TIEPOINT, _FT_DOUBLE, 6, tiepoint),
-        (_T_GEO_KEY_DIRECTORY, _FT_SHORT, len(gk) // 2, gk),
-    ]
+    add(_T_GEO_KEY_DIRECTORY, _FT_SHORT, gk)
     if ascii_params:
-        out_of_line.append((_T_GEO_ASCII_PARAMS, _FT_ASCII, len(ascii_params), ascii_params))
+        add(_T_GEO_ASCII_PARAMS, _FT_ASCII, ascii_params)
     if nodata is not None:
         nd = (
             repr(int(nodata)) if float(nodata).is_integer() and abs(nodata) < 2**53
             else repr(float(nodata))
         )
-        ndb = nd.encode() + b"\x00"
-        out_of_line.append((_T_GDAL_NODATA, _FT_ASCII, len(ndb), ndb))
+        add(_T_GDAL_NODATA, _FT_ASCII, nd.encode() + b"\x00")
 
-    # Layout: header(8) | pixel data | out-of-line values | IFD
+    # block placement
     data_offset = 8
-    ool_offset = data_offset + len(data)
+    offsets = []
+    pos = data_offset
+    for b in blocks:
+        offsets.append(pos)
+        pos += len(b) + (len(b) % 2)  # word-align
+    if tile_size is not None:
+        add(_T_TILE_WIDTH, _FT_LONG, [tile_size[1]])
+        add(_T_TILE_LENGTH, _FT_LONG, [tile_size[0]])
+        add(_T_TILE_OFFSETS, _FT_LONG, offsets)
+        add(_T_TILE_BYTE_COUNTS, _FT_LONG, [len(b) for b in blocks])
+    else:
+        add(_T_ROWS_PER_STRIP, _FT_LONG, [rows_per_strip or h])
+        add(_T_STRIP_OFFSETS, _FT_LONG, offsets)
+        add(_T_STRIP_BYTE_COUNTS, _FT_LONG, [len(b) for b in blocks])
+
+    # out-of-line values follow the block data
+    ool_offset = pos
     ool_bytes = b""
     for tag, ftype, count, payload in out_of_line:
         off = ool_offset + len(ool_bytes)
@@ -248,7 +684,6 @@ def write_geotiff(
         ool_bytes += payload
         if len(payload) % 2:
             ool_bytes += b"\x00"
-    long_(_T_STRIP_OFFSETS, data_offset)
     ifd_offset = ool_offset + len(ool_bytes)
 
     entries.sort(key=lambda e: e[0])
@@ -261,24 +696,50 @@ def write_geotiff(
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
         f.write(header)
-        f.write(data)
+        for b in blocks:
+            f.write(b)
+            if len(b) % 2:
+                f.write(b"\x00")
         f.write(ool_bytes)
         f.write(ifd)
     os.replace(tmp, path)
-
-
-class RasterOpenError(ValueError):
-    """File is not a readable raster."""
 
 
 _HGT_RE = re.compile(r"([NSns])(\d+)([EWew])(\d+)")
 
 
 def open_raster(path: str) -> Raster:
-    """Open a GeoTIFF or SRTM .hgt raster, memory-mapping pixel data."""
-    if path.lower().endswith(".hgt"):
+    """Open a GeoTIFF, SRTM .hgt, or a .zip containing one of them."""
+    lower = path.lower()
+    if lower.endswith(".zip"):
+        return _open_zip(path)
+    if lower.endswith(".hgt"):
         return _open_hgt(path)
-    return _open_tiff(path)
+    return _open_tiff(_ByteSource(path))
+
+
+def _open_zip(path: str) -> Raster:
+    """Zip-container rasters (GDAL /vsizip/ parity for the common cases:
+    N00E010.hgt.zip, zipped single GeoTIFFs). The member is read into
+    memory once; block decode then shares the normal cache."""
+    try:
+        zf = zipfile.ZipFile(path)
+    except zipfile.BadZipFile:
+        raise RasterOpenError(f"'{path}' is not a readable zip archive")
+    with zf:
+        members = [m for m in zf.namelist() if not m.endswith("/")]
+        hgt = [m for m in members if m.lower().endswith(".hgt")]
+        tif = [m for m in members if m.lower().endswith((".tif", ".tiff"))]
+        if hgt:
+            member = hgt[0]
+            buf = zf.read(member)
+            # corner from the member name if it parses, else the zip filename
+            name = member if _HGT_RE.search(os.path.basename(member)) else path
+            return _hgt_from_bytes(path, buf, name)
+        if tif:
+            buf = zf.read(tif[0])
+            return _open_tiff(_ByteSource(path, buf=buf))
+    raise RasterOpenError(f"'{path}' contains no .hgt or .tif member")
 
 
 def _open_hgt(path: str) -> Raster:
@@ -286,14 +747,26 @@ def _open_hgt(path: str) -> Raster:
     side = int(round(math.sqrt(size / 2)))
     if side * side * 2 != size:
         raise RasterOpenError(f"'{path}' is not a square .hgt file")
-    m = _HGT_RE.search(os.path.basename(path))
+    data = np.memmap(path, dtype=">i2", mode="r", shape=(side, side))
+    return _hgt_raster(path, data, side, path)
+
+
+def _hgt_from_bytes(path: str, buf: bytes, name_source: str) -> Raster:
+    side = int(round(math.sqrt(len(buf) / 2)))
+    if side * side * 2 != len(buf):
+        raise RasterOpenError(f"'{path}' member is not a square .hgt file")
+    data = np.frombuffer(buf, dtype=">i2").reshape(side, side)
+    return _hgt_raster(path, data, side, name_source)
+
+
+def _hgt_raster(path: str, data: np.ndarray, side: int, name_source: str) -> Raster:
+    m = _HGT_RE.search(os.path.basename(name_source))
     if not m:
-        raise RasterOpenError(f"cannot infer bounds from .hgt filename '{path}'")
+        raise RasterOpenError(f"cannot infer bounds from .hgt filename '{name_source}'")
     lat = int(m.group(2)) * (1 if m.group(1).lower() == "n" else -1)
     lon = int(m.group(4)) * (1 if m.group(3).lower() == "e" else -1)
     # SRTM: outer pixel centers on integer degree lines; 1-px overlap.
     res = 1.0 / (side - 1)
-    data = np.memmap(path, dtype=">i2", mode="r", shape=(side, side))
     return Raster(
         path=path, width=side, height=side, dtype=np.dtype(">i2"),
         nodata=-32768.0, crs=CRSInfo(epsg=4326),
@@ -301,108 +774,123 @@ def _open_hgt(path: str) -> Raster:
     )
 
 
-def _open_tiff(path: str) -> Raster:
-    with open(path, "rb") as f:
-        head = f.read(8)
-        if len(head) < 8 or head[:2] not in (b"II", b"MM"):
-            raise RasterOpenError(f"'{path}' not recognised as a geo raster")
-        bo = "<" if head[:2] == b"II" else ">"
-        magic, ifd_offset = struct.unpack(bo + "HI", head[2:8])
-        if magic != 42:
-            raise RasterOpenError(f"'{path}' not a TIFF (magic={magic})")
-        f.seek(ifd_offset)
-        (n_entries,) = struct.unpack(bo + "H", f.read(2))
-        raw_entries = f.read(n_entries * 12)
-        tags: dict[int, tuple[int, int, bytes]] = {}
-        for i in range(n_entries):
-            tag, ftype, count = struct.unpack_from(bo + "HHI", raw_entries, i * 12)
-            tags[tag] = (ftype, count, raw_entries[i * 12 + 8 : i * 12 + 12])
+def _open_tiff(source: _ByteSource) -> Raster:
+    path = source.path
+    head = source.read_at(0, 8)
+    if len(head) < 8 or head[:2] not in (b"II", b"MM"):
+        raise RasterOpenError(f"'{path}' not recognised as a geo raster")
+    bo = "<" if head[:2] == b"II" else ">"
+    magic, ifd_offset = struct.unpack(bo + "HI", head[2:8])
+    if magic != 42:
+        raise RasterOpenError(f"'{path}' not a TIFF (magic={magic})")
+    (n_entries,) = struct.unpack(bo + "H", source.read_at(ifd_offset, 2))
+    raw_entries = source.read_at(ifd_offset + 2, n_entries * 12)
+    tags: dict[int, tuple[int, int, bytes]] = {}
+    for i in range(n_entries):
+        tag, ftype, count = struct.unpack_from(bo + "HHI", raw_entries, i * 12)
+        tags[tag] = (ftype, count, raw_entries[i * 12 + 8 : i * 12 + 12])
 
-        def value(tag, default=None):
-            if tag not in tags:
-                return default
-            ftype, count, raw = tags[tag]
-            sz = _FT_SIZE[ftype] * count
-            if sz <= 4:
-                buf = raw[:sz]
-            else:
-                (off,) = struct.unpack(bo + "I", raw)
-                f.seek(off)
-                buf = f.read(sz)
-            if ftype == _FT_ASCII:
-                return buf.rstrip(b"\x00").decode("latin-1")
-            fmt = {_FT_SHORT: "H", _FT_LONG: "I", _FT_DOUBLE: "d"}[ftype]
-            vals = struct.unpack(bo + str(count) + fmt, buf)
-            return list(vals)
-
-        width = int(value(_T_WIDTH)[0])
-        height = int(value(_T_HEIGHT)[0])
-        bits = int(value(_T_BITS, [8])[0])
-        comp = int(value(_T_COMPRESSION, [1])[0])
-        if comp != 1:
-            raise RasterOpenError(f"'{path}': compressed TIFF not supported")
-        sfmt = int(value(_T_SAMPLE_FORMAT, [1])[0])
-        kind = _KIND_FOR_SAMPLE_FORMAT.get(sfmt)
-        if kind is None:
-            raise RasterOpenError(f"'{path}': unsupported sample format {sfmt}")
-        dtype = np.dtype(f"{bo}{kind}{bits // 8}")
-
-        strip_offsets = value(_T_STRIP_OFFSETS)
-        strip_counts = value(_T_STRIP_BYTE_COUNTS)
-        scale = value(_T_MODEL_PIXEL_SCALE)
-        tiepoint = value(_T_MODEL_TIEPOINT)
-        if scale is None or tiepoint is None:
-            raise RasterOpenError(f"'{path}' has no georeferencing")
-        sx, sy = float(scale[0]), float(scale[1])
-        # tiepoint: raster (i,j,k) -> model (X,Y,Z); assume (0,0) anchor
-        x0 = float(tiepoint[3]) - float(tiepoint[0]) * sx
-        y0 = float(tiepoint[4]) + float(tiepoint[1]) * sy
-
-        nodata_s = value(_T_GDAL_NODATA)
-        nodata = float(nodata_s) if nodata_s not in (None, "") else None
-
-        epsg: int | None = None
-        wkt: str | None = None
-        gk = value(_T_GEO_KEY_DIRECTORY)
-        ascii_params = value(_T_GEO_ASCII_PARAMS, "")
-        if gk:
-            n_keys = int(gk[3])
-            for i in range(n_keys):
-                key, loc, cnt, val = gk[4 + 4 * i : 8 + 4 * i]
-                if key == _GK_GEOGRAPHIC_TYPE and loc == 0:
-                    epsg = int(val)
-                elif key == _GK_PROJECTED_TYPE and loc == 0 and val != 32767:
-                    epsg = int(val)
-                elif key == _GK_CITATION and loc == _T_GEO_ASCII_PARAMS:
-                    wkt = ascii_params[val : val + cnt].rstrip("|")
-        if epsg is None and wkt is None:
-            raise RasterOpenError(f"'{path}' has no coordinate reference system")
-
-    # contiguity check lets us use one memmap even with many strips
-    if len(strip_offsets) == 1:
-        data = np.memmap(
-            path, dtype=dtype, mode="r", offset=int(strip_offsets[0]),
-            shape=(height, width),
-        )
-    else:
-        expected = [strip_offsets[0]]
-        for c in strip_counts[:-1]:
-            expected.append(expected[-1] + c)
-        if list(map(int, strip_offsets)) == list(map(int, expected)):
-            data = np.memmap(
-                path, dtype=dtype, mode="r", offset=int(strip_offsets[0]),
-                shape=(height, width),
-            )
+    def value(tag, default=None):
+        if tag not in tags:
+            return default
+        ftype, count, raw = tags[tag]
+        sz = _FT_SIZE[ftype] * count
+        if sz <= 4:
+            buf = raw[:sz]
         else:
-            # rare: materialize (small files only in practice)
-            parts = []
-            with open(path, "rb") as g:
-                for off, cnt in zip(strip_offsets, strip_counts):
-                    g.seek(int(off))
-                    parts.append(g.read(int(cnt)))
-            data = np.frombuffer(b"".join(parts), dtype=dtype).reshape(height, width)
+            (off,) = struct.unpack(bo + "I", raw)
+            buf = source.read_at(off, sz)
+        if ftype == _FT_ASCII:
+            return buf.rstrip(b"\x00").decode("latin-1")
+        fmt = {_FT_SHORT: "H", _FT_LONG: "I", _FT_DOUBLE: "d"}[ftype]
+        vals = struct.unpack(bo + str(count) + fmt, buf)
+        return list(vals)
+
+    width = int(value(_T_WIDTH)[0])
+    height = int(value(_T_HEIGHT)[0])
+    bits = int(value(_T_BITS, [8])[0])
+    comp = int(value(_T_COMPRESSION, [1])[0])
+    if comp not in (_C_NONE, _C_LZW, _C_DEFLATE_ADOBE, _C_DEFLATE_OLD):
+        raise RasterOpenError(
+            f"'{path}': unsupported TIFF compression {comp} (supported: none,"
+            " LZW, DEFLATE)"
+        )
+    predictor = int(value(_T_PREDICTOR, [1])[0])
+    if predictor not in (1, 2, 3):
+        raise RasterOpenError(f"'{path}': unsupported predictor {predictor}")
+    sfmt = int(value(_T_SAMPLE_FORMAT, [1])[0])
+    kind = _KIND_FOR_SAMPLE_FORMAT.get(sfmt)
+    if kind is None:
+        raise RasterOpenError(f"'{path}': unsupported sample format {sfmt}")
+    dtype = np.dtype(f"{bo}{kind}{bits // 8}")
+
+    tiled = _T_TILE_OFFSETS in tags
+    if tiled:
+        block_offsets = value(_T_TILE_OFFSETS)
+        block_counts = value(_T_TILE_BYTE_COUNTS)
+        tile_w = int(value(_T_TILE_WIDTH)[0])
+        tile_h = int(value(_T_TILE_LENGTH)[0])
+    else:
+        block_offsets = value(_T_STRIP_OFFSETS)
+        block_counts = value(_T_STRIP_BYTE_COUNTS)
+        rsp = int(value(_T_ROWS_PER_STRIP, [height])[0])
+        tile_w = width
+        tile_h = min(rsp, height)
+    if block_offsets is None:
+        raise RasterOpenError(f"'{path}' has no strip/tile offsets")
+
+    scale = value(_T_MODEL_PIXEL_SCALE)
+    tiepoint = value(_T_MODEL_TIEPOINT)
+    if scale is None or tiepoint is None:
+        raise RasterOpenError(f"'{path}' has no georeferencing")
+    sx, sy = float(scale[0]), float(scale[1])
+    # tiepoint: raster (i,j,k) -> model (X,Y,Z); assume (0,0) anchor
+    x0 = float(tiepoint[3]) - float(tiepoint[0]) * sx
+    y0 = float(tiepoint[4]) + float(tiepoint[1]) * sy
+
+    nodata_s = value(_T_GDAL_NODATA)
+    nodata = float(nodata_s) if nodata_s not in (None, "") else None
+
+    epsg: int | None = None
+    wkt: str | None = None
+    gk = value(_T_GEO_KEY_DIRECTORY)
+    ascii_params = value(_T_GEO_ASCII_PARAMS, "")
+    if gk:
+        n_keys = int(gk[3])
+        for i in range(n_keys):
+            key, loc, cnt, val = gk[4 + 4 * i : 8 + 4 * i]
+            if key == _GK_GEOGRAPHIC_TYPE and loc == 0:
+                epsg = int(val)
+            elif key == _GK_PROJECTED_TYPE and loc == 0 and val != 32767:
+                epsg = int(val)
+            elif key == _GK_CITATION and loc == _T_GEO_ASCII_PARAMS:
+                wkt = ascii_params[val : val + cnt].rstrip("|")
+    if epsg is None and wkt is None:
+        raise RasterOpenError(f"'{path}' has no coordinate reference system")
+
+    data = None
+    blocks = None
+    if comp == _C_NONE and not tiled and predictor == 1:
+        # fast path: contiguous uncompressed strips -> one zero-copy view
+        expected = [block_offsets[0]]
+        row_bytes = width * dtype.itemsize
+        for c in block_counts[:-1]:
+            expected.append(expected[-1] + c)
+        if list(map(int, block_offsets)) == list(map(int, expected)) and all(
+            int(c) % row_bytes == 0 for c in block_counts
+        ):
+            data = source.as_array(dtype, int(block_offsets[0]), (height, width))
+    if data is None:
+        blocks = _BlockReader(
+            source=source, dtype=dtype, height=height, width=width,
+            block_h=tile_h, block_w=tile_w, tiled=tiled,
+            offsets=[int(o) for o in block_offsets],
+            counts=[int(c) for c in block_counts],
+            compression=comp, predictor=predictor,
+        )
 
     return Raster(
         path=path, width=width, height=height, dtype=dtype, nodata=nodata,
-        crs=CRSInfo(epsg=epsg, wkt=wkt), x0=x0, y0=y0, sx=sx, sy=sy, _data=data,
+        crs=CRSInfo(epsg=epsg, wkt=wkt), x0=x0, y0=y0, sx=sx, sy=sy,
+        _data=data, _blocks=blocks,
     )

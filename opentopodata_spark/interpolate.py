@@ -60,11 +60,14 @@ def _cubic_weights(frac: np.ndarray) -> np.ndarray:
     return w  # shape (4, n)
 
 
-def _gather(values: np.ndarray, nodata_mask_fn, rows, cols, height, width):
-    """Gather values at integer (rows, cols); out-of-array -> (0, masked)."""
+def _gather(values: np.ndarray, nodata_mask_fn, rows, cols, height, width, origin):
+    """Gather values at integer raster (rows, cols); out-of-raster -> (0,
+    masked). ``values`` may be a window of the raster at ``origin``; cells
+    inside the raster but outside the window only occur for out-of-bounds
+    points, whose results are unspecified by contract."""
     inside = (rows >= 0) & (rows < height) & (cols >= 0) & (cols < width)
-    r = np.clip(rows, 0, height - 1)
-    c = np.clip(cols, 0, width - 1)
+    r = np.clip(rows - origin[0], 0, values.shape[0] - 1)
+    c = np.clip(cols - origin[1], 0, values.shape[1] - 1)
     v = values[r, c].astype(np.float64, copy=False)
     masked = ~inside | nodata_mask_fn(v)
     v = np.where(masked, 0.0, v)
@@ -78,15 +81,22 @@ def sample_raster_values(
     cols_frac: np.ndarray,
     method: str,
     dtype_kind: str,
+    origin: tuple[int, int] = (0, 0),
+    full_shape: tuple[int, int] | None = None,
 ) -> np.ndarray:
     """Sample a band at fractional center-based indices.
 
     Returns float64 array; NaN where the kernel touches NODATA with nonzero
     weight. Callers handle out-of-bounds separately (-> null).
+
+    ``band`` may be a window of a larger raster: ``origin`` is its (row, col)
+    offset and ``full_shape`` the raster's full (height, width). Indices are
+    always raster-absolute; clipping semantics stay full-raster so windowed
+    and whole-band calls are bit-identical for in-bounds points.
     """
     if method not in INTERPOLATION_METHODS:
         raise ValueError(f"Invalid interpolation method '{method}'.")
-    height, width = band.shape
+    height, width = full_shape if full_shape is not None else band.shape
 
     # center-index -> upper-left window offset, clipped (backend.py:124-131)
     r_off = np.clip(np.asarray(rows_frac, dtype=np.float64) - 0.5, 0, height - 1)
@@ -107,7 +117,7 @@ def sample_raster_values(
         # dest pixel center falls at (off + 0.5); source pixel = floor(center)
         rr = np.floor(r_off + 0.5).astype(np.int64)
         cc = np.floor(c_off + 0.5).astype(np.int64)
-        v, masked = _gather(band, nodata_mask, rr, cc, height, width)
+        v, masked = _gather(band, nodata_mask, rr, cc, height, width, origin)
         out = np.where(masked, np.nan, v)
     else:
         if method == "bilinear":
@@ -137,7 +147,9 @@ def sample_raster_values(
                 nz = w != 0.0
                 if not nz.any():
                     continue
-                v, masked = _gather(band, nodata_mask, i0 + dr, j0 + dc, height, width)
+                v, masked = _gather(
+                    band, nodata_mask, i0 + dr, j0 + dc, height, width, origin
+                )
                 bad |= nz & masked
                 acc += np.where(nz, w * v, 0.0)
         out = np.where(bad, np.nan, acc)
@@ -171,11 +183,24 @@ def sample_points_on_raster_arrays(raster: Raster, lats, lons, method: str):
 
     in_bounds = validate_points_lie_within_raster(xs, ys, raster.bounds, raster.res)
     rows, cols = raster.index(xs, ys)
-    band = np.asarray(raster.band)
-    if band.dtype.byteorder == ">":
-        band = band.astype(band.dtype.newbyteorder("="))
+    if not in_bounds.any():
+        return np.full(lats.shape, np.nan), in_bounds
+
+    # Windowed read: decode only the blocks this batch's in-bounds points
+    # touch (margin 3 covers the cubic kernel's -1..+2 offsets after the
+    # -0.5 center shift). Uncompressed rasters slice a memmap — free;
+    # compressed rasters hit the executor block cache.
+    rr = rows[in_bounds]
+    cc = cols[in_bounds]
+    margin = 3
+    r0 = int(np.floor(rr.min())) - margin
+    r1 = int(np.ceil(rr.max())) + margin + 1
+    c0 = int(np.floor(cc.min())) - margin
+    c1 = int(np.ceil(cc.max())) + margin + 1
+    band, origin = raster.read_window(r0, r1, c0, c1)
     z = sample_raster_values(
-        band, raster.nodata, rows, cols, method, raster.dtype.kind
+        band, raster.nodata, rows, cols, method, raster.dtype.kind,
+        origin=origin, full_shape=(raster.height, raster.width),
     )
     return z, in_bounds
 

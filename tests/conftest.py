@@ -18,6 +18,19 @@ def raster_root() -> str:
 
 
 @pytest.fixture(scope="session")
+def compressed_raster_root() -> str:
+    """Same corpus written DEFLATE/LZW-compressed, tiled/stripped, with
+    predictors, plus a zipped-SRTM dataset (see fixtures.COMPRESSED_STYLES)."""
+    from opentopodata_spark import fixtures
+
+    root = FIXTURE_ROOT + "_compressed"
+    fixtures.make_all_rasters(
+        root, styles=fixtures.COMPRESSED_STYLES, with_hgt_zip=True
+    )
+    return root
+
+
+@pytest.fixture(scope="session")
 def datasets(raster_root):
     from opentopodata_spark import config
 

@@ -7,11 +7,23 @@ the Spark pipeline is separately differential-tested against this oracle.
 """
 
 import math
+import os
 
 import numpy as np
 import pytest
 
 from opentopodata_spark import geotiff, oracle
+
+
+@pytest.fixture(scope="module", params=["plain", "compressed"])
+def datasets(request, raster_root, compressed_raster_root):
+    """Every golden/differential case in this module runs twice: once on the
+    plain fixture corpus and once on the DEFLATE/LZW compressed+tiled one —
+    the decode paths must be value-identical."""
+    from opentopodata_spark import config
+
+    root = raster_root if request.param == "plain" else compressed_raster_root
+    return config.load_datasets(os.path.join(root, "test-config.yaml"))
 
 
 @pytest.fixture(scope="module")

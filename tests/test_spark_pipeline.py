@@ -81,6 +81,47 @@ class TestDifferential:
         ds = [datasets["srtm90utm"], datasets["eudemnoepsg"], datasets["etopo1deg"]]
         _diff(spark, points, ds, "bilinear")
 
+    def test_compressed_fixtures_e2e(self, spark, points, compressed_raster_root):
+        """Full distributed resolve over DEFLATE/LZW compressed + tiled
+        rasters and a zipped-SRTM dataset — decode runs inside executor
+        Arrow UDFs through the block cache, values differential-checked
+        against the oracle."""
+        import os
+
+        cds = config.load_datasets(
+            os.path.join(compressed_raster_root, "test-config.yaml")
+        )
+        ds = [
+            cds["nodata"],
+            cds["eudemsubset"],
+            cds["srtmhgtzip"],
+            cds["etopo1deg"],
+        ]
+        n = _diff(spark, points, ds, "bilinear")
+        assert n > 1000
+
+    def test_compressed_vs_plain_identical(self, spark, points, datasets,
+                                           compressed_raster_root):
+        """Same pipeline, same points: compressed corpus must produce
+        bit-identical elevations to the plain corpus."""
+        import os
+
+        cds = config.load_datasets(
+            os.path.join(compressed_raster_root, "test-config.yaml")
+        )
+        names = ["nodata", "eudemsubset", "srtm90subset", "etopo1deg"]
+        plain = elevation.ElevationResolver(
+            spark, [datasets[n] for n in names], "bilinear"
+        ).resolve(points)
+        comp = elevation.ElevationResolver(
+            spark, [cds[n] for n in names], "bilinear"
+        ).resolve(points)
+        a = {r.point_id: (r.elevation, r.dataset) for r in plain.collect()}
+        b = {r.point_id: (r.elevation, r.dataset) for r in comp.collect()}
+        assert set(a) == set(b)
+        for k in a:
+            assert _same(a[k][0], b[k][0]) and a[k][1] == b[k][1]
+
     def test_salted_repartition_same_result(self, spark, points, datasets):
         ds = [datasets["srtm90subset"], datasets["etopo1deg"]]
         r1 = elevation.ElevationResolver(spark, ds, "bilinear", salt=1).resolve(points)
