@@ -85,6 +85,17 @@ def exact_duplicates(
     )
 
 
+def signatures_from_shingles(sh: DataFrame, num_hashes: int = 8) -> DataFrame:
+    """MinHash signatures from a prebuilt (doc_id, shingle) frame — lets a
+    composite pipeline share (persist) the shingle subtree across its
+    signature/size/intersection consumers instead of recomputing it."""
+    aggs = [
+        F.min(F.md5(F.concat_ws("#", F.col("shingle"), F.lit(str(i))))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -101,16 +112,16 @@ def minhash_signatures(
     bit-reproducible in any SQL engine (the DuckDB oracle runs the same
     expression).
     """
-    sh = word_shingles(df, id_col, text_col, shingle_n)
-    aggs = [
-        F.min(F.md5(F.concat_ws("#", F.col("shingle"), F.lit(str(i))))).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    return signatures_from_shingles(
+        word_shingles(df, id_col, text_col, shingle_n), num_hashes
+    )
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, band_size: int = 2, max_bucket: int = 1000
+    signatures: DataFrame,
+    band_size: int = 2,
+    max_bucket: int = 1000,
+    dedupe: bool = True,
 ) -> DataFrame:
     """LSH band trick: (doc_a, doc_b) candidate pairs sharing >=1 band.
 
@@ -118,6 +129,13 @@ def lsh_candidate_pairs(
     Buckets larger than ``max_bucket`` docs are dropped (degenerate
     boilerplate buckets would otherwise explode quadratically at corpus
     scale); callers needing them should handle those docs separately.
+
+    The exploded bucket frame is persisted: it has three consumers (the
+    big-bucket count, and both sides of the self-join) and its parent is
+    the expensive shingle+md5 subtree — without the persist that subtree
+    runs three times. ``dedupe=False`` skips the final ``distinct()``
+    (one full exchange of the pair stream) for callers whose downstream
+    aggregation dedupes anyway (see ``verified_near_duplicates``).
     """
     hash_cols = [c for c in signatures.columns if c.startswith("h")]
     n_bands = len(hash_cols) // band_size
@@ -134,7 +152,8 @@ def lsh_candidate_pairs(
     )
     buckets = signatures.select(
         F.col("doc_id"), F.explode(bands).alias("bv")
-    ).select("doc_id", F.col("bv.band").alias("band"), F.col("bv.value").alias("value"))
+    ).select("doc_id", F.col("bv.band").alias("band"), F.col("bv.value").alias("value")
+    ).persist()
 
     big = (
         buckets.groupBy("band", "value")
@@ -146,7 +165,7 @@ def lsh_candidate_pairs(
 
     a = buckets.alias("a")
     b = buckets.alias("b")
-    return (
+    pairs = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -154,8 +173,8 @@ def lsh_candidate_pairs(
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
     )
+    return pairs.distinct() if dedupe else pairs
 
 
 def jaccard_pairs(
@@ -189,9 +208,13 @@ def jaccard_pairs(
         )
         .agg(F.count(F.lit(1)).alias("inter"))
     )
+    # NOTE: sizes is one row per document — never broadcast it (a forced
+    # broadcast of a per-doc table is a driver/executor OOM at corpus
+    # scale). Left to AQE: a shuffled join at scale, auto-broadcast when
+    # genuinely tiny.
     out = (
-        inter.join(F.broadcast(sizes).withColumnsRenamed({"doc_id": "doc_a", "sz": "size_a"}), "doc_a")
-        .join(F.broadcast(sizes).withColumnsRenamed({"doc_id": "doc_b", "sz": "size_b"}), "doc_b")
+        inter.join(sizes.withColumnsRenamed({"doc_id": "doc_a", "sz": "size_a"}), "doc_a")
+        .join(sizes.withColumnsRenamed({"doc_id": "doc_b", "sz": "size_b"}), "doc_b")
         .withColumn(
             "jaccard",
             F.round(
@@ -228,10 +251,19 @@ def verified_near_duplicates(
     then measure the *discriminative* shingle overlap.
     Returns (doc_a, doc_b, inter, size_a, size_b, jaccard).
     """
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
-    cands = lsh_candidate_pairs(sigs, band_size)
+    # The shingle frame (documents scan + shingling + md5 — the dominant
+    # cost) has four consumers here: signatures, sizes, and both sides of
+    # the intersection join. Persist it so the corpus is scanned ONCE.
+    # At true 100 TB scale, swap the persist for a checkpoint to a parquet
+    # staging table; the plan shape is identical.
+    base_sh = word_shingles(df, id_col, text_col, shingle_n).persist()
+    sigs = signatures_from_shingles(base_sh, num_hashes)
+    # dedupe=False: candidate pairs may repeat (one per matching band);
+    # count_distinct below collapses them, saving a full exchange of the
+    # pair stream that a pre-distinct would cost.
+    cands = lsh_candidate_pairs(sigs, band_size, dedupe=False)
 
-    sh = word_shingles(df, id_col, text_col, shingle_n)
+    sh = base_sh
     if max_df is not None:
         frequent = (
             sh.groupBy("shingle")
@@ -244,12 +276,15 @@ def verified_near_duplicates(
 
     # intersection size: attach doc_a's shingles, then equi-join the
     # b-side on the COMPOSITE key (doc_b, shingle) — one hash join row
-    # per common shingle, never a per-pair shingle cartesian
+    # per common shingle, never a per-pair shingle cartesian.
+    # count_distinct (not count) because candidate pairs arrive once per
+    # matching band: it dedupes (doc_a, doc_b, shingle) inside the
+    # aggregation that already owns the (doc_a, doc_b) shuffle.
     inter = (
         cands.join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
         .join(sh.withColumnRenamed("doc_id", "doc_b"), ["doc_b", "shingle"])
         .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+        .agg(F.count_distinct(F.col("shingle")).alias("inter"))
     )
     return (
         inter.join(

@@ -23,6 +23,8 @@ doubles match bitwise; results are rounded once at the end anyway.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -165,39 +167,61 @@ def ivf_topk(
     centroids: (cell_id, centroid array). Corpus vectors are assigned to
     their single nearest cell; each query probes its n_probe nearest
     cells; candidates = equi-join on cell_id; exact cosine + window
-    top-k on the candidates only. Centroids are broadcast twice (tiny);
-    the heavy side shuffles once on cell_id.
+    top-k on the candidates only.
+
+    Cell assignment is a NARROW projection: the centroid matrix (small by
+    definition — K cells) is collected once and closed over by an
+    Arrow-batched pandas UDF that computes a per-batch matrix argmax
+    (batch × K matmul on unit-normalized centroids). No crossJoin, no
+    window, no exchange on the corpus side before the cell-id join — at
+    10^9 vectors × 1024 centroids the former crossJoin+window shape was a
+    10^12-row sort; this is a pure map. The only corpus shuffle left is
+    the cell-id candidate equi-join itself.
     """
-    cent = F.broadcast(
-        centroids.select(
-            F.col("cell_id"), F.col("centroid")
-        )
+    cent_rows = sorted(
+        centroids.select("cell_id", "centroid").collect(), key=lambda r: r.cell_id
     )
+    cell_ids = np.asarray([r.cell_id for r in cent_rows], dtype=np.int64)
+    mat = np.asarray([list(r.centroid) for r in cent_rows], dtype=np.float64)
+    # cosine ranking is invariant to the vector's own norm; normalizing the
+    # centroids makes the matmul directly comparable across cells
+    unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
 
-    def nearest_cells(df: DataFrame, side_id: str, side_vec: str, n: int) -> DataFrame:
-        scored = df.crossJoin(cent).withColumn(
-            "_d", cosine(F.col(side_vec), F.col("centroid"))
-        )
-        w = Window.partitionBy(side_id).orderBy(
-            F.col("_d").desc(), F.col("cell_id").asc()
-        )
-        return (
-            scored.withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") <= n)
-            .drop("_d", "_rn", "centroid")
-        )
+    def _sims(vec_series: pd.Series) -> np.ndarray:
+        v = np.asarray(list(vec_series), dtype=np.float64)  # (batch, dim)
+        return v @ unit.T  # (batch, K)
 
-    c = nearest_cells(
-        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")),
-        "neighbor_id",
-        "cvec",
-        1,
+    # mapInPandas (not a scalar pandas_udf in a projection) on purpose:
+    # Catalyst infers IsNotNull(cell_id) from the downstream equi-join and
+    # rewrites it through a projection, cloning the UDF into a second
+    # ArrowEvalPython stage (2x the assignment cost). mapInPandas is
+    # opaque to predicate rewriting, so assignment runs exactly once —
+    # under any session config.
+    def assign_corpus(batches):
+        for pdf in batches:
+            out = pdf.rename(columns={id_col: "neighbor_id", vec_col: "cvec"})
+            # argmax takes the first max -> lowest cell_id wins exact ties
+            out["cell_id"] = cell_ids[np.argmax(_sims(out["cvec"]), axis=1)]
+            yield out
+
+    def probe_queries(batches):
+        for pdf in batches:
+            # stable argsort on -sims: ties keep ascending cell_id order
+            order = np.argsort(-_sims(pdf[vec_col]), axis=1, kind="stable")[
+                :, :n_probe
+            ]
+            out = pdf.loc[pdf.index.repeat(order.shape[1])].reset_index(drop=True)
+            out = out.rename(columns={id_col: "query_id", vec_col: "qvec"})
+            out["cell_id"] = cell_ids[order].ravel()
+            yield out
+
+    vec_type = dict(zip(corpus.columns, [f.dataType.simpleString() for f in corpus.schema]))[vec_col]
+    id_type = dict(zip(corpus.columns, [f.dataType.simpleString() for f in corpus.schema]))[id_col]
+    c = corpus.select(id_col, vec_col).mapInPandas(
+        assign_corpus, f"neighbor_id {id_type}, cvec {vec_type}, cell_id long"
     )
-    q = nearest_cells(
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")),
-        "query_id",
-        "qvec",
-        n_probe,
+    q = queries.select(id_col, vec_col).mapInPandas(
+        probe_queries, f"query_id {id_type}, qvec {vec_type}, cell_id long"
     )
     scored = (
         c.join(q, ["cell_id"])

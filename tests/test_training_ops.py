@@ -232,6 +232,27 @@ class TestEmbeddings:
         # tight clusters + probe of the right cell -> perfect recall here
         assert a == e
 
+    def test_ivf_corpus_side_is_narrow(self, spark):
+        """Plan-shape guard: cell assignment must be a narrow projection —
+        no crossJoin and no Window/Exchange on the corpus side before the
+        cell-id join. The only Window is the final per-query top-k."""
+        corpus = spark.createDataFrame(
+            [(i, [float(i), 1.0]) for i in range(10)],
+            "vec_id long, embedding array<float>",
+        )
+        centroids = spark.createDataFrame(
+            [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "cell_id long, centroid array<float>"
+        )
+        out = emb.ivf_topk(corpus, corpus.where("vec_id < 2"), centroids, k=2,
+                           n_probe=2)
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        assert "Join Cross" not in plan and "CartesianProduct" not in plan
+        assert plan.count("Window [") == 1
+        # one MapInPandas per side, and no cloned ArrowEvalPython stages
+        # (the inferred join-key IsNotNull used to duplicate the UDF)
+        assert plan.count("MapInPandas") == 2
+        assert "ArrowEvalPython" not in plan
+
 
 # ---------------------------------------------------------------------------
 # knn
