@@ -5,8 +5,17 @@ projections its raster fixtures need directly in numpy, from the published
 formulas:
 
 * Transverse Mercator via the Krüger series to order n^6 (Karney 2011,
-  "Transverse Mercator with an accuracy of a few nanometers") — covers all
-  UTM zones (EPSG 326xx / 327xx) at sub-millimeter accuracy.
+  "Transverse Mercator with an accuracy of a few nanometers"), including a
+  non-equatorial natural origin — covers all UTM zones (WGS84 326xx/327xx,
+  ETRS89 258xx, NAD83 269xx, GDA94/MGA 283xx) plus named national grids
+  (2193 NZTM2000, 27700 British National Grid) at sub-millimeter accuracy
+  (pinned by the OS worked example in tests/test_crs_inverse.py).
+* 7-parameter Helmert datum shifts where the grid's datum is not
+  WGS84-coincident (OSGB36) — the same small-Helmert fallback PROJ uses
+  without NTv2 grid files.
+* Geographic CRSs with WGS84-coincident modern realizations (4258 ETRS89,
+  4269 NAD83, 4171 RGF93, 4283 GDA94, ...) as identity; 4267 NAD27 is
+  accepted with the same documented approximation grid-less PROJ makes.
 * Lambert Azimuthal Equal Area, ellipsoidal form (EPSG method 9820 /
   Snyder 1987 §24) — covers EPSG:3035 (ETRS89-extended / LAEA Europe).
 * Web/spherical Mercator (EPSG:3857).
@@ -31,6 +40,7 @@ WGS84_LATLON_EPSG = 4326
 # Semi-major axis and inverse flattening.
 _WGS84 = (6378137.0, 298.257223563)
 _GRS80 = (6378137.0, 298.257222101)
+_AIRY1830 = (6377563.396, 299.3249646)
 
 _TRANSFORMER_CACHE: dict[str, "Transformer"] = {}
 
@@ -68,7 +78,8 @@ def _kruger_beta(n: float) -> np.ndarray:
 
 
 class TransverseMercator:
-    def __init__(self, a, inv_f, lon0_deg, k0, false_easting, false_northing):
+    def __init__(self, a, inv_f, lon0_deg, k0, false_easting, false_northing,
+                 lat0_deg=0.0):
         f = 1.0 / inv_f
         self.e2 = f * (2 - f)
         self.e = math.sqrt(self.e2)
@@ -80,6 +91,22 @@ class TransverseMercator:
         self.k0 = k0
         self.fe = false_easting
         self.fn = false_northing
+        # non-equatorial natural origin (e.g. OSGB lat0=49): northings are
+        # measured from lat0's meridian arc; fold k0*M(lat0) into the
+        # northing offset using the same Krüger series at (lat0, lon0)
+        if lat0_deg:
+            s0 = math.sin(math.radians(lat0_deg))
+            t0 = math.sinh(
+                math.atanh(s0) - self.e * math.atanh(self.e * s0)
+            )
+            xi_p0 = math.atan(t0)
+            xi0 = xi_p0 + float(
+                sum(a_j * math.sin(2 * j * xi_p0)
+                    for j, a_j in enumerate(self.alpha, start=1))
+            )
+            self.m0 = self.A * xi0
+        else:
+            self.m0 = 0.0
 
     def forward(self, lons, lats):
         lats = np.asarray(lats, dtype=np.float64)
@@ -102,13 +129,13 @@ class TransverseMercator:
             eta += a_j * np.cos(2 * j * xi_p) * np.sinh(2 * j * eta_p)
 
         x = self.fe + self.k0 * self.A * eta
-        y = self.fn + self.k0 * self.A * xi
+        y = self.fn - self.k0 * self.m0 + self.k0 * self.A * xi
         return x, y
 
     def inverse(self, xs, ys):
         xs = np.asarray(xs, dtype=np.float64)
         ys = np.asarray(ys, dtype=np.float64)
-        xi = (ys - self.fn) / (self.k0 * self.A)
+        xi = (ys - self.fn + self.k0 * self.m0) / (self.k0 * self.A)
         eta = (xs - self.fe) / (self.k0 * self.A)
 
         xi_p = xi.copy()
@@ -238,6 +265,85 @@ class Identity:
         return np.asarray(xs, dtype=np.float64), np.asarray(ys, dtype=np.float64)
 
 
+def _geodetic_to_ecef(a, e2, lons_deg, lats_deg):
+    phi = np.radians(np.asarray(lats_deg, dtype=np.float64))
+    lam = np.radians(np.asarray(lons_deg, dtype=np.float64))
+    sphi = np.sin(phi)
+    N = a / np.sqrt(1 - e2 * sphi**2)
+    cphi = np.cos(phi)
+    return N * cphi * np.cos(lam), N * cphi * np.sin(lam), N * (1 - e2) * sphi
+
+
+def _ecef_to_geodetic(a, e2, X, Y, Z):
+    lam = np.arctan2(Y, X)
+    p = np.hypot(X, Y)
+    phi = np.arctan2(Z, p * (1 - e2))
+    for _ in range(6):
+        sphi = np.sin(phi)
+        N = a / np.sqrt(1 - e2 * sphi**2)
+        h = p / np.cos(phi) - N
+        phi = np.arctan2(Z, p * (1 - e2 * N / (N + h)))
+    return np.degrees(lam), np.degrees(phi)
+
+
+class HelmertDatum:
+    """7-parameter position-vector transform WGS84 -> target datum,
+    applied on the ellipsoid surface (h=0; sub-mm effect for DEM use).
+    Params: translations (m), rotations (arc-seconds), scale (ppm) —
+    the published WGS84->target convention (e.g. OS's OSGB36 set, ~3.5 m
+    accuracy, which is what PROJ uses absent NTv2 grids too)."""
+
+    def __init__(self, a, inv_f, tx, ty, tz, rx_as, ry_as, rz_as, s_ppm):
+        f = 1.0 / inv_f
+        self.a = a
+        self.e2 = f * (2 - f)
+        self.t = (tx, ty, tz)
+        as_rad = math.pi / (180.0 * 3600.0)
+        self.r = (rx_as * as_rad, ry_as * as_rad, rz_as * as_rad)
+        self.s = s_ppm * 1e-6
+
+    def _helmert(self, X, Y, Z, sign):
+        tx, ty, tz = (sign * v for v in self.t)
+        rx, ry, rz = (sign * v for v in self.r)
+        s = 1.0 + sign * self.s
+        X2 = tx + s * (X - rz * Y + ry * Z)
+        Y2 = ty + s * (rz * X + Y - rx * Z)
+        Z2 = tz + s * (-ry * X + rx * Y + Z)
+        return X2, Y2, Z2
+
+    def from_wgs84(self, lons, lats):
+        X, Y, Z = _geodetic_to_ecef(_WGS84[0], _e2(_WGS84), lons, lats)
+        return _ecef_to_geodetic(self.a, self.e2, *self._helmert(X, Y, Z, +1.0))
+
+    def to_wgs84(self, lons, lats):
+        X, Y, Z = _geodetic_to_ecef(self.a, self.e2, lons, lats)
+        return _ecef_to_geodetic(
+            _WGS84[0], _e2(_WGS84), *self._helmert(X, Y, Z, -1.0)
+        )
+
+
+def _e2(ellipsoid):
+    f = 1.0 / ellipsoid[1]
+    return f * (2 - f)
+
+
+class DatumShifted:
+    """Projection composed with a datum shift on its geographic side, so
+    the public contract stays WGS84 in / WGS84 out."""
+
+    def __init__(self, proj, datum: HelmertDatum):
+        self._proj = proj
+        self._datum = datum
+
+    def forward(self, lons, lats):
+        lons2, lats2 = self._datum.from_wgs84(lons, lats)
+        return self._proj.forward(lons2, lats2)
+
+    def inverse(self, xs, ys):
+        lons2, lats2 = self._proj.inverse(xs, ys)
+        return self._datum.to_wgs84(lons2, lats2)
+
+
 class Transformer:
     """lon/lat (WGS84, always_xy order) -> projected x/y."""
 
@@ -252,8 +358,34 @@ class Transformer:
         return self._proj
 
 
+# Geographic CRSs that are WGS84-coincident for DEM purposes (the modern
+# realizations agree with WGS84 at the decimeter-to-2m level — far below a
+# DEM pixel): ETRS89, NAD83 (+CSRS/2007), RGF93, GDA94, SIRGAS2000, NAD27.
+# NAD27 genuinely differs by tens of meters; resolving that needs NADCON
+# grid files even in PROJ, so like grid-less PROJ we accept the identity
+# approximation and document it.
+_GEOGRAPHIC_IDENTITY_EPSGS = frozenset(
+    {4258, 4269, 4267, 4171, 4283, 4617, 4759, 4674, 4326}
+)
+
+# WGS84 -> OSGB36 position-vector Helmert (the published OS small-Helmert
+# set, ~3.5 m; identical to PROJ's towgs84 fallback for EPSG:27700).
+_OSGB36_DATUM = ("airy_osgb36", -446.448, 125.157, -542.060,
+                 -0.1502, -0.2470, -0.8421, 20.4894)
+
+# Named national grids, all Transverse Mercator instances the Krüger code
+# handles: (ellipsoid, lat0, lon0, k0, false_easting, false_northing, datum)
+_NAMED_TM_EPSGS: dict[int, tuple] = {
+    # NZGD2000 / New Zealand Transverse Mercator 2000 (NZGD2000 ~ WGS84)
+    2193: (_GRS80, 0.0, 173.0, 0.9996, 1600000.0, 10000000.0, None),
+    # OSGB36 / British National Grid
+    27700: (_AIRY1830, 49.0, -2.0, 0.9996012717, 400000.0, -100000.0,
+            _OSGB36_DATUM),
+}
+
+
 def _projection_for_epsg(epsg: int):
-    if epsg == WGS84_LATLON_EPSG:
+    if epsg in _GEOGRAPHIC_IDENTITY_EPSGS:
         return Identity()
     if 32601 <= epsg <= 32660:  # UTM north, WGS84
         zone = epsg - 32600
@@ -263,6 +395,27 @@ def _projection_for_epsg(epsg: int):
         zone = epsg - 32700
         return TransverseMercator(*_WGS84, lon0_deg=zone * 6 - 183, k0=0.9996,
                                   false_easting=500000.0, false_northing=10000000.0)
+    if 25828 <= epsg <= 25838:  # ETRS89 / UTM zones 28N-38N (ETRS89 ~ WGS84)
+        zone = epsg - 25800
+        return TransverseMercator(*_GRS80, lon0_deg=zone * 6 - 183, k0=0.9996,
+                                  false_easting=500000.0, false_northing=0.0)
+    if 26901 <= epsg <= 26923:  # NAD83 / UTM zones 1N-23N (NAD83 ~ WGS84)
+        zone = epsg - 26900
+        return TransverseMercator(*_GRS80, lon0_deg=zone * 6 - 183, k0=0.9996,
+                                  false_easting=500000.0, false_northing=0.0)
+    if 28348 <= epsg <= 28358:  # GDA94 / MGA zones 48-58 (south)
+        zone = epsg - 28300
+        return TransverseMercator(*_GRS80, lon0_deg=zone * 6 - 183, k0=0.9996,
+                                  false_easting=500000.0,
+                                  false_northing=10000000.0)
+    if epsg in _NAMED_TM_EPSGS:
+        ell, lat0, lon0, k0, fe, fn, datum = _NAMED_TM_EPSGS[epsg]
+        proj = TransverseMercator(*ell, lat0_deg=lat0, lon0_deg=lon0, k0=k0,
+                                  false_easting=fe, false_northing=fn)
+        if datum is not None:
+            _, tx, ty, tz, rx, ry, rz, s = datum
+            proj = DatumShifted(proj, HelmertDatum(*ell, tx, ty, tz, rx, ry, rz, s))
+        return proj
     if epsg == 3035:  # ETRS89-extended / LAEA Europe
         return LambertAzimuthalEqualArea(*_GRS80, lat0_deg=52.0, lon0_deg=10.0,
                                          false_easting=4321000.0,
