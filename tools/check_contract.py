@@ -50,6 +50,8 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    # precomputed single-process oracles must read the same sf tables
+    os.environ["OTDS_ORACLE_SF_DIR"] = sf_dir
 
     import __spark_entry__ as entrymod
     from opentopodata_spark.session import get_spark
