@@ -80,25 +80,18 @@ def points_in_polygon_mask(lats, lons, poly_lats, poly_lons) -> np.ndarray:
 
 
 def polygon_cover_cells(poly_lats, poly_lons, level: int) -> np.ndarray:
-    """Covering S2 cell set for a polygon: all cells of a dense grid over
-    the polygon's bbox expanded by 2 cell steps. A bbox cover is a strict
-    SUPERSET of a true interior cover — correct by construction (the
-    exact refinement drops false candidates); a tight interior cover is
-    the optimization knob for very concave shapes."""
+    """Covering S2 cell set for a polygon's bbox via the recursive region
+    coverer (s2.region_cover_cells): a guaranteed SUPERSET of every cell
+    that contains a bbox point (the exact PIP refinement drops false
+    candidates), with memory O(|cover|) — no dense point grid, so a
+    continent-sized polygon at level 12 is fine. A bbox cover is itself a
+    superset of a true interior cover; a tight interior cover is the
+    optimization knob for very concave shapes."""
     la = np.asarray(poly_lats, dtype=np.float64)
     lo = np.asarray(poly_lons, dtype=np.float64)
-    step = 90.0 / float(1 << level)
-    lat0, lat1 = la.min() - 2 * step, la.max() + 2 * step
-    lon0, lon1 = lo.min() - 2 * step, lo.max() + 2 * step
-    gl = np.arange(lat0, lat1 + step, step / 3.0)
-    gn = np.arange(lon0, lon1 + step, step / 3.0)
-    glat, glon = np.meshgrid(gl, gn, indexing="ij")
-    cells = s2.cell_ids(
-        np.clip(glat.ravel(), -89.9999999, 89.9999999),
-        ((glon.ravel() + 180.0) % 360.0) - 180.0,
-        level,
+    return s2.region_cover_cells(
+        float(la.min()), float(la.max()), float(lo.min()), float(lo.max()), level
     )
-    return np.unique(cells)
 
 
 def point_in_polygon_join(

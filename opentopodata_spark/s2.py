@@ -223,6 +223,180 @@ def token(ids) -> list[str]:
     return out
 
 
+# ---------------------------------------------------------------------------
+# inverse geometry (cell -> lat/lon) + hierarchical region coverer
+# ---------------------------------------------------------------------------
+
+def _uv_from_st(s):
+    """Inverse of the quadratic _st_from_uv."""
+    s = np.asarray(s, dtype=np.float64)
+    return np.where(
+        s >= 0.5, (4.0 * s * s - 1.0) / 3.0, (1.0 - 4.0 * (1.0 - s) ** 2) / 3.0
+    )
+
+
+def _xyz_from_face_uv(face, u, v):
+    """Standard S2 face->xyz table (consistent with _face_uv above)."""
+    one = np.ones_like(u)
+    xs = [one, -u, -u, -one, v, v]
+    ys = [u, one, -v, -v, -one, u]
+    zs = [v, v, one, -u, -u, -one]
+    x = np.empty_like(u)
+    y = np.empty_like(u)
+    z = np.empty_like(u)
+    for f in range(6):
+        m = face == f
+        if m.any():
+            x[m], y[m], z[m] = xs[f][m], ys[f][m], zs[f][m]
+    return x, y, z
+
+
+def _latlon_from_face_uv(face, u, v):
+    x, y, z = _xyz_from_face_uv(face, u, v)
+    lat = np.degrees(np.arctan2(z, np.hypot(x, y)))
+    lon = np.degrees(np.arctan2(y, x))
+    return lat, lon
+
+
+def _cell_id_from_face_ij(face, i, j, level: int) -> np.ndarray:
+    pos = _pos_from_ij(face.astype(np.uint64), i.astype(np.uint64), j.astype(np.uint64))
+    leaf = (face.astype(np.uint64) << np.uint64(_POS_BITS)) | (
+        pos << np.uint64(1)
+    ) | np.uint64(1)
+    return parent(leaf, level)
+
+
+def region_cover_cells(lat_lo, lat_hi, lon_lo, lon_hi, level: int) -> np.ndarray:
+    """All level-``level`` cell ids whose cells may intersect the lat/lon
+    rectangle — a guaranteed SUPERSET cover, built by recursive subdivision
+    from the 6 face cells (the classic S2 region-coverer shape, vectorized
+    over the whole frontier per level; no dense point grid, so memory is
+    O(|cover|), not O((extent/cell)^2)).
+
+    Cell bounds are estimated from a 3x3 (s,t) sample grid and expanded by
+    the largest adjacent-sample separation — strictly conservative, so a
+    cell containing any rectangle point is never dropped. The rectangle is
+    assumed non-antimeridian-wrapping (lon_lo <= lon_hi).
+    """
+    if not 0 <= level <= MAX_LEVEL:
+        raise ValueError(f"level must be in [0, {MAX_LEVEL}]")
+    faces = np.arange(6, dtype=np.uint64)
+    ii = np.zeros(6, dtype=np.uint64)
+    jj = np.zeros(6, dtype=np.uint64)
+    fr = (np.pi / 180.0)
+    # subtree roots proven fully inside the rectangle: expanded to the
+    # target level arithmetically (no further geometry tests) — keeps the
+    # per-level frontier O(perimeter) instead of O(area)
+    inside_roots: list[tuple[np.ndarray, np.ndarray, np.ndarray, int]] = []
+
+    for lvl in range(level + 1):
+        size = np.uint64(1) << np.uint64(MAX_LEVEL - lvl)  # leaf units per cell
+        # 3x3 sample grid in (s, t) per frontier cell
+        offs = np.array([0.0, 0.5, 1.0])
+        s = (ii[:, None].astype(np.float64) + offs[None, :] * float(size)) / float(
+            1 << MAX_LEVEL
+        )  # (N, 3)
+        t = (jj[:, None].astype(np.float64) + offs[None, :] * float(size)) / float(
+            1 << MAX_LEVEL
+        )
+        u = _uv_from_st(s)[:, :, None] * np.ones((1, 1, 3))  # (N,3,3)
+        v = _uv_from_st(t)[:, None, :] * np.ones((1, 3, 1))
+        f3 = faces[:, None, None] * np.ones((1, 3, 3), dtype=np.uint64)
+        lat, lon = _latlon_from_face_uv(
+            f3.reshape(-1), u.reshape(-1), v.reshape(-1)
+        )
+        lat = lat.reshape(-1, 3, 3)
+        lon = lon.reshape(-1, 3, 3)
+
+        # conservative margin: the largest angular separation between
+        # adjacent samples (chord in lat / lon*cos(lat) space)
+        coslat = np.cos(np.abs(lat) * fr)
+
+        def _circ(d):
+            d = np.abs(d)
+            return np.minimum(d, 360.0 - d)
+
+        dh = np.hypot(
+            np.diff(lat, axis=1),
+            _circ(np.diff(lon, axis=1))
+            * np.minimum(coslat[:, :-1, :], coslat[:, 1:, :]),
+        ).max(axis=(1, 2))
+        dv = np.hypot(
+            np.diff(lat, axis=2),
+            _circ(np.diff(lon, axis=2))
+            * np.minimum(coslat[:, :, :-1], coslat[:, :, 1:]),
+        ).max(axis=(1, 2))
+        margin = np.maximum(dh, dv)
+
+        cl_lo = lat.min(axis=(1, 2)) - margin
+        cl_hi = lat.max(axis=(1, 2)) + margin
+
+        # minimal circular lon interval containing the samples: sort and
+        # take the complement of the largest gap
+        lo_sorted = np.sort(lon.reshape(len(ii), 9), axis=1)
+        gaps = np.diff(lo_sorted, axis=1)
+        wrap_gap = (lo_sorted[:, 0] + 360.0) - lo_sorted[:, -1]
+        all_gaps = np.concatenate([gaps, wrap_gap[:, None]], axis=1)
+        gmax = np.argmax(all_gaps, axis=1)
+        width = 360.0 - all_gaps[np.arange(len(ii)), gmax]
+        # interval start = the sample after the largest gap
+        start = lo_sorted[np.arange(len(ii)), (gmax + 1) % 9]
+        min_cos = np.maximum(
+            np.cos(np.minimum(np.maximum(np.abs(cl_lo), np.abs(cl_hi)), 90.0) * fr),
+            1e-9,
+        )
+        lon_margin = np.minimum(margin / min_cos, 360.0)
+        full_lon = (width + 2 * lon_margin >= 360.0) | (cl_hi >= 90.0 - 1e-9) | (
+            cl_lo <= -90.0 + 1e-9
+        )
+        co_lo = start - lon_margin
+        co_hi = start + width + lon_margin
+
+        lat_ok = (cl_hi >= lat_lo) & (cl_lo <= lat_hi)
+        # circular interval [co_lo, co_hi] vs [lon_lo, lon_hi]: shift the
+        # query into the interval's frame
+        q_lo = (lon_lo - co_lo) % 360.0
+        q_hi = q_lo + (lon_hi - lon_lo)
+        span = co_hi - co_lo
+        lon_ok = full_lon | (q_lo <= span) | (q_hi >= 360.0)
+        keep = lat_ok & lon_ok
+
+        # full containment (conservative bounds inside the query): the
+        # whole subtree intersects — no more geometry tests needed
+        shift = (co_lo - lon_lo) % 360.0
+        lon_in = ~full_lon & (shift + span <= (lon_hi - lon_lo) + 1e-12)
+        inside = keep & (cl_lo >= lat_lo) & (cl_hi <= lat_hi) & lon_in
+        if lvl < level and inside.any():
+            inside_roots.append((faces[inside], ii[inside], jj[inside], lvl))
+            keep = keep & ~inside
+
+        faces, ii, jj = faces[keep], ii[keep], jj[keep]
+        if lvl == level or len(faces) == 0:
+            break
+        # subdivide into 4 children
+        half = np.uint64(1) << np.uint64(MAX_LEVEL - lvl - 1)
+        di = np.array([0, 1, 0, 1], dtype=np.uint64) * half
+        dj = np.array([0, 0, 1, 1], dtype=np.uint64) * half
+        faces = np.repeat(faces, 4)
+        ii = (np.repeat(ii, 4).reshape(-1, 4) + di).reshape(-1)
+        jj = (np.repeat(jj, 4).reshape(-1, 4) + dj).reshape(-1)
+
+    parts = []
+    if len(faces):
+        parts.append(_cell_id_from_face_ij(faces, ii, jj, level))
+    for rf, ri, rj, rlvl in inside_roots:
+        n = 1 << (level - rlvl)  # children per axis at the target level
+        leaf = np.uint64(1) << np.uint64(MAX_LEVEL - level)
+        off = np.arange(n, dtype=np.uint64) * leaf
+        ef = np.repeat(rf, n * n)
+        ei = (ri[:, None, None] + off[None, :, None] + np.uint64(0) * off[None, None, :]).reshape(-1)
+        ej = (rj[:, None, None] + np.uint64(0) * off[None, :, None] + off[None, None, :]).reshape(-1)
+        parts.append(_cell_id_from_face_ij(ef, ei, ej, level))
+    if not parts:
+        return np.empty(0, dtype=np.uint64)
+    return np.unique(np.concatenate(parts))
+
+
 def neighbor_seeds(lats, lons, level: int) -> np.ndarray:
     """Cell ids of the 3x3 ring around each point, BY SAMPLING offset
     points one cell-diagonal away (join-cover expansion for kNN / PIP

@@ -77,6 +77,45 @@ def test_cover_cells_superset():
     assert set(inside_cells.tolist()) <= cover
 
 
+def test_region_cover_superset_hard_regions():
+    """The recursive coverer never drops a cell containing a region point —
+    including pole caps, antimeridian-adjacent strips, and face corners."""
+    rng = np.random.default_rng(21)
+    for (lat0, lat1, lon0, lon1, lvl) in [
+        (85.0, 90.0, -180.0, 180.0, 7),    # north pole cap
+        (-90.0, -80.0, -10.0, 10.0, 7),    # south pole wedge
+        (10.0, 20.0, 170.0, 179.9, 8),     # near the antimeridian
+        (40.0, 50.0, 40.0, 50.0, 9),       # face-corner region (45,45)
+        (0.0, 0.02, 0.0, 0.02, 14),        # tiny region, fine level
+    ]:
+        cover = set(s2.region_cover_cells(lat0, lat1, lon0, lon1, lvl).tolist())
+        lats = rng.uniform(lat0, lat1, 10000)
+        lons = rng.uniform(lon0, lon1, 10000)
+        missing = set(np.unique(s2.cell_ids(lats, lons, lvl)).tolist()) - cover
+        assert not missing, (lat0, lat1, lon0, lon1, lvl, len(missing))
+
+
+def test_continent_cover_level12_no_blowup():
+    """Continent-sized polygon at level 12: the old dense-grid cover built
+    an O((extent/cell)^2) point meshgrid (tens of GB); the recursive
+    coverer is O(|cover|) and runs in seconds."""
+    import time
+
+    pla = [35.0, 70.0, 70.0, 35.0]
+    plo = [-10.0, -10.0, 40.0, 40.0]
+    t0 = time.time()
+    cover = spatial.polygon_cover_cells(pla, plo, 12)
+    assert time.time() - t0 < 30.0
+    assert 1_000_000 < len(cover) < 8_000_000
+    assert cover.nbytes < 100 * 2**20
+    # spot-check the superset property on the big cover
+    rng = np.random.default_rng(3)
+    lats = rng.uniform(35, 70, 5000)
+    lons = rng.uniform(-10, 40, 5000)
+    cs = set(cover.tolist())
+    assert all(int(c) in cs for c in s2.cell_ids(lats, lons, 12))
+
+
 def test_pip_join_spark(spark):
     pla = [0.0, 4.0, 4.0, 2.0, 2.0, 0.0]
     plo = [0.0, 0.0, 2.0, 2.0, 4.0, 4.0]
