@@ -69,18 +69,16 @@ _POINT_SCHEMA = ArrayType(
 @F.pandas_udf(_POINT_SCHEMA)
 def _decode_polyline_udf(texts: pd.Series) -> pd.Series:
     """P2: Google polyline -> point structs. Null in, null out (the
-    caller masks non-polyline rows to null, so this is a fast skip)."""
+    caller masks non-polyline rows to null, so this is a fast skip).
+    The whole Arrow batch decodes in one vectorized numpy pass
+    (polyline_codec.decode_batch) — no per-string varint loop."""
+    stripped = [
+        None if t is None else (t[4:] if t.startswith("enc:") else t)
+        for t in texts
+    ]
+    decoded = polyline_codec.decode_batch(stripped)
     out = []
-    for t in texts:
-        if t is None:
-            out.append(None)
-            continue
-        s = t[4:] if t.startswith("enc:") else t
-        try:
-            pts = polyline_codec.decode(s)
-        except Exception:
-            out.append(None)
-            continue
+    for pts in decoded:
         if not pts or not all(
             LAT_MIN <= la <= LAT_MAX and LON_MIN <= lo <= LON_MAX for la, lo in pts
         ):
