@@ -626,6 +626,61 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_streaming_rollup(spark, sf_dir):
+    """Structured Streaming twin of events_rollup: the events table is
+    consumed via readStream with a 10-minute watermark and hourly windows
+    in APPEND mode (windows emit once the watermark passes their end) —
+    the availableNow drain flushes state, so the emitted set is exactly
+    the windows with window_end <= max(ts) - 10 min. Deterministic, and
+    the oracle below reproduces it in plain SQL."""
+    import shutil
+    import tempfile
+
+    from opentopodata_spark import streaming as stx
+
+    work = tempfile.mkdtemp(prefix="otds_stream_q_")
+    try:
+        ev = _t(spark, sf_dir, "events")
+        ev.coalesce(1).write.mode("overwrite").parquet(f"{work}/in")
+        rollup = stx.events_rollup_stream(
+            spark, f"{work}/in", watermark="10 minutes", window="1 hour"
+        )
+        q = (
+            rollup.writeStream.outputMode("append")
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True)
+            .start(path=f"{work}/out", format="parquet")
+        )
+        q.awaitTermination()
+        res = spark.read.parquet(f"{work}/out")
+        out = res.select(
+            F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n_events",
+            F.round(F.col("sum_value").cast("double"), 6).alias("sum_value"),
+        )
+        out = out.cache()
+        out.count()  # materialize before the temp dir goes away
+        return out
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+_Q_STREAMING_ROLLUP_SQL = """
+WITH mx AS (SELECT max(ts) AS m FROM events)
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       count(*) AS n_events,
+       round(CAST(sum(value::DECIMAL(28,6)) AS DOUBLE), 6) AS sum_value
+FROM events
+GROUP BY date_trunc('hour', ts), event_type
+HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR
+       <= (SELECT m - INTERVAL 10 MINUTE FROM mx)
+"""
+
+
 def q_sessionize(spark, sf_dir):
     s = ev.sessionize(_t(spark, sf_dir, "events"), gap_minutes=30)
     return s.groupBy("user_id").agg(
@@ -1146,6 +1201,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_lsh_buckets": q_emb_lsh_buckets,
         "embedding_near_dups": q_emb_near_dups,
         "events_rollup": q_events_rollup,
+        "streaming_rollup": q_streaming_rollup,
         "sessionize": q_sessionize,
         "elevation_e2e": q_elevation_e2e,
         "geodesic_paths": q_geodesic_paths,
@@ -1178,6 +1234,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_lsh_buckets": _emb_lsh_sql(),
         "embedding_near_dups": _emb_near_dups_sql(),
         "events_rollup": _Q_EVENTS_SQL,
+        "streaming_rollup": _Q_STREAMING_ROLLUP_SQL,
         "sessionize": _Q_SESSIONIZE_SQL,
         # elevation_e2e / geodesic_paths / multimodal_features / ivf_topk /
         # s2_cells are genuinely non-SQL (rasters, Karney geodesics, binary

@@ -25,7 +25,8 @@ def parse_format(format: str | None) -> str:
     if not format:
         format = DEFAULT_FORMAT
     if format not in {"json", "geojson", "parquet"}:
-        raise ClientError("Format must be 'json' or 'geojson'.")
+        # reference wording (api.py:153-160) + the engine's parquet extension
+        raise ClientError("Format must be 'json' or 'geojson' (or 'parquet').")
     return format
 
 

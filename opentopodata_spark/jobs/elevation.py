@@ -105,20 +105,33 @@ def run(argv: list[str] | None = None) -> dict:
     else:
         resolved = resolver.resolve(good)
 
+    # row count via an Observation on the write itself — no second scan
+    from pyspark.sql import Observation
+
+    obs = Observation()
     if out_format == "parquet":
-        out_df = resolved
-    elif out_format == "json":
-        out_df = _sinks.json_results(resolved)
+        resolved.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode(
+            "overwrite"
+        ).parquet(f"{ns.out}/results")
     else:
-        out_df = _sinks.geojson_features(resolved)
-    out_df.write.mode("overwrite").parquet(f"{ns.out}/results")
+        # json / geojson are SERIALIZATION formats: write JSON-lines text
+        # (one result/Feature object per line), not JSON-shaped parquet
+        col = "json" if out_format == "json" else "feature"
+        sink = (
+            _sinks.json_results(resolved)
+            if out_format == "json"
+            else _sinks.geojson_features(resolved)
+        )
+        sink.observe(obs, F.count(F.lit(1)).alias("rows")).select(col).write.mode(
+            "overwrite"
+        ).text(f"{ns.out}/results")
 
     if ns.keep_errors:
         points.where(F.col("loc_error").isNotNull()).write.mode(
             "overwrite"
         ).parquet(f"{ns.out}/errors")
 
-    n = spark.read.parquet(f"{ns.out}/results").count()
+    n = obs.get["rows"]
     stats.update(
         {
             "rows": n,

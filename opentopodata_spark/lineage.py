@@ -47,6 +47,35 @@ def bucket_col(point_id_col: str = "point_id", n_buckets: int = 64):
     return F.pmod(F.xxhash64(F.col(point_id_col)), F.lit(n_buckets)).cast("int")
 
 
+def ensure_table_format(spark: SparkSession, table_format: str) -> None:
+    """The table-format seam. 'parquet' is the sandbox implementation;
+    'iceberg' is the production target (the north rule's wording): the
+    same append-only data-partitions + lineage-log pair as two Iceberg
+    tables. Requires the iceberg-spark-runtime jars and a configured
+    catalog — neither obtainable in this offline sandbox, so the seam
+    fails fast with setup instructions instead of a jar-loading
+    stacktrace deep inside a write."""
+    if table_format == "parquet":
+        return
+    if table_format != "iceberg":
+        raise ValueError(f"Unknown table_format '{table_format}'.")
+    java_conf = spark.sparkContext.getConf()
+    catalogs = [
+        k for k, _v in java_conf.getAll()
+        if k.startswith("spark.sql.catalog.") and "iceberg" in str(_v).lower()
+    ]
+    if not catalogs:
+        raise RuntimeError(
+            "table_format='iceberg' needs the iceberg-spark-runtime jar on "
+            "the classpath and an Iceberg catalog configured "
+            "(spark.sql.catalog.<name>=org.apache.iceberg.spark.SparkCatalog"
+            " + warehouse). Neither is available in this sandbox; the "
+            "parquet layout written here is table-for-table identical — "
+            "swap the writes to df.writeTo('<catalog>.<ns>.results')/"
+            "('<catalog>.<ns>.lineage').append() once the catalog exists."
+        )
+
+
 def _checksum():
     return F.sum(
         F.crc32(
@@ -110,6 +139,7 @@ def resumable_resolve(
     n_buckets: int = 64,
     run_id: str = "run-0",
     stage: str = "elevation",
+    table_format: str = "parquet",
 ) -> dict:
     """Resolve elevations with bucket-granular checkpoint/resume.
 
@@ -117,6 +147,7 @@ def resumable_resolve(
     {completed_before, orphans_dropped, processed, output}. Calling it
     again after a crash (or after completion) does only missing work.
     """
+    ensure_table_format(spark, table_format)
     lineage = read_lineage(spark, out_dir)
     done: set[int] = set()
     if lineage is not None:

@@ -110,11 +110,16 @@ def _sample_candidate_arrays(pdf: pd.DataFrame, interpolation: str, meta, paths)
     prio = pdf["priority"].to_numpy(dtype=np.float64)
     tile_id = _assign_tiles(prio, lats, lons, meta)
     order = np.argsort(tile_id, kind="stable")
-    bounds = np.searchsorted(tile_id[order], np.arange(-1, tile_id.max() + 2))
-    for tid in np.unique(tile_id):
+    sorted_tids = tile_id[order]
+    # group boundaries over the PRESENT tile ids only — O(batch log batch),
+    # independent of the total tile-index size (a batch touching 3 tiles
+    # of a 10^6-tile index does 3 slices, not a 10^6-wide searchsorted)
+    uniq, starts = np.unique(sorted_tids, return_index=True)
+    stops = np.append(starts[1:], len(sorted_tids))
+    for tid, lo, hi in zip(uniq, starts, stops):
         if tid < 0:
             continue
-        idx = order[bounds[tid + 1]:bounds[tid + 2]]
+        idx = order[lo:hi]
         raster = _open_cached(paths[int(tid)])
         vals, in_bounds = interpolate.sample_points_on_raster_arrays(
             raster, lats[idx], lons[idx], interpolation

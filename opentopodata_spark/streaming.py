@@ -1,0 +1,128 @@
+"""Structured Streaming ingestion: continuous documents -> elevations.
+
+The reference is strictly request/response (SURVEY.md §2 "Streaming
+operators: None"), so nothing here mirrors reference behavior — this is
+the engine-native continuous-ingest mode a training-data pipeline needs:
+new document files land in a directory (the batch table's streaming twin),
+each micro-batch runs the SAME extraction + resolver plan via
+``foreachBatch``, and the sink is exactly-once per micro-batch through the
+streaming checkpoint (a re-run with no new files writes nothing).
+
+Design notes for scale:
+
+* ``foreachBatch`` (not a continuous streaming plan) because the resolver
+  is a repartition + sortWithinPartitions + mapInPandas pipeline — batch
+  operators. Inside foreachBatch the full Catalyst batch planner applies,
+  so the micro-batch runs the identical single-shuffle plan the batch job
+  runs, including broadcast joins and the pick-sampler.
+* ``maxFilesPerTrigger`` bounds micro-batch size: ingest latency trades
+  against shuffle efficiency explicitly, not implicitly.
+* the events rollup shows the genuinely-streaming path (watermark +
+  windowed aggregation, late data dropped after the watermark) for the
+  engine's events table; it is a standard incremental-state aggregation —
+  state is bounded by (windows in watermark) x (event types).
+
+Exactly-once: the parquet sink + checkpointed batchId gives the standard
+Spark guarantee (idempotent re-run per micro-batch). Tested in
+tests/test_streaming.py including a restart-with-no-new-data run.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators import extract as _extract
+
+__all__ = [
+    "DOCUMENTS_DDL",
+    "stream_documents",
+    "run_elevation_stream",
+    "events_rollup_stream",
+]
+
+DOCUMENTS_DDL = (
+    "doc_id string, spans array<struct<"
+    "kind:string,text:string,media_ref:string,offset:int>>"
+)
+
+EVENTS_DDL = (
+    "event_id long, ts timestamp, user_id long, event_type string,"
+    " value double, props string"
+)
+
+
+def stream_documents(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Streaming scan of a documents directory (parquet files arriving)."""
+    reader = spark.readStream.schema(DOCUMENTS_DDL)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def run_elevation_stream(
+    resolver,
+    documents_stream: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """documents stream -> extraction -> resolver -> parquet, exactly-once.
+
+    Returns the started StreamingQuery; callers ``awaitTermination()``.
+    ``available_now=True`` drains everything currently in the directory
+    then stops (the batch-catchup trigger); False runs continuously.
+    """
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        pts = _extract.with_point_id(_extract.extract_points(batch_df)).where(
+            F.col("loc_error").isNull()
+        )
+        resolved = resolver.resolve(pts, carry=("doc_id", "span_pos", "point_pos"))
+        (
+            resolved.select(
+                "doc_id", "span_pos", "point_pos", "lat", "lon",
+                "elevation", "dataset",
+            )
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    writer = (
+        documents_stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def events_rollup_stream(
+    spark: SparkSession,
+    events_dir: str,
+    watermark: str = "30 minutes",
+    window: str = "1 hour",
+) -> DataFrame:
+    """Streaming windowed rollup over the events table: watermarked
+    event-time windows per event_type. Append-mode compatible (windows
+    emit once finalized by the watermark); state is bounded by the
+    watermark horizon."""
+    ev = spark.readStream.schema(EVENTS_DDL).parquet(events_dir)
+    return (
+        ev.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            # decimal: incremental state-merge order can't perturb the sum
+            F.sum(F.col("value").cast("decimal(28,6)")).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )

@@ -55,8 +55,12 @@ def _wgs84_cover_of_projected_box(
     epsg: int | None = None, wkt: str | None = None,
 ) -> tuple[float, float, float, float] | None:
     """Conservative WGS84 bbox covering a projected rectangle, via dense
-    boundary sampling through the inverse projection. None when the
-    projection has no inverse (caller keeps config bounds)."""
+    boundary sampling PLUS an interior grid through the inverse
+    projection. The interior grid matters for projections where a lat/lon
+    extremum falls inside the box (e.g. an LAEA raster whose extent
+    contains the pole — boundary-only sampling would under-cover and the
+    bounds intersection could wrongly exclude resolvable points). None
+    when the projection has no inverse (caller keeps config bounds)."""
     from . import crs as _crs
 
     import numpy as np
@@ -64,8 +68,9 @@ def _wgs84_cover_of_projected_box(
     try:
         ex = np.linspace(x0, x1, 33)
         ey = np.linspace(y0, y1, 33)
-        xs = np.concatenate([ex, ex, np.full(33, x0), np.full(33, x1)])
-        ys = np.concatenate([np.full(33, y0), np.full(33, y1), ey, ey])
+        gx, gy = np.meshgrid(np.linspace(x0, x1, 17), np.linspace(y0, y1, 17))
+        xs = np.concatenate([ex, ex, np.full(33, x0), np.full(33, x1), gx.ravel()])
+        ys = np.concatenate([np.full(33, y0), np.full(33, y1), ey, ey, gy.ravel()])
         lons, lats = _crs.unproject_xys(xs, ys, epsg=epsg, wkt=wkt)
     except (_crs.CRSError, ValueError, ZeroDivisionError):
         return None
@@ -73,6 +78,14 @@ def _wgs84_cover_of_projected_box(
         return None
     left, right = float(lons.min()), float(lons.max())
     bottom, top = float(lats.min()), float(lats.max())
+    # a pole strictly inside the box defeats any finite sampling: detect it
+    # by latitude saturation and widen to the full polar cap
+    if top > 89.0:
+        top = 90.0
+    if bottom < -89.0:
+        bottom = -90.0
+    if top >= 90.0 or bottom <= -90.0:
+        left, right = -180.0, 180.0
     # pad: residual boundary curvature between samples + epsilon
     pad_lon = 0.005 * (right - left) + 1e-6
     pad_lat = 0.005 * (top - bottom) + 1e-6

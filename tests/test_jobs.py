@@ -138,9 +138,11 @@ def test_elevation_job_geojson_format(tmp_path, raster_root, documents_path, spa
         ]
     )
     assert rc == 0
-    capsys.readouterr()
-    row = spark.read.parquet(f"{out}/results").first()
-    feat = json.loads(row.feature)
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # geojson is a serialization format: results are JSON-lines text
+    lines = spark.read.text(f"{out}/results")
+    assert lines.count() == stats["rows"] > 0
+    feat = json.loads(lines.first().value)
     assert feat["type"] == "Feature"
     assert feat["geometry"]["type"] == "Point"
     assert len(feat["geometry"]["coordinates"]) == 3

@@ -117,3 +117,18 @@ class TestResumableResolve:
                 os.remove(os.path.join(victim, f))
                 break
         assert not lineage.verify_lineage(spark, out)
+
+
+def test_iceberg_seam_fails_fast_without_catalog(spark):
+    """The table-format seam: 'iceberg' without the runtime jars +
+    catalog must fail fast with setup instructions, not a jar-loading
+    stacktrace mid-write."""
+    import pytest as _pytest
+
+    from opentopodata_spark import lineage
+
+    lineage.ensure_table_format(spark, "parquet")  # no-op
+    with _pytest.raises(RuntimeError, match="iceberg-spark-runtime"):
+        lineage.ensure_table_format(spark, "iceberg")
+    with _pytest.raises(ValueError, match="Unknown table_format"):
+        lineage.ensure_table_format(spark, "orc")

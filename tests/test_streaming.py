@@ -1,0 +1,161 @@
+"""Structured Streaming ingestion: incremental correctness + exactly-once.
+
+The streaming path must produce EXACTLY the rows the batch pipeline
+produces for the same files, across micro-batches, and a restart with no
+new files must write nothing (checkpointed exactly-once)."""
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from opentopodata_spark import config, streaming
+from opentopodata_spark.operators import elevation, extract
+
+
+@pytest.fixture()
+def stream_dirs(tmp_path, documents_path, spark):
+    """Split the documents fixture into two 'arriving' file chunks."""
+    docs = spark.read.parquet(documents_path).orderBy("doc_id").collect()
+    half = len(docs) // 2
+    inbox = str(tmp_path / "inbox")
+    os.makedirs(inbox)
+    staging = str(tmp_path / "staging")
+    for name, chunk in (("a", docs[:half]), ("b", docs[half:])):
+        spark.createDataFrame(chunk, streaming.DOCUMENTS_DDL).coalesce(
+            1
+        ).write.parquet(f"{staging}/{name}")
+    return inbox, staging, str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+
+def _arrive(staging, inbox, name):
+    src = next(
+        f for f in os.listdir(f"{staging}/{name}") if f.endswith(".parquet")
+    )
+    shutil.copy(f"{staging}/{name}/{src}", f"{inbox}/{name}.parquet")
+
+
+def _drain(resolver, spark, inbox, out, ckpt):
+    q = streaming.run_elevation_stream(
+        resolver, streaming.stream_documents(spark, inbox), out, ckpt
+    )
+    q.awaitTermination()
+
+
+class TestElevationStream:
+    def test_incremental_matches_batch(self, spark, datasets, stream_dirs):
+        inbox, staging, out, ckpt = stream_dirs
+        ordered = config.resolve_dataset_names("multi_eudem_etopo1", datasets)
+        resolver = elevation.ElevationResolver(spark, ordered, "bilinear")
+
+        _arrive(staging, inbox, "a")
+        _drain(resolver, spark, inbox, out, ckpt)
+        n_after_a = spark.read.parquet(out).count()
+        assert n_after_a > 0
+
+        _arrive(staging, inbox, "b")
+        _drain(resolver, spark, inbox, out, ckpt)
+
+        got = {
+            (r.doc_id, r.span_pos, r.point_pos): (r.elevation, r.dataset)
+            for r in spark.read.parquet(out).collect()
+        }
+        assert len(got) > n_after_a
+
+        # batch reference over the same files
+        pts = extract.with_point_id(
+            extract.extract_points(spark.read.parquet(inbox))
+        ).where(F.col("loc_error").isNull())
+        want = {
+            (r.doc_id, r.span_pos, r.point_pos): (r.elevation, r.dataset)
+            for r in resolver.resolve(
+                pts, carry=("doc_id", "span_pos", "point_pos")
+            ).collect()
+        }
+        assert set(got) == set(want)
+        for k, (e, d) in want.items():
+            ge, gd = got[k]
+            if e is None or (isinstance(e, float) and e != e):
+                assert ge is None or ge != ge
+            else:
+                assert ge == e
+            assert gd == d
+
+    def test_restart_without_new_files_writes_nothing(
+        self, spark, datasets, stream_dirs
+    ):
+        inbox, staging, out, ckpt = stream_dirs
+        ordered = config.resolve_dataset_names("etopo1deg", datasets)
+        resolver = elevation.ElevationResolver(spark, ordered, "bilinear")
+        _arrive(staging, inbox, "a")
+        _drain(resolver, spark, inbox, out, ckpt)
+        n1 = spark.read.parquet(out).count()
+        # exactly-once: second availableNow run sees no new files
+        _drain(resolver, spark, inbox, out, ckpt)
+        assert spark.read.parquet(out).count() == n1
+
+
+class TestEventsRollupStream:
+    def test_watermarked_windows_match_batch(self, spark, tmp_path):
+        inbox = str(tmp_path / "events")
+        os.makedirs(inbox)
+        rows = []
+        base = "2024-01-01 {h:02d}:{m:02d}:00"
+        eid = 0
+        for h in range(4):
+            for m in (5, 25, 45):
+                for et in ("view", "click"):
+                    rows.append(
+                        (eid, base.format(h=h, m=m), eid % 7, et, float(eid), "{}")
+                    )
+                    eid += 1
+        df = spark.createDataFrame(
+            rows, "event_id long, ts_s string, user_id long, event_type string,"
+            " value double, props string"
+        ).withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s").select(
+            "event_id", "ts", "user_id", "event_type", "value", "props"
+        )
+        df.where("hour(ts) < 2").coalesce(1).write.mode("append").parquet(inbox)
+
+        out = str(tmp_path / "ro")
+        ckpt = str(tmp_path / "rc")
+        rollup = streaming.events_rollup_stream(
+            spark, inbox, watermark="10 minutes", window="1 hour"
+        )
+        q = (
+            rollup.writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start(path=out, format="parquet")
+        )
+        q.awaitTermination()
+
+        # second batch advances the watermark past hours 0-1 -> those
+        # windows finalize and emit
+        df.where("hour(ts) >= 2").coalesce(1).write.mode("append").parquet(inbox)
+        q = (
+            streaming.events_rollup_stream(
+                spark, inbox, watermark="10 minutes", window="1 hour"
+            )
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start(path=out, format="parquet")
+        )
+        q.awaitTermination()
+
+        got = {
+            (str(r.window_start), r.event_type): (r.n_events, r.sum_value)
+            for r in spark.read.parquet(out).collect()
+        }
+        # all hour-0..2 windows are finalized by the max event time (03:45)
+        batch = (
+            df.where("hour(ts) < 3")
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+            .collect()
+        )
+        for r in batch:
+            key = (str(r.w.start), r.event_type)
+            assert got[key] == (r.n, r.s), key

@@ -14,8 +14,12 @@ one-time JIT/codegen/worker-pool cost that a long job amortizes to zero.
 
     python tools/bench_scaling.py                  # N=8 vs 4N=32
     SCALING_N_DOCS=400000 python tools/bench_scaling.py
+    SCALING_PINNED=1 SCALING_LEVELS=4,16 python tools/bench_scaling.py
+        # equal-resource protocol: taskset pins the whole process tree
+        # (JVM task threads AND Python UDF workers) to exactly N CPUs
 
-Writes docs/BENCH.md and prints one JSON line.
+Appends to docs/SCALING_RUNS.md and prints one JSON line; the curated
+analysis lives in docs/BENCH.md.
 """
 
 from __future__ import annotations
@@ -30,6 +34,8 @@ sys.path.insert(0, REPO)
 
 N_DOCS = int(os.environ.get("SCALING_N_DOCS", "400000"))
 LEVELS = [int(x) for x in os.environ.get("SCALING_LEVELS", "8,32").split(",")]
+PINNED = os.environ.get("SCALING_PINNED", "") not in ("", "0")
+N_RUNS = int(os.environ.get("SCALING_RUNS", "5"))
 
 _CHILD = r"""
 import json, sys, time
@@ -55,7 +61,7 @@ n = df.count()
 # that a single sample conflates with steady-state throughput
 import statistics
 ts = []
-for _ in range(5):
+for _ in range({n_runs}):
     t0 = time.time()
     df.write.format("noop").mode("overwrite").save()
     ts.append(time.time() - t0)
@@ -67,14 +73,17 @@ print(json.dumps({{"cores": cores, "coords": n, "seconds": round(dt, 3),
 
 
 def measure(cores: int) -> dict:
-    code = _CHILD.format(repo=REPO, cores=cores, n_docs=N_DOCS)
-    out = subprocess.run(
-        [sys.executable, "-c", code], capture_output=True, text=True, cwd=REPO
-    )
+    code = _CHILD.format(repo=REPO, cores=cores, n_docs=N_DOCS, n_runs=N_RUNS)
+    cmd = [sys.executable, "-c", code]
+    if PINNED:
+        cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
+    out = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO)
     if out.returncode != 0:
         sys.stderr.write(out.stderr[-4000:])
         raise SystemExit(f"scaling child at cores={cores} failed")
-    return json.loads(out.stdout.strip().splitlines()[-1])
+    r = json.loads(out.stdout.strip().splitlines()[-1])
+    r["pinned"] = PINNED
+    return r
 
 
 def main() -> None:
@@ -99,6 +108,7 @@ def main() -> None:
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
         "target": 0.8,
+        "pinned": PINNED,
         "input_docs": N_DOCS,
         "levels": results,
         "pairwise_efficiency": pair_eff,
@@ -106,13 +116,14 @@ def main() -> None:
     print(json.dumps(summary))
 
     os.makedirs(os.path.join(REPO, "docs"), exist_ok=True)
-    with open(os.path.join(REPO, "docs", "BENCH.md"), "w") as f:
-        f.write(_report(summary))
+    with open(os.path.join(REPO, "docs", "SCALING_RUNS.md"), "a") as f:
+        f.write(_report(summary) + "\n---\n")
 
 
 def _report(s: dict) -> str:
+    proto = "taskset-pinned (equal-resource)" if s.get("pinned") else "local[N]"
     lines = [
-        "# Scaling-efficiency evidence (north rule: >=0.8 from N to 4N)\n",
+        f"# Scaling run — protocol: {proto}\n",
         "Identical elevation job (documents -> extraction -> tile join -> "
         "raster interpolation -> priority coalesce) on the SAME input at two "
         "local parallelism levels, fresh JVM each, steady-state timing "
