@@ -77,8 +77,18 @@ _FT_SHORT = 3
 _FT_LONG = 4
 _FT_ASCII = 2
 _FT_DOUBLE = 12
+_FT_LONG8 = 16  # BigTIFF
+_FT_SLONG8 = 17  # BigTIFF
+_FT_IFD8 = 18  # BigTIFF
 
-_FT_SIZE = {_FT_SHORT: 2, _FT_LONG: 4, _FT_ASCII: 1, _FT_DOUBLE: 8}
+_FT_SIZE = {
+    _FT_SHORT: 2, _FT_LONG: 4, _FT_ASCII: 1, _FT_DOUBLE: 8,
+    _FT_LONG8: 8, _FT_SLONG8: 8, _FT_IFD8: 8,
+}
+_FT_FMT = {
+    _FT_SHORT: "H", _FT_LONG: "I", _FT_DOUBLE: "d",
+    _FT_LONG8: "Q", _FT_SLONG8: "q", _FT_IFD8: "Q",
+}
 
 # Compression codes
 _C_NONE = 1
@@ -535,6 +545,7 @@ def write_geotiff(
     predictor: int = 1,
     tile_size: tuple[int, int] | None = None,
     rows_per_strip: int | None = None,
+    bigtiff: bool = False,
 ) -> None:
     """Write a single-band north-up GeoTIFF.
 
@@ -546,6 +557,10 @@ def write_geotiff(
     2 (horizontal, integer dtypes), 3 (float byte shuffle, float dtypes).
     tile_size: (tile_height, tile_width), multiples of 16 → tiled layout;
     otherwise strips of rows_per_strip rows (default: one strip).
+    bigtiff: emit the BigTIFF (magic 43, 8-byte offset) layout — the format
+    every real-world DEM mosaic over 4 GB ships in (GDAL picks it
+    automatically via -co BIGTIFF=IF_SAFER); small files are valid BigTIFF
+    too, which is how the parity tests exercise the 64-bit reader path.
     """
     array = np.ascontiguousarray(array)
     if array.ndim != 2:
@@ -597,6 +612,7 @@ def write_geotiff(
         for r0 in range(0, h, rsp):
             blocks.append(encode_block(array[r0 : r0 + rsp]))
 
+    inline_sz = 8 if bigtiff else 4
     entries: list[tuple[int, int, int, bytes]] = []  # (tag, type, count, inline-or-offset)
     out_of_line: list[tuple[int, int, int, bytes]] = []
 
@@ -607,9 +623,8 @@ def write_geotiff(
         else:
             vals = list(values)
             count = len(vals)
-            fmt = {_FT_SHORT: "H", _FT_LONG: "I", _FT_DOUBLE: "d"}[ftype]
-            payload = struct.pack(f"<{count}{fmt}", *vals)
-        if len(payload) <= 4:
+            payload = struct.pack(f"<{count}{_FT_FMT[ftype]}", *vals)
+        if len(payload) <= inline_sz:
             entries.append((tag, ftype, count, payload))
         else:
             out_of_line.append((tag, ftype, count, payload))
@@ -659,7 +674,8 @@ def write_geotiff(
         add(_T_GDAL_NODATA, _FT_ASCII, nd.encode() + b"\x00")
 
     # block placement
-    data_offset = 8
+    data_offset = 16 if bigtiff else 8
+    off_ft = _FT_LONG8 if bigtiff else _FT_LONG
     offsets = []
     pos = data_offset
     for b in blocks:
@@ -668,31 +684,38 @@ def write_geotiff(
     if tile_size is not None:
         add(_T_TILE_WIDTH, _FT_LONG, [tile_size[1]])
         add(_T_TILE_LENGTH, _FT_LONG, [tile_size[0]])
-        add(_T_TILE_OFFSETS, _FT_LONG, offsets)
-        add(_T_TILE_BYTE_COUNTS, _FT_LONG, [len(b) for b in blocks])
+        add(_T_TILE_OFFSETS, off_ft, offsets)
+        add(_T_TILE_BYTE_COUNTS, off_ft, [len(b) for b in blocks])
     else:
         add(_T_ROWS_PER_STRIP, _FT_LONG, [rows_per_strip or h])
-        add(_T_STRIP_OFFSETS, _FT_LONG, offsets)
-        add(_T_STRIP_BYTE_COUNTS, _FT_LONG, [len(b) for b in blocks])
+        add(_T_STRIP_OFFSETS, off_ft, offsets)
+        add(_T_STRIP_BYTE_COUNTS, off_ft, [len(b) for b in blocks])
 
     # out-of-line values follow the block data
+    off_pack = "<Q" if bigtiff else "<I"
     ool_offset = pos
     ool_bytes = b""
     for tag, ftype, count, payload in out_of_line:
         off = ool_offset + len(ool_bytes)
-        entries.append((tag, ftype, count, struct.pack("<I", off)))
+        entries.append((tag, ftype, count, struct.pack(off_pack, off)))
         ool_bytes += payload
         if len(payload) % 2:
             ool_bytes += b"\x00"
     ifd_offset = ool_offset + len(ool_bytes)
 
     entries.sort(key=lambda e: e[0])
-    ifd = struct.pack("<H", len(entries))
-    for tag, ftype, count, value in entries:
-        ifd += struct.pack("<HHI", tag, ftype, count) + value.ljust(4, b"\x00")
-    ifd += struct.pack("<I", 0)
-
-    header = struct.pack("<2sHI", b"II", 42, ifd_offset)
+    if bigtiff:
+        ifd = struct.pack("<Q", len(entries))
+        for tag, ftype, count, value in entries:
+            ifd += struct.pack("<HHQ", tag, ftype, count) + value.ljust(8, b"\x00")
+        ifd += struct.pack("<Q", 0)
+        header = struct.pack("<2sHHHQ", b"II", 43, 8, 0, ifd_offset)
+    else:
+        ifd = struct.pack("<H", len(entries))
+        for tag, ftype, count, value in entries:
+            ifd += struct.pack("<HHI", tag, ftype, count) + value.ljust(4, b"\x00")
+        ifd += struct.pack("<I", 0)
+        header = struct.pack("<2sHI", b"II", 42, ifd_offset)
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
         f.write(header)
@@ -780,30 +803,52 @@ def _open_tiff(source: _ByteSource) -> Raster:
     if len(head) < 8 or head[:2] not in (b"II", b"MM"):
         raise RasterOpenError(f"'{path}' not recognised as a geo raster")
     bo = "<" if head[:2] == b"II" else ">"
-    magic, ifd_offset = struct.unpack(bo + "HI", head[2:8])
-    if magic != 42:
+    (magic,) = struct.unpack(bo + "H", head[2:4])
+    if magic == 42:
+        # classic TIFF: 4-byte offsets, 12-byte IFD entries, 4-byte inline
+        (ifd_offset,) = struct.unpack(bo + "I", head[4:8])
+        entry_sz, inline_sz, off_fmt = 12, 4, "I"
+        (n_entries,) = struct.unpack(bo + "H", source.read_at(ifd_offset, 2))
+        entries_at = ifd_offset + 2
+    elif magic == 43:
+        # BigTIFF: 8-byte offsets, 20-byte IFD entries, 8-byte inline
+        big_head = source.read_at(0, 16)
+        off_sz, zero = struct.unpack(bo + "HH", big_head[4:8])
+        if off_sz != 8 or zero != 0:
+            raise RasterOpenError(
+                f"'{path}': malformed BigTIFF header (offsetsize={off_sz})"
+            )
+        (ifd_offset,) = struct.unpack(bo + "Q", big_head[8:16])
+        entry_sz, inline_sz, off_fmt = 20, 8, "Q"
+        (n_entries,) = struct.unpack(bo + "Q", source.read_at(ifd_offset, 8))
+        entries_at = ifd_offset + 8
+    else:
         raise RasterOpenError(f"'{path}' not a TIFF (magic={magic})")
-    (n_entries,) = struct.unpack(bo + "H", source.read_at(ifd_offset, 2))
-    raw_entries = source.read_at(ifd_offset + 2, n_entries * 12)
+    raw_entries = source.read_at(entries_at, n_entries * entry_sz)
     tags: dict[int, tuple[int, int, bytes]] = {}
+    count_fmt = "I" if magic == 42 else "Q"
     for i in range(n_entries):
-        tag, ftype, count = struct.unpack_from(bo + "HHI", raw_entries, i * 12)
-        tags[tag] = (ftype, count, raw_entries[i * 12 + 8 : i * 12 + 12])
+        tag, ftype, count = struct.unpack_from(
+            bo + "HH" + count_fmt, raw_entries, i * entry_sz
+        )
+        val_at = i * entry_sz + (8 if magic == 42 else 12)
+        tags[tag] = (ftype, count, raw_entries[val_at : val_at + inline_sz])
 
     def value(tag, default=None):
         if tag not in tags:
             return default
         ftype, count, raw = tags[tag]
+        if ftype not in _FT_SIZE:
+            raise RasterOpenError(f"'{path}': unsupported TIFF field type {ftype}")
         sz = _FT_SIZE[ftype] * count
-        if sz <= 4:
+        if sz <= inline_sz:
             buf = raw[:sz]
         else:
-            (off,) = struct.unpack(bo + "I", raw)
+            (off,) = struct.unpack(bo + off_fmt, raw)
             buf = source.read_at(off, sz)
         if ftype == _FT_ASCII:
             return buf.rstrip(b"\x00").decode("latin-1")
-        fmt = {_FT_SHORT: "H", _FT_LONG: "I", _FT_DOUBLE: "d"}[ftype]
-        vals = struct.unpack(bo + str(count) + fmt, buf)
+        vals = struct.unpack(bo + str(count) + _FT_FMT[ftype], buf)
         return list(vals)
 
     width = int(value(_T_WIDTH)[0])
