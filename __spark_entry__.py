@@ -744,12 +744,16 @@ def _run_elevation(spark: SparkSession, n_docs: int, n_files: int = 1) -> DataFr
     dsets = config.load_datasets(cfg_path)
     ordered = config.resolve_dataset_names("multi_eudem_etopo1", dsets)
     resolver = elevation.ElevationResolver(spark, ordered, "bilinear")
-    # skew pre-pass: per-spatial-cell salt factors from a 2% document
-    # sample (a Zipf-hot cell otherwise serializes the sampling stage)
+    # skew + sizing pre-pass: per-spatial-cell salt factors (a Zipf-hot
+    # cell otherwise serializes the sampling stage) AND a total-row
+    # estimate that sizes the wide shuffle (waves of ~200k-row tasks)
+    # from one 2% document sample
     sample_pts = extract.with_point_id(
         extract.extract_points(documents.sample(0.02, seed=7))
     ).where(F.col("loc_error").isNull())
-    resolver.set_cell_salts(elevation.estimate_cell_salts(resolver, sample_pts))
+    resolver.set_cell_salts(
+        elevation.estimate_cell_salts(resolver, sample_pts, sample_fraction=0.02)
+    )
     # carry the doc keys through the pipeline instead of joining back:
     # one scan of documents, no self-join (SURVEY.md J4 at scale).
     resolved = resolver.resolve(pts, carry=("doc_id", "span_pos", "point_pos"))
@@ -779,15 +783,20 @@ def q_geodesic_paths(spark, sf_dir):
 
 
 def q_multimodal_features(spark, sf_dir):
-    """Media spans -> fetch -> decode/featurize (stubbed codecs, real
-    distributed plumbing). Rows-only."""
+    """Media spans -> fetch -> REAL decode/featurize: PNG payloads decode
+    through the pure-numpy codec (png.py); non-PNG payloads degrade to
+    'unsupported'. Checked against a single-process oracle that decodes
+    the same payloads without Spark."""
     from opentopodata_spark.operators import multimodal
 
     _ship_package(spark)
     _, docs_path = _prepare_elevation_inputs(n_docs=1000)
     documents = spark.read.parquet(docs_path)
     spans = multimodal.media_spans(documents)
-    feats = multimodal.decode_and_featurize(multimodal.fetch_media(spans))
+    feats = multimodal.decode_and_featurize(
+        multimodal.fetch_media(spans, fetcher=multimodal.synthetic_png_payload),
+        decoder="real",
+    )
     return feats.select(
         "doc_id", "span_pos", "media_ref", "media_kind", "n_bytes", "width", "height"
     )
@@ -1045,13 +1054,11 @@ def _build_elevation_oracle(sf_dir: str):
 
 
 def _build_multimodal_oracle(sf_dir: str):
-    import hashlib
-
-    import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    from opentopodata_spark.operators.multimodal import FEATURE_DIM, _fake_payload
+    from opentopodata_spark import png
+    from opentopodata_spark.operators.multimodal import synthetic_png_payload
 
     _, docs_path = _prepare_elevation_inputs(n_docs=1000)
     docs = pq.read_table(docs_path)
@@ -1068,15 +1075,21 @@ def _build_multimodal_oracle(sf_dir: str):
             if span["kind"] != "media":
                 continue
             ref = span["media_ref"]
-            b = _fake_payload(ref)
-            h = hashlib.sha256(b).digest()
+            b = synthetic_png_payload(ref)
+            # independent re-derivation of the decode result (no
+            # mapInPandas, no _decode_real): sniff + decode + shape
+            if png.is_png(b):
+                arr = png.decode_png(b)
+                kind, w, h = "image", arr.shape[1], arr.shape[0]
+            else:
+                kind, w, h = "unsupported", None, None
             out["doc_id"].append(doc_id)
             out["span_pos"].append(span_pos)
             out["media_ref"].append(ref)
-            out["media_kind"].append(["image", "audio", "video"][h[0] % 3])
+            out["media_kind"].append(kind)
             out["n_bytes"].append(len(b))
-            out["width"].append(16 + h[1] % 240)
-            out["height"].append(16 + h[2] % 240)
+            out["width"].append(w)
+            out["height"].append(h)
     return pa.table(
         {
             "doc_id": pa.array(out["doc_id"], type=pa.string()),

@@ -39,14 +39,24 @@ def _sf_label(sf_dir: str) -> float:
         return -1.0
 
 
+N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+
+
 def run(df, warmup: bool = True) -> float:
     """Steady-state timing: one untimed write (JIT/codegen, Python worker
-    pool, page cache), then one timed write of the full plan."""
+    pool, page cache), then the median of N_RUNS timed writes — local-mode
+    runs carry multi-second GC / worker-pool spikes that a single sample
+    reports as query regressions. Each write builds a fresh query
+    execution, so shuffle stages genuinely re-run (nothing is reused
+    across actions)."""
     if warmup:
         df.write.format("noop").mode("overwrite").save()
-    t0 = time.time()
-    df.write.format("noop").mode("overwrite").save()
-    return time.time() - t0
+    times = []
+    for _ in range(N_RUNS):
+        t0 = time.time()
+        df.write.format("noop").mode("overwrite").save()
+        times.append(time.time() - t0)
+    return sorted(times)[len(times) // 2]
 
 
 def main() -> None:

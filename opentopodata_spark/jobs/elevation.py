@@ -88,13 +88,14 @@ def run(argv: list[str] | None = None) -> dict:
         spark, ordered, interpolation, nodata_value=nodata_value, salt=ns.salt
     )
     if ns.salt == 0:
-        # skew pre-pass on a document sample: per-spatial-cell salt factors
-        # so a Zipf-hot cell doesn't serialize the sampling stage
+        # skew + sizing pre-pass on a document sample: per-spatial-cell
+        # salt factors (a Zipf-hot cell otherwise serializes the sampling
+        # stage) and the total-row estimate that sizes the wide shuffle
         sample_pts = _extract.with_point_id(
             _extract.extract_points(docs.sample(0.02, seed=7))
         ).where(F.col("loc_error").isNull())
         resolver.set_cell_salts(
-            _elevation.estimate_cell_salts(resolver, sample_pts)
+            _elevation.estimate_cell_salts(resolver, sample_pts, sample_fraction=0.02)
         )
 
     stats: dict = {"job": "elevation", "datasets": [d.name for d in ordered]}

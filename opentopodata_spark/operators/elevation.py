@@ -232,9 +232,11 @@ class ElevationResolver:
         self.datasets = datasets
         self.interpolation = interpolation
         self.nodata_value = nodata_value
-        self.sample_partitions = sample_partitions or int(
-            spark.conf.get("spark.sql.shuffle.partitions")
-        )
+        # None = auto: sized at resolve() time by _plan_partitions() —
+        # sampling-driven when an estimate exists (estimate_cell_salts
+        # with sample_fraction), else spark.sql.shuffle.partitions.
+        self.sample_partitions = sample_partitions
+        self._est_rows: float | None = None
         # Integer-encode every string the wide shuffle would otherwise
         # carry: raster paths (~70 bytes each) become tile ids into a
         # broadcast list, dataset names become the priority index. This
@@ -312,6 +314,37 @@ class ElevationResolver:
         return points.select("point_id", "lat", "lon", *carry).join(
             reg, cond, "left"
         ).select("point_id", "lat", "lon", "priority", *carry)
+
+    # ~candidate rows per shuffle partition in auto sizing. At this size a
+    # partition is ~10-20 MB of int-encoded rows and a reduce task runs a
+    # few seconds — big enough that per-task setup (sort, Arrow, raster
+    # LRU warm) is noise, small enough that tasks pack into waves.
+    _ROWS_PER_PARTITION = 200_000
+
+    def _plan_partitions(self) -> int:
+        """Partition count for THE shuffle.
+
+        Explicit sample_partitions wins. With a row estimate (installed
+        by estimate_cell_salts(sample_fraction=...)): enough partitions
+        for ~_ROWS_PER_PARTITION rows each, capped at ~4 WAVES per
+        execution slot and floored at the session shuffle parallelism.
+        The wave cap matters measurably: with partitions == slots one
+        straggler idles a core for its whole duration (an 8-partition
+        reduce stage ran 5.7-11.4s tasks — a 2x spread salt/hash
+        quantization cannot flatten at that granularity, ~13% of stage
+        wall lost); finer partitions let the scheduler absorb the spread
+        as waves, which is exactly how a cluster job is sized. Without an
+        estimate (unit tests, ad-hoc calls) the session shuffle setting
+        is used unchanged — tiny inputs must not pay 4x-slots partition
+        overhead."""
+        if self.sample_partitions:
+            return self.sample_partitions
+        shuffle = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+        if self._est_rows is None:
+            return shuffle
+        waves = -(-int(self._est_rows * 1.1) // self._ROWS_PER_PARTITION)
+        return max(shuffle, min(4 * self.spark.sparkContext.defaultParallelism,
+                                max(waves, 1)))
 
     def set_cell_salts(self, salts: dict[int, int]) -> None:
         """Install per-spatial-cell salt factors (estimate_cell_salts).
@@ -392,7 +425,7 @@ class ElevationResolver:
         carry = tuple(carry)
         cand = self.candidates(points, carry)
         df, part_exprs = self._partition_exprs(cand)
-        df = df.repartition(self.sample_partitions, *part_exprs)
+        df = df.repartition(self._plan_partitions(), *part_exprs)
         df = df.sortWithinPartitions("point_id")
         df = df.drop("_cell", "_sfactor")
 
@@ -464,18 +497,25 @@ class ElevationResolver:
 def estimate_cell_salts(
     resolver: "ElevationResolver",
     points_sample: DataFrame,
+    sample_fraction: float | None = None,
 ) -> dict[int, int]:
     """Per-spatial-cell salt factors from a cheap sample of the points.
 
     ``points_sample`` should be the extraction of a SMALL document sample
-    (e.g. ``documents.sample(0.001)`` upstream — sampling documents, not
+    (e.g. ``documents.sample(0.02)`` upstream — sampling documents, not
     the extracted points, keeps the estimation job's UDF work
     proportional to the sample). The returned dict maps each cell id to
-    ceil(its share of rows x sample_partitions): a cell that would fill
+    ceil(its share of rows x partitions): a cell that would fill
     k partitions is split into ~k point-hash salt buckets; cold cells
     stay at salt 1 and keep their tile locality. Shares are scale-free,
-    so the sampling fraction needs no correction. Feed the result to
-    ``resolver.set_cell_salts``.
+    so the sampling fraction needs no correction for the SALTS. Feed the
+    result to ``resolver.set_cell_salts``.
+
+    ``sample_fraction`` (when given) additionally installs a total-row
+    estimate (total/fraction) on the resolver — the sampling-driven input
+    to ``_plan_partitions``: the same pre-pass that finds the hot cells
+    sizes the shuffle. Salts are then computed against the partition
+    count the resolve will actually use.
 
     At cluster scale this is one tiny pre-pass (0.1% of the data) that
     removes the hot-city straggler — the skew case AQE cannot fix for a
@@ -485,14 +525,17 @@ def estimate_cell_salts(
     total = sum(r.cnt for r in rows)
     if total == 0:
         return {}
+    if sample_fraction:
+        resolver._est_rows = total / sample_fraction
+    n_parts = resolver._plan_partitions()
     # 4x oversampling: buckets finer than partitions so hash collisions
     # average out (a hot cell split into exactly its fair share of
     # buckets still lands 2 buckets on one partition now and then —
     # finer buckets turn that 2x straggler into a ~1.25x ripple)
-    per_part = max(1.0, total / (4 * resolver.sample_partitions))
+    per_part = max(1.0, total / (4 * n_parts))
     out = {}
     for r in rows:
-        salt = min(4 * resolver.sample_partitions, math.ceil(r.cnt / per_part))
+        salt = min(4 * n_parts, math.ceil(r.cnt / per_part))
         if salt > 1:
             out[r._cell] = salt
     return out

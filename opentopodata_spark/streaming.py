@@ -22,9 +22,12 @@ Design notes for scale:
   engine's events table; it is a standard incremental-state aggregation —
   state is bounded by (windows in watermark) x (event types).
 
-Exactly-once: the parquet sink + checkpointed batchId gives the standard
-Spark guarantee (idempotent re-run per micro-batch). Tested in
-tests/test_streaming.py including a restart-with-no-new-data run.
+Exactly-once: the checkpoint dedupes micro-batches across restarts, and
+each micro-batch writes (overwrite) its own ``ingest_batch=<id>``
+partition, so a retry after a partial write replaces its own output —
+idempotent at batch granularity, the foreachBatch half of the guarantee
+the checkpoint alone does not provide. Tested in tests/test_streaming.py
+including a restart-with-no-new-data run and a partial-write retry.
 """
 
 from __future__ import annotations
@@ -81,13 +84,19 @@ def run_elevation_stream(
             F.col("loc_error").isNull()
         )
         resolved = resolver.resolve(pts, carry=("doc_id", "span_pos", "point_pos"))
+        # Idempotent per-batch sink: each micro-batch owns the
+        # ingest_batch=<id> directory and OVERWRITES it, so a batch that
+        # retries after a partial write replaces its own output instead of
+        # appending duplicates (a plain mode("append") would break the
+        # exactly-once claim exactly there). Readers see ingest_batch as a
+        # discovered partition column — lineage metadata, prunable.
         (
             resolved.select(
                 "doc_id", "span_pos", "point_pos", "lat", "lon",
                 "elevation", "dataset",
             )
-            .write.mode("append")
-            .parquet(out_dir)
+            .write.mode("overwrite")
+            .parquet(f"{out_dir}/ingest_batch={batch_id}")
         )
 
     writer = (

@@ -95,6 +95,35 @@ class TestElevationStream:
         _drain(resolver, spark, inbox, out, ckpt)
         assert spark.read.parquet(out).count() == n1
 
+    def test_batch_retry_is_idempotent(self, spark, datasets, stream_dirs):
+        """Crash between the data write and the checkpoint commit: the
+        restart re-runs the batch, and the per-batch overwrite replaces
+        its own output instead of appending duplicates.
+
+        The streaming metadata cache is disabled for the restart (a real
+        crash-restart is a fresh JVM with a cold cache; in-JVM the stale
+        cache entry would mask the deleted commit)."""
+        inbox, staging, out, ckpt = stream_dirs
+        ordered = config.resolve_dataset_names("etopo1deg", datasets)
+        resolver = elevation.ElevationResolver(spark, ordered, "bilinear")
+        _arrive(staging, inbox, "a")
+        cache_key = "spark.sql.streaming.metadataCache.enabled"
+        spark.conf.set(cache_key, "false")
+        try:
+            _drain(resolver, spark, inbox, out, ckpt)
+            n1 = spark.read.parquet(out).count()
+            # drop the commit marker (and the local-FS checksum sidecar —
+            # a real FS loses both): batch 0's data is on disk but the
+            # checkpoint says it never committed -> restart retries batch 0
+            os.remove(os.path.join(ckpt, "commits", "0"))
+            crc = os.path.join(ckpt, "commits", ".0.crc")
+            if os.path.exists(crc):
+                os.remove(crc)
+            _drain(resolver, spark, inbox, out, ckpt)
+            assert spark.read.parquet(out).count() == n1
+        finally:
+            spark.conf.set(cache_key, "true")
+
 
 class TestEventsRollupStream:
     def test_watermarked_windows_match_batch(self, spark, tmp_path):

@@ -377,12 +377,51 @@ class TestPathsMultimodal:
             (r.doc_id, r.span_pos): tuple(r.features) for r in again
         }
 
-    def test_multimodal_real_decoder_raises(self, spark, documents_path):
+    def test_multimodal_real_decode_png(self, spark, documents_path):
+        """decoder='real' genuinely decodes PNG payloads: width/height
+        match an independent single-process decode of the same bytes, and
+        non-PNG payloads degrade to 'unsupported' with null metadata."""
+        from opentopodata_spark import png
+
         documents = spark.read.parquet(documents_path)
-        spans = multimodal.media_spans(documents).limit(1)
-        fetched = multimodal.fetch_media(spans)
-        with pytest.raises(Exception, match="NotImplementedError|real media decode"):
-            multimodal.decode_and_featurize(fetched, decoder="real").collect()
+        spans = multimodal.media_spans(documents)
+        fetched = multimodal.fetch_media(
+            spans, fetcher=multimodal.synthetic_png_payload
+        )
+        rows = multimodal.decode_and_featurize(fetched, decoder="real").collect()
+        assert rows
+        n_img = 0
+        for r in rows:
+            b = multimodal.synthetic_png_payload(r.media_ref)
+            assert r.n_bytes == len(b)
+            if png.is_png(b):
+                arr = png.decode_png(b)
+                assert r.media_kind == "image"
+                assert (r.height, r.width) == arr.shape[:2]
+                assert len(r.features) == multimodal.FEATURE_DIM
+                expect = multimodal.image_features(arr)
+                assert tuple(r.features) == tuple(float(x) for x in expect)
+                n_img += 1
+            else:
+                assert r.media_kind == "unsupported"
+                assert r.width is None and r.height is None
+                assert r.features is None
+        assert n_img > 0  # the corpus really contains decodable PNGs
+
+    def test_plan_fetch_partitions_by_bytes(self):
+        mb = 1 << 20
+        # 1000 × 1MB at 128MB/task -> 8 tasks
+        assert multimodal.plan_fetch_partitions(1000, mb) == 8
+        # same rows, 100× payloads -> 100× tasks (bytes, not rows, decide)
+        assert multimodal.plan_fetch_partitions(1000, 100 * mb) == 782
+        assert multimodal.plan_fetch_partitions(0, mb) == 1
+        assert multimodal.plan_fetch_partitions(10, 1.0) == 1
+
+    def test_multimodal_real_decoder_bad_decoder_name(self, spark, documents_path):
+        documents = spark.read.parquet(documents_path)
+        fetched = multimodal.fetch_media(multimodal.media_spans(documents).limit(1))
+        with pytest.raises(ValueError, match="Unknown decoder"):
+            multimodal.decode_and_featurize(fetched, decoder="pil")
 
     def test_span_sequence_invariant(self, spark, documents_path):
         """Round-trip: processing derives rows but never mutates spans."""
