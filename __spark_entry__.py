@@ -681,6 +681,79 @@ HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR
 """
 
 
+def q_streaming_sessionize(spark, sf_dir):
+    """Custom stateful streaming operator (applyInPandasWithState):
+    gap-based sessionization over the events stream. Deterministic for a
+    full drain + timeout drains: emitted rows are every session closed by
+    a later in-order event PLUS open sessions whose end + gap fell behind
+    the final watermark (max ts - 10 min). The SQL oracle reproduces that
+    exact set."""
+    import shutil
+    import tempfile
+
+    from opentopodata_spark import streaming as stx
+
+    work = tempfile.mkdtemp(prefix="otds_sess_q_")
+    try:
+        ev = _t(spark, sf_dir, "events")
+        ev.coalesce(1).write.mode("overwrite").parquet(f"{work}/in")
+        # extra drains: event-time timeouts fire on the micro-batch AFTER
+        # the one that advanced the watermark
+        for _ in range(3):
+            q = (
+                stx.sessionize_stream(
+                    spark, f"{work}/in", gap_minutes=30, watermark="10 minutes"
+                )
+                .writeStream.outputMode("append")
+                .option("checkpointLocation", f"{work}/ckpt")
+                .trigger(availableNow=True)
+                .start(path=f"{work}/out", format="parquet")
+            )
+            q.awaitTermination()
+        res = spark.read.parquet(f"{work}/out")
+        out = res.select(
+            "user_id",
+            F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_end"
+            ),
+            "n_events",
+        )
+        out = out.cache()
+        out.count()  # materialize before the temp dir goes away
+        return out
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+_Q_STREAMING_SESSIONIZE_SQL = """
+WITH e AS (
+  SELECT user_id, ts, epoch_us(ts) AS us,
+    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+         THEN 1 ELSE 0 END AS brk
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+sess AS (
+  SELECT user_id, ts, us,
+    sum(brk) OVER (PARTITION BY user_id ORDER BY us
+                   ROWS UNBOUNDED PRECEDING) AS sid
+  FROM e),
+per_session AS (
+  SELECT user_id, sid, min(ts) AS session_start, max(ts) AS session_end,
+         max(us) AS end_us, count(*) AS n_events
+  FROM sess GROUP BY user_id, sid),
+mx AS (SELECT max(epoch_us(ts)) AS m FROM events)
+SELECT user_id,
+       strftime(session_start, '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(session_end, '%Y-%m-%d %H:%M:%S') AS session_end,
+       n_events
+FROM per_session ps
+WHERE sid < (SELECT max(sid) FROM per_session p2 WHERE p2.user_id = ps.user_id)
+   OR end_us + 1800000000 <= (SELECT m - 600000000 FROM mx)
+"""
+
+
 def q_sessionize(spark, sf_dir):
     s = ev.sessionize(_t(spark, sf_dir, "events"), gap_minutes=30)
     return s.groupBy("user_id").agg(
@@ -1215,6 +1288,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": q_emb_near_dups,
         "events_rollup": q_events_rollup,
         "streaming_rollup": q_streaming_rollup,
+        "streaming_sessionize": q_streaming_sessionize,
         "sessionize": q_sessionize,
         "elevation_e2e": q_elevation_e2e,
         "geodesic_paths": q_geodesic_paths,
@@ -1248,6 +1322,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dups": _emb_near_dups_sql(),
         "events_rollup": _Q_EVENTS_SQL,
         "streaming_rollup": _Q_STREAMING_ROLLUP_SQL,
+        "streaming_sessionize": _Q_STREAMING_SESSIONIZE_SQL,
         "sessionize": _Q_SESSIONIZE_SQL,
         # elevation_e2e / geodesic_paths / multimodal_features / ivf_topk /
         # s2_cells are genuinely non-SQL (rasters, Karney geodesics, binary

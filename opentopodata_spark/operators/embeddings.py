@@ -36,7 +36,121 @@ __all__ = [
     "hyperplane_lsh_buckets",
     "near_duplicate_pairs",
     "ivf_topk",
+    "train_kmeans_centroids",
 ]
+
+
+def train_kmeans_centroids(
+    corpus: DataFrame,
+    k: int,
+    n_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distributed Lloyd's k-means for IVF cell centroids.
+
+    The iterative-algorithm shape that scales to 10^9 vectors:
+
+    * init: k-means++ (D²-weighted, seeded — deterministic) over a
+      hash-ordered sample of max(4k, 2048) vectors: the sample comes
+      from one top-k-by-xxhash64 scan (TakeOrdered — no full sort, no
+      corpus collect), and the D² seeding runs in numpy on the driver.
+      Naive k-random-vectors init measurably converges to split-cluster
+      local minima; D² seeding is the standard fix;
+    * assign: the (k × dim) centroid matrix is a closed-over numpy array
+      (centroids are small BY DEFINITION); each Arrow batch computes a
+      matrix argmax — a pure map, no crossJoin, no window, no shuffle;
+    * update: each task emits ONE partial row per cell it saw
+      (cell_id, count, sum-vector) — the map-side combine — and the
+      k × num_partitions partial rows (tiny) are reduced on the driver
+      in numpy. Per iteration the corpus is scanned once and nothing
+      else moves.
+    * empty cells keep their previous centroid (standard Lloyd fix).
+
+    Returns (cell_id, centroid) ready for ``ivf_topk``. Determinism: for
+    a fixed input layout the partial-sum grouping is fixed, so reruns
+    reproduce bitwise; across layouts results agree to float tolerance
+    (summation order differs — inherent to any distributed mean).
+    Convergence (inertia strictly non-increasing) is pinned in
+    tests/test_training_ops.py.
+    """
+    if k <= 0:
+        raise ValueError("k must be positive.")
+    # --- init: hash-ordered sample (one TakeOrdered scan) + seeded
+    # k-means++ on the driver ---
+    n_sample = max(4 * k, 2048)
+    seed_rows = (
+        corpus.select(id_col, vec_col)
+        .withColumn("_h", F.xxhash64(F.col(id_col)))
+        .orderBy("_h")
+        .limit(n_sample)
+        .collect()
+    )
+    if len(seed_rows) < k:
+        raise ValueError(f"corpus has fewer than k={k} vectors")
+    X = np.asarray([list(r[vec_col]) for r in seed_rows], dtype=np.float64)
+    rng = np.random.default_rng(0)
+    chosen = [int(rng.integers(len(X)))]
+    d2 = ((X - X[chosen[0]]) ** 2).sum(axis=1)
+    for _ in range(1, k):
+        total = d2.sum()
+        if total <= 0:  # all remaining points coincide with a centroid
+            # fill with arbitrary distinct sample rows
+            rest = [i for i in range(len(X)) if i not in chosen]
+            chosen.append(rest[0])
+        else:
+            chosen.append(int(rng.choice(len(X), p=d2 / total)))
+        d2 = np.minimum(d2, ((X - X[chosen[-1]]) ** 2).sum(axis=1))
+    centroids = X[chosen].copy()
+    dim = centroids.shape[1]
+
+    spark = corpus.sparkSession
+    vecs = corpus.select(vec_col)
+
+    for _ in range(n_iter):
+        mat_bc = spark.sparkContext.broadcast(centroids)
+
+        def partials(batches):
+            mat = mat_bc.value  # (k, dim)
+            counts = np.zeros(len(mat), dtype=np.int64)
+            sums = np.zeros_like(mat)
+            for pdf in batches:
+                v = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+                if not len(v):
+                    continue
+                # nearest centroid by euclidean distance: argmin ||v-c||^2
+                # = argmax (v.c - ||c||^2/2); ties -> lowest cell id
+                score = v @ mat.T - 0.5 * (mat * mat).sum(axis=1)
+                cell = np.argmax(score, axis=1)
+                np.add.at(counts, cell, 1)
+                np.add.at(sums, cell, v)
+            seen = np.nonzero(counts)[0]
+            yield pd.DataFrame(
+                {
+                    "cell_id": seen.astype(np.int64),
+                    "n": counts[seen],
+                    "sums": [row for row in sums[seen]],
+                }
+            )
+
+        rows = vecs.mapInPandas(
+            partials, "cell_id long, n long, sums array<double>"
+        ).collect()
+        counts = np.zeros(k, dtype=np.int64)
+        sums = np.zeros((k, dim), dtype=np.float64)
+        for r in rows:
+            counts[r.cell_id] += r.n
+            sums[r.cell_id] += np.asarray(r.sums, dtype=np.float64)
+        nonempty = counts > 0
+        centroids = np.where(
+            nonempty[:, None], sums / np.maximum(counts, 1)[:, None], centroids
+        )
+        mat_bc.destroy()
+
+    return spark.createDataFrame(
+        [(int(i), [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cell_id long, centroid array<double>",
+    )
 
 
 def dot(a, b):

@@ -42,6 +42,7 @@ __all__ = [
     "stream_documents",
     "run_elevation_stream",
     "events_rollup_stream",
+    "sessionize_stream",
 ]
 
 DOCUMENTS_DDL = (
@@ -106,6 +107,95 @@ def run_elevation_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def sessionize_stream(
+    spark: SparkSession,
+    events_dir: str,
+    gap_minutes: int = 30,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming twin of operators/events.sessionize — a CUSTOM STATEFUL
+    operator via ``applyInPandasWithState`` (gap-based sessions are not
+    expressible as a windowed aggregation: session extent depends on the
+    data, not a fixed grid).
+
+    Per-user state = the one open session (start_us, last_us, n_events).
+    Each micro-batch merges its events into that session with the same
+    gap rule as the batch operator; sessions CLOSED by an in-batch gap
+    emit immediately, and the open session emits when the event-time
+    watermark passes last_ts + gap (state timeout) — so emitted rows are
+    exactly the sessions no future in-order event can extend. State is
+    one row per user with an open session: bounded by active users
+    within the watermark horizon, the textbook stateful-streaming shape.
+
+    Determinism caveat (tested): for the SAME file arrivals and drains,
+    output equals the batch ``sessionize`` restricted to closed sessions
+    (session_end + gap <= final watermark)."""
+    import pandas as pd
+
+    gap_us = gap_minutes * 60 * 1_000_000
+    out_schema = (
+        "user_id long, session_start timestamp, session_end timestamp,"
+        " n_events long"
+    )
+    state_schema = "start_us long, last_us long, n long"
+
+    def _emit(user_id, start_us, last_us, n):
+        return pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "session_start": [pd.to_datetime(start_us, unit="us")],
+                "session_end": [pd.to_datetime(last_us, unit="us")],
+                "n_events": [n],
+            }
+        )
+
+    def fn(key, pdf_iter, state):
+        (user_id,) = key
+        if state.hasTimedOut:
+            start_us, last_us, n = state.get
+            state.remove()
+            yield _emit(user_id, start_us, last_us, n)
+            return
+        if state.exists:
+            start_us, last_us, n = state.get
+        else:
+            start_us = None
+            last_us = n = 0
+        for pdf in pdf_iter:
+            ts = pdf["ts"].sort_values()
+            us = ts.astype("int64") // 1000  # ns -> us
+            for t in us:
+                t = int(t)
+                if start_us is None:
+                    start_us, last_us, n = t, t, 1
+                elif t - last_us > gap_us:
+                    yield _emit(user_id, start_us, last_us, n)
+                    start_us, last_us, n = t, t, 1
+                else:
+                    last_us = max(last_us, t)
+                    n += 1
+        if start_us is None:
+            state.remove() if state.exists else None
+            return
+        state.update((start_us, last_us, n))
+        # close the open session when the watermark passes last + gap
+        timeout_ms = (last_us + gap_us) // 1000
+        state.setTimeoutTimestamp(max(timeout_ms, state.getCurrentWatermarkMs() + 1))
+
+    ev = spark.readStream.schema(EVENTS_DDL).parquet(events_dir)
+    return (
+        ev.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf="EventTimeTimeout",
+        )
+    )
 
 
 def events_rollup_stream(

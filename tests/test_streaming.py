@@ -125,6 +125,86 @@ class TestElevationStream:
             spark.conf.set(cache_key, "true")
 
 
+class TestSessionizeStream:
+    def _write_events(self, spark, inbox, rows):
+        df = spark.createDataFrame(
+            rows, "event_id long, ts_s string, user_id long, event_type string,"
+            " value double, props string"
+        ).withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s").select(
+            "event_id", "ts", "user_id", "event_type", "value", "props"
+        )
+        df.coalesce(1).write.mode("append").parquet(inbox)
+
+    def _drain(self, spark, inbox, out, ckpt):
+        q = (
+            streaming.sessionize_stream(
+                spark, inbox, gap_minutes=30, watermark="10 minutes"
+            )
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start(path=out, format="parquet")
+        )
+        q.awaitTermination()
+
+    def test_closed_sessions_match_batch(self, spark, tmp_path):
+        """applyInPandasWithState sessionization emits exactly the
+        sessions the batch operator produces, restricted to sessions no
+        in-order future event can extend (end + gap <= final watermark):
+        in-batch gap closes, cross-batch closes, and the state-timeout
+        path (user silent after batch 1) all covered."""
+        inbox = str(tmp_path / "ev")
+        out = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ck")
+        t = "2024-01-01 {}:00"
+        batch1 = [
+            # u1 session A (3 events), then in-batch gap -> session B
+            (0, t.format("00:00"), 1, "view", 0.0, "{}"),
+            (1, t.format("00:10"), 1, "view", 0.0, "{}"),
+            (2, t.format("00:20"), 1, "view", 0.0, "{}"),
+            (3, t.format("01:30"), 1, "view", 0.0, "{}"),
+            (4, t.format("01:40"), 1, "view", 0.0, "{}"),
+            # u2: one session, then silent -> closes via state TIMEOUT
+            (5, t.format("00:00"), 2, "view", 0.0, "{}"),
+            (6, t.format("00:05"), 2, "view", 0.0, "{}"),
+        ]
+        batch2 = [
+            # u1: big gap -> closes session B, opens C (stays open)
+            (7, t.format("05:00"), 1, "view", 0.0, "{}"),
+        ]
+        self._write_events(spark, inbox, batch1)
+        self._drain(spark, inbox, out, ckpt)
+        self._write_events(spark, inbox, batch2)
+        self._drain(spark, inbox, out, ckpt)
+        # extra drains: event-time timeouts fire on the micro-batch AFTER
+        # the one that advanced the watermark
+        self._drain(spark, inbox, out, ckpt)
+        self._drain(spark, inbox, out, ckpt)
+
+        got = {
+            (r.user_id, str(r.session_start)): (str(r.session_end), r.n_events)
+            for r in spark.read.parquet(out).collect()
+        }
+        # batch reference: closed sessions only (end + gap <= final
+        # watermark = 05:00 - 10min)
+        from opentopodata_spark.operators import events as evops
+
+        all_ev = spark.read.parquet(inbox)
+        batch = evops.sessionize(all_ev, gap_minutes=30).collect()
+        import datetime
+
+        wm = datetime.datetime(2024, 1, 1, 4, 50)
+        want = {
+            (r.user_id, str(r.session_start)): (str(r.session_end), r.n_events)
+            for r in batch
+            if r.session_end + datetime.timedelta(minutes=30) <= wm
+        }
+        assert want  # the scenario really closes sessions
+        assert got == want
+        # the still-open session (u1 at 05:00) must NOT be emitted
+        assert (1, "2024-01-01 05:00:00") not in got
+
+
 class TestEventsRollupStream:
     def test_watermarked_windows_match_batch(self, spark, tmp_path):
         inbox = str(tmp_path / "events")

@@ -232,6 +232,57 @@ class TestEmbeddings:
         # tight clusters + probe of the right cell -> perfect recall here
         assert a == e
 
+    def test_kmeans_trains_and_converges(self, spark):
+        """Distributed Lloyd's: inertia is non-increasing per iteration,
+        trained centroids recover the planted clusters, and feeding them
+        to ivf_topk gives exact recall on the clustered corpus."""
+        rng = np.random.default_rng(3)
+        centers = np.eye(4, dtype=np.float64) * 3.0
+        rows = []
+        for i in range(400):
+            v = centers[i % 4] + rng.normal(0, 0.08, 4)
+            rows.append((i, [float(x) for x in v]))
+        corpus = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        ).repartition(4)
+
+        def inertia(cent_df):
+            cent = np.asarray(
+                [r.centroid for r in sorted(cent_df.collect(), key=lambda r: r.cell_id)]
+            )
+            vs = np.asarray([r[1] for r in rows])
+            d = ((vs[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            return d.min(axis=1).sum()
+
+        prev = None
+        for n_iter in (1, 3, 6):
+            cents = emb.train_kmeans_centroids(corpus, k=4, n_iter=n_iter)
+            cur = inertia(cents)
+            if prev is not None:
+                assert cur <= prev + 1e-9
+            prev = cur
+        # converged centroids sit on the planted centers
+        final = emb.train_kmeans_centroids(corpus, k=4, n_iter=6)
+        cent = np.asarray([r.centroid for r in final.collect()])
+        for c in centers:
+            assert np.min(np.linalg.norm(cent - c, axis=1)) < 0.1
+        # and they work as IVF cells: exact recall on this corpus
+        queries = corpus.where("vec_id < 4")
+        a = {(r.query_id, r.neighbor_id)
+             for r in emb.ivf_topk(corpus, queries, final, k=3, n_probe=1).collect()}
+        e = {(r.query_id, r.neighbor_id)
+             for r in emb.cosine_topk(corpus, queries, k=3).collect()}
+        assert a == e
+
+    def test_kmeans_validates_k(self, spark):
+        corpus = spark.createDataFrame(
+            [(1, [1.0, 0.0])], "vec_id long, embedding array<double>"
+        )
+        with pytest.raises(ValueError, match="positive"):
+            emb.train_kmeans_centroids(corpus, k=0)
+        with pytest.raises(ValueError, match="fewer than k"):
+            emb.train_kmeans_centroids(corpus, k=5)
+
     def test_ivf_corpus_side_is_narrow(self, spark):
         """Plan-shape guard: cell assignment must be a narrow projection —
         no crossJoin and no Window/Exchange on the corpus side before the
