@@ -1,0 +1,140 @@
+"""Property-based tests (hypothesis) for the pure-numpy kernels.
+
+The golden/differential suites pin known cases; these search the input
+space for violations of the invariants the engine depends on:
+
+* PNG: decode(encode(x)) == x for every supported shape/filter.
+* CRS: project -> unproject round-trips to < 1e-6 deg inside each
+  projection's domain of validity (the reference delegates this
+  contract to pyproj; we must earn it).
+* decimal_base_floor: reference float-division floor contract (reference
+  utils.py:60-65 semantics) — <= x, on the base grid, within base of x.
+* Geodesics: inverse distance is symmetric; path sampling hits the
+  endpoints exactly and distances are non-negative and ordered.
+
+No Spark — everything here runs in-process in milliseconds.
+"""
+
+from decimal import Decimal
+
+import numpy as np
+import pytest
+
+hyp = pytest.importorskip("hypothesis")
+from hypothesis import assume as _assume  # noqa: E402
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+from opentopodata_spark import crs, geodesic, png, utilmath  # noqa: E402
+
+
+# ---------------------------------------------------------------------------
+# PNG codec
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=40, deadline=None)
+@given(
+    h=st.integers(1, 24),
+    w=st.integers(1, 24),
+    c=st.sampled_from([1, 2, 3, 4]),
+    filt=st.sampled_from([0, 1, 2, 3, 4, "mixed"]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_png_round_trip_property(h, w, c, filt, seed):
+    arr = np.random.default_rng(seed).integers(0, 256, (h, w, c)).astype(np.uint8)
+    back = png.decode_png(png.encode_png(arr, filter_type=filt))
+    assert back.shape == arr.shape
+    np.testing.assert_array_equal(back, arr)
+
+
+# ---------------------------------------------------------------------------
+# CRS round-trips (each EPSG constrained to its domain of validity)
+# ---------------------------------------------------------------------------
+
+# (epsg, lat_range, lon_range)
+_CRS_DOMAINS = [
+    (32633, (-0.5, 84.0), (9.0, 21.0)),     # UTM 33N, wide overlap
+    (32733, (-80.0, 0.5), (9.0, 21.0)),     # UTM 33S
+    (25832, (35.0, 72.0), (3.0, 15.0)),     # ETRS89 / UTM 32N
+    (26910, (20.0, 84.0), (-129.0, -117.0)),  # NAD83 / UTM 10N
+    (28355, (-55.0, -8.0), (141.0, 153.0)),   # GDA94 / MGA 55
+    (2193, (-47.5, -34.0), (166.0, 178.5)),   # NZTM2000
+    (27700, (49.8, 60.9), (-8.8, 1.8)),       # British National Grid
+    (3035, (30.0, 72.0), (-10.0, 35.0)),      # ETRS89-LAEA Europe
+    (3857, (-85.0, 85.0), (-179.9, 179.9)),   # WebMercator
+    (4326, (-90.0, 90.0), (-180.0, 180.0)),   # identity
+    (4269, (-90.0, 90.0), (-180.0, 180.0)),   # NAD83 geographic ~ identity
+]
+
+
+@settings(max_examples=25, deadline=None)
+@given(data=st.data(), dom=st.sampled_from(_CRS_DOMAINS))
+def test_crs_round_trip_property(data, dom):
+    epsg, (lat0, lat1), (lon0, lon1) = dom
+    lats = np.array(
+        [data.draw(st.floats(lat0, lat1, allow_nan=False)) for _ in range(4)]
+    )
+    lons = np.array(
+        [data.draw(st.floats(lon0, lon1, allow_nan=False)) for _ in range(4)]
+    )
+    xs, ys = crs.reproject_latlons(lats, lons, epsg=epsg)
+    back_lons, back_lats = crs.unproject_xys(xs, ys, epsg=epsg)  # (lons, lats)
+    np.testing.assert_allclose(back_lats, lats, atol=1e-6)
+    np.testing.assert_allclose(back_lons, lons, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# decimal_base_floor (reference utils.py semantics)
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=80, deadline=None)
+@given(
+    x=st.floats(-1e6, 1e6, allow_nan=False),
+    base=st.sampled_from([1, 5, Decimal("0.5"), Decimal("0.25"), Decimal("2.5")]),
+)
+def test_decimal_base_floor_property(x, base):
+    # Domain: tile corners / coordinates (|x| up to 1e6). Subnormals like
+    # -5e-324 are excluded — there the reference's own float-division
+    # contract (math.floor(x / float(base)), utils.py:60-65) rounds the
+    # quotient to -0.0 and "floors" to 0, and we match the reference, not
+    # ideal Decimal floor.
+    hyp.assume(x == 0.0 or abs(x) > 1e-9)
+    got = utilmath.decimal_base_floor(x, base)
+    b = Decimal(str(base))
+    X = Decimal(repr(x))
+    # on the grid, and got <= x < got + base — comparisons only (Decimal
+    # compare is exact; a subtraction would round 5 - 8.8e-29 to 5 at any
+    # finite precision and false-fail the strict bound)
+    assert got % b == 0
+    assert got <= X
+    assert X < got + b
+
+
+# ---------------------------------------------------------------------------
+# Geodesics
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=40, deadline=None)
+@given(
+    lat1=st.floats(-89.0, 89.0, allow_nan=False),
+    lon1=st.floats(-179.0, 179.0, allow_nan=False),
+    lat2=st.floats(-89.0, 89.0, allow_nan=False),
+    lon2=st.floats(-179.0, 179.0, allow_nan=False),
+)
+def test_geodesic_inverse_symmetry(lat1, lon1, lat2, lon2):
+    d_ab = geodesic.inverse(lat1, lon1, lat2, lon2)["s12"]
+    d_ba = geodesic.inverse(lat2, lon2, lat1, lon1)["s12"]
+    assert d_ab >= 0
+    assert abs(d_ab - d_ba) <= 1e-6 * max(d_ab, 1.0)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    lats=st.lists(st.floats(-80.0, 80.0, allow_nan=False), min_size=2, max_size=4),
+    n=st.integers(2, 9),
+)
+def test_path_sampling_endpoints_exact(lats, n):
+    lons = [(i * 37.0) % 140.0 - 70.0 for i in range(len(lats))]
+    s_lats, s_lons = geodesic.sample_points_on_path(lats, lons, n)
+    assert len(s_lats) == n
+    assert (s_lats[0], s_lons[0]) == (lats[0], lons[0])
+    assert (s_lats[-1], s_lons[-1]) == (lats[-1], lons[-1])
