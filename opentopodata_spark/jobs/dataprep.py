@@ -1,0 +1,152 @@
+"""Training-corpus cleaning job: documents -> filtered, deduplicated corpus.
+
+The spark-submit-able counterpart of jobs/elevation.py for the LLM-data
+side of the engine: one script that runs identically under
+``python -m opentopodata_spark.jobs.dataprep`` (local) and
+``spark-submit --py-files otds.zip dataprep.py --master external``.
+
+Pipeline (one metrics scan, one dedup shuffle, optional LSH near-dup):
+
+    documents(doc_id, text)
+      -> document_metrics: token stats + quality + language in ONE
+         projection (operators/textops.document_metrics — no metric joins)
+      -> filters: --min-quality, --langs, --min-tokens/--max-tokens
+      -> exact dedup: keep each text-hash group's canonical (min) doc_id —
+         one hash aggregation with map-side combine
+      -> optional near-dup drop (--near-dup-threshold): MinHash -> LSH ->
+         verified Jaccard (operators/dedup.verified_near_duplicates, the
+         bucketed non-quadratic shape); within each verified pair the
+         higher doc_id drops (deterministic, union-find-free: at a fixed
+         threshold transitive chains drop everything but each chain's
+         minimum because every pair member except the min loses at least
+         one comparison)
+      -> parquet corpus + one-line JSON stats (per-stage survivor counts
+         from a single conditional aggregation — not one count() per stage)
+
+Example:
+
+    python -m opentopodata_spark.jobs.dataprep \
+        --documents /root/testdata/sf0.01/documents.parquet \
+        --out /tmp/clean --min-quality 0.4 --langs en \
+        --near-dup-threshold 0.8
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+from pyspark.sql import functions as F
+
+from ..operators import dedup as _dedup
+from ..operators import textops as _textops
+from ..session import get_spark
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="opentopodata_spark.jobs.dataprep",
+        description="Filter + deduplicate a documents corpus for training.",
+    )
+    p.add_argument("--documents", required=True, help="parquet path of the corpus (doc_id, text)")
+    p.add_argument("--out", required=True, help="output directory (corpus parquet + stats.json)")
+    p.add_argument("--min-quality", type=float, default=None, help="drop docs with quality score below this")
+    p.add_argument("--langs", default=None, help="comma-separated predicted languages to keep (e.g. en,de)")
+    p.add_argument("--min-tokens", type=int, default=None)
+    p.add_argument("--max-tokens", type=int, default=None)
+    p.add_argument("--no-exact-dedup", action="store_true", help="skip exact text dedup (kept on by default)")
+    p.add_argument("--near-dup-threshold", type=float, default=None,
+                   help="also drop LSH-verified near-duplicates at this Jaccard threshold")
+    p.add_argument("--shingle-n", type=int, default=2)
+    p.add_argument("--cores", type=int, default=None, help="local[] cores (ignored with --master external)")
+    p.add_argument("--shuffle-partitions", type=int, default=None)
+    p.add_argument("--master", default=None, help="Spark master; 'external' defers to spark-submit")
+    return p
+
+
+def run(ns: argparse.Namespace, spark=None) -> dict:
+    if spark is None:
+        spark = get_spark(
+            app_name="otds-dataprep",
+            cores=ns.cores,
+            shuffle_partitions=ns.shuffle_partitions,
+            master=ns.master,
+        )
+    t0 = time.time()
+    docs = spark.read.parquet(ns.documents).select("doc_id", "text")
+    m = _textops.document_metrics(docs)
+
+    keep = F.lit(True)
+    if ns.min_quality is not None:
+        keep = keep & (F.col("score") >= float(ns.min_quality))
+    if ns.langs:
+        langs = [s.strip() for s in ns.langs.split(",") if s.strip()]
+        keep = keep & F.col("pred_lang").isin(langs)
+    if ns.min_tokens is not None:
+        keep = keep & (F.col("n_ws_tokens") >= int(ns.min_tokens))
+    if ns.max_tokens is not None:
+        keep = keep & (F.col("n_ws_tokens") <= int(ns.max_tokens))
+
+    filtered = m.where(keep)
+    # the filtered metric frame feeds 2-3 consumers (dedup, near-dup,
+    # final write) — persist so the corpus scan + metrics run once
+    filtered = filtered.persist()
+
+    stage_counts = m.select(
+        F.count(F.lit(1)).alias("input_docs"),
+        F.sum(keep.cast("long")).alias("after_filters"),
+    ).collect()[0]
+    stats: dict = {
+        "job": "dataprep",
+        "input_docs": int(stage_counts.input_docs),
+        "after_filters": int(stage_counts.after_filters),
+    }
+
+    survivors = filtered
+    if not ns.no_exact_dedup:
+        canon = _dedup.exact_duplicates(filtered).select(
+            F.col("canonical_id").alias("doc_id")
+        )
+        # canonical ids are one row per distinct text — a semi-join keyed
+        # on doc_id; at corpus scale this is the standard dedup shuffle
+        survivors = filtered.join(canon, "doc_id", "left_semi")
+
+    if ns.near_dup_threshold is not None:
+        pairs = _dedup.verified_near_duplicates(
+            survivors.select("doc_id", "text"),
+            shingle_n=ns.shingle_n,
+            threshold=float(ns.near_dup_threshold),
+        )
+        # drop the larger id of every verified pair: each duplicate chain
+        # keeps exactly its minimum (every non-min member appears as the
+        # doc_b of at least one pair at the same threshold)
+        losers = pairs.select(
+            F.greatest("doc_a", "doc_b").alias("doc_id")
+        ).distinct()
+        survivors = survivors.join(losers, "doc_id", "left_anti")
+
+    out_corpus = f"{ns.out}/corpus"
+    survivors.write.mode("overwrite").parquet(out_corpus)
+    stats["output_docs"] = spark.read.parquet(out_corpus).count()
+    stats["seconds"] = round(time.time() - t0, 3)
+    filtered.unpersist()
+
+    # local filesystem only — on an object store / HDFS the stats line is
+    # still on stdout via main(); a production deploy would append it to
+    # the lineage table instead
+    if "://" not in ns.out:
+        with open(f"{ns.out}/stats.json", "w") as fh:
+            json.dump(stats, fh)
+    return stats
+
+
+def main(argv=None) -> int:
+    ns = build_parser().parse_args(argv)
+    stats = run(ns)
+    print(json.dumps(stats))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

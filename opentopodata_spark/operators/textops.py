@@ -7,6 +7,13 @@ higher-order functions, and hash built-ins — evaluated JVM-side under
 whole-stage codegen. No Python UDFs: at 10^12 documents the per-row
 Python boundary is the difference between hours and weeks.
 
+Each metric family is built by an expression-builder (``_*_exprs``) and
+exposed two ways: a per-family operator (token_stats / quality_score /
+lang_id — the driver-query surface) and ``document_metrics``, which
+selects EVERY family in one projection — one scan, zero joins — for
+consumers like jobs/dataprep that need all metrics per document (three
+metric joins at 10^12 docs would be three shuffles of the whole corpus).
+
 Determinism: every score uses only integer counts and single double
 divisions (rounded), so results are bit-reproducible across engines —
 the DuckDB oracle in ``__spark_entry__.py`` runs the same arithmetic.
@@ -17,7 +24,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["token_stats", "quality_score", "lang_id", "fingerprint", "STOPWORDS"]
+__all__ = [
+    "token_stats",
+    "quality_score",
+    "lang_id",
+    "fingerprint",
+    "document_metrics",
+    "STOPWORDS",
+]
 
 # A BPE-ish pre-tokenizer: letter runs | digit runs | single non-alnum
 # non-space. Written without \w/\s classes so Java-regex (Spark) and
@@ -36,41 +50,35 @@ def _tokens(text_col: str):
     return F.filter(F.split(F.col(text_col), " "), lambda t: t != F.lit(""))
 
 
-def token_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(doc_id, n_chars, n_ws_tokens, n_bpe_tokens, avg_token_len).
-
-    n_ws_tokens: whitespace tokens; n_bpe_tokens: BPE-ish pre-tokens
-    (letter runs / digit runs / punctuation singletons).
-    """
-    toks = _tokens(text_col)
-    n_ws = F.size(toks)
-    return df.select(
-        F.col(id_col).alias("doc_id"),
-        F.length(F.col(text_col)).cast("long").alias("n_chars"),
-        n_ws.cast("long").alias("n_ws_tokens"),
-        F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_REGEX), F.lit(0)))
-        .cast("long")
-        .alias("n_bpe_tokens"),
-        F.round(
-            F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t))
-            / F.greatest(n_ws, F.lit(1)),
-            6,
-        ).alias("avg_token_len"),
-    )
-
-
 def _count_in(toks, words: list[str]):
     """# tokens that are members of a fixed word list (codegen'd filter)."""
     arr = F.array(*[F.lit(w) for w in words])
     return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
 
 
-def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Heuristic quality score in [0,1]:
+def _token_stat_exprs(text_col: str) -> dict:
+    """n_chars, n_ws_tokens, n_bpe_tokens, avg_token_len."""
+    toks = _tokens(text_col)
+    n_ws = F.size(toks)
+    return {
+        "n_chars": F.length(F.col(text_col)).cast("long"),
+        "n_ws_tokens": n_ws.cast("long"),
+        "n_bpe_tokens": F.size(
+            F.regexp_extract_all(F.col(text_col), F.lit(BPE_REGEX), F.lit(0))
+        ).cast("long"),
+        "avg_token_len": F.round(
+            F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t))
+            / F.greatest(n_ws, F.lit(1)),
+            6,
+        ),
+    }
+
+
+def _quality_exprs(text_col: str) -> dict:
+    """n_tokens, n_stop, n_punct, score — heuristic quality in [0,1]:
     0.4 * min(n_tokens/64, 1)            (enough content)
     + 0.3 * min(stopword_ratio*8, 1)     (natural-language-ness)
     + 0.3 * (1 - min(punct_ratio*10, 1)) (not symbol soup)
-    Returns (doc_id, n_tokens, n_stop, n_punct, score).
     """
     toks = _tokens(text_col)
     n_tokens = F.size(toks).cast("long")
@@ -84,21 +92,18 @@ def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text")
         + F.lit(0.3) * F.least(n_stop / nt * F.lit(8.0), F.lit(1.0))
         + F.lit(0.3) * (F.lit(1.0) - F.least(n_punct / nt * F.lit(10.0), F.lit(1.0)))
     )
-    return df.select(
-        F.col(id_col).alias("doc_id"),
-        n_tokens.alias("n_tokens"),
-        n_stop.alias("n_stop"),
-        n_punct.alias("n_punct"),
-        F.round(score, 6).alias("score"),
-    )
+    return {
+        "n_tokens": n_tokens,
+        "n_stop": n_stop,
+        "n_punct": n_punct,
+        "score": F.round(score, 6),
+    }
 
 
-def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Stopword-vote language ID: (doc_id, votes per lang, pred_lang).
-
-    Ties break by fixed language order (en > de > fr > es); zero votes
-    everywhere => 'und' (undetermined), mirroring CLD-style outputs.
-    """
+def _lang_exprs(text_col: str) -> dict:
+    """votes_<lang> per language + pred_lang. Ties break by fixed language
+    order (en > de > fr > es); zero votes everywhere => 'und'
+    (undetermined), mirroring CLD-style outputs."""
     toks = _tokens(text_col)
     langs = list(STOPWORDS)
     cols = {lang: _count_in(toks, STOPWORDS[lang]).cast("long") for lang in langs}
@@ -106,10 +111,52 @@ def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
     pred = F.when(best == 0, F.lit("und"))
     for lang in langs:
         pred = pred.when(cols[lang] == best, F.lit(lang))
+    out = {f"votes_{lang}": cols[lang] for lang in langs}
+    out["pred_lang"] = pred
+    return out
+
+
+def _select(df: DataFrame, id_col: str, exprs: dict) -> DataFrame:
     return df.select(
         F.col(id_col).alias("doc_id"),
-        *[cols[lang].alias(f"votes_{lang}") for lang in langs],
-        pred.alias("pred_lang"),
+        *[e.alias(name) for name, e in exprs.items()],
+    )
+
+
+def token_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, n_chars, n_ws_tokens, n_bpe_tokens, avg_token_len).
+
+    n_ws_tokens: whitespace tokens; n_bpe_tokens: BPE-ish pre-tokens
+    (letter runs / digit runs / punctuation singletons).
+    """
+    return _select(df, id_col, _token_stat_exprs(text_col))
+
+
+def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Heuristic quality score: (doc_id, n_tokens, n_stop, n_punct, score).
+    Formula in _quality_exprs."""
+    return _select(df, id_col, _quality_exprs(text_col))
+
+
+def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Stopword-vote language ID: (doc_id, votes per lang, pred_lang)."""
+    return _select(df, id_col, _lang_exprs(text_col))
+
+
+def document_metrics(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Every metric family in ONE projection: (doc_id, text, token stats,
+    quality, language votes). One scan of the corpus, no joins — the
+    shape a cleaning pipeline needs before filtering."""
+    exprs: dict = {}
+    exprs.update(_token_stat_exprs(text_col))
+    exprs.update(_quality_exprs(text_col))
+    exprs.update(_lang_exprs(text_col))
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("text"),
+        *[e.alias(name) for name, e in exprs.items()],
     )
 
 

@@ -1,0 +1,85 @@
+"""Dataprep job CLI: filters, exact + near dedup, one-pass stats."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from opentopodata_spark.jobs import dataprep as job
+
+
+@pytest.fixture()
+def corpus_path(tmp_path, spark):
+    """Tiny corpus with planted signal: junk, non-English, exact dups,
+    near dups, and clean keepers."""
+    near_a = "the cat sat on the mat and looked at the red door " * 3
+    near_b = near_a + "extra tail words here"
+    rows = [
+        (1, "the quick brown fox is one of the animals seen in the park " * 2),
+        (2, "%%% ### @@@ !!! ^^^ &&& *** ((( ))) ___"),          # symbol soup
+        (3, "der hund ist ein tier und der vogel ist ein tier " * 2),  # de
+        (4, "the quick brown fox is one of the animals seen in the park " * 2),  # dup of 1
+        (5, near_a),
+        (6, near_b),                                             # near-dup of 5
+        (7, "tiny"),                                             # too short
+        (8, "a second clean english document about the weather and the sea " * 2),
+    ]
+    p = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(p)
+    return p
+
+
+def test_dataprep_end_to_end(tmp_path, corpus_path, spark, capsys):
+    out = str(tmp_path / "clean")
+    argv = [
+        "--documents", corpus_path,
+        "--out", out,
+        "--min-quality", "0.3",
+        "--langs", "en",
+        "--min-tokens", "5",
+        "--near-dup-threshold", "0.6",
+        "--cores", "4",
+    ]
+    assert job.main(argv) == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["input_docs"] == 8
+    # filters drop: 2 (symbol soup), 3 (German), 7 (too short)
+    assert stats["after_filters"] == 5
+    kept = {r.doc_id for r in spark.read.parquet(f"{out}/corpus").collect()}
+    # exact dedup drops 4 (dup of 1, canonical min id kept);
+    # near-dup drops 6 (pair (5,6), greater id loses)
+    assert kept == {1, 5, 8}
+    assert stats["output_docs"] == 3
+    # stats.json written next to the corpus
+    disk = json.load(open(f"{out}/stats.json"))
+    assert disk == stats
+
+    # metrics survive into the cleaned corpus (schema contract)
+    cols = set(spark.read.parquet(f"{out}/corpus").columns)
+    assert {"doc_id", "text", "score", "pred_lang", "n_ws_tokens"} <= cols
+
+
+def test_dataprep_no_filters_keeps_everything(tmp_path, corpus_path, spark, capsys):
+    out = str(tmp_path / "all")
+    argv = ["--documents", corpus_path, "--out", out,
+            "--no-exact-dedup", "--cores", "4"]
+    assert job.main(argv) == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["input_docs"] == stats["after_filters"] == stats["output_docs"] == 8
+
+
+def test_document_metrics_matches_per_family_ops(spark, corpus_path):
+    """document_metrics must agree column-for-column with the per-family
+    operators the driver queries pin (same expressions, one projection)."""
+    from opentopodata_spark.operators import textops
+
+    docs = spark.read.parquet(corpus_path)
+    m = {r.doc_id: r for r in textops.document_metrics(docs).collect()}
+    for op, cols in (
+        (textops.token_stats, ["n_chars", "n_ws_tokens", "n_bpe_tokens", "avg_token_len"]),
+        (textops.quality_score, ["n_tokens", "n_stop", "n_punct", "score"]),
+        (textops.lang_id, ["votes_en", "votes_de", "votes_fr", "votes_es", "pred_lang"]),
+    ):
+        for r in op(docs).collect():
+            for c in cols:
+                assert getattr(m[r.doc_id], c) == getattr(r, c), (c, r.doc_id)
