@@ -750,8 +750,11 @@ SELECT user_id,
        n_events
 FROM per_session ps
 WHERE sid < (SELECT max(sid) FROM per_session p2 WHERE p2.user_id = ps.user_id)
-   OR end_us + 1800000000 <= (SELECT m - 600000000 FROM mx)
+   OR end_us + 1800000000 < (SELECT m - 600000000 FROM mx)
 """
+# ^ strict < on the timeout boundary: Spark fires event-time timeouts only
+# when timeoutTimestamp is strictly below the eviction watermark, so a
+# session ending exactly gap+delay before max(ts) stays open on both sides.
 
 
 def q_sessionize(spark, sf_dir):

@@ -804,15 +804,25 @@ def _open_tiff(source: _ByteSource) -> Raster:
         raise RasterOpenError(f"'{path}' not recognised as a geo raster")
     bo = "<" if head[:2] == b"II" else ">"
     (magic,) = struct.unpack(bo + "H", head[2:4])
+    def _read_exact(offset: int, size: int, what: str) -> bytes:
+        buf = source.read_at(offset, size)
+        if len(buf) < size:
+            # truncated file: a clean RasterOpenError, never a raw
+            # struct.error escaping the open contract
+            raise RasterOpenError(f"'{path}': truncated TIFF ({what})")
+        return buf
+
     if magic == 42:
         # classic TIFF: 4-byte offsets, 12-byte IFD entries, 4-byte inline
         (ifd_offset,) = struct.unpack(bo + "I", head[4:8])
         entry_sz, inline_sz, off_fmt = 12, 4, "I"
-        (n_entries,) = struct.unpack(bo + "H", source.read_at(ifd_offset, 2))
+        (n_entries,) = struct.unpack(
+            bo + "H", _read_exact(ifd_offset, 2, "IFD count")
+        )
         entries_at = ifd_offset + 2
     elif magic == 43:
         # BigTIFF: 8-byte offsets, 20-byte IFD entries, 8-byte inline
-        big_head = source.read_at(0, 16)
+        big_head = _read_exact(0, 16, "BigTIFF header")
         off_sz, zero = struct.unpack(bo + "HH", big_head[4:8])
         if off_sz != 8 or zero != 0:
             raise RasterOpenError(
@@ -820,11 +830,13 @@ def _open_tiff(source: _ByteSource) -> Raster:
             )
         (ifd_offset,) = struct.unpack(bo + "Q", big_head[8:16])
         entry_sz, inline_sz, off_fmt = 20, 8, "Q"
-        (n_entries,) = struct.unpack(bo + "Q", source.read_at(ifd_offset, 8))
+        (n_entries,) = struct.unpack(
+            bo + "Q", _read_exact(ifd_offset, 8, "IFD count")
+        )
         entries_at = ifd_offset + 8
     else:
         raise RasterOpenError(f"'{path}' not a TIFF (magic={magic})")
-    raw_entries = source.read_at(entries_at, n_entries * entry_sz)
+    raw_entries = _read_exact(entries_at, n_entries * entry_sz, "IFD entries")
     tags: dict[int, tuple[int, int, bytes]] = {}
     count_fmt = "I" if magic == 42 else "Q"
     for i in range(n_entries):

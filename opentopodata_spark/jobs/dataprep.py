@@ -100,7 +100,9 @@ def run(ns: argparse.Namespace, spark=None) -> dict:
     stats: dict = {
         "job": "dataprep",
         "input_docs": int(stage_counts.input_docs),
-        "after_filters": int(stage_counts.after_filters),
+        # SUM over zero rows is NULL — an empty corpus must produce empty
+        # output + zero stats, not a TypeError
+        "after_filters": int(stage_counts.after_filters or 0),
     }
 
     survivors = filtered

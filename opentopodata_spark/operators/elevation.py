@@ -519,8 +519,14 @@ def estimate_cell_salts(
 
     At cluster scale this is one tiny pre-pass (0.1% of the data) that
     removes the hot-city straggler — the skew case AQE cannot fix for a
-    mapInPandas repartition (it is not a join)."""
-    cells = points_sample.select(resolver._cell_expr())
+    mapInPandas repartition (it is not a join).
+
+    Counts are taken over the sample's CANDIDATE rows (after the
+    broadcast registry join), not its points: the shuffle being salted
+    and sized carries one row per (point, matching dataset), so a region
+    covered by two datasets genuinely weighs twice — sizing on points
+    would undershoot partitions by the dataset-multiplicity factor."""
+    cells = resolver.candidates(points_sample).select(resolver._cell_expr())
     rows = cells.groupBy("_cell").agg(F.count(F.lit(1)).alias("cnt")).collect()
     total = sum(r.cnt for r in rows)
     if total == 0:

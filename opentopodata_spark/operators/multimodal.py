@@ -23,11 +23,14 @@ gives media spans the same first-class treatment text gets:
   in ``_decode_real``. ``decoder='fake'`` keeps the hash-derived
   pseudo-features (cheap plumbing tests).
 
-Scale notes: media blobs dominate bytes at 100 TB. The fetch+decode
-stage is therefore isolated behind one ``repartition(n)`` whose n is
-chosen by payload BYTES, not row count (``plan_fetch_partitions``), and
-the pipeline never shuffles decoded payloads — features (small) are
-what flows onward.
+Scale notes: media blobs dominate bytes at 100 TB. ``fetch_media`` takes
+an explicit ``partitions`` count for exactly that reason — size it by
+payload BYTES with ``plan_fetch_partitions`` (from catalog stats: object
+-store HEAD sizes, an Iceberg size column), never by row count. The
+fixture-scale driver query leaves it at None (a few thousand tiny
+payloads need no repartition); a production caller must not. The
+pipeline never shuffles decoded payloads — features (small) are what
+flows onward.
 """
 
 from __future__ import annotations

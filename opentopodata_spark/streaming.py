@@ -173,6 +173,22 @@ def sessionize_stream(
                 elif t - last_us > gap_us:
                     yield _emit(user_id, start_us, last_us, n)
                     start_us, last_us, n = t, t, 1
+                elif t < start_us:
+                    # late (cross-batch out-of-order) event, still inside
+                    # the watermark. If it chains onto the open session's
+                    # head, extend the session backwards — matching the
+                    # batch operator's globally-sorted semantics. If it is
+                    # older than the open session by more than the gap, in
+                    # sorted order it belongs to an already-closed earlier
+                    # session: emit it as its own singleton (late-data
+                    # policy — two such stragglers that would have chained
+                    # with EACH OTHER emit separately; the watermark
+                    # bounds how late this path can trigger at all).
+                    if start_us - t <= gap_us:
+                        start_us = t
+                        n += 1
+                    else:
+                        yield _emit(user_id, t, t, 1)
                 else:
                     last_us = max(last_us, t)
                     n += 1

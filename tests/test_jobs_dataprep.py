@@ -68,6 +68,17 @@ def test_dataprep_no_filters_keeps_everything(tmp_path, corpus_path, spark, caps
     assert stats["input_docs"] == stats["after_filters"] == stats["output_docs"] == 8
 
 
+def test_dataprep_empty_corpus(tmp_path, spark, capsys):
+    """Zero input rows -> empty corpus + zero stats, not a TypeError
+    (SUM over an empty relation is NULL)."""
+    p = str(tmp_path / "empty.parquet")
+    spark.createDataFrame([], "doc_id long, text string").write.parquet(p)
+    out = str(tmp_path / "clean")
+    assert job.main(["--documents", p, "--out", out, "--cores", "4"]) == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["input_docs"] == stats["after_filters"] == stats["output_docs"] == 0
+
+
 def test_document_metrics_matches_per_family_ops(spark, corpus_path):
     """document_metrics must agree column-for-column with the per-family
     operators the driver queries pin (same expressions, one projection)."""

@@ -205,6 +205,50 @@ class TestSessionizeStream:
         assert (1, "2024-01-01 05:00:00") not in got
 
 
+    def test_late_events_within_watermark(self, spark, tmp_path):
+        """Out-of-order cross-batch events that survive Spark's own
+        late-row filter (newer than the watermark, older than the open
+        session): one chains onto the session's head (extends
+        session_start backwards, matching batch semantics), one is older
+        than the session by more than the gap (emits as its own
+        singleton — the documented late policy). A 2-hour watermark keeps
+        both inside the admission window."""
+        inbox = str(tmp_path / "ev")
+        out = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ck")
+
+        def drain():
+            q = (
+                streaming.sessionize_stream(
+                    spark, inbox, gap_minutes=30, watermark="2 hours"
+                )
+                .writeStream.outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start(path=out, format="parquet")
+            )
+            q.awaitTermination()
+
+        t = "2024-01-01 {}:00"
+        b1 = [(0, t.format("12:00"), 1, "view", 0.0, "{}")]
+        b2 = [
+            (1, t.format("11:50"), 1, "view", 0.0, "{}"),  # chains (10 min)
+            (2, t.format("10:30"), 1, "view", 0.0, "{}"),  # singleton (80 min)
+            (3, t.format("18:00"), 2, "view", 0.0, "{}"),  # advances watermark
+        ]
+        TestSessionizeStream._write_events(self, spark, inbox, b1)
+        drain()
+        TestSessionizeStream._write_events(self, spark, inbox, b2)
+        for _ in range(3):
+            drain()
+        got = {
+            (r.user_id, str(r.session_start), str(r.session_end), r.n_events)
+            for r in spark.read.parquet(out).collect()
+        }
+        assert (1, "2024-01-01 10:30:00", "2024-01-01 10:30:00", 1) in got
+        assert (1, "2024-01-01 11:50:00", "2024-01-01 12:00:00", 2) in got
+
+
 class TestEventsRollupStream:
     def test_watermarked_windows_match_batch(self, spark, tmp_path):
         inbox = str(tmp_path / "events")
