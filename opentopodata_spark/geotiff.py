@@ -4,7 +4,8 @@ rasterio/GDAL is unavailable in this environment, so the engine ships its own
 minimal GeoTIFF implementation sufficient for elevation rasters:
 
 * single-band, strip-based or tiled layout
-* compression: none, DEFLATE (zlib, codes 8 and 32946), LZW (code 5)
+* compression: none, DEFLATE (zlib, codes 8 and 32946), LZW (code 5),
+  PackBits (code 32773)
 * predictors: 1 (none), 2 (horizontal differencing, integer data),
   3 (floating-point byte shuffle + differencing)
 * dtypes: float32/float64/int16/int32/uint16
@@ -94,8 +95,14 @@ _FT_FMT = {
 _C_NONE = 1
 _C_LZW = 5
 _C_DEFLATE_ADOBE = 8
+_C_PACKBITS = 32773
 _C_DEFLATE_OLD = 32946
-_COMPRESSION_CODES = {"none": _C_NONE, "deflate": _C_DEFLATE_ADOBE, "lzw": _C_LZW}
+_COMPRESSION_CODES = {
+    "none": _C_NONE,
+    "deflate": _C_DEFLATE_ADOBE,
+    "lzw": _C_LZW,
+    "packbits": _C_PACKBITS,
+}
 
 # GeoTIFF keys
 _GK_MODEL_TYPE = 1024  # 1=projected 2=geographic
@@ -221,6 +228,50 @@ def _lzw_encode(data: bytes) -> bytes:
     emit(_LZW_EOI, width)
     if nbits:
         out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    """TIFF PackBits (Apple RLE, TIFF 6.0 §9): runs of >=3 identical bytes
+    become a replicate packet; everything else is emitted literally."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        j = i + 1
+        while j < n and j - i < 128 and data[j] == data[i]:
+            j += 1
+        run = j - i
+        if run >= 3:
+            out.append((1 - run) & 0xFF)
+            out.append(data[i])
+            i = j
+        else:
+            k = i
+            while k < n and k - i < 128:
+                if k + 2 < n and data[k] == data[k + 1] == data[k + 2]:
+                    break
+                k += 1
+            out.append(k - i - 1)
+            out += data[i:k]
+            i = k
+    return bytes(out)
+
+
+def _packbits_decode(data: bytes) -> bytes:
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        b = data[i]
+        i += 1
+        if b == 128:  # no-op per spec
+            continue
+        if b < 128:
+            cnt = b + 1
+            out += data[i : i + cnt]
+            i += cnt
+        else:
+            out += data[i : i + 1] * (257 - b)
+            i += 1
     return bytes(out)
 
 
@@ -373,6 +424,8 @@ class _BlockReader:
             return zlib.decompress(raw)
         if self.compression == _C_LZW:
             return _lzw_decode(raw)
+        if self.compression == _C_PACKBITS:
+            return _packbits_decode(raw)
         return raw
 
     def _block_shape(self, idx: int) -> tuple[int, int]:
@@ -553,7 +606,7 @@ def write_geotiff(
     are offset by half a pixel, exactly the convention the reference's
     bounds-validation relies on (backend.py:46-60).
 
-    compression: "none" | "deflate" | "lzw". predictor: 1 (none),
+    compression: "none" | "deflate" | "lzw" | "packbits". predictor: 1 (none),
     2 (horizontal, integer dtypes), 3 (float byte shuffle, float dtypes).
     tile_size: (tile_height, tile_width), multiples of 16 → tiled layout;
     otherwise strips of rows_per_strip rows (default: one strip).
@@ -593,6 +646,8 @@ def write_geotiff(
             return zlib.compress(raw, 6)
         if comp == _C_LZW:
             return _lzw_encode(raw)
+        if comp == _C_PACKBITS:
+            return _packbits_encode(raw)
         return raw
 
     blocks: list[bytes] = []
@@ -867,10 +922,10 @@ def _open_tiff(source: _ByteSource) -> Raster:
     height = int(value(_T_HEIGHT)[0])
     bits = int(value(_T_BITS, [8])[0])
     comp = int(value(_T_COMPRESSION, [1])[0])
-    if comp not in (_C_NONE, _C_LZW, _C_DEFLATE_ADOBE, _C_DEFLATE_OLD):
+    if comp not in (_C_NONE, _C_LZW, _C_DEFLATE_ADOBE, _C_DEFLATE_OLD, _C_PACKBITS):
         raise RasterOpenError(
             f"'{path}': unsupported TIFF compression {comp} (supported: none,"
-            " LZW, DEFLATE)"
+            " LZW, DEFLATE, PackBits)"
         )
     predictor = int(value(_T_PREDICTOR, [1])[0])
     if predictor not in (1, 2, 3):

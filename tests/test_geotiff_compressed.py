@@ -34,18 +34,23 @@ VARIANTS = [
     ("lzw", 1, {"tile_size": (32, 16)}),
     ("none", 1, {"tile_size": (16, 32)}),  # uncompressed but tiled
     ("none", 1, {"rows_per_strip": 5}),
+    ("packbits", 1, {}),
+    ("packbits", 1, {"rows_per_strip": 6}),
+    ("packbits", 1, {"tile_size": (16, 16)}),
 ]
 
 INT_VARIANTS = VARIANTS + [
     ("deflate", 2, {"rows_per_strip": 9}),
     ("deflate", 2, {"tile_size": (16, 16)}),
     ("lzw", 2, {"tile_size": (32, 32)}),
+    ("packbits", 2, {"rows_per_strip": 8}),
 ]
 
 FLOAT_VARIANTS = VARIANTS + [
     ("deflate", 3, {"rows_per_strip": 11}),
     ("deflate", 3, {"tile_size": (16, 16)}),
     ("lzw", 3, {"tile_size": (16, 32)}),
+    ("packbits", 3, {"tile_size": (16, 16)}),
 ]
 
 
@@ -212,11 +217,11 @@ def test_zip_without_raster_member(tmp_path):
 
 
 def test_unsupported_compression_clear_error(tmp_path):
-    """A PackBits-coded TIFF fails with a clear message, not a crash."""
+    """A JPEG-coded TIFF fails with a clear message, not a crash."""
     arr = np.zeros((4, 4), dtype=np.int16)
-    p = str(tmp_path / "pb.tif")
+    p = str(tmp_path / "jp.tif")
     geotiff.write_geotiff(p, arr, x0=0, y0=4, sx=1, sy=1, epsg=4326)
-    # patch the compression tag (259) value to 32773 (PackBits)
+    # patch the compression tag (259) value to 7 (JPEG)
     data = bytearray(open(p, "rb").read())
     import struct
 
@@ -226,10 +231,29 @@ def test_unsupported_compression_clear_error(tmp_path):
         base = ifd_offset + 2 + i * 12
         tag = struct.unpack("<H", data[base : base + 2])[0]
         if tag == 259:
-            data[base + 8 : base + 10] = struct.pack("<H", 32773)
+            data[base + 8 : base + 10] = struct.pack("<H", 7)
     open(p, "wb").write(bytes(data))
     with pytest.raises(geotiff.RasterOpenError, match="compression"):
         geotiff.open_raster(p)
+
+
+def test_packbits_codec_edge_cases():
+    """Raw codec round-trips: runs, literals, 128-byte packet boundaries."""
+    cases = [
+        b"",
+        b"\x00",
+        b"abc",
+        b"a" * 3,
+        b"a" * 300,                       # multi-packet replicate run
+        bytes(range(256)),                # pure literal, >128 bytes
+        b"ab" + b"c" * 5 + b"de" + b"f" * 130 + b"gh",
+        bytes(np.random.default_rng(11).integers(0, 4, 1000, dtype=np.uint8)),
+    ]
+    for raw in cases:
+        enc = geotiff._packbits_encode(raw)
+        assert geotiff._packbits_decode(enc) == raw
+    # spec no-op byte (0x80) is skipped on decode
+    assert geotiff._packbits_decode(b"\x80\x00A\x80\xfeB") == b"ABBB"
 
 
 def test_sampling_identical_plain_vs_compressed(tmp_path):
