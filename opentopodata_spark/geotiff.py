@@ -3,7 +3,9 @@
 rasterio/GDAL is unavailable in this environment, so the engine ships its own
 minimal GeoTIFF implementation sufficient for elevation rasters:
 
-* single-band, strip-based or tiled layout
+* single-band, strip-based or tiled layout; multi-band files are read as
+  band 1 (both chunky PlanarConfiguration=1 and band-separate =2), the
+  reference's ``rasterio ... read(1)`` semantics (backend.py:103)
 * compression: none, DEFLATE (zlib, codes 8 and 32946), LZW (code 5),
   PackBits (code 32773)
 * predictors: 1 (none), 2 (horizontal differencing, integer data),
@@ -418,6 +420,11 @@ class _BlockReader:
     counts: list[int]
     compression: int
     predictor: int
+    # samples per pixel for chunky (PlanarConfiguration=1) multi-band files;
+    # we decode band 1 only, matching rasterio's read(1) in the reference
+    # (/root/reference/opentopodata/backend.py:103). Band-separate files
+    # (PlanarConfiguration=2) are handled upstream by slicing plane-1 blocks.
+    spp: int = 1
 
     def _decompress(self, raw: bytes) -> bytes:
         if self.compression in (_C_DEFLATE_ADOBE, _C_DEFLATE_OLD):
@@ -438,11 +445,19 @@ class _BlockReader:
         h, w = self._block_shape(idx)
         data = self._decompress(raw)
         if self.predictor == 3:
-            return _predict3_decode(data, h, w, self.dtype)
-        arr = np.frombuffer(data, dtype=self.dtype, count=h * w).reshape(h, w)
+            return _predict3_decode(data, h, w, self.dtype)  # spp==1 enforced at open
+        arr = np.frombuffer(data, dtype=self.dtype, count=h * w * self.spp)
+        if self.spp > 1:
+            arr = arr.reshape(h, w, self.spp)
+        else:
+            arr = arr.reshape(h, w)
         arr = arr.astype(self.dtype.newbyteorder("="), copy=False)
         if self.predictor == 2:
+            # horizontal differencing is per-sample across pixels (axis 1 is
+            # the pixel axis in both the (h, w) and (h, w, spp) shapes)
             arr = _predict2_decode(arr)
+        if self.spp > 1:
+            arr = np.ascontiguousarray(arr[:, :, 0])
         return arr
 
     def _blocks_for_window(self, r0, r1, c0, c1) -> list[int]:
@@ -936,6 +951,17 @@ def _open_tiff(source: _ByteSource) -> Raster:
         raise RasterOpenError(f"'{path}': unsupported sample format {sfmt}")
     dtype = np.dtype(f"{bo}{kind}{bits // 8}")
 
+    # Multi-band files: read band 1 only (the reference's rasterio read(1),
+    # backend.py:103). PlanarConfiguration=2 stores each band's blocks
+    # separately (plane 1 first); =1 interleaves samples within each pixel.
+    spp = int(value(_T_SAMPLES_PER_PIXEL, [1])[0])
+    planar = int(value(_T_PLANAR_CONFIG, [1])[0])
+    if spp > 1 and planar == 1 and predictor == 3:
+        raise RasterOpenError(
+            f"'{path}': float predictor on interleaved multi-band TIFF is"
+            " not supported (re-encode band-separate or single-band)"
+        )
+
     tiled = _T_TILE_OFFSETS in tags
     if tiled:
         block_offsets = value(_T_TILE_OFFSETS)
@@ -950,6 +976,11 @@ def _open_tiff(source: _ByteSource) -> Raster:
         tile_h = min(rsp, height)
     if block_offsets is None:
         raise RasterOpenError(f"'{path}' has no strip/tile offsets")
+    if spp > 1 and planar == 2:
+        # band-separate layout: all of plane 1's blocks come first
+        per_band = len(block_offsets) // spp
+        block_offsets = block_offsets[:per_band]
+        block_counts = block_counts[:per_band]
 
     scale = value(_T_MODEL_PIXEL_SCALE)
     tiepoint = value(_T_MODEL_TIEPOINT)
@@ -982,7 +1013,8 @@ def _open_tiff(source: _ByteSource) -> Raster:
 
     data = None
     blocks = None
-    if comp == _C_NONE and not tiled and predictor == 1:
+    chunky_multiband = spp > 1 and planar == 1
+    if comp == _C_NONE and not tiled and predictor == 1 and not chunky_multiband:
         # fast path: contiguous uncompressed strips -> one zero-copy view
         expected = [block_offsets[0]]
         row_bytes = width * dtype.itemsize
@@ -999,6 +1031,7 @@ def _open_tiff(source: _ByteSource) -> Raster:
             offsets=[int(o) for o in block_offsets],
             counts=[int(c) for c in block_counts],
             compression=comp, predictor=predictor,
+            spp=spp if chunky_multiband else 1,
         )
 
     return Raster(

@@ -237,6 +237,132 @@ def test_unsupported_compression_clear_error(tmp_path):
         geotiff.open_raster(p)
 
 
+def _write_multiband_tiff(path, bands, planar, compression="none", predictor=1,
+                          rows_per_strip=None):
+    """Minimal classic-TIFF writer for multi-band fixtures (the package writer
+    is deliberately single-band; real multi-band DEMs come from elsewhere)."""
+    import struct
+    import zlib
+
+    h, w = bands[0].shape
+    spp = len(bands)
+    dtype = bands[0].dtype
+    rsp = rows_per_strip or h
+    comp_code = {"none": 1, "deflate": 8}[compression]
+
+    def enc(a):
+        if predictor == 2:
+            d = a.copy()
+            d[:, 1:] = a[:, 1:] - a[:, :-1]
+            a = d
+        raw = np.ascontiguousarray(a.astype(dtype.newbyteorder("<"), copy=False)).tobytes()
+        return zlib.compress(raw) if comp_code == 8 else raw
+
+    strips = []
+    if planar == 1:
+        chunky = np.stack(bands, axis=-1)
+        for r0 in range(0, h, rsp):
+            strips.append(enc(chunky[r0 : r0 + rsp]))
+    else:
+        for b in bands:
+            for r0 in range(0, h, rsp):
+                strips.append(enc(b[r0 : r0 + rsp]))
+
+    sample_fmt = {"u": 1, "i": 2, "f": 3}[dtype.kind]
+    data = bytearray(b"II*\x00\x00\x00\x00\x00")  # IFD offset patched below
+    offsets = []
+    for s in strips:
+        offsets.append(len(data))
+        data += s
+
+    payloads = {}  # tag -> absolute offset of out-of-line payload
+
+    def payload(tag, blob):
+        payloads[tag] = len(data)
+        data.extend(blob)
+
+    n = len(strips)
+    geokeys = [1, 1, 0, 1, 2048, 0, 1, 4326]
+    entries = []  # (tag, ftype, count, inline-bytes-or-None, payload-blob)
+
+    def tag(t, ftype, fmt, vals):
+        blob = struct.pack(f"<{len(vals)}{fmt}", *vals)
+        if len(blob) <= 4:
+            entries.append((t, ftype, len(vals), blob.ljust(4, b"\x00")))
+        else:
+            payload(t, blob)
+            entries.append((t, ftype, len(vals), None))
+
+    tag(256, 3, "H", [w])
+    tag(257, 3, "H", [h])
+    tag(258, 3, "H", [dtype.itemsize * 8] * spp)
+    tag(259, 3, "H", [comp_code])
+    tag(262, 3, "H", [1])
+    tag(273, 4, "I", offsets)
+    tag(277, 3, "H", [spp])
+    tag(278, 3, "H", [rsp])
+    tag(279, 4, "I", [len(s) for s in strips])
+    tag(284, 3, "H", [planar])
+    if predictor != 1:
+        tag(317, 3, "H", [predictor])
+    tag(339, 3, "H", [sample_fmt] * spp)
+    tag(33550, 12, "d", [1.0, 1.0, 0.0])
+    tag(33922, 12, "d", [0.0, 0.0, 0.0, 0.0, float(h), 0.0])
+    tag(34735, 3, "H", geokeys)
+
+    ifd_at = len(data)
+    struct.pack_into("<I", data, 4, ifd_at)
+    data += struct.pack("<H", len(entries))
+    for (t, ftype, count, inline) in sorted(entries):
+        data += struct.pack("<HHI", t, ftype, count)
+        data += inline if inline is not None else struct.pack("<I", payloads[t])
+    data += b"\x00\x00\x00\x00"
+    with open(path, "wb") as f:
+        f.write(bytes(data))
+
+
+@pytest.mark.parametrize("planar", [1, 2])
+@pytest.mark.parametrize(
+    "compression,predictor,rsp",
+    [("none", 1, None), ("none", 1, 7), ("deflate", 1, 9), ("deflate", 2, 5)],
+)
+def test_multiband_reads_band_one(tmp_path, planar, compression, predictor, rsp):
+    """rasterio-parity: a 3-band TIFF yields band 1 (backend.py:103)."""
+    rng = np.random.default_rng(17)
+    bands = [rng.integers(-400, 3000, (23, 31)).astype(np.int16) for _ in range(3)]
+    p = str(tmp_path / "mb.tif")
+    _write_multiband_tiff(p, bands, planar, compression, predictor, rsp)
+    r = geotiff.open_raster(p)
+    assert r.width == 31 and r.height == 23 and r.crs.epsg == 4326
+    np.testing.assert_array_equal(np.asarray(r.band), bands[0])
+    win, (orow, ocol) = r.read_window(3, 17, 5, 29)
+    np.testing.assert_array_equal(win, bands[0][3:17, 5:29])
+    assert (orow, ocol) == (3, 5)
+
+
+def test_multiband_chunky_float_predictor_rejected(tmp_path):
+    """Open must fail clearly BEFORE decoding: write a predictor-2 file,
+    then retag predictor=3 (the unsupported chunky-multiband-float combo)."""
+    import struct
+
+    bands = [np.ones((8, 8), dtype=np.int32) for _ in range(2)]
+    p = str(tmp_path / "mbf.tif")
+    _write_multiband_tiff(p, bands, planar=1, compression="deflate", predictor=2)
+    patched = False
+    data = bytearray(open(p, "rb").read())
+    ifd = struct.unpack("<I", data[4:8])[0]
+    (n,) = struct.unpack("<H", data[ifd : ifd + 2])
+    for i in range(n):
+        base = ifd + 2 + i * 12
+        if struct.unpack("<H", data[base : base + 2])[0] == 317:
+            data[base + 8 : base + 10] = struct.pack("<H", 3)
+            patched = True
+    assert patched
+    open(p, "wb").write(bytes(data))
+    with pytest.raises(geotiff.RasterOpenError, match="multi-band"):
+        geotiff.open_raster(p)
+
+
 def test_packbits_codec_edge_cases():
     """Raw codec round-trips: runs, literals, 128-byte packet boundaries."""
     cases = [
