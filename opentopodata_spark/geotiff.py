@@ -7,7 +7,9 @@ minimal GeoTIFF implementation sufficient for elevation rasters:
   band 1 (both chunky PlanarConfiguration=1 and band-separate =2), the
   reference's ``rasterio ... read(1)`` semantics (backend.py:103)
 * compression: none, DEFLATE (zlib, codes 8 and 32946), LZW (code 5),
-  PackBits (code 32773)
+  PackBits (code 32773), LZMA (code 34925, xz stream as libtiff writes)
+* sparse blocks (GDAL SPARSE_OK=TRUE: offset/bytecount 0) read back as
+  nodata (or 0 without a nodata value), matching GDAL's GTiff driver
 * predictors: 1 (none), 2 (horizontal differencing, integer data),
   3 (floating-point byte shuffle + differencing)
 * dtypes: float32/float64/int16/int32/uint16
@@ -40,6 +42,7 @@ support is first-class here, not an afterthought.
 from __future__ import annotations
 
 import io
+import lzma
 import math
 import os
 import re
@@ -99,11 +102,13 @@ _C_LZW = 5
 _C_DEFLATE_ADOBE = 8
 _C_PACKBITS = 32773
 _C_DEFLATE_OLD = 32946
+_C_LZMA = 34925
 _COMPRESSION_CODES = {
     "none": _C_NONE,
     "deflate": _C_DEFLATE_ADOBE,
     "lzw": _C_LZW,
     "packbits": _C_PACKBITS,
+    "lzma": _C_LZMA,
 }
 
 # GeoTIFF keys
@@ -425,6 +430,9 @@ class _BlockReader:
     # (/root/reference/opentopodata/backend.py:103). Band-separate files
     # (PlanarConfiguration=2) are handled upstream by slicing plane-1 blocks.
     spp: int = 1
+    # value sparse blocks (offset/bytecount 0, GDAL SPARSE_OK) read back as:
+    # the nodata value if the file declares one, else 0 — GDAL's semantics
+    fill: float = 0.0
 
     def _decompress(self, raw: bytes) -> bytes:
         if self.compression in (_C_DEFLATE_ADOBE, _C_DEFLATE_OLD):
@@ -433,6 +441,10 @@ class _BlockReader:
             return _lzw_decode(raw)
         if self.compression == _C_PACKBITS:
             return _packbits_decode(raw)
+        if self.compression == _C_LZMA:
+            # libtiff's LZMA codec emits one xz stream per block
+            # (tif_lzma.c, lzma_stream_encoder); FORMAT_AUTO accepts it
+            return lzma.decompress(raw)
         return raw
 
     def _block_shape(self, idx: int) -> tuple[int, int]:
@@ -489,6 +501,18 @@ class _BlockReader:
             else:
                 blocks[idx] = arr
         if missing:
+            sparse = [
+                i for i in missing if self.offsets[i] == 0 or self.counts[i] == 0
+            ]
+            for idx in sparse:
+                arr = np.full(
+                    self._block_shape(idx),
+                    self.fill,
+                    dtype=self.dtype.newbyteorder("="),
+                )
+                _cache_put((self.source.cache_key, idx), arr)
+                blocks[idx] = arr
+            missing = [i for i in missing if i not in blocks]
             raws = self.source.read_many(
                 [(self.offsets[i], self.counts[i]) for i in missing]
             )
@@ -614,6 +638,7 @@ def write_geotiff(
     tile_size: tuple[int, int] | None = None,
     rows_per_strip: int | None = None,
     bigtiff: bool = False,
+    sparse_ok: bool = False,
 ) -> None:
     """Write a single-band north-up GeoTIFF.
 
@@ -621,8 +646,13 @@ def write_geotiff(
     are offset by half a pixel, exactly the convention the reference's
     bounds-validation relies on (backend.py:46-60).
 
-    compression: "none" | "deflate" | "lzw" | "packbits". predictor: 1 (none),
-    2 (horizontal, integer dtypes), 3 (float byte shuffle, float dtypes).
+    compression: "none" | "deflate" | "lzw" | "packbits" | "lzma".
+    predictor: 1 (none), 2 (horizontal, integer dtypes), 3 (float byte
+    shuffle, float dtypes).
+    sparse_ok: blocks entirely equal to the nodata value (or entirely zero
+    when no nodata is set) are omitted from the file and recorded with
+    offset=0 / bytecount=0 — GDAL's SPARSE_OK=TRUE layout, common in
+    coastal/ocean DEM tiles where most blocks are sea.
     tile_size: (tile_height, tile_width), multiples of 16 → tiled layout;
     otherwise strips of rows_per_strip rows (default: one strip).
     bigtiff: emit the BigTIFF (magic 43, 8-byte offset) layout — the format
@@ -663,9 +693,22 @@ def write_geotiff(
             return _lzw_encode(raw)
         if comp == _C_PACKBITS:
             return _packbits_encode(raw)
+        if comp == _C_LZMA:
+            # libtiff's codec writes one xz stream per block (tif_lzma.c)
+            return lzma.compress(raw, format=lzma.FORMAT_XZ, preset=6)
         return raw
 
-    blocks: list[bytes] = []
+    sparse_value = array.dtype.type(nodata) if nodata is not None else array.dtype.type(0)
+
+    def is_sparse(blk: np.ndarray) -> bool:
+        if not sparse_ok:
+            return False
+        if np.issubdtype(blk.dtype, np.floating) and np.isnan(sparse_value):
+            return bool(np.isnan(blk).all())
+        return bool((blk == sparse_value).all())
+
+    # None entries are sparse blocks: no bytes in the file, offset/count 0.
+    blocks: list[bytes | None] = []
     if tile_size is not None:
         th, tw = tile_size
         if th % 16 or tw % 16:
@@ -676,11 +719,12 @@ def write_geotiff(
                 blk = np.full((th, tw), pad_value, dtype=array.dtype)
                 sub = array[r0 : r0 + th, c0 : c0 + tw]
                 blk[: sub.shape[0], : sub.shape[1]] = sub
-                blocks.append(encode_block(blk))
+                blocks.append(None if is_sparse(blk) else encode_block(blk))
     else:
         rsp = rows_per_strip or h
         for r0 in range(0, h, rsp):
-            blocks.append(encode_block(array[r0 : r0 + rsp]))
+            blk = array[r0 : r0 + rsp]
+            blocks.append(None if is_sparse(blk) else encode_block(blk))
 
     inline_sz = 8 if bigtiff else 4
     entries: list[tuple[int, int, int, bytes]] = []  # (tag, type, count, inline-or-offset)
@@ -749,17 +793,21 @@ def write_geotiff(
     offsets = []
     pos = data_offset
     for b in blocks:
+        if b is None:  # sparse block: GDAL SPARSE_OK convention
+            offsets.append(0)
+            continue
         offsets.append(pos)
         pos += len(b) + (len(b) % 2)  # word-align
+    counts = [0 if b is None else len(b) for b in blocks]
     if tile_size is not None:
         add(_T_TILE_WIDTH, _FT_LONG, [tile_size[1]])
         add(_T_TILE_LENGTH, _FT_LONG, [tile_size[0]])
         add(_T_TILE_OFFSETS, off_ft, offsets)
-        add(_T_TILE_BYTE_COUNTS, off_ft, [len(b) for b in blocks])
+        add(_T_TILE_BYTE_COUNTS, off_ft, counts)
     else:
         add(_T_ROWS_PER_STRIP, _FT_LONG, [rows_per_strip or h])
         add(_T_STRIP_OFFSETS, off_ft, offsets)
-        add(_T_STRIP_BYTE_COUNTS, off_ft, [len(b) for b in blocks])
+        add(_T_STRIP_BYTE_COUNTS, off_ft, counts)
 
     # out-of-line values follow the block data
     off_pack = "<Q" if bigtiff else "<I"
@@ -790,6 +838,8 @@ def write_geotiff(
     with open(tmp, "wb") as f:
         f.write(header)
         for b in blocks:
+            if b is None:
+                continue
             f.write(b)
             if len(b) % 2:
                 f.write(b"\x00")
@@ -937,10 +987,12 @@ def _open_tiff(source: _ByteSource) -> Raster:
     height = int(value(_T_HEIGHT)[0])
     bits = int(value(_T_BITS, [8])[0])
     comp = int(value(_T_COMPRESSION, [1])[0])
-    if comp not in (_C_NONE, _C_LZW, _C_DEFLATE_ADOBE, _C_DEFLATE_OLD, _C_PACKBITS):
+    if comp not in (
+        _C_NONE, _C_LZW, _C_DEFLATE_ADOBE, _C_DEFLATE_OLD, _C_PACKBITS, _C_LZMA
+    ):
         raise RasterOpenError(
             f"'{path}': unsupported TIFF compression {comp} (supported: none,"
-            " LZW, DEFLATE, PackBits)"
+            " LZW, DEFLATE, PackBits, LZMA)"
         )
     predictor = int(value(_T_PREDICTOR, [1])[0])
     if predictor not in (1, 2, 3):
@@ -1014,8 +1066,12 @@ def _open_tiff(source: _ByteSource) -> Raster:
     data = None
     blocks = None
     chunky_multiband = spp > 1 and planar == 1
-    if comp == _C_NONE and not tiled and predictor == 1 and not chunky_multiband:
+    if (
+        comp == _C_NONE and not tiled and predictor == 1
+        and not chunky_multiband and int(block_offsets[0]) != 0
+    ):
         # fast path: contiguous uncompressed strips -> one zero-copy view
+        # (a zero first offset means a sparse file: block-reader path)
         expected = [block_offsets[0]]
         row_bytes = width * dtype.itemsize
         for c in block_counts[:-1]:
@@ -1032,6 +1088,7 @@ def _open_tiff(source: _ByteSource) -> Raster:
             counts=[int(c) for c in block_counts],
             compression=comp, predictor=predictor,
             spp=spp if chunky_multiband else 1,
+            fill=nodata if nodata is not None else 0.0,
         )
 
     return Raster(

@@ -37,6 +37,9 @@ VARIANTS = [
     ("packbits", 1, {}),
     ("packbits", 1, {"rows_per_strip": 6}),
     ("packbits", 1, {"tile_size": (16, 16)}),
+    ("lzma", 1, {}),
+    ("lzma", 1, {"rows_per_strip": 10}),
+    ("lzma", 1, {"tile_size": (16, 16)}),
 ]
 
 INT_VARIANTS = VARIANTS + [
@@ -44,6 +47,7 @@ INT_VARIANTS = VARIANTS + [
     ("deflate", 2, {"tile_size": (16, 16)}),
     ("lzw", 2, {"tile_size": (32, 32)}),
     ("packbits", 2, {"rows_per_strip": 8}),
+    ("lzma", 2, {"tile_size": (16, 16)}),
 ]
 
 FLOAT_VARIANTS = VARIANTS + [
@@ -51,6 +55,7 @@ FLOAT_VARIANTS = VARIANTS + [
     ("deflate", 3, {"tile_size": (16, 16)}),
     ("lzw", 3, {"tile_size": (16, 32)}),
     ("packbits", 3, {"tile_size": (16, 16)}),
+    ("lzma", 3, {"rows_per_strip": 12}),
 ]
 
 
@@ -406,3 +411,106 @@ def test_sampling_identical_plain_vs_compressed(tmp_path):
         zc, bc = interpolate.sample_points_on_raster_arrays(rc, lats, lons, method)
         np.testing.assert_array_equal(bp, bc)
         np.testing.assert_array_equal(zp[bp], zc[bc])
+
+
+# ---------------------------------------------------------------------------
+# Sparse files (GDAL SPARSE_OK=TRUE: offset/bytecount 0 blocks)
+# ---------------------------------------------------------------------------
+
+def _coastal(h, w, dtype, nodata):
+    """Left half 'land' (values), right half 'sea' (all nodata)."""
+    arr = _checkerboard(h, w, dtype)
+    arr[:, w // 2 :] = nodata
+    return arr
+
+
+@pytest.mark.parametrize("layout,comp", [
+    ({"tile_size": (16, 16)}, "none"),
+    ({"tile_size": (16, 16)}, "deflate"),
+    ({"rows_per_strip": 8}, "none"),
+    ({"rows_per_strip": 8}, "lzw"),
+])
+def test_sparse_blocks_read_as_nodata(tmp_path, layout, comp):
+    nodata = -32768
+    arr = _coastal(48, 64, np.int16, nodata)
+    # make some whole STRIPS sparse too (full-width nodata band)
+    arr[24:40, :] = nodata
+    dense = str(tmp_path / "dense.tif")
+    sparse = str(tmp_path / "sparse.tif")
+    common = dict(x0=0, y0=48, sx=1, sy=1, epsg=4326, nodata=nodata,
+                  compression=comp, **layout)
+    geotiff.write_geotiff(dense, arr, **common)
+    geotiff.write_geotiff(sparse, arr, sparse_ok=True, **common)
+    assert os.path.getsize(sparse) < os.path.getsize(dense)
+    geotiff.clear_block_cache()
+    r = geotiff.open_raster(sparse)
+    np.testing.assert_array_equal(np.asarray(r.band), arr)
+    # windowed read crossing a sparse/dense boundary
+    win, _ = r.read_window(20, 44, 28, 40)
+    np.testing.assert_array_equal(win, arr[20:44, 28:40])
+
+
+def test_sparse_without_nodata_reads_zero(tmp_path):
+    arr = _checkerboard(32, 32, np.float32)
+    arr[:, 16:] = 0.0
+    p = str(tmp_path / "z.tif")
+    geotiff.write_geotiff(p, arr, x0=0, y0=32, sx=1, sy=1, epsg=4326,
+                          tile_size=(16, 16), sparse_ok=True)
+    np.testing.assert_array_equal(np.asarray(geotiff.open_raster(p).band), arr)
+
+
+def test_fully_sparse_file(tmp_path):
+    """Every block sparse — first offset is 0, so the uncompressed fast
+    path must bail to the block reader."""
+    nodata = 9999.0
+    arr = np.full((20, 20), nodata, dtype=np.float32)
+    p = str(tmp_path / "allsea.tif")
+    geotiff.write_geotiff(p, arr, x0=0, y0=20, sx=1, sy=1, epsg=4326,
+                          nodata=nodata, rows_per_strip=5, sparse_ok=True)
+    r = geotiff.open_raster(p)
+    np.testing.assert_array_equal(np.asarray(r.band), arr)
+
+
+def test_sparse_float_nan_nodata(tmp_path):
+    arr = _checkerboard(32, 48, np.float32)
+    arr[:, 32:] = np.nan
+    p = str(tmp_path / "nan.tif")
+    geotiff.write_geotiff(p, arr, x0=0, y0=32, sx=1, sy=1, epsg=4326,
+                          nodata=float("nan"), tile_size=(16, 16),
+                          compression="deflate", predictor=3, sparse_ok=True)
+    r = geotiff.open_raster(p)
+    got = np.asarray(r.band)
+    np.testing.assert_array_equal(np.isnan(got), np.isnan(arr))
+    np.testing.assert_array_equal(got[~np.isnan(arr)], arr[~np.isnan(arr)])
+
+
+def test_sparse_end_to_end_interpolation(tmp_path):
+    """Interpolation over a sparse file == over the dense twin."""
+    from opentopodata_spark import interpolate
+
+    rng = np.random.default_rng(11)
+    nodata = -9999.0
+    arr = _coastal(50, 60, np.float32, nodata)
+    dense = str(tmp_path / "d.tif")
+    sparse = str(tmp_path / "s.tif")
+    common = dict(x0=-0.5, y0=49.5, sx=1.0, sy=1.0, epsg=4326, nodata=nodata,
+                  tile_size=(16, 16), compression="deflate")
+    geotiff.write_geotiff(dense, arr, **common)
+    geotiff.write_geotiff(sparse, arr, sparse_ok=True, **common)
+    lats = rng.uniform(-0.4, 48.9, 400)
+    lons = rng.uniform(0.1, 58.9, 400)
+    rd = geotiff.open_raster(dense)
+    rs = geotiff.open_raster(sparse)
+    for method in ("nearest", "bilinear", "cubic"):
+        zd, bd = interpolate.sample_points_on_raster_arrays(rd, lats, lons, method)
+        zs, bs = interpolate.sample_points_on_raster_arrays(rs, lats, lons, method)
+        np.testing.assert_array_equal(bd, bs)
+        np.testing.assert_array_equal(zd[bd], zs[bs])
+
+
+def test_lzma_bigtiff_roundtrip(tmp_path):
+    arr = _checkerboard(40, 40, np.float32)
+    p = str(tmp_path / "big.tif")
+    geotiff.write_geotiff(p, arr, x0=0, y0=40, sx=1, sy=1, epsg=4326,
+                          compression="lzma", tile_size=(16, 16), bigtiff=True)
+    np.testing.assert_array_equal(np.asarray(geotiff.open_raster(p).band), arr)
