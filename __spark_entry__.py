@@ -966,6 +966,141 @@ def q_s2_cells(spark, sf_dir):
     return spatial.with_s2_cell(p, level=8).select("pid", "s2_cell")
 
 
+# --------------------------------------------------------------------------
+# Zonal statistics (north rule: raster<->vector aggregate)
+# --------------------------------------------------------------------------
+
+# polygons over the int16 SRTM fixture tiles (lon 10..12, lat 0..1) plus
+# the 3x3 NODATA fixture (lon/lat -0.5..2.5): TRI spans the tile seam,
+# BOX crosses it, NODATA_MIX exercises the nodata accounting
+_ZONAL_POLYGONS = [
+    {"polygon_id": "TRI", "lats": [0.1, 0.9, 0.1], "lons": [10.2, 10.9, 11.7]},
+    {"polygon_id": "BOX", "lats": [0.3, 0.7, 0.7, 0.3],
+     "lons": [10.8, 10.8, 11.2, 11.2]},
+    {"polygon_id": "NODATA_MIX", "lats": [-0.5, 2.5, 2.5, -0.5],
+     "lons": [-0.5, -0.5, 2.5, 2.5]},
+]
+
+
+def _zonal_raster_paths() -> list[str]:
+    import glob as _glob
+
+    from opentopodata_spark import fixtures
+
+    raster_dir = os.path.join(_fixture_root(), "rasters")
+    fixtures.make_all_rasters(raster_dir)
+    paths = sorted(
+        _glob.glob(os.path.join(raster_dir, "test-srtm90m-subset", "*.tif"))
+    )
+    paths.append(os.path.join(raster_dir, "test-nodata", "nodata.geotiff"))
+    return paths
+
+
+def q_zonal_stats(spark, sf_dir):
+    """Raster<->vector zonal statistics: per-polygon count/nodata/min/max/
+    sum/mean over raster pixel centers. Bounded (polygon x row-strip) work
+    units -> executor-side windowed reads + vectorized ray-cast mask ->
+    map-side partial aggregates -> tiny final groupBy. The DuckDB oracle
+    aggregates a precomputed pixel table with its OWN SQL ray-cast —
+    independent mask + aggregation paths (int16 values: sums exact)."""
+    from opentopodata_spark.operators import zonal
+
+    _ship_package(spark)
+    meta = zonal.raster_metadata(spark, _zonal_raster_paths())
+    out = zonal.zonal_stats(meta, _ZONAL_POLYGONS, strip_rows=256)
+    return out.select(
+        "polygon_id", "n_px", "n_nodata", "n_valid",
+        "vmin", "vmax", "vsum", "vmean",
+    )
+
+
+def _build_zonal_pixels(sf_dir: str):
+    """Pixel table (pixel_id, lat, lon, value, is_nodata) for the zonal
+    fixture rasters — decoded single-process; the SQL side does the
+    polygon mask and aggregation itself."""
+    import numpy as np
+    import pyarrow as pa
+
+    from opentopodata_spark import geotiff
+
+    ids, lats, lons, vals, nod = [], [], [], [], []
+    base = 0
+    for path in _zonal_raster_paths():
+        r = geotiff.open_raster(path)
+        win, _ = r.read_window(0, r.height, 0, r.width)
+        h, w = win.shape
+        xs = r.x0 + (np.arange(w) + 0.5) * r.sx
+        ys = r.y0 - (np.arange(h) + 0.5) * r.sy
+        lons.append(np.broadcast_to(xs, (h, w)).ravel())
+        lats.append(np.broadcast_to(ys[:, None], (h, w)).ravel())
+        v = win.ravel()
+        vals.append(np.asarray(v, dtype=np.float64))
+        if r.nodata is not None:
+            nod.append(v == np.asarray(r.nodata, dtype=win.dtype))
+        else:
+            nod.append(np.zeros(v.size, dtype=bool))
+        ids.append(np.arange(base, base + v.size, dtype=np.int64))
+        base += v.size
+    return pa.table(
+        {
+            "pixel_id": pa.array(np.concatenate(ids)),
+            "lat": pa.array(np.concatenate(lats)),
+            "lon": pa.array(np.concatenate(lons)),
+            "value": pa.array(np.concatenate(vals)),
+            "is_nodata": pa.array(np.concatenate(nod)),
+        }
+    )
+
+
+def _zonal_sql() -> str:
+    path = _oracle_parquet("zonal_pixels", _build_zonal_pixels)
+    parts = []
+    for poly in _ZONAL_POLYGONS:
+        pid = poly["polygon_id"]
+        la, lo = poly["lats"], poly["lons"]
+        edge_rows = []
+        for k in range(len(la)):
+            y1, x1 = la[k], lo[k]
+            y2, x2 = la[(k + 1) % len(la)], lo[(k + 1) % len(la)]
+            if y1 == y2:
+                continue
+            edge_rows.append(f"({y1!r}, {x1!r}, {y2!r}, {x2!r})")
+        edges = ", ".join(edge_rows)
+        # the closed-bbox prefilter is exact: the even-odd crossing test
+        # can only pass strictly inside the vertex extent
+        parts.append(f"""
+SELECT '{pid}' AS polygon_id,
+       COUNT(*) AS n_px,
+       COUNT(*) FILTER (WHERE is_nodata) AS n_nodata,
+       COUNT(*) FILTER (WHERE NOT is_nodata) AS n_valid,
+       MIN(value) FILTER (WHERE NOT is_nodata) AS vmin,
+       MAX(value) FILTER (WHERE NOT is_nodata) AS vmax,
+       SUM(value) FILTER (WHERE NOT is_nodata) AS vsum,
+       ROUND(SUM(value) FILTER (WHERE NOT is_nodata)
+             / COUNT(*) FILTER (WHERE NOT is_nodata), 6) AS vmean
+FROM (
+  SELECT p.pixel_id, p.value, p.is_nodata
+  FROM read_parquet('{path}') p
+  CROSS JOIN (VALUES {edges}) AS e(y1, x1, y2, x2)
+  WHERE p.lat BETWEEN {min(la)!r} AND {max(la)!r}
+    AND p.lon BETWEEN {min(lo)!r} AND {max(lo)!r}
+  GROUP BY p.pixel_id, p.value, p.is_nodata
+  HAVING SUM(CASE WHEN ((e.y1 > p.lat) <> (e.y2 > p.lat))
+                   AND (p.lon < (e.x2 - e.x1) * (p.lat - e.y1)
+                                / (e.y2 - e.y1) + e.x1)
+                  THEN 1 ELSE 0 END) % 2 = 1
+)
+HAVING COUNT(*) > 0""")
+    return "\nUNION ALL\n".join(parts)
+
+
+def _zonal_oracle_entry() -> dict[str, str]:
+    try:
+        return {"zonal_stats": _zonal_sql()}
+    except Exception:
+        return {}  # rows-only fallback
+
+
 # ---------------------------------------------------------------------------
 # precomputed single-process oracles for the non-SQL-expressible queries
 #
@@ -1299,6 +1434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "pip_coverage": q_pip_coverage,
         "s2_cells": q_s2_cells,
+        "zonal_stats": q_zonal_stats,
     }
 
 
@@ -1333,4 +1469,7 @@ def oracle_sql() -> dict[str, str]:
         # single-process reference implementations, recomputed fresh into a
         # parquet that the SQL reads (see _precomputed_oracles above).
         **_precomputed_oracles(),
+        # zonal_stats: precomputed PIXEL table; DuckDB runs its own
+        # ray-cast mask + aggregation (independent of the Spark path).
+        **_zonal_oracle_entry(),
     }

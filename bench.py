@@ -94,6 +94,7 @@ def main() -> None:
         "coord_extract": lambda: contract.q_coord_extract(spark, SF_DIR),
         "events_rollup": lambda: contract.q_events_rollup(spark, SF_DIR),
         "sessionize": lambda: contract.q_sessionize(spark, SF_DIR),
+        "zonal_stats": lambda: contract.q_zonal_stats(spark, SF_DIR),
     }
     for name, make in queries.items():
         timings[name] = run(make())

@@ -1,0 +1,298 @@
+"""Zonal statistics: aggregate raster pixel values over vector polygons.
+
+The raster<->vector aggregate of the north rule (BASELINE.json: "H3/S2
+index, point-in-polygon, kNN, raster<->vector"). The reference engine
+resolves rasters point-wise (/root/reference/opentopodata/backend.py) —
+zonal stats is the inverse-direction operation a spatial engine needs:
+given polygons, summarize every raster pixel whose CENTER lies inside
+(count / nodata count / min / max / sum / mean).
+
+Scale shape — the only one that survives 100 TB of tiles:
+
+    raster headers      -> metadata DataFrame        (distributed scan)
+    metadata x polygons -> bounded WORK UNITS        (narrow flatMap; a
+                           unit is one polygon x one <=strip_rows row
+                           strip of one raster, bbox-pruned)
+    work units          -> round-robin repartition   (units are uniform
+                           by construction: no skew, no stragglers)
+    per unit            -> PARTIAL aggregates        (windowed block read
+                           + vectorized ray-cast mask; pixels NEVER
+                           become DataFrame rows)
+    partials            -> groupBy(polygon_id)       (tiny final shuffle:
+                           O(polygons x strips) rows)
+
+Pixels stay inside numpy batches end-to-end; the shuffled data is only
+the partial-aggregate rows. Overlapping tiles (e.g. SRTM's shared edge
+rows/cols) contribute once PER TILE, exactly like a per-tile map-reduce
+over the physical dataset would — documented multiset semantics.
+
+Determinism: per-strip sums are float64. For integer-valued rasters
+(SRTM int16, NED int32) every partial and the merged total is exact
+(integers < 2^53), so results are bit-stable across partitionings and
+match the DuckDB oracle's independent SQL aggregation. For float rasters
+the usual FP-reassociation caveat applies to sum/mean only.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .spatial import points_in_polygon_mask
+
+__all__ = ["raster_metadata", "zonal_stats"]
+
+META_SCHEMA = (
+    "path string, width int, height int, "
+    "x0 double, y0 double, sx double, sy double, "
+    "epsg int, wkt string, nodata double, error string"
+)
+
+_UNIT_SCHEMA = (
+    "polygon_id string, path string, r0 int, r1 int, c0 int, c1 int"
+)
+
+_PARTIAL_SCHEMA = (
+    "polygon_id string, n_px long, n_nodata long, n_valid long, "
+    "vmin double, vmax double, vsum double"
+)
+
+
+@functools.lru_cache(maxsize=64)
+def _open_cached(path: str):
+    from .. import geotiff
+
+    return geotiff.open_raster(path)
+
+
+def raster_metadata(spark: SparkSession, paths: list[str]) -> DataFrame:
+    """Distributed raster-header scan: one row of georeferencing metadata
+    per path. Headers are O(KB) reads regardless of raster size, so this
+    scales to 10^6-tile catalogs without touching pixel data; unreadable
+    files surface as rows with ``error`` set instead of failing the job."""
+    pdf = spark.createDataFrame([(p,) for p in paths], "path string")
+
+    def scan(batches):
+        for b in batches:
+            rows = []
+            for p in b["path"]:
+                try:
+                    r = _open_cached(p)
+                    ci = r.crs
+                    rows.append(
+                        (p, r.width, r.height, r.x0, r.y0, r.sx, r.sy,
+                         ci.epsg if ci else None,
+                         (ci.wkt if ci and not ci.epsg else None),
+                         float(r.nodata) if r.nodata is not None else None,
+                         None)
+                    )
+                except Exception as e:  # noqa: BLE001 — per-file fault isolation
+                    rows.append((p, None, None, None, None, None, None,
+                                 None, None, None, str(e)))
+            yield pd.DataFrame(
+                rows,
+                columns=["path", "width", "height", "x0", "y0", "sx", "sy",
+                         "epsg", "wkt", "nodata", "error"],
+            )
+
+    n = max(1, min(len(paths), spark.sparkContext.defaultParallelism))
+    return pdf.repartition(n).mapInPandas(scan, META_SCHEMA)
+
+
+def _polygon_bboxes(polygons: list[dict]) -> dict[str, tuple]:
+    out = {}
+    for p in polygons:
+        la = np.asarray(p["lats"], dtype=np.float64)
+        lo = np.asarray(p["lons"], dtype=np.float64)
+        out[p["polygon_id"]] = (
+            float(la.min()), float(la.max()), float(lo.min()), float(lo.max())
+        )
+    return out
+
+
+def _projected_poly_bbox(bbox: tuple, epsg, wkt) -> tuple | None:
+    """Conservative raster-CRS bbox of a WGS84 polygon bbox via dense
+    boundary sampling through the forward projection (None: no pruning)."""
+    from .. import crs as _crs
+
+    lat0, lat1, lon0, lon1 = bbox
+    try:
+        t = _crs.get_transformer(
+            epsg=int(epsg) if epsg is not None else None, wkt=wkt or None
+        )
+        el = np.linspace(lon0, lon1, 33)
+        ea = np.linspace(lat0, lat1, 33)
+        lons = np.concatenate([el, el, np.full(33, lon0), np.full(33, lon1)])
+        lats = np.concatenate([np.full(33, lat0), np.full(33, lat1), ea, ea])
+        xs, ys = t.proj.forward(lons, lats)
+    except (_crs.CRSError, ValueError):
+        return None
+    if not (np.all(np.isfinite(xs)) and np.all(np.isfinite(ys))):
+        return None
+    # pad for boundary curvature between samples
+    px = 0.01 * (xs.max() - xs.min()) + 1e-6
+    py = 0.01 * (ys.max() - ys.min()) + 1e-6
+    return (float(xs.min() - px), float(xs.max() + px),
+            float(ys.min() - py), float(ys.max() + py))
+
+
+def zonal_stats(
+    meta: DataFrame,
+    polygons: list[dict],
+    *,
+    strip_rows: int = 512,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Per-polygon stats over all raster pixels whose centers fall inside.
+
+    ``meta``: output of :func:`raster_metadata` (error rows are skipped).
+    ``polygons``: [{"polygon_id", "lats", "lons"}] in WGS84 — the small,
+    broadcastable side (closure-captured, like the PIP join).
+
+    Output (one row per polygon with >=1 intersecting pixel):
+      polygon_id, n_px, n_nodata, n_valid, vmin, vmax, vsum, vmean
+    where vmean = round(vsum / n_valid, 6) and the v* stats are NULL when
+    every inside pixel is NODATA.
+
+    Containment uses the exact same IEEE even-odd ray-cast expression as
+    :func:`points_in_polygon_mask` / the DuckDB oracle SQL, on pixel
+    centers computed as x0+(c+0.5)*sx, y0-(r+0.5)*sy — so the result is
+    bit-identical to any independent evaluator of those expressions.
+    """
+    spark = meta.sparkSession
+    bboxes = _polygon_bboxes(polygons)
+    polys = {p["polygon_id"]: (list(map(float, p["lats"])),
+                               list(map(float, p["lons"]))) for p in polygons}
+    strip = int(strip_rows)
+    if strip < 1:
+        raise ValueError("strip_rows must be >= 1")
+
+    def make_units(batches):
+        """meta row -> (polygon, row-strip) work units, bbox-pruned.
+
+        Narrow (no shuffle): each metadata row fans out independently.
+        For geographic rasters both row AND column ranges prune to the
+        polygon bbox; projected rasters prune via a conservative
+        forward-projected bbox (falling back to the full raster only
+        when the CRS has no usable forward projection)."""
+        for b in batches:
+            rows = []
+            for t in b.itertuples(index=False):
+                if t.error is not None or not t.width or not t.height:
+                    continue
+                geographic = _is_geographic(t.epsg, t.wkt)
+                for pid, (lat0, lat1, lon0, lon1) in bboxes.items():
+                    if geographic:
+                        x_lo, x_hi, y_lo, y_hi = lon0, lon1, lat0, lat1
+                    else:
+                        pb = _projected_poly_bbox(
+                            (lat0, lat1, lon0, lon1), t.epsg, t.wkt
+                        )
+                        if pb is None:
+                            x_lo, x_hi = t.x0, t.x0 + t.width * t.sx
+                            y_lo, y_hi = t.y0 - t.height * t.sy, t.y0
+                        else:
+                            x_lo, x_hi, y_lo, y_hi = pb
+                    # pixel-center row/col ranges covering [lo, hi]
+                    r0 = int(np.floor((t.y0 - y_hi) / t.sy - 0.5))
+                    r1 = int(np.ceil((t.y0 - y_lo) / t.sy + 0.5))
+                    c0 = int(np.floor((x_lo - t.x0) / t.sx - 0.5))
+                    c1 = int(np.ceil((x_hi - t.x0) / t.sx + 0.5))
+                    r0, r1 = max(r0, 0), min(r1, t.height)
+                    c0, c1 = max(c0, 0), min(c1, t.width)
+                    if r1 <= r0 or c1 <= c0:
+                        continue
+                    for s0 in range(r0, r1, strip):
+                        rows.append((pid, t.path, s0, min(s0 + strip, r1),
+                                     c0, c1))
+            yield pd.DataFrame(
+                rows, columns=["polygon_id", "path", "r0", "r1", "c0", "c1"]
+            )
+
+    units = meta.mapInPandas(make_units, _UNIT_SCHEMA)
+    n_part = num_partitions or spark.sparkContext.defaultParallelism
+    # round-robin: units are uniformly bounded (<= strip_rows x width px),
+    # so balanced placement needs no key and no skew handling
+    units = units.repartition(n_part)
+
+    def partials(batches):
+        from .. import crs as _crs
+
+        for b in batches:
+            out = []
+            for t in b.itertuples(index=False):
+                r = _open_cached(t.path)
+                win, (wr0, wc0) = r.read_window(t.r0, t.r1, t.c0, t.c1)
+                if win.size == 0:
+                    continue
+                h, w = win.shape
+                xs = r.x0 + (wc0 + np.arange(w) + 0.5) * r.sx
+                ys = r.y0 - (wr0 + np.arange(h) + 0.5) * r.sy
+                ci = r.crs
+                if _is_geographic(ci.epsg if ci else None,
+                                  ci.wkt if ci else None):
+                    lons = np.broadcast_to(xs, (h, w)).ravel()
+                    lats = np.broadcast_to(ys[:, None], (h, w)).ravel()
+                else:
+                    gx, gy = np.meshgrid(xs, ys)
+                    lons, lats = _crs.unproject_xys(
+                        gx.ravel(), gy.ravel(),
+                        epsg=ci.epsg if ci else None,
+                        wkt=ci.wkt if ci and not ci.epsg else None,
+                    )
+                pla, plo = polys[t.polygon_id]
+                inside = points_in_polygon_mask(lats, lons, pla, plo)
+                n_px = int(inside.sum())
+                if n_px == 0:
+                    continue
+                vals = win.ravel()[inside]
+                if r.nodata is not None:
+                    nodata_mask = vals == np.asarray(r.nodata, dtype=win.dtype)
+                else:
+                    nodata_mask = np.zeros(vals.shape, dtype=bool)
+                valid = np.asarray(vals[~nodata_mask], dtype=np.float64)
+                n_valid = int(valid.size)
+                out.append((
+                    t.polygon_id, n_px, n_px - n_valid, n_valid,
+                    float(valid.min()) if n_valid else np.nan,
+                    float(valid.max()) if n_valid else np.nan,
+                    float(valid.sum()) if n_valid else np.nan,
+                ))
+            yield pd.DataFrame(
+                out,
+                columns=["polygon_id", "n_px", "n_nodata", "n_valid",
+                         "vmin", "vmax", "vsum"],
+            )
+
+    part = units.mapInPandas(partials, _PARTIAL_SCHEMA)
+    has_valid = F.col("n_valid") > 0
+    agg = part.groupBy("polygon_id").agg(
+        F.sum("n_px").alias("n_px"),
+        F.sum("n_nodata").alias("n_nodata"),
+        F.sum("n_valid").alias("n_valid"),
+        F.min(F.when(has_valid, F.col("vmin"))).alias("vmin"),
+        F.max(F.when(has_valid, F.col("vmax"))).alias("vmax"),
+        F.sum(F.when(has_valid, F.col("vsum"))).alias("vsum"),
+    )
+    return agg.withColumn(
+        "vmean",
+        F.when(F.col("n_valid") > 0,
+               F.round(F.col("vsum") / F.col("n_valid"), 6)),
+    )
+
+
+def _is_geographic(epsg, wkt) -> bool:
+    from .. import crs as _crs
+
+    if epsg is None and not wkt:
+        return True  # ungeoreferenced rasters treated as lat/lon grids
+    if epsg is not None:
+        return int(epsg) in _crs._GEOGRAPHIC_IDENTITY_EPSGS
+    try:
+        return isinstance(_crs.get_transformer(wkt=wkt).proj, _crs.Identity)
+    except _crs.CRSError:
+        return False

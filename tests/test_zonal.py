@@ -1,0 +1,191 @@
+"""Zonal statistics (raster<->vector aggregate) tests.
+
+Correctness anchors:
+- hand-computable tiny rasters (exact counts/min/max/sum/mean);
+- a single-process numpy oracle sharing only the pixel-center formula
+  and the ray-cast expression (no Spark, no partial aggregation) — the
+  distributed strip/partial/merge plumbing must reproduce it exactly;
+- partial-aggregation invariance: strip_rows=1 vs one-strip-per-raster
+  results are identical (integer-valued rasters -> exact float64 sums);
+- NODATA, multi-tile, projected-CRS, and off-raster polygons.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import numpy as np
+import pytest
+
+from opentopodata_spark import geotiff
+from opentopodata_spark.operators import zonal
+from opentopodata_spark.operators.spatial import points_in_polygon_mask
+
+pytestmark = pytest.mark.usefixtures("raster_root")
+
+
+def _write(tmp_path, name, arr, **kw):
+    path = os.path.join(str(tmp_path), name)
+    geotiff.write_geotiff(path, arr, **kw)
+    return path
+
+
+def _single_process_zonal(paths, polygons):
+    """Independent non-distributed evaluation (whole-band, no strips)."""
+    from opentopodata_spark import crs as _crs
+
+    out = {}
+    for path in paths:
+        r = geotiff.open_raster(path)
+        win, (r0, c0) = r.read_window(0, r.height, 0, r.width)
+        h, w = win.shape
+        xs = r.x0 + (c0 + np.arange(w) + 0.5) * r.sx
+        ys = r.y0 - (r0 + np.arange(h) + 0.5) * r.sy
+        ci = r.crs
+        if ci and ci.epsg and ci.epsg != 4326:
+            gx, gy = np.meshgrid(xs, ys)
+            lons, lats = _crs.unproject_xys(gx.ravel(), gy.ravel(), epsg=ci.epsg)
+        else:
+            lons = np.broadcast_to(xs, (h, w)).ravel()
+            lats = np.broadcast_to(ys[:, None], (h, w)).ravel()
+        vals = win.ravel()
+        for p in polygons:
+            m = points_in_polygon_mask(lats, lons, p["lats"], p["lons"])
+            if not m.any():
+                continue
+            v = vals[m]
+            if r.nodata is not None:
+                nod = v == np.asarray(r.nodata, dtype=win.dtype)
+            else:
+                nod = np.zeros(v.shape, dtype=bool)
+            valid = np.asarray(v[~nod], dtype=np.float64)
+            st = out.setdefault(
+                p["polygon_id"],
+                {"n_px": 0, "n_nodata": 0, "n_valid": 0,
+                 "vmin": np.inf, "vmax": -np.inf, "vsum": 0.0},
+            )
+            st["n_px"] += int(m.sum())
+            st["n_nodata"] += int(nod.sum())
+            st["n_valid"] += int(valid.size)
+            if valid.size:
+                st["vmin"] = min(st["vmin"], float(valid.min()))
+                st["vmax"] = max(st["vmax"], float(valid.max()))
+                st["vsum"] += float(valid.sum())
+    return out
+
+
+def _collect(df):
+    return {r["polygon_id"]: r.asDict() for r in df.collect()}
+
+
+def test_metadata_scan(spark, tmp_path):
+    arr = np.arange(12, dtype=np.int16).reshape(3, 4)
+    p = _write(tmp_path, "a.tif", arr, x0=0.0, y0=3.0, sx=1.0, sy=1.0,
+               epsg=4326, nodata=-1)
+    rows = zonal.raster_metadata(spark, [p, str(tmp_path / "missing.tif")]).collect()
+    by_path = {r["path"]: r for r in rows}
+    m = by_path[p]
+    assert (m["width"], m["height"]) == (4, 3)
+    assert (m["x0"], m["y0"], m["sx"], m["sy"]) == (0.0, 3.0, 1.0, 1.0)
+    assert m["epsg"] == 4326 and m["nodata"] == -1.0 and m["error"] is None
+    assert by_path[str(tmp_path / "missing.tif")]["error"] is not None
+
+
+def test_exact_tiny_raster(spark, tmp_path):
+    # 4x4 int grid, 1-degree pixels, centers at 0.5..3.5; polygon covers
+    # the 2x2 center block (centers 1.5, 2.5) exactly
+    arr = np.arange(16, dtype=np.int32).reshape(4, 4)
+    p = _write(tmp_path, "t.tif", arr, x0=0.0, y0=4.0, sx=1.0, sy=1.0, epsg=4326)
+    poly = {"polygon_id": "C", "lats": [1.0, 3.0, 3.0, 1.0],
+            "lons": [1.0, 1.0, 3.0, 3.0]}
+    meta = zonal.raster_metadata(spark, [p])
+    out = _collect(zonal.zonal_stats(meta, [poly]))
+    # rows 1..2 x cols 1..2 of the array: values 5,6,9,10
+    s = out["C"]
+    assert s["n_px"] == 4 and s["n_nodata"] == 0 and s["n_valid"] == 4
+    assert (s["vmin"], s["vmax"], s["vsum"]) == (5.0, 10.0, 30.0)
+    assert s["vmean"] == 7.5
+
+
+def test_nodata_and_all_nodata_polygon(spark, tmp_path):
+    arr = np.array([[2, 1, 0], [3, 9, 9], [4, 9, 9]], dtype=np.float32)
+    p = _write(tmp_path, "n.tif", arr, x0=-0.5, y0=2.5, sx=1.0, sy=1.0,
+               epsg=4326, nodata=9)
+    # pixel centers at lon 0,1,2 / lat 2,1,0
+    mixed = {"polygon_id": "MIX", "lats": [-0.5, 2.5, 2.5, -0.5],
+             "lons": [-0.5, -0.5, 2.5, 2.5]}
+    dead = {"polygon_id": "DEAD", "lats": [0.5, 1.5, 1.5, 0.5],
+            "lons": [0.5, 0.5, 2.5, 2.5]}
+    meta = zonal.raster_metadata(spark, [p])
+    out = _collect(zonal.zonal_stats(meta, [mixed, dead]))
+    m = out["MIX"]
+    assert m["n_px"] == 9 and m["n_nodata"] == 4 and m["n_valid"] == 5
+    assert (m["vmin"], m["vmax"], m["vsum"]) == (0.0, 4.0, 10.0)
+    assert m["vmean"] == 2.0
+    d = out["DEAD"]  # only the 9-valued quadrant: all NODATA -> null stats
+    assert d["n_px"] == 2 and d["n_nodata"] == 2 and d["n_valid"] == 0
+    assert d["vmin"] is None and d["vmax"] is None
+    assert d["vsum"] is None and d["vmean"] is None
+
+
+def test_partial_aggregation_invariance(spark, raster_root):
+    paths = sorted(glob.glob(os.path.join(raster_root, "test-srtm90m-subset", "*.tif")))
+    assert len(paths) == 2
+    polys = [
+        {"polygon_id": "TRI", "lats": [0.1, 0.9, 0.1],
+         "lons": [10.2, 10.9, 11.7]},
+        {"polygon_id": "BOX", "lats": [0.3, 0.7, 0.7, 0.3],
+         "lons": [10.8, 10.8, 11.2, 11.2]},
+    ]
+    meta = zonal.raster_metadata(spark, paths)
+    fine = _collect(zonal.zonal_stats(meta, polys, strip_rows=97))
+    coarse = _collect(zonal.zonal_stats(meta, polys, strip_rows=100000))
+    assert fine == coarse  # int16 values: float64 sums are exact
+    # cross-tile: TRI spans both tiles; the shared lon=11 pixel column
+    # counts once per tile (documented multiset semantics)
+    expected = _single_process_zonal(paths, polys)
+    for pid, e in expected.items():
+        got = fine[pid]
+        assert got["n_px"] == e["n_px"] and got["n_valid"] == e["n_valid"]
+        assert got["n_nodata"] == e["n_nodata"]
+        assert got["vmin"] == e["vmin"] and got["vmax"] == e["vmax"]
+        assert got["vsum"] == e["vsum"]
+        assert got["vmean"] == round(e["vsum"] / e["n_valid"], 6)
+
+
+def test_projected_raster(spark, raster_root):
+    paths = sorted(
+        glob.glob(os.path.join(raster_root, "test-srtm90m-subset-utm", "*.tif"))
+    )
+    assert paths
+    polys = [{"polygon_id": "UTM_BOX", "lats": [0.2, 0.8, 0.8, 0.2],
+              "lons": [10.1, 10.1, 10.6, 10.6]}]
+    meta = zonal.raster_metadata(spark, paths)
+    got = _collect(zonal.zonal_stats(meta, polys, strip_rows=301))
+    expected = _single_process_zonal(paths, polys)
+    e = expected["UTM_BOX"]
+    g = got["UTM_BOX"]
+    assert g["n_px"] == e["n_px"] and g["n_valid"] == e["n_valid"]
+    assert g["vmin"] == e["vmin"] and g["vmax"] == e["vmax"]
+    assert g["vsum"] == e["vsum"]
+
+
+def test_polygon_off_raster(spark, tmp_path):
+    arr = np.ones((3, 3), dtype=np.int16)
+    p = _write(tmp_path, "o.tif", arr, x0=0.0, y0=3.0, sx=1.0, sy=1.0, epsg=4326)
+    far = {"polygon_id": "FAR", "lats": [50.0, 51.0, 51.0, 50.0],
+           "lons": [50.0, 50.0, 51.0, 51.0]}
+    meta = zonal.raster_metadata(spark, [p])
+    assert zonal.zonal_stats(meta, [far]).count() == 0
+
+
+def test_pixels_never_become_rows(spark, raster_root):
+    """Plan shape: the aggregate's input is the partial stream (no
+    exchange wider than the tiny unit repartition; no crossJoin)."""
+    paths = sorted(glob.glob(os.path.join(raster_root, "test-srtm90m-subset", "*.tif")))
+    polys = [{"polygon_id": "B", "lats": [0.3, 0.7, 0.7, 0.3],
+              "lons": [10.8, 10.8, 11.2, 11.2]}]
+    meta = zonal.raster_metadata(spark, paths)
+    plan = zonal.zonal_stats(meta, polys)._jdf.queryExecution().toString()
+    assert "CartesianProduct" not in plan and "crossJoin" not in plan
