@@ -1014,6 +1014,40 @@ def q_zonal_stats(spark, sf_dir):
     )
 
 
+def q_rasterize_grid(spark, sf_dir):
+    """Vector->raster: point stream aggregated onto a 1-degree global
+    grid — cell floor keys in pure column exprs, ONE wide shuffle with
+    map-side combine (shuffle volume = occupied cells, not points).
+    Fully SQL-expressible: the oracle recomputes the same floor keys and
+    aggregates in DuckDB (integer values: exact)."""
+    from opentopodata_spark.operators import rasterize as rz
+
+    grid = rz.GridSpec(x0=-180.0, y0=90.0, sx=1.0, sy=1.0,
+                       width=360, height=180)
+    p = _points(spark, sf_dir).withColumn("val", F.col("pid") % 997)
+    out = rz.rasterize_points(p, grid, value_col="val")
+    return out.select("row", "col", "n_points", "vsum", "vmin", "vmax", "vmean")
+
+
+_Q_RASTERIZE_SQL = f"""
+WITH pts AS ({_POINTS_SQL}),
+cells AS (
+  SELECT CAST(FLOOR((90.0 - lat) / 1.0) AS BIGINT) AS row,
+         CAST(FLOOR((lon - -180.0) / 1.0) AS BIGINT) AS col,
+         pid % 997 AS val
+  FROM pts)
+SELECT row, col,
+       COUNT(*) AS n_points,
+       CAST(SUM(val) AS BIGINT) AS vsum,
+       MIN(val) AS vmin,
+       MAX(val) AS vmax,
+       ROUND(CAST(SUM(val) AS DOUBLE) / COUNT(*), 6) AS vmean
+FROM cells
+WHERE row >= 0 AND row < 180 AND col >= 0 AND col < 360
+GROUP BY row, col
+"""
+
+
 def _build_zonal_pixels(sf_dir: str):
     """Pixel table (pixel_id, lat, lon, value, is_nodata) for the zonal
     fixture rasters — decoded single-process; the SQL side does the
@@ -1435,6 +1469,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_coverage": q_pip_coverage,
         "s2_cells": q_s2_cells,
         "zonal_stats": q_zonal_stats,
+        "rasterize_grid": q_rasterize_grid,
     }
 
 
@@ -1463,6 +1498,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_rollup": _Q_STREAMING_ROLLUP_SQL,
         "streaming_sessionize": _Q_STREAMING_SESSIONIZE_SQL,
         "sessionize": _Q_SESSIONIZE_SQL,
+        "rasterize_grid": _Q_RASTERIZE_SQL,
         # elevation_e2e / geodesic_paths / multimodal_features / ivf_topk /
         # s2_cells are genuinely non-SQL (rasters, Karney geodesics, binary
         # media, IVF, S2 Hilbert ids): their oracles are the repo's own

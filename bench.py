@@ -95,6 +95,7 @@ def main() -> None:
         "events_rollup": lambda: contract.q_events_rollup(spark, SF_DIR),
         "sessionize": lambda: contract.q_sessionize(spark, SF_DIR),
         "zonal_stats": lambda: contract.q_zonal_stats(spark, SF_DIR),
+        "rasterize_grid": lambda: contract.q_rasterize_grid(spark, SF_DIR),
     }
     for name, make in queries.items():
         timings[name] = run(make())
