@@ -1048,6 +1048,80 @@ GROUP BY row, col
 """
 
 
+def _srtm_tile_rows() -> list[tuple[int, int, str]]:
+    import glob as _glob
+
+    from opentopodata_spark import fixtures
+
+    raster_dir = os.path.join(_fixture_root(), "rasters")
+    fixtures.make_all_rasters(raster_dir)
+    paths = sorted(
+        _glob.glob(os.path.join(raster_dir, "test-srtm90m-subset", "*.tif"))
+    )
+    return [(0, 10 + i, p) for i, p in enumerate(paths)]
+
+
+def q_terrain_slope(spark, sf_dir):
+    """Distributed Horn-slope stencil over the SRTM tile pair: per-tile
+    computation with a 1-pixel cross-tile halo read directly from the
+    neighboring tiles (zero shuffles), GeoTIFF outputs + manifest with
+    per-tile lineage checksums. Oracle: a single-process MOSAIC-stitching
+    evaluation (different plumbing: stitch then slice, vs halo reads) of
+    the same kernel, precomputed to parquet."""
+    from opentopodata_spark.operators import terrain
+
+    _ship_package(spark)
+    out_dir = os.path.join(_fixture_root(), "terrain_slope_out")
+    m = terrain.terrain_tiles(
+        spark, _srtm_tile_rows(), out_dir, kind="slope", scale=111120.0
+    )
+    return m.select("tile_iy", "tile_ix", "n_valid", "checksum")
+
+
+def _build_terrain_oracle(sf_dir: str):
+    """Independent stitching path: assemble the full mosaic (overlap
+    column shared), run the kernel once, slice per tile, reproduce the
+    stored-dtype checksum."""
+    import numpy as np
+    import pyarrow as pa
+
+    from opentopodata_spark import geotiff
+    from opentopodata_spark.operators import terrain
+
+    tiles = _srtm_tile_rows()
+    rasters = [geotiff.open_raster(p) for _, _, p in tiles]
+    side = rasters[0].height
+    # SRTM 1-px overlap: n tiles of `side` cols share edges -> total cols
+    W = (rasters[0].width - 1) * len(rasters) + 1
+    mosaic = np.full((side, W), np.nan)
+    for i, r in enumerate(rasters):
+        c0 = i * (r.width - 1)
+        mosaic[:, c0:c0 + r.width] = r.read_block(0, r.height, 0, r.width)
+    padded = np.full((side + 2, W + 2), np.nan)
+    padded[1:-1, 1:-1] = mosaic
+    res_all = terrain.terrain_kernel(
+        padded, rasters[0].sx, rasters[0].sy, "slope", scale=111120.0
+    )
+    rows = []
+    for i, (iy, ix, _p) in enumerate(tiles):
+        c0 = i * (rasters[i].width - 1)
+        res = res_all[:, c0:c0 + rasters[i].width]
+        finite = np.isfinite(res)
+        arr = np.where(finite, res, -9999.0).astype(np.float32)
+        rows.append((
+            iy, ix, int(finite.sum()),
+            round(float(arr[finite].astype(np.float64).sum()), 3),
+        ))
+    return pa.table(
+        {
+            "tile_iy": pa.array([r[0] for r in rows], type=pa.int64()),
+            "tile_ix": pa.array([r[1] for r in rows], type=pa.int64()),
+            "n_valid": pa.array([r[2] for r in rows], type=pa.int64()),
+            "checksum": pa.array([r[3] for r in rows], type=pa.float64()),
+        }
+    )
+
+
 def _build_zonal_pixels(sf_dir: str):
     """Pixel table (pixel_id, lat, lon, value, is_nodata) for the zonal
     fixture rasters — decoded single-process; the SQL side does the
@@ -1419,6 +1493,7 @@ _PRECOMPUTED_BUILDERS = {
     "elevation_e2e": _build_elevation_oracle,
     "multimodal_features": _build_multimodal_oracle,
     "ivf_topk": _build_ivf_oracle,
+    "terrain_slope": _build_terrain_oracle,
 }
 
 
@@ -1470,6 +1545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_cells": q_s2_cells,
         "zonal_stats": q_zonal_stats,
         "rasterize_grid": q_rasterize_grid,
+        "terrain_slope": q_terrain_slope,
     }
 
 

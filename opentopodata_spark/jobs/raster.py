@@ -1,0 +1,211 @@
+"""Raster-ops batch job: terrain derivatives / zonal stats / rasterize.
+
+The raster<->vector cluster surface, submit-able the same way as
+jobs/elevation.py (``spark-submit --py-files otds.zip -m ... raster``).
+Subcommands:
+
+  terrain    tiled DEM -> slope|aspect|hillshade GeoTIFF tiles
+             (cross-tile halo reads, resume via --skip-existing,
+             per-tile lineage checksums in the manifest)
+  zonal      tiled/loose rasters + polygons GeoJSON-ish file -> per-
+             polygon statistics parquet
+  rasterize  points parquet (lat, lon[, value]) -> cell aggregation
+             parquet and optional GeoTIFF tile pyramid
+
+Polygons file format (``--polygons``): JSON list of
+{"polygon_id": str, "lats": [...], "lons": [...]} — the engine's
+driver-side polygon shape (small side of the PIP join).
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob as _glob
+import json
+import os
+import sys
+import time
+
+from .. import config as _config
+from ..session import get_spark
+
+
+def _tile_rows_from_config(cfg_path: str, name: str):
+    """Dataset name -> (iy, ix, path) rows via the exact tile-index keys
+    (tiles.tile_index_rows); single-file datasets become one (0,0,path)."""
+    from .. import tiles as _tiles
+
+    datasets = _config.load_datasets(cfg_path)
+    ordered = _config.resolve_dataset_names(name, datasets)
+    all_tiles = _tiles.tile_index_rows(ordered)
+    rows = []
+    for ds in ordered:
+        got = [(iy, ix, p) for (_d, iy, ix, p) in all_tiles if _d == ds.name]
+        if got:
+            rows.extend(got)
+        elif getattr(ds, "tile_path", None):
+            rows.append((0, 0, ds.tile_path))
+    return rows
+
+
+def _raster_paths(ns) -> list[str]:
+    if ns.rasters:
+        paths = sorted(
+            p for pat in ns.rasters for p in _glob.glob(pat)
+        )
+        if not paths:
+            raise FileNotFoundError(f"no rasters match {ns.rasters}")
+        return paths
+    return [p for _iy, _ix, p in _tile_rows_from_config(ns.config, ns.dataset)]
+
+
+def _load_polygons(path: str) -> list[dict]:
+    with open(path) as f:
+        polys = json.load(f)
+    for p in polys:
+        if not {"polygon_id", "lats", "lons"} <= set(p):
+            raise ValueError(
+                "each polygon needs polygon_id, lats, lons (got "
+                f"{sorted(p)})"
+            )
+    return polys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="opentopodata_spark.jobs.raster",
+        description="Distributed raster<->vector operations.",
+    )
+    p.add_argument("--cores", type=int, default=None)
+    p.add_argument("--shuffle-partitions", type=int, default=None)
+    p.add_argument("--master", default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    t = sub.add_parser("terrain", help="slope/aspect/hillshade tiles")
+    t.add_argument("--config", help="dataset config YAML")
+    t.add_argument("--dataset", help="tiled dataset name from the config")
+    t.add_argument("--rasters", nargs="*", help="glob(s) of a regular tile grid (alternative to --config; grid keys derived from filenames is NOT attempted — files must share one grid and are keyed by sorted order per row/col of their corners)")
+    t.add_argument("--out", required=True)
+    t.add_argument("--kind", default="slope", choices=["slope", "aspect", "hillshade"])
+    t.add_argument("--scale", type=float, default=1.0, help="xy->z unit factor (111120 for degree grids with meter elevations)")
+    t.add_argument("--z-factor", type=float, default=1.0)
+    t.add_argument("--azimuth", type=float, default=315.0)
+    t.add_argument("--altitude", type=float, default=45.0)
+    t.add_argument("--skip-existing", action="store_true", help="resume: do not recompute tiles whose output exists")
+
+    z = sub.add_parser("zonal", help="per-polygon raster statistics")
+    z.add_argument("--config")
+    z.add_argument("--dataset")
+    z.add_argument("--rasters", nargs="*")
+    z.add_argument("--polygons", required=True)
+    z.add_argument("--out", required=True)
+    z.add_argument("--strip-rows", type=int, default=512)
+
+    r = sub.add_parser("rasterize", help="points -> grid aggregation")
+    r.add_argument("--points", required=True, help="parquet with lat, lon[, value] columns")
+    r.add_argument("--value-col", default=None)
+    r.add_argument("--out", required=True)
+    r.add_argument("--grid", required=True, help="x0,y0,sx,sy,width,height")
+    r.add_argument("--tiles-out", default=None, help="also write GeoTIFF tiles here")
+    r.add_argument("--tile-px", type=int, default=1024)
+    r.add_argument("--agg-col", default="n_points", help="cell column to rasterize into --tiles-out")
+    return p
+
+
+def run(argv: list[str] | None = None) -> dict:
+    ns = build_parser().parse_args(argv)
+    spark = get_spark(
+        app_name=f"otds-raster-{ns.cmd}",
+        cores=ns.cores,
+        shuffle_partitions=ns.shuffle_partitions,
+        master=ns.master,
+    )
+    t0 = time.time()
+    stats: dict = {"job": f"raster-{ns.cmd}"}
+
+    if ns.cmd == "terrain":
+        from ..operators import terrain as _terrain
+
+        if ns.config and ns.dataset:
+            tiles = _tile_rows_from_config(ns.config, ns.dataset)
+        elif ns.rasters:
+            # loose globs: key by corner order (regular grid assumed)
+            from .. import geotiff as _geotiff
+
+            paths = sorted(
+                p for pat in ns.rasters for p in _glob.glob(pat)
+            )
+            metas = [(p, _geotiff.open_raster(p)) for p in paths]
+            ys = sorted({round(r.y0, 9) for _p, r in metas}, reverse=True)
+            xs = sorted({round(r.x0, 9) for _p, r in metas})
+            tiles = [
+                (len(ys) - 1 - ys.index(round(r.y0, 9)),
+                 xs.index(round(r.x0, 9)), p)
+                for p, r in metas
+            ]
+        else:
+            raise ValueError("terrain needs --config/--dataset or --rasters")
+        manifest = _terrain.terrain_tiles(
+            spark, tiles, ns.out, kind=ns.kind, scale=ns.scale,
+            z_factor=ns.z_factor, azimuth=ns.azimuth, altitude=ns.altitude,
+            skip_existing=ns.skip_existing,
+        )
+        manifest.write.mode("overwrite").parquet(f"{ns.out}/_manifest")
+        m = spark.read.parquet(f"{ns.out}/_manifest")
+        stats.update(
+            tiles=m.count(),
+            errors=m.where(m.error.isNotNull()).count(),
+            out=ns.out,
+        )
+
+    elif ns.cmd == "zonal":
+        from ..operators import zonal as _zonal
+
+        meta = _zonal.raster_metadata(spark, _raster_paths(ns))
+        out = _zonal.zonal_stats(
+            meta, _load_polygons(ns.polygons), strip_rows=ns.strip_rows
+        )
+        out.write.mode("overwrite").parquet(ns.out)
+        stats.update(polygons=spark.read.parquet(ns.out).count(), out=ns.out)
+
+    elif ns.cmd == "rasterize":
+        from ..operators import rasterize as _rz
+
+        parts = [float(v) for v in ns.grid.split(",")]
+        if len(parts) != 6:
+            raise ValueError("--grid must be x0,y0,sx,sy,width,height")
+        grid = _rz.GridSpec(
+            parts[0], parts[1], parts[2], parts[3], int(parts[4]), int(parts[5])
+        )
+        pts = spark.read.parquet(ns.points)
+        cells = _rz.rasterize_points(pts, grid, value_col=ns.value_col)
+        cells.write.mode("overwrite").parquet(ns.out)
+        stats.update(cells=spark.read.parquet(ns.out).count(), out=ns.out)
+        if ns.tiles_out:
+            manifest = _rz.write_raster_tiles(
+                spark.read.parquet(ns.out), grid, ns.tiles_out,
+                value_col=ns.agg_col, tile_px=ns.tile_px,
+            )
+            manifest.write.mode("overwrite").parquet(
+                f"{ns.tiles_out}/_manifest"
+            )
+            stats["tiles"] = spark.read.parquet(
+                f"{ns.tiles_out}/_manifest"
+            ).count()
+
+    stats["seconds"] = round(time.time() - t0, 3)
+    return stats
+
+
+def main(argv: list[str] | None = None) -> int:
+    try:
+        stats = run(argv)
+    except (ValueError, FileNotFoundError) as e:
+        print(json.dumps({"status": "INVALID_REQUEST", "error": str(e)}))
+        return 2
+    print(json.dumps({"status": "OK", **stats}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -106,6 +106,7 @@ def write_raster_tiles(
     dtype: str = "float32",
     nodata: float = -9999.0,
     epsg: int | None = 4326,
+    skip_existing: bool = False,
 ) -> DataFrame:
     """Materialize a cell stream (output of :func:`rasterize_points`) as
     GeoTIFF tiles of ``tile_px`` x ``tile_px`` cells, one file per
@@ -114,7 +115,10 @@ def write_raster_tiles(
 
     Returns the manifest DataFrame (tile_iy, tile_ix, path, n_cells,
     x0, y0) — also the lineage record for resume (a tile listed in the
-    manifest is complete: files appear atomically via rename).
+    manifest is complete: files appear atomically via rename). With
+    ``skip_existing=True`` tiles whose output file already exists are
+    not rewritten (crash resume; the aggregation upstream still runs —
+    it feeds the cell stream — but the write is skipped).
 
     The per-tile regroup is a TINY shuffle: its input is occupied cells
     (already aggregated), not points.
@@ -146,12 +150,13 @@ def write_raster_tiles(
         tx0 = g.x0 + c_off * g.sx
         ty0 = g.y0 - r_off * g.sy
         path = os.path.join(out_dir, f"tile_{iy}_{ix}.tif")
-        tmp = path + f".tmp{os.getpid()}"
-        geotiff.write_geotiff(
-            tmp, arr, x0=tx0, y0=ty0, sx=g.sx, sy=g.sy, epsg=epsg,
-            nodata=nodata,
-        )
-        os.replace(tmp, path)  # atomic publish
+        if not (skip_existing and os.path.exists(path)):
+            tmp = path + f".tmp{os.getpid()}"
+            geotiff.write_geotiff(
+                tmp, arr, x0=tx0, y0=ty0, sx=g.sx, sy=g.sy, epsg=epsg,
+                nodata=nodata,
+            )
+            os.replace(tmp, path)  # atomic publish
         return pd.DataFrame(
             [(iy, ix, path, len(pdf), tx0, ty0)],
             columns=["tile_iy", "tile_ix", "path", "n_cells", "x0", "y0"],

@@ -1,0 +1,92 @@
+"""jobs/raster.py CLI tests: the three subcommands end-to-end, output
+read-back, resume flag, and client-error exits."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import numpy as np
+import pytest
+
+from opentopodata_spark import geotiff
+from opentopodata_spark.jobs import raster as job
+
+
+@pytest.fixture()
+def srtm_cfg(raster_root):
+    return os.path.join(raster_root, "test-config.yaml")
+
+
+def test_terrain_from_config(spark, srtm_cfg, tmp_path, capsys):
+    out = str(tmp_path / "slope")
+    rc = job.main([
+        "--cores", "4", "terrain", "--config", srtm_cfg,
+        "--dataset", "srtm90subset", "--out", out,
+        "--kind", "slope", "--scale", "111120",
+    ])
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["status"] == "OK" and res["tiles"] == 2 and res["errors"] == 0
+    tifs = sorted(glob.glob(os.path.join(out, "slope_*.tif")))
+    assert len(tifs) == 2
+    r = geotiff.open_raster(tifs[0])
+    inner = r.read_block(1, r.height - 1, 1, r.width - 1)
+    assert np.isfinite(inner).any()
+    # resume run: nothing recomputed, same manifest size
+    mt = {p: os.path.getmtime(p) for p in tifs}
+    rc = job.main([
+        "--cores", "4", "terrain", "--config", srtm_cfg,
+        "--dataset", "srtm90subset", "--out", out,
+        "--kind", "slope", "--scale", "111120", "--skip-existing",
+    ])
+    assert rc == 0
+    assert all(os.path.getmtime(p) == t for p, t in mt.items())
+
+
+def test_zonal_cli(spark, srtm_cfg, tmp_path, capsys):
+    polys = str(tmp_path / "polys.json")
+    with open(polys, "w") as f:
+        json.dump([{"polygon_id": "B", "lats": [0.3, 0.7, 0.7, 0.3],
+                    "lons": [10.8, 10.8, 11.2, 11.2]}], f)
+    out = str(tmp_path / "zonal_out")
+    rc = job.main([
+        "--cores", "4", "zonal", "--config", srtm_cfg,
+        "--dataset", "srtm90subset", "--polygons", polys, "--out", out,
+    ])
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["status"] == "OK" and res["polygons"] == 1
+    row = spark.read.parquet(out).collect()[0]
+    assert row["polygon_id"] == "B" and row["n_px"] > 0
+
+
+def test_rasterize_cli(spark, tmp_path, capsys):
+    pts = str(tmp_path / "pts.parquet")
+    rows = [(i, 0.5 + (i % 9), 0.5 + (i % 7), i % 5) for i in range(100)]
+    spark.createDataFrame(
+        rows, "pid long, lat double, lon double, value long"
+    ).write.parquet(pts)
+    out = str(tmp_path / "cells")
+    tiles_out = str(tmp_path / "tiles")
+    rc = job.main([
+        "--cores", "4", "rasterize", "--points", pts, "--value-col", "value",
+        "--grid", "0,10,1,1,8,10", "--out", out,
+        "--tiles-out", tiles_out, "--tile-px", "16",
+    ])
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["status"] == "OK" and res["cells"] > 0 and res["tiles"] == 1
+    cells = spark.read.parquet(out)
+    assert cells.agg({"n_points": "sum"}).collect()[0][0] == 100
+
+
+def test_bad_grid_is_client_error(tmp_path, capsys):
+    rc = job.main([
+        "rasterize", "--points", str(tmp_path / "x.parquet"),
+        "--grid", "1,2,3", "--out", str(tmp_path / "o"),
+    ])
+    assert rc == 2
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["status"] == "INVALID_REQUEST"
