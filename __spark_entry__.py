@@ -1122,6 +1122,54 @@ def _build_terrain_oracle(sf_dir: str):
     )
 
 
+def q_overview_tiles(spark, sf_dir):
+    """Distributed overview builder (gdaladdo equivalent): factor-8
+    NaN-aware average pooling per tile, zero shuffles, GeoTIFF outputs
+    with lineage checksums. Oracle: single-process block reduction of
+    the same tiles, precomputed to parquet."""
+    from opentopodata_spark.operators import resample
+
+    _ship_package(spark)
+    out_dir = os.path.join(_fixture_root(), "overview_out")
+    m = resample.resample_tiles(
+        spark, _srtm_tile_rows(), out_dir, factor=8
+    )
+    return m.select(
+        "tile_iy", "tile_ix", "width", "height", "n_valid", "checksum"
+    )
+
+
+def _build_overview_oracle(sf_dir: str):
+    import numpy as np
+    import pyarrow as pa
+
+    from opentopodata_spark import geotiff
+    from opentopodata_spark.operators import resample
+
+    rows = []
+    for iy, ix, p in _srtm_tile_rows():
+        r = geotiff.open_raster(p)
+        res = resample.block_reduce(
+            r.read_block(0, r.height, 0, r.width), 8, "average"
+        )
+        finite = np.isfinite(res)
+        arr = np.where(finite, res, -9999.0).astype(np.float32)
+        rows.append((
+            iy, ix, res.shape[1], res.shape[0], int(finite.sum()),
+            round(float(arr[finite].astype(np.float64).sum()), 3),
+        ))
+    return pa.table(
+        {
+            "tile_iy": pa.array([r[0] for r in rows], type=pa.int64()),
+            "tile_ix": pa.array([r[1] for r in rows], type=pa.int64()),
+            "width": pa.array([r[2] for r in rows], type=pa.int32()),
+            "height": pa.array([r[3] for r in rows], type=pa.int32()),
+            "n_valid": pa.array([r[4] for r in rows], type=pa.int64()),
+            "checksum": pa.array([r[5] for r in rows], type=pa.float64()),
+        }
+    )
+
+
 def _build_zonal_pixels(sf_dir: str):
     """Pixel table (pixel_id, lat, lon, value, is_nodata) for the zonal
     fixture rasters — decoded single-process; the SQL side does the
@@ -1494,6 +1542,7 @@ _PRECOMPUTED_BUILDERS = {
     "multimodal_features": _build_multimodal_oracle,
     "ivf_topk": _build_ivf_oracle,
     "terrain_slope": _build_terrain_oracle,
+    "overview_tiles": _build_overview_oracle,
 }
 
 
@@ -1546,6 +1595,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal_stats": q_zonal_stats,
         "rasterize_grid": q_rasterize_grid,
         "terrain_slope": q_terrain_slope,
+        "overview_tiles": q_overview_tiles,
     }
 
 

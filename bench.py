@@ -97,6 +97,7 @@ def main() -> None:
         "zonal_stats": lambda: contract.q_zonal_stats(spark, SF_DIR),
         "rasterize_grid": lambda: contract.q_rasterize_grid(spark, SF_DIR),
         "terrain_slope": lambda: contract.q_terrain_slope(spark, SF_DIR),
+        "overview_tiles": lambda: contract.q_overview_tiles(spark, SF_DIR),
     }
     for name, make in queries.items():
         timings[name] = run(make())

@@ -101,6 +101,15 @@ def build_parser() -> argparse.ArgumentParser:
     z.add_argument("--out", required=True)
     z.add_argument("--strip-rows", type=int, default=512)
 
+    o = sub.add_parser("resample", help="build overview tiles (gdaladdo)")
+    o.add_argument("--config")
+    o.add_argument("--dataset")
+    o.add_argument("--rasters", nargs="*")
+    o.add_argument("--out", required=True)
+    o.add_argument("--factor", type=int, default=2)
+    o.add_argument("--method", default="average", choices=["average", "nearest"])
+    o.add_argument("--skip-existing", action="store_true")
+
     r = sub.add_parser("rasterize", help="points -> grid aggregation")
     r.add_argument("--points", required=True, help="parquet with lat, lon[, value] columns")
     r.add_argument("--value-col", default=None)
@@ -148,6 +157,29 @@ def run(argv: list[str] | None = None) -> dict:
         manifest = _terrain.terrain_tiles(
             spark, tiles, ns.out, kind=ns.kind, scale=ns.scale,
             z_factor=ns.z_factor, azimuth=ns.azimuth, altitude=ns.altitude,
+            skip_existing=ns.skip_existing,
+        )
+        manifest.write.mode("overwrite").parquet(f"{ns.out}/_manifest")
+        m = spark.read.parquet(f"{ns.out}/_manifest")
+        stats.update(
+            tiles=m.count(),
+            errors=m.where(m.error.isNotNull()).count(),
+            out=ns.out,
+        )
+
+    elif ns.cmd == "resample":
+        from ..operators import resample as _resample
+
+        if ns.config and ns.dataset:
+            tiles = _tile_rows_from_config(ns.config, ns.dataset)
+        elif ns.rasters:
+            tiles = [
+                (0, i, p) for i, p in enumerate(_raster_paths(ns))
+            ]
+        else:
+            raise ValueError("resample needs --config/--dataset or --rasters")
+        manifest = _resample.resample_tiles(
+            spark, tiles, ns.out, factor=ns.factor, method=ns.method,
             skip_existing=ns.skip_existing,
         )
         manifest.write.mode("overwrite").parquet(f"{ns.out}/_manifest")

@@ -90,3 +90,18 @@ def test_bad_grid_is_client_error(tmp_path, capsys):
     assert rc == 2
     res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert res["status"] == "INVALID_REQUEST"
+
+
+def test_resample_cli(spark, srtm_cfg, tmp_path, capsys):
+    out = str(tmp_path / "ovr")
+    rc = job.main([
+        "--cores", "4", "resample", "--config", srtm_cfg,
+        "--dataset", "srtm90subset", "--out", out, "--factor", "8",
+    ])
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["status"] == "OK" and res["tiles"] == 2 and res["errors"] == 0
+    tifs = sorted(glob.glob(os.path.join(out, "ovr8_*.tif")))
+    assert len(tifs) == 2
+    r = geotiff.open_raster(tifs[0])
+    assert r.width == -(-1201 // 8) and r.height == -(-1201 // 8)
