@@ -852,13 +852,33 @@ _HGT_RE = re.compile(r"([NSns])(\d+)([EWew])(\d+)")
 
 
 def open_raster(path: str) -> Raster:
-    """Open a GeoTIFF, SRTM .hgt, or a .zip containing one of them."""
+    """Open a GeoTIFF, SRTM .hgt, or a .zip/.gz container of one (the
+    GDAL /vsizip/ and /vsigzip/ cases real DEM mirrors distribute)."""
     lower = path.lower()
     if lower.endswith(".zip"):
         return _open_zip(path)
+    if lower.endswith(".gz"):
+        return _open_gz(path)
     if lower.endswith(".hgt"):
         return _open_hgt(path)
     return _open_tiff(_ByteSource(path))
+
+
+def _open_gz(path: str) -> Raster:
+    """Gzip single-member containers: N00E010.hgt.gz / tile.tif.gz.
+    The member decompresses into memory once (gzip has no random
+    access); block decode then shares the normal cache."""
+    import gzip
+
+    inner = os.path.basename(path)[:-3]  # strip .gz
+    try:
+        with gzip.open(path, "rb") as f:
+            buf = f.read()
+    except (OSError, EOFError):
+        raise RasterOpenError(f"'{path}' is not a readable gzip file")
+    if inner.lower().endswith(".hgt"):
+        return _hgt_from_bytes(path, buf, inner)
+    return _open_tiff(_ByteSource(path, buf=buf))
 
 
 def _open_zip(path: str) -> Raster:

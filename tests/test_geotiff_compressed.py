@@ -514,3 +514,84 @@ def test_lzma_bigtiff_roundtrip(tmp_path):
     geotiff.write_geotiff(p, arr, x0=0, y0=40, sx=1, sy=1, epsg=4326,
                           compression="lzma", tile_size=(16, 16), bigtiff=True)
     np.testing.assert_array_equal(np.asarray(geotiff.open_raster(p).band), arr)
+
+
+def test_hgt_gz(tmp_path):
+    import gzip
+
+    side = 121
+    arr = (np.arange(side * side) % 1000).astype(">i2").reshape(side, side)
+    p = str(tmp_path / "N00E010.hgt.gz")
+    with gzip.open(p, "wb") as f:
+        f.write(arr.tobytes())
+    r = geotiff.open_raster(p)
+    assert r.width == side and r.crs.epsg == 4326 and r.nodata == -32768
+    res = 1.0 / (side - 1)
+    assert abs(r.x0 - (10 - res / 2)) < 1e-12
+    np.testing.assert_array_equal(np.asarray(r.band), arr.astype("i2"))
+
+
+def test_gzipped_geotiff(tmp_path):
+    import gzip
+
+    arr = _checkerboard(30, 30, np.float32)
+    tif = str(tmp_path / "inner.tif")
+    geotiff.write_geotiff(
+        tif, arr, x0=0, y0=30, sx=1, sy=1, epsg=4326,
+        compression="deflate", tile_size=(16, 16),
+    )
+    p = str(tmp_path / "tile.tif.gz")
+    with gzip.open(p, "wb") as f:
+        with open(tif, "rb") as src:
+            f.write(src.read())
+    r = geotiff.open_raster(p)
+    np.testing.assert_array_equal(np.asarray(r.band), arr)
+    # windowed read path through the shared block cache
+    win, (r0, c0) = r.read_window(5, 9, 3, 11)
+    np.testing.assert_array_equal(win, arr[5:9, 3:11])
+
+
+def test_open_garbage_gz(tmp_path):
+    p = str(tmp_path / "bad.hgt.gz")
+    with open(p, "wb") as f:
+        f.write(b"not gzip at all")
+    with pytest.raises(geotiff.RasterOpenError):
+        geotiff.open_raster(p)
+
+
+def test_multi_ifd_cog_reads_full_res(tmp_path):
+    """COG-style files carry overview IFDs after the full-resolution one;
+    the reader must serve IFD #1 (full res) and ignore the chain — the
+    behavior rasterio's read(1) gives the reference."""
+    import struct
+
+    arr = _checkerboard(32, 32, np.int16)
+    p = str(tmp_path / "cog.tif")
+    geotiff.write_geotiff(
+        p, arr, x0=0, y0=32, sx=1, sy=1, epsg=4326,
+        compression="deflate", predictor=2, tile_size=(16, 16),
+    )
+    with open(p, "rb") as f:
+        buf = bytearray(f.read())
+    (ifd_offset,) = struct.unpack_from("<I", buf, 4)
+    (n_entries,) = struct.unpack_from("<H", buf, ifd_offset)
+    next_ptr_at = ifd_offset + 2 + n_entries * 12
+    assert struct.unpack_from("<I", buf, next_ptr_at)[0] == 0
+    # append a minimal 16x16 overview IFD (SubfileType=1) and link it
+    ovr_at = len(buf)
+    entries = [
+        (254, 4, 1, 1),    # NewSubfileType: reduced-resolution
+        (256, 4, 1, 16),   # width
+        (257, 4, 1, 16),   # height
+    ]
+    ifd2 = struct.pack("<H", len(entries))
+    for tag, ftype, count, val in entries:
+        ifd2 += struct.pack("<HHII", tag, ftype, count, val)
+    ifd2 += struct.pack("<I", 0)
+    buf += ifd2
+    struct.pack_into("<I", buf, next_ptr_at, ovr_at)
+    with open(p, "wb") as f:
+        f.write(buf)
+    r = geotiff.open_raster(p)
+    assert (r.width, r.height) == (32, 32)  # full-res IFD, chain ignored
+    np.testing.assert_array_equal(np.asarray(r.band), arr)
