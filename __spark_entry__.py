@@ -1170,6 +1170,120 @@ def _build_overview_oracle(sf_dir: str):
     )
 
 
+def _delta_grid(side: int = 1201):
+    import numpy as np
+
+    r, c = np.indices((side, side))
+    return ((r + c) % 5 - 2).astype(np.int16)
+
+
+def _srtm_delta_tile_rows() -> list[tuple[int, int, str]]:
+    """B-side for the diff query: each SRTM tile plus a deterministic
+    checkerboard delta, written once under the fixture root."""
+    import numpy as np
+
+    from opentopodata_spark import geotiff
+
+    out_dir = os.path.join(_fixture_root(), "srtm_plus_delta")
+    os.makedirs(out_dir, exist_ok=True)
+    rows = []
+    for iy, ix, p in _srtm_tile_rows():
+        out = os.path.join(out_dir, os.path.basename(p))
+        if not os.path.exists(out):
+            r = geotiff.open_raster(p)
+            arr = np.asarray(r.band, dtype=np.int16) + _delta_grid(r.height)
+            geotiff.write_geotiff(
+                out, arr, x0=r.x0, y0=r.y0, sx=r.sx, sy=r.sy, epsg=4326,
+                nodata=-32768,
+            )
+        rows.append((iy, ix, out))
+    return rows
+
+
+def q_raster_diff(spark, sf_dir):
+    """Map algebra (change detection): cell-wise A - B over tile pairs
+    matched by grid key — pure per-tile map, zero shuffles. B is A plus
+    a known checkerboard delta, so the oracle computes every manifest
+    statistic in CLOSED FORM from the construction (no raster reads, no
+    shared code path with the operator)."""
+    from opentopodata_spark.operators import algebra
+
+    _ship_package(spark)
+    out_dir = os.path.join(_fixture_root(), "raster_diff_out")
+    m = algebra.raster_calc_tiles(
+        spark, _srtm_tile_rows(), _srtm_delta_tile_rows(), out_dir,
+        expression="a - b",
+    )
+    return m.select(
+        "tile_iy", "tile_ix", "n_valid", "sum_value", "max_abs", "checksum"
+    )
+
+
+def _build_raster_diff_oracle(sf_dir: str):
+    import pyarrow as pa
+
+    d = _delta_grid()
+    s = round(float(-d.sum()), 3)
+    rows = [(iy, ix, d.size, s, 2.0, s) for iy, ix, _p in _srtm_tile_rows()]
+    return pa.table(
+        {
+            "tile_iy": pa.array([r[0] for r in rows], type=pa.int64()),
+            "tile_ix": pa.array([r[1] for r in rows], type=pa.int64()),
+            "n_valid": pa.array([r[2] for r in rows], type=pa.int64()),
+            "sum_value": pa.array([r[3] for r in rows], type=pa.float64()),
+            "max_abs": pa.array([r[4] for r in rows], type=pa.float64()),
+            "checksum": pa.array([r[5] for r in rows], type=pa.float64()),
+        }
+    )
+
+
+_CONTOUR_LEVELS = [1605.5, 1614.5, 1622.5]
+
+
+def q_contour_lines(spark, sf_dir):
+    """Raster->vector LINES: distributed marching squares over the SRTM
+    pair with cross-tile halo reads; shared-edge duplicate segments
+    collapse in one small distinct over the segment stream. Oracle: a
+    single-process per-tile evaluation with python-set dedup (the
+    kernel itself is pinned by analytic tests in tests/test_contours.py;
+    this checks the distributed halo/partition/dedup plumbing)."""
+    from opentopodata_spark.operators import contours
+
+    _ship_package(spark)
+    return contours.contour_tiles(spark, _srtm_tile_rows(), _CONTOUR_LEVELS)
+
+
+def _build_contour_oracle(sf_dir: str):
+    import numpy as np
+    import pyarrow as pa
+
+    from opentopodata_spark import geotiff
+    from opentopodata_spark.operators import contours
+    from opentopodata_spark.operators.terrain import _fill_halo
+
+    tiles = _srtm_tile_rows()
+    paths = [p for _iy, _ix, p in tiles]
+    seen = set()
+    for i, p in enumerate(paths):
+        own = geotiff.open_raster(p)
+        padded = np.full((own.height + 2, own.width + 2), np.nan)
+        padded[1:-1, 1:-1] = own.read_block(0, own.height, 0, own.width)
+        _fill_halo(padded, own, [q for q in paths if q != p])
+        segs = contours.grid_contour_segments(
+            padded, _CONTOUR_LEVELS, own.x0, own.y0, own.sx, own.sy
+        )
+        for row in np.round(segs, 9):
+            seen.add(tuple(row))
+    rows = sorted(seen)
+    cols = list(zip(*rows)) if rows else [[], [], [], [], []]
+    return pa.table(
+        {
+            name: pa.array(list(vals), type=pa.float64())
+            for name, vals in zip(("level", "x1", "y1", "x2", "y2"), cols)
+        }
+    )
+
+
 def _build_zonal_pixels(sf_dir: str):
     """Pixel table (pixel_id, lat, lon, value, is_nodata) for the zonal
     fixture rasters — decoded single-process; the SQL side does the
@@ -1543,6 +1657,8 @@ _PRECOMPUTED_BUILDERS = {
     "ivf_topk": _build_ivf_oracle,
     "terrain_slope": _build_terrain_oracle,
     "overview_tiles": _build_overview_oracle,
+    "contour_lines": _build_contour_oracle,
+    "raster_diff": _build_raster_diff_oracle,
 }
 
 
@@ -1596,6 +1712,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rasterize_grid": q_rasterize_grid,
         "terrain_slope": q_terrain_slope,
         "overview_tiles": q_overview_tiles,
+        "contour_lines": q_contour_lines,
+        "raster_diff": q_raster_diff,
     }
 
 

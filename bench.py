@@ -98,6 +98,8 @@ def main() -> None:
         "rasterize_grid": lambda: contract.q_rasterize_grid(spark, SF_DIR),
         "terrain_slope": lambda: contract.q_terrain_slope(spark, SF_DIR),
         "overview_tiles": lambda: contract.q_overview_tiles(spark, SF_DIR),
+        "contour_lines": lambda: contract.q_contour_lines(spark, SF_DIR),
+        "raster_diff": lambda: contract.q_raster_diff(spark, SF_DIR),
     }
     for name, make in queries.items():
         timings[name] = run(make())

@@ -62,6 +62,10 @@ def _raster_paths(ns) -> list[str]:
 def _load_polygons(path: str) -> list[dict]:
     with open(path) as f:
         polys = json.load(f)
+    if isinstance(polys, dict):  # real GeoJSON (FeatureCollection etc.)
+        from ..operators.spatial import polygons_from_geojson
+
+        return polygons_from_geojson(polys)
     for p in polys:
         if not {"polygon_id", "lats", "lons"} <= set(p):
             raise ValueError(

@@ -32,7 +32,88 @@ __all__ = [
     "points_in_polygon_mask",
     "polygon_cover_cells",
     "point_in_polygon_join",
+    "polygons_from_geojson",
+    "polygons_from_df",
 ]
+
+
+def polygons_from_geojson(path_or_obj) -> list[dict]:
+    """Real-world polygon input: a GeoJSON FeatureCollection (or bare
+    Feature / Polygon) -> the engine's [{"polygon_id", "lats", "lons"}]
+    shape. Outer rings only (holes are rejected loudly rather than
+    silently mis-joined); MultiPolygon parts become ``id#k`` entries.
+    Accepts a path or an already-parsed mapping."""
+    import json as _json
+    import os as _os
+
+    if isinstance(path_or_obj, (str, bytes, _os.PathLike)):
+        with open(path_or_obj) as f:
+            obj = _json.load(f)
+    else:
+        obj = path_or_obj
+
+    def _feature_list(o):
+        t = o.get("type")
+        if t == "FeatureCollection":
+            return o["features"]
+        if t == "Feature":
+            return [o]
+        if t in ("Polygon", "MultiPolygon"):
+            return [{"type": "Feature", "geometry": o, "properties": {}}]
+        raise ValueError(f"unsupported GeoJSON type '{t}'")
+
+    out = []
+    for i, feat in enumerate(_feature_list(obj)):
+        geom = feat.get("geometry") or {}
+        props = feat.get("properties") or {}
+        pid = str(
+            props.get("polygon_id") or props.get("id") or feat.get("id") or i
+        )
+        gtype = geom.get("type")
+        if gtype == "Polygon":
+            parts = [(pid, geom["coordinates"])]
+        elif gtype == "MultiPolygon":
+            parts = [
+                (f"{pid}#{k}", rings)
+                for k, rings in enumerate(geom["coordinates"])
+            ]
+        else:
+            raise ValueError(f"unsupported geometry type '{gtype}'")
+        for part_id, rings in parts:
+            if len(rings) > 1:
+                raise ValueError(
+                    f"polygon '{part_id}' has interior rings (holes); the "
+                    "PIP join supports outer rings only"
+                )
+            ring = rings[0]
+            # GeoJSON closes the ring by repeating the first vertex
+            if len(ring) > 1 and ring[0] == ring[-1]:
+                ring = ring[:-1]
+            out.append({
+                "polygon_id": part_id,
+                "lons": [float(v[0]) for v in ring],
+                "lats": [float(v[1]) for v in ring],
+            })
+    return out
+
+
+def polygons_from_df(polygons: DataFrame, max_polygons: int = 100_000) -> list[dict]:
+    """DataFrame (polygon_id, lats array<double>, lons array<double>) ->
+    driver-side polygon list. The polygon side of a PIP join is the
+    SMALL side by design (it broadcasts as cover cells); the cap turns a
+    mistaken large input into a loud error instead of a driver OOM."""
+    n = polygons.limit(max_polygons + 1).count()
+    if n > max_polygons:
+        raise ValueError(
+            f"polygon side has more than {max_polygons} rows — this join "
+            "broadcasts polygons; repartition the problem (e.g. cover-cell "
+            "join per polygon batch) instead"
+        )
+    return [
+        {"polygon_id": r["polygon_id"], "lats": list(r["lats"]),
+         "lons": list(r["lons"])}
+        for r in polygons.select("polygon_id", "lats", "lons").collect()
+    ]
 
 
 def s2_cell_udf(level: int):

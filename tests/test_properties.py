@@ -138,3 +138,74 @@ def test_path_sampling_endpoints_exact(lats, n):
     assert len(s_lats) == n
     assert (s_lats[0], s_lons[0]) == (lats[0], lons[0])
     assert (s_lats[-1], s_lons[-1]) == (lats[-1], lons[-1])
+
+
+# ---------------------------------------------------------------------------
+# raster-ops kernels (round-2 raster<->vector wave)
+# ---------------------------------------------------------------------------
+
+@given(
+    h=st.integers(1, 40), w=st.integers(1, 40), k=st.integers(1, 9),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_block_reduce_properties(h, w, k, seed):
+    from opentopodata_spark.operators import resample
+
+    rng = np.random.default_rng(seed)
+    arr = rng.normal(0.0, 100.0, (h, w))
+    out = resample.block_reduce(arr, k, "average")
+    assert out.shape == (-(-h // k), -(-w // k))
+    # global mean is preserved under full-block-only inputs
+    if h % k == 0 and w % k == 0:
+        assert out.mean() == pytest.approx(arr.mean(), rel=1e-12)
+    # every output is within the range of its block
+    assert np.nanmin(out) >= arr.min() - 1e-9
+    assert np.nanmax(out) <= arr.max() + 1e-9
+    # nearest is a pure subsample
+    nearest = resample.block_reduce(arr, k, "nearest")
+    assert np.array_equal(nearest, arr[::k, ::k])
+
+
+@given(
+    a=st.floats(-5.0, 5.0, allow_nan=False),
+    b=st.floats(-5.0, 5.0, allow_nan=False),
+    c=st.floats(-1000.0, 1000.0, allow_nan=False),
+    sx=st.floats(0.01, 10.0), sy=st.floats(0.01, 10.0),
+)
+@settings(max_examples=80, deadline=None)
+def test_horn_exact_on_planes(a, b, c, sx, sy):
+    """Horn's 3x3 kernel recovers the gradient of any plane exactly
+    (it is a weighted average of exact central differences)."""
+    from opentopodata_spark.operators import terrain
+
+    n = 6
+    x = np.arange(n) * sx
+    y = -np.arange(n) * sy  # rows southward
+    z = a * x[None, :] + b * y[:, None] + c
+    dzdx, dzdy = terrain.horn_derivatives(z, sx, sy, 1.0)
+    assert np.allclose(dzdx, a, atol=max(1e-9, abs(a) * 1e-9) + 1e-12)
+    assert np.allclose(dzdy, b, atol=max(1e-9, abs(b) * 1e-9) + 1e-12)
+
+
+@given(
+    lat=st.floats(-89.0, 89.0), lon=st.floats(-179.0, 179.0),
+    n=st.integers(3, 10), r=st.floats(0.1, 5.0),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_pip_mask_convex_polygon_center(lat, lon, n, r, seed):
+    """The centroid of a regular convex polygon is always inside; a point
+    2r away never is."""
+    from opentopodata_spark.operators.spatial import points_in_polygon_mask
+
+    ang = np.linspace(0.0, 2.0 * np.pi, n, endpoint=False)
+    pla = np.clip(lat + r * np.sin(ang), -90.0, 90.0)
+    plo = np.clip(lon + r * np.cos(ang), -180.0, 180.0)
+    _assume(len(np.unique(pla)) > 1)  # clipping can flatten the polygon
+    inside = points_in_polygon_mask(
+        np.array([lat, min(lat + 2 * r, 90.0) + 0.5]),
+        np.array([lon, lon]), pla, plo,
+    )
+    assert bool(inside[0]) is True
+    assert bool(inside[1]) is False
