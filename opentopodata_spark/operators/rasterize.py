@@ -127,6 +127,13 @@ def write_raster_tiles(
         raise ValueError("tile_px must be >= 1")
     g = grid
     os.makedirs(out_dir, exist_ok=True)
+    # defensive in-grid filter: rasterize_points guarantees it, but this
+    # sink accepts any cell stream and an out-of-grid row would otherwise
+    # fault the tile task with a bare IndexError
+    cells = cells.where(
+        (F.col("row") >= 0) & (F.col("row") < g.height)
+        & (F.col("col") >= 0) & (F.col("col") < g.width)
+    )
     keyed = cells.withColumn(
         "tile_iy", (F.col("row") / tile_px).cast("long")
     ).withColumn("tile_ix", (F.col("col") / tile_px).cast("long"))

@@ -116,7 +116,12 @@ def _polygon_bboxes(polygons: list[dict]) -> dict[str, tuple]:
 
 def _projected_poly_bbox(bbox: tuple, epsg, wkt) -> tuple | None:
     """Conservative raster-CRS bbox of a WGS84 polygon bbox via dense
-    boundary sampling through the forward projection (None: no pruning)."""
+    boundary sampling PLUS an interior grid through the forward
+    projection (None: no pruning). The interior grid matters when a
+    projected extremum falls inside the box — e.g. minimum TM northing
+    occurs at the central meridian, an interior longitude for any box
+    straddling it; boundary-only sampling would under-cover and prune
+    strips that contain polygon pixels."""
     from .. import crs as _crs
 
     lat0, lat1, lon0, lon1 = bbox
@@ -126,8 +131,12 @@ def _projected_poly_bbox(bbox: tuple, epsg, wkt) -> tuple | None:
         )
         el = np.linspace(lon0, lon1, 33)
         ea = np.linspace(lat0, lat1, 33)
-        lons = np.concatenate([el, el, np.full(33, lon0), np.full(33, lon1)])
-        lats = np.concatenate([np.full(33, lat0), np.full(33, lat1), ea, ea])
+        gx, gy = np.meshgrid(np.linspace(lon0, lon1, 17),
+                             np.linspace(lat0, lat1, 17))
+        lons = np.concatenate([el, el, np.full(33, lon0), np.full(33, lon1),
+                               gx.ravel()])
+        lats = np.concatenate([np.full(33, lat0), np.full(33, lat1), ea, ea,
+                               gy.ravel()])
         xs, ys = t.proj.forward(lons, lats)
     except (_crs.CRSError, ValueError):
         return None

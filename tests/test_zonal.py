@@ -189,3 +189,21 @@ def test_pixels_never_become_rows(spark, raster_root):
     meta = zonal.raster_metadata(spark, paths)
     plan = zonal.zonal_stats(meta, polys)._jdf.queryExecution().toString()
     assert "CartesianProduct" not in plan and "crossJoin" not in plan
+
+
+def test_projected_pruning_central_meridian(spark, raster_root):
+    """A polygon bbox straddling the raster CRS's central meridian has
+    its minimum northing at an INTERIOR longitude; boundary-only bbox
+    sampling would under-cover and prune strips that contain polygon
+    pixels. The wide box must still aggregate every raster pixel."""
+    paths = sorted(
+        glob.glob(os.path.join(raster_root, "test-srtm90m-subset-utm", "*.tif"))
+    )
+    wide = [{"polygon_id": "WIDE", "lats": [0.05, 0.95, 0.95, 0.05],
+             "lons": [3.0, 3.0, 15.0, 15.0]}]  # straddles lon0=9 of 32632
+    meta = zonal.raster_metadata(spark, paths)
+    got = _collect(zonal.zonal_stats(meta, wide, strip_rows=173))
+    expected = _single_process_zonal(paths, wide)
+    e, g = expected["WIDE"], got["WIDE"]
+    assert g["n_px"] == e["n_px"] and g["n_valid"] == e["n_valid"]
+    assert g["vsum"] == e["vsum"]
