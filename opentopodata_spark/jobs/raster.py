@@ -7,10 +7,13 @@ Subcommands:
   terrain    tiled DEM -> slope|aspect|hillshade GeoTIFF tiles
              (cross-tile halo reads, resume via --skip-existing,
              per-tile lineage checksums in the manifest)
-  zonal      tiled/loose rasters + polygons GeoJSON-ish file -> per-
-             polygon statistics parquet
+  zonal      tiled/loose rasters + polygons (GeoJSON or engine JSON)
+             -> per-polygon statistics parquet
   rasterize  points parquet (lat, lon[, value]) -> cell aggregation
              parquet and optional GeoTIFF tile pyramid
+  resample   tiled DEM -> factor-k overview tiles (gdaladdo)
+  contours   tiled DEM -> iso-line segments parquet (gdal_contour)
+  calc       two tile sets -> cell-wise expression tiles (gdal_calc)
 
 Polygons file format (``--polygons``): JSON list of
 {"polygon_id": str, "lats": [...], "lons": [...]} — the engine's
@@ -114,6 +117,24 @@ def build_parser() -> argparse.ArgumentParser:
     o.add_argument("--method", default="average", choices=["average", "nearest"])
     o.add_argument("--skip-existing", action="store_true")
 
+    c = sub.add_parser("contours", help="iso-elevation line segments")
+    c.add_argument("--config")
+    c.add_argument("--dataset")
+    c.add_argument("--rasters", nargs="*")
+    c.add_argument("--out", required=True)
+    c.add_argument("--levels", required=True, help="comma-separated elevations")
+    c.add_argument("--no-dedupe", action="store_true")
+
+    x = sub.add_parser("calc", help="cell-wise expression over tile pairs")
+    x.add_argument("--config")
+    x.add_argument("--dataset-a")
+    x.add_argument("--dataset-b")
+    x.add_argument("--rasters-a", nargs="*")
+    x.add_argument("--rasters-b", nargs="*")
+    x.add_argument("--out", required=True)
+    x.add_argument("--expression", default="a - b")
+    x.add_argument("--skip-existing", action="store_true")
+
     r = sub.add_parser("rasterize", help="points -> grid aggregation")
     r.add_argument("--points", required=True, help="parquet with lat, lon[, value] columns")
     r.add_argument("--value-col", default=None)
@@ -162,6 +183,49 @@ def run(argv: list[str] | None = None) -> dict:
             spark, tiles, ns.out, kind=ns.kind, scale=ns.scale,
             z_factor=ns.z_factor, azimuth=ns.azimuth, altitude=ns.altitude,
             skip_existing=ns.skip_existing,
+        )
+        manifest.write.mode("overwrite").parquet(f"{ns.out}/_manifest")
+        m = spark.read.parquet(f"{ns.out}/_manifest")
+        stats.update(
+            tiles=m.count(),
+            errors=m.where(m.error.isNotNull()).count(),
+            out=ns.out,
+        )
+
+    elif ns.cmd == "contours":
+        from ..operators import contours as _contours
+
+        if ns.config and ns.dataset:
+            tiles = _tile_rows_from_config(ns.config, ns.dataset)
+        elif ns.rasters:
+            tiles = [(0, i, p) for i, p in enumerate(_raster_paths(ns))]
+        else:
+            raise ValueError("contours needs --config/--dataset or --rasters")
+        levels = [float(v) for v in ns.levels.split(",")]
+        segs = _contours.contour_tiles(
+            spark, tiles, levels, dedupe=not ns.no_dedupe
+        )
+        segs.write.mode("overwrite").parquet(ns.out)
+        stats.update(segments=spark.read.parquet(ns.out).count(), out=ns.out)
+
+    elif ns.cmd == "calc":
+        from ..operators import algebra as _algebra
+
+        def _side(cfg_ds, globs, label):
+            if ns.config and cfg_ds:
+                return _tile_rows_from_config(ns.config, cfg_ds)
+            if globs:
+                paths = sorted(p for pat in globs for p in _glob.glob(pat))
+                if not paths:
+                    raise FileNotFoundError(f"no rasters match {globs}")
+                return [(0, i, p) for i, p in enumerate(paths)]
+            raise ValueError(f"calc needs --dataset-{label} or --rasters-{label}")
+
+        manifest = _algebra.raster_calc_tiles(
+            spark,
+            _side(ns.dataset_a, ns.rasters_a, "a"),
+            _side(ns.dataset_b, ns.rasters_b, "b"),
+            ns.out, expression=ns.expression, skip_existing=ns.skip_existing,
         )
         manifest.write.mode("overwrite").parquet(f"{ns.out}/_manifest")
         m = spark.read.parquet(f"{ns.out}/_manifest")

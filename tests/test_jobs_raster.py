@@ -105,3 +105,30 @@ def test_resample_cli(spark, srtm_cfg, tmp_path, capsys):
     assert len(tifs) == 2
     r = geotiff.open_raster(tifs[0])
     assert r.width == -(-1201 // 8) and r.height == -(-1201 // 8)
+
+
+def test_contours_cli(spark, srtm_cfg, tmp_path, capsys):
+    out = str(tmp_path / "segs")
+    rc = job.main([
+        "--cores", "4", "contours", "--config", srtm_cfg,
+        "--dataset", "srtm90subset", "--out", out, "--levels", "1605.5,1614.5",
+    ])
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["status"] == "OK" and res["segments"] > 100
+    segs = spark.read.parquet(out)
+    assert set(segs.columns) == {"level", "x1", "y1", "x2", "y2"}
+
+
+def test_calc_cli_self_diff(spark, srtm_cfg, tmp_path, capsys):
+    out = str(tmp_path / "diff")
+    rc = job.main([
+        "--cores", "4", "calc", "--config", srtm_cfg,
+        "--dataset-a", "srtm90subset", "--dataset-b", "srtm90subset",
+        "--out", out, "--expression", "a - b",
+    ])
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["status"] == "OK" and res["tiles"] == 2 and res["errors"] == 0
+    m = spark.read.parquet(f"{out}/_manifest")
+    assert all(r["sum_value"] == 0.0 for r in m.collect())

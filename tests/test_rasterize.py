@@ -106,3 +106,17 @@ def test_rasterize_then_zonal(spark, grid, tmp_path):
     meta = zonal.raster_metadata(spark, paths)
     stats = zonal.zonal_stats(meta, [whole]).collect()[0]
     assert stats["vsum"] == 200.0  # every point accounted for exactly once
+
+
+def test_plan_is_two_phase_jvm_aggregation(spark, grid):
+    """Scale proof in the plan: cell aggregation must be a two-phase
+    hash aggregate (map-side partial combine -> exchange on cell keys ->
+    final), entirely JVM-side — no Python eval nodes, no sort-based agg,
+    shuffle volume O(occupied cells)."""
+    pts = _pts(spark, [(1, 9.5, 0.5, 10)])
+    plan = rasterize.rasterize_points(pts, grid, value_col="val")\
+        ._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("HashAggregate") >= 2       # partial + final
+    assert "partial_count" in plan or "partial" in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "hashpartitioning(row" in plan         # exchange keyed on cells
