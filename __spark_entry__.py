@@ -1139,6 +1139,44 @@ def q_overview_tiles(spark, sf_dir):
     )
 
 
+def q_streaming_overview(spark, sf_dir):
+    """File-arrival-driven raster processing: a tile-manifest STREAM
+    (metadata rows only) drives idempotent overview builds through
+    foreachBatch + the atomic-rename/skip-existing sink. Produces the
+    same per-tile manifest stats as the batch overview_tiles query, so
+    it shares that oracle (single-process pooling)."""
+    import json as _json
+    import shutil
+    import uuid
+
+    from opentopodata_spark import streaming as st
+
+    _ship_package(spark)
+    work = os.path.join(_fixture_root(), f"stream_ovr_{uuid.uuid4().hex[:8]}")
+    man_dir = os.path.join(work, "manifests")
+    os.makedirs(man_dir)
+    with open(os.path.join(man_dir, "wave.json"), "w") as f:
+        for iy, ix, p in _srtm_tile_rows():
+            f.write(_json.dumps(
+                {"tile_iy": iy, "tile_ix": ix, "path": p}) + "\n")
+    out_dir = os.path.join(work, "out")
+    q = st.run_overview_stream(
+        spark, st.stream_tile_manifests(spark, man_dir),
+        out_dir, os.path.join(work, "ckpt"), factor=8,
+    )
+    q.awaitTermination()
+    result = spark.read.parquet(os.path.join(out_dir, "_manifest")).select(
+        "tile_iy", "tile_ix", "width", "height", "n_valid", "checksum"
+    )
+    rows = result.collect()  # materialize before the workdir vanishes
+    shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "tile_iy long, tile_ix long, width int, height int, "
+        "n_valid long, checksum double",
+    )
+
+
 def _build_overview_oracle(sf_dir: str):
     import numpy as np
     import pyarrow as pa
@@ -1657,6 +1695,7 @@ _PRECOMPUTED_BUILDERS = {
     "ivf_topk": _build_ivf_oracle,
     "terrain_slope": _build_terrain_oracle,
     "overview_tiles": _build_overview_oracle,
+    "streaming_overview": _build_overview_oracle,
     "contour_lines": _build_contour_oracle,
     "raster_diff": _build_raster_diff_oracle,
 }
@@ -1712,6 +1751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rasterize_grid": q_rasterize_grid,
         "terrain_slope": q_terrain_slope,
         "overview_tiles": q_overview_tiles,
+        "streaming_overview": q_streaming_overview,
         "contour_lines": q_contour_lines,
         "raster_diff": q_raster_diff,
     }

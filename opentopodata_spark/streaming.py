@@ -241,3 +241,73 @@ def events_rollup_stream(
             "sum_value",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# file-arrival-driven raster processing (streaming x raster family)
+# ---------------------------------------------------------------------------
+
+TILE_MANIFEST_DDL = "tile_iy long, tile_ix long, path string"
+
+
+def stream_tile_manifests(
+    spark: SparkSession, manifest_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming scan of tile-manifest JSON files (one row per newly
+    landed raster tile). The STREAM carries only metadata rows — tile
+    payloads stay on storage and are opened executor-side by the raster
+    operator each batch, so state and checkpoints are KB-scale no matter
+    how big the tiles are."""
+    reader = spark.readStream.schema(TILE_MANIFEST_DDL)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.json(manifest_dir)
+
+
+def run_overview_stream(
+    spark: SparkSession,
+    manifests: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    *,
+    factor: int = 2,
+    method: str = "average",
+    available_now: bool = True,
+):
+    """Tile-arrival stream -> overview tiles, exactly-once.
+
+    Idempotency comes from the SINK, not the stream: overview outputs
+    publish via atomic rename and ``skip_existing=True``, so a batch
+    that is re-delivered after a crash (or a manifest accidentally
+    listing an old tile again) re-derives its manifest rows from the
+    stored files instead of recomputing or duplicating. Per-batch
+    manifests land under ``{out_dir}/_manifest/ingest_batch=<id>`` with
+    overwrite — the same per-batch-ownership pattern as the documents
+    ingest sink.
+    """
+    from .operators import resample as _resample
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        tiles = [
+            (r["tile_iy"], r["tile_ix"], r["path"])
+            for r in batch_df.select("tile_iy", "tile_ix", "path")
+            .dropDuplicates(["tile_iy", "tile_ix"]).collect()
+        ]
+        if not tiles:
+            return
+        manifest = _resample.resample_tiles(
+            spark, tiles, out_dir, factor=factor, method=method,
+            skip_existing=True,
+        )
+        manifest.write.mode("overwrite").parquet(
+            f"{out_dir}/_manifest/ingest_batch={batch_id}"
+        )
+
+    writer = (
+        manifests.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
