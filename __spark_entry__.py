@@ -1258,11 +1258,13 @@ def q_raster_diff(spark, sf_dir):
 
 
 def _build_raster_diff_oracle(sf_dir: str):
+    import numpy as np
     import pyarrow as pa
 
     d = _delta_grid()
     s = round(float(-d.sum()), 3)
-    rows = [(iy, ix, d.size, s, 2.0, s) for iy, ix, _p in _srtm_tile_rows()]
+    l1 = round(float(np.abs(d).sum()), 3)  # the manifest's L1 checksum
+    rows = [(iy, ix, d.size, s, 2.0, l1) for iy, ix, _p in _srtm_tile_rows()]
     return pa.table(
         {
             "tile_iy": pa.array([r[0] for r in rows], type=pa.int64()),
@@ -1341,12 +1343,12 @@ def _build_zonal_pixels(sf_dir: str):
         ys = r.y0 - (np.arange(h) + 0.5) * r.sy
         lons.append(np.broadcast_to(xs, (h, w)).ravel())
         lats.append(np.broadcast_to(ys[:, None], (h, w)).ravel())
-        v = win.ravel()
-        vals.append(np.asarray(v, dtype=np.float64))
-        if r.nodata is not None:
-            nod.append(v == np.asarray(r.nodata, dtype=win.dtype))
-        else:
-            nod.append(np.zeros(v.size, dtype=bool))
+        # float64 nodata semantics, same as the operator (_nodata_mask)
+        from opentopodata_spark.operators.zonal import _nodata_mask
+
+        v64 = np.asarray(win.ravel(), dtype=np.float64)
+        vals.append(v64)
+        nod.append(_nodata_mask(v64, r.nodata))
         ids.append(np.arange(base, base + v.size, dtype=np.int64))
         base += v.size
     return pa.table(

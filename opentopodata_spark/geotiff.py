@@ -874,7 +874,8 @@ def _open_gz(path: str) -> Raster:
     try:
         with gzip.open(path, "rb") as f:
             buf = f.read()
-    except (OSError, EOFError):
+    except (OSError, EOFError, zlib.error):
+        # zlib.error: valid gzip header but corrupt/truncated deflate body
         raise RasterOpenError(f"'{path}' is not a readable gzip file")
     if inner.lower().endswith(".hgt"):
         return _hgt_from_bytes(path, buf, inner)

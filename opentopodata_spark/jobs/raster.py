@@ -51,6 +51,26 @@ def _tile_rows_from_config(cfg_path: str, name: str):
     return rows
 
 
+def _tiles_from_globs(globs) -> list[tuple[int, int, str]]:
+    """Loose raster globs -> (iy, ix, path) rows with CORNER-DERIVED grid
+    keys (regular grid assumed). The keys are load-bearing: halo-reading
+    operators (terrain, contours) look up neighbors by (iy±1, ix±1), so
+    arbitrary keys like sorted-order enumeration would silently sever
+    tile adjacency and drop seam output."""
+    from .. import geotiff as _geotiff
+
+    paths = sorted(p for pat in globs for p in _glob.glob(pat))
+    if not paths:
+        raise FileNotFoundError(f"no rasters match {globs}")
+    metas = [(p, _geotiff.open_raster(p)) for p in paths]
+    ys = sorted({round(r.y0, 9) for _p, r in metas}, reverse=True)
+    xs = sorted({round(r.x0, 9) for _p, r in metas})
+    return [
+        (len(ys) - 1 - ys.index(round(r.y0, 9)), xs.index(round(r.x0, 9)), p)
+        for p, r in metas
+    ]
+
+
 def _raster_paths(ns) -> list[str]:
     if ns.rasters:
         paths = sorted(
@@ -163,20 +183,7 @@ def run(argv: list[str] | None = None) -> dict:
         if ns.config and ns.dataset:
             tiles = _tile_rows_from_config(ns.config, ns.dataset)
         elif ns.rasters:
-            # loose globs: key by corner order (regular grid assumed)
-            from .. import geotiff as _geotiff
-
-            paths = sorted(
-                p for pat in ns.rasters for p in _glob.glob(pat)
-            )
-            metas = [(p, _geotiff.open_raster(p)) for p in paths]
-            ys = sorted({round(r.y0, 9) for _p, r in metas}, reverse=True)
-            xs = sorted({round(r.x0, 9) for _p, r in metas})
-            tiles = [
-                (len(ys) - 1 - ys.index(round(r.y0, 9)),
-                 xs.index(round(r.x0, 9)), p)
-                for p, r in metas
-            ]
+            tiles = _tiles_from_globs(ns.rasters)
         else:
             raise ValueError("terrain needs --config/--dataset or --rasters")
         manifest = _terrain.terrain_tiles(
@@ -198,7 +205,9 @@ def run(argv: list[str] | None = None) -> dict:
         if ns.config and ns.dataset:
             tiles = _tile_rows_from_config(ns.config, ns.dataset)
         elif ns.rasters:
-            tiles = [(0, i, p) for i, p in enumerate(_raster_paths(ns))]
+            # corner-derived keys: contour cells read their halo from
+            # key-neighbors, so enumeration keys would sever adjacency
+            tiles = _tiles_from_globs(ns.rasters)
         else:
             raise ValueError("contours needs --config/--dataset or --rasters")
         levels = [float(v) for v in ns.levels.split(",")]
@@ -215,10 +224,9 @@ def run(argv: list[str] | None = None) -> dict:
             if ns.config and cfg_ds:
                 return _tile_rows_from_config(ns.config, cfg_ds)
             if globs:
-                paths = sorted(p for pat in globs for p in _glob.glob(pat))
-                if not paths:
-                    raise FileNotFoundError(f"no rasters match {globs}")
-                return [(0, i, p) for i, p in enumerate(paths)]
+                # corner-derived keys pair A/B tiles geographically, not
+                # by filename sort order
+                return _tiles_from_globs(globs)
             raise ValueError(f"calc needs --dataset-{label} or --rasters-{label}")
 
         manifest = _algebra.raster_calc_tiles(
@@ -241,9 +249,7 @@ def run(argv: list[str] | None = None) -> dict:
         if ns.config and ns.dataset:
             tiles = _tile_rows_from_config(ns.config, ns.dataset)
         elif ns.rasters:
-            tiles = [
-                (0, i, p) for i, p in enumerate(_raster_paths(ns))
-            ]
+            tiles = _tiles_from_globs(ns.rasters)
         else:
             raise ValueError("resample needs --config/--dataset or --rasters")
         manifest = _resample.resample_tiles(
@@ -261,6 +267,8 @@ def run(argv: list[str] | None = None) -> dict:
     elif ns.cmd == "zonal":
         from ..operators import zonal as _zonal
 
+        if not ((ns.config and ns.dataset) or ns.rasters):
+            raise ValueError("zonal needs --config/--dataset or --rasters")
         meta = _zonal.raster_metadata(spark, _raster_paths(ns))
         out = _zonal.zonal_stats(
             meta, _load_polygons(ns.polygons), strip_rows=ns.strip_rows

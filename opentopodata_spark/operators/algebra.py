@@ -22,12 +22,13 @@ serialization hazard).
 
 from __future__ import annotations
 
-import functools
 import os
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+
+from ..oracle import _open_cached
 
 __all__ = ["raster_calc_tiles", "EXPRESSIONS"]
 
@@ -47,13 +48,6 @@ EXPRESSIONS: dict = {
 }
 
 
-@functools.lru_cache(maxsize=64)
-def _open_cached(path: str):
-    from .. import geotiff
-
-    return geotiff.open_raster(path)
-
-
 def raster_calc_tiles(
     spark: SparkSession,
     tiles_a: list[tuple[int, int, str]],
@@ -70,7 +64,7 @@ def raster_calc_tiles(
 
     Tiles present only on one side become error rows ("unpaired"), never
     silent drops. Returns the manifest (tile key, output path, n_valid,
-    sum/max-abs summary, lineage checksum, error).
+    sum/max-abs summary, L1-norm lineage checksum, error).
     """
     if expression not in EXPRESSIONS:
         raise ValueError(
@@ -106,7 +100,7 @@ def raster_calc_tiles(
                             key[0], key[1], out, int(valid.sum()),
                             round(float(v.sum()), 3),
                             round(float(np.abs(v).max()), 3) if v.size else None,
-                            round(float(v.sum()), 3), None,
+                            round(float(np.abs(v).sum()), 3), None,
                         ))
                         continue
                     ra = _open_cached(t.path_a)
@@ -138,7 +132,9 @@ def raster_calc_tiles(
                         key[0], key[1], out, int(finite.sum()),
                         round(float(v.sum()), 3),
                         round(float(np.abs(v).max()), 3) if v.size else None,
-                        round(float(v.sum()), 3), None,
+                        # L1-norm digest: independent of sum_value (which
+                        # cancels signed deltas), so it actually verifies
+                        round(float(np.abs(v).sum()), 3), None,
                     ))
                 except Exception as e:  # noqa: BLE001 — per-tile isolation
                     rows.append(

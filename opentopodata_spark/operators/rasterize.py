@@ -87,12 +87,18 @@ def rasterize_points(
             F.sum(v).alias("vsum"),
             F.min(v).alias("vmin"),
             F.max(v).alias("vmax"),
+            # NULL-valued points count toward n_points but not the value
+            # stats; the mean must divide by the non-NULL count to stay
+            # consistent with vsum/vmin/vmax
+            F.count(v).alias("_n_values"),
         ]
     out = df.groupBy("row", "col").agg(*aggs)
     if value_col is not None:
         out = out.withColumn(
-            "vmean", F.round(F.col("vsum") / F.col("n_points"), 6)
-        )
+            "vmean",
+            F.when(F.col("_n_values") > 0,
+                   F.round(F.col("vsum") / F.col("_n_values"), 6)),
+        ).drop("_n_values")
     return out
 
 

@@ -21,12 +21,13 @@ partial blocks, averaging over the pixels that exist — same as GDAL.
 
 from __future__ import annotations
 
-import functools
 import os
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+
+from ..oracle import _open_cached
 
 __all__ = ["block_reduce", "resample_tiles"]
 
@@ -34,13 +35,6 @@ MANIFEST_SCHEMA = (
     "tile_iy long, tile_ix long, path string, width int, height int, "
     "n_valid long, checksum double, error string"
 )
-
-
-@functools.lru_cache(maxsize=64)
-def _open_cached(path: str):
-    from .. import geotiff
-
-    return geotiff.open_raster(path)
 
 
 def block_reduce(arr: np.ndarray, k: int, method: str) -> np.ndarray:

@@ -66,9 +66,14 @@ def polygons_from_geojson(path_or_obj) -> list[dict]:
     for i, feat in enumerate(_feature_list(obj)):
         geom = feat.get("geometry") or {}
         props = feat.get("properties") or {}
-        pid = str(
-            props.get("polygon_id") or props.get("id") or feat.get("id") or i
-        )
+        pid = props.get("polygon_id")
+        if pid is None:
+            pid = props.get("id")
+        if pid is None:
+            pid = feat.get("id")
+        if pid is None:  # explicit None checks: 0 / "" are VALID ids
+            pid = i
+        pid = str(pid)
         gtype = geom.get("type")
         if gtype == "Polygon":
             parts = [(pid, geom["coordinates"])]

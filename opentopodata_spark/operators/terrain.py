@@ -33,12 +33,13 @@ Conventions (all public/standard):
 
 from __future__ import annotations
 
-import functools
 import os
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+
+from ..oracle import _open_cached
 
 __all__ = ["horn_derivatives", "terrain_kernel", "terrain_tiles"]
 
@@ -46,13 +47,6 @@ MANIFEST_SCHEMA = (
     "tile_iy long, tile_ix long, path string, n_valid long, "
     "checksum double, error string"
 )
-
-
-@functools.lru_cache(maxsize=64)
-def _open_cached(path: str):
-    from .. import geotiff
-
-    return geotiff.open_raster(path)
 
 
 def horn_derivatives(padded: np.ndarray, sx: float, sy: float, scale: float):

@@ -35,12 +35,12 @@ the usual FP-reassociation caveat applies to sum/mean only.
 
 from __future__ import annotations
 
-import functools
-
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from ..oracle import _open_cached
 
 from .spatial import points_in_polygon_mask
 
@@ -60,13 +60,6 @@ _PARTIAL_SCHEMA = (
     "polygon_id string, n_px long, n_nodata long, n_valid long, "
     "vmin double, vmax double, vsum double"
 )
-
-
-@functools.lru_cache(maxsize=64)
-def _open_cached(path: str):
-    from .. import geotiff
-
-    return geotiff.open_raster(path)
 
 
 def raster_metadata(spark: SparkSession, paths: list[str]) -> DataFrame:
@@ -258,12 +251,9 @@ def zonal_stats(
                 n_px = int(inside.sum())
                 if n_px == 0:
                     continue
-                vals = win.ravel()[inside]
-                if r.nodata is not None:
-                    nodata_mask = vals == np.asarray(r.nodata, dtype=win.dtype)
-                else:
-                    nodata_mask = np.zeros(vals.shape, dtype=bool)
-                valid = np.asarray(vals[~nodata_mask], dtype=np.float64)
+                vals = np.asarray(win.ravel()[inside], dtype=np.float64)
+                nodata_mask = _nodata_mask(vals, r.nodata)
+                valid = vals[~nodata_mask]
                 n_valid = int(valid.size)
                 out.append((
                     t.polygon_id, n_px, n_px - n_valid, n_valid,
@@ -292,6 +282,17 @@ def zonal_stats(
         F.when(F.col("n_valid") > 0,
                F.round(F.col("vsum") / F.col("n_valid"), 6)),
     )
+
+
+def _nodata_mask(vals64: np.ndarray, nodata) -> np.ndarray:
+    """NODATA mask computed in float64 like Raster.read_block — never in
+    the band's stored dtype, where an out-of-range tag (uint8 band with
+    GDAL_NODATA=-9999) would wrap onto a real value, and where a NaN tag
+    could never match (NaN != NaN)."""
+    if nodata is None:
+        return np.zeros(vals64.shape, dtype=bool)
+    nd = float(nodata)
+    return np.isnan(vals64) if np.isnan(nd) else (vals64 == nd)
 
 
 def _is_geographic(epsg, wkt) -> bool:

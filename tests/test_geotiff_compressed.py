@@ -595,3 +595,18 @@ def test_multi_ifd_cog_reads_full_res(tmp_path):
     r = geotiff.open_raster(p)
     assert (r.width, r.height) == (32, 32)  # full-res IFD, chain ignored
     np.testing.assert_array_equal(np.asarray(r.band), arr)
+
+
+def test_gz_corrupt_body_clean_error(tmp_path):
+    """Valid gzip header + corrupt deflate body: zlib.error must surface
+    as RasterOpenError, not escape raw."""
+    import gzip
+
+    p = str(tmp_path / "trunc.hgt.gz")
+    with gzip.open(p, "wb") as f:
+        f.write(b"x" * 4096)
+    raw = open(p, "rb").read()
+    with open(p, "wb") as f:
+        f.write(raw[: len(raw) // 2])  # truncate mid-stream
+    with pytest.raises(geotiff.RasterOpenError):
+        geotiff.open_raster(p)

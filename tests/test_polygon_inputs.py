@@ -129,3 +129,18 @@ def test_cli_accepts_geojson(spark, raster_root, tmp_path, capsys):
     assert rc == 0
     row = spark.read.parquet(out).collect()[0]
     assert row["polygon_id"] == "B" and row["n_px"] > 0
+
+
+def test_falsy_feature_ids_preserved():
+    polys = spatial.polygons_from_geojson({
+        "type": "FeatureCollection",
+        "features": [
+            {"type": "Feature", "properties": {"id": 0},
+             "geometry": {"type": "Polygon",
+                          "coordinates": [[[0, 0], [1, 0], [1, 1], [0, 0]]]}},
+            {"type": "Feature", "properties": {}, "id": "",
+             "geometry": {"type": "Polygon",
+                          "coordinates": [[[2, 2], [3, 2], [3, 3], [2, 2]]]}},
+        ],
+    })
+    assert [p["polygon_id"] for p in polys] == ["0", ""]

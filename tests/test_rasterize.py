@@ -120,3 +120,22 @@ def test_plan_is_two_phase_jvm_aggregation(spark, grid):
     assert "partial_count" in plan or "partial" in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert "hashpartitioning(row" in plan         # exchange keyed on cells
+
+
+def test_null_values_mean_consistency(spark, grid):
+    """NULL-valued points count toward n_points but not the value stats;
+    vmean divides by the non-NULL count (consistent with vsum/vmin/vmax)."""
+    pts = spark.createDataFrame(
+        [(1, 9.5, 0.5, 10), (2, 9.2, 0.9, 20), (3, 9.3, 0.7, None)],
+        "pid long, lat double, lon double, val long",
+    )
+    [r] = rasterize.rasterize_points(pts, grid, value_col="val").collect()
+    assert r["n_points"] == 3 and r["vsum"] == 30
+    assert r["vmean"] == 15.0  # NOT 10.0 (30/3)
+    # all-NULL cell: stats NULL, mean NULL, count still 3
+    pts2 = spark.createDataFrame(
+        [(1, 9.5, 0.5, None), (2, 9.2, 0.9, None)],
+        "pid long, lat double, lon double, val long",
+    )
+    [r2] = rasterize.rasterize_points(pts2, grid, value_col="val").collect()
+    assert r2["n_points"] == 2 and r2["vsum"] is None and r2["vmean"] is None

@@ -360,5 +360,5 @@ def test_overview_stream_idempotent(spark, raster_root, tmp_path):
     # per-batch manifests are complete even for the skipped tile
     m = spark.read.parquet(os.path.join(out_dir, "_manifest"))
     rows = {(r["tile_iy"], r["tile_ix"]): r for r in m.collect()}
-    assert set(rows) == {(0, 10), (0, 11)} or len(rows) >= 2
+    assert set(rows) == {(0, 10), (0, 11)}
     assert all(r["error"] is None and r["n_valid"] > 0 for r in rows.values())

@@ -54,12 +54,9 @@ def _single_process_zonal(paths, polygons):
             m = points_in_polygon_mask(lats, lons, p["lats"], p["lons"])
             if not m.any():
                 continue
-            v = vals[m]
-            if r.nodata is not None:
-                nod = v == np.asarray(r.nodata, dtype=win.dtype)
-            else:
-                nod = np.zeros(v.shape, dtype=bool)
-            valid = np.asarray(v[~nod], dtype=np.float64)
+            v = np.asarray(vals[m], dtype=np.float64)
+            nod = zonal._nodata_mask(v, r.nodata)
+            valid = v[~nod]
             st = out.setdefault(
                 p["polygon_id"],
                 {"n_px": 0, "n_nodata": 0, "n_valid": 0,
@@ -207,3 +204,28 @@ def test_projected_pruning_central_meridian(spark, raster_root):
     e, g = expected["WIDE"], got["WIDE"]
     assert g["n_px"] == e["n_px"] and g["n_valid"] == e["n_valid"]
     assert g["vsum"] == e["vsum"]
+
+
+def test_nodata_semantics_float64(spark, tmp_path):
+    """Out-of-range and NaN GDAL_NODATA tags: the mask must be computed
+    in float64 (stored-dtype comparison would wrap -9999 onto a real
+    uint8 value; NaN == NaN is never true)."""
+    # uint8 band, nodata tag -9999 (as GDAL happily writes): nothing in
+    # the band can equal it -> zero nodata pixels
+    arr8 = np.arange(9, dtype=np.uint8).reshape(3, 3)
+    p8 = os.path.join(str(tmp_path), "u8.tif")
+    geotiff.write_geotiff(p8, arr8, x0=0.0, y0=3.0, sx=1.0, sy=1.0,
+                          epsg=4326, nodata=-9999)
+    box = {"polygon_id": "B", "lats": [-0.5, 3.5, 3.5, -0.5],
+           "lons": [-0.5, -0.5, 3.5, 3.5]}
+    out = _collect(zonal.zonal_stats(zonal.raster_metadata(spark, [p8]), [box]))
+    assert out["B"]["n_nodata"] == 0 and out["B"]["n_valid"] == 9
+    assert out["B"]["vsum"] == 36.0
+    # float band with nodata=nan: NaN pixels must be classified nodata
+    arrf = np.array([[1.0, np.nan], [3.0, 4.0]], dtype=np.float32)
+    pf = os.path.join(str(tmp_path), "fn.tif")
+    geotiff.write_geotiff(pf, arrf, x0=0.0, y0=2.0, sx=1.0, sy=1.0,
+                          epsg=4326, nodata=float("nan"))
+    outf = _collect(zonal.zonal_stats(zonal.raster_metadata(spark, [pf]), [box]))
+    assert outf["B"]["n_nodata"] == 1 and outf["B"]["n_valid"] == 3
+    assert outf["B"]["vsum"] == 8.0 and outf["B"]["vmax"] == 4.0
