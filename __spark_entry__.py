@@ -1349,8 +1349,8 @@ def _build_zonal_pixels(sf_dir: str):
         v64 = np.asarray(win.ravel(), dtype=np.float64)
         vals.append(v64)
         nod.append(_nodata_mask(v64, r.nodata))
-        ids.append(np.arange(base, base + v.size, dtype=np.int64))
-        base += v.size
+        ids.append(np.arange(base, base + v64.size, dtype=np.int64))
+        base += v64.size
     return pa.table(
         {
             "pixel_id": pa.array(np.concatenate(ids)),
@@ -1408,7 +1408,10 @@ def _zonal_oracle_entry() -> dict[str, str]:
     try:
         return {"zonal_stats": _zonal_sql()}
     except Exception:
-        return {}  # rows-only fallback
+        import traceback
+
+        traceback.print_exc()  # loud: a builder bug must not silently
+        return {}  # downgrade the check to rows-only
 
 
 # ---------------------------------------------------------------------------
