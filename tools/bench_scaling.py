@@ -76,7 +76,11 @@ def measure(cores: int) -> dict:
     code = _CHILD.format(repo=REPO, cores=cores, n_docs=N_DOCS, n_runs=N_RUNS)
     cmd = [sys.executable, "-c", code]
     if PINNED:
-        cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
+        # SCALING_CPU_OFFSET shifts the pinned window (e.g. 24 -> CPUs
+        # 24-31 for 8 cores): CPUs 0-7 service NIC/disk IRQs on this box
+        # and measured ~10% slower at the 8-stream level (docs/BENCH.md)
+        base = int(os.environ.get("SCALING_CPU_OFFSET", "0"))
+        cmd = ["taskset", "-c", f"{base}-{base + cores - 1}"] + cmd
     out = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO)
     if out.returncode != 0:
         sys.stderr.write(out.stderr[-4000:])
