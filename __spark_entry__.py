@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from opentopodata_spark.operators import dedup, embeddings as emb, events as ev
-from opentopodata_spark.operators import knn, textops
+from opentopodata_spark.operators import knn, sampling, textops
 
 _PAIR_REGEX = r"(-?\d+(?:\.\d+)?),(-?\d+(?:\.\d+)?)"
 N_MINHASH = 8
@@ -532,6 +532,99 @@ SELECT doc_id,
                  'min') AS fp,
   CAST(greatest(length(text) - 7, 1) AS BIGINT) AS n_grams
 FROM documents
+"""
+
+
+def q_repetition_stats(spark, sf_dir):
+    return textops.repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+# Oracle computes the same per-doc repetition profile by unnest+groupBy
+# (independent of the Spark sort-fold); LEFT JOIN restores gram-less docs
+# with zero counts, matching the fold's zero state.
+_Q_REPETITION_SQL = f"""
+WITH tok AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents),
+b AS (SELECT doc_id, unnest([toks[i] || ' ' || toks[i+1]
+                             for i in generate_series(1, len(toks) - 1)]) AS gram
+      FROM tok),
+bc AS (SELECT doc_id, gram, count(*) AS c FROM b GROUP BY doc_id, gram),
+bs AS (SELECT doc_id, sum(c) AS n, max(c) AS top, count(*) AS nd
+       FROM bc GROUP BY doc_id),
+t AS (SELECT doc_id, unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                             for i in generate_series(1, len(toks) - 2)]) AS gram
+      FROM tok),
+tc AS (SELECT doc_id, gram, count(*) AS c FROM t GROUP BY doc_id, gram),
+ts AS (SELECT doc_id, sum(c) AS n, max(c) AS top, count(*) AS nd
+       FROM tc GROUP BY doc_id)
+SELECT d.doc_id,
+  CAST(coalesce(bs.n, 0) AS BIGINT) AS n_bigrams,
+  round(coalesce(bs.top, 0) / greatest(coalesce(bs.n, 0), 1), 6) AS top_bigram_frac,
+  round((coalesce(bs.n, 0) - coalesce(bs.nd, 0))
+        / greatest(coalesce(bs.n, 0), 1), 6) AS dup_bigram_frac,
+  CAST(coalesce(ts.n, 0) AS BIGINT) AS n_trigrams,
+  round(coalesce(ts.top, 0) / greatest(coalesce(ts.n, 0), 1), 6) AS top_trigram_frac,
+  round((coalesce(ts.n, 0) - coalesce(ts.nd, 0))
+        / greatest(coalesce(ts.n, 0), 1), 6) AS dup_trigram_frac
+FROM documents d LEFT JOIN bs ON d.doc_id = bs.doc_id
+                 LEFT JOIN ts ON d.doc_id = ts.doc_id
+"""
+
+_REPEATED_N = 5
+_REPEATED_MIN = 2
+
+
+def q_repeated_ngrams(spark, sf_dir):
+    return dedup.repeated_ngrams(
+        _t(spark, sf_dir, "documents"), n=_REPEATED_N, min_count=_REPEATED_MIN
+    )
+
+
+# Same gram convention as the Spark side: greatest(len-n, 0)+1 start
+# positions, slice clamped (a doc shorter than n tokens contributes its
+# whole text as one partial gram), '' filtered.
+_Q_REPEATED_SQL = f"""
+WITH tok AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents),
+g AS (SELECT doc_id,
+        unnest([array_to_string(toks[i:i + {_REPEATED_N - 1}], ' ')
+                for i in generate_series(1, greatest(len(toks) - {_REPEATED_N}, 0) + 1)]) AS gram
+      FROM tok)
+SELECT gram,
+  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+  CAST(count(*) AS BIGINT) AS n_occ
+FROM g WHERE gram <> ''
+GROUP BY gram HAVING count(*) >= {_REPEATED_MIN}
+"""
+
+_SAMPLE_RATES = {"en": 0.5, "de": 0.25, "fr": 1.0, "zh": 0.0}
+_SAMPLE_DEFAULT = 0.125
+_SAMPLE_SEED = "s1"
+
+
+def q_corpus_sample(spark, sf_dir):
+    out = sampling.stratified_sample(
+        _t(spark, sf_dir, "documents"),
+        rates=_SAMPLE_RATES,
+        strata_col="lang",
+        id_col="doc_id",
+        seed=_SAMPLE_SEED,
+        default_rate=_SAMPLE_DEFAULT,
+    )
+    return out.select("doc_id", "lang", "source", "sample_key")
+
+
+def _corpus_sample_sql() -> str:
+    cases = " ".join(
+        f"WHEN '{k}' THEN '{sampling.rate_threshold(v)}'"
+        for k, v in sorted(_SAMPLE_RATES.items())
+    )
+    default = sampling.rate_threshold(_SAMPLE_DEFAULT)
+    return f"""
+WITH k AS (SELECT doc_id, lang, source,
+             substr(md5('{_SAMPLE_SEED}#' || CAST(doc_id AS VARCHAR)), 1, 6)
+               AS sample_key
+           FROM documents)
+SELECT doc_id, lang, source, sample_key FROM k
+WHERE sample_key < CASE lang {cases} ELSE '{default}' END
 """
 
 
@@ -1739,6 +1832,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
+        "repetition_stats": q_repetition_stats,
+        "repeated_ngrams": q_repeated_ngrams,
+        "corpus_sample": q_corpus_sample,
         "embedding_topk": q_embedding_topk,
         "embedding_lsh_buckets": q_emb_lsh_buckets,
         "embedding_near_dups": q_emb_near_dups,
@@ -1780,6 +1876,9 @@ def oracle_sql() -> dict[str, str]:
         "quality_score": _quality_sql(),
         "lang_id": _lang_id_sql(),
         "fingerprint": _Q_FINGERPRINT_SQL,
+        "repetition_stats": _Q_REPETITION_SQL,
+        "repeated_ngrams": _Q_REPEATED_SQL,
+        "corpus_sample": _corpus_sample_sql(),
         "embedding_topk": _Q_EMB_TOPK_SQL,
         "embedding_lsh_buckets": _emb_lsh_sql(),
         "embedding_near_dups": _emb_near_dups_sql(),

@@ -10,7 +10,8 @@ Pipeline (one metrics scan, one dedup shuffle, optional LSH near-dup):
     documents(doc_id, text)
       -> document_metrics: token stats + quality + language in ONE
          projection (operators/textops.document_metrics — no metric joins)
-      -> filters: --min-quality, --langs, --min-tokens/--max-tokens
+      -> filters: --min-quality, --langs, --min-tokens/--max-tokens,
+         --max-dup-ngram-frac (Gopher repetition rule)
       -> exact dedup: keep each text-hash group's canonical (min) doc_id —
          one hash aggregation with map-side combine
       -> optional near-dup drop (--near-dup-threshold): MinHash -> LSH ->
@@ -20,6 +21,9 @@ Pipeline (one metrics scan, one dedup shuffle, optional LSH near-dup):
          threshold transitive chains drop everything but each chain's
          minimum because every pair member except the min loses at least
          one comparison)
+      -> optional deterministic stratified sampling (--sample-rates):
+         per-language data mixing by md5(doc_id) threshold — layout- and
+         engine-independent, auditable via the emitted sample_key column
       -> parquet corpus + one-line JSON stats (per-stage survivor counts
          from a single conditional aggregation — not one count() per stage)
 
@@ -55,6 +59,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--langs", default=None, help="comma-separated predicted languages to keep (e.g. en,de)")
     p.add_argument("--min-tokens", type=int, default=None)
     p.add_argument("--max-tokens", type=int, default=None)
+    p.add_argument("--max-dup-ngram-frac", type=float, default=None,
+                   help="drop docs whose duplicate word-trigram fraction exceeds "
+                        "this (Gopher-style repetition rule)")
+    p.add_argument("--sample-rates", default=None,
+                   help="per-language keep rates 'en=1.0,de=0.3': deterministic "
+                        "md5(doc_id) stratified sampling applied after dedup "
+                        "(data mixing); languages not listed use --sample-default")
+    p.add_argument("--sample-default", type=float, default=1.0)
+    p.add_argument("--sample-seed", default="s1")
     p.add_argument("--no-exact-dedup", action="store_true", help="skip exact text dedup (kept on by default)")
     p.add_argument("--near-dup-threshold", type=float, default=None,
                    help="also drop LSH-verified near-duplicates at this Jaccard threshold")
@@ -87,6 +100,8 @@ def run(ns: argparse.Namespace, spark=None) -> dict:
         keep = keep & (F.col("n_ws_tokens") >= int(ns.min_tokens))
     if ns.max_tokens is not None:
         keep = keep & (F.col("n_ws_tokens") <= int(ns.max_tokens))
+    if ns.max_dup_ngram_frac is not None:
+        keep = keep & (F.col("dup_trigram_frac") <= float(ns.max_dup_ngram_frac))
 
     filtered = m.where(keep)
     # the filtered metric frame feeds 2-3 consumers (dedup, near-dup,
@@ -127,6 +142,24 @@ def run(ns: argparse.Namespace, spark=None) -> dict:
             F.greatest("doc_a", "doc_b").alias("doc_id")
         ).distinct()
         survivors = survivors.join(losers, "doc_id", "left_anti")
+
+    if ns.sample_rates:
+        from ..operators import sampling as _sampling
+
+        rates = {
+            k.strip(): float(v)
+            for k, v in (kv.split("=") for kv in ns.sample_rates.split(",") if kv)
+        }
+        # mixing runs LAST (on the deduped corpus) so the realized rates
+        # are rates of unique documents, not of duplicate clusters
+        survivors = _sampling.stratified_sample(
+            survivors,
+            rates,
+            strata_col="pred_lang",
+            id_col="doc_id",
+            seed=ns.sample_seed,
+            default_rate=float(ns.sample_default),
+        )
 
     out_corpus = f"{ns.out}/corpus"
     survivors.write.mode("overwrite").parquet(out_corpus)

@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "word_shingles",
+    "repeated_ngrams",
     "exact_duplicates",
     "minhash_signatures",
     "lsh_candidate_pairs",
@@ -65,6 +66,47 @@ def word_shingles(
     return (
         df.select(F.col(id_col).alias("doc_id"), F.explode(F.array_distinct(grams)).alias("shingle"))
         .where(F.col("shingle") != "")
+    )
+
+
+def repeated_ngrams(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    min_count: int = 2,
+) -> DataFrame:
+    """Corpus-level repeated word n-grams: (gram, n_docs, n_occ) for every
+    n-gram whose total occurrence count across the corpus is >= min_count.
+
+    The span-level counterpart of document dedup (the ExactSubstr pass of
+    Lee et al. 2021, "Deduplicating Training Data Makes Language Models
+    Better" — public): memorization risk comes from SPANS repeated across
+    otherwise-distinct documents, which doc-level MinHash never sees.
+    The output is the removal list a span-dedup pass joins back against.
+
+    Scale shape: gram construction is narrow (sequence+transform per row,
+    occurrences kept — multiplicity matters here, unlike word_shingles);
+    the count-distinct aggregate plans as the standard two-phase
+    (gram, doc) partial -> (gram) final, both with map-side combine, so
+    the shuffled stream is one row per distinct (gram, doc), not per
+    occurrence. min_count filters AFTER the final agg (a HAVING), so at
+    10^12 docs the emitted removal list is only the heavy tail."""
+    toks = _tokens(text_col)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    occ = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(grams).alias("gram")
+    ).where(F.col("gram") != "")
+    return (
+        occ.groupBy("gram")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occ"),
+        )
+        .where(F.col("n_occ") >= min_count)
     )
 
 

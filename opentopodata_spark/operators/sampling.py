@@ -1,0 +1,85 @@
+"""Deterministic corpus sampling / data-mixing operators.
+
+Training-data pipelines rarely train on a raw corpus: they MIX strata
+(languages, sources, quality buckets) at chosen rates — e.g. "keep 100%
+of books, 30% of web, 5% of boilerplate". At 100 TB the sampler must be:
+
+* **single-scan and shuffle-free** — a pure filter expression, pushed
+  into the scan; no groupBy, no window, no count() pre-pass;
+* **deterministic and engine-portable** — re-running the pipeline (or
+  auditing it from another engine) selects the SAME rows. Spark's
+  ``df.sample`` is seeded per-partition, so any repartition or file-split
+  change silently changes the selected set; a content-keyed hash does not.
+
+Selection rule: keep a row iff the first 6 hex chars of
+md5(seed || '#' || id) are lexicographically below a per-stratum
+threshold ``hex(floor(rate * 16^6))``. The md5 prefix is uniform on
+[0, 16^6), so P(keep) = rate quantized to 1/16.7M, and the comparison is
+plain ASCII string ordering — bit-identical in every SQL engine (the
+DuckDB oracle runs the same expression, same literals).
+
+No reference analog (the reference is an elevation API); this is part of
+the training-data extras family (see operators/textops.py, dedup.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["rate_threshold", "sample_key", "stratified_sample"]
+
+_KEY_HEX_LEN = 6
+_KEY_SPACE = 16**_KEY_HEX_LEN
+
+
+def rate_threshold(rate: float) -> str:
+    """Hex threshold string for a sampling rate in [0, 1].
+
+    'g' sorts above every hex digit, so rate >= 1 keeps everything;
+    rate <= 0 keeps nothing ('000000' is strictly below every key).
+    """
+    if rate >= 1.0:
+        return "g"
+    if rate <= 0.0:
+        return "000000"
+    return format(int(rate * _KEY_SPACE), f"0{_KEY_HEX_LEN}x")
+
+
+def sample_key(id_col: str = "doc_id", seed: str = "s1"):
+    """The 6-hex-char uniform selection key for a row id (a Column)."""
+    return F.substring(
+        F.md5(F.concat_ws("#", F.lit(seed), F.col(id_col).cast("string"))),
+        1,
+        _KEY_HEX_LEN,
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    seed: str = "s1",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Keep each row of stratum s with probability rates[s] (strata not in
+    ``rates`` use ``default_rate``), deterministically by content hash.
+
+    Returns the input rows (all columns) plus ``sample_key`` — keeping the
+    key in the output makes the selection auditable: an external check can
+    recompute md5 and verify every kept row is below its threshold.
+
+    The per-stratum threshold is a literal CASE over ``strata_col``
+    (strata sets are small — languages, sources), so the whole operator is
+    one codegen'd predicate: at 10^12 rows it is a parquet scan with the
+    filter applied post-scan and nothing else.
+    """
+    thr = F.lit(rate_threshold(default_rate))
+    for name, rate in sorted(rates.items()):
+        thr = (
+            F.when(F.col(strata_col) == name, F.lit(rate_threshold(rate)))
+            .otherwise(thr)
+        )
+    key = sample_key(id_col, seed)
+    return df.withColumn("sample_key", key).where(F.col("sample_key") < thr)

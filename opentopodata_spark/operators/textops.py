@@ -29,6 +29,7 @@ __all__ = [
     "quality_score",
     "lang_id",
     "fingerprint",
+    "repetition_stats",
     "document_metrics",
     "STOPWORDS",
 ]
@@ -153,6 +154,7 @@ def document_metrics(
     exprs.update(_token_stat_exprs(text_col))
     exprs.update(_quality_exprs(text_col))
     exprs.update(_lang_exprs(text_col))
+    exprs.update(_repetition_exprs(text_col))
     return df.select(
         F.col(id_col).alias("doc_id"),
         F.col(text_col).alias("text"),
@@ -180,3 +182,101 @@ def fingerprint(
         F.array_min(grams).alias("fp"),
         n_pos.cast("long").alias("n_grams"),
     )
+
+
+def _bind(col, fn):
+    """Evaluate ``col`` ONCE and hand the value to ``fn`` as a lambda
+    variable (the single-element-array form of the zip_with binding in
+    operators/extract.py:114). A plain expression referenced inside an
+    HOF lambda body is RE-EVALUATED on every lambda invocation — e.g.
+    ``transform(seq, i -> slice(split(text), i, n))`` re-splits the text
+    per output element, O(tokens) splits per row (measured: 4.6s → 1.0s
+    on the sf0.1 repetition_stats bench). Lambda variables are
+    materialized values, immune to that and to CollapseProject inlining."""
+    return F.element_at(F.transform(F.array(col), fn), 1)
+
+
+def _word_ngrams(toks, n: int):
+    """Array of space-joined word n-grams (``toks`` should be a bound
+    lambda variable — see _bind). Guarded: a doc with < n tokens yields an
+    EMPTY array (``sequence(1, 0)`` would otherwise produce the descending
+    [1, 0] and two null-padded grams); slice (not element_at) clamps at
+    the array end, so the discarded when-branch never trips ANSI-mode
+    bounds errors."""
+    count = F.size(toks) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(count, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.when(count >= 1, grams).otherwise(F.array().cast("array<string>"))
+
+
+def _top_run(grams):
+    """Occurrence count of the most frequent gram: one O(n log n) sort +
+    one aggregate fold over runs of equal adjacent values — fully
+    JVM-side, so the per-document repetition profile needs no
+    explode/groupBy shuffle. (The naive max-over-distinct filter is
+    O(n^2) per doc — at 10k-token web documents that is 10^8 comparisons
+    per row; the sort-fold is not.) Initial prev = "" can never match:
+    tokens/grams are non-empty."""
+    zero = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+    )
+
+    def merge(acc, x):
+        same = x == acc["prev"]
+        run2 = F.when(same, acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"),
+            run2.alias("run"),
+            F.greatest(acc["best"], run2).alias("best"),
+        )
+
+    return F.aggregate(F.array_sort(grams), zero, merge, lambda acc: acc["best"])
+
+
+def _repetition_exprs(text_col: str) -> dict:
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1, public):
+    for word 2-grams and 3-grams, the fraction of grams covered by the
+    single most frequent gram (top_*_frac) and the fraction that are
+    repeats of an earlier occurrence (dup_*_frac). High values mark
+    boilerplate / keyword-stuffed pages that corpus cleaning drops.
+
+    Each expensive column binds the token array once (_bind) and walks it
+    once: top_*_frac sort+folds, dup_*_frac uses the native
+    size(array_distinct()). n_grams needs only size(split) — cheap."""
+    # factory closures, NOT `lambda t, n=n:` default-arg lambdas — PySpark
+    # derives the HOF arity from the python signature, so a second
+    # parameter (even defaulted) turns the binding into the 2-arg
+    # (value, index) form and silently passes the ELEMENT INDEX as n
+    def _top_fn(n):
+        return lambda t: _top_run(_word_ngrams(t, n))
+
+    def _ndist_fn(n):
+        return lambda t: F.size(F.array_distinct(_word_ngrams(t, n)))
+
+    toks0 = _tokens(text_col)
+    out: dict = {}
+    for n, name in ((2, "bigram"), (3, "trigram")):
+        n_grams = F.greatest(F.size(toks0) - (n - 1), F.lit(0)).cast("long")
+        safe = F.greatest(n_grams, F.lit(1))
+        top = _bind(toks0, _top_fn(n))
+        ndist = _bind(toks0, _ndist_fn(n))
+        out[f"n_{name}s"] = n_grams
+        out[f"top_{name}_frac"] = F.round(top / safe, 6)
+        out[f"dup_{name}_frac"] = F.round((n_grams - ndist) / safe, 6)
+    return out
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_bigrams, top_bigram_frac, dup_bigram_frac, n_trigrams,
+    top_trigram_frac, dup_trigram_frac) — per-document repetition profile.
+
+    Fully narrow (one projection, no shuffle): gram arrays are built with
+    sequence+transform and folded with aggregate, all under whole-stage
+    codegen. A 100 TB corpus pays exactly one scan. No reference analog
+    (training-data extra); semantics follow the public Gopher paper's
+    repetition filters."""
+    return _select(df, id_col, _repetition_exprs(text_col))

@@ -68,6 +68,34 @@ def test_dataprep_no_filters_keeps_everything(tmp_path, corpus_path, spark, caps
     assert stats["input_docs"] == stats["after_filters"] == stats["output_docs"] == 8
 
 
+def test_dataprep_repetition_filter(tmp_path, spark, capsys):
+    rows = [
+        (1, "the weather is fine and the sea is calm today in the north"),
+        (2, "buy now buy now buy now buy now buy now buy now buy now"),  # spam
+    ]
+    p = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(p)
+    out = str(tmp_path / "clean")
+    argv = ["--documents", p, "--out", out,
+            "--max-dup-ngram-frac", "0.5", "--cores", "4"]
+    assert job.main(argv) == 0
+    kept = {r.doc_id for r in spark.read.parquet(f"{out}/corpus").collect()}
+    assert kept == {1}  # doc 2: almost every trigram repeats an earlier one
+
+
+def test_dataprep_sampling_stage(tmp_path, corpus_path, spark, capsys):
+    """--sample-rates mixes deterministically after dedup: en kept at 1.0,
+    everything else (default 0.0) dropped; sample_key is auditable."""
+    out = str(tmp_path / "mixed")
+    argv = ["--documents", corpus_path, "--out", out,
+            "--sample-rates", "en=1.0", "--sample-default", "0.0",
+            "--no-exact-dedup", "--cores", "4"]
+    assert job.main(argv) == 0
+    rows = spark.read.parquet(f"{out}/corpus").collect()
+    assert rows and all(r.pred_lang == "en" for r in rows)
+    assert all(len(r.sample_key) == 6 for r in rows)
+
+
 def test_dataprep_empty_corpus(tmp_path, spark, capsys):
     """Zero input rows -> empty corpus + zero stats, not a TypeError
     (SUM over an empty relation is NULL)."""
@@ -90,6 +118,8 @@ def test_document_metrics_matches_per_family_ops(spark, corpus_path):
         (textops.token_stats, ["n_chars", "n_ws_tokens", "n_bpe_tokens", "avg_token_len"]),
         (textops.quality_score, ["n_tokens", "n_stop", "n_punct", "score"]),
         (textops.lang_id, ["votes_en", "votes_de", "votes_fr", "votes_es", "pred_lang"]),
+        (textops.repetition_stats, ["n_bigrams", "top_bigram_frac", "dup_bigram_frac",
+                                    "n_trigrams", "top_trigram_frac", "dup_trigram_frac"]),
     ):
         for r in op(docs).collect():
             for c in cols:

@@ -166,6 +166,95 @@ class TestTextops:
         df2 = spark.createDataFrame([(2, text)], "doc_id long, text string")
         assert textops.fingerprint(df2, k=8).collect()[0].fp == r.fp
 
+    def test_repetition_stats_hand_checked(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a a a b"), (2, "x"), (3, "")],
+            "doc_id long, text string",
+        )
+        rows = {r.doc_id: r for r in textops.repetition_stats(df).collect()}
+        r1 = rows[1]  # bigrams: "a a","a a","a b"; trigrams: "a a a","a a b"
+        assert r1.n_bigrams == 3
+        assert r1.top_bigram_frac == round(2 / 3, 6)
+        assert r1.dup_bigram_frac == round(1 / 3, 6)
+        assert r1.n_trigrams == 2
+        assert r1.top_trigram_frac == 0.5
+        assert r1.dup_trigram_frac == 0.0
+        for did in (2, 3):  # fewer tokens than any gram: all-zero profile
+            r = rows[did]
+            assert (r.n_bigrams, r.n_trigrams) == (0, 0)
+            assert r.top_bigram_frac == 0.0 and r.dup_trigram_frac == 0.0
+
+    def test_repetition_stats_uniform_doc(self, spark):
+        df = spark.createDataFrame([(1, "w w w w w")], "doc_id long, text string")
+        r = textops.repetition_stats(df).collect()[0]
+        assert r.n_bigrams == 4 and r.top_bigram_frac == 1.0
+        assert r.dup_bigram_frac == 0.75  # 4 occurrences, 1 distinct
+
+    def test_repetition_stats_is_narrow(self, spark):
+        df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+        plan = textops.repetition_stats(df)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan  # one projection, no shuffle
+
+    def test_repeated_ngrams(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a b c"), (2, "a b d"), (3, "a b c")],
+            "doc_id long, text string",
+        )
+        got = {r.gram: (r.n_docs, r.n_occ)
+               for r in dedup.repeated_ngrams(df, n=2, min_count=2).collect()}
+        assert got == {"a b": (3, 3), "b c": (2, 2)}
+
+    def test_repeated_ngrams_counts_multiplicity(self, spark):
+        # a span repeated WITHIN one doc still counts (n_occ=2, n_docs=1)
+        df = spark.createDataFrame([(1, "x y x y")], "doc_id long, text string")
+        got = {r.gram: (r.n_docs, r.n_occ)
+               for r in dedup.repeated_ngrams(df, n=2, min_count=2).collect()}
+        assert got == {"x y": (1, 2)}
+
+
+# ---------------------------------------------------------------------------
+# sampling
+# ---------------------------------------------------------------------------
+
+class TestSampling:
+    def _docs(self, spark, n=400):
+        rows = [(i, ["en", "de", "fr"][i % 3]) for i in range(n)]
+        return spark.createDataFrame(rows, "doc_id long, lang string")
+
+    def test_thresholds(self):
+        from opentopodata_spark.operators import sampling
+
+        assert sampling.rate_threshold(0.25) == "400000"
+        assert sampling.rate_threshold(1.0) == "g"
+        assert sampling.rate_threshold(0.0) == "000000"
+
+    def test_rates_and_audit(self, spark):
+        from opentopodata_spark.operators import sampling
+
+        df = self._docs(spark)
+        out = sampling.stratified_sample(
+            df, {"en": 1.0, "de": 0.0}, strata_col="lang", seed="t", default_rate=0.5
+        ).collect()
+        by_lang: dict = {}
+        for r in out:
+            by_lang.setdefault(r.lang, []).append(r)
+            # audit: every kept row's key really is md5-derived and below thr
+            assert r.sample_key == md5(f"t#{r.doc_id}")[:6]
+        assert len(by_lang["en"]) == 134  # rate 1.0 keeps every en row
+        assert "de" not in by_lang  # rate 0.0 keeps none
+        n_fr = len(by_lang.get("fr", []))
+        assert 40 <= n_fr <= 93  # ~Binomial(133, 0.5), +/- 6 sigma
+
+    def test_deterministic_and_partition_invariant(self, spark):
+        from opentopodata_spark.operators import sampling
+
+        df = self._docs(spark, 300)
+        kept1 = {r.doc_id for r in sampling.stratified_sample(
+            df, {"en": 0.3}, seed="z", default_rate=0.7).collect()}
+        kept2 = {r.doc_id for r in sampling.stratified_sample(
+            df.repartition(13), {"en": 0.3}, seed="z", default_rate=0.7).collect()}
+        assert kept1 == kept2 and kept1  # content-keyed: layout-independent
+
 
 # ---------------------------------------------------------------------------
 # embeddings
