@@ -33,6 +33,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .exprutil import bind_once
+
 __all__ = [
     "word_shingles",
     "repeated_ngrams",
@@ -50,21 +52,30 @@ def _tokens(text_col: str):
     return F.filter(F.split(F.col(text_col), " "), lambda t: t != F.lit(""))
 
 
+def _gram_array(toks, n: int):
+    """Word n-gram array over a BOUND token array (one gram per start
+    position 0..max(len-n, 0); a doc shorter than n tokens contributes its
+    whole text as one partial gram; slice clamps at the end)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+
+
 def word_shingles(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 2
 ) -> DataFrame:
     """(id, shingle) with DISTINCT word n-gram shingles per document.
 
     Shingle construction is a per-row array expression (sequence +
-    transform over the token array) — narrow, codegen'd, no UDF.
+    transform over a ONCE-bound token array — see exprutil.bind_once) —
+    narrow, no UDF, no shuffle.
     """
-    toks = _tokens(text_col)
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    grams = bind_once(
+        _tokens(text_col), lambda t: F.array_distinct(_gram_array(t, n))
     )
     return (
-        df.select(F.col(id_col).alias("doc_id"), F.explode(F.array_distinct(grams)).alias("shingle"))
+        df.select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("shingle"))
         .where(F.col("shingle") != "")
     )
 
@@ -92,11 +103,7 @@ def repeated_ngrams(
     the shuffled stream is one row per distinct (gram, doc), not per
     occurrence. min_count filters AFTER the final agg (a HAVING), so at
     10^12 docs the emitted removal list is only the heavy tail."""
-    toks = _tokens(text_col)
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-    )
+    grams = bind_once(_tokens(text_col), lambda t: _gram_array(t, n))
     occ = df.select(
         F.col(id_col).alias("doc_id"), F.explode(grams).alias("gram")
     ).where(F.col("gram") != "")

@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .exprutil import bind_once
+
 __all__ = [
     "token_stats",
     "quality_score",
@@ -184,16 +186,7 @@ def fingerprint(
     )
 
 
-def _bind(col, fn):
-    """Evaluate ``col`` ONCE and hand the value to ``fn`` as a lambda
-    variable (the single-element-array form of the zip_with binding in
-    operators/extract.py:114). A plain expression referenced inside an
-    HOF lambda body is RE-EVALUATED on every lambda invocation — e.g.
-    ``transform(seq, i -> slice(split(text), i, n))`` re-splits the text
-    per output element, O(tokens) splits per row (measured: 4.6s → 1.0s
-    on the sf0.1 repetition_stats bench). Lambda variables are
-    materialized values, immune to that and to CollapseProject inlining."""
-    return F.element_at(F.transform(F.array(col), fn), 1)
+_bind = bind_once
 
 
 def _word_ngrams(toks, n: int):
