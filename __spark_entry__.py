@@ -774,6 +774,56 @@ HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR
 """
 
 
+def q_streaming_dedup(spark, sf_dir):
+    """Streaming incremental exact dedup: the documents corpus arrives in
+    three waves (wave = doc_id % 3, drained strictly in order), and each
+    wave is folded against the accumulated hash index — a doc is admitted
+    iff its text hash was never admitted before; within a wave the min
+    doc_id wins. Deterministic, so the oracle is plain SQL: keep the row
+    with the smallest (wave, doc_id) per md5(text)."""
+    import shutil
+    import tempfile
+
+    from opentopodata_spark import streaming as stx
+
+    work = tempfile.mkdtemp(prefix="otds_sdedup_q_")
+    try:
+        docs = _t(spark, sf_dir, "documents").select(
+            "doc_id", "text", "lang", "source"
+        )
+        for wave in range(3):
+            docs.where(F.pmod(F.col("doc_id"), F.lit(3)) == wave).coalesce(
+                1
+            ).write.mode("overwrite").parquet(f"{work}/in/wave{wave}")
+            q = stx.run_dedup_stream(
+                stx.stream_corpus(spark, f"{work}/in/*"),
+                f"{work}/corpus",
+                f"{work}/ckpt",
+                f"{work}/index",
+            )
+            q.awaitTermination()
+        out = spark.read.parquet(f"{work}/corpus").select(
+            "doc_id", "lang", "source", "text_hash"
+        )
+        out = out.cache()
+        out.count()  # materialize before the temp dir goes away
+        return out
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+_Q_STREAMING_DEDUP_SQL = """
+WITH h AS (
+  SELECT doc_id, lang, source, md5(text) AS text_hash, doc_id % 3 AS wave
+  FROM documents),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY text_hash
+                               ORDER BY wave, doc_id) AS rn
+  FROM h)
+SELECT doc_id, lang, source, text_hash FROM r WHERE rn = 1
+"""
+
+
 def q_streaming_sessionize(spark, sf_dir):
     """Custom stateful streaming operator (applyInPandasWithState):
     gap-based sessionization over the events stream. Deterministic for a
@@ -1841,6 +1891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rollup": q_events_rollup,
         "streaming_rollup": q_streaming_rollup,
         "streaming_sessionize": q_streaming_sessionize,
+        "streaming_dedup": q_streaming_dedup,
         "sessionize": q_sessionize,
         "elevation_e2e": q_elevation_e2e,
         "geodesic_paths": q_geodesic_paths,
@@ -1885,6 +1936,7 @@ def oracle_sql() -> dict[str, str]:
         "events_rollup": _Q_EVENTS_SQL,
         "streaming_rollup": _Q_STREAMING_ROLLUP_SQL,
         "streaming_sessionize": _Q_STREAMING_SESSIONIZE_SQL,
+        "streaming_dedup": _Q_STREAMING_DEDUP_SQL,
         "sessionize": _Q_SESSIONIZE_SQL,
         "rasterize_grid": _Q_RASTERIZE_SQL,
         # elevation_e2e / geodesic_paths / multimodal_features / ivf_topk /

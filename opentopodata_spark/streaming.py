@@ -39,8 +39,11 @@ from .operators import extract as _extract
 
 __all__ = [
     "DOCUMENTS_DDL",
+    "CORPUS_DDL",
     "stream_documents",
+    "stream_corpus",
     "run_elevation_stream",
+    "run_dedup_stream",
     "events_rollup_stream",
     "sessionize_stream",
 ]
@@ -248,6 +251,82 @@ def events_rollup_stream(
 # ---------------------------------------------------------------------------
 
 TILE_MANIFEST_DDL = "tile_iy long, tile_ix long, path string"
+
+
+CORPUS_DDL = "doc_id long, text string, lang string, source string"
+
+
+def stream_corpus(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Streaming scan of a flat documents corpus directory (parquet files
+    of (doc_id, text, lang, source) arriving continuously)."""
+    reader = spark.readStream.schema(CORPUS_DDL)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def run_dedup_stream(
+    corpus_stream: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    index_dir: str,
+    available_now: bool = True,
+):
+    """Streaming corpus ingestion with INCREMENTAL exact dedup: each
+    micro-batch admits only documents whose text hash has never been seen
+    — not in any earlier batch (the accumulated hash index) and not
+    duplicated within the batch itself (min doc_id wins, same canonical
+    rule as operators/dedup.exact_duplicates).
+
+    This is the continuous twin of jobs/dataprep's exact-dedup stage: a
+    training-data pipeline does not re-scan a 100 TB corpus per crawl
+    drop; it folds each drop against the (tiny by comparison) hash index.
+
+    State layout: ``index_dir`` holds ONLY text hashes, partitioned by
+    ingest_batch — ~48 bytes/doc, so a 10^12-doc corpus carries a ~50 TB
+    corpus with a ~50 GB index. Batch writes (corpus and index alike) each
+    OVERWRITE their own ingest_batch=<id> partition, and the index read
+    EXCLUDES the current batch id, so a batch that retries after a partial
+    index write neither duplicates output nor anti-joins against its own
+    half-written hashes. At production scale the index would be a
+    hash-bucketed table (bucketed on text_hash) so the per-batch anti-join
+    shuffles only the new batch, not the index; plain parquet here.
+    """
+    from pyspark.errors import AnalysisException
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark_l = batch_df.sparkSession
+        hashed = batch_df.withColumn("text_hash", F.md5(F.col("text")))
+        canon = hashed.groupBy("text_hash").agg(F.min("doc_id").alias("doc_id"))
+        batch_canon = hashed.join(canon, ["text_hash", "doc_id"], "left_semi")
+        try:
+            idx = spark_l.read.parquet(index_dir).where(
+                F.col("ingest_batch") != batch_id
+            )
+            fresh = batch_canon.join(
+                idx.select("text_hash"), "text_hash", "left_anti"
+            )
+        except AnalysisException:  # first batch: no index yet
+            fresh = batch_canon
+        fresh = fresh.persist()
+        try:
+            fresh.write.mode("overwrite").parquet(
+                f"{out_dir}/ingest_batch={batch_id}"
+            )
+            fresh.select("text_hash").write.mode("overwrite").parquet(
+                f"{index_dir}/ingest_batch={batch_id}"
+            )
+        finally:
+            fresh.unpersist()
+
+    writer = corpus_stream.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
 
 
 def stream_tile_manifests(

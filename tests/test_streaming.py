@@ -362,3 +362,45 @@ def test_overview_stream_idempotent(spark, raster_root, tmp_path):
     rows = {(r["tile_iy"], r["tile_ix"]): r for r in m.collect()}
     assert set(rows) == {(0, 10), (0, 11)}
     assert all(r["error"] is None and r["n_valid"] > 0 for r in rows.values())
+
+
+def test_dedup_stream_incremental(spark, tmp_path):
+    """Streaming exact dedup folds each arriving wave against the
+    accumulated hash index: within-wave dups collapse to the min doc_id,
+    cross-wave dups are rejected, and a restart with no new files admits
+    nothing new."""
+    from opentopodata_spark import streaming as st
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    out_dir = str(tmp_path / "corpus")
+    idx_dir = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+
+    def emit(name, rows):
+        spark.createDataFrame(rows, st.CORPUS_DDL).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(in_dir / name))
+
+    def drain():
+        q = st.run_dedup_stream(
+            st.stream_corpus(spark, str(in_dir) + "/*"),
+            out_dir, ckpt, idx_dir,
+        )
+        q.awaitTermination()
+        return {r.doc_id for r in spark.read.parquet(out_dir).collect()}
+
+    emit("wave1", [(1, "aaa", "en", "s0"), (2, "bbb", "en", "s0"),
+                   (4, "aaa", "en", "s1")])
+    assert drain() == {1, 2}  # 4 is a within-wave dup of 1
+
+    emit("wave2", [(3, "aaa", "de", "s2"),   # cross-wave dup of 1
+                   (6, "ccc", "en", "s0"),   # within-wave dup pair:
+                   (5, "ccc", "en", "s0")])  # min id 5 wins
+    assert drain() == {1, 2, 5}
+
+    assert drain() == {1, 2, 5}  # restart, no new files: admits nothing
+
+    # the index holds exactly one hash per admitted doc
+    idx = spark.read.parquet(idx_dir)
+    assert idx.count() == 3 and idx.select("text_hash").distinct().count() == 3
