@@ -1032,6 +1032,53 @@ def q_ivf_topk(spark, sf_dir):
     )
 
 
+_PQ_M, _PQ_DSUB, _PQ_KSUB = 4, 16, 16
+
+
+def _pq_codebooks(e):
+    """Deterministic data-sampled PQ codebooks (vec_id % 37, first 16 by
+    id): the driver query avoids distributed k-means so the single-process
+    oracle replays the exact floats; production trains with
+    emb.train_pq_codebooks."""
+    w = Window.orderBy("vec_id")
+    ranked = (
+        e.where(F.col("vec_id") % 37 == 0)
+        .orderBy("vec_id")
+        .limit(_PQ_KSUB)
+        .withColumn("code_id", (F.row_number().over(w) - 1).cast("int"))
+    )
+    parts = [
+        ranked.select(
+            F.lit(s).alias("sub_id"),
+            "code_id",
+            F.slice("embedding", s * _PQ_DSUB + 1, _PQ_DSUB).alias("codeword"),
+        )
+        for s in range(_PQ_M)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def q_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ approximate nearest neighbors (the 100 TB ANN path: coarse
+    cells + m-int product-quantization codes, ADC scoring — raw vectors
+    never shuffle). Oracle: single-process numpy replay."""
+    e = _t(spark, sf_dir, "embeddings")
+    centroids = e.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("centroid")
+    )
+    return emb.ivfpq_topk(
+        e,
+        e.where(F.col("vec_id") % 100 == 0),
+        centroids,
+        _pq_codebooks(e),
+        k=5,
+        n_probe=2,
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -1835,12 +1882,88 @@ def _build_ivf_oracle(sf_dir: str):
     )
 
 
+def _build_ivfpq_oracle(sf_dir: str):
+    """Single-process replay of q_ivfpq_topk with the IDENTICAL numpy
+    expressions (einsum over the contiguous dsub axis, argmin/argmax
+    first-wins ties) so doubles match bitwise before the final round."""
+    import numpy as np
+    import pyarrow as pa
+
+    m, dsub, ksub = _PQ_M, _PQ_DSUB, _PQ_KSUB
+    t = _read_pq(sf_dir, "embeddings")
+    vec_id = t.column("vec_id").to_numpy()
+    V = np.ascontiguousarray(
+        np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+    )
+
+    cent_mask = vec_id % 50 == 0
+    cent_ids = vec_id[cent_mask]
+    order = np.argsort(cent_ids, kind="stable")
+    cent_ids = cent_ids[order]
+    C = V[cent_mask][order]
+    unit = C / np.linalg.norm(C, axis=1, keepdims=True)
+
+    cb_rows = np.sort(vec_id[vec_id % 37 == 0])[:ksub]
+    ksub_eff = len(cb_rows)
+    idx_of = {int(v): i for i, v in enumerate(vec_id)}
+    cb = np.ascontiguousarray(
+        np.stack(
+            [
+                np.stack([V[idx_of[int(r)]][s * dsub:(s + 1) * dsub]
+                          for r in cb_rows])
+                for s in range(m)
+            ]
+        )
+    )  # (m, ksub_eff, dsub)
+    cw_sq = (cb**2).sum(axis=2)
+
+    assign = cent_ids[np.argmax(V @ unit.T, axis=1)]
+    Vs = V.reshape(len(V), m, dsub)
+    d2 = cw_sq[None, :, :] - 2.0 * np.einsum("bmd,mkd->bmk", Vs, cb)
+    codes = np.argmin(d2, axis=2).astype(np.int64)  # (n, m)
+
+    probe = np.argsort(-(V @ unit.T), axis=1, kind="stable")[:, :2]
+    by_cell: dict[int, list[int]] = {}
+    for i, c in enumerate(assign):
+        by_cell.setdefault(int(c), []).append(i)
+
+    rows = []
+    for qi in np.nonzero(vec_id % 100 == 0)[0]:
+        qid = int(vec_id[qi])
+        qv = Vs[qi:qi + 1]  # (1, m, dsub)
+        lut = np.einsum("bmd,mkd->bmk", qv, cb)[0]  # (m, ksub_eff)
+        cands = []
+        for cell in cent_ids[probe[qi]]:
+            for ci in by_cell.get(int(cell), []):
+                nid = int(vec_id[ci])
+                if nid == qid:
+                    continue
+                sim = float(
+                    np.take_along_axis(
+                        lut[None], codes[ci][None, :, None], axis=2
+                    )[0, :, 0].sum()
+                )
+                cands.append((nid, _round_half_up(sim, 6)))
+        cands.sort(key=lambda t: (-t[1], t[0]))
+        for rank, (nid, sim) in enumerate(cands[:5], start=1):
+            rows.append((qid, nid, rank, sim))
+    return pa.table(
+        {
+            "query_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "neighbor_id": pa.array([r[1] for r in rows], type=pa.int64()),
+            "rank": pa.array([r[2] for r in rows], type=pa.int32()),
+            "approx_sim": pa.array([r[3] for r in rows], type=pa.float64()),
+        }
+    )
+
+
 _PRECOMPUTED_BUILDERS = {
     "s2_cells": _build_s2_oracle,
     "geodesic_paths": _build_geodesic_oracle,
     "elevation_e2e": _build_elevation_oracle,
     "multimodal_features": _build_multimodal_oracle,
     "ivf_topk": _build_ivf_oracle,
+    "ivfpq_topk": _build_ivfpq_oracle,
     "terrain_slope": _build_terrain_oracle,
     "overview_tiles": _build_overview_oracle,
     "streaming_overview": _build_overview_oracle,
@@ -1897,6 +2020,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geodesic_paths": q_geodesic_paths,
         "multimodal_features": q_multimodal_features,
         "ivf_topk": q_ivf_topk,
+        "ivfpq_topk": q_ivfpq_topk,
         "pip_coverage": q_pip_coverage,
         "s2_cells": q_s2_cells,
         "zonal_stats": q_zonal_stats,

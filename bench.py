@@ -91,6 +91,7 @@ def main() -> None:
         "embedding_topk": lambda: contract.q_embedding_topk(spark, SF_DIR),
         "embedding_near_dups": lambda: contract.q_emb_near_dups(spark, SF_DIR),
         "ivf_topk": lambda: contract.q_ivf_topk(spark, SF_DIR),
+        "ivfpq_topk": lambda: contract.q_ivfpq_topk(spark, SF_DIR),
         "knn_topk": lambda: contract.q_knn_topk(spark, SF_DIR),
         "tile_floor_keys": lambda: contract.q_tile_floor_keys(spark, SF_DIR),
         "priority_coalesce": lambda: contract.q_priority_coalesce(spark, SF_DIR),

@@ -37,6 +37,9 @@ __all__ = [
     "near_duplicate_pairs",
     "ivf_topk",
     "train_kmeans_centroids",
+    "train_pq_codebooks",
+    "encode_ivfpq",
+    "ivfpq_topk",
 ]
 
 
@@ -349,4 +352,208 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )
+
+
+def _codebook_tensor(codebooks: DataFrame) -> np.ndarray:
+    """(m, ksub, dsub) float64 tensor from a (sub_id, code_id, codeword)
+    frame. Codebooks are tiny by construction (m*ksub rows), so collecting
+    them is the PQ equivalent of broadcasting the IVF centroid matrix."""
+    rows = codebooks.select("sub_id", "code_id", "codeword").collect()
+    m = max(r.sub_id for r in rows) + 1
+    ksub = max(r.code_id for r in rows) + 1
+    dsub = len(rows[0].codeword)
+    cb = np.zeros((m, ksub, dsub), dtype=np.float64)
+    seen = set()
+    for r in rows:
+        cb[r.sub_id, r.code_id] = np.asarray(list(r.codeword), dtype=np.float64)
+        seen.add((r.sub_id, r.code_id))
+    if len(seen) != m * ksub:
+        raise ValueError(
+            f"codebooks must cover every (sub_id, code_id) in "
+            f"[0,{m})x[0,{ksub}); got {len(seen)} of {m * ksub}"
+        )
+    return np.ascontiguousarray(cb)
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    m: int = 4,
+    ksub: int = 16,
+    n_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization codebooks: the embedding is split into ``m``
+    contiguous subspaces and an independent ``ksub``-center k-means
+    (train_kmeans_centroids — the same distributed Lloyd's) runs per
+    subspace on the sliced vectors. Returns (sub_id, code_id, codeword).
+
+    m distributed k-means passes over dim/m-wide slices — same total work
+    as one k-means at full dim."""
+    first = corpus.select(vec_col).first()
+    dim = len(first[0])
+    if dim % m != 0:
+        raise ValueError(f"embedding dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    parts = []
+    for s in range(m):
+        sub = corpus.select(
+            F.col(id_col), F.slice(F.col(vec_col), s * dsub + 1, dsub).alias(vec_col)
+        )
+        cents = train_kmeans_centroids(
+            sub, ksub, n_iter=n_iter, id_col=id_col, vec_col=vec_col
+        )
+        parts.append(
+            cents.select(
+                F.lit(s).alias("sub_id"),
+                F.col("cell_id").cast("int").alias("code_id"),
+                F.col("centroid").alias("codeword"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def encode_ivfpq(
+    corpus: DataFrame,
+    coarse_centroids: DataFrame,
+    codebooks: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ encoding: (vec_id, cell_id, codes) — the 100 TB index shape.
+
+    One narrow mapInPandas pass (coarse centroids and PQ codebooks are
+    both broadcast-sized): each vector gets its nearest coarse cell
+    (cosine argmax, identical rule to ivf_topk) and an m-entry PQ code
+    (per-subspace L2-nearest codeword, lowest code_id on exact ties).
+    A 1024-dim float32 vector (4 KB) compresses to m small ints — the
+    candidate stream a search shuffles is orders of magnitude smaller
+    than raw vectors, which is the entire point of PQ at corpus scale."""
+    cent_rows = sorted(
+        coarse_centroids.select("cell_id", "centroid").collect(),
+        key=lambda r: r.cell_id,
+    )
+    cell_ids = np.asarray([r.cell_id for r in cent_rows], dtype=np.int64)
+    mat = np.asarray([list(r.centroid) for r in cent_rows], dtype=np.float64)
+    unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    cb = _codebook_tensor(codebooks)
+    m, ksub, dsub = cb.shape
+    # argmin_c ||v - cw||^2 == argmin_c (||cw||^2 - 2 v.cw): ||v||^2 cancels
+    cw_sq = (cb**2).sum(axis=2)  # (m, ksub)
+
+    def encode(batches):
+        for pdf in batches:
+            v = np.ascontiguousarray(
+                np.asarray(list(pdf[vec_col]), dtype=np.float64)
+            )
+            out = pdf[[id_col]].rename(columns={id_col: "vec_id"})
+            out["cell_id"] = cell_ids[np.argmax(v @ unit.T, axis=1)]
+            vs = v.reshape(len(v), m, dsub)
+            d2 = cw_sq[None, :, :] - 2.0 * np.einsum("bmd,mkd->bmk", vs, cb)
+            codes = np.argmin(d2, axis=2).astype(np.int32)  # first min wins
+            out["codes"] = list(codes)
+            yield out
+
+    id_type = dict(
+        zip(corpus.columns, [f.dataType.simpleString() for f in corpus.schema])
+    )[id_col]
+    return corpus.select(id_col, vec_col).mapInPandas(
+        encode, f"vec_id {id_type}, cell_id long, codes array<int>"
+    )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    coarse_centroids: DataFrame,
+    codebooks: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """IVF-PQ approximate top-k by asymmetric distance computation (ADC):
+    the classic Jégou et al. 2011 scheme (public), inner-product variant.
+
+    Raw corpus vectors are never shuffled: the index side is
+    encode_ivfpq's (vec_id, cell_id, m-int codes) stream. Queries probe
+    their n_probe nearest coarse cells (same rule as ivf_topk),
+    candidates come from the cell-id equi-join, and each candidate is
+    scored WITHOUT its raw vector:
+    approx_sim = sum_s q_sub(s) . codeword[s, codes[s]] — per Arrow batch
+    one einsum builds the (batch, m, ksub) query/codeword table and a
+    take_along_axis gathers each candidate's m entries.
+
+    vs ivf_topk (which joins raw vectors): the shuffled candidate payload
+    shrinks from dim floats to m ints, and per-candidate scoring flops
+    drop from dim to m once the table is built — the standard PQ
+    memory/recall trade (recall bounded by quantization error; pytest
+    pins recall on the clustered fixture). The einsum reduction runs over
+    the contiguous dsub axis only, so every scored value is independent
+    of Arrow batch composition — bit-reproducible against the
+    single-process oracle."""
+    cent_rows = sorted(
+        coarse_centroids.select("cell_id", "centroid").collect(),
+        key=lambda r: r.cell_id,
+    )
+    cell_ids = np.asarray([r.cell_id for r in cent_rows], dtype=np.int64)
+    mat = np.asarray([list(r.centroid) for r in cent_rows], dtype=np.float64)
+    unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    cb = _codebook_tensor(codebooks)
+    m, ksub, dsub = cb.shape
+
+    index = encode_ivfpq(
+        corpus, coarse_centroids, codebooks, id_col, vec_col
+    ).withColumnRenamed("vec_id", "neighbor_id")
+
+    def probe_queries(batches):
+        for pdf in batches:
+            v = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+            order = np.argsort(-(v @ unit.T), axis=1, kind="stable")[:, :n_probe]
+            out = pdf.loc[pdf.index.repeat(order.shape[1])].reset_index(drop=True)
+            out = out.rename(columns={id_col: "query_id", vec_col: "qvec"})
+            out["cell_id"] = cell_ids[order].ravel()
+            yield out
+
+    types = dict(
+        zip(corpus.columns, [f.dataType.simpleString() for f in corpus.schema])
+    )
+    id_type, vec_type = types[id_col], types[vec_col]
+    q = queries.select(id_col, vec_col).mapInPandas(
+        probe_queries, f"query_id {id_type}, qvec {vec_type}, cell_id long"
+    )
+
+    cands = index.join(q, ["cell_id"]).where(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+
+    def adc_score(batches):
+        for pdf in batches:
+            qv = np.ascontiguousarray(
+                np.asarray(list(pdf["qvec"]), dtype=np.float64)
+            ).reshape(len(pdf), m, dsub)
+            lut = np.einsum("bmd,mkd->bmk", qv, cb)  # (b, m, ksub)
+            codes = np.asarray(list(pdf["codes"]), dtype=np.int64)  # (b, m)
+            sim = np.take_along_axis(lut, codes[:, :, None], axis=2)[
+                :, :, 0
+            ].sum(axis=1)
+            out = pdf[["query_id", "neighbor_id"]].copy()
+            out["approx_sim"] = sim
+            yield out
+
+    scored = cands.mapInPandas(
+        adc_score, f"query_id {id_type}, neighbor_id {id_type}, approx_sim double"
+    ).withColumn("approx_sim", F.round(F.col("approx_sim"), round_to))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "approx_sim")
     )

@@ -245,6 +245,20 @@ class TestSampling:
         n_fr = len(by_lang.get("fr", []))
         assert 40 <= n_fr <= 93  # ~Binomial(133, 0.5), +/- 6 sigma
 
+    def test_sampler_is_scan_plus_filter(self, spark, tmp_path):
+        """One codegen'd predicate over the scan: no shuffle, no join, no
+        UDF — the shape that stays a single pass at 10^12 rows."""
+        from opentopodata_spark.operators import sampling
+
+        p = str(tmp_path / "docs.parquet")
+        self._docs(spark, 100).write.parquet(p)
+        out = sampling.stratified_sample(
+            spark.read.parquet(p), {"en": 0.5}, default_rate=0.25
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "Python" not in plan  # no UDF in the predicate
+
     def test_deterministic_and_partition_invariant(self, spark):
         from opentopodata_spark.operators import sampling
 
@@ -320,6 +334,86 @@ class TestEmbeddings:
         e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
         # tight clusters + probe of the right cell -> perfect recall here
         assert a == e
+
+    def _clustered(self, spark, dim=8, n=200):
+        rng = np.random.default_rng(0)
+        centers = np.eye(dim, dtype=np.float64)[:4]
+        rows = []
+        for i in range(n):
+            v = centers[i % 4] + rng.normal(0, 0.05, dim)
+            rows.append((i, [float(x) for x in v]))
+        corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        centroids = spark.createDataFrame(
+            [(c, [float(x) for x in centers[c]]) for c in range(4)],
+            "cell_id long, centroid array<float>",
+        )
+        return corpus, centroids
+
+    def test_pq_encode_shape_and_range(self, spark):
+        corpus, centroids = self._clustered(spark)
+        cb = emb.train_pq_codebooks(corpus, m=4, ksub=8, n_iter=3)
+        assert cb.count() == 4 * 8
+        enc = emb.encode_ivfpq(corpus, centroids, cb).collect()
+        assert len(enc) == 200
+        for r in enc:
+            assert len(r.codes) == 4
+            assert all(0 <= c < 8 for c in r.codes)
+            assert 0 <= r.cell_id < 4
+
+    def test_pq_codebooks_validate_dim(self, spark):
+        corpus, _ = self._clustered(spark, dim=8)
+        with pytest.raises(ValueError, match="not divisible"):
+            emb.train_pq_codebooks(corpus, m=3)
+
+    def test_ivfpq_recall_on_clustered_data(self, spark):
+        """ADC over PQ codes routes every pick to the query's own planted
+        cluster with a clearly higher score than any cross-cluster
+        candidate would get. (Exact-rank agreement is NOT expected: inside
+        a tight cluster PQ collapses near-identical vectors to the same
+        codes — quantization ties are inherent to the scheme.)"""
+        corpus, centroids = self._clustered(spark)
+        cb = emb.train_pq_codebooks(corpus, m=4, ksub=16, n_iter=4)
+        queries = corpus.where("vec_id < 4")
+        approx = emb.ivfpq_topk(
+            corpus, queries, centroids, cb, k=3, n_probe=1
+        ).collect()
+        assert len(approx) == 4 * 3
+        for r in approx:
+            # clusters were planted as vec_id % 4
+            assert r.neighbor_id % 4 == r.query_id % 4
+            # same-cluster inner product ~1 (unit-ish vectors); cross ~0
+            assert r.approx_sim > 0.8
+
+    def test_ivfpq_full_probe_contains_exact_top1(self, spark):
+        """With every cell probed and per-vector codebooks fine enough to
+        separate clusters, the exact nearest neighbor's cluster-mate set
+        always wins over other clusters: the ADC top-1 score must beat
+        every cross-cluster candidate's."""
+        corpus, centroids = self._clustered(spark)
+        cb = emb.train_pq_codebooks(corpus, m=4, ksub=16, n_iter=4)
+        queries = corpus.where("vec_id < 2")
+        got = emb.ivfpq_topk(
+            corpus, queries, centroids, cb, k=60, n_probe=4
+        ).collect()
+        by_q: dict = {}
+        for r in got:
+            by_q.setdefault(r.query_id, []).append(r)
+        for qid, rows in by_q.items():
+            rows.sort(key=lambda r: r.rank)
+            same = [r for r in rows if r.neighbor_id % 4 == qid % 4]
+            cross = [r for r in rows if r.neighbor_id % 4 != qid % 4]
+            assert cross, "full probe must surface cross-cluster candidates"
+            assert min(r.approx_sim for r in same) > max(
+                r.approx_sim for r in cross
+            )
+
+    def test_ivfpq_index_is_codes_not_vectors(self, spark):
+        """The shuffled index stream carries (cell_id, codes), never the
+        raw embedding column."""
+        corpus, centroids = self._clustered(spark)
+        cb = emb.train_pq_codebooks(corpus, m=4, ksub=8, n_iter=2)
+        enc = emb.encode_ivfpq(corpus, centroids, cb)
+        assert set(enc.columns) == {"vec_id", "cell_id", "codes"}
 
     def test_kmeans_trains_and_converges(self, spark):
         """Distributed Lloyd's: inertia is non-increasing per iteration,
