@@ -40,6 +40,7 @@ __all__ = [
     "train_pq_codebooks",
     "encode_ivfpq",
     "ivfpq_topk",
+    "ivfpq_search",
 ]
 
 
@@ -497,6 +498,30 @@ def ivfpq_topk(
     the contiguous dsub axis only, so every scored value is independent
     of Arrow batch composition — bit-reproducible against the
     single-process oracle."""
+    index = encode_ivfpq(corpus, coarse_centroids, codebooks, id_col, vec_col)
+    return ivfpq_search(
+        index, queries, coarse_centroids, codebooks,
+        k=k, n_probe=n_probe, id_col=id_col, vec_col=vec_col,
+        round_to=round_to,
+    )
+
+
+def ivfpq_search(
+    index: DataFrame,
+    queries: DataFrame,
+    coarse_centroids: DataFrame,
+    codebooks: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """ADC search over a PREBUILT IVF-PQ index (vec_id, cell_id, codes) —
+    the encode-once / search-many production split: a 100 TB corpus pays
+    its one encoding scan when the index is built (jobs/ann.py
+    build-index) and every query batch afterwards touches only the
+    m-int code stream of the probed cells."""
     cent_rows = sorted(
         coarse_centroids.select("cell_id", "centroid").collect(),
         key=lambda r: r.cell_id,
@@ -507,9 +532,7 @@ def ivfpq_topk(
     cb = _codebook_tensor(codebooks)
     m, ksub, dsub = cb.shape
 
-    index = encode_ivfpq(
-        corpus, coarse_centroids, codebooks, id_col, vec_col
-    ).withColumnRenamed("vec_id", "neighbor_id")
+    index = index.withColumnRenamed("vec_id", "neighbor_id")
 
     def probe_queries(batches):
         for pdf in batches:
@@ -521,7 +544,7 @@ def ivfpq_topk(
             yield out
 
     types = dict(
-        zip(corpus.columns, [f.dataType.simpleString() for f in corpus.schema])
+        zip(queries.columns, [f.dataType.simpleString() for f in queries.schema])
     )
     id_type, vec_type = types[id_col], types[vec_col]
     q = queries.select(id_col, vec_col).mapInPandas(

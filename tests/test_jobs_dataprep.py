@@ -124,3 +124,36 @@ def test_document_metrics_matches_per_family_ops(spark, corpus_path):
         for r in op(docs).collect():
             for c in cols:
                 assert getattr(m[r.doc_id], c) == getattr(r, c), (c, r.doc_id)
+
+
+def test_ann_index_build_and_search(tmp_path, spark, capsys):
+    """jobs/ann.py end-to-end: build an IVF-PQ index over a clustered
+    corpus, search it, and get same-cluster neighbors back."""
+    import numpy as np
+
+    from opentopodata_spark.jobs import ann
+
+    rng = np.random.default_rng(1)
+    centers = np.eye(8, dtype=np.float64)[:4]
+    rows = [(i, [float(x) for x in centers[i % 4] + rng.normal(0, 0.05, 8)])
+            for i in range(160)]
+    emb_path = str(tmp_path / "emb.parquet")
+    spark.createDataFrame(rows, "vec_id long, embedding array<float>").write.parquet(emb_path)
+
+    idx = str(tmp_path / "idx")
+    assert ann.main(["build-index", "--embeddings", emb_path, "--out", idx,
+                     "--cells", "4", "--pq-m", "4", "--pq-ksub", "8",
+                     "--cores", "4"]) == 0
+    stats = __import__("json").loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["vectors"] == 160
+
+    out = str(tmp_path / "res")
+    q_path = str(tmp_path / "q.parquet")
+    spark.createDataFrame(rows[:4], "vec_id long, embedding array<float>").write.parquet(q_path)
+    assert ann.main(["search", "--index", idx, "--queries", q_path,
+                     "--out", out, "--k", "3", "--n-probe", "1",
+                     "--cores", "4"]) == 0
+    res = spark.read.parquet(f"{out}/results").collect()
+    assert len(res) == 4 * 3
+    for r in res:
+        assert r.neighbor_id % 4 == r.query_id % 4  # planted clusters
