@@ -88,7 +88,9 @@ def run(ns: argparse.Namespace, spark=None) -> dict:
         )
     t0 = time.time()
     docs = spark.read.parquet(ns.documents).select("doc_id", "text")
-    m = _textops.document_metrics(docs)
+    m = _textops.document_metrics(
+        docs, include_repetition=ns.max_dup_ngram_frac is not None
+    )
 
     keep = F.lit(True)
     if ns.min_quality is not None:

@@ -296,14 +296,7 @@ def ivf_topk(
     10^12-row sort; this is a pure map. The only corpus shuffle left is
     the cell-id candidate equi-join itself.
     """
-    cent_rows = sorted(
-        centroids.select("cell_id", "centroid").collect(), key=lambda r: r.cell_id
-    )
-    cell_ids = np.asarray([r.cell_id for r in cent_rows], dtype=np.int64)
-    mat = np.asarray([list(r.centroid) for r in cent_rows], dtype=np.float64)
-    # cosine ranking is invariant to the vector's own norm; normalizing the
-    # centroids makes the matmul directly comparable across cells
-    unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    cell_ids, unit = _centroid_arrays(centroids)
 
     def _sims(vec_series: pd.Series) -> np.ndarray:
         v = np.asarray(list(vec_series), dtype=np.float64)  # (batch, dim)
@@ -356,11 +349,35 @@ def ivf_topk(
     )
 
 
+def _centroid_arrays(coarse_centroids: DataFrame) -> tuple[np.ndarray, np.ndarray]:
+    """Collect the (tiny, broadcast-sized) coarse-centroid frame ONCE into
+    (cell_ids, unit-normalized row matrix). Cosine ranking is invariant to
+    the vector's own norm, so argmax over ``unit`` — first max, i.e.
+    lowest cell_id on exact ties — IS the cell-assignment rule; every IVF
+    entry point shares it through this helper."""
+    rows = sorted(
+        coarse_centroids.select("cell_id", "centroid").collect(),
+        key=lambda r: r.cell_id,
+    )
+    if not rows:
+        raise ValueError(
+            "coarse_centroids is empty — train centroids first "
+            "(train_kmeans_centroids)"
+        )
+    cell_ids = np.asarray([r.cell_id for r in rows], dtype=np.int64)
+    mat = np.asarray([list(r.centroid) for r in rows], dtype=np.float64)
+    return cell_ids, mat / np.linalg.norm(mat, axis=1, keepdims=True)
+
+
 def _codebook_tensor(codebooks: DataFrame) -> np.ndarray:
     """(m, ksub, dsub) float64 tensor from a (sub_id, code_id, codeword)
     frame. Codebooks are tiny by construction (m*ksub rows), so collecting
     them is the PQ equivalent of broadcasting the IVF centroid matrix."""
     rows = codebooks.select("sub_id", "code_id", "codeword").collect()
+    if not rows:
+        raise ValueError(
+            "codebooks is empty — train codebooks first (train_pq_codebooks)"
+        )
     m = max(r.sub_id for r in rows) + 1
     ksub = max(r.code_id for r in rows) + 1
     dsub = len(rows[0].codeword)
@@ -392,7 +409,11 @@ def train_pq_codebooks(
 
     m distributed k-means passes over dim/m-wide slices — same total work
     as one k-means at full dim."""
-    first = corpus.select(vec_col).first()
+    first = corpus.select(vec_col).where(F.col(vec_col).isNotNull()).first()
+    if first is None:
+        raise ValueError(
+            f"corpus has no non-null '{vec_col}' rows — cannot train PQ codebooks"
+        )
     dim = len(first[0])
     if dim % m != 0:
         raise ValueError(f"embedding dim {dim} not divisible by m={m}")
@@ -434,14 +455,23 @@ def encode_ivfpq(
     A 1024-dim float32 vector (4 KB) compresses to m small ints — the
     candidate stream a search shuffles is orders of magnitude smaller
     than raw vectors, which is the entire point of PQ at corpus scale."""
-    cent_rows = sorted(
-        coarse_centroids.select("cell_id", "centroid").collect(),
-        key=lambda r: r.cell_id,
+    return _encode_ivfpq(
+        corpus, _centroid_arrays(coarse_centroids), _codebook_tensor(codebooks),
+        id_col, vec_col,
     )
-    cell_ids = np.asarray([r.cell_id for r in cent_rows], dtype=np.int64)
-    mat = np.asarray([list(r.centroid) for r in cent_rows], dtype=np.float64)
-    unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-    cb = _codebook_tensor(codebooks)
+
+
+def _encode_ivfpq(
+    corpus: DataFrame,
+    cent: tuple[np.ndarray, np.ndarray],
+    cb: np.ndarray,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """encode_ivfpq body over pre-collected (cell_ids, unit) / codebook
+    arrays, so composite pipelines (ivfpq_topk) collect each tiny frame
+    exactly once instead of re-running its plan per consumer."""
+    cell_ids, unit = cent
     m, ksub, dsub = cb.shape
     # argmin_c ||v - cw||^2 == argmin_c (||cw||^2 - 2 v.cw): ||v||^2 cancels
     cw_sq = (cb**2).sum(axis=2)  # (m, ksub)
@@ -498,9 +528,11 @@ def ivfpq_topk(
     the contiguous dsub axis only, so every scored value is independent
     of Arrow batch composition — bit-reproducible against the
     single-process oracle."""
-    index = encode_ivfpq(corpus, coarse_centroids, codebooks, id_col, vec_col)
-    return ivfpq_search(
-        index, queries, coarse_centroids, codebooks,
+    cent = _centroid_arrays(coarse_centroids)
+    cb = _codebook_tensor(codebooks)
+    index = _encode_ivfpq(corpus, cent, cb, id_col, vec_col)
+    return _ivfpq_search(
+        index, queries, cent, cb,
         k=k, n_probe=n_probe, id_col=id_col, vec_col=vec_col,
         round_to=round_to,
     )
@@ -522,14 +554,28 @@ def ivfpq_search(
     its one encoding scan when the index is built (jobs/ann.py
     build-index) and every query batch afterwards touches only the
     m-int code stream of the probed cells."""
-    cent_rows = sorted(
-        coarse_centroids.select("cell_id", "centroid").collect(),
-        key=lambda r: r.cell_id,
+    return _ivfpq_search(
+        index, queries, _centroid_arrays(coarse_centroids),
+        _codebook_tensor(codebooks),
+        k=k, n_probe=n_probe, id_col=id_col, vec_col=vec_col,
+        round_to=round_to,
     )
-    cell_ids = np.asarray([r.cell_id for r in cent_rows], dtype=np.int64)
-    mat = np.asarray([list(r.centroid) for r in cent_rows], dtype=np.float64)
-    unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-    cb = _codebook_tensor(codebooks)
+
+
+def _ivfpq_search(
+    index: DataFrame,
+    queries: DataFrame,
+    cent: tuple[np.ndarray, np.ndarray],
+    cb: np.ndarray,
+    k: int,
+    n_probe: int,
+    id_col: str,
+    vec_col: str,
+    round_to: int,
+) -> DataFrame:
+    """ivfpq_search body over pre-collected centroid/codebook arrays (see
+    _encode_ivfpq)."""
+    cell_ids, unit = cent
     m, ksub, dsub = cb.shape
 
     index = index.withColumnRenamed("vec_id", "neighbor_id")

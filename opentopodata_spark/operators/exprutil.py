@@ -4,7 +4,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-__all__ = ["bind_once"]
+__all__ = ["bind_once", "word_ngram_array"]
 
 
 def bind_once(col, fn):
@@ -27,3 +27,34 @@ def bind_once(col, fn):
     second argument. Use a factory closure to parameterize.
     """
     return F.element_at(F.transform(F.array(col), fn), 1)
+
+
+def word_ngram_array(toks, n: int, include_partial: bool):
+    """Space-joined word n-gram array over a BOUND token array (see
+    bind_once) — THE shared gram builder; the two legal short-doc
+    semantics are an explicit flag, not two drifting copies:
+
+    * ``include_partial=True`` (shingling/dedup semantics): a doc shorter
+      than ``n`` tokens yields its whole text as ONE partial gram, so
+      short docs still fingerprint and exact-duplicate short docs still
+      collide.
+    * ``include_partial=False`` (repetition-metric semantics): the same
+      doc yields an EMPTY array — a partial gram is not an n-gram, so
+      n-gram counts and fractions stay well-defined.
+
+    ``slice`` (not element_at) clamps at the array end and the
+    when-guard keeps the discarded branch from tripping ANSI-mode bounds
+    errors; ``sequence(1, 0)`` would otherwise produce the descending
+    [1, 0] with null-padded grams.
+    """
+    count = F.size(toks) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(count, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    if include_partial:
+        # count <= 0 -> the single i=1 gram is slice(toks, 1, n): the
+        # whole (short) text; an empty token array gives "" (callers
+        # filter empties).
+        return grams
+    return F.when(count >= 1, grams).otherwise(F.array().cast("array<string>"))

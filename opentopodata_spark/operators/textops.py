@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .exprutil import bind_once
+from .exprutil import bind_once, word_ngram_array
 
 __all__ = [
     "token_stats",
@@ -147,16 +147,25 @@ def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
 
 
 def document_metrics(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    include_repetition: bool = False,
 ) -> DataFrame:
     """Every metric family in ONE projection: (doc_id, text, token stats,
     quality, language votes). One scan of the corpus, no joins — the
-    shape a cleaning pipeline needs before filtering."""
+    shape a cleaning pipeline needs before filtering.
+
+    The repetition family (``_repetition_exprs``) is opt-in: its
+    top_bigram/trigram fractions cost two array_sort + aggregate folds per
+    document — by far the most expensive metrics — so a run that never
+    filters on them should not pay for them."""
     exprs: dict = {}
     exprs.update(_token_stat_exprs(text_col))
     exprs.update(_quality_exprs(text_col))
     exprs.update(_lang_exprs(text_col))
-    exprs.update(_repetition_exprs(text_col))
+    if include_repetition:
+        exprs.update(_repetition_exprs(text_col))
     return df.select(
         F.col(id_col).alias("doc_id"),
         F.col(text_col).alias("text"),
@@ -190,18 +199,11 @@ _bind = bind_once
 
 
 def _word_ngrams(toks, n: int):
-    """Array of space-joined word n-grams (``toks`` should be a bound
-    lambda variable — see _bind). Guarded: a doc with < n tokens yields an
-    EMPTY array (``sequence(1, 0)`` would otherwise produce the descending
-    [1, 0] and two null-padded grams); slice (not element_at) clamps at
-    the array end, so the discarded when-branch never trips ANSI-mode
-    bounds errors."""
-    count = F.size(toks) - (n - 1)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(count, F.lit(1))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-    )
-    return F.when(count >= 1, grams).otherwise(F.array().cast("array<string>"))
+    """Array of space-joined word n-grams over a BOUND token array,
+    repetition-metric semantics: a doc with < n tokens yields an EMPTY
+    array (exprutil.word_ngram_array include_partial=False; contrast
+    dedup._gram_array, which keeps the partial gram)."""
+    return word_ngram_array(toks, n, include_partial=False)
 
 
 def _top_run(grams):

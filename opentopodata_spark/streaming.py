@@ -298,15 +298,26 @@ def run_dedup_stream(
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark_l = batch_df.sparkSession
+        # Joins are NULL-SAFE on text_hash (md5(NULL) is NULL): groupBy
+        # already folds all NULL-text docs into one group, and <=> keeps
+        # them matchable in the semi/anti joins — same semantics as the
+        # batch twin exact_duplicates, still a hash-partitionable equi-join.
         hashed = batch_df.withColumn("text_hash", F.md5(F.col("text")))
         canon = hashed.groupBy("text_hash").agg(F.min("doc_id").alias("doc_id"))
-        batch_canon = hashed.join(canon, ["text_hash", "doc_id"], "left_semi")
+        batch_canon = hashed.alias("h").join(
+            canon.alias("c"),
+            F.col("h.text_hash").eqNullSafe(F.col("c.text_hash"))
+            & (F.col("h.doc_id") == F.col("c.doc_id")),
+            "left_semi",
+        )
         try:
             idx = spark_l.read.parquet(index_dir).where(
                 F.col("ingest_batch") != batch_id
             )
-            fresh = batch_canon.join(
-                idx.select("text_hash"), "text_hash", "left_anti"
+            fresh = batch_canon.alias("b").join(
+                idx.select("text_hash").alias("i"),
+                F.col("b.text_hash").eqNullSafe(F.col("i.text_hash")),
+                "left_anti",
             )
         except AnalysisException:  # first batch: no index yet
             fresh = batch_canon

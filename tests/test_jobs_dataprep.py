@@ -113,7 +113,12 @@ def test_document_metrics_matches_per_family_ops(spark, corpus_path):
     from opentopodata_spark.operators import textops
 
     docs = spark.read.parquet(corpus_path)
-    m = {r.doc_id: r for r in textops.document_metrics(docs).collect()}
+    m = {
+        r.doc_id: r
+        for r in textops.document_metrics(docs, include_repetition=True).collect()
+    }
+    # default leaves the expensive repetition family out of the projection
+    assert "dup_trigram_frac" not in textops.document_metrics(docs).columns
     for op, cols in (
         (textops.token_stats, ["n_chars", "n_ws_tokens", "n_bpe_tokens", "avg_token_len"]),
         (textops.quality_score, ["n_tokens", "n_stop", "n_punct", "score"]),

@@ -404,3 +404,11 @@ def test_dedup_stream_incremental(spark, tmp_path):
     # the index holds exactly one hash per admitted doc
     idx = spark.read.parquet(idx_dir)
     assert idx.count() == 3 and idx.select("text_hash").distinct().count() == 3
+
+    # NULL text: md5(NULL) is NULL — the NULL-hash group must behave like
+    # any other hash (min doc_id admitted once, later NULLs rejected), not
+    # vanish through a null-blind join.
+    emit("wave3", [(9, None, "en", "s0"), (8, None, "en", "s1")])
+    assert drain() == {1, 2, 5, 8}
+    emit("wave4", [(10, None, "en", "s0")])  # cross-wave dup of the NULL group
+    assert drain() == {1, 2, 5, 8}
