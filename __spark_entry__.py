@@ -408,8 +408,9 @@ def q_near_dup_verified(spark, sf_dir):
     )
 
 
-_Q_NEAR_DUP_SQL = f"""
-WITH {_SHINGLES_CTE},
+# CTE chain shared by the near_dup_verified oracle and the dedup
+# cluster/corpus oracles (which extend it with a recursive closure)
+_NEAR_DUP_CTES = f"""{_SHINGLES_CTE},
 sig AS ({_MINHASH_SELECT}),
 buckets AS (
   SELECT doc_id, 0 AS band, concat_ws('|', h0, h1) AS value FROM sig
@@ -431,11 +432,68 @@ inter AS (
   FROM cands c
   JOIN shf a ON a.doc_id = c.doc_a
   JOIN shf b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
-  GROUP BY c.doc_a, c.doc_b)
+  GROUP BY c.doc_a, c.doc_b)"""
+
+_NEAR_DUP_SELECT = """
 SELECT doc_a, doc_b, inter, sa.sz AS size_a, sb.sz AS size_b,
        round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
 FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
-WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= 0.3
+WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= 0.3"""
+
+_Q_NEAR_DUP_SQL = f"WITH {_NEAR_DUP_CTES} {_NEAR_DUP_SELECT}"
+
+
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup components: pairwise verified verdicts -> disjoint
+    clusters via alternating large-star/small-star connected components
+    (operators/dedup.connected_components); every document gets the min
+    doc_id of its component (itself when singleton). The oracle replays
+    the pair SQL and closes it with a recursive CTE — transitive closure
+    is fine at oracle scale, only the Spark side needs the O(log² n)
+    algorithm."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.verified_near_duplicates(docs, threshold=0.3, max_df=200)
+    return dedup.dedup_clusters(docs, pairs)
+
+
+# closure over the verified pairs: reach(u, v) = v is in u's component;
+# cluster = min(self, reachable)
+_DEDUP_CLOSURE_CTES = f"""{_NEAR_DUP_CTES},
+pairs AS (SELECT doc_a, doc_b FROM ({_NEAR_DUP_SELECT}) verified),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+comp AS (
+  SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u)"""
+
+_Q_DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE {_DEDUP_CLOSURE_CTES}
+SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+"""
+
+
+def q_dedup_corpus(spark, sf_dir):
+    """The deduplicated corpus: one representative (min doc_id) per
+    near-dup cluster plus every singleton — the end-to-end output a
+    training run actually consumes (shingle -> MinHash -> LSH -> verify
+    -> components -> keep-one)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    pairs = dedup.verified_near_duplicates(
+        _t(spark, sf_dir, "documents"), threshold=0.3, max_df=200
+    )
+    return dedup.dedup_corpus(docs, pairs)
+
+
+_Q_DEDUP_CORPUS_SQL = f"""
+WITH RECURSIVE {_DEDUP_CLOSURE_CTES}
+SELECT d.doc_id, d.lang, d.source
+FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+WHERE c.doc_id IS NULL OR c.cluster_id = d.doc_id
 """
 
 
@@ -1028,11 +1086,15 @@ def q_ivf_topk(spark, sf_dir):
         F.col("vec_id").alias("cell_id"), F.col("embedding").alias("centroid")
     )
     return emb.ivf_topk(
-        e, e.where(F.col("vec_id") % 100 == 0), centroids, k=5, n_probe=2
+        e, e.where(F.col("vec_id") % 100 == 0), centroids,
+        k=_ANN_K, n_probe=_ANN_NPROBE,
     )
 
 
 _PQ_M, _PQ_DSUB, _PQ_KSUB = 4, 16, 16
+# shared by the ivf/ivfpq Spark queries AND their numpy oracle replays —
+# a tuning change must hit both sides or the driver compare mismatches
+_ANN_K, _ANN_NPROBE = 5, 2
 
 
 def _pq_codebooks(e):
@@ -1074,8 +1136,8 @@ def q_ivfpq_topk(spark, sf_dir):
         e.where(F.col("vec_id") % 100 == 0),
         centroids,
         _pq_codebooks(e),
-        k=5,
-        n_probe=2,
+        k=_ANN_K,
+        n_probe=_ANN_NPROBE,
     )
 
 
@@ -1851,7 +1913,7 @@ def _build_ivf_oracle(sf_dir: str):
     unit = C / np.linalg.norm(C, axis=1, keepdims=True)
 
     assign = cent_ids[np.argmax(V @ unit.T, axis=1)]
-    probe = np.argsort(-(V @ unit.T), axis=1, kind="stable")[:, :2]
+    probe = np.argsort(-(V @ unit.T), axis=1, kind="stable")[:, :_ANN_NPROBE]
 
     by_cell: dict[int, list[int]] = {}
     for i, c in enumerate(assign):
@@ -1870,7 +1932,7 @@ def _build_ivf_oracle(sf_dir: str):
                 cos = _fold_dot(embs[qi], embs[ci]) / (norms[qi] * norms[ci])
                 cands.append((nid, _round_half_up(cos, 6)))
         cands.sort(key=lambda t: (-t[1], t[0]))
-        for rank, (nid, cos) in enumerate(cands[:5], start=1):
+        for rank, (nid, cos) in enumerate(cands[:_ANN_K], start=1):
             rows.append((qid, nid, rank, cos))
     return pa.table(
         {
@@ -1922,7 +1984,7 @@ def _build_ivfpq_oracle(sf_dir: str):
     d2 = cw_sq[None, :, :] - 2.0 * np.einsum("bmd,mkd->bmk", Vs, cb)
     codes = np.argmin(d2, axis=2).astype(np.int64)  # (n, m)
 
-    probe = np.argsort(-(V @ unit.T), axis=1, kind="stable")[:, :2]
+    probe = np.argsort(-(V @ unit.T), axis=1, kind="stable")[:, :_ANN_NPROBE]
     by_cell: dict[int, list[int]] = {}
     for i, c in enumerate(assign):
         by_cell.setdefault(int(c), []).append(i)
@@ -1945,7 +2007,7 @@ def _build_ivfpq_oracle(sf_dir: str):
                 )
                 cands.append((nid, _round_half_up(sim, 6)))
         cands.sort(key=lambda t: (-t[1], t[0]))
-        for rank, (nid, sim) in enumerate(cands[:5], start=1):
+        for rank, (nid, sim) in enumerate(cands[:_ANN_K], start=1):
             rows.append((qid, nid, rank, sim))
     return pa.table(
         {
@@ -2000,6 +2062,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_candidate_pairs": q_lsh_pairs,
         "ngram_jaccard": q_jaccard,
         "near_dup_verified": q_near_dup_verified,
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_corpus": q_dedup_corpus,
         "simhash": q_simhash,
         "token_stats": q_token_stats,
         "quality_score": q_quality,
@@ -2046,6 +2110,8 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": _Q_JACCARD_SQL,
         "pip_coverage": _pip_sql(),
         "near_dup_verified": _Q_NEAR_DUP_SQL,
+        "dedup_clusters": _Q_DEDUP_CLUSTERS_SQL,
+        "dedup_corpus": _Q_DEDUP_CORPUS_SQL,
         "simhash": _simhash_sql(),
         "token_stats": _Q_TOKEN_SQL,
         "quality_score": _quality_sql(),

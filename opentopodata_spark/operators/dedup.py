@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .exprutil import bind_once
+from .exprutil import bind_once, word_ngram_array
 
 __all__ = [
     "word_shingles",
@@ -44,6 +44,9 @@ __all__ = [
     "jaccard_pairs",
     "verified_near_duplicates",
     "simhash",
+    "connected_components",
+    "dedup_clusters",
+    "dedup_corpus",
 ]
 
 
@@ -53,13 +56,10 @@ def _tokens(text_col: str):
 
 
 def _gram_array(toks, n: int):
-    """Word n-gram array over a BOUND token array (one gram per start
-    position 0..max(len-n, 0); a doc shorter than n tokens contributes its
-    whole text as one partial gram; slice clamps at the end)."""
-    return F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-    )
+    """Word n-gram array over a BOUND token array, dedup semantics: a doc
+    shorter than n tokens contributes its whole text as one partial gram
+    (exprutil.word_ngram_array include_partial=True)."""
+    return word_ngram_array(toks, n, include_partial=True)
 
 
 def word_shingles(
@@ -379,3 +379,163 @@ def simhash(
         term = F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
         sim = term if sim is None else sim + term
     return agg.select("doc_id", sim.cast("long").alias("simhash"))
+
+
+def _min_star(e: DataFrame, large: bool) -> DataFrame:
+    """One large-star (large=True) or small-star half-round over an edge
+    frame (u, v). Both are a groupBy-min plus a SAME-KEY equi-join — the
+    skew-safe formulation: a hub node's neighborhood is never collected
+    into one task's memory (no collect_list), it only flows through a
+    map-side-combined min and a hash join on u."""
+    if large:
+        # full neighborhood: both orientations; m = min(Γ(u) ∪ {u});
+        # connect every strictly-larger neighbor to m
+        und = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = (
+            und.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least("mn", "u").alias("m"))
+        )
+        out = (
+            und.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+    else:
+        # orient u = max endpoint; m = min of the ≤-neighborhood (v < u
+        # strictly, so m = min(v)); connect every small neighbor AND u to m
+        o = e.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        mins = o.groupBy("u").agg(F.min("v").alias("m"))
+        out = (
+            o.join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(mins.select(F.col("u"), F.col("m").alias("v")))
+        )
+    return out.where(F.col("u") != F.col("v")).distinct()
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_rounds: int = 50,
+) -> DataFrame:
+    """(node, component) for every node in the edge list; component = the
+    MIN node id of its connected component — the deterministic canonical
+    representative a dedup pass keeps.
+
+    Alternating large-star / small-star (Kiveris et al. 2014, "Connected
+    Components in MapReduce and Beyond" — public): converges to depth-1
+    stars rooted at each component's min in O(log² n) rounds regardless
+    of component diameter, so a 10^9-node pair graph is ~10 rounds of
+    bounded shuffles — never an O(diameter) label-propagation loop and
+    never a per-node adjacency list in memory.
+
+    The driver loop materializes each round with ``localCheckpoint`` —
+    NOT ``persist``: persist caches data but keeps the full logical
+    lineage, so round N's plan contains every prior round and Catalyst
+    re-analysis grows superlinearly (measured: a 3-round toy graph spent
+    12s in round 3's planning alone). Checkpointing truncates the plan to
+    a leaf per round, keeping per-round cost constant. (On a real cluster
+    use ``spark.sparkContext.setCheckpointDir`` + ``.checkpoint()`` if
+    executor loss during the loop must be survivable.) Convergence test:
+    the edge set is a fixpoint iff its size and order-insensitive
+    xxhash64 checksum both stop changing; each round's shuffle is bounded
+    by the current edge count, which only shrinks."""
+    e = (
+        edges.select(
+            F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def _sig(df: DataFrame):
+        # decimal(38,0) sum: a long sum of xxhash64 values overflows (and
+        # ANSI mode rightly raises) at row two; decimal is exact at any
+        # edge count
+        row = df.select(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.xxhash64(F.col("u"), F.col("v")).cast("decimal(38,0)")
+            ).alias("h"),
+        ).collect()[0]
+        return row["n"], row["h"]
+
+    sig = _sig(e)
+    for _ in range(max_rounds):
+        nxt = _min_star(_min_star(e, large=True), large=False).localCheckpoint()
+        nsig = _sig(nxt)
+        e.unpersist()
+        e = nxt
+        if nsig == sig:
+            break
+        sig = nsig
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} rounds"
+        )
+    # fixpoint = depth-1 stars: u -> component root v; roots appear only
+    # on the v side and are their own component
+    return e.select(
+        F.col("u").alias("node"), F.col("v").alias("component")
+    ).union(
+        e.select(F.col("v").alias("node"), F.col("v").alias("component")).distinct()
+    ).distinct()
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "doc_a",
+    dst: str = "doc_b",
+) -> DataFrame:
+    """(doc_id, cluster_id) for EVERY document: the min doc_id of its
+    near-duplicate component, itself if it has no near-dups. The final
+    stage of the dedup pipeline — pairwise verdicts (symmetric but not
+    transitive) become disjoint clusters with a deterministic canonical
+    representative.
+
+    The component frame is one row per doc that appears in ≥1 pair —
+    tiny next to the corpus when dup rates are sane — so the attach join
+    is a corpus-sized scan against a small right side (AQE turns it into
+    a broadcast join when it fits)."""
+    comp = connected_components(pairs, src=src, dst=dst)
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(
+            comp.select(
+                F.col("node").alias("doc_id"),
+                F.col("component").alias("cluster_id"),
+            ),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
+        )
+    )
+
+
+def dedup_corpus(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "doc_a",
+    dst: str = "doc_b",
+) -> DataFrame:
+    """The deduplicated corpus: every column of ``docs``, keeping exactly
+    one representative per near-duplicate cluster (the min doc_id) and
+    every singleton. Semi-join against the cluster roots — the corpus
+    rows (the wide payload at 100 TB) stream through one hash semi-join
+    keyed on doc_id and are never reshuffled wholesale."""
+    comp = connected_components(pairs, src=src, dst=dst)
+    drop = comp.where(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return docs.join(drop, id_col, "left_anti")

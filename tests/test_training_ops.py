@@ -106,6 +106,57 @@ class TestDedup:
         for pair, j in got.items():
             assert exact[pair] == j
 
+    def test_connected_components_chain_and_triangle(self, spark):
+        """A 4-node chain (worst case for naive propagation: diameter 3),
+        a triangle, an isolated edge — components = min node id."""
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4),          # chain
+             (10, 11), (11, 12), (10, 12),    # triangle
+             (20, 21)],                        # pair
+            "doc_a long, doc_b long",
+        )
+        got = {
+            r.node: r.component
+            for r in dedup.connected_components(edges).collect()
+        }
+        assert got == {1: 1, 2: 1, 3: 1, 4: 1,
+                       10: 10, 11: 10, 12: 10,
+                       20: 20, 21: 20}
+
+    def test_connected_components_long_chain(self, spark):
+        """A 64-node chain converges well inside max_rounds (the
+        alternating algorithm is O(log^2 n), not O(diameter))."""
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(64)], "doc_a long, doc_b long"
+        )
+        got = dedup.connected_components(edges, max_rounds=15).collect()
+        assert {r.node for r in got} == set(range(65))
+        assert {r.component for r in got} == {0}
+
+    def test_connected_components_empty_and_duplicate_edges(self, spark):
+        empty = spark.createDataFrame([], "doc_a long, doc_b long")
+        assert dedup.connected_components(empty).collect() == []
+        dup = spark.createDataFrame(
+            [(2, 1), (1, 2), (2, 2)], "doc_a long, doc_b long"
+        )
+        got = {r.node: r.component
+               for r in dedup.connected_components(dup).collect()}
+        assert got == {1: 1, 2: 1}
+
+    def test_dedup_clusters_and_corpus(self, docs):
+        """End-to-end: verified pairs -> clusters -> keep-one corpus.
+        Docs 1, 2, 4 form one near-dup cluster (rep 1); 3 and 5 are
+        singletons."""
+        pairs = dedup.verified_near_duplicates(docs, threshold=0.2)
+        cl = {
+            r.doc_id: r.cluster_id
+            for r in dedup.dedup_clusters(docs, pairs).collect()
+        }
+        assert cl == {1: 1, 2: 1, 3: 3, 4: 1, 5: 5}
+        kept = dedup.dedup_corpus(docs, pairs)
+        assert kept.columns == docs.columns
+        assert {r.doc_id for r in kept.collect()} == {1, 3, 5}
+
     def test_simhash_identical_docs_equal(self, docs):
         sims = {r.doc_id: r.simhash for r in dedup.simhash(docs).collect()}
         assert sims[1] == sims[4]
