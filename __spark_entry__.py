@@ -443,6 +443,59 @@ WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= 0.3"""
 _Q_NEAR_DUP_SQL = f"WITH {_NEAR_DUP_CTES} {_NEAR_DUP_SELECT}"
 
 
+# BM25 search fixture queries — terms drawn from the synthetic corpus
+# vocabulary; shared verbatim by the Spark query and the SQL oracle
+_BM25_QUERIES = [
+    (1, "spark window agg"),
+    (2, "customer query join"),
+    (3, "vector hash table"),
+]
+_BM25_K, _BM25_K1, _BM25_B = 10, 1.2, 0.75
+
+
+def q_bm25_search(spark, sf_dir):
+    """Okapi BM25 top-k retrieval over the documents corpus (inverted-
+    index shape: postings pruned by a broadcast query-term dictionary
+    BEFORE their one shuffle). operators/search.bm25_topk."""
+    from opentopodata_spark.operators import search
+
+    docs = _t(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(_BM25_QUERIES, "query_id long, query string")
+    return search.bm25_topk(
+        docs, queries, k=_BM25_K, k1=_BM25_K1, b=_BM25_B
+    )
+
+
+def _bm25_sql() -> str:
+    values = ", ".join(f"({i}, '{q}')" for i, q in _BM25_QUERIES)
+    k1, b = _BM25_K1, _BM25_B
+    qtoks = "list_filter(string_split(query, ' '), x -> x <> '')"
+    return f"""
+WITH q(query_id, query) AS (VALUES {values}),
+qt AS (SELECT DISTINCT query_id, unnest({qtoks}) AS term FROM q),
+stats AS (SELECT count(*) AS n_docs, avg(len({_TOKENS_SQL})) AS avgdl
+          FROM documents),
+occ AS (SELECT doc_id, len({_TOKENS_SQL}) AS dl, unnest({_TOKENS_SQL}) AS term
+        FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf, min(dl) AS dl FROM occ
+       WHERE term IN (SELECT term FROM qt) GROUP BY doc_id, term),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT qt.query_id, tf.doc_id,
+         round(sum(ln(1 + (s.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                   * tf.tf * ({k1} + 1)
+                   / (tf.tf + {k1} * (1 - {b} + {b} * tf.dl / s.avgdl))), 6)
+           AS score
+  FROM tf JOIN dfreq USING (term) JOIN qt USING (term) CROSS JOIN stats s
+  GROUP BY qt.query_id, tf.doc_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, doc_id) AS rank
+      FROM scored)
+SELECT query_id, doc_id, CAST(rank AS INT) AS rank, score
+FROM r WHERE rank <= {_BM25_K}
+"""
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Near-dup components: pairwise verified verdicts -> disjoint
     clusters via alternating large-star/small-star connected components
@@ -2064,6 +2117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_verified": q_near_dup_verified,
         "dedup_clusters": q_dedup_clusters,
         "dedup_corpus": q_dedup_corpus,
+        "bm25_search": q_bm25_search,
         "simhash": q_simhash,
         "token_stats": q_token_stats,
         "quality_score": q_quality,
@@ -2112,6 +2166,7 @@ def oracle_sql() -> dict[str, str]:
         "near_dup_verified": _Q_NEAR_DUP_SQL,
         "dedup_clusters": _Q_DEDUP_CLUSTERS_SQL,
         "dedup_corpus": _Q_DEDUP_CORPUS_SQL,
+        "bm25_search": _bm25_sql(),
         "simhash": _simhash_sql(),
         "token_stats": _Q_TOKEN_SQL,
         "quality_score": _quality_sql(),

@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .exprutil import bind_once, word_ngram_array
+from .exprutil import bind_once, tokens, word_ngram_array
 
 __all__ = [
     "word_shingles",
@@ -51,8 +51,8 @@ __all__ = [
 
 
 def _tokens(text_col: str):
-    """Whitespace tokens, empty strings dropped (split never yields null)."""
-    return F.filter(F.split(F.col(text_col), " "), lambda t: t != F.lit(""))
+    """Shared whitespace tokenization — see exprutil.tokens."""
+    return tokens(text_col)
 
 
 def _gram_array(toks, n: int):

@@ -4,7 +4,15 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-__all__ = ["bind_once", "word_ngram_array"]
+__all__ = ["bind_once", "tokens", "word_ngram_array"]
+
+
+def tokens(text_col: str):
+    """Whitespace tokens of a text column, empty strings dropped — the
+    tokenization every text operator (dedup, textops, search) shares, and
+    the one the DuckDB oracles replay as
+    ``list_filter(string_split(text, ' '), x -> x <> '')``."""
+    return F.filter(F.split(F.col(text_col), " "), lambda t: t != F.lit(""))
 
 
 def bind_once(col, fn):

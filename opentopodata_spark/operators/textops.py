@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .exprutil import bind_once, word_ngram_array
+from .exprutil import bind_once, tokens, word_ngram_array
 
 __all__ = [
     "token_stats",
@@ -50,7 +50,8 @@ STOPWORDS = {
 
 
 def _tokens(text_col: str):
-    return F.filter(F.split(F.col(text_col), " "), lambda t: t != F.lit(""))
+    """Shared whitespace tokenization — see exprutil.tokens."""
+    return tokens(text_col)
 
 
 def _count_in(toks, words: list[str]):

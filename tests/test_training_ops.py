@@ -721,3 +721,79 @@ class TestPathsMultimodal:
         multimodal.media_spans(documents).count()
         after = documents.select("doc_id", F.to_json("spans").alias("js")).collect()
         assert sorted(before) == sorted(after)
+
+
+# ---------------------------------------------------------------------------
+# search (BM25)
+# ---------------------------------------------------------------------------
+
+class TestSearch:
+    @pytest.fixture(scope="class")
+    def corpus(self, spark):
+        rows = [
+            (1, "spark window agg spark spark"),
+            (2, "window agg join"),
+            (3, "customer query join join join"),
+            (4, "unrelated words only here"),
+            (5, ""),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def _bm25_ref(self, docs, qterms, k1=1.2, b=0.75):
+        """Single-process BM25 reference."""
+        toks = {d: t.split() if t else [] for d, t in docs}
+        n = len(toks)
+        avgdl = sum(len(t) for t in toks.values()) / n
+        out = {}
+        for d, t in toks.items():
+            s = 0.0
+            for q in qterms:
+                tf = t.count(q)
+                if tf == 0:
+                    continue
+                df = sum(1 for t2 in toks.values() if q in t2)
+                idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+                s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(t) / avgdl))
+            if s > 0:
+                out[d] = round(s, 6)
+        return out
+
+    def test_bm25_matches_reference(self, spark, corpus):
+        from opentopodata_spark.operators import search
+
+        queries = spark.createDataFrame(
+            [(1, "spark window"), (2, "join")], "query_id long, query string"
+        )
+        got = search.bm25_topk(corpus, queries, k=10).collect()
+        by_q = {}
+        for r in got:
+            by_q.setdefault(r.query_id, {})[r.doc_id] = r.score
+        docs = [(r.doc_id, r.text) for r in corpus.collect()]
+        assert by_q[1] == self._bm25_ref(docs, ["spark", "window"])
+        assert by_q[2] == self._bm25_ref(docs, ["join"])
+        # ranks: dense 1..n per query, ordered by (score desc, doc_id asc)
+        for q in (1, 2):
+            rows = sorted(
+                [r for r in got if r.query_id == q], key=lambda r: r.rank
+            )
+            assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+            assert rows == sorted(rows, key=lambda r: (-r.score, r.doc_id))
+
+    def test_bm25_topk_truncates_and_dedups_query_terms(self, spark, corpus):
+        from opentopodata_spark.operators import search
+
+        # repeated query term must not double-count; k=1 keeps only the top hit
+        q1 = spark.createDataFrame([(9, "join join")], "query_id long, query string")
+        q2 = spark.createDataFrame([(9, "join")], "query_id long, query string")
+        a = search.bm25_topk(corpus, q1, k=1).collect()
+        b = search.bm25_topk(corpus, q2, k=1).collect()
+        assert len(a) == len(b) == 1
+        assert (a[0].doc_id, a[0].score) == (b[0].doc_id, b[0].score) == (3, a[0].score)
+
+    def test_bm25_no_match_and_empty_query(self, spark, corpus):
+        from opentopodata_spark.operators import search
+
+        queries = spark.createDataFrame(
+            [(1, "zzz absent"), (2, "")], "query_id long, query string"
+        )
+        assert search.bm25_topk(corpus, queries).collect() == []
