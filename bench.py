@@ -42,19 +42,24 @@ def _sf_label(sf_dir: str) -> float:
 N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 
 
-def run(df, warmup: bool = True) -> float:
+def run(make, warmup: bool = True) -> float:
     """Steady-state timing: one untimed write (JIT/codegen, Python worker
     pool, page cache), then the median of N_RUNS timed writes — local-mode
     runs carry multi-second GC / worker-pool spikes that a single sample
-    reports as query regressions. Each write builds a fresh query
-    execution, so shuffle stages genuinely re-run (nothing is reused
-    across actions)."""
+    reports as query regressions. ``make`` is a factory: each rep builds
+    the DataFrame fresh INSIDE the timed region, so operators that
+    materialize during construction (iterative algorithms checkpointing
+    per round, e.g. dedup_clusters) are fully timed, and nothing is
+    reused across actions (a re-written identical DataFrame would skip
+    its computed shuffle stages)."""
+    if not callable(make):
+        df, make = make, lambda: df
     if warmup:
-        df.write.format("noop").mode("overwrite").save()
+        make().write.format("noop").mode("overwrite").save()
     times = []
     for _ in range(N_RUNS):
         t0 = time.time()
-        df.write.format("noop").mode("overwrite").save()
+        make().write.format("noop").mode("overwrite").save()
         times.append(time.time() - t0)
     return sorted(times)[len(times) // 2]
 
@@ -79,6 +84,8 @@ def main() -> None:
     queries = {
         "minhash_lsh": lambda: contract.q_lsh_pairs(spark, SF_DIR),
         "near_dup_verified": lambda: contract.q_near_dup_verified(spark, SF_DIR),
+        "dedup_clusters": lambda: contract.q_dedup_clusters(spark, SF_DIR),
+        "bm25_search": lambda: contract.q_bm25_search(spark, SF_DIR),
         "simhash": lambda: contract.q_simhash(spark, SF_DIR),
         "exact_dedup": lambda: contract.q_exact_dedup(spark, SF_DIR),
         "token_stats": lambda: contract.q_token_stats(spark, SF_DIR),
@@ -106,7 +113,7 @@ def main() -> None:
         "raster_diff": lambda: contract.q_raster_diff(spark, SF_DIR),
     }
     for name, make in queries.items():
-        timings[name] = run(make())
+        timings[name] = run(make)
 
     total = sum(timings.values())
     print(

@@ -16,11 +16,11 @@ Pipeline (one metrics scan, one dedup shuffle, optional LSH near-dup):
          one hash aggregation with map-side combine
       -> optional near-dup drop (--near-dup-threshold): MinHash -> LSH ->
          verified Jaccard (operators/dedup.verified_near_duplicates, the
-         bucketed non-quadratic shape); within each verified pair the
-         higher doc_id drops (deterministic, union-find-free: at a fixed
-         threshold transitive chains drop everything but each chain's
-         minimum because every pair member except the min loses at least
-         one comparison)
+         bucketed non-quadratic shape); --near-dup-mode picks the
+         semantics — pairs (default): the higher doc_id of every verified
+         pair drops; clusters: connected components over the pair graph
+         keep one representative per component (union-find semantics,
+         operators/dedup.dedup_corpus)
       -> optional deterministic stratified sampling (--sample-rates):
          per-language data mixing by md5(doc_id) threshold — layout- and
          engine-independent, auditable via the emitted sample_key column
@@ -71,6 +71,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-exact-dedup", action="store_true", help="skip exact text dedup (kept on by default)")
     p.add_argument("--near-dup-threshold", type=float, default=None,
                    help="also drop LSH-verified near-duplicates at this Jaccard threshold")
+    p.add_argument("--near-dup-mode", choices=("pairs", "clusters"),
+                   default="pairs",
+                   help="pairs: drop the larger id of every verified pair "
+                        "(keeps both of two docs that only share a mutual "
+                        "neighbor); clusters: connected components over the "
+                        "pair graph, keep one representative per component "
+                        "(the standard union-find corpus dedup — treats "
+                        "near-duplication as transitive)")
     p.add_argument("--shingle-n", type=int, default=2)
     p.add_argument("--cores", type=int, default=None, help="local[] cores (ignored with --master external)")
     p.add_argument("--shuffle-partitions", type=int, default=None)
@@ -137,13 +145,19 @@ def run(ns: argparse.Namespace, spark=None) -> dict:
             shingle_n=ns.shingle_n,
             threshold=float(ns.near_dup_threshold),
         )
-        # drop the larger id of every verified pair: each duplicate chain
-        # keeps exactly its minimum (every non-min member appears as the
-        # doc_b of at least one pair at the same threshold)
-        losers = pairs.select(
-            F.greatest("doc_a", "doc_b").alias("doc_id")
-        ).distinct()
-        survivors = survivors.join(losers, "doc_id", "left_anti")
+        if ns.near_dup_mode == "clusters":
+            # transitive semantics: components over the verified-pair
+            # graph, keep each component's min doc_id
+            survivors = _dedup.dedup_corpus(survivors, pairs)
+        else:
+            # pairwise semantics: drop the larger id of every verified
+            # pair. Keeps a doc that merely shares a near-dup neighbor
+            # with another kept doc (e.g. edges 1-3, 2-3 keep 1 AND 2);
+            # use clusters mode for the union-find keep-one behavior.
+            losers = pairs.select(
+                F.greatest("doc_a", "doc_b").alias("doc_id")
+            ).distinct()
+            survivors = survivors.join(losers, "doc_id", "left_anti")
 
     if ns.sample_rates:
         from ..operators import sampling as _sampling

@@ -59,6 +59,34 @@ def test_dataprep_end_to_end(tmp_path, corpus_path, spark, capsys):
     assert {"doc_id", "text", "score", "pred_lang", "n_ws_tokens"} <= cols
 
 
+def test_dataprep_near_dup_modes(tmp_path, spark, capsys):
+    """pairs vs clusters semantics on a 'mutual neighbor' graph: docs 1
+    and 2 are each near-dups of 3 but NOT of each other. pairs mode drops
+    only 3 (the greater id of both pairs); clusters mode merges {1,2,3}
+    into one component and keeps only its min."""
+    rows = [
+        (1, "a b c d e f g h"),
+        (2, "b c d e f g h i j"),
+        (3, "a b c d e f g h i j"),
+    ]
+    p = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(p)
+    # jaccard(1,3) = 7/9 ≈ 0.78, jaccard(2,3) = 8/9 ≈ 0.89 (both verified
+    # at 0.7); jaccard(1,2) = 6/9 ≈ 0.67 (candidate, fails verification)
+    base = ["--documents", p, "--min-tokens", "0", "--cores", "4",
+            "--near-dup-threshold", "0.7"]
+
+    out_pairs = str(tmp_path / "pairs")
+    assert job.main(base + ["--out", out_pairs]) == 0
+    kept = {r.doc_id for r in spark.read.parquet(f"{out_pairs}/corpus").collect()}
+    assert kept == {1, 2}
+
+    out_cl = str(tmp_path / "clusters")
+    assert job.main(base + ["--out", out_cl, "--near-dup-mode", "clusters"]) == 0
+    kept = {r.doc_id for r in spark.read.parquet(f"{out_cl}/corpus").collect()}
+    assert kept == {1}
+
+
 def test_dataprep_no_filters_keeps_everything(tmp_path, corpus_path, spark, capsys):
     out = str(tmp_path / "all")
     argv = ["--documents", corpus_path, "--out", out,
