@@ -797,3 +797,22 @@ class TestSearch:
             [(1, "zzz absent"), (2, "")], "query_id long, query string"
         )
         assert search.bm25_topk(corpus, queries).collect() == []
+
+    def test_bm25_exactly_two_corpus_scans(self, spark, corpus, tmp_path):
+        """Plan-shape regression: BM25 must scan the corpus exactly twice
+        (pruned postings + avgdl stats) — the df(t) window must NOT make
+        the posting subtree a second consumer (the groupBy+join form
+        re-scanned and re-aggregated the whole corpus)."""
+        from opentopodata_spark.operators import search
+
+        p = str(tmp_path / "corpus.parquet")
+        corpus.write.parquet(p)
+        docs = spark.read.parquet(p)
+        q = spark.createDataFrame([(1, "join")], "query_id long, query string")
+        plan = (
+            search.bm25_topk(docs, q)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan.count("FileScan parquet") == 2
