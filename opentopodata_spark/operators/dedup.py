@@ -30,6 +30,7 @@ Scale notes (the design point is 10^12 documents, ~100 TB of text):
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -416,24 +417,75 @@ def _min_star(e: DataFrame, large: bool) -> DataFrame:
     return out.where(F.col("u") != F.col("v")).distinct()
 
 
+def _local_components(e: DataFrame) -> DataFrame:
+    """Single-task union-find over a small edge frame: all edges fold
+    through ONE executor task (repartition(1) + mapInPandas accumulating
+    across Arrow batches) — still distributed execution, nothing collects
+    to the driver. Union-by-min + path compression; output is the same
+    (node, component=min of component) set the iterative algorithm
+    produces, independent of edge order."""
+
+    def fold(batches):
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:
+                parent[x], x = r, parent[x]
+            return r
+
+        seen = False
+        for pdf in batches:
+            seen = True
+            for a, b in zip(pdf["u"].to_numpy(), pdf["v"].to_numpy()):
+                ra, rb = find(int(a)), find(int(b))
+                if ra != rb:
+                    if ra < rb:
+                        parent[rb] = ra
+                    else:
+                        parent[ra] = rb
+        if not seen and not parent:
+            return
+        nodes = list(parent.keys())
+        comps = [find(x) for x in nodes]
+        roots = sorted(set(comps))
+        yield pd.DataFrame(
+            {"node": nodes + roots, "component": comps + roots}
+        ).astype("int64")
+
+    return e.repartition(1).mapInPandas(fold, "node long, component long")
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "doc_a",
     dst: str = "doc_b",
     max_rounds: int = 50,
+    local_threshold: int = 2_000_000,
 ) -> DataFrame:
     """(node, component) for every node in the edge list; component = the
     MIN node id of its connected component — the deterministic canonical
     representative a dedup pass keeps.
 
-    Alternating large-star / small-star (Kiveris et al. 2014, "Connected
-    Components in MapReduce and Beyond" — public): converges to depth-1
-    stars rooted at each component's min in O(log² n) rounds regardless
-    of component diameter, so a 10^9-node pair graph is ~10 rounds of
-    bounded shuffles — never an O(diameter) label-propagation loop and
-    never a per-node adjacency list in memory.
+    Two regimes, same output:
 
-    The driver loop materializes each round with ``localCheckpoint`` —
+    * ``|edges| <= local_threshold``: single-task union-find
+      (_local_components). Even a 10^12-document corpus with a sane dup
+      rate yields a pair graph orders smaller than the corpus, and one
+      in-memory union-find beats ~6 shuffle stages × O(log² n) rounds of
+      scheduler latency by an order of magnitude (measured 7.7s → ~2s on
+      the sf0.1 bench). 2M edges ≈ tens of MB of dict — one task, not
+      the driver.
+    * bigger: alternating large-star / small-star (Kiveris et al. 2014,
+      "Connected Components in MapReduce and Beyond" — public), which
+      converges to depth-1 stars rooted at each component's min in
+      O(log² n) rounds regardless of component diameter — never an
+      O(diameter) label-propagation loop and never a per-node adjacency
+      list in memory (the skew-safe groupBy-min + join formulation).
+
+    The iterative loop materializes each round with ``localCheckpoint`` —
     NOT ``persist``: persist caches data but keeps the full logical
     lineage, so round N's plan contains every prior round and Catalyst
     re-analysis grows superlinearly (measured: a 3-round toy graph spent
@@ -466,6 +518,8 @@ def connected_components(
         return row["n"], row["h"]
 
     sig = _sig(e)
+    if sig[0] <= local_threshold:
+        return _local_components(e)
     for _ in range(max_rounds):
         nxt = _min_star(_min_star(e, large=True), large=False).localCheckpoint()
         nsig = _sig(nxt)

@@ -123,15 +123,37 @@ class TestDedup:
                        10: 10, 11: 10, 12: 10,
                        20: 20, 21: 20}
 
-    def test_connected_components_long_chain(self, spark):
+    def test_connected_components_long_chain_distributed(self, spark):
         """A 64-node chain converges well inside max_rounds (the
-        alternating algorithm is O(log^2 n), not O(diameter))."""
+        alternating algorithm is O(log^2 n), not O(diameter)).
+        local_threshold=0 forces the iterative star-contraction path."""
         edges = spark.createDataFrame(
             [(i, i + 1) for i in range(64)], "doc_a long, doc_b long"
         )
-        got = dedup.connected_components(edges, max_rounds=15).collect()
+        got = dedup.connected_components(
+            edges, max_rounds=15, local_threshold=0
+        ).collect()
         assert {r.node for r in got} == set(range(65))
         assert {r.component for r in got} == {0}
+
+    def test_connected_components_local_matches_distributed(self, spark):
+        """The single-task union-find fast path and the iterative
+        star-contraction path produce the identical (node, component)
+        set on a seeded random graph."""
+        import random
+
+        rng = random.Random(42)
+        edges = [(rng.randrange(200), rng.randrange(200)) for _ in range(150)]
+        df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        local = {
+            (r.node, r.component)
+            for r in dedup.connected_components(df).collect()
+        }
+        dist = {
+            (r.node, r.component)
+            for r in dedup.connected_components(df, local_threshold=0).collect()
+        }
+        assert local == dist and local
 
     def test_connected_components_empty_and_duplicate_edges(self, spark):
         empty = spark.createDataFrame([], "doc_a long, doc_b long")
