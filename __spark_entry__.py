@@ -443,6 +443,83 @@ WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= 0.3"""
 _Q_NEAR_DUP_SQL = f"WITH {_NEAR_DUP_CTES} {_NEAR_DUP_SELECT}"
 
 
+def _plant_pii(doc_id_col, text_col):
+    """Deterministic PII planted per doc (the synthetic corpus has none):
+    built with the IDENTICAL expression in Spark and the SQL oracle."""
+    return F.concat(
+        text_col,
+        F.lit(" contact user"),
+        doc_id_col.cast("string"),
+        F.lit("@example.com from 10.0."),
+        (doc_id_col % 256).cast("string"),
+        F.lit(".7"),
+        F.when(doc_id_col % 3 == 0, F.lit(" call +1 555-0001234")).otherwise(
+            F.lit("")
+        ),
+    )
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII redaction (operators/textops.scrub_pii): emails / IPv4 / phone
+    runs replaced by typed tokens, per-category counts. Narrow codegen'd
+    regex chain — zero shuffles."""
+    d = _t(spark, sf_dir, "documents")
+    planted = d.select(
+        "doc_id", _plant_pii(F.col("doc_id"), F.col("text")).alias("text")
+    )
+    return textops.scrub_pii(planted)
+
+
+def _pii_scrub_sql() -> str:
+    from opentopodata_spark.operators.textops import PII_PATTERNS
+
+    pats = dict(PII_PATTERNS)
+    email, ipv4, phone = pats["email"], pats["ipv4"], pats["phone"]
+    # the chain mirrors scrub_pii exactly: each count is taken on the text
+    # as redacted by the PREVIOUS stages
+    t0 = "text"
+    t1 = f"regexp_replace({t0}, '{email}', '<EMAIL>', 'g')"
+    t2 = f"regexp_replace({t1}, '{ipv4}', '<IPV4>', 'g')"
+    t3 = f"regexp_replace({t2}, '{phone}', '<PHONE>', 'g')"
+    return f"""
+WITH planted AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com from 10.0.'
+              || CAST(doc_id % 256 AS VARCHAR) || '.7'
+              || CASE WHEN doc_id % 3 = 0 THEN ' call +1 555-0001234'
+                      ELSE '' END AS text
+  FROM documents)
+SELECT doc_id,
+       {t3} AS clean,
+       len(regexp_extract_all({t0}, '{email}')) AS n_email,
+       len(regexp_extract_all({t1}, '{ipv4}')) AS n_ipv4,
+       len(regexp_extract_all({t2}, '{phone}')) AS n_phone
+FROM planted
+"""
+
+
+def q_text_normalize(spark, sf_dir):
+    """Whitespace/case/control-char normalization
+    (operators/textops.normalize_text) — the pre-hash canonicalization
+    pass for noise-insensitive exact dedup."""
+    d = _t(spark, sf_dir, "documents")
+    noisy = d.select(
+        "doc_id",
+        F.concat(F.lit("  \t"), F.col("text"), F.lit("  X\x01Y  ")).alias("text"),
+    )
+    return textops.normalize_text(noisy)
+
+
+_Q_TEXT_NORMALIZE_SQL = r"""
+SELECT doc_id,
+       trim(regexp_replace(regexp_replace(
+           lower('  ' || chr(9) || text || '  X' || chr(1) || 'Y  '),
+           '[\x00-\x1F\x7F]', ' ', 'g'), '  +', ' ', 'g')) AS norm
+FROM documents
+"""
+
+
 # BM25 search fixture queries — terms drawn from the synthetic corpus
 # vocabulary; shared verbatim by the Spark query and the SQL oracle
 _BM25_QUERIES = [
@@ -2118,6 +2195,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "dedup_corpus": q_dedup_corpus,
         "bm25_search": q_bm25_search,
+        "pii_scrub": q_pii_scrub,
+        "text_normalize": q_text_normalize,
         "simhash": q_simhash,
         "token_stats": q_token_stats,
         "quality_score": q_quality,
@@ -2167,6 +2246,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": _Q_DEDUP_CLUSTERS_SQL,
         "dedup_corpus": _Q_DEDUP_CORPUS_SQL,
         "bm25_search": _bm25_sql(),
+        "pii_scrub": _pii_scrub_sql(),
+        "text_normalize": _Q_TEXT_NORMALIZE_SQL,
         "simhash": _simhash_sql(),
         "token_stats": _Q_TOKEN_SQL,
         "quality_score": _quality_sql(),

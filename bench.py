@@ -92,6 +92,7 @@ def main() -> None:
         "quality_score": lambda: contract.q_quality(spark, SF_DIR),
         "lang_id": lambda: contract.q_lang_id(spark, SF_DIR),
         "fingerprint": lambda: contract.q_fingerprint(spark, SF_DIR),
+        "pii_scrub": lambda: contract.q_pii_scrub(spark, SF_DIR),
         "repetition_stats": lambda: contract.q_repetition_stats(spark, SF_DIR),
         "repeated_ngrams": lambda: contract.q_repeated_ngrams(spark, SF_DIR),
         "corpus_sample": lambda: contract.q_corpus_sample(spark, SF_DIR),

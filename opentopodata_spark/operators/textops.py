@@ -33,7 +33,10 @@ __all__ = [
     "fingerprint",
     "repetition_stats",
     "document_metrics",
+    "scrub_pii",
+    "normalize_text",
     "STOPWORDS",
+    "PII_PATTERNS",
 ]
 
 # A BPE-ish pre-tokenizer: letter runs | digit runs | single non-alnum
@@ -276,3 +279,58 @@ def repetition_stats(
     (training-data extra); semantics follow the public Gopher paper's
     repetition filters."""
     return _select(df, id_col, _repetition_exprs(text_col))
+
+
+# PII redaction patterns, applied in list order (email first: an address
+# contains digit runs a later pattern might otherwise nibble). Written in
+# the common Java-regex / RE2 subset (no backrefs, no lookaround, no
+# \w/\s/\b-in-class surprises) so Spark and the DuckDB oracle transform
+# text identically.
+PII_PATTERNS = [
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"),
+    ("ipv4", "\\b[0-9]{1,3}(\\.[0-9]{1,3}){3}\\b"),
+    # international-ish phone: 8+ chars of digits/separators between two
+    # digits, optional leading +; separators exclude '.' so IPv4 never
+    # overlaps
+    ("phone", "\\+?[0-9][0-9() -]{6,}[0-9]"),
+]
+
+
+def scrub_pii(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """PII redaction pass: (doc_id, clean, n_email, n_ipv4, n_phone).
+
+    Emails, IPv4 addresses and phone-like digit runs are replaced by
+    ``<EMAIL>`` / ``<IPV4>`` / ``<PHONE>`` tokens (sequential
+    regexp_replace in PII_PATTERNS order); counts are per-category match
+    counts on the text as seen at that stage of the chain, so the counts
+    are exactly the number of tokens inserted. Pure codegen'd column
+    expressions — narrow, zero Python, zero shuffle, the standard
+    pre-training scrub shape (the heavy lifting at 100 TB is the scan
+    itself)."""
+    clean = F.col(text_col)
+    counts = {}
+    for name, pat in PII_PATTERNS:
+        counts[f"n_{name}"] = F.regexp_count(clean, F.lit(pat)).cast("long")
+        clean = F.regexp_replace(clean, pat, f"<{name.upper()}>")
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        clean.alias("clean"),
+        *[e.alias(n) for n, e in counts.items()],
+    )
+
+
+def normalize_text(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Canonical text normalization: (doc_id, norm) with lowercasing,
+    control characters stripped, runs of whitespace collapsed to single
+    spaces, and ends trimmed — the cheap pass that makes exact-dedup
+    hashes insensitive to whitespace/casing noise. Same Java/RE2-safe
+    expression on both engines."""
+    t = F.lower(F.col(text_col))
+    t = F.regexp_replace(t, "[\\x00-\\x1F\\x7F]", " ")
+    t = F.regexp_replace(t, "  +", " ")
+    t = F.trim(t)
+    return df.select(F.col(id_col).alias("doc_id"), t.alias("norm"))

@@ -838,3 +838,28 @@ class TestSearch:
             .toString()
         )
         assert plan.count("FileScan parquet") == 2
+
+
+class TestScrub:
+    def test_scrub_pii(self, spark):
+        rows = [
+            (1, "mail bob.smith+x@ex-ample.co.uk or call +1 (555) 000-1234 now"),
+            (2, "server at 10.0.255.7 and 192.168.1.1, port 8080"),
+            (3, "clean text with number 42 and year 2026"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r.doc_id: r for r in textops.scrub_pii(df).collect()}
+        assert got[1].n_email == 1 and got[1].n_phone == 1
+        assert "<EMAIL>" in got[1].clean and "<PHONE>" in got[1].clean
+        assert "bob" not in got[1].clean and "555" not in got[1].clean
+        assert got[2].n_ipv4 == 2 and "<IPV4>" in got[2].clean
+        assert "8080" in got[2].clean  # a bare port is not PII
+        assert got[3].clean == rows[2][1]  # untouched
+        assert (got[3].n_email, got[3].n_ipv4, got[3].n_phone) == (0, 0, 0)
+
+    def test_normalize_text(self, spark):
+        df = spark.createDataFrame(
+            [(1, "  Hello\tWORLD   and\x01more  ")], "doc_id long, text string"
+        )
+        r = textops.normalize_text(df).collect()[0]
+        assert r.norm == "hello world and more"
