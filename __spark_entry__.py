@@ -1012,6 +1012,141 @@ SELECT doc_id, lang, source, text_hash FROM r WHERE rn = 1
 """
 
 
+_NEAR_DUP_STREAM_T = 0.5
+
+
+def q_streaming_near_dup(spark, sf_dir):
+    """Streaming incremental NEAR-dup dedup (streaming.run_near_dup_stream):
+    three waves (doc_id % 3, drained in order); each wave deduplicates
+    within itself (verified pairs -> components -> keep min) and is then
+    LSH-probed + Jaccard-verified against the accumulated ADMITTED corpus.
+    Deterministic (md5 minhash banding + exact shingle Jaccard), so the
+    oracle is a single-process sequential replay."""
+    import shutil
+    import tempfile
+
+    from opentopodata_spark import streaming as stx
+
+    work = tempfile.mkdtemp(prefix="otds_sneard_q_")
+    try:
+        docs = _t(spark, sf_dir, "documents").select(
+            "doc_id", "text", "lang", "source"
+        )
+        for wave in range(3):
+            docs.where(F.pmod(F.col("doc_id"), F.lit(3)) == wave).coalesce(
+                1
+            ).write.mode("overwrite").parquet(f"{work}/in/wave{wave}")
+            q = stx.run_near_dup_stream(
+                stx.stream_corpus(spark, f"{work}/in/*"),
+                f"{work}/corpus",
+                f"{work}/ckpt",
+                f"{work}/index",
+                threshold=_NEAR_DUP_STREAM_T,
+            )
+            q.awaitTermination()
+        out = spark.read.parquet(f"{work}/corpus").select(
+            "doc_id", "lang", "source"
+        )
+        out = out.cache()
+        out.count()  # materialize before the temp dir goes away
+        return out
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def _build_near_dup_stream_oracle(sf_dir: str):
+    """Sequential replay of q_streaming_near_dup: same md5 minhash family,
+    same banding, same distinct-shingle Jaccard with half-up rounding,
+    same keep-min-per-component within a wave, same admitted-only index."""
+    import hashlib
+    import pyarrow as pa
+
+    def h(s: str) -> str:
+        return hashlib.md5(s.encode()).hexdigest()
+
+    def shingles(text: str) -> frozenset:
+        toks = [t for t in (text or "").split(" ") if t]
+        if not toks:
+            return frozenset()
+        n = 2
+        if len(toks) < n:
+            grams = [" ".join(toks)]
+        else:
+            grams = [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+        return frozenset(g for g in grams if g)
+
+    def buckets(sh: frozenset) -> frozenset:
+        if not sh:
+            return frozenset()
+        sig = [min(h(f"{s}#{i}") for s in sh) for i in range(8)]
+        return frozenset(
+            (b, f"{sig[2 * b]}|{sig[2 * b + 1]}") for b in range(4)
+        )
+
+    def jacc_ok(a: frozenset, b: frozenset) -> bool:
+        inter = len(a & b)
+        if not inter:
+            return False
+        j = _round_half_up(inter / (len(a) + len(b) - inter), 6)
+        return j >= _NEAR_DUP_STREAM_T
+
+    t = _read_pq(sf_dir, "documents")
+    recs = list(
+        zip(
+            t.column("doc_id").to_pylist(),
+            t.column("text").to_pylist(),
+            t.column("lang").to_pylist(),
+            t.column("source").to_pylist(),
+        )
+    )
+    admitted: list[tuple] = []  # (doc_id, shingles, buckets, lang, source)
+    for wave in range(3):
+        wd = sorted(
+            (r for r in recs if r[0] % 3 == wave), key=lambda r: r[0]
+        )
+        info = {r[0]: (shingles(r[1]), r[2], r[3]) for r in wd}
+        bks = {d: buckets(s) for d, (s, _, _) in info.items()}
+        ids = sorted(info)
+        # within-wave: bucket-sharing pairs -> verified edges -> components
+        parent = {d: d for d in ids}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                if bks[a] & bks[b] and jacc_ok(info[a][0], info[b][0]):
+                    ra, rb = find(a), find(b)
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
+        canon = [d for d in ids if find(d) == d]
+        # cross-wave: reject on a bucket collision + verified Jaccard
+        # against docs admitted in PREVIOUS waves (the operator's index
+        # read excludes the current batch; same-wave canon docs are in
+        # distinct components so they can never verify anyway)
+        new_admits = []
+        for d in canon:
+            sh_d, lang, source = info[d]
+            hit = any(
+                (bks[d] & ob) and jacc_ok(sh_d, os_)
+                for (_, os_, ob, _, _) in admitted
+            )
+            if not hit:
+                new_admits.append((d, sh_d, bks[d], lang, source))
+        admitted.extend(new_admits)
+    admitted.sort(key=lambda r: r[0])
+    return pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in admitted], type=pa.int64()),
+            "lang": pa.array([r[3] for r in admitted], type=pa.string()),
+            "source": pa.array([r[4] for r in admitted], type=pa.string()),
+        }
+    )
+
+
 def q_streaming_sessionize(spark, sf_dir):
     """Custom stateful streaming operator (applyInPandasWithState):
     gap-based sessionization over the events stream. Deterministic for a
@@ -2161,6 +2296,7 @@ _PRECOMPUTED_BUILDERS = {
     "streaming_overview": _build_overview_oracle,
     "contour_lines": _build_contour_oracle,
     "raster_diff": _build_raster_diff_oracle,
+    "streaming_near_dup": _build_near_dup_stream_oracle,
 }
 
 
@@ -2212,6 +2348,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_rollup": q_streaming_rollup,
         "streaming_sessionize": q_streaming_sessionize,
         "streaming_dedup": q_streaming_dedup,
+        "streaming_near_dup": q_streaming_near_dup,
         "sessionize": q_sessionize,
         "elevation_e2e": q_elevation_e2e,
         "geodesic_paths": q_geodesic_paths,

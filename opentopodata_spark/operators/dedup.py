@@ -41,6 +41,7 @@ __all__ = [
     "repeated_ngrams",
     "exact_duplicates",
     "minhash_signatures",
+    "lsh_buckets",
     "lsh_candidate_pairs",
     "jaccard_pairs",
     "verified_near_duplicates",
@@ -167,6 +168,31 @@ def minhash_signatures(
     )
 
 
+def lsh_buckets(signatures: DataFrame, band_size: int = 2) -> DataFrame:
+    """(doc_id, band, value) LSH bucket rows: bands are concatenations of
+    ``band_size`` adjacent signature columns. The unit both the batch
+    self-join (lsh_candidate_pairs) and the streaming admitted-corpus
+    bucket index are built from."""
+    hash_cols = [c for c in signatures.columns if c.startswith("h")]
+    n_bands = len(hash_cols) // band_size
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "|", *[F.col(hash_cols[b * band_size + j]) for j in range(band_size)]
+                ).alias("value"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return signatures.select(
+        F.col("doc_id"), F.explode(bands).alias("bv")
+    ).select(
+        "doc_id", F.col("bv.band").alias("band"), F.col("bv.value").alias("value")
+    )
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     band_size: int = 2,
@@ -187,23 +213,7 @@ def lsh_candidate_pairs(
     (one full exchange of the pair stream) for callers whose downstream
     aggregation dedupes anyway (see ``verified_near_duplicates``).
     """
-    hash_cols = [c for c in signatures.columns if c.startswith("h")]
-    n_bands = len(hash_cols) // band_size
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.concat_ws(
-                    "|", *[F.col(hash_cols[b * band_size + j]) for j in range(band_size)]
-                ).alias("value"),
-            )
-            for b in range(n_bands)
-        ]
-    )
-    buckets = signatures.select(
-        F.col("doc_id"), F.explode(bands).alias("bv")
-    ).select("doc_id", F.col("bv.band").alias("band"), F.col("bv.value").alias("value")
-    ).persist()
+    buckets = lsh_buckets(signatures, band_size).persist()
 
     big = (
         buckets.groupBy("band", "value")

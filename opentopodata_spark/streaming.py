@@ -340,6 +340,135 @@ def run_dedup_stream(
     return writer.start()
 
 
+def run_near_dup_stream(
+    corpus_stream: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    index_dir: str,
+    threshold: float = 0.5,
+    shingle_n: int = 2,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    available_now: bool = True,
+):
+    """Streaming incremental NEAR-dup dedup — the continuous-crawl twin of
+    ``operators/dedup.verified_near_duplicates``: each micro-batch is
+
+    1. deduplicated WITHIN itself (verified pairs -> connected components
+       -> keep each cluster's min doc_id), then
+    2. LSH-probed against the accumulated ADMITTED-corpus bucket index:
+       a new doc sharing a band bucket with an admitted doc becomes a
+       candidate, exact Jaccard verifies it against the admitted doc's
+       shingles (texts re-read from the output corpus, pruned to
+       candidate ids only), and a verified match rejects the new doc.
+
+    State is the bucket index: (doc_id, band, value) rows of admitted
+    docs — ~n_bands small rows per admitted doc, no shingles, no raw
+    text. Verification re-reads the admitted corpus but ONLY the docs
+    that collided (semi-join on candidate ids — at sane dup rates a tiny
+    pruned read). Because the index holds only ADMITTED (already
+    deduplicated) docs, boilerplate mega-clusters collapse to single
+    representatives and bucket degeneracy is structurally bounded —
+    the streaming analog of the batch max_bucket cap.
+
+    Batch writes (corpus + index) each overwrite their own
+    ingest_batch=<id> partition and the index/corpus reads exclude the
+    current batch id, so a retried batch neither duplicates output nor
+    verifies against its own half-written state (same idempotency
+    contract as run_dedup_stream)."""
+    from pyspark.errors import AnalysisException
+
+    from .operators import dedup as _dedup
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark_l = batch_df.sparkSession
+        within = _dedup.verified_near_duplicates(
+            batch_df, shingle_n=shingle_n, num_hashes=num_hashes,
+            band_size=band_size, threshold=threshold,
+        )
+        canon = _dedup.dedup_corpus(batch_df, within).localCheckpoint()
+
+        sigs = _dedup.minhash_signatures(
+            canon, shingle_n=shingle_n, num_hashes=num_hashes
+        )
+        new_buckets = _dedup.lsh_buckets(sigs, band_size).persist()
+
+        admitted = canon
+        try:
+            idx = spark_l.read.parquet(index_dir).where(
+                F.col("ingest_batch") != batch_id
+            )
+            cands = (
+                new_buckets.join(
+                    idx.withColumnRenamed("doc_id", "old_id"),
+                    ["band", "value"],
+                )
+                .select(F.col("doc_id").alias("new_id"), "old_id")
+                .distinct()
+            )
+            # exact-verify candidates: new shingles from the batch, old
+            # shingles from a candidate-pruned read of the admitted corpus
+            old_docs = (
+                spark_l.read.parquet(out_dir)
+                .where(F.col("ingest_batch") != batch_id)
+                .join(
+                    cands.select(F.col("old_id").alias("doc_id")).distinct(),
+                    "doc_id",
+                    "left_semi",
+                )
+            )
+            sh_new = _dedup.word_shingles(canon, n=shingle_n)
+            sh_old = _dedup.word_shingles(old_docs, n=shingle_n)
+            sz_new = sh_new.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz_new"))
+            sz_old = sh_old.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz_old"))
+            inter = (
+                cands.join(sh_new.withColumnRenamed("doc_id", "new_id"), "new_id")
+                .join(
+                    sh_old.withColumnsRenamed({"doc_id": "old_id"}),
+                    ["old_id", "shingle"],
+                )
+                .groupBy("new_id", "old_id")
+                .agg(F.count_distinct(F.col("shingle")).alias("inter"))
+            )
+            rejected = (
+                inter.join(sz_new.withColumnRenamed("doc_id", "new_id"), "new_id")
+                .join(sz_old.withColumnRenamed("doc_id", "old_id"), "old_id")
+                .where(
+                    F.round(
+                        F.col("inter")
+                        / (F.col("sz_new") + F.col("sz_old") - F.col("inter")),
+                        6,
+                    )
+                    >= threshold
+                )
+                .select(F.col("new_id").alias("doc_id"))
+                .distinct()
+            )
+            admitted = canon.join(rejected, "doc_id", "left_anti")
+        except AnalysisException:  # first batch: no index/corpus yet
+            pass
+        admitted = admitted.persist()
+        try:
+            admitted.write.mode("overwrite").parquet(
+                f"{out_dir}/ingest_batch={batch_id}"
+            )
+            new_buckets.join(
+                admitted.select("doc_id"), "doc_id", "left_semi"
+            ).write.mode("overwrite").parquet(
+                f"{index_dir}/ingest_batch={batch_id}"
+            )
+        finally:
+            admitted.unpersist()
+            new_buckets.unpersist()
+
+    writer = corpus_stream.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_tile_manifests(
     spark: SparkSession, manifest_dir: str,
     max_files_per_trigger: int | None = None,

@@ -412,3 +412,56 @@ def test_dedup_stream_incremental(spark, tmp_path):
     assert drain() == {1, 2, 5, 8}
     emit("wave4", [(10, None, "en", "s0")])  # cross-wave dup of the NULL group
     assert drain() == {1, 2, 5, 8}
+
+
+def test_near_dup_stream_incremental(spark, tmp_path):
+    """Streaming near-dup dedup: within-wave clusters keep their min,
+    later waves' docs are LSH-probed + Jaccard-verified against the
+    accumulated ADMITTED corpus and rejected on a match; rejected docs
+    never poison the index; a drain with no new files admits nothing."""
+    from opentopodata_spark import streaming as st
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    out_dir = str(tmp_path / "corpus")
+    idx_dir = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+
+    def emit(name, rows):
+        spark.createDataFrame(rows, st.CORPUS_DDL).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(in_dir / name))
+
+    def drain():
+        q = st.run_near_dup_stream(
+            st.stream_corpus(spark, str(in_dir) + "/*"),
+            out_dir, ckpt, idx_dir, threshold=0.5,
+        )
+        q.awaitTermination()
+        return {r.doc_id for r in spark.read.parquet(out_dir).collect()}
+
+    base = "a b c d e f g h"            # admitted in wave 0
+    other = "z y x w v u t s"           # unrelated, admitted in wave 0
+    near_base = "a b c d e f g h i"     # near-dup of base (j = 7/9 ≈ 0.78)
+    emit("wave0", [(1, base, "en", "s0"), (2, other, "en", "s0")])
+    assert drain() == {1, 2}
+
+    # wave 1: 3 near-dups the ADMITTED doc 1 -> rejected; 4 and 5 are a
+    # within-wave near-dup pair (j = 1.0) unrelated to the corpus -> 4 kept
+    emit("wave1", [(3, near_base, "en", "s1"),
+                   (5, "p q r s2 t2 u2 v2 w2", "en", "s1"),
+                   (4, "p q r s2 t2 u2 v2 w2", "en", "s1")])
+    assert drain() == {1, 2, 4}
+
+    assert drain() == {1, 2, 4}  # restart without new files: no-op
+
+    # wave 2: 6 carries the REJECTED doc 3's text — still a near-dup of
+    # admitted doc 1, so it must be rejected via doc 1 (3 never entered
+    # the index); 7 is fresh and admitted
+    emit("wave2", [(6, near_base, "en", "s2"),
+                   (7, "k l m n o k2 l2 m2", "en", "s2")])
+    assert drain() == {1, 2, 4, 7}
+
+    # the bucket index holds rows ONLY for admitted docs
+    idx = spark.read.parquet(idx_dir)
+    assert {r.doc_id for r in idx.collect()} == {1, 2, 4, 7}
