@@ -1100,6 +1100,7 @@ def _build_near_dup_stream_oracle(sf_dir: str):
         )
     )
     admitted: list[tuple] = []  # (doc_id, shingles, buckets, lang, source)
+    adm_by_bucket: dict = {}  # bucket -> [admitted indices]
     for wave in range(3):
         wd = sorted(
             (r for r in recs if r[0] % 3 == wave), key=lambda r: r[0]
@@ -1107,7 +1108,18 @@ def _build_near_dup_stream_oracle(sf_dir: str):
         info = {r[0]: (shingles(r[1]), r[2], r[3]) for r in wd}
         bks = {d: buckets(s) for d, (s, _, _) in info.items()}
         ids = sorted(info)
-        # within-wave: bucket-sharing pairs -> verified edges -> components
+        # within-wave: candidate pairs indexed by bucket (the banding the
+        # LSH replays — near-linear, not all-pairs) -> verified edges ->
+        # components
+        by_bucket: dict = {}
+        for d in ids:
+            for bk in bks[d]:
+                by_bucket.setdefault(bk, []).append(d)
+        cands = set()
+        for members in by_bucket.values():
+            for i, a in enumerate(members):
+                for b in members[i + 1:]:
+                    cands.add((min(a, b), max(a, b)))
         parent = {d: d for d in ids}
 
         def find(x):
@@ -1116,12 +1128,11 @@ def _build_near_dup_stream_oracle(sf_dir: str):
                 x = parent[x]
             return x
 
-        for i, a in enumerate(ids):
-            for b in ids[i + 1:]:
-                if bks[a] & bks[b] and jacc_ok(info[a][0], info[b][0]):
-                    ra, rb = find(a), find(b)
-                    if ra != rb:
-                        parent[max(ra, rb)] = min(ra, rb)
+        for a, b in sorted(cands):
+            if jacc_ok(info[a][0], info[b][0]):
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
         canon = [d for d in ids if find(d) == d]
         # cross-wave: reject on a bucket collision + verified Jaccard
         # against docs admitted in PREVIOUS waves (the operator's index
@@ -1130,13 +1141,17 @@ def _build_near_dup_stream_oracle(sf_dir: str):
         new_admits = []
         for d in canon:
             sh_d, lang, source = info[d]
-            hit = any(
-                (bks[d] & ob) and jacc_ok(sh_d, os_)
-                for (_, os_, ob, _, _) in admitted
-            )
+            old_idxs = {
+                i for bk in bks[d] for i in adm_by_bucket.get(bk, ())
+            }
+            hit = any(jacc_ok(sh_d, admitted[i][1]) for i in sorted(old_idxs))
             if not hit:
                 new_admits.append((d, sh_d, bks[d], lang, source))
-        admitted.extend(new_admits)
+        for rec in new_admits:
+            admitted.append(rec)
+            i = len(admitted) - 1
+            for bk in rec[2]:
+                adm_by_bucket.setdefault(bk, []).append(i)
     admitted.sort(key=lambda r: r[0])
     return pa.table(
         {

@@ -44,6 +44,7 @@ __all__ = [
     "lsh_buckets",
     "lsh_candidate_pairs",
     "jaccard_pairs",
+    "verify_pairs_jaccard",
     "verified_near_duplicates",
     "simhash",
     "connected_components",
@@ -237,6 +238,50 @@ def lsh_candidate_pairs(
     return pairs.distinct() if dedupe else pairs
 
 
+def verify_pairs_jaccard(
+    cands: DataFrame,
+    sh_a: DataFrame,
+    sh_b: DataFrame,
+    threshold: float,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+) -> DataFrame:
+    """THE exact-Jaccard verification: candidate pairs (a_col, b_col)
+    against (doc_id, shingle) frames for each side — the one place the
+    inter/union/round(·,6) >= threshold contract lives (batch
+    verified_near_duplicates and the streaming near-dup operator both
+    call it; a semantics change lands everywhere at once).
+
+    Plan shape: attach a-side shingles, equi-join the b-side on the
+    COMPOSITE (b, shingle) key — one hash-join row per common shingle,
+    never a per-pair shingle cartesian; count_distinct dedupes candidate
+    pairs that arrive once per matching band inside the aggregation that
+    already owns the (a, b) shuffle. Returns
+    (a_col, b_col, inter, size_a, size_b, jaccard)."""
+    sizes_a = sh_a.groupBy("doc_id").agg(F.count(F.lit(1)).alias("size_a"))
+    sizes_b = sh_b.groupBy("doc_id").agg(F.count(F.lit(1)).alias("size_b"))
+    inter = (
+        cands.join(sh_a.withColumnRenamed("doc_id", a_col), a_col)
+        .join(sh_b.withColumnRenamed("doc_id", b_col), [b_col, "shingle"])
+        .groupBy(a_col, b_col)
+        .agg(F.count_distinct(F.col("shingle")).alias("inter"))
+    )
+    return (
+        inter.join(sizes_a.withColumnRenamed("doc_id", a_col), a_col)
+        .join(sizes_b.withColumnRenamed("doc_id", b_col), b_col)
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter")
+                / (F.col("size_a") + F.col("size_b") - F.col("inter")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select(a_col, b_col, "inter", "size_a", "size_b", "jaccard")
+    )
+
+
 def jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -332,35 +377,7 @@ def verified_near_duplicates(
             .select("shingle")
         )
         sh = sh.join(F.broadcast(frequent), "shingle", "left_anti")
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-
-    # intersection size: attach doc_a's shingles, then equi-join the
-    # b-side on the COMPOSITE key (doc_b, shingle) — one hash join row
-    # per common shingle, never a per-pair shingle cartesian.
-    # count_distinct (not count) because candidate pairs arrive once per
-    # matching band: it dedupes (doc_a, doc_b, shingle) inside the
-    # aggregation that already owns the (doc_a, doc_b) shuffle.
-    inter = (
-        cands.join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
-        .join(sh.withColumnRenamed("doc_id", "doc_b"), ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count_distinct(F.col("shingle")).alias("inter"))
-    )
-    return (
-        inter.join(
-            sizes.withColumnsRenamed({"doc_id": "doc_a", "sz": "size_a"}), "doc_a"
-        )
-        .join(sizes.withColumnsRenamed({"doc_id": "doc_b", "sz": "size_b"}), "doc_b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter")),
-                6,
-            ),
-        )
-        .where(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "inter", "size_a", "size_b", "jaccard")
-    )
+    return verify_pairs_jaccard(cands, sh, sh, threshold)
 
 
 def simhash(

@@ -28,8 +28,16 @@ query batch):
 * The final per-(query, doc) sum + top-k window partitions by query_id —
   cardinality = |queries| × |matching docs|, already reduced.
 
-Tokenization is the engine-wide whitespace rule (exprutil.tokens), so
-the DuckDB oracle reproduces scores exactly (same ln(), same rounding).
+Tokenization is the engine-wide whitespace rule (exprutil.tokens). The
+DuckDB oracle runs the same ln()/rounding expressions; unlike the repo's
+other scored operators (integer-count Jaccard, fold-ordered cosine),
+BM25's per-(query, doc) sum of double contributions is summation-order-
+dependent at the ~1-ulp level, so cross-engine equality after
+round(·, 6) holds only when no true score sits within ~1e-12 of a
+0.5e-6 rounding boundary. For the driver fixtures this is TESTED, not
+hoped: tests/test_training_ops.py pins every emitted fixture score
+≥ 1e-10 from the nearest boundary and an unambiguous rank-k cut
+(≥10^5 × the summation noise).
 """
 
 from __future__ import annotations

@@ -393,11 +393,18 @@ def run_near_dup_stream(
         )
         new_buckets = _dedup.lsh_buckets(sigs, band_size).persist()
 
-        admitted = canon
+        # ONLY the index read signals "first batch" — any later failure
+        # (corpus read, shingling, verification) must raise, not silently
+        # disable dedup and admit duplicates
         try:
             idx = spark_l.read.parquet(index_dir).where(
                 F.col("ingest_batch") != batch_id
             )
+        except AnalysisException:  # first batch: no index yet
+            idx = None
+
+        admitted = canon
+        if idx is not None:
             cands = (
                 new_buckets.join(
                     idx.withColumnRenamed("doc_id", "old_id"),
@@ -417,36 +424,15 @@ def run_near_dup_stream(
                     "left_semi",
                 )
             )
-            sh_new = _dedup.word_shingles(canon, n=shingle_n)
-            sh_old = _dedup.word_shingles(old_docs, n=shingle_n)
-            sz_new = sh_new.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz_new"))
-            sz_old = sh_old.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz_old"))
-            inter = (
-                cands.join(sh_new.withColumnRenamed("doc_id", "new_id"), "new_id")
-                .join(
-                    sh_old.withColumnsRenamed({"doc_id": "old_id"}),
-                    ["old_id", "shingle"],
-                )
-                .groupBy("new_id", "old_id")
-                .agg(F.count_distinct(F.col("shingle")).alias("inter"))
-            )
-            rejected = (
-                inter.join(sz_new.withColumnRenamed("doc_id", "new_id"), "new_id")
-                .join(sz_old.withColumnRenamed("doc_id", "old_id"), "old_id")
-                .where(
-                    F.round(
-                        F.col("inter")
-                        / (F.col("sz_new") + F.col("sz_old") - F.col("inter")),
-                        6,
-                    )
-                    >= threshold
-                )
-                .select(F.col("new_id").alias("doc_id"))
-                .distinct()
-            )
+            rejected = _dedup.verify_pairs_jaccard(
+                cands,
+                _dedup.word_shingles(canon, n=shingle_n),
+                _dedup.word_shingles(old_docs, n=shingle_n),
+                threshold,
+                a_col="new_id",
+                b_col="old_id",
+            ).select(F.col("new_id").alias("doc_id")).distinct()
             admitted = canon.join(rejected, "doc_id", "left_anti")
-        except AnalysisException:  # first batch: no index/corpus yet
-            pass
         admitted = admitted.persist()
         try:
             admitted.write.mode("overwrite").parquet(
@@ -460,6 +446,13 @@ def run_near_dup_stream(
         finally:
             admitted.unpersist()
             new_buckets.unpersist()
+            canon.unpersist()
+            # verified_near_duplicates / lsh_candidate_pairs persist
+            # internal frames (shingles, buckets) they cannot hand back;
+            # a long-lived continuous stream would accumulate one cache
+            # entry per batch. The batch owns this session's cache
+            # lifecycle here, so release everything.
+            spark_l.catalog.clearCache()
 
     writer = corpus_stream.writeStream.foreachBatch(process_batch).option(
         "checkpointLocation", checkpoint_dir

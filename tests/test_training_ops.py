@@ -863,3 +863,57 @@ class TestScrub:
         )
         r = textops.normalize_text(df).collect()[0]
         assert r.norm == "hello world and more"
+
+    @pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001",
+                                        "/root/testdata/sf0.01"])
+    def test_bm25_fixture_scores_clear_of_rounding_boundaries(self, sf_dir):
+        """BM25 sums double contributions, so round(·, 6) cross-engine
+        parity needs every EMITTED fixture score to sit far from a
+        0.5e-6 rounding boundary, and the rank-k membership cut to be
+        unambiguous (see operators/search.py docstring). Pin ≥1e-10 from
+        boundaries and ≥1e-9 rank-k gap for the driver's fixture queries
+        at both oracle scales — ≥10^5 × the ~1e-15 summation-order
+        noise."""
+        import pyarrow.parquet as pq
+
+        import __spark_entry__ as contract
+
+        t = pq.read_table(f"{sf_dir}/documents.parquet")
+        docs = list(zip(t.column("doc_id").to_pylist(),
+                        t.column("text").to_pylist()))
+        toks = {d: (s.split() if s else []) for d, s in docs}
+        n = len(toks)
+        avgdl = sum(len(v) for v in toks.values()) / n
+        k1, b = contract._BM25_K1, contract._BM25_B
+        for _, q in contract._BM25_QUERIES:
+            terms = sorted(set(q.split()))
+            dfreq = {
+                qt: sum(1 for v in toks.values() if qt in v) for qt in terms
+            }
+            scored = []
+            for d, v in toks.items():
+                s = 0.0
+                for qt in terms:
+                    tf = v.count(qt)
+                    if not tf or not dfreq[qt]:
+                        continue
+                    idf = math.log(1 + (n - dfreq[qt] + 0.5) / (dfreq[qt] + 0.5))
+                    s += idf * tf * (k1 + 1) / (
+                        tf + k1 * (1 - b + b * len(v) / avgdl)
+                    )
+                if s > 0:
+                    scored.append((round(s * 1e6) * 1e-6, s, d))
+            scored.sort(key=lambda r: (-r[0], r[2]))
+            k = contract._BM25_K
+            for rounded, raw, _ in scored[:k]:
+                frac = abs(raw * 1e6 - round(raw * 1e6))
+                assert 0.5 - frac >= 1e-4, (q, raw)  # ≥1e-10 in score units
+            if len(scored) > k:
+                # the rank-k cut must not hinge on a last-ulp comparison
+                gap = scored[k - 1][0] - scored[k][0]
+                assert gap == 0 or gap > 1e-9, (q, gap)
+                if gap == 0:
+                    # tie broken by doc_id: raw scores must round equal
+                    assert round(scored[k - 1][1] * 1e6) == round(
+                        scored[k][1] * 1e6
+                    )
