@@ -24,6 +24,25 @@ def _package_zip() -> str:
     """Zip this package for shipment to Python workers (the local-mode
     equivalent of ``spark-submit --py-files``). Cached per process."""
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    if not os.path.isdir(pkg_dir):
+        # The package was imported FROM an archive (spark-submit
+        # --py-files otds.zip): there is no directory to re-zip — the
+        # archive itself IS the shippable package, and workers already
+        # receive it via spark.submit.pyFiles. Walk up the virtual path
+        # to the real zip file and hand that to addPyFile (a re-add of
+        # an identical path is a harmless WARN).
+        archive = pkg_dir
+        while archive and not os.path.isfile(archive):
+            parent = os.path.dirname(archive)
+            if parent == archive:
+                break
+            archive = parent
+        if archive and zipfile.is_zipfile(archive):
+            return archive
+        raise RuntimeError(
+            f"opentopodata_spark imported from '{pkg_dir}' but no package "
+            "archive found on the path — cannot ship code to workers"
+        )
     out = os.path.join(
         tempfile.gettempdir(), f"opentopodata_spark_pyfiles_{os.getuid()}.zip"
     )

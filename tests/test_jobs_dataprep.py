@@ -1,6 +1,7 @@
 """Dataprep job CLI: filters, exact + near dedup, one-pass stats."""
 
 import json
+import os
 
 import pytest
 from pyspark.sql import functions as F
@@ -190,3 +191,49 @@ def test_ann_index_build_and_search(tmp_path, spark, capsys):
     assert len(res) == 4 * 3
     for r in res:
         assert r.neighbor_id % 4 == r.query_id % 4  # planted clusters
+
+
+def test_dataprep_via_spark_submit(tmp_path, spark):
+    """THE north-rule execution mode, end to end: `spark-submit
+    --py-files <zip> <launcher>` in a fresh subprocess JVM, with the
+    package resolved ONLY from the --py-files archive (cwd is the temp
+    dir, not the repo) and get_spark deferring to spark-submit's
+    --master via master='external'."""
+    import subprocess
+
+    from opentopodata_spark.session import package_zip
+
+    rows = [(1, "a b c d e f g h", "en", "s0"),
+            (2, "a b c d e f g h", "en", "s0"),   # exact dup of 1
+            (3, "k l m n o p q r", "en", "s1")]
+    docs = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    ).write.parquet(docs)
+    out = str(tmp_path / "clean")
+
+    launcher = tmp_path / "launch_dataprep.py"
+    launcher.write_text(
+        "import sys\n"
+        "from opentopodata_spark.jobs import dataprep\n"
+        "sys.exit(dataprep.main(sys.argv[1:]))\n"
+    )
+    zip_path = str(tmp_path / "otds.zip")
+    import shutil
+
+    shutil.copyfile(package_zip(), zip_path)
+    env = {k: v for k, v in os.environ.items()}
+    env.pop("PYTHONPATH", None)  # package must come from --py-files only
+    proc = subprocess.run(
+        ["/opt/spark/bin/spark-submit", "--master", "local[2]",
+         "--py-files", zip_path, str(launcher),
+         "--documents", docs, "--out", out, "--min-tokens", "0",
+         "--master", "external"],
+        cwd=str(tmp_path), env=env, capture_output=True, text=True,
+        timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    stats = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert stats["input_docs"] == 3 and stats["output_docs"] == 2
+    kept = {r.doc_id for r in spark.read.parquet(f"{out}/corpus").collect()}
+    assert kept == {1, 3}
