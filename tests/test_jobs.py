@@ -146,3 +146,42 @@ def test_elevation_job_geojson_format(tmp_path, raster_root, documents_path, spa
     assert feat["type"] == "Feature"
     assert feat["geometry"]["type"] == "Point"
     assert len(feat["geometry"]["coordinates"]) == 3
+
+
+def test_elevation_job_via_spark_submit(tmp_path, raster_root, documents_path, spark):
+    """The flagship job through the REAL cluster path: spark-submit
+    --py-files in a fresh subprocess JVM, cwd outside the repo,
+    PYTHONPATH stripped so the package resolves only from the archive,
+    get_spark deferring to spark-submit's --master."""
+    import shutil
+    import subprocess
+
+    from opentopodata_spark.session import package_zip
+
+    out = str(tmp_path / "out")
+    launcher = tmp_path / "launch_elevation.py"
+    launcher.write_text(
+        "import sys\n"
+        "from opentopodata_spark.jobs import elevation\n"
+        "sys.exit(elevation.main(sys.argv[1:]))\n"
+    )
+    zip_path = str(tmp_path / "otds.zip")
+    shutil.copyfile(package_zip(), zip_path)
+    env = {k: v for k, v in os.environ.items()}
+    env.pop("PYTHONPATH", None)
+    proc = subprocess.run(
+        ["/opt/spark/bin/spark-submit", "--master", "local[2]",
+         "--py-files", zip_path, str(launcher),
+         "--documents", documents_path,
+         "--config", os.path.join(raster_root, "test-config.yaml"),
+         "--datasets", "multi_eudem_etopo1",
+         "--out", out, "--master", "external"],
+        cwd=str(tmp_path), env=env, capture_output=True, text=True,
+        timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    stats = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert stats["status"] == "OK" and stats["rows"] > 0
+    res = spark.read.parquet(f"{out}/results")
+    assert res.count() == stats["rows"]
+    assert res.where("elevation IS NOT NULL").count() > 0
