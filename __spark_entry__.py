@@ -520,6 +520,26 @@ FROM documents
 """
 
 
+def q_corpus_stats(spark, sf_dir):
+    """Per-language corpus length profile (textops.corpus_stats): doc
+    counts, token totals, mean and exact interpolated p50/p95/p99 token
+    counts — one grouped aggregate, group count = languages."""
+    return textops.corpus_stats(_t(spark, sf_dir, "documents"), by="lang")
+
+
+_Q_CORPUS_STATS_SQL = f"""
+WITH t AS (SELECT lang, len({_TOKENS_SQL}) AS n_tok FROM documents)
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+       round(avg(n_tok), 6) AS mean_tokens,
+       round(quantile_cont(n_tok, 0.5), 6) AS p50_tokens,
+       round(quantile_cont(n_tok, 0.95), 6) AS p95_tokens,
+       round(quantile_cont(n_tok, 0.99), 6) AS p99_tokens
+FROM t GROUP BY lang
+"""
+
+
 # BM25 search fixture queries — terms drawn from the synthetic corpus
 # vocabulary; shared verbatim by the Spark query and the SQL oracle
 _BM25_QUERIES = [
@@ -2348,6 +2368,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search": q_bm25_search,
         "pii_scrub": q_pii_scrub,
         "text_normalize": q_text_normalize,
+        "corpus_stats": q_corpus_stats,
         "simhash": q_simhash,
         "token_stats": q_token_stats,
         "quality_score": q_quality,
@@ -2400,6 +2421,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_search": _bm25_sql(),
         "pii_scrub": _pii_scrub_sql(),
         "text_normalize": _Q_TEXT_NORMALIZE_SQL,
+        "corpus_stats": _Q_CORPUS_STATS_SQL,
         "simhash": _simhash_sql(),
         "token_stats": _Q_TOKEN_SQL,
         "quality_score": _quality_sql(),

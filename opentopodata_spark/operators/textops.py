@@ -35,6 +35,7 @@ __all__ = [
     "document_metrics",
     "scrub_pii",
     "normalize_text",
+    "corpus_stats",
     "STOPWORDS",
     "PII_PATTERNS",
 ]
@@ -334,3 +335,35 @@ def normalize_text(
     t = F.regexp_replace(t, "  +", " ")
     t = F.trim(t)
     return df.select(F.col(id_col).alias("doc_id"), t.alias("norm"))
+
+
+def corpus_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    by: str | None = "lang",
+    percentiles: tuple = (0.5, 0.95, 0.99),
+) -> DataFrame:
+    """Per-group corpus length profile: (group, n_docs, total_tokens,
+    mean_tokens, p50/p95/p99 token counts) — the first thing anyone
+    computes over a new crawl drop, and the input to mixing decisions.
+
+    Exact interpolated percentiles (``F.percentile``): one grouped sort
+    per group — fine for per-language groups at any corpus size since
+    group COUNT is tiny and Spark's percentile is a partial-merge
+    aggregate (no per-group collect). At 10^12 docs swap in
+    ``approx_percentile`` if the exact sort shuffle ever shows up; the
+    call site decides the trade, not this operator."""
+    n_tok = F.size(tokens(text_col)).cast("long")
+    keys = [by] if by else []
+    aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n_tok).alias("total_tokens"),
+        F.round(F.avg(n_tok), 6).alias("mean_tokens"),
+    ]
+    for p in percentiles:
+        aggs.append(
+            F.round(F.percentile(n_tok, F.lit(p)), 6).alias(
+                f"p{int(p * 100)}_tokens"
+            )
+        )
+    return df.groupBy(*keys).agg(*aggs)

@@ -917,3 +917,25 @@ class TestScrub:
                     assert round(scored[k - 1][1] * 1e6) == round(
                         scored[k][1] * 1e6
                     )
+
+
+class TestCorpusStats:
+    def test_corpus_stats_hand_checked(self, spark):
+        rows = [(1, "a b c", "en"), (2, "a b c d e", "en"),
+                (3, "a", "en"), (4, "x y", "de")]
+        df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+        got = {r.lang: r for r in textops.corpus_stats(df).collect()}
+        en = got["en"]
+        # token counts 1, 3, 5: p50 = 3; p95 = 3 + 0.9*(5-3) = 4.8
+        assert (en.n_docs, en.total_tokens) == (3, 9)
+        assert en.mean_tokens == 3.0
+        assert en.p50_tokens == 3.0
+        assert en.p95_tokens == 4.8
+        assert got["de"].p50_tokens == 2.0
+
+    def test_corpus_stats_ungrouped(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a b", "en"), (2, "c", "de")], "doc_id long, text string, lang string"
+        )
+        r = textops.corpus_stats(df, by=None).collect()[0]
+        assert (r.n_docs, r.total_tokens, r.p50_tokens) == (2, 3, 1.5)
