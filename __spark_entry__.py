@@ -803,6 +803,40 @@ FROM g WHERE gram <> ''
 GROUP BY gram HAVING count(*) >= {_REPEATED_MIN}
 """
 
+def q_span_dedup(spark, sf_dir):
+    """The APPLY step of span-level dedup: strip every occurrence of the
+    corpus-repeated n-grams repeated_ngrams flags
+    (dedup.remove_repeated_spans) — (doc_id, clean, n_spans_removed)."""
+    docs = _t(spark, sf_dir, "documents")
+    removal = dedup.repeated_ngrams(
+        docs, n=_REPEATED_N, min_count=_REPEATED_MIN
+    )
+    return dedup.remove_repeated_spans(docs, removal, n=_REPEATED_N)
+
+
+# token i (1-based here; the Spark side is 0-based internally — only the
+# rebuilt text is compared) survives iff no flagged start s covers it
+_Q_SPAN_DEDUP_SQL = f"""
+WITH tok AS (SELECT doc_id, text, {_TOKENS_SQL} AS toks FROM documents),
+g AS (SELECT doc_id,
+        unnest([{{'i': i, 'gram': array_to_string(toks[i:i + {_REPEATED_N - 1}], ' ')}}
+                for i in generate_series(1, greatest(len(toks) - {_REPEATED_N}, 0) + 1)]) AS u
+      FROM tok),
+occ AS (SELECT doc_id, u.i AS pos, u.gram AS gram FROM g WHERE u.gram <> ''),
+rem AS (SELECT gram FROM occ GROUP BY gram HAVING count(*) >= {_REPEATED_MIN}),
+hits AS (SELECT occ.doc_id, occ.pos FROM occ JOIN rem USING (gram)),
+starts AS (SELECT doc_id, list_sort(list(pos)) AS ss FROM hits GROUP BY doc_id)
+SELECT t.doc_id,
+       CASE WHEN s.ss IS NULL THEN t.text
+            ELSE coalesce(array_to_string(
+              [t.toks[i] for i in generate_series(1, len(t.toks))
+               if len(list_filter(s.ss, x -> x <= i AND i < x + {_REPEATED_N})) = 0],
+              ' '), '')
+       END AS clean,
+       CAST(coalesce(len(s.ss), 0) AS BIGINT) AS n_spans_removed
+FROM tok t LEFT JOIN starts s ON s.doc_id = t.doc_id
+"""
+
 _SAMPLE_RATES = {"en": 0.5, "de": 0.25, "fr": 1.0, "zh": 0.0}
 _SAMPLE_DEFAULT = 0.125
 _SAMPLE_SEED = "s1"
@@ -2376,6 +2410,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "repetition_stats": q_repetition_stats,
         "repeated_ngrams": q_repeated_ngrams,
+        "span_dedup": q_span_dedup,
         "corpus_sample": q_corpus_sample,
         "embedding_topk": q_embedding_topk,
         "embedding_lsh_buckets": q_emb_lsh_buckets,
@@ -2429,6 +2464,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": _Q_FINGERPRINT_SQL,
         "repetition_stats": _Q_REPETITION_SQL,
         "repeated_ngrams": _Q_REPEATED_SQL,
+        "span_dedup": _Q_SPAN_DEDUP_SQL,
         "corpus_sample": _corpus_sample_sql(),
         "embedding_topk": _Q_EMB_TOPK_SQL,
         "embedding_lsh_buckets": _emb_lsh_sql(),

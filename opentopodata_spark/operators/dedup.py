@@ -39,6 +39,7 @@ from .exprutil import bind_once, tokens, word_ngram_array
 __all__ = [
     "word_shingles",
     "repeated_ngrams",
+    "remove_repeated_spans",
     "exact_duplicates",
     "minhash_signatures",
     "lsh_buckets",
@@ -620,3 +621,68 @@ def dedup_corpus(
         F.col("node").alias(id_col)
     )
     return docs.join(drop, id_col, "left_anti")
+
+
+def remove_repeated_spans(
+    df: DataFrame,
+    removal: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    broadcast_removal: bool = True,
+) -> DataFrame:
+    """The APPLY step of span-level dedup (the rewrite half of the
+    ExactSubstr pass — ``repeated_ngrams`` emits the removal list, this
+    removes every occurrence): (doc_id, clean, n_spans_removed).
+
+    A token is dropped iff it is covered by any flagged n-gram start;
+    overlapping spans merge naturally. A doc shorter than n tokens whose
+    whole-text partial gram is flagged becomes empty — same gram
+    convention as repeated_ngrams (_gram_array). Untouched docs keep
+    their text verbatim; rewritten docs are re-joined with single spaces
+    (tokenization is whitespace-collapsing by construction).
+
+    Scale shape: one posexplode of gram occurrences semi-joined against
+    the removal list (broadcast by default — the heavy-tail list a
+    min_count filter emits is small; pass broadcast_removal=False to
+    shuffle-join a huge one), one groupBy(doc) collecting the (rare) hit
+    positions, one doc-keyed join back. Docs with zero hits carry a
+    NULL start list and never pay the rebuild expression."""
+    grams = bind_once(_tokens(text_col), lambda t: _gram_array(t, n))
+    occ = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(grams).alias("pos", "gram"),
+    ).where(F.col("gram") != "")
+    rem = removal.select("gram")
+    if broadcast_removal:
+        rem = F.broadcast(rem)
+    starts = (
+        occ.join(rem, "gram", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("pos")).alias("starts"))
+    )
+
+    def _rebuild(t):
+        idx = F.sequence(F.lit(0), F.size(t) - 1)
+        kept = F.filter(
+            idx,
+            lambda i: ~F.exists(
+                F.col("starts"), lambda s: (s <= i) & (i < s + F.lit(n))
+            ),
+        )
+        return F.concat_ws(
+            " ", F.transform(kept, lambda i: F.element_at(t, i + 1))
+        )
+
+    return (
+        df.join(starts.withColumnRenamed("doc_id", id_col), id_col, "left")
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.when(F.col("starts").isNull(), F.col(text_col))
+            .otherwise(bind_once(_tokens(text_col), _rebuild))
+            .alias("clean"),
+            F.coalesce(F.size("starts"), F.lit(0))
+            .cast("long")
+            .alias("n_spans_removed"),
+        )
+    )

@@ -939,3 +939,40 @@ class TestCorpusStats:
         )
         r = textops.corpus_stats(df, by=None).collect()[0]
         assert (r.n_docs, r.total_tokens, r.p50_tokens) == (2, 3, 1.5)
+
+
+class TestSpanRemoval:
+    def test_remove_repeated_spans_hand_checked(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "x y a b c z w"),     # one flagged trigram in the middle
+             (2, "a b c a b c tail"),  # two overlapping-ish occurrences
+             (3, "clean words only here"),
+             (4, "a b")],              # short doc: partial gram flagged
+            "doc_id long, text string",
+        )
+        removal = spark.createDataFrame([("a b c",), ("a b",)], "gram string")
+        got = {
+            r.doc_id: (r.clean, r.n_spans_removed)
+            for r in dedup.remove_repeated_spans(docs, removal, n=3).collect()
+        }
+        assert got[1] == ("x y z w", 1)
+        # starts 0 and 3 cover tokens 0..5; 'tail' survives
+        assert got[2] == ("tail", 2)
+        assert got[3] == ("clean words only here", 0)
+        # 2-token doc: its whole-text partial gram 'a b' is flagged
+        assert got[4] == ("", 1)
+
+    def test_remove_repeated_spans_end_to_end_with_repeated_ngrams(self, spark):
+        """The full ExactSubstr loop: flag corpus-repeated trigrams, then
+        strip every occurrence — the repeated span vanishes from BOTH
+        docs, the distinct tails survive."""
+        docs = spark.createDataFrame(
+            [(1, "p q r s t u one"), (2, "p q r s t u two")],
+            "doc_id long, text string",
+        )
+        removal = dedup.repeated_ngrams(docs, n=3, min_count=2)
+        got = {
+            r.doc_id: r.clean
+            for r in dedup.remove_repeated_spans(docs, removal, n=3).collect()
+        }
+        assert got == {1: "one", 2: "two"}
