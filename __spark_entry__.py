@@ -1023,35 +1023,15 @@ def q_streaming_dedup(spark, sf_dir):
     iff its text hash was never admitted before; within a wave the min
     doc_id wins. Deterministic, so the oracle is plain SQL: keep the row
     with the smallest (wave, doc_id) per md5(text)."""
-    import shutil
-    import tempfile
-
     from opentopodata_spark import streaming as stx
 
-    work = tempfile.mkdtemp(prefix="otds_sdedup_q_")
-    try:
-        docs = _t(spark, sf_dir, "documents").select(
-            "doc_id", "text", "lang", "source"
-        )
-        for wave in range(3):
-            docs.where(F.pmod(F.col("doc_id"), F.lit(3)) == wave).coalesce(
-                1
-            ).write.mode("overwrite").parquet(f"{work}/in/wave{wave}")
-            q = stx.run_dedup_stream(
-                stx.stream_corpus(spark, f"{work}/in/*"),
-                f"{work}/corpus",
-                f"{work}/ckpt",
-                f"{work}/index",
-            )
-            q.awaitTermination()
-        out = spark.read.parquet(f"{work}/corpus").select(
-            "doc_id", "lang", "source", "text_hash"
-        )
-        out = out.cache()
-        out.count()  # materialize before the temp dir goes away
-        return out
-    finally:
-        shutil.rmtree(work, ignore_errors=True)
+    return _drain_corpus_waves(
+        spark, sf_dir,
+        lambda s, work: stx.run_dedup_stream(
+            s, f"{work}/corpus", f"{work}/ckpt", f"{work}/index"
+        ),
+        ("doc_id", "lang", "source", "text_hash"),
+    )
 
 
 _Q_STREAMING_DEDUP_SQL = """
@@ -1069,19 +1049,18 @@ SELECT doc_id, lang, source, text_hash FROM r WHERE rn = 1
 _NEAR_DUP_STREAM_T = 0.5
 
 
-def q_streaming_near_dup(spark, sf_dir):
-    """Streaming incremental NEAR-dup dedup (streaming.run_near_dup_stream):
-    three waves (doc_id % 3, drained in order); each wave deduplicates
-    within itself (verified pairs -> components -> keep min) and is then
-    LSH-probed + Jaccard-verified against the accumulated ADMITTED corpus.
-    Deterministic (md5 minhash banding + exact shingle Jaccard), so the
-    oracle is a single-process sequential replay."""
+def _drain_corpus_waves(spark, sf_dir, start_stream, out_cols):
+    """Shared scaffold for the incremental-dedup streaming queries: split
+    the documents corpus into three waves (doc_id % 3), drain them
+    strictly in order through ``start_stream(stream_df, work)``, and
+    return the accumulated output corpus projected to ``out_cols``
+    (cached + materialized before the temp dir goes away)."""
     import shutil
     import tempfile
 
     from opentopodata_spark import streaming as stx
 
-    work = tempfile.mkdtemp(prefix="otds_sneard_q_")
+    work = tempfile.mkdtemp(prefix="otds_waves_q_")
     try:
         docs = _t(spark, sf_dir, "documents").select(
             "doc_id", "text", "lang", "source"
@@ -1090,22 +1069,33 @@ def q_streaming_near_dup(spark, sf_dir):
             docs.where(F.pmod(F.col("doc_id"), F.lit(3)) == wave).coalesce(
                 1
             ).write.mode("overwrite").parquet(f"{work}/in/wave{wave}")
-            q = stx.run_near_dup_stream(
-                stx.stream_corpus(spark, f"{work}/in/*"),
-                f"{work}/corpus",
-                f"{work}/ckpt",
-                f"{work}/index",
-                threshold=_NEAR_DUP_STREAM_T,
-            )
+            q = start_stream(stx.stream_corpus(spark, f"{work}/in/*"), work)
             q.awaitTermination()
-        out = spark.read.parquet(f"{work}/corpus").select(
-            "doc_id", "lang", "source"
-        )
+        out = spark.read.parquet(f"{work}/corpus").select(*out_cols)
         out = out.cache()
         out.count()  # materialize before the temp dir goes away
         return out
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def q_streaming_near_dup(spark, sf_dir):
+    """Streaming incremental NEAR-dup dedup (streaming.run_near_dup_stream):
+    three waves (doc_id % 3, drained in order); each wave deduplicates
+    within itself (verified pairs -> components -> keep min) and is then
+    LSH-probed + Jaccard-verified against the accumulated ADMITTED corpus.
+    Deterministic (md5 minhash banding + exact shingle Jaccard), so the
+    oracle is a single-process sequential replay."""
+    from opentopodata_spark import streaming as stx
+
+    return _drain_corpus_waves(
+        spark, sf_dir,
+        lambda s, work: stx.run_near_dup_stream(
+            s, f"{work}/corpus", f"{work}/ckpt", f"{work}/index",
+            threshold=_NEAR_DUP_STREAM_T,
+        ),
+        ("doc_id", "lang", "source"),
+    )
 
 
 def _build_near_dup_stream_oracle(sf_dir: str):

@@ -561,11 +561,12 @@ def connected_components(
             f"connected_components did not converge in {max_rounds} rounds"
         )
     # fixpoint = depth-1 stars: u -> component root v; roots appear only
-    # on the v side and are their own component
+    # on the v side and are their own component (the outer distinct
+    # already dedups the root rows)
     return e.select(
         F.col("u").alias("node"), F.col("v").alias("component")
     ).union(
-        e.select(F.col("v").alias("node"), F.col("v").alias("component")).distinct()
+        e.select(F.col("v").alias("node"), F.col("v").alias("component"))
     ).distinct()
 
 
