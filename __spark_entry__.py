@@ -789,12 +789,18 @@ def q_repeated_ngrams(spark, sf_dir):
 
 # Same gram convention as the Spark side: greatest(len-n, 0)+1 start
 # positions, slice clamped (a doc shorter than n tokens contributes its
-# whole text as one partial gram), '' filtered.
+# whole text as one partial gram), '' filtered. The expression and the
+# start-position series are shared verbatim with the span_dedup oracle.
+_GRAM_EXPR_SQL = f"array_to_string(toks[i:i + {_REPEATED_N - 1}], ' ')"
+_GRAM_SERIES_SQL = (
+    f"generate_series(1, greatest(len(toks) - {_REPEATED_N}, 0) + 1)"
+)
+
 _Q_REPEATED_SQL = f"""
 WITH tok AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents),
 g AS (SELECT doc_id,
-        unnest([array_to_string(toks[i:i + {_REPEATED_N - 1}], ' ')
-                for i in generate_series(1, greatest(len(toks) - {_REPEATED_N}, 0) + 1)]) AS gram
+        unnest([{_GRAM_EXPR_SQL}
+                for i in {_GRAM_SERIES_SQL}]) AS gram
       FROM tok)
 SELECT gram,
   CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
@@ -819,8 +825,8 @@ def q_span_dedup(spark, sf_dir):
 _Q_SPAN_DEDUP_SQL = f"""
 WITH tok AS (SELECT doc_id, text, {_TOKENS_SQL} AS toks FROM documents),
 g AS (SELECT doc_id,
-        unnest([{{'i': i, 'gram': array_to_string(toks[i:i + {_REPEATED_N - 1}], ' ')}}
-                for i in generate_series(1, greatest(len(toks) - {_REPEATED_N}, 0) + 1)]) AS u
+        unnest([{{'i': i, 'gram': {_GRAM_EXPR_SQL}}}
+                for i in {_GRAM_SERIES_SQL}]) AS u
       FROM tok),
 occ AS (SELECT doc_id, u.i AS pos, u.gram AS gram FROM g WHERE u.gram <> ''),
 rem AS (SELECT gram FROM occ GROUP BY gram HAVING count(*) >= {_REPEATED_MIN}),

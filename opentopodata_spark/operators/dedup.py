@@ -648,7 +648,21 @@ def remove_repeated_spans(
     min_count filter emits is small; pass broadcast_removal=False to
     shuffle-join a huge one), one groupBy(doc) collecting the (rare) hit
     positions, one doc-keyed join back. Docs with zero hits carry a
-    NULL start list and never pay the rebuild expression."""
+    NULL start list and never pay the rebuild expression.
+
+    The removal list's gram width must match ``n``: a mismatch would
+    make the semi-join silently match nothing and return every doc
+    untouched, so the (tiny) removal frame is probed once and a
+    mismatch raises instead."""
+    widths = removal.select(
+        F.max(F.size(F.split(F.col("gram"), " "))).alias("mx")
+    ).first()
+    if widths["mx"] is not None and widths["mx"] != n:
+        raise ValueError(
+            f"removal list gram width {widths['mx']} != n={n} — was the "
+            "list built by repeated_ngrams with a different n? (a "
+            "mismatched join would silently remove nothing)"
+        )
     grams = bind_once(_tokens(text_col), lambda t: _gram_array(t, n))
     occ = df.select(
         F.col(id_col).alias("doc_id"),
@@ -675,8 +689,12 @@ def remove_repeated_spans(
             " ", F.transform(kept, lambda i: F.element_at(t, i + 1))
         )
 
+    # project BEFORE the join: only (id, text) are needed — extra caller
+    # columns would widen the shuffle and a caller column named 'starts'
+    # would collide with the aggregate
     return (
-        df.join(starts.withColumnRenamed("doc_id", id_col), id_col, "left")
+        df.select(F.col(id_col), F.col(text_col))
+        .join(starts.withColumnRenamed("doc_id", id_col), id_col, "left")
         .select(
             F.col(id_col).alias("doc_id"),
             F.when(F.col("starts").isNull(), F.col(text_col))

@@ -355,15 +355,19 @@ def corpus_stats(
     call site decides the trade, not this operator."""
     n_tok = F.size(tokens(text_col)).cast("long")
     keys = [by] if by else []
-    aggs = [
+    # ONE percentile aggregate with an array of percentages: a single
+    # per-group value buffer serves every requested percentile (separate
+    # Percentile aggs would each keep their own copy of the stream)
+    pcts = F.percentile(n_tok, F.array(*[F.lit(float(p)) for p in percentiles]))
+    out = df.groupBy(*keys).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(n_tok).alias("total_tokens"),
         F.round(F.avg(n_tok), 6).alias("mean_tokens"),
-    ]
-    for p in percentiles:
-        aggs.append(
-            F.round(F.percentile(n_tok, F.lit(p)), 6).alias(
-                f"p{int(p * 100)}_tokens"
-            )
+        pcts.alias("_pcts"),
+    )
+    for i, p in enumerate(percentiles):
+        out = out.withColumn(
+            f"p{round(p * 100)}_tokens",
+            F.round(F.element_at("_pcts", i + 1), 6),
         )
-    return df.groupBy(*keys).agg(*aggs)
+    return out.drop("_pcts")

@@ -149,35 +149,17 @@ def test_elevation_job_geojson_format(tmp_path, raster_root, documents_path, spa
 
 
 def test_elevation_job_via_spark_submit(tmp_path, raster_root, documents_path, spark):
-    """The flagship job through the REAL cluster path: spark-submit
-    --py-files in a fresh subprocess JVM, cwd outside the repo,
-    PYTHONPATH stripped so the package resolves only from the archive,
-    get_spark deferring to spark-submit's --master."""
-    import shutil
-    import subprocess
-
-    from opentopodata_spark.session import package_zip
+    """The flagship job through the REAL cluster path (see
+    conftest.run_via_spark_submit)."""
+    from tests.conftest import run_via_spark_submit
 
     out = str(tmp_path / "out")
-    launcher = tmp_path / "launch_elevation.py"
-    launcher.write_text(
-        "import sys\n"
-        "from opentopodata_spark.jobs import elevation\n"
-        "sys.exit(elevation.main(sys.argv[1:]))\n"
-    )
-    zip_path = str(tmp_path / "otds.zip")
-    shutil.copyfile(package_zip(), zip_path)
-    env = {k: v for k, v in os.environ.items()}
-    env.pop("PYTHONPATH", None)
-    proc = subprocess.run(
-        ["/opt/spark/bin/spark-submit", "--master", "local[2]",
-         "--py-files", zip_path, str(launcher),
-         "--documents", documents_path,
+    proc = run_via_spark_submit(
+        tmp_path, "elevation",
+        ["--documents", documents_path,
          "--config", os.path.join(raster_root, "test-config.yaml"),
          "--datasets", "multi_eudem_etopo1",
-         "--out", out, "--master", "external"],
-        cwd=str(tmp_path), env=env, capture_output=True, text=True,
-        timeout=300,
+         "--out", out],
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     stats = json.loads(proc.stdout.strip().splitlines()[-1])

@@ -195,13 +195,10 @@ def test_ann_index_build_and_search(tmp_path, spark, capsys):
 
 def test_dataprep_via_spark_submit(tmp_path, spark):
     """THE north-rule execution mode, end to end: `spark-submit
-    --py-files <zip> <launcher>` in a fresh subprocess JVM, with the
-    package resolved ONLY from the --py-files archive (cwd is the temp
-    dir, not the repo) and get_spark deferring to spark-submit's
-    --master via master='external'."""
-    import subprocess
-
-    from opentopodata_spark.session import package_zip
+    --py-files <zip> <launcher>` in a fresh subprocess JVM with the
+    package resolved ONLY from the --py-files archive (see
+    conftest.run_via_spark_submit)."""
+    from tests.conftest import run_via_spark_submit
 
     rows = [(1, "a b c d e f g h", "en", "s0"),
             (2, "a b c d e f g h", "en", "s0"),   # exact dup of 1
@@ -212,25 +209,9 @@ def test_dataprep_via_spark_submit(tmp_path, spark):
     ).write.parquet(docs)
     out = str(tmp_path / "clean")
 
-    launcher = tmp_path / "launch_dataprep.py"
-    launcher.write_text(
-        "import sys\n"
-        "from opentopodata_spark.jobs import dataprep\n"
-        "sys.exit(dataprep.main(sys.argv[1:]))\n"
-    )
-    zip_path = str(tmp_path / "otds.zip")
-    import shutil
-
-    shutil.copyfile(package_zip(), zip_path)
-    env = {k: v for k, v in os.environ.items()}
-    env.pop("PYTHONPATH", None)  # package must come from --py-files only
-    proc = subprocess.run(
-        ["/opt/spark/bin/spark-submit", "--master", "local[2]",
-         "--py-files", zip_path, str(launcher),
-         "--documents", docs, "--out", out, "--min-tokens", "0",
-         "--master", "external"],
-        cwd=str(tmp_path), env=env, capture_output=True, text=True,
-        timeout=300,
+    proc = run_via_spark_submit(
+        tmp_path, "dataprep",
+        ["--documents", docs, "--out", out, "--min-tokens", "0"],
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     stats = json.loads(proc.stdout.strip().splitlines()[-1])
