@@ -520,6 +520,38 @@ FROM documents
 """
 
 
+_CHUNK_TOKENS, _CHUNK_STRIDE = 32, 24
+
+
+def q_chunk_documents(spark, sf_dir):
+    """Fixed-token-window chunking with overlap (textops.chunk_documents):
+    the sequence-prep step before tokenizer packing — fully narrow, one
+    posexplode, zero shuffles."""
+    return textops.chunk_documents(
+        _t(spark, sf_dir, "documents"),
+        chunk_tokens=_CHUNK_TOKENS,
+        stride=_CHUNK_STRIDE,
+    )
+
+
+_Q_CHUNK_SQL = f"""
+WITH tok AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents),
+w AS (SELECT doc_id, toks,
+        unnest(generate_series(1,
+          CASE WHEN len(toks) = 0 THEN 0
+               ELSE (len(toks) - 1) // {_CHUNK_STRIDE} + 1 END)) AS k
+      FROM tok)
+SELECT doc_id,
+       CAST(k - 1 AS BIGINT) AS chunk_idx,
+       array_to_string(
+         toks[(k - 1) * {_CHUNK_STRIDE} + 1
+              : (k - 1) * {_CHUNK_STRIDE} + {_CHUNK_TOKENS}], ' ') AS chunk,
+       CAST(least({_CHUNK_TOKENS},
+                  len(toks) - (k - 1) * {_CHUNK_STRIDE}) AS BIGINT) AS n_tokens
+FROM w
+"""
+
+
 def q_corpus_stats(spark, sf_dir):
     """Per-language corpus length profile (textops.corpus_stats): doc
     counts, token totals, mean and exact interpolated p50/p95/p99 token
@@ -2399,6 +2431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "text_normalize": q_text_normalize,
         "corpus_stats": q_corpus_stats,
+        "chunk_documents": q_chunk_documents,
         "simhash": q_simhash,
         "token_stats": q_token_stats,
         "quality_score": q_quality,
@@ -2453,6 +2486,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_scrub": _pii_scrub_sql(),
         "text_normalize": _Q_TEXT_NORMALIZE_SQL,
         "corpus_stats": _Q_CORPUS_STATS_SQL,
+        "chunk_documents": _Q_CHUNK_SQL,
         "simhash": _simhash_sql(),
         "token_stats": _Q_TOKEN_SQL,
         "quality_score": _quality_sql(),

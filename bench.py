@@ -97,6 +97,7 @@ def main() -> None:
         "repeated_ngrams": lambda: contract.q_repeated_ngrams(spark, SF_DIR),
         "span_dedup": lambda: contract.q_span_dedup(spark, SF_DIR),
         "corpus_stats": lambda: contract.q_corpus_stats(spark, SF_DIR),
+        "chunk_documents": lambda: contract.q_chunk_documents(spark, SF_DIR),
         "corpus_sample": lambda: contract.q_corpus_sample(spark, SF_DIR),
         "embedding_topk": lambda: contract.q_embedding_topk(spark, SF_DIR),
         "embedding_near_dups": lambda: contract.q_emb_near_dups(spark, SF_DIR),

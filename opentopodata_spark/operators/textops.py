@@ -36,6 +36,7 @@ __all__ = [
     "scrub_pii",
     "normalize_text",
     "corpus_stats",
+    "chunk_documents",
     "STOPWORDS",
     "PII_PATTERNS",
 ]
@@ -371,3 +372,59 @@ def corpus_stats(
             F.round(F.element_at("_pcts", i + 1), 6),
         )
     return out.drop("_pcts")
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 128,
+    stride: int | None = None,
+) -> DataFrame:
+    """Fixed-token-window chunking: (doc_id, chunk_idx, chunk, n_tokens)
+    — the sequence-prep step between corpus cleaning and tokenizer
+    packing. ``stride`` defaults to ``chunk_tokens`` (non-overlapping);
+    a smaller stride yields overlapping windows (sliding-context
+    training). The final partial window is kept (its true token count is
+    in ``n_tokens``); empty documents yield no chunks.
+
+    Pure narrow plan: one bound tokenization + sequence/transform window
+    construction + one posexplode — zero shuffles, zero Python; chunk
+    rows stream straight to the sink partitioned however the scan was."""
+    if stride is None:
+        stride = chunk_tokens
+    if stride <= 0 or chunk_tokens <= 0:
+        raise ValueError("chunk_tokens and stride must be positive")
+
+    def _windows(t):
+        size = F.size(t)
+        # one window per start 0, stride, 2*stride, ... while start < size
+        n_chunks = F.floor((size - 1) / stride) + 1
+        wins = F.transform(
+            F.sequence(F.lit(1), F.greatest(n_chunks, F.lit(1))),
+            lambda k: F.struct(
+                F.concat_ws(
+                    " ", F.slice(t, (k - 1) * stride + 1, chunk_tokens)
+                ).alias("chunk"),
+                F.least(
+                    F.lit(chunk_tokens), size - (k - 1) * stride
+                ).cast("long").alias("n_tokens"),
+            ),
+        )
+        # guard sequence(1, 0) (it DESCENDS): an empty doc yields no chunks
+        return F.when(size > 0, wins).otherwise(
+            F.array().cast(
+                "array<struct<chunk:string,n_tokens:bigint>>"
+            )
+        )
+
+    win = bind_once(_tokens(text_col), _windows)
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(win).alias("chunk_idx", "w"),
+    ).select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("w.chunk").alias("chunk"),
+        F.col("w.n_tokens").alias("n_tokens"),
+    )

@@ -976,3 +976,35 @@ class TestSpanRemoval:
             for r in dedup.remove_repeated_spans(docs, removal, n=3).collect()
         }
         assert got == {1: "one", 2: "two"}
+
+
+class TestChunking:
+    def test_chunk_documents_non_overlapping(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a b c d e f g"), (2, "x"), (3, "")],
+            "doc_id long, text string",
+        )
+        got = sorted(
+            (r.doc_id, r.chunk_idx, r.chunk, r.n_tokens)
+            for r in textops.chunk_documents(df, chunk_tokens=3).collect()
+        )
+        assert got == [
+            (1, 0, "a b c", 3), (1, 1, "d e f", 3), (1, 2, "g", 1),
+            (2, 0, "x", 1),
+        ]  # empty doc 3 yields no chunks
+
+    def test_chunk_documents_overlapping_stride(self, spark):
+        df = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+        got = sorted(
+            (r.chunk_idx, r.chunk, r.n_tokens)
+            for r in textops.chunk_documents(
+                df, chunk_tokens=3, stride=2
+            ).collect()
+        )
+        assert got == [(0, "a b c", 3), (1, "c d e", 3), (2, "e", 1)]
+
+    def test_chunk_documents_validates(self, spark):
+        df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+        import pytest as _pt
+        with _pt.raises(ValueError):
+            textops.chunk_documents(df, chunk_tokens=0)
