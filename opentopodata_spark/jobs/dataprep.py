@@ -68,6 +68,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "(data mixing); languages not listed use --sample-default")
     p.add_argument("--sample-default", type=float, default=1.0)
     p.add_argument("--sample-seed", default="s1")
+    p.add_argument("--chunk-tokens", type=int, default=None,
+                   help="also emit a chunked corpus ({out}/chunks): fixed-"
+                        "token windows over the cleaned corpus "
+                        "(textops.chunk_documents)")
+    p.add_argument("--chunk-stride", type=int, default=None,
+                   help="window stride (default: --chunk-tokens, i.e. "
+                        "non-overlapping)")
     p.add_argument("--no-exact-dedup", action="store_true", help="skip exact text dedup (kept on by default)")
     p.add_argument("--near-dup-threshold", type=float, default=None,
                    help="also drop LSH-verified near-duplicates at this Jaccard threshold")
@@ -180,6 +187,16 @@ def run(ns: argparse.Namespace, spark=None) -> dict:
     out_corpus = f"{ns.out}/corpus"
     survivors.write.mode("overwrite").parquet(out_corpus)
     stats["output_docs"] = spark.read.parquet(out_corpus).count()
+    if ns.chunk_tokens is not None:
+        # chunk the WRITTEN corpus (a fresh scan of the small cleaned
+        # output, not a third pass over the raw input)
+        chunks = _textops.chunk_documents(
+            spark.read.parquet(out_corpus),
+            chunk_tokens=ns.chunk_tokens,
+            stride=ns.chunk_stride,
+        )
+        chunks.write.mode("overwrite").parquet(f"{ns.out}/chunks")
+        stats["output_chunks"] = spark.read.parquet(f"{ns.out}/chunks").count()
     stats["seconds"] = round(time.time() - t0, 3)
     filtered.unpersist()
 

@@ -218,3 +218,20 @@ def test_dataprep_via_spark_submit(tmp_path, spark):
     assert stats["input_docs"] == 3 and stats["output_docs"] == 2
     kept = {r.doc_id for r in spark.read.parquet(f"{out}/corpus").collect()}
     assert kept == {1, 3}
+
+
+def test_dataprep_chunking_stage(tmp_path, spark, capsys):
+    """--chunk-tokens emits a chunked corpus next to the cleaned one."""
+    rows = [(1, "a b c d e f g"), (2, "x y")]
+    p = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(p)
+    out = str(tmp_path / "clean")
+    argv = ["--documents", p, "--out", out, "--min-tokens", "0",
+            "--chunk-tokens", "3", "--cores", "4"]
+    assert job.main(argv) == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["output_docs"] == 2 and stats["output_chunks"] == 4
+    ch = {(r.doc_id, r.chunk_idx): (r.chunk, r.n_tokens)
+          for r in spark.read.parquet(f"{out}/chunks").collect()}
+    assert ch[(1, 0)] == ("a b c", 3) and ch[(1, 2)] == ("g", 1)
+    assert ch[(2, 0)] == ("x y", 2)
