@@ -39,19 +39,22 @@ def _sf_label(sf_dir: str) -> float:
         return -1.0
 
 
-N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
 
 
-def run(make, warmup: bool = True) -> float:
+def run(make, warmup: bool = True) -> tuple[float, float, float]:
     """Steady-state timing: one untimed write (JIT/codegen, Python worker
     pool, page cache), then the median of N_RUNS timed writes — local-mode
     runs carry multi-second GC / worker-pool spikes that a single sample
-    reports as query regressions. ``make`` is a factory: each rep builds
-    the DataFrame fresh INSIDE the timed region, so operators that
-    materialize during construction (iterative algorithms checkpointing
-    per round, e.g. dedup_clusters) are fully timed, and nothing is
-    reused across actions (a re-written identical DataFrame would skip
-    its computed shuffle stages)."""
+    reports as query regressions, and round-over-round comparisons of
+    single samples alias host weather into phantom regressions (measured
+    1.1-3.5x swings on untouched code). Returns (median, min, max) so the
+    recorded spread distinguishes a stable number from a noisy one.
+    ``make`` is a factory: each rep builds the DataFrame fresh INSIDE the
+    timed region, so operators that materialize during construction
+    (iterative algorithms checkpointing per round, e.g. dedup_clusters)
+    are fully timed, and nothing is reused across actions (a re-written
+    identical DataFrame would skip its computed shuffle stages)."""
     if not callable(make):
         df, make = make, lambda: df
     if warmup:
@@ -61,7 +64,7 @@ def run(make, warmup: bool = True) -> float:
         t0 = time.time()
         make().write.format("noop").mode("overwrite").save()
         times.append(time.time() - t0)
-    return sorted(times)[len(times) // 2]
+    return sorted(times)[len(times) // 2], min(times), max(times)
 
 
 def main() -> None:
@@ -79,7 +82,9 @@ def main() -> None:
     elev_df = contract._run_elevation(spark, n_docs=n_docs, n_files=CPUS)
     n_coords = elev_df.count()  # fixtures built, rasters opened
     timings: dict[str, float] = {}
-    timings["elevation_e2e"] = run(elev_df)  # run() warms once untimed
+    spreads: dict[str, list[float]] = {}
+    timings["elevation_e2e"], lo, hi = run(elev_df)  # run() warms once untimed
+    spreads["elevation_e2e"] = [lo, hi]
 
     queries = {
         "minhash_lsh": lambda: contract.q_lsh_pairs(spark, SF_DIR),
@@ -117,7 +122,8 @@ def main() -> None:
         "raster_diff": lambda: contract.q_raster_diff(spark, SF_DIR),
     }
     for name, make in queries.items():
-        timings[name] = run(make)
+        timings[name], lo, hi = run(make)
+        spreads[name] = [lo, hi]
 
     total = sum(timings.values())
     print(
@@ -127,6 +133,11 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": {k: round(v, 3) for k, v in timings.items()},
+                "spread": {
+                    k: [round(v[0], 3), round(v[1], 3)]
+                    for k, v in spreads.items()
+                },
+                "runs_per_query": N_RUNS,
                 "sf": sf,
                 "cores": CPUS,
                 "elevation_coords": n_coords,

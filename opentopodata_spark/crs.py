@@ -18,6 +18,13 @@ formulas:
   accepted with the same documented approximation grid-less PROJ makes.
 * Lambert Azimuthal Equal Area, ellipsoidal form (EPSG method 9820 /
   Snyder 1987 §24) — covers EPSG:3035 (ETRS89-extended / LAEA Europe).
+* Lambert Conformal Conic 1SP/2SP (EPSG methods 9801/9802, Snyder §15) —
+  EPSG:2154 Lambert-93, 3034 LCC Europe, 3978 Canada Atlas, metre-unit US
+  state-plane LCC zones; pinned by the EPSG Guidance Note 7-2 worked
+  example to the cent.
+* Albers Equal-Area Conic (EPSG method 9822, Snyder §14) — EPSG:5070
+  CONUS, 3577 Australia (southern cone), 3338 Alaska, 3310 California;
+  pinned by Snyder's ellipsoidal numeric example.
 * Web/spherical Mercator (EPSG:3857).
 
 API mirrors the reference's ``utils.reproject_latlons``
@@ -239,6 +246,166 @@ class LambertAzimuthalEqualArea:
         return np.degrees(lam + self.lon0), np.degrees(phi)
 
 
+class LambertConformalConic:
+    """Ellipsoidal Lambert Conformal Conic, 1SP and 2SP (EPSG methods
+    9801/9802, Snyder 1987 §15). 2SP: pass both standard parallels with
+    k0=1 (EPSG 2154 Lambert-93, 3978 Canada Atlas, US state-plane LCC
+    zones). 1SP: pass sp1 == sp2 == the latitude of natural origin and
+    the explicit k0. Negative-n (southern) cones handled via the sign
+    folds Snyder prescribes."""
+
+    def __init__(self, a, inv_f, lat0_deg, lon0_deg, sp1_deg, sp2_deg,
+                 false_easting, false_northing, k0=1.0):
+        f = 1.0 / inv_f
+        self.a = a
+        self.e2 = f * (2 - f)
+        self.e = math.sqrt(self.e2)
+        self.lon0 = math.radians(lon0_deg)
+        self.fe = false_easting
+        self.fn = false_northing
+        phi0 = math.radians(lat0_deg)
+        phi1 = math.radians(sp1_deg)
+        phi2 = math.radians(sp2_deg)
+
+        def m(phi):
+            return math.cos(phi) / math.sqrt(1 - self.e2 * math.sin(phi) ** 2)
+
+        def t(phi):
+            s = math.sin(phi)
+            return math.tan(math.pi / 4 - phi / 2) / (
+                (1 - self.e * s) / (1 + self.e * s)
+            ) ** (self.e / 2)
+
+        if abs(sp1_deg - sp2_deg) < 1e-12:
+            # 1SP form: cone constant from the single touching parallel
+            self.n = math.sin(phi1)
+            F = m(phi1) / (self.n * t(phi1) ** self.n)
+        else:
+            m1, m2 = m(phi1), m(phi2)
+            t1, t2 = t(phi1), t(phi2)
+            self.n = (math.log(m1) - math.log(m2)) / (math.log(t1) - math.log(t2))
+            F = m1 / (self.n * t1 ** self.n)
+        self.aF = a * k0 * F
+        t0 = t(phi0)
+        # t -> 0 at the pole; the cone apex has rho = 0
+        self.rho0 = self.aF * t0 ** self.n if t0 > 0 else 0.0
+
+    def _t(self, phi):
+        s = np.sin(phi)
+        return np.tan(np.pi / 4 - phi / 2) / (
+            (1 - self.e * s) / (1 + self.e * s)
+        ) ** (self.e / 2)
+
+    def forward(self, lons, lats):
+        lats = np.asarray(lats, dtype=np.float64)
+        lons = np.asarray(lons, dtype=np.float64)
+        phi = np.radians(lats)
+        lam = np.radians(lons) - self.lon0
+        lam = (lam + np.pi) % (2 * np.pi) - np.pi
+        rho = self.aF * self._t(phi) ** self.n
+        theta = self.n * lam
+        x = self.fe + rho * np.sin(theta)
+        y = self.fn + self.rho0 - rho * np.cos(theta)
+        return x, y
+
+    def inverse(self, xs, ys):
+        x = np.asarray(xs, dtype=np.float64) - self.fe
+        y = self.rho0 - (np.asarray(ys, dtype=np.float64) - self.fn)
+        sign = 1.0 if self.n >= 0 else -1.0
+        rho = sign * np.hypot(x, y)
+        theta = np.arctan2(sign * x, sign * y)
+        lam = theta / self.n
+        with np.errstate(divide="ignore"):
+            tp = (rho / self.aF) ** (1.0 / self.n)
+        # invert the isometric latitude: phi = pi/2 - 2 atan(t * ((1-e s)/(1+e s))^(e/2))
+        phi = np.pi / 2 - 2.0 * np.arctan(tp)
+        for _ in range(8):
+            s = np.sin(phi)
+            phi = np.pi / 2 - 2.0 * np.arctan(
+                tp * ((1 - self.e * s) / (1 + self.e * s)) ** (self.e / 2)
+            )
+        phi = np.where(rho == 0.0, sign * np.pi / 2, phi)
+        return np.degrees(lam + self.lon0), np.degrees(phi)
+
+
+class AlbersEqualArea:
+    """Ellipsoidal Albers Equal-Area Conic (EPSG method 9822, Snyder 1987
+    §14) — EPSG 5070 CONUS, 3577 Australia, 3338 Alaska, 3310 California.
+    Shares the authalic-latitude q with LAEA; n < 0 southern cones
+    handled like LCC."""
+
+    def __init__(self, a, inv_f, lat0_deg, lon0_deg, sp1_deg, sp2_deg,
+                 false_easting, false_northing):
+        f = 1.0 / inv_f
+        self.a = a
+        self.e2 = f * (2 - f)
+        self.e = math.sqrt(self.e2)
+        self.lon0 = math.radians(lon0_deg)
+        self.fe = false_easting
+        self.fn = false_northing
+        phi0 = math.radians(lat0_deg)
+        phi1 = math.radians(sp1_deg)
+        phi2 = math.radians(sp2_deg)
+
+        def m(phi):
+            return math.cos(phi) / math.sqrt(1 - self.e2 * math.sin(phi) ** 2)
+
+        q0 = float(self._q(np.array([phi0]))[0])
+        q1 = float(self._q(np.array([phi1]))[0])
+        q2 = float(self._q(np.array([phi2]))[0])
+        m1, m2 = m(phi1), m(phi2)
+        if abs(sp1_deg - sp2_deg) < 1e-12:
+            self.n = math.sin(phi1)
+        else:
+            self.n = (m1 * m1 - m2 * m2) / (q2 - q1)
+        self.C = m1 * m1 + self.n * q1
+        self.rho0 = a * math.sqrt(self.C - self.n * q0) / self.n
+
+    def _q(self, phi):
+        e = self.e
+        s = np.sin(phi)
+        return (1 - self.e2) * (
+            s / (1 - self.e2 * s**2)
+            - (1 / (2 * e)) * np.log((1 - e * s) / (1 + e * s))
+        )
+
+    def forward(self, lons, lats):
+        lats = np.asarray(lats, dtype=np.float64)
+        lons = np.asarray(lons, dtype=np.float64)
+        phi = np.radians(lats)
+        lam = np.radians(lons) - self.lon0
+        lam = (lam + np.pi) % (2 * np.pi) - np.pi
+        q = self._q(phi)
+        rho = self.a * np.sqrt(np.maximum(self.C - self.n * q, 0.0)) / self.n
+        theta = self.n * lam
+        x = self.fe + rho * np.sin(theta)
+        y = self.fn + self.rho0 - rho * np.cos(theta)
+        return x, y
+
+    def inverse(self, xs, ys):
+        x = np.asarray(xs, dtype=np.float64) - self.fe
+        y = self.rho0 - (np.asarray(ys, dtype=np.float64) - self.fn)
+        sign = 1.0 if self.n >= 0 else -1.0
+        rho = sign * np.hypot(x, y)
+        theta = np.arctan2(sign * x, sign * y)
+        lam = theta / self.n
+        q = (self.C - (rho * self.n / self.a) ** 2) / self.n
+        # authalic -> geodetic latitude, same iteration as LAEA.inverse
+        qp = float(self._q(np.array([math.pi / 2]))[0])
+        phi = np.arcsin(np.clip(q / 2.0, -1.0, 1.0))
+        e, e2 = self.e, self.e2
+        at_pole = np.abs(np.abs(q) - qp) < 1e-12
+        for _ in range(8):
+            s = np.sin(phi)
+            phi = phi + ((1 - e2 * s * s) ** 2 / (2.0 * np.cos(phi))) * (
+                q / (1 - e2)
+                - s / (1 - e2 * s * s)
+                + (1.0 / (2.0 * e)) * np.log((1 - e * s) / (1 + e * s))
+            )
+        phi = np.where(at_pole, np.sign(q) * np.pi / 2, phi)
+        return np.degrees(lam + self.lon0), np.degrees(phi)
+
+
 class WebMercator:
     R = 6378137.0
 
@@ -384,6 +551,38 @@ _NAMED_TM_EPSGS: dict[int, tuple] = {
 }
 
 
+# Lambert Conformal Conic 2SP CRSs on WGS84-coincident datums (RGF93,
+# NAD83, ETRS89 — identity at DEM scale, like the UTM families above):
+# (ellipsoid, lat0, lon0, sp1, sp2, false_easting, false_northing).
+# Parameters are the published EPSG registry values.
+_LCC_EPSGS: dict[int, tuple] = {
+    # RGF93 v1 / Lambert-93 (all of France's IGN rasters)
+    2154: (_GRS80, 46.5, 3.0, 49.0, 44.0, 700000.0, 6600000.0),
+    # ETRS89-extended / LCC Europe
+    3034: (_GRS80, 52.0, 10.0, 35.0, 65.0, 4000000.0, 2800000.0),
+    # NAD83 / Canada Atlas Lambert
+    3978: (_GRS80, 49.0, -95.0, 49.0, 77.0, 0.0, 0.0),
+    # NAD83 / Texas Central (state plane, metre variant)
+    32139: (_GRS80, 29.0 + 40.0 / 60.0, -(100.0 + 20.0 / 60.0),
+            30.0 + 7.0 / 60.0, 31.0 + 53.0 / 60.0, 700000.0, 3000000.0),
+    # NAD83 / Colorado Central (state plane; FE/FN are exact ftUS->m)
+    26954: (_GRS80, 37.0 + 50.0 / 60.0, -105.5, 38.0 + 27.0 / 60.0,
+            39.0 + 45.0 / 60.0, 914401.8289, 304800.6096),
+}
+
+# Albers Equal-Area CRSs: (ellipsoid, lat0, lon0, sp1, sp2, fe, fn).
+_ALBERS_EPSGS: dict[int, tuple] = {
+    # NAD83 / Conus Albers (the CONUS analysis grid, NLCD etc.)
+    5070: (_GRS80, 23.0, -96.0, 29.5, 45.5, 0.0, 0.0),
+    # GDA94 / Australian Albers (southern cone, n < 0)
+    3577: (_GRS80, 0.0, 132.0, -18.0, -36.0, 0.0, 0.0),
+    # NAD83 / Alaska Albers
+    3338: (_GRS80, 50.0, -154.0, 55.0, 65.0, 0.0, 0.0),
+    # NAD83 / California Albers
+    3310: (_GRS80, 0.0, -120.0, 34.0, 40.5, 0.0, -4000000.0),
+}
+
+
 def _projection_for_epsg(epsg: int):
     if epsg in _GEOGRAPHIC_IDENTITY_EPSGS:
         return Identity()
@@ -416,6 +615,16 @@ def _projection_for_epsg(epsg: int):
             _, tx, ty, tz, rx, ry, rz, s = datum
             proj = DatumShifted(proj, HelmertDatum(*ell, tx, ty, tz, rx, ry, rz, s))
         return proj
+    if epsg in _LCC_EPSGS:
+        ell, lat0, lon0, sp1, sp2, fe, fn = _LCC_EPSGS[epsg]
+        return LambertConformalConic(*ell, lat0_deg=lat0, lon0_deg=lon0,
+                                     sp1_deg=sp1, sp2_deg=sp2,
+                                     false_easting=fe, false_northing=fn)
+    if epsg in _ALBERS_EPSGS:
+        ell, lat0, lon0, sp1, sp2, fe, fn = _ALBERS_EPSGS[epsg]
+        return AlbersEqualArea(*ell, lat0_deg=lat0, lon0_deg=lon0,
+                               sp1_deg=sp1, sp2_deg=sp2,
+                               false_easting=fe, false_northing=fn)
     if epsg == 3035:  # ETRS89-extended / LAEA Europe
         return LambertAzimuthalEqualArea(*_GRS80, lat0_deg=52.0, lon0_deg=10.0,
                                          false_easting=4321000.0,
@@ -461,6 +670,31 @@ def _projection_for_wkt(wkt: str):
             a, inv_f,
             lat0_deg=p("latitude_of_origin", "latitude_of_center"),
             lon0_deg=p("central_meridian", "longitude_of_center"),
+            false_easting=p("false_easting"),
+            false_northing=p("false_northing"),
+        )
+    if "lambert_conformal_conic" in name:
+        lat0 = p("latitude_of_origin", "latitude_of_center")
+        # 1SP WKTs carry scale_factor and no standard parallels; ESRI
+        # 2SP WKTs sometimes spell sp1 "standard_parallel_1" only
+        sp1 = p("standard_parallel_1", default=lat0)
+        sp2 = p("standard_parallel_2", default=sp1)
+        return LambertConformalConic(
+            a, inv_f, lat0_deg=lat0,
+            lon0_deg=p("central_meridian", "longitude_of_center"),
+            sp1_deg=sp1, sp2_deg=sp2,
+            false_easting=p("false_easting"),
+            false_northing=p("false_northing"),
+            k0=p("scale_factor", default=1.0),
+        )
+    if "albers" in name:  # Albers_Conic_Equal_Area / Albers_Equal_Area
+        lat0 = p("latitude_of_origin", "latitude_of_center")
+        return AlbersEqualArea(
+            a, inv_f, lat0_deg=lat0,
+            lon0_deg=p("central_meridian", "longitude_of_center"),
+            sp1_deg=p("standard_parallel_1", default=lat0),
+            sp2_deg=p("standard_parallel_2",
+                      default=p("standard_parallel_1", default=lat0)),
             false_easting=p("false_easting"),
             false_northing=p("false_northing"),
         )

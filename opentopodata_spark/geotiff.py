@@ -333,6 +333,18 @@ def _lzw_decode(data: bytes) -> bytes:
 # ---------------------------------------------------------------------------
 
 
+def _value_as_dtype(value, dtype: np.dtype):
+    """A nodata sentinel out of range for the pixel dtype (e.g. -9999 on
+    uint8) must wrap modularly — NumPy's scalar constructor deprecated
+    that implicit overflow, so the cast goes through a 0-d array with an
+    explicit ``casting='unsafe'`` astype. Integral floats wrap via int
+    (float→uint C casts of negatives are platform-defined; int wrap is
+    modular and matches both the tag round-trip and old NumPy)."""
+    if np.issubdtype(dtype, np.integer) and float(value).is_integer():
+        value = int(value)
+    return np.array(value).astype(dtype, casting="unsafe")[()]
+
+
 def _predict2_encode(block: np.ndarray) -> np.ndarray:
     d = block.copy()
     d[:, 1:] = block[:, 1:] - block[:, :-1]  # modular wrap in the int dtype
@@ -507,7 +519,7 @@ class _BlockReader:
             for idx in sparse:
                 arr = np.full(
                     self._block_shape(idx),
-                    self.fill,
+                    _value_as_dtype(self.fill, self.dtype.newbyteorder("=")),
                     dtype=self.dtype.newbyteorder("="),
                 )
                 _cache_put((self.source.cache_key, idx), arr)
@@ -698,7 +710,7 @@ def write_geotiff(
             return lzma.compress(raw, format=lzma.FORMAT_XZ, preset=6)
         return raw
 
-    sparse_value = array.dtype.type(nodata) if nodata is not None else array.dtype.type(0)
+    sparse_value = _value_as_dtype(nodata, array.dtype) if nodata is not None else array.dtype.type(0)
 
     def is_sparse(blk: np.ndarray) -> bool:
         if not sparse_ok:
@@ -713,7 +725,7 @@ def write_geotiff(
         th, tw = tile_size
         if th % 16 or tw % 16:
             raise ValueError("tile_size dims must be multiples of 16")
-        pad_value = array.dtype.type(nodata) if nodata is not None else array.dtype.type(0)
+        pad_value = _value_as_dtype(nodata, array.dtype) if nodata is not None else array.dtype.type(0)
         for r0 in range(0, h, th):
             for c0 in range(0, w, tw):
                 blk = np.full((th, tw), pad_value, dtype=array.dtype)

@@ -75,6 +75,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--chunk-stride", type=int, default=None,
                    help="window stride (default: --chunk-tokens, i.e. "
                         "non-overlapping)")
+    p.add_argument("--with-repetition-metrics", action="store_true",
+                   help="keep dup/top n-gram-fraction columns in the output "
+                        "corpus even when --max-dup-ngram-frac is not set "
+                        "(they cost an extra gram pass, so they are opt-in)")
     p.add_argument("--no-exact-dedup", action="store_true", help="skip exact text dedup (kept on by default)")
     p.add_argument("--near-dup-threshold", type=float, default=None,
                    help="also drop LSH-verified near-duplicates at this Jaccard threshold")
@@ -104,7 +108,11 @@ def run(ns: argparse.Namespace, spark=None) -> dict:
     t0 = time.time()
     docs = spark.read.parquet(ns.documents).select("doc_id", "text")
     m = _textops.document_metrics(
-        docs, include_repetition=ns.max_dup_ngram_frac is not None
+        docs,
+        include_repetition=(
+            ns.max_dup_ngram_frac is not None
+            or getattr(ns, "with_repetition_metrics", False)
+        ),
     )
 
     keep = F.lit(True)

@@ -30,11 +30,48 @@ Scale notes (the design point is 10^12 documents, ~100 TB of text):
 
 from __future__ import annotations
 
+import contextlib
+import contextvars
+
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .exprutil import bind_once, tokens, word_ngram_array
+
+# Some operators persist an internal subtree (shingles, LSH buckets)
+# that has several consumers but no output column — callers can't reach
+# it to unpersist. Long-lived callers (a foreachBatch stream issuing one
+# pipeline per micro-batch) would leak one cache entry per batch, and
+# session-wide clearCache() is too blunt (it wipes caches owned by
+# concurrent jobs on the same SparkSession). tracked_persists() scopes
+# the leak: every internal persist taken inside the ``with`` is handed
+# back for the caller to release. contextvars (not a module global) so
+# concurrent streams in separate threads each see only their own frames.
+_persist_sink: contextvars.ContextVar[list | None] = contextvars.ContextVar(
+    "dedup_persist_sink", default=None
+)
+
+
+def _persist(df: DataFrame) -> DataFrame:
+    df = df.persist()
+    sink = _persist_sink.get()
+    if sink is not None:
+        sink.append(df)
+    return df
+
+
+@contextlib.contextmanager
+def tracked_persists():
+    """``with tracked_persists() as frames:`` — collect every DataFrame
+    this module persists internally during the block, so the caller can
+    ``unpersist()`` exactly those (and nothing else) when done."""
+    frames: list[DataFrame] = []
+    token = _persist_sink.set(frames)
+    try:
+        yield frames
+    finally:
+        _persist_sink.reset(token)
 
 __all__ = [
     "word_shingles",
@@ -215,7 +252,7 @@ def lsh_candidate_pairs(
     (one full exchange of the pair stream) for callers whose downstream
     aggregation dedupes anyway (see ``verified_near_duplicates``).
     """
-    buckets = lsh_buckets(signatures, band_size).persist()
+    buckets = _persist(lsh_buckets(signatures, band_size))
 
     big = (
         buckets.groupBy("band", "value")
@@ -362,7 +399,7 @@ def verified_near_duplicates(
     # the intersection join. Persist it so the corpus is scanned ONCE.
     # At true 100 TB scale, swap the persist for a checkpoint to a parquet
     # staging table; the plan shape is identical.
-    base_sh = word_shingles(df, id_col, text_col, shingle_n).persist()
+    base_sh = _persist(word_shingles(df, id_col, text_col, shingle_n))
     sigs = signatures_from_shingles(base_sh, num_hashes)
     # dedupe=False: candidate pairs may repeat (one per matching band);
     # count_distinct below collapses them, saving a full exchange of the
@@ -650,16 +687,19 @@ def remove_repeated_spans(
     positions, one doc-keyed join back. Docs with zero hits carry a
     NULL start list and never pay the rebuild expression.
 
-    The removal list's gram width must match ``n``: a mismatch would
-    make the semi-join silently match nothing and return every doc
-    untouched, so the (tiny) removal frame is probed once and a
-    mismatch raises instead."""
+    The removal list's gram width must be consistent with ``n``: a
+    wider-than-n gram would make the semi-join silently match nothing
+    and return every doc untouched, so the (tiny) removal frame is
+    probed once and a too-wide list raises. Width *below* n is legal —
+    short-doc partial grams (whole texts shorter than n tokens) are
+    narrower than n by construction, and a removal list where every
+    flagged gram happens to be such a partial must not be rejected."""
     widths = removal.select(
         F.max(F.size(F.split(F.col("gram"), " "))).alias("mx")
     ).first()
-    if widths["mx"] is not None and widths["mx"] != n:
+    if widths["mx"] is not None and widths["mx"] > n:
         raise ValueError(
-            f"removal list gram width {widths['mx']} != n={n} — was the "
+            f"removal list gram width {widths['mx']} > n={n} — was the "
             "list built by repeated_ngrams with a different n? (a "
             "mismatched join would silently remove nothing)"
         )

@@ -343,23 +343,34 @@ def corpus_stats(
     text_col: str = "text",
     by: str | None = "lang",
     percentiles: tuple = (0.5, 0.95, 0.99),
+    approx: bool = False,
+    approx_accuracy: int = 10000,
 ) -> DataFrame:
     """Per-group corpus length profile: (group, n_docs, total_tokens,
     mean_tokens, p50/p95/p99 token counts) — the first thing anyone
     computes over a new crawl drop, and the input to mixing decisions.
 
-    Exact interpolated percentiles (``F.percentile``): one grouped sort
-    per group — fine for per-language groups at any corpus size since
-    group COUNT is tiny and Spark's percentile is a partial-merge
-    aggregate (no per-group collect). At 10^12 docs swap in
-    ``approx_percentile`` if the exact sort shuffle ever shows up; the
-    call site decides the trade, not this operator."""
+    ``approx=False`` (default): exact interpolated percentiles
+    (``F.percentile``) — a partial-merge aggregate whose per-group state
+    buffers the value stream; fine while groups are languages and docs
+    per group fit an executor. ``approx=True``: the 10^12-doc path —
+    ``approx_percentile`` (KLL-style sketch, bounded memory
+    ~O(accuracy) per group, mergeable map-side), rank error ≤
+    1/approx_accuracy; returns the nearest actual value rather than an
+    interpolated one, so exact and approx can differ at even-count
+    medians. Both modes share the surrounding aggregate; the flag is a
+    parameter (not a code edit) so jobs can flip it per run."""
     n_tok = F.size(tokens(text_col)).cast("long")
     keys = [by] if by else []
     # ONE percentile aggregate with an array of percentages: a single
-    # per-group value buffer serves every requested percentile (separate
-    # Percentile aggs would each keep their own copy of the stream)
-    pcts = F.percentile(n_tok, F.array(*[F.lit(float(p)) for p in percentiles]))
+    # per-group value buffer (or sketch) serves every requested
+    # percentile (separate aggs would each keep their own copy)
+    pct_array = F.array(*[F.lit(float(p)) for p in percentiles])
+    if approx:
+        pcts = F.approx_percentile(n_tok, pct_array, F.lit(int(approx_accuracy)))
+        pcts = F.transform(pcts, lambda v: v.cast("double"))
+    else:
+        pcts = F.percentile(n_tok, pct_array)
     out = df.groupBy(*keys).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(n_tok).alias("total_tokens"),

