@@ -1422,8 +1422,9 @@ def q_geodesic_paths(spark, sf_dir):
 
 
 def q_multimodal_features(spark, sf_dir):
-    """Media spans -> fetch -> REAL decode/featurize: PNG payloads decode
-    through the pure-numpy codec (png.py); non-PNG payloads degrade to
+    """Media spans -> fetch -> REAL decode/featurize over a MIXED
+    PNG+JPEG corpus: both codecs decode through the pure-numpy codecs
+    (png.py / jpeg.py); payloads with no in-container decoder degrade to
     'unsupported'. Checked against a single-process oracle that decodes
     the same payloads without Spark."""
     from opentopodata_spark.operators import multimodal
@@ -1433,7 +1434,7 @@ def q_multimodal_features(spark, sf_dir):
     documents = spark.read.parquet(docs_path)
     spans = multimodal.media_spans(documents)
     feats = multimodal.decode_and_featurize(
-        multimodal.fetch_media(spans, fetcher=multimodal.synthetic_png_payload),
+        multimodal.fetch_media(spans, fetcher=multimodal.synthetic_media_payload),
         decoder="real",
     )
     return feats.select(
@@ -2195,8 +2196,8 @@ def _build_multimodal_oracle(sf_dir: str):
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    from opentopodata_spark import png
-    from opentopodata_spark.operators.multimodal import synthetic_png_payload
+    from opentopodata_spark import jpeg, png
+    from opentopodata_spark.operators.multimodal import synthetic_media_payload
 
     _, docs_path = _prepare_elevation_inputs(n_docs=1000)
     docs = pq.read_table(docs_path)
@@ -2213,11 +2214,14 @@ def _build_multimodal_oracle(sf_dir: str):
             if span["kind"] != "media":
                 continue
             ref = span["media_ref"]
-            b = synthetic_png_payload(ref)
+            b = synthetic_media_payload(ref)
             # independent re-derivation of the decode result (no
             # mapInPandas, no _decode_real): sniff + decode + shape
             if png.is_png(b):
                 arr = png.decode_png(b)
+                kind, w, h = "image", arr.shape[1], arr.shape[0]
+            elif jpeg.is_jpeg(b):
+                arr = jpeg.decode_jpeg(b)
                 kind, w, h = "image", arr.shape[1], arr.shape[0]
             else:
                 kind, w, h = "unsupported", None, None

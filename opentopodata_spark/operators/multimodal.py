@@ -42,6 +42,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .. import jpeg as _jpeg
 from .. import png as _png
 
 __all__ = [
@@ -51,6 +52,7 @@ __all__ = [
     "image_features",
     "plan_fetch_partitions",
     "synthetic_png_payload",
+    "synthetic_media_payload",
     "FEATURE_DIM",
 ]
 
@@ -99,6 +101,40 @@ def synthetic_png_payload(ref: str) -> bytes:
         base[:, :, None] + rng.integers(-20, 21, size=(h, w, channels))
     ).clip(0, 255).astype(np.uint8)
     return _png.encode_png(img, filter_type="mixed")
+
+
+def synthetic_media_payload(ref: str) -> bytes:
+    """Deterministic object-store stand-in for a MIXED crawl corpus:
+    roughly 3/8 of refs yield a PNG, 3/8 a baseline JPEG (the dominant
+    web media type — 4:4:4 or 4:2:0, color or grayscale, some with
+    restart markers, all through the pure-numpy encoder in jpeg.py), and
+    2/8 opaque bytes standing in for codecs with no in-container decoder
+    (video/audio). Every decoder branch of ``_decode_real`` sees data."""
+    seed = hashlib.sha256(ref.encode()).digest()
+    sel = seed[0] % 8
+    if sel < 2:
+        return _fake_payload(ref)
+    if sel < 5:
+        return synthetic_png_payload(f"png:{ref}")
+    rng = np.random.default_rng(int.from_bytes(seed[:8], "little"))
+    w = 8 + seed[1] % 41
+    h = 8 + seed[2] % 41
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = (yy * 255 // max(h - 1, 1) + xx * 255 // max(w - 1, 1)) // 2
+    if seed[3] % 4 == 0:  # grayscale JPEG
+        img = (base + rng.integers(-15, 16, size=(h, w))).clip(0, 255)
+        return _jpeg.encode_jpeg(
+            img.astype(np.uint8), quality=70 + seed[4] % 26
+        )
+    img = (
+        base[:, :, None] + rng.integers(-15, 16, size=(h, w, 3))
+    ).clip(0, 255).astype(np.uint8)
+    return _jpeg.encode_jpeg(
+        img,
+        quality=70 + seed[4] % 26,
+        subsampling="420" if seed[5] % 2 else "444",
+        restart_interval=seed[6] % 3,  # 0 = none, else every 1-2 MCUs
+    )
 
 
 def plan_fetch_partitions(
@@ -164,15 +200,28 @@ def image_features(img: np.ndarray) -> np.ndarray:
 
 
 def _decode_real(b: bytes):
-    """(kind, width, height, features) for one payload. PNG decodes for
-    real; other codecs (JPEG/audio/video) need PIL/ffmpeg/soundfile —
-    absent in this container — and degrade to 'unsupported' + nulls
-    instead of failing the job (undecodable blobs are data at corpus
-    scale). Widening coverage = add a sniffer + decoder branch here."""
+    """(kind, width, height, features) for one payload. PNG and baseline
+    JPEG decode for real (pure-numpy codecs in png.py / jpeg.py); codecs
+    with no in-container decoder (video/audio/JPEG-progressive) degrade
+    to 'unsupported' + nulls instead of failing the job (undecodable
+    blobs are data at corpus scale). Widening coverage = add a sniffer +
+    decoder branch here."""
     if _png.is_png(b):
         try:
             img = _png.decode_png(b)
         except _png.PngError:
+            return "corrupt", None, None, None
+        h, w, _c = img.shape
+        return "image", w, h, image_features(img)
+    if _jpeg.is_jpeg(b):
+        try:
+            img = _jpeg.decode_jpeg(b)
+        except _jpeg.JpegError as exc:
+            # distinguish broken bytes from honest feature gaps: an
+            # unsupported-but-valid JPEG flavor (progressive, CMYK) is
+            # 'unsupported'; anything else failing to parse is 'corrupt'
+            if "not supported" in str(exc) or "unsupported" in str(exc):
+                return "unsupported", None, None, None
             return "corrupt", None, None, None
         h, w, _c = img.shape
         return "image", w, h, image_features(img)
