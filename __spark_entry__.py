@@ -534,6 +534,93 @@ def q_chunk_documents(spark, sf_dir):
     )
 
 
+# merge budget deliberately SMALLER than the synthetic vocabulary needs
+# to fuse every word, so rarer words split into genuine subword pieces
+# and the BPE chunks differ from whitespace chunks (otherwise the oracle
+# would only re-check whitespace chunking under another name)
+_BPE_MERGES, _BPE_TOP_N = 25, 100_000
+_BPE_TOK_CACHE: dict = {}
+
+
+def _bpe_tokenizer_for(sf_dir: str, spark=None):
+    """Deterministic tokenizer for an sf_dir: Spark-side distributed word
+    count when a session is given, pure-Python count otherwise — both
+    feed the same deterministic train_bpe, so the merges are identical
+    (asserted implicitly by the chunk oracle hash)."""
+    key = os.path.abspath(sf_dir)
+    tok = _BPE_TOK_CACHE.get(key)
+    if tok is not None:
+        return tok
+    from opentopodata_spark import bpe
+
+    if spark is not None:
+        merges = bpe.train_bpe_spark(
+            _t(spark, sf_dir, "documents"),
+            num_merges=_BPE_MERGES,
+            top_n=_BPE_TOP_N,
+        )
+    else:
+        from collections import Counter
+
+        counts: Counter = Counter()
+        for text in _read_pq(sf_dir, "documents").column("text").to_pylist():
+            if text:
+                counts.update(text.split())
+        top = dict(
+            sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:_BPE_TOP_N]
+        )
+        merges = bpe.train_bpe(top, num_merges=_BPE_MERGES)
+    tok = bpe.BPETokenizer(merges)
+    _BPE_TOK_CACHE[key] = tok
+    return tok
+
+
+def q_chunk_documents_bpe(spark, sf_dir):
+    """Subword (BPE) chunking: a vocabulary is trained distributed (one
+    word-count groupBy, driver-side merge learning — how production
+    tokenizers are built), then windows of 32 BPE pieces with stride 24
+    are cut and detokenized, Arrow-batched piece UDF + Catalyst
+    windowing. Oracle = an independent pure-Python replay (word count ->
+    same deterministic trainer -> encode -> window)."""
+    return textops.chunk_documents(
+        _t(spark, sf_dir, "documents"),
+        chunk_tokens=_CHUNK_TOKENS,
+        stride=_CHUNK_STRIDE,
+        tokenizer=_bpe_tokenizer_for(sf_dir, spark),
+    )
+
+
+def _build_bpe_chunk_oracle(sf_dir: str):
+    import pyarrow as pa
+
+    from opentopodata_spark.bpe import BPETokenizer
+
+    tok = _bpe_tokenizer_for(sf_dir)  # pure-Python side
+    docs = _read_pq(sf_dir, "documents")
+    doc_ids, idxs, chunks, ntoks = [], [], [], []
+    for doc_id, text in zip(
+        docs.column("doc_id").to_pylist(), docs.column("text").to_pylist()
+    ):
+        pieces = tok.encode(text or "")
+        start, k = 0, 0
+        while start < len(pieces):
+            window = pieces[start : start + _CHUNK_TOKENS]
+            doc_ids.append(doc_id)
+            idxs.append(k)
+            chunks.append(BPETokenizer.detokenize(window))
+            ntoks.append(len(window))
+            k += 1
+            start += _CHUNK_STRIDE
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_ids, type=docs.column("doc_id").type),
+            "chunk_idx": pa.array(idxs, type=pa.int64()),
+            "chunk": pa.array(chunks, type=pa.string()),
+            "n_tokens": pa.array(ntoks, type=pa.int64()),
+        }
+    )
+
+
 _Q_CHUNK_SQL = f"""
 WITH tok AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents),
 w AS (SELECT doc_id, toks,
@@ -568,6 +655,32 @@ SELECT lang,
        round(quantile_cont(n_tok, 0.5), 6) AS p50_tokens,
        round(quantile_cont(n_tok, 0.95), 6) AS p95_tokens,
        round(quantile_cont(n_tok, 0.99), 6) AS p99_tokens
+FROM t GROUP BY lang
+"""
+
+
+def q_corpus_stats_approx(spark, sf_dir):
+    """The 10^12-doc path of corpus_stats: approx_percentile (mergeable
+    KLL-style sketch, bounded memory per group) instead of the exact
+    buffered percentile. At accuracy >= group size the sketch holds every
+    value, so it returns the exact discrete quantile (nearest actual
+    value at rank round(p*(n-1))+1) — which DuckDB's quantile_disc
+    reproduces; the approximation trade only appears past the accuracy
+    bound, where no small-scale oracle exists by construction."""
+    return textops.corpus_stats(
+        _t(spark, sf_dir, "documents"), by="lang", approx=True
+    )
+
+
+_Q_CORPUS_STATS_APPROX_SQL = f"""
+WITH t AS (SELECT lang, len({_TOKENS_SQL}) AS n_tok FROM documents)
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+       round(avg(n_tok), 6) AS mean_tokens,
+       round(CAST(quantile_disc(n_tok, 0.5) AS DOUBLE), 6) AS p50_tokens,
+       round(CAST(quantile_disc(n_tok, 0.95) AS DOUBLE), 6) AS p95_tokens,
+       round(CAST(quantile_disc(n_tok, 0.99) AS DOUBLE), 6) AS p99_tokens
 FROM t GROUP BY lang
 """
 
@@ -905,6 +1018,52 @@ WITH k AS (SELECT doc_id, lang, source,
            FROM documents)
 SELECT doc_id, lang, source, sample_key FROM k
 WHERE sample_key < CASE lang {cases} ELSE '{default}' END
+"""
+
+
+_TEXT_EMBED_DIM, _TEXT_EMBED_NGRAM = 64, 3
+
+
+def q_text_embed(spark, sf_dir):
+    """Hashing-trick char-n-gram text embedding (embeddings.text_embed)
+    in its exact integer form: the dense vector is computed by the fully
+    narrow Catalyst plan (zero shuffle, zero Python), then exploded to
+    the sparse (doc_id, bucket, weight) rows the SQL oracle reproduces
+    from md5 arithmetic — signed counts, so the compare is exact."""
+    dense = emb.text_embed(
+        _t(spark, sf_dir, "documents"),
+        dim=_TEXT_EMBED_DIM,
+        ngram=_TEXT_EMBED_NGRAM,
+        normalize=False,
+    )
+    return (
+        dense.select(
+            "doc_id", F.posexplode("embedding").alias("bucket", "w")
+        )
+        .where(F.col("w") != 0)
+        .select(
+            "doc_id",
+            F.col("bucket").cast("int").alias("bucket"),
+            F.col("w").cast("long").alias("weight"),
+        )
+    )
+
+
+_Q_TEXT_EMBED_SQL = f"""
+WITH g AS (
+  SELECT doc_id, substr(text, i, {_TEXT_EMBED_NGRAM}) AS gram
+  FROM documents,
+       LATERAL unnest(generate_series(
+         1, greatest(len(text) - {_TEXT_EMBED_NGRAM - 1}, 0))) AS t(i)
+),
+h AS (SELECT doc_id, ('0x' || substr(md5(gram), 1, 15))::BIGINT AS h FROM g)
+SELECT doc_id,
+       CAST(h % {_TEXT_EMBED_DIM} AS INTEGER) AS bucket,
+       CAST(sum(CASE WHEN ((h >> 55) & 1) = 1 THEN 1 ELSE -1 END) AS BIGINT)
+         AS weight
+FROM h
+GROUP BY doc_id, h % {_TEXT_EMBED_DIM}
+HAVING sum(CASE WHEN ((h >> 55) & 1) = 1 THEN 1 ELSE -1 END) != 0
 """
 
 
@@ -2398,6 +2557,7 @@ _PRECOMPUTED_BUILDERS = {
     "contour_lines": _build_contour_oracle,
     "raster_diff": _build_raster_diff_oracle,
     "streaming_near_dup": _build_near_dup_stream_oracle,
+    "chunk_documents_bpe": _build_bpe_chunk_oracle,
 }
 
 
@@ -2435,7 +2595,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "text_normalize": q_text_normalize,
         "corpus_stats": q_corpus_stats,
+        "corpus_stats_approx": q_corpus_stats_approx,
         "chunk_documents": q_chunk_documents,
+        "chunk_documents_bpe": q_chunk_documents_bpe,
         "simhash": q_simhash,
         "token_stats": q_token_stats,
         "quality_score": q_quality,
@@ -2445,6 +2607,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repeated_ngrams": q_repeated_ngrams,
         "span_dedup": q_span_dedup,
         "corpus_sample": q_corpus_sample,
+        "text_embed": q_text_embed,
         "embedding_topk": q_embedding_topk,
         "embedding_lsh_buckets": q_emb_lsh_buckets,
         "embedding_near_dups": q_emb_near_dups,
@@ -2490,6 +2653,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_scrub": _pii_scrub_sql(),
         "text_normalize": _Q_TEXT_NORMALIZE_SQL,
         "corpus_stats": _Q_CORPUS_STATS_SQL,
+        "corpus_stats_approx": _Q_CORPUS_STATS_APPROX_SQL,
         "chunk_documents": _Q_CHUNK_SQL,
         "simhash": _simhash_sql(),
         "token_stats": _Q_TOKEN_SQL,
@@ -2500,6 +2664,7 @@ def oracle_sql() -> dict[str, str]:
         "repeated_ngrams": _Q_REPEATED_SQL,
         "span_dedup": _Q_SPAN_DEDUP_SQL,
         "corpus_sample": _corpus_sample_sql(),
+        "text_embed": _Q_TEXT_EMBED_SQL,
         "embedding_topk": _Q_EMB_TOPK_SQL,
         "embedding_lsh_buckets": _emb_lsh_sql(),
         "embedding_near_dups": _emb_near_dups_sql(),

@@ -47,6 +47,24 @@ def bucket_col(point_id_col: str = "point_id", n_buckets: int = 64):
     return F.pmod(F.xxhash64(F.col(point_id_col)), F.lit(n_buckets)).cast("int")
 
 
+def _iceberg_catalogs(spark: SparkSession) -> list[str]:
+    """Names of configured Iceberg catalogs: spark.sql.catalog.<name>
+    keys whose value mentions iceberg. Checks the launch-time SparkConf
+    AND runtime-set SQL confs (``SET`` output), because catalog confs
+    are legal in both places — and the runtime path is how tests inject
+    a catalog without jars."""
+    entries = dict(spark.sparkContext.getConf().getAll())
+    for row in spark.sql("SET").collect():
+        entries[row["key"]] = row["value"]
+    return sorted(
+        k.rsplit(".", 1)[1]
+        for k, v in entries.items()
+        if k.startswith("spark.sql.catalog.")
+        and k.count(".") == 3  # the catalog key itself, not sub-confs
+        and "iceberg" in str(v).lower()
+    )
+
+
 def ensure_table_format(spark: SparkSession, table_format: str) -> None:
     """The table-format seam. 'parquet' is the sandbox implementation;
     'iceberg' is the production target (the north rule's wording): the
@@ -59,12 +77,7 @@ def ensure_table_format(spark: SparkSession, table_format: str) -> None:
         return
     if table_format != "iceberg":
         raise ValueError(f"Unknown table_format '{table_format}'.")
-    java_conf = spark.sparkContext.getConf()
-    catalogs = [
-        k for k, _v in java_conf.getAll()
-        if k.startswith("spark.sql.catalog.") and "iceberg" in str(_v).lower()
-    ]
-    if not catalogs:
+    if not _iceberg_catalogs(spark):
         raise RuntimeError(
             "table_format='iceberg' needs the iceberg-spark-runtime jar on "
             "the classpath and an Iceberg catalog configured "
@@ -131,6 +144,111 @@ def read_lineage(spark: SparkSession, out_dir: str) -> DataFrame | None:
     return spark.read.parquet(d)
 
 
+class ParquetTables:
+    """Path-based table pair (the sandbox implementation): append-only
+    bucket-partitioned parquet for data + an append-only parquet lineage
+    log. Filesystem maintenance with local os/shutil; production on an
+    object store would use the Hadoop FileSystem API behind the same
+    methods."""
+
+    def __init__(self, out_dir: str):
+        self.out_dir = out_dir
+        self.output = _data_dir(out_dir)
+
+    def append_data(self, df: DataFrame) -> None:
+        df.write.mode("append").partitionBy("_bucket").parquet(
+            _data_dir(self.out_dir)
+        )
+
+    def read_data(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(_data_dir(self.out_dir))
+
+    def append_lineage(self, df: DataFrame) -> None:
+        df.write.mode("append").parquet(_lineage_dir(self.out_dir))
+
+    def read_lineage(self, spark: SparkSession) -> DataFrame | None:
+        return read_lineage(spark, self.out_dir)
+
+    def data_buckets(self, spark: SparkSession) -> set[int]:
+        return set(_list_bucket_dirs(self.out_dir))
+
+    def drop_bucket(self, spark: SparkSession, bucket: int) -> None:
+        path = _list_bucket_dirs(self.out_dir).get(bucket)
+        if path:
+            shutil.rmtree(path)
+
+
+class IcebergTables:
+    """The production table pair as two Iceberg tables
+    (<catalog>.<namespace>.<name>_data / _lineage). Identifier-routed:
+    every read/write goes through ``_append`` / ``_scan`` /
+    ``_delete_bucket``, which use the Spark catalog API
+    (df.writeTo(ident).append(), spark.table(ident), DELETE WHERE) — the
+    operations Iceberg implements transactionally. Construction resolves
+    the configured Iceberg catalog from the session conf and fails fast
+    with setup instructions when none exists (ensure_table_format);
+    tests inject a catalog conf plus recording overrides of the three
+    low-level methods to pin that the whole resume protocol routes
+    through these identifiers (tests/test_lineage.py) — the jars
+    themselves are unavailable in this sandbox."""
+
+    def __init__(self, spark: SparkSession, namespace: str, name: str):
+        ensure_table_format(spark, "iceberg")
+        catalog = _iceberg_catalogs(spark)[0]
+        self.data_ident = f"{catalog}.{namespace}.{name}_data"
+        self.lineage_ident = f"{catalog}.{namespace}.{name}_lineage"
+        self.output = self.data_ident
+
+    # -- the three primitive operations everything routes through
+    def _append(self, df: DataFrame, ident: str) -> None:
+        df.writeTo(ident).append()
+
+    def _scan(self, spark: SparkSession, ident: str) -> DataFrame | None:
+        try:
+            return spark.table(ident)
+        except Exception:
+            return None  # table not created yet
+
+    def _delete_bucket(self, spark: SparkSession, ident: str, bucket: int) -> None:
+        spark.sql(f"DELETE FROM {ident} WHERE _bucket = {int(bucket)}")
+
+    # -- TableFormat surface
+    def append_data(self, df: DataFrame) -> None:
+        self._append(df, self.data_ident)
+
+    def read_data(self, spark: SparkSession) -> DataFrame:
+        df = self._scan(spark, self.data_ident)
+        if df is None:
+            raise RuntimeError(f"missing Iceberg table {self.data_ident}")
+        return df
+
+    def append_lineage(self, df: DataFrame) -> None:
+        self._append(df, self.lineage_ident)
+
+    def read_lineage(self, spark: SparkSession) -> DataFrame | None:
+        return self._scan(spark, self.lineage_ident)
+
+    def data_buckets(self, spark: SparkSession) -> set[int]:
+        df = self._scan(spark, self.data_ident)
+        if df is None:
+            return set()
+        return {r["_bucket"] for r in df.select("_bucket").distinct().collect()}
+
+    def drop_bucket(self, spark: SparkSession, bucket: int) -> None:
+        self._delete_bucket(spark, self.data_ident, bucket)
+
+
+def tables_for(
+    spark: SparkSession, out_dir: str, table_format: str
+) -> "ParquetTables | IcebergTables":
+    ensure_table_format(spark, table_format)
+    if table_format == "parquet":
+        return ParquetTables(out_dir)
+    # out_dir doubles as namespace.name for the catalog layout
+    ns, _, name = out_dir.replace("/", ".").strip(".").rpartition(".")
+    return IcebergTables(spark, ns or "default", name or "results")
+
+
 def resumable_resolve(
     spark: SparkSession,
     resolver,
@@ -146,9 +264,17 @@ def resumable_resolve(
     points must carry (point_id, lat, lon). Returns stats:
     {completed_before, orphans_dropped, processed, output}. Calling it
     again after a crash (or after completion) does only missing work.
-    """
-    ensure_table_format(spark, table_format)
-    lineage = read_lineage(spark, out_dir)
+
+    table_format: 'parquet' | 'iceberg' | a TableFormat instance
+    (ParquetTables / IcebergTables / a test double) — every read and
+    write below goes through it, so swapping storage is construction,
+    not surgery."""
+    tables = (
+        table_format
+        if not isinstance(table_format, str)
+        else tables_for(spark, out_dir, table_format)
+    )
+    lineage = tables.read_lineage(spark)
     done: set[int] = set()
     if lineage is not None:
         done = {
@@ -157,11 +283,9 @@ def resumable_resolve(
 
     # crash hygiene: data partitions with no lineage row are partial
     # output from a dead attempt — drop and recompute them
-    orphans = [
-        (b, path) for b, path in _list_bucket_dirs(out_dir).items() if b not in done
-    ]
-    for _b, path in orphans:
-        shutil.rmtree(path)
+    orphans = [b for b in tables.data_buckets(spark) if b not in done]
+    for b in orphans:
+        tables.drop_bucket(spark, b)
 
     pts = points.withColumn("_bucket", bucket_col(n_buckets=n_buckets))
     todo = pts if not done else pts.where(~F.col("_bucket").isin(*done))
@@ -171,33 +295,42 @@ def resumable_resolve(
         resolved = resolver.resolve(todo.drop("_bucket")).withColumn(
             "_bucket", bucket_col(n_buckets=n_buckets)
         )
-        resolved.write.mode("append").partitionBy("_bucket").parquet(
-            _data_dir(out_dir)
-        )
+        tables.append_data(resolved)
         # lineage strictly after data: compute from what was WRITTEN
-        written = spark.read.parquet(_data_dir(out_dir)).where(
+        written = tables.read_data(spark).where(
             ~F.col("_bucket").isin(*done) if done else F.lit(True)
         )
         stats = lineage_stats(written, run_id, stage)
         processed = stats.count()
-        stats.write.mode("append").parquet(_lineage_dir(out_dir))
+        tables.append_lineage(stats)
 
     return {
         "completed_before": len(done),
         "orphans_dropped": len(orphans),
         "processed": processed,
-        "output": _data_dir(out_dir),
+        "output": tables.output,
     }
 
 
-def verify_lineage(spark: SparkSession, out_dir: str, stage: str = "elevation") -> bool:
+def verify_lineage(
+    spark: SparkSession,
+    out_dir: str,
+    stage: str = "elevation",
+    table_format="parquet",
+) -> bool:
     """Recompute per-bucket counts+checksums from data files and compare
-    with the lineage log (detects corruption / partial writes)."""
-    lineage = read_lineage(spark, out_dir)
+    with the lineage log (detects corruption / partial writes). Reads go
+    through the same TableFormat seam as resumable_resolve."""
+    tables = (
+        table_format
+        if not isinstance(table_format, str)
+        else tables_for(spark, out_dir, table_format)
+    )
+    lineage = tables.read_lineage(spark)
     if lineage is None:
         return False
     actual = lineage_stats(
-        spark.read.parquet(_data_dir(out_dir)), "verify", stage
+        tables.read_data(spark), "verify", stage
     ).select("bucket", "n_rows", "checksum")
     logged = lineage.where(F.col("stage") == stage).select(
         "bucket", "n_rows", "checksum"

@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
+    "text_embed",
     "dot",
     "norm",
     "cosine",
@@ -155,6 +156,96 @@ def train_kmeans_centroids(
         [(int(i), [float(x) for x in c]) for i, c in enumerate(centroids)],
         "cell_id long, centroid array<double>",
     )
+
+
+def text_embed(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 64,
+    ngram: int = 3,
+    normalize: bool = True,
+) -> DataFrame:
+    """Hashing-trick character-n-gram embedding: (doc_id, embedding
+    array<float> of ``dim``) — the feature-hashing projection (Weinberger
+    et al. 2009) that lets the ANN family run end-to-end from raw text
+    with no external model. Each char n-gram hashes to a bucket
+    (60-bit md5 prefix mod dim — md5 so any SQL engine reproduces it,
+    same convention as simhash) with a ±1 sign from an independent high
+    bit; bucket weights are signed counts, L2-normalized.
+
+    Plan shape: FULLY narrow — gram construction, hashing, bucket
+    accumulation and normalization are all Catalyst higher-order array
+    expressions per row. Zero shuffles, zero Python; embedding rows
+    stream to the next stage partitioned however the scan was. The
+    per-row cost is O(dim × grams) comparisons in codegen (the md5 per
+    gram is bound once); for mega-documents where that bites, chunk
+    first (chunk_documents) — which a training pipeline does anyway.
+    """
+    if dim <= 0 or ngram <= 0:
+        raise ValueError("dim and ngram must be positive")
+    from .exprutil import bind_once
+
+    t = F.col(text_col)
+    n_grams = F.length(t) - (ngram - 1)
+    grams = F.when(
+        n_grams > 0,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n_grams, F.lit(1))),
+            lambda i: F.substring(t, i, ngram),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+    def _embed(gram_arr):
+        # one md5 per gram, bound once; signed value per gram
+        hs = F.transform(
+            gram_arr,
+            lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast(
+                "long"
+            ),
+        )
+
+        def _accum(hashes):
+            weights = F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda b: F.aggregate(
+                    hashes,
+                    F.lit(0).cast("long"),
+                    lambda acc, h: acc
+                    + F.when(
+                        F.pmod(h, F.lit(dim)) == b,
+                        F.when(
+                            F.shiftright(h, 55).bitwiseAND(F.lit(1)) == 1,
+                            F.lit(1),
+                        ).otherwise(F.lit(-1)),
+                    ).otherwise(F.lit(0)).cast("long"),
+                ),
+            )
+            if not normalize:
+                return F.transform(weights, lambda w: w.cast("float"))
+
+            def _norm(ws):
+                ss = F.sqrt(
+                    F.aggregate(
+                        ws,
+                        F.lit(0.0),
+                        lambda acc, w: acc
+                        + w.cast("double") * w.cast("double"),
+                    )
+                )
+                return F.transform(
+                    ws,
+                    lambda w: F.when(ss > 0, w.cast("double") / ss)
+                    .otherwise(F.lit(0.0))
+                    .cast("float"),
+                )
+
+            return bind_once(weights, _norm)
+
+        return bind_once(hs, _accum)
+
+    emb = bind_once(grams, _embed)
+    return df.select(F.col(id_col).alias("doc_id"), emb.alias("embedding"))
 
 
 def dot(a, b):

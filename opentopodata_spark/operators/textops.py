@@ -21,6 +21,7 @@ the DuckDB oracle in ``__spark_entry__.py`` runs the same arithmetic.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -132,13 +133,52 @@ def _select(df: DataFrame, id_col: str, exprs: dict) -> DataFrame:
     )
 
 
-def token_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def token_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tokenizer=None,
+) -> DataFrame:
     """(doc_id, n_chars, n_ws_tokens, n_bpe_tokens, avg_token_len).
 
-    n_ws_tokens: whitespace tokens; n_bpe_tokens: BPE-ish pre-tokens
-    (letter runs / digit runs / punctuation singletons).
-    """
-    return _select(df, id_col, _token_stat_exprs(text_col))
+    Default: n_ws_tokens = whitespace tokens; n_bpe_tokens = BPE-ish
+    pre-tokens (letter runs / digit runs / punctuation singletons) —
+    pure codegen'd expressions, zero Python.
+
+    tokenizer: a ``bpe.BPETokenizer`` (a trained merges file) switches
+    n_bpe_tokens to the REAL subword count — how training sequences are
+    actually packed — via an Arrow-batched UDF with per-worker word
+    memoization (Zipf: few distinct words per batch). The other columns
+    stay codegen'd."""
+    exprs = _token_stat_exprs(text_col)
+    if tokenizer is not None:
+        exprs = dict(exprs)
+        exprs["n_bpe_tokens"] = F.size(
+            bpe_pieces_udf(tokenizer)(F.col(text_col))
+        ).cast("long")
+    return _select(df, id_col, exprs)
+
+
+def bpe_pieces_udf(tokenizer):
+    """Arrow-batched subword tokenization: text -> array<string> of BPE
+    pieces. The merge list ships in the UDF closure (small — it is the
+    vocabulary artifact); the tokenizer is rebuilt once per executor
+    python worker and memoizes per-word encodes across batches."""
+    from pyspark.sql.functions import pandas_udf
+
+    from ..bpe import BPETokenizer
+
+    merges = list(tokenizer.merges)
+    state: dict = {}
+
+    @pandas_udf("array<string>")
+    def _pieces(s: pd.Series) -> pd.Series:
+        tok = state.get("tok")
+        if tok is None:
+            tok = state["tok"] = BPETokenizer(merges)
+        return s.map(lambda t: None if t is None else tok.encode(t))
+
+    return _pieces
 
 
 def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -385,12 +425,38 @@ def corpus_stats(
     return out.drop("_pcts")
 
 
+def _detok_expr(pieces):
+    """Catalyst detokenization of a BPE piece array: pieces ending with
+    the end-of-word marker contribute 'stem + space', others contribute
+    themselves; trailing space trimmed. Matches bpe.BPETokenizer.
+    detokenize exactly (the oracle replays that Python twin)."""
+    from ..bpe import END_OF_WORD
+
+    mlen = len(END_OF_WORD)
+    return F.rtrim(
+        F.concat_ws(
+            "",
+            F.transform(
+                pieces,
+                lambda p: F.when(
+                    p.endswith(END_OF_WORD),
+                    F.concat(
+                        F.substring(p, F.lit(1), F.length(p) - mlen),
+                        F.lit(" "),
+                    ),
+                ).otherwise(p),
+            ),
+        )
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     chunk_tokens: int = 128,
     stride: int | None = None,
+    tokenizer=None,
 ) -> DataFrame:
     """Fixed-token-window chunking: (doc_id, chunk_idx, chunk, n_tokens)
     — the sequence-prep step between corpus cleaning and tokenizer
@@ -399,23 +465,36 @@ def chunk_documents(
     training). The final partial window is kept (its true token count is
     in ``n_tokens``); empty documents yield no chunks.
 
-    Pure narrow plan: one bound tokenization + sequence/transform window
-    construction + one posexplode — zero shuffles, zero Python; chunk
-    rows stream straight to the sink partitioned however the scan was."""
+    Default tokens are whitespace words — a pure narrow plan: one bound
+    tokenization + sequence/transform window construction + one
+    posexplode — zero shuffles, zero Python; chunk rows stream straight
+    to the sink partitioned however the scan was.
+
+    tokenizer: a ``bpe.BPETokenizer`` switches the window unit to real
+    subwords (windows of chunk_tokens BPE pieces, how sequences are
+    actually packed); the chunk column is the detokenized window text
+    (whitespace-normalized — the same single-space convention as the
+    default mode; a window may start/end mid-word). The only Python is
+    the Arrow-batched piece UDF; windowing/detokenization stay Catalyst
+    expressions, and the plan stays shuffle-free."""
     if stride is None:
         stride = chunk_tokens
     if stride <= 0 or chunk_tokens <= 0:
         raise ValueError("chunk_tokens and stride must be positive")
 
+    bpe_mode = tokenizer is not None
+
     def _windows(t):
         size = F.size(t)
         # one window per start 0, stride, 2*stride, ... while start < size
         n_chunks = F.floor((size - 1) / stride) + 1
+        def _chunk_text(sl):
+            return _detok_expr(sl) if bpe_mode else F.concat_ws(" ", sl)
         wins = F.transform(
             F.sequence(F.lit(1), F.greatest(n_chunks, F.lit(1))),
             lambda k: F.struct(
-                F.concat_ws(
-                    " ", F.slice(t, (k - 1) * stride + 1, chunk_tokens)
+                _chunk_text(
+                    F.slice(t, (k - 1) * stride + 1, chunk_tokens)
                 ).alias("chunk"),
                 F.least(
                     F.lit(chunk_tokens), size - (k - 1) * stride
@@ -429,7 +508,12 @@ def chunk_documents(
             )
         )
 
-    win = bind_once(_tokens(text_col), _windows)
+    token_array = (
+        bpe_pieces_udf(tokenizer)(F.col(text_col))
+        if bpe_mode
+        else _tokens(text_col)
+    )
+    win = bind_once(token_array, _windows)
     return df.select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(win).alias("chunk_idx", "w"),

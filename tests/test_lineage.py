@@ -119,6 +119,109 @@ class TestResumableResolve:
         assert not lineage.verify_lineage(spark, out)
 
 
+class _RecordingIcebergTables(lineage.IcebergTables):
+    """In-memory contract double. Inherits the REAL IcebergTables —
+    catalog discovery, identifier construction, and the routing of every
+    TableFormat method — and overrides only the three storage primitives
+    (`_append`/`_scan`/`_delete_bucket`, i.e. writeTo().append() /
+    spark.table() / DELETE WHERE), which are exactly what the Iceberg
+    jars would implement. Records each call so the test can pin that the
+    whole resume protocol goes through the catalog identifiers."""
+
+    def __init__(self, spark, namespace, name):
+        super().__init__(spark, namespace, name)
+        self._spark = spark
+        self.store: dict[str, tuple] = {}  # ident -> (schema, [rows])
+        self.calls: list[tuple] = []
+
+    def _append(self, df, ident):
+        self.calls.append(("append", ident))
+        rows = df.collect()
+        if ident in self.store:
+            self.store[ident][1].extend(rows)
+        else:
+            self.store[ident] = (df.schema, list(rows))
+
+    def _scan(self, spark, ident):
+        self.calls.append(("scan", ident))
+        if ident not in self.store:
+            return None
+        schema, rows = self.store[ident]
+        return spark.createDataFrame(rows, schema)
+
+    def _delete_bucket(self, spark, ident, bucket):
+        self.calls.append(("delete", ident, bucket))
+        schema, rows = self.store[ident]
+        self.store[ident] = (
+            schema, [r for r in rows if r["_bucket"] != bucket]
+        )
+
+
+def test_iceberg_seam_contract(spark, resolver, points):
+    """VERDICT r02 #5: exercise the Iceberg path, not just its error
+    message. Injects a catalog conf (the runtime-settable half of what
+    the jars need), then runs the FULL resume protocol — fresh run,
+    no-op resume, orphan crash recovery, checksum verify — through
+    IcebergTables with only the three jar-level primitives doubled."""
+    spark.conf.set(
+        "spark.sql.catalog.sandbox", "org.apache.iceberg.spark.SparkCatalog"
+    )
+    try:
+        lineage.ensure_table_format(spark, "iceberg")  # passes w/ catalog
+        tables = _RecordingIcebergTables(spark, "analytics", "results")
+        assert tables.data_ident == "sandbox.analytics.results_data"
+        assert tables.lineage_ident == "sandbox.analytics.results_lineage"
+
+        stats = lineage.resumable_resolve(
+            spark, resolver, points, out_dir="<catalog-managed>",
+            n_buckets=N_BUCKETS, table_format=tables,
+        )
+        assert stats["processed"] == N_BUCKETS
+        assert stats["output"] == tables.data_ident
+        assert tables.read_data(spark).count() == points.count()
+
+        # every storage op used a catalog identifier, data before lineage
+        idents = {c[1] for c in tables.calls}
+        assert idents <= {tables.data_ident, tables.lineage_ident}
+        appends = [c[1] for c in tables.calls if c[0] == "append"]
+        assert appends.index(tables.data_ident) < appends.index(
+            tables.lineage_ident
+        )
+
+        # no-op resume: nothing appended again
+        n_appends = len(appends)
+        again = lineage.resumable_resolve(
+            spark, resolver, points, out_dir="<catalog-managed>",
+            n_buckets=N_BUCKETS, table_format=tables,
+        )
+        assert again["completed_before"] == N_BUCKETS
+        assert again["processed"] == 0
+        assert (
+            len([c for c in tables.calls if c[0] == "append"]) == n_appends
+        )
+
+        # crash: drop bucket 3's lineage row -> its data is an orphan,
+        # resume must DELETE it via the data identifier and redo it
+        schema, rows = tables.store[tables.lineage_ident]
+        tables.store[tables.lineage_ident] = (
+            schema, [r for r in rows if r["bucket"] != 3]
+        )
+        resumed = lineage.resumable_resolve(
+            spark, resolver, points, out_dir="<catalog-managed>",
+            n_buckets=N_BUCKETS, table_format=tables,
+        )
+        assert resumed["orphans_dropped"] == 1
+        assert resumed["processed"] == 1
+        assert ("delete", tables.data_ident, 3) in tables.calls
+        assert tables.read_data(spark).count() == points.count()
+
+        assert lineage.verify_lineage(
+            spark, "<catalog-managed>", table_format=tables
+        )
+    finally:
+        spark.conf.unset("spark.sql.catalog.sandbox")
+
+
 def test_iceberg_seam_fails_fast_without_catalog(spark):
     """The table-format seam: 'iceberg' without the runtime jars +
     catalog must fail fast with setup instructions, not a jar-loading

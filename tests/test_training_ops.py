@@ -359,6 +359,90 @@ def vecs(spark):
     return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
 
 
+class TestTextEmbed:
+    def test_matches_python_twin(self, spark):
+        import hashlib
+
+        texts = ["hello world", "hello again world", "zz", "", "abcabcabc"]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        got = {
+            r.doc_id: np.array(r.embedding, dtype=np.float32)
+            for r in emb.text_embed(df, dim=16, ngram=3).collect()
+        }
+        for i, t in enumerate(texts):
+            w = np.zeros(16)
+            for j in range(max(len(t) - 2, 0)):
+                g = t[j : j + 3]
+                h = int(hashlib.md5(g.encode()).hexdigest()[:15], 16)
+                w[h % 16] += 1 if (h >> 55) & 1 else -1
+            nrm = math.sqrt(float((w * w).sum()))
+            want = (w / nrm if nrm > 0 else w).astype(np.float32)
+            np.testing.assert_array_equal(got[i], want, err_msg=t)
+
+    def test_unit_norm_and_similarity_order(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps over the lazy dog"),
+                (2, "the quick brown fox jumps over the lazy cat"),
+                (3, "entirely unrelated text about database queries"),
+            ],
+            "doc_id long, text string",
+        )
+        vecs = {
+            r.doc_id: np.array(r.embedding, dtype=np.float64)
+            for r in emb.text_embed(df, dim=64).collect()
+        }
+        for v in vecs.values():
+            assert abs(np.linalg.norm(v) - 1.0) < 1e-6
+        sim_near = float(vecs[1] @ vecs[2])
+        sim_far = float(vecs[1] @ vecs[3])
+        assert sim_near > sim_far  # near-dup texts embed closer
+
+    def test_plan_is_narrow(self, spark):
+        """text_embed must add NO exchange and NO Python stage — the
+        whole embedding is Catalyst expressions over the scan."""
+        df = spark.createDataFrame([(1, "abc def")], "doc_id long, text string")
+        plan = emb.text_embed(df)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "Python" not in plan and "ArrowEval" not in plan
+
+    def test_validates(self, spark):
+        df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+        with pytest.raises(ValueError):
+            emb.text_embed(df, dim=0)
+
+    def test_e2e_text_to_ann(self, spark):
+        """The full no-external-model ANN pipeline: raw text ->
+        text_embed -> IVF-PQ index -> search. The query text's own
+        document must be its top hit (clusters of paraphrases with
+        distinct vocabularies keep the quantizer honest)."""
+        topics = {
+            0: "database query planner join aggregate shuffle",
+            1: "mountain elevation terrain raster slope contour",
+            2: "tokenizer vocabulary subword merge corpus training",
+        }
+        rows = []
+        for i in range(48):
+            topic = topics[i % 3]
+            words = topic.split()
+            rows.append((i, " ".join(words[(i // 3) % len(words):] + words)))
+        df = spark.createDataFrame(rows, "vec_id long, text string")
+        vecs = emb.text_embed(df, id_col="vec_id", dim=32).withColumnRenamed(
+            "doc_id", "vec_id"
+        )
+        cent = emb.train_kmeans_centroids(vecs, k=3, n_iter=4)
+        cb = emb.train_pq_codebooks(vecs, m=4, ksub=8, n_iter=3)
+        queries = vecs.where(F.col("vec_id") < 3)
+        out = emb.ivfpq_topk(vecs, queries, cent, cb, k=3, n_probe=2).collect()
+        top1 = {r.query_id: r.neighbor_id for r in out if r.rank == 1}
+        same_topic = sum(
+            1 for q, n in top1.items() if n % 3 == q % 3
+        )
+        assert same_topic >= 2, top1  # quantized recall: most top-1s hit
+
+
 class TestEmbeddings:
     def test_cosine_topk_golden(self, vecs):
         out = emb.cosine_topk(vecs, vecs.where("vec_id = 1"), k=2).collect()
