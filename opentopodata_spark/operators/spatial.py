@@ -165,19 +165,19 @@ def points_in_polygon_mask(lats, lons, poly_lats, poly_lons) -> np.ndarray:
     return inside
 
 
-def polygon_cover_cells(poly_lats, poly_lons, level: int) -> np.ndarray:
-    """Covering S2 cell set for a polygon's bbox via the recursive region
-    coverer (s2.region_cover_cells): a guaranteed SUPERSET of every cell
-    that contains a bbox point (the exact PIP refinement drops false
-    candidates), with memory O(|cover|) — no dense point grid, so a
-    continent-sized polygon at level 12 is fine. A bbox cover is itself a
-    superset of a true interior cover; a tight interior cover is the
-    optimization knob for very concave shapes."""
-    la = np.asarray(poly_lats, dtype=np.float64)
-    lo = np.asarray(poly_lons, dtype=np.float64)
-    return s2.region_cover_cells(
-        float(la.min()), float(la.max()), float(lo.min()), float(lo.max()), level
-    )
+def polygon_cover_cells(
+    poly_lats, poly_lons, level: int, with_interior: bool = False
+):
+    """Covering S2 cell set for a polygon via the recursive POLYGON-aware
+    region coverer (s2.polygon_cover_cells): a guaranteed SUPERSET of
+    every cell containing a polygon point (the exact PIP refinement
+    drops false candidates), with memory O(|cover|). Unlike a bbox
+    cover, cells disjoint from a concave polygon are dropped during the
+    recursion, and cells proven fully interior are flagged — their
+    points skip refinement entirely (VERDICT r02 #9). With
+    ``with_interior`` returns (cell_ids, interior_mask); else ids only."""
+    ids, interior = s2.polygon_cover_cells(poly_lats, poly_lons, level)
+    return (ids, interior) if with_interior else ids
 
 
 def point_in_polygon_join(
@@ -197,10 +197,17 @@ def point_in_polygon_join(
     spark = points.sparkSession
     cover_rows = []
     for p in polygons:
-        for c in polygon_cover_cells(p["lats"], p["lons"], level):
-            cover_rows.append((int(np.uint64(c).view(np.int64)), p["polygon_id"]))
+        cells, interior = polygon_cover_cells(
+            p["lats"], p["lons"], level, with_interior=True
+        )
+        for c, itr in zip(cells, interior):
+            cover_rows.append(
+                (int(np.uint64(c).view(np.int64)), p["polygon_id"], bool(itr))
+            )
     cover = F.broadcast(
-        spark.createDataFrame(cover_rows, "s2_cell long, polygon_id string")
+        spark.createDataFrame(
+            cover_rows, "s2_cell long, polygon_id string, _interior boolean"
+        )
     )
 
     pts = with_s2_cell(points, level, lat_col, lon_col)
@@ -219,6 +226,9 @@ def point_in_polygon_join(
                 out[m] = points_in_polygon_mask(la[m], lo[m], pla, plo)
         return pd.Series(out)
 
-    return cand.where(refine(F.col(lat_col), F.col(lon_col), F.col("polygon_id"))).drop(
-        "s2_cell"
-    )
+    # interior cells are pre-answered by the cover; only boundary-cell
+    # candidates pay the exact ray cast
+    return cand.where(
+        F.col("_interior")
+        | refine(F.col(lat_col), F.col(lon_col), F.col("polygon_id"))
+    ).drop("s2_cell", "_interior")

@@ -144,3 +144,66 @@ def test_s2_cell_udf_matches_local(spark):
     }
     want = s2.cell_ids(lats, lons, 12)
     assert all(got[i] == want[i] for i in range(300))
+
+
+# -- polygon-aware cover (VERDICT r02 #9): drop cells disjoint from a
+# -- concave polygon, pre-answer proven-interior cells
+
+
+_CONCAVE_PLA = [35.0, 70.0, 70.0, 60.0, 60.0, 35.0]
+_CONCAVE_PLO = [-10.0, -10.0, 40.0, 40.0, 0.0, 0.0]  # big L: ~57% of bbox
+
+
+def test_polygon_cover_concave_fanout_drop():
+    """The polygon-aware cover must beat the bbox cover on a
+    continent-sized concave polygon: the notch's cells are dropped and
+    most kept cells are proven interior (no refinement needed)."""
+    bbox = s2.region_cover_cells(35.0, 70.0, -10.0, 40.0, 10)
+    ids, interior = s2.polygon_cover_cells(_CONCAVE_PLA, _CONCAVE_PLO, 10)
+    assert set(ids.tolist()) <= set(bbox.tolist())
+    assert len(ids) < 0.65 * len(bbox)  # the notch is ~57% of the bbox
+    assert interior.mean() > 0.5  # interior dominates at fine levels
+
+
+def test_polygon_cover_superset_and_interior_sound():
+    """Superset: every cell containing an inside point is covered.
+    Soundness: a cell flagged interior NEVER contains an outside point
+    (its points legitimately skip the exact ray cast)."""
+    rng = np.random.default_rng(29)
+    lats = rng.uniform(34.0, 71.0, 20000)
+    lons = rng.uniform(-11.0, 41.0, 20000)
+    inside = spatial.points_in_polygon_mask(lats, lons, _CONCAVE_PLA, _CONCAVE_PLO)
+    cells = s2.cell_ids(lats, lons, 10)
+    ids, interior = s2.polygon_cover_cells(_CONCAVE_PLA, _CONCAVE_PLO, 10)
+    cover = set(ids.tolist())
+    assert all(int(c) in cover for c in cells[inside])
+    interior_cells = set(ids[interior].tolist())
+    claimed = np.fromiter(
+        (int(c) in interior_cells for c in cells), dtype=bool, count=len(cells)
+    )
+    assert interior.any() and claimed.any()
+    assert inside[claimed].all()  # interior claim is conservative
+
+
+def test_pip_join_interior_fastpath_equivalence(spark):
+    """The interior fast path must not change join results: Spark PIP
+    join == brute-force ray cast on a concave continent polygon."""
+    rng = np.random.default_rng(31)
+    lats = rng.uniform(30.0, 75.0, 2000)
+    lons = rng.uniform(-15.0, 45.0, 2000)
+    expect = {
+        i
+        for i, ok in enumerate(
+            spatial.points_in_polygon_mask(lats, lons, _CONCAVE_PLA, _CONCAVE_PLO)
+        )
+        if ok
+    }
+    pts = spark.createDataFrame(
+        [(i, float(a), float(b)) for i, (a, b) in enumerate(zip(lats, lons))],
+        "point_id long, lat double, lon double",
+    )
+    out = spatial.point_in_polygon_join(
+        pts, [{"polygon_id": "L", "lats": _CONCAVE_PLA, "lons": _CONCAVE_PLO}],
+        level=9,
+    )
+    assert {r.point_id for r in out.collect()} == expect
