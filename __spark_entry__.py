@@ -738,6 +738,95 @@ FROM r WHERE rank <= {_BM25_K}
 """
 
 
+# Contamination composite (operators/contamination): benchmark set
+# derived deterministically FROM the documents table (no external data) —
+# every 997th doc contributes tokens 3..17 as a benchmark item, so real
+# verbatim contamination (the source doc, coverage 1.0) and incidental
+# gram collisions both occur.
+_CONTAM_N, _CONTAM_K, _CONTAM_MOD = 5, 10, 23
+
+
+def _contam_bench(spark, sf_dir):
+    from opentopodata_spark.operators.exprutil import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.where(F.col("doc_id") % _CONTAM_MOD == 0)
+        .select(
+            F.col("doc_id").alias("bench_id"),
+            F.concat_ws(" ", F.slice(tokens("text"), 3, 15)).alias("text"),
+        )
+        .where(F.col("text") != "")
+    )
+
+
+def q_contamination_check(spark, sf_dir):
+    """Benchmark-contamination composite: exact 5-gram collisions
+    (broadcast bench gram dictionary pruning the corpus gram stream)
+    full-outer BM25 top-k with benchmark items as queries
+    (operators/contamination.contamination_check, VERDICT r02 #8)."""
+    from opentopodata_spark.operators import contamination
+
+    docs = _t(spark, sf_dir, "documents")
+    return contamination.contamination_check(
+        docs, _contam_bench(spark, sf_dir), n=_CONTAM_N, k=_CONTAM_K
+    )
+
+
+def _contamination_sql() -> str:
+    n, k, k1, b = _CONTAM_N, _CONTAM_K, _BM25_K1, _BM25_B
+    gram = f"array_to_string(toks[i:i + {n - 1}], ' ')"
+    series = f"generate_series(1, greatest(len(toks) - {n}, 0) + 1)"
+    return f"""
+WITH tok AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents),
+bench AS (SELECT doc_id AS bench_id,
+                 array_to_string(toks[3:17], ' ') AS btext
+          FROM tok WHERE doc_id % {_CONTAM_MOD} = 0
+            AND array_to_string(toks[3:17], ' ') <> ''),
+btok AS (SELECT bench_id, {_TOKENS_SQL.replace("text", "btext")} AS toks
+         FROM bench),
+bgr AS (SELECT bench_id, unnest(list_distinct([{gram} for i in {series}]))
+          AS gram FROM btok),
+bsz AS (SELECT bench_id, count(*) AS bench_n FROM bgr WHERE gram <> ''
+        GROUP BY bench_id),
+dgr AS (SELECT doc_id, unnest(list_distinct([{gram} for i in {series}]))
+          AS gram FROM tok),
+ov AS (SELECT b.bench_id, d.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+       FROM dgr d JOIN bgr b USING (gram) WHERE gram <> ''
+       GROUP BY b.bench_id, d.doc_id),
+ovc AS (SELECT bench_id, doc_id, n_shared,
+               round(n_shared / bench_n, 6) AS coverage
+        FROM ov JOIN bsz USING (bench_id)),
+qt AS (SELECT DISTINCT bench_id AS query_id, unnest(toks) AS term FROM btok
+       WHERE len(toks) > 0),
+stats AS (SELECT count(*) AS n_docs, avg(len(toks)) AS avgdl FROM tok),
+occ AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM tok),
+tf AS (SELECT doc_id, term, count(*) AS tf, min(dl) AS dl FROM occ
+       WHERE term IN (SELECT term FROM qt) GROUP BY doc_id, term),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT qt.query_id, tf.doc_id,
+         round(sum(ln(1 + (s.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                   * tf.tf * ({k1} + 1)
+                   / (tf.tf + {k1} * (1 - {b} + {b} * tf.dl / s.avgdl))), 6)
+           AS score
+  FROM tf JOIN dfreq USING (term) JOIN qt USING (term) CROSS JOIN stats s
+  GROUP BY qt.query_id, tf.doc_id),
+r AS (SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, doc_id) AS rank
+        FROM scored) WHERE rank <= {k})
+SELECT coalesce(o.bench_id, r.query_id) AS bench_id,
+       coalesce(o.doc_id, r.doc_id) AS doc_id,
+       coalesce(o.n_shared, 0) AS n_shared_grams,
+       coalesce(o.coverage, 0.0) AS gram_coverage,
+       CAST(r.rank AS INT) AS bm25_rank,
+       r.score AS bm25_score
+FROM ovc o FULL OUTER JOIN r
+  ON o.bench_id = r.query_id AND o.doc_id = r.doc_id
+"""
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Near-dup components: pairwise verified verdicts -> disjoint
     clusters via alternating large-star/small-star connected components
@@ -2592,6 +2681,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "dedup_corpus": q_dedup_corpus,
         "bm25_search": q_bm25_search,
+        "contamination_check": q_contamination_check,
         "pii_scrub": q_pii_scrub,
         "text_normalize": q_text_normalize,
         "corpus_stats": q_corpus_stats,
@@ -2650,6 +2740,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": _Q_DEDUP_CLUSTERS_SQL,
         "dedup_corpus": _Q_DEDUP_CORPUS_SQL,
         "bm25_search": _bm25_sql(),
+        "contamination_check": _contamination_sql(),
         "pii_scrub": _pii_scrub_sql(),
         "text_normalize": _Q_TEXT_NORMALIZE_SQL,
         "corpus_stats": _Q_CORPUS_STATS_SQL,
