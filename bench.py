@@ -103,6 +103,13 @@ def main() -> None:
         "span_dedup": lambda: contract.q_span_dedup(spark, SF_DIR),
         "corpus_stats": lambda: contract.q_corpus_stats(spark, SF_DIR),
         "chunk_documents": lambda: contract.q_chunk_documents(spark, SF_DIR),
+        "chunk_documents_bpe": lambda: contract.q_chunk_documents_bpe(
+            spark, SF_DIR
+        ),
+        "text_embed": lambda: contract.q_text_embed(spark, SF_DIR),
+        "contamination_check": lambda: contract.q_contamination_check(
+            spark, SF_DIR
+        ),
         "corpus_sample": lambda: contract.q_corpus_sample(spark, SF_DIR),
         "embedding_topk": lambda: contract.q_embedding_topk(spark, SF_DIR),
         "embedding_near_dups": lambda: contract.q_emb_near_dups(spark, SF_DIR),

@@ -28,7 +28,12 @@ CONFIG_PATH = "config.yaml"
 EXAMPLE_CONFIG_PATH = "example-config.yaml"
 # Same classification regex as /root/reference/opentopodata/config.py:16
 FILENAME_TILE_REGEX = r"^.*?([NS][\dx]+_?[WE][\dx]+).*?$"
-AUX_EXTENSIONS = [".tfw", ".aux", ".aux.xml", ".rdd", ".jpw", ".ovr", ".prj", ".tmp"]
+# Reference list (/root/reference/opentopodata/config.py:17) plus .hdr:
+# this engine reads Esri BIL rasters (gridformats.py), whose .hdr text
+# sidecar must not be classified as a raster during tile discovery.
+AUX_EXTENSIONS = [
+    ".tfw", ".aux", ".aux.xml", ".rdd", ".jpw", ".ovr", ".prj", ".tmp", ".hdr",
+]
 
 DEFAULTS = {
     "max_locations_per_request": 100,

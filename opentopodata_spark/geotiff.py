@@ -864,9 +864,24 @@ _HGT_RE = re.compile(r"([NSns])(\d+)([EWew])(\d+)")
 
 
 def open_raster(path: str) -> Raster:
-    """Open a GeoTIFF, SRTM .hgt, or a .zip/.gz container of one (the
-    GDAL /vsizip/ and /vsigzip/ cases real DEM mirrors distribute)."""
+    """Open a GeoTIFF, SRTM .hgt, Esri ASCII grid (.asc), Esri BIL
+    (.bil + .hdr), netCDF3 classic (.nc), or a .zip/.gz container of
+    one (the GDAL /vsizip/ and /vsigzip/ cases real DEM mirrors
+    distribute). The extra grid formats live in gridformats.py; all
+    return the same Raster, so callers are format-agnostic."""
     lower = path.lower()
+    if lower.endswith((".asc", ".agr", ".asc.gz", ".agr.gz")):
+        from . import gridformats
+
+        return gridformats.open_ascii_grid(path)
+    if lower.endswith(".bil"):
+        from . import gridformats
+
+        return gridformats.open_bil(path)
+    if lower.endswith(".nc"):
+        from . import gridformats
+
+        return gridformats.open_netcdf(path)
     if lower.endswith(".zip"):
         return _open_zip(path)
     if lower.endswith(".gz"):
