@@ -72,6 +72,7 @@ _T_TILE_LENGTH = 323
 _T_TILE_OFFSETS = 324
 _T_TILE_BYTE_COUNTS = 325
 _T_SAMPLE_FORMAT = 339
+_T_JPEG_TABLES = 347  # abbreviated tables-only JPEG stream shared by blocks
 _T_MODEL_PIXEL_SCALE = 33550
 _T_MODEL_TIEPOINT = 33922
 _T_GEO_KEY_DIRECTORY = 34735
@@ -79,17 +80,19 @@ _T_GEO_ASCII_PARAMS = 34737
 _T_GDAL_NODATA = 42113
 
 # TIFF field types
+_FT_BYTE = 1
 _FT_SHORT = 3
 _FT_LONG = 4
 _FT_ASCII = 2
+_FT_UNDEFINED = 7
 _FT_DOUBLE = 12
 _FT_LONG8 = 16  # BigTIFF
 _FT_SLONG8 = 17  # BigTIFF
 _FT_IFD8 = 18  # BigTIFF
 
 _FT_SIZE = {
-    _FT_SHORT: 2, _FT_LONG: 4, _FT_ASCII: 1, _FT_DOUBLE: 8,
-    _FT_LONG8: 8, _FT_SLONG8: 8, _FT_IFD8: 8,
+    _FT_BYTE: 1, _FT_SHORT: 2, _FT_LONG: 4, _FT_ASCII: 1, _FT_DOUBLE: 8,
+    _FT_UNDEFINED: 1, _FT_LONG8: 8, _FT_SLONG8: 8, _FT_IFD8: 8,
 }
 _FT_FMT = {
     _FT_SHORT: "H", _FT_LONG: "I", _FT_DOUBLE: "d",
@@ -99,6 +102,8 @@ _FT_FMT = {
 # Compression codes
 _C_NONE = 1
 _C_LZW = 5
+_C_JPEG_OLD = 6
+_C_JPEG = 7  # "new-style" JPEG (TIFF TechNote 2): one JPEG stream per block
 _C_DEFLATE_ADOBE = 8
 _C_PACKBITS = 32773
 _C_DEFLATE_OLD = 32946
@@ -109,6 +114,7 @@ _COMPRESSION_CODES = {
     "lzw": _C_LZW,
     "packbits": _C_PACKBITS,
     "lzma": _C_LZMA,
+    "jpeg": _C_JPEG,
 }
 
 # GeoTIFF keys
@@ -445,6 +451,9 @@ class _BlockReader:
     # value sparse blocks (offset/bytecount 0, GDAL SPARSE_OK) read back as:
     # the nodata value if the file declares one, else 0 — GDAL's semantics
     fill: float = 0.0
+    # compression 7: abbreviated tables-only stream from the JPEGTables
+    # tag, merged ahead of each block's entropy stream before decode
+    jpeg_tables: bytes | None = None
 
     def _decompress(self, raw: bytes) -> bytes:
         if self.compression in (_C_DEFLATE_ADOBE, _C_DEFLATE_OLD):
@@ -465,8 +474,34 @@ class _BlockReader:
         r0 = idx * self.block_h
         return min(self.block_h, self.height - r0), self.width
 
+    def _decode_jpeg_block(self, idx: int, raw: bytes) -> np.ndarray:
+        """New-style JPEG (compression 7, TIFF TechNote 2): each block is
+        a JPEG stream, optionally abbreviated with its DQT/DHT segments
+        hoisted into the shared JPEGTables tag. Merge = tables stream
+        minus its EOI + block stream minus its SOI. Multi-component
+        (YCbCr) blocks keep channel 0 after the codec's RGB transform —
+        the same band-1 semantics as the other multi-band paths."""
+        from .jpeg import decode_jpeg
+
+        if self.jpeg_tables and len(self.jpeg_tables) >= 4 and raw[:2] == b"\xff\xd8":
+            merged = self.jpeg_tables[:-2] + raw[2:]
+        else:
+            merged = raw
+        img = decode_jpeg(merged)
+        if img.ndim == 3:
+            img = np.ascontiguousarray(img[:, :, 0])
+        h, w = self._block_shape(idx)
+        if img.shape[0] < h or img.shape[1] < w:
+            raise RasterOpenError(
+                f"JPEG block {idx} decodes to {img.shape}, expected at "
+                f"least ({h}, {w})"
+            )
+        return img[:h, :w].astype(self.dtype.newbyteorder("="), copy=False)
+
     def _decode(self, idx: int, raw: bytes) -> np.ndarray:
         h, w = self._block_shape(idx)
+        if self.compression == _C_JPEG:
+            return self._decode_jpeg_block(idx, raw)
         data = self._decompress(raw)
         if self.predictor == 3:
             return _predict3_decode(data, h, w, self.dtype)  # spp==1 enforced at open
@@ -689,10 +724,21 @@ def write_geotiff(
         raise ValueError("predictor 2 requires an integer dtype (use 3 for floats)")
     if predictor == 3 and kind != "f":
         raise ValueError("predictor 3 requires a float dtype")
+    if comp == _C_JPEG:
+        # lossy 8-bit imagery blocks (aerial/ortho sidecars); elevation
+        # data should use a lossless codec
+        if array.dtype != np.uint8:
+            raise ValueError("JPEG compression requires a uint8 array")
+        if predictor != 1:
+            raise ValueError("JPEG compression does not take a predictor")
 
     le_dtype = array.dtype.newbyteorder("<")
 
     def encode_block(blk: np.ndarray) -> bytes:
+        if comp == _C_JPEG:
+            from .jpeg import encode_jpeg
+
+            return encode_jpeg(np.ascontiguousarray(blk), quality=95)
         if predictor == 2:
             raw = _predict2_encode(blk).astype(le_dtype, copy=False).tobytes()
         elif predictor == 3:
@@ -1028,6 +1074,8 @@ def _open_tiff(source: _ByteSource) -> Raster:
             buf = source.read_at(off, sz)
         if ftype == _FT_ASCII:
             return buf.rstrip(b"\x00").decode("latin-1")
+        if ftype in (_FT_BYTE, _FT_UNDEFINED):
+            return bytes(buf)
         vals = struct.unpack(bo + str(count) + _FT_FMT[ftype], buf)
         return list(vals)
 
@@ -1035,16 +1083,27 @@ def _open_tiff(source: _ByteSource) -> Raster:
     height = int(value(_T_HEIGHT)[0])
     bits = int(value(_T_BITS, [8])[0])
     comp = int(value(_T_COMPRESSION, [1])[0])
+    if comp == _C_JPEG_OLD:
+        raise RasterOpenError(
+            f"'{path}': old-style TIFF JPEG (compression 6) was deprecated"
+            " by TIFF TechNote 2 — re-encode with compression 7"
+        )
     if comp not in (
-        _C_NONE, _C_LZW, _C_DEFLATE_ADOBE, _C_DEFLATE_OLD, _C_PACKBITS, _C_LZMA
+        _C_NONE, _C_LZW, _C_DEFLATE_ADOBE, _C_DEFLATE_OLD, _C_PACKBITS,
+        _C_LZMA, _C_JPEG,
     ):
         raise RasterOpenError(
             f"'{path}': unsupported TIFF compression {comp} (supported: none,"
-            " LZW, DEFLATE, PackBits, LZMA)"
+            " LZW, DEFLATE, PackBits, LZMA, JPEG)"
         )
     predictor = int(value(_T_PREDICTOR, [1])[0])
     if predictor not in (1, 2, 3):
         raise RasterOpenError(f"'{path}': unsupported predictor {predictor}")
+    if comp == _C_JPEG and bits != 8:
+        raise RasterOpenError(
+            f"'{path}': {bits}-bit TIFF JPEG is not supported (baseline"
+            " JPEG is 8-bit)"
+        )
     sfmt = int(value(_T_SAMPLE_FORMAT, [1])[0])
     kind = _KIND_FOR_SAMPLE_FORMAT.get(sfmt)
     if kind is None:
@@ -1137,6 +1196,7 @@ def _open_tiff(source: _ByteSource) -> Raster:
             compression=comp, predictor=predictor,
             spp=spp if chunky_multiband else 1,
             fill=nodata if nodata is not None else 0.0,
+            jpeg_tables=value(_T_JPEG_TABLES) if comp == _C_JPEG else None,
         )
 
     return Raster(
