@@ -278,6 +278,39 @@ SELECT point_id, anchor_id, "rank", dist FROM ranked WHERE "rank" <= 3
 """
 
 
+def q_range_join(spark, sf_dir):
+    """Within-distance spatial join (operators/knn.range_join): every
+    (point, anchor) pair within 750 km — grid-blocked, wrap-correct,
+    the only exchange is one cell equi-join (no crossJoin)."""
+    p = _points(spark, sf_dir).withColumnRenamed("pid", "point_id")
+    a = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("anchor_id"),
+        (((F.col("s_suppkey") * 37) % 1700) / 10.0 - 85.0 + 0.03).alias("lat"),
+        (((F.col("s_suppkey") * 61) % 3500) / 10.0 - 175.0 + 0.07).alias("lon"),
+    )
+    return knn.range_join(p, a, radius_m=750_000.0)
+
+
+_Q_RANGE_SQL = f"""
+WITH pts AS ({_POINTS_SQL}),
+anc AS (
+  SELECT s_suppkey AS anchor_id,
+         (s_suppkey * 37) % 1700 / 10.0 - 85.0 + 0.03 AS lat,
+         (s_suppkey * 61) % 3500 / 10.0 - 175.0 + 0.07 AS lon
+  FROM supplier)
+SELECT p.pid AS point_id, a.anchor_id,
+       round(2.0 * 6371008.8 * asin(sqrt(
+           pow(sin(radians(a.lat - p.lat) / 2), 2)
+         + cos(radians(p.lat)) * cos(radians(a.lat))
+           * pow(sin(radians(a.lon - p.lon) / 2), 2))), 1) AS dist_m
+FROM pts p CROSS JOIN anc a
+WHERE round(2.0 * 6371008.8 * asin(sqrt(
+           pow(sin(radians(a.lat - p.lat) / 2), 2)
+         + cos(radians(p.lat)) * cos(radians(a.lat))
+           * pow(sin(radians(a.lon - p.lon) / 2), 2))), 1) <= 750000.0
+"""
+
+
 def q_coord_extract(spark, sf_dir):
     """P1: the lat,lon|lat,lon grammar — build, extract, parse, round-trip."""
     c = _t(spark, sf_dir, "customer")
@@ -2672,6 +2705,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bbox_coverage": q_bbox_coverage,
         "priority_coalesce": q_priority_coalesce,
         "knn_topk": q_knn_topk,
+        "range_join": q_range_join,
         "coord_extract": q_coord_extract,
         "exact_dedup": q_exact_dedup,
         "minhash_signatures": q_minhash,
@@ -2730,6 +2764,7 @@ def oracle_sql() -> dict[str, str]:
         "bbox_coverage": _Q_BBOX_SQL,
         "priority_coalesce": _Q_PRIORITY_SQL,
         "knn_topk": _Q_KNN_SQL,
+        "range_join": _Q_RANGE_SQL,
         "coord_extract": _Q_COORD_SQL,
         "exact_dedup": _Q_EXACT_DEDUP_SQL,
         "minhash_signatures": _minhash_sql(),
