@@ -934,6 +934,42 @@ SELECT doc_id, CAST({recompose} AS BIGINT) AS simhash FROM votes
 """
 
 
+def q_ngram_lm_ppl(spark, sf_dir):
+    """operators/lm: bigram LM trained on the documents table, every
+    document scored against it (self-perplexity — the CCNet-style
+    quality signal). Exact, deterministic, fully SQL-replayable."""
+    from opentopodata_spark.operators import lm
+
+    docs = _t(spark, sf_dir, "documents")
+    return lm.perplexity(docs, lm.train_bigram_lm(docs))
+
+
+_Q_LM_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_concat(list_concat(['<s>'], {_TOKENS_SQL}), ['</s>']) AS f
+  FROM documents),
+bg AS (
+  SELECT doc_id, f[i] AS w1, f[i + 1] AS w2
+  FROM toks, UNNEST(generate_series(1, len(f) - 1)) AS g(i)),
+model AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY w1, w2),
+ctx AS (SELECT w1, sum(c) AS ctx_c FROM model GROUP BY w1),
+voc AS (SELECT count(DISTINCT w2) AS v FROM model),
+lp AS (
+  SELECT b.doc_id,
+         ln((coalesce(m.c, 0) + 0.1) / (coalesce(x.ctx_c, 0) + 0.1 * voc.v)) AS lp
+  FROM bg b
+  LEFT JOIN model m ON b.w1 = m.w1 AND b.w2 = m.w2
+  LEFT JOIN ctx x ON b.w1 = x.w1
+  CROSS JOIN voc)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(sum(lp), 4) AS logprob,
+       round(exp(-sum(lp) / count(*)), 4) AS ppl
+FROM lp GROUP BY doc_id
+"""
+
+
 def q_token_stats(spark, sf_dir):
     return textops.token_stats(_t(spark, sf_dir, "documents"))
 
@@ -2724,6 +2760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents_bpe": q_chunk_documents_bpe,
         "simhash": q_simhash,
         "token_stats": q_token_stats,
+        "ngram_lm_ppl": q_ngram_lm_ppl,
         "quality_score": q_quality,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
@@ -2783,6 +2820,7 @@ def oracle_sql() -> dict[str, str]:
         "chunk_documents": _Q_CHUNK_SQL,
         "simhash": _simhash_sql(),
         "token_stats": _Q_TOKEN_SQL,
+        "ngram_lm_ppl": _Q_LM_SQL,
         "quality_score": _quality_sql(),
         "lang_id": _lang_id_sql(),
         "fingerprint": _Q_FINGERPRINT_SQL,

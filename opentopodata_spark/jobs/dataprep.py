@@ -12,6 +12,8 @@ Pipeline (one metrics scan, one dedup shuffle, optional LSH near-dup):
          projection (operators/textops.document_metrics — no metric joins)
       -> filters: --min-quality, --langs, --min-tokens/--max-tokens,
          --max-dup-ngram-frac (Gopher repetition rule)
+      -> optional perplexity filter (--max-ppl): bigram-LM scores
+         (operators/lm, CCNet-style) against --lm-train or self-trained
       -> exact dedup: keep each text-hash group's canonical (min) doc_id —
          one hash aggregation with map-side combine
       -> optional near-dup drop (--near-dup-threshold): MinHash -> LSH ->
@@ -79,6 +81,16 @@ def build_parser() -> argparse.ArgumentParser:
                    help="keep dup/top n-gram-fraction columns in the output "
                         "corpus even when --max-dup-ngram-frac is not set "
                         "(they cost an extra gram pass, so they are opt-in)")
+    p.add_argument("--max-ppl", type=float, default=None,
+                   help="drop docs whose bigram-LM perplexity exceeds this "
+                        "(CCNet-style quality filter; the LM self-trains on "
+                        "the filtered corpus unless --lm-train is given)")
+    p.add_argument("--lm-train", default=None,
+                   help="parquet path of a trusted corpus (doc_id, text) to "
+                        "train the perplexity LM on instead of self-training")
+    p.add_argument("--lm-min-count", type=int, default=1,
+                   help="prune LM bigrams below this count (the large-"
+                        "trusted-corpus knob)")
     p.add_argument("--no-exact-dedup", action="store_true", help="skip exact text dedup (kept on by default)")
     p.add_argument("--near-dup-threshold", type=float, default=None,
                    help="also drop LSH-verified near-duplicates at this Jaccard threshold")
@@ -144,6 +156,23 @@ def run(ns: argparse.Namespace, spark=None) -> dict:
         # output + zero stats, not a TypeError
         "after_filters": int(stage_counts.after_filters or 0),
     }
+
+    if getattr(ns, "max_ppl", None) is not None:
+        from ..operators import lm as _lm
+
+        if ns.lm_train:
+            train_src = spark.read.parquet(ns.lm_train).select("doc_id", "text")
+        else:
+            # self-training: high-ppl docs are the corpus's own outliers
+            train_src = filtered.select("doc_id", "text")
+        model = _lm.train_bigram_lm(train_src, min_count=int(ns.lm_min_count))
+        keep_ids = (
+            _lm.perplexity(filtered.select("doc_id", "text"), model)
+            .where(F.col("ppl") <= float(ns.max_ppl))
+            .select("doc_id")
+        )
+        filtered = filtered.join(keep_ids, "doc_id", "left_semi")
+        stats["after_ppl_filter"] = filtered.count()
 
     survivors = filtered
     if not ns.no_exact_dedup:

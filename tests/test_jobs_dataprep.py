@@ -235,3 +235,72 @@ def test_dataprep_chunking_stage(tmp_path, spark, capsys):
           for r in spark.read.parquet(f"{out}/chunks").collect()}
     assert ch[(1, 0)] == ("a b c", 3) and ch[(1, 2)] == ("g", 1)
     assert ch[(2, 0)] == ("x y", 2)
+
+
+def test_dataprep_perplexity_filter(tmp_path, spark, capsys):
+    # 9 mutually-similar docs + 1 oddball: self-trained LM gives the
+    # oddball a much higher perplexity, --max-ppl drops exactly it
+    rows = [
+        (i, f"the cat sat on the mat near the door number {i % 3}")
+        for i in range(1, 10)
+    ] + [(10, "zygomorphic quasar bulldozers emit petrichor waltzes")]
+    p = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(p)
+
+    from opentopodata_spark.operators import lm as _lm
+
+    docs = spark.read.parquet(p)
+    scores = {
+        r.doc_id: r.ppl
+        for r in _lm.perplexity(docs, _lm.train_bigram_lm(docs)).collect()
+    }
+    cutoff = (max(v for k, v in scores.items() if k != 10) + scores[10]) / 2
+    assert scores[10] > max(v for k, v in scores.items() if k != 10)
+
+    out = str(tmp_path / "clean")
+    argv = [
+        "--documents", p, "--out", out,
+        "--max-ppl", str(cutoff),
+        "--no-exact-dedup",
+        "--cores", "4",
+    ]
+    assert job.main(argv) == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["after_ppl_filter"] == 9
+    kept = {r.doc_id for r in spark.read.parquet(f"{out}/corpus").collect()}
+    assert kept == set(range(1, 10))
+
+
+def test_dataprep_perplexity_foreign_model(tmp_path, spark, capsys):
+    # --lm-train: score against a trusted corpus instead of self-training
+    trusted = [(i, "the weather at the sea is mild and the wind is calm")
+               for i in range(1, 6)]
+    crawl = [
+        (1, "the weather at the sea is mild and the wind is calm today"),
+        (2, "buy cheap pills online casino jackpot winner click here now"),
+    ]
+    tp = str(tmp_path / "trusted.parquet")
+    cp = str(tmp_path / "crawl.parquet")
+    spark.createDataFrame(trusted, "doc_id long, text string").write.parquet(tp)
+    spark.createDataFrame(crawl, "doc_id long, text string").write.parquet(cp)
+
+    from opentopodata_spark.operators import lm as _lm
+
+    model = _lm.train_bigram_lm(spark.read.parquet(tp))
+    scores = {
+        r.doc_id: r.ppl
+        for r in _lm.perplexity(spark.read.parquet(cp), model).collect()
+    }
+    cutoff = (scores[1] + scores[2]) / 2
+
+    out = str(tmp_path / "clean")
+    argv = [
+        "--documents", cp, "--out", out,
+        "--max-ppl", str(cutoff), "--lm-train", tp,
+        "--no-exact-dedup", "--cores", "4",
+    ]
+    assert job.main(argv) == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["after_ppl_filter"] == 1
+    kept = {r.doc_id for r in spark.read.parquet(f"{out}/corpus").collect()}
+    assert kept == {1}
