@@ -934,6 +934,163 @@ SELECT doc_id, CAST({recompose} AS BIGINT) AS simhash FROM votes
 """
 
 
+def _synth_urls(spark, sf_dir):
+    """Deterministic messy URLs from doc_id: mixed case, www, default and
+    explicit ports, tracking params, trailing slashes, fragments, and
+    two-level public suffixes — every normalize_url path."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    k = F.col("doc_id")
+    scheme = F.when(k % 3 == 0, F.lit("HTTPS")).otherwise(F.lit("http"))
+    host = (
+        F.when(k % 6 == 0, F.lit("Example.COM"))
+        .when(k % 6 == 1, F.lit("www.news.co.uk"))
+        .when(k % 6 == 2, F.lit("blog.example.com"))
+        .when(k % 6 == 3, F.lit("spam.bad-site.net"))
+        .when(k % 6 == 4, F.lit("shop.example.com.au"))
+        .otherwise(F.lit("cdn.example.com"))
+    )
+    port = (
+        F.when(k % 4 == 0, F.when(k % 3 == 0, F.lit(":443")).otherwise(F.lit(":80")))
+        .when(k % 7 == 0, F.lit(":8080"))
+        .otherwise(F.lit(""))
+    )
+    path = (
+        F.when(k % 5 == 0, F.lit(""))
+        .when(k % 5 == 1, F.lit("/a"))
+        .when(k % 5 == 2, F.lit("/a/b"))
+        .when(k % 5 == 3, F.lit("/a/b/"))
+        .otherwise(F.lit("/Path/X"))
+    )
+    query = (
+        F.when(k % 4 == 0, F.concat(F.lit("?utm_source=tw&z=1&a="), (k % 9).cast("string")))
+        .when(k % 4 == 1, F.lit("?z=1&a=2"))
+        .when(k % 4 == 2, F.lit("?utm_campaign=x"))
+        .otherwise(F.lit(""))
+    )
+    frag = F.when(k % 2 == 0, F.lit("#sec")).otherwise(F.lit(""))
+    return d.select(
+        "doc_id",
+        "text",
+        F.concat(scheme, F.lit("://"), host, port, path, query, frag).alias("url"),
+    )
+
+
+_URL_SYNTH_SQL = """
+SELECT doc_id, text,
+  (CASE WHEN doc_id % 3 = 0 THEN 'HTTPS' ELSE 'http' END) || '://'
+  || (CASE doc_id % 6 WHEN 0 THEN 'Example.COM' WHEN 1 THEN 'www.news.co.uk'
+        WHEN 2 THEN 'blog.example.com' WHEN 3 THEN 'spam.bad-site.net'
+        WHEN 4 THEN 'shop.example.com.au' ELSE 'cdn.example.com' END)
+  || (CASE WHEN doc_id % 4 = 0
+           THEN (CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE ':80' END)
+        WHEN doc_id % 7 = 0 THEN ':8080' ELSE '' END)
+  || (CASE doc_id % 5 WHEN 0 THEN '' WHEN 1 THEN '/a' WHEN 2 THEN '/a/b'
+        WHEN 3 THEN '/a/b/' ELSE '/Path/X' END)
+  || (CASE doc_id % 4 WHEN 0 THEN '?utm_source=tw&z=1&a=' || CAST(doc_id % 9 AS VARCHAR)
+        WHEN 1 THEN '?z=1&a=2' WHEN 2 THEN '?utm_campaign=x' ELSE '' END)
+  || (CASE WHEN doc_id % 2 = 0 THEN '#sec' ELSE '' END) AS url
+FROM documents
+"""
+
+# DuckDB replay of urlops.normalize_url / registrable_domain (same regex
+# vocabulary; list_slice is end-index based where Spark's slice is
+# length-based, hence the differing third arguments)
+_URL_NORM_SQL_BODY = """
+parts AS (
+  SELECT doc_id, text, url,
+    lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+    lower(regexp_extract(regexp_extract(url,
+        '^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?([^/?#]*)', 1), '([^@]*)$', 1)) AS hostport,
+    regexp_extract(url, '^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?[^/?#]*([^?#]*)', 1) AS path0,
+    coalesce(regexp_extract(url, '\\?([^#]*)', 1), '') AS query0
+  FROM urls),
+hp AS (
+  SELECT *,
+    CASE WHEN hostport LIKE '[%' THEN hostport
+         ELSE regexp_extract(hostport, '^([^:]*)', 1) END AS rawhost,
+    CASE WHEN hostport LIKE '[%' THEN ''
+         ELSE coalesce(regexp_extract(hostport, ':([0-9]+)$', 1), '') END AS port
+  FROM parts),
+norm AS (
+  SELECT doc_id, text, scheme,
+    regexp_replace(rawhost, '^www\\.', '') AS host,
+    CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+              OR (scheme = 'https' AND port = '443')
+         THEN '' ELSE ':' || port END AS portpart,
+    CASE WHEN regexp_replace(path0, '/+$', '') = '' THEN '/'
+         ELSE regexp_replace(path0, '/+$', '') END AS path,
+    coalesce(array_to_string(list_sort(list_filter(string_split(query0, '&'),
+      x -> x <> '' AND NOT regexp_matches(x,
+        '^(utm_[a-z]*|fbclid|gclid|msclkid|mc_eid|igshid|ref_src)='))), '&'), '') AS q
+  FROM hp),
+built AS (
+  SELECT doc_id, text, host,
+    scheme || '://' || host || portpart || path
+      || CASE WHEN q = '' THEN '' ELSE '?' || q END AS url_norm,
+    string_split(host, '.') AS ls
+  FROM norm),
+named AS (
+  SELECT doc_id, text, host, url_norm,
+    CASE WHEN len(ls) >= 3 AND array_to_string(
+            list_slice(ls, len(ls) - 1, len(ls)), '.') IN
+            ('co.uk','org.uk','ac.uk','gov.uk','com.au','net.au','org.au',
+             'co.jp','ne.jp','or.jp','com.br','com.cn','com.mx','co.in',
+             'co.kr','co.za','com.tr')
+         THEN array_to_string(list_slice(ls, len(ls) - 2, len(ls)), '.')
+         ELSE array_to_string(list_slice(ls, greatest(len(ls) - 1, 1), len(ls)), '.')
+    END AS domain
+  FROM built)
+"""
+
+
+def q_url_normalize(spark, sf_dir):
+    """operators/urlops: canonical URL + registrable domain per doc —
+    pure regexp/array column expressions, zero Python, zero shuffles."""
+    from opentopodata_spark.operators import urlops
+
+    u = _synth_urls(spark, sf_dir)
+    host = urlops.url_parts(F.col("url"))["host"]
+    return u.select(
+        "doc_id",
+        urlops.normalize_url(F.col("url")).alias("url_norm"),
+        F.regexp_replace(host, "^www\\.", "").alias("host"),
+        urlops.registrable_domain(F.regexp_replace(host, "^www\\.", "")).alias(
+            "domain"
+        ),
+    )
+
+
+_Q_URL_NORM_SQL = f"""
+WITH urls AS ({_URL_SYNTH_SQL}),
+{_URL_NORM_SQL_BODY}
+SELECT doc_id, url_norm, host, domain FROM named
+"""
+
+
+def q_domain_stats(spark, sf_dir):
+    """operators/urlops: blocklist anti-join then one per-domain hash
+    aggregation; n_urls counts DISTINCT NORMALIZED urls so tracking
+    params don't inflate page counts."""
+    from opentopodata_spark.operators import urlops
+
+    u = _synth_urls(spark, sf_dir)
+    kept = urlops.blocklist_filter(u, ["bad-site.net"])
+    return urlops.domain_stats(kept)
+
+
+_Q_DOMAIN_STATS_SQL = f"""
+WITH urls AS ({_URL_SYNTH_SQL}),
+{_URL_NORM_SQL_BODY}
+SELECT domain,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT url_norm) AS BIGINT) AS n_urls,
+       CAST(sum(length(text)) AS BIGINT) AS total_chars
+FROM named
+WHERE domain <> 'bad-site.net'
+GROUP BY domain
+"""
+
+
 def q_ngram_lm_ppl(spark, sf_dir):
     """operators/lm: bigram LM trained on the documents table, every
     document scored against it (self-perplexity — the CCNet-style
@@ -2761,6 +2918,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "token_stats": q_token_stats,
         "ngram_lm_ppl": q_ngram_lm_ppl,
+        "url_normalize": q_url_normalize,
+        "domain_stats": q_domain_stats,
         "quality_score": q_quality,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
@@ -2821,6 +2980,8 @@ def oracle_sql() -> dict[str, str]:
         "simhash": _simhash_sql(),
         "token_stats": _Q_TOKEN_SQL,
         "ngram_lm_ppl": _Q_LM_SQL,
+        "url_normalize": _Q_URL_NORM_SQL,
+        "domain_stats": _Q_DOMAIN_STATS_SQL,
         "quality_score": _quality_sql(),
         "lang_id": _lang_id_sql(),
         "fingerprint": _Q_FINGERPRINT_SQL,
