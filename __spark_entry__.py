@@ -1127,6 +1127,38 @@ FROM lp GROUP BY doc_id
 """
 
 
+def q_pack_sequences(spark, sf_dir):
+    """operators/packing: deterministic contiguous sequence packing via a
+    distributed two-level prefix sum (per-bucket partials + broadcast
+    bases — no single-task global window)."""
+    from opentopodata_spark.operators import packing
+
+    return packing.pack_sequences(
+        _t(spark, sf_dir, "documents"), seq_len=128, bucket_shift=5
+    )
+
+
+_Q_PACK_SQL = f"""
+WITH d AS (
+  SELECT doc_id, CAST(len({_TOKENS_SQL}) AS BIGINT) AS n_tok FROM documents),
+nz AS (SELECT * FROM d WHERE n_tok > 0),
+off AS (
+  SELECT doc_id, n_tok,
+         CAST(sum(n_tok) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok
+              AS BIGINT) AS o
+  FROM nz),
+ex AS (
+  SELECT doc_id, n_tok, o, s.seq_id
+  FROM off, UNNEST(generate_series(o // 128, (o + n_tok - 1) // 128)) AS s(seq_id))
+SELECT CAST(seq_id AS BIGINT) AS seq_id, doc_id,
+       CAST(greatest(seq_id * 128 - o, 0) AS BIGINT) AS doc_from,
+       CAST(least(seq_id * 128 + 127 - o, n_tok - 1) AS BIGINT) AS doc_to,
+       CAST(greatest(o - seq_id * 128, 0) AS BIGINT) AS seq_from
+FROM ex
+"""
+
+
 def q_token_stats(spark, sf_dir):
     return textops.token_stats(_t(spark, sf_dir, "documents"))
 
@@ -2915,6 +2947,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stats_approx": q_corpus_stats_approx,
         "chunk_documents": q_chunk_documents,
         "chunk_documents_bpe": q_chunk_documents_bpe,
+        "pack_sequences": q_pack_sequences,
         "simhash": q_simhash,
         "token_stats": q_token_stats,
         "ngram_lm_ppl": q_ngram_lm_ppl,
@@ -2977,6 +3010,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_stats": _Q_CORPUS_STATS_SQL,
         "corpus_stats_approx": _Q_CORPUS_STATS_APPROX_SQL,
         "chunk_documents": _Q_CHUNK_SQL,
+        "pack_sequences": _Q_PACK_SQL,
         "simhash": _simhash_sql(),
         "token_stats": _Q_TOKEN_SQL,
         "ngram_lm_ppl": _Q_LM_SQL,
