@@ -1371,6 +1371,31 @@ WHERE sample_key < CASE lang {cases} ELSE '{default}' END
 _TEXT_EMBED_DIM, _TEXT_EMBED_NGRAM = 64, 3
 
 
+def q_quality_classifier(spark, sf_dir):
+    """operators/classifier: distributed full-batch logreg over hashed
+    char-3-gram features (text_embed), labels = (lang == 'en'); inference
+    is a pure Catalyst dot product. Oracle: the repo's single-process
+    numpy twin (identical embedding integers, identical GD schedule);
+    probabilities rounded to 3 decimals absorb distributed-sum ulps."""
+    from opentopodata_spark.operators import classifier
+
+    docs = _t(spark, sf_dir, "documents")
+    labeled = docs.select(
+        "doc_id", "text", (F.col("lang") == "en").cast("long").alias("label")
+    )
+    feats = emb.text_embed(labeled, dim=32).join(
+        labeled.select("doc_id", "label"), "doc_id"
+    )
+    model = classifier.train_logreg(feats, n_iter=20, lr=1.0)
+    scored = classifier.predict_proba(feats, model)
+    return scored.select(
+        "doc_id",
+        "label",
+        F.round(F.col("prob"), 3).alias("prob"),
+        (F.col("prob") > 0.5).cast("long").alias("pred"),
+    )
+
+
 def q_text_embed(spark, sf_dir):
     """Hashing-trick char-n-gram text embedding (embeddings.text_embed)
     in its exact integer form: the dense vector is computed by the fully
@@ -2891,7 +2916,61 @@ def _build_ivfpq_oracle(sf_dir: str):
     )
 
 
+def _build_quality_classifier_oracle(sf_dir: str):
+    """Single-process twin of q_quality_classifier: identical text_embed
+    integers (md5 15-hex prefix, sign bit 55, mod-dim bucket, exact-int
+    L2 norm, float32 cast), identical GD schedule (zeros init, 20 full-
+    batch iters, lr 1.0). Distributed-vs-single sum order differs only
+    in ulps, absorbed by the 3-decimal rounding both sides apply."""
+    import hashlib
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+    import pyarrow as pa
+
+    tbl = _read_pq(sf_dir, "documents")
+    ids = tbl.column("doc_id").to_pylist()
+    texts = tbl.column("text").to_pylist()
+    langs = tbl.column("lang").to_pylist()
+    dim = 32
+    X = np.zeros((len(ids), dim), dtype=np.float64)
+    for row, t in enumerate(texts):
+        t = t or ""
+        w = np.zeros(dim, dtype=np.int64)
+        for i in range(max(len(t) - 2, 0)):
+            h = int(hashlib.md5(t[i : i + 3].encode("utf-8")).hexdigest()[:15], 16)
+            w[h % dim] += 1 if (h >> 55) & 1 else -1
+        ss = math.sqrt(float((w.astype(np.float64) ** 2).sum()))  # exact ints
+        if ss > 0:
+            X[row] = (w / ss).astype(np.float32).astype(np.float64)
+    y = np.array([1.0 if l == "en" else 0.0 for l in langs])
+    wgt = np.zeros(dim, dtype=np.float64)
+    b = 0.0
+    for _ in range(20):
+        p = 1.0 / (1.0 + np.exp(-(X @ wgt + b)))
+        r = p - y
+        wgt = wgt - (r @ X) / len(y)
+        b = b - r.sum() / len(y)
+    p = 1.0 / (1.0 + np.exp(-(X @ wgt + b)))
+    # Spark round() = shortest-repr BigDecimal HALF_UP (scala BigDecimal
+    # valueOf): python repr() is the same shortest round-trip string
+    prob = [
+        float(Decimal(repr(v)).quantize(Decimal("0.001"), ROUND_HALF_UP))
+        for v in p
+    ]
+    return pa.table(
+        {
+            "doc_id": pa.array([int(i) for i in ids], type=pa.int64()),
+            "label": pa.array([int(v) for v in y], type=pa.int64()),
+            "prob": pa.array(prob, type=pa.float64()),
+            "pred": pa.array([int(v > 0.5) for v in p], type=pa.int64()),
+        }
+    )
+
+
 _PRECOMPUTED_BUILDERS = {
+    "quality_classifier": _build_quality_classifier_oracle,
     "s2_cells": _build_s2_oracle,
     "geodesic_paths": _build_geodesic_oracle,
     "elevation_e2e": _build_elevation_oracle,
@@ -2961,6 +3040,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_dedup": q_span_dedup,
         "corpus_sample": q_corpus_sample,
         "text_embed": q_text_embed,
+        "quality_classifier": q_quality_classifier,
         "embedding_topk": q_embedding_topk,
         "embedding_lsh_buckets": q_emb_lsh_buckets,
         "embedding_near_dups": q_emb_near_dups,
