@@ -2727,7 +2727,7 @@ def _build_multimodal_oracle(sf_dir: str):
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    from opentopodata_spark import jpeg, png
+    from opentopodata_spark import jpeg, png, wav
     from opentopodata_spark.operators.multimodal import synthetic_media_payload
 
     _, docs_path = _prepare_elevation_inputs(n_docs=1000)
@@ -2754,6 +2754,9 @@ def _build_multimodal_oracle(sf_dir: str):
             elif jpeg.is_jpeg(b):
                 arr = jpeg.decode_jpeg(b)
                 kind, w, h = "image", arr.shape[1], arr.shape[0]
+            elif wav.is_wav(b):
+                wav.decode_wav(b)  # must parse — audio decodes for real
+                kind, w, h = "audio", None, None
             else:
                 kind, w, h = "unsupported", None, None
             out["doc_id"].append(doc_id)

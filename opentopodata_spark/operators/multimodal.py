@@ -14,11 +14,11 @@ gives media spans the same first-class treatment text gets:
   partitioning are real and testable.
 * ``decode_and_featurize``: mapInPandas over Arrow batches producing
   typed metadata + a feature vector per media item. ``decoder='real'``
-  REALLY decodes PNG payloads (pure-numpy codec in png.py — zlib +
-  scanline unfilter, no PIL needed) and computes pixel-statistics
-  features; payloads in codecs the container genuinely lacks libraries
-  for (JPEG/audio/video) degrade to ``media_kind='unsupported'`` with
-  null features — at corpus scale undecodable blobs are data, not
+  REALLY decodes PNG, baseline JPEG, and WAV/PCM payloads (pure-numpy
+  codecs in png.py / jpeg.py / wav.py) and computes pixel-statistics or
+  audio-statistics features; payloads in codecs the container genuinely
+  lacks libraries for (video, progressive JPEG, compressed WAV) degrade
+  to ``media_kind='unsupported'`` with null features — at corpus scale undecodable blobs are data, not
   exceptions, and the PIL/ffmpeg seam to widen codec coverage is marked
   in ``_decode_real``. ``decoder='fake'`` keeps the hash-derived
   pseudo-features (cheap plumbing tests).
@@ -44,12 +44,15 @@ from pyspark.sql import functions as F
 
 from .. import jpeg as _jpeg
 from .. import png as _png
+from .. import wav as _wav
 
 __all__ = [
     "media_spans",
     "fetch_media",
     "decode_and_featurize",
     "image_features",
+    "audio_features",
+    "synthetic_wav_payload",
     "plan_fetch_partitions",
     "synthetic_png_payload",
     "synthetic_media_payload",
@@ -103,19 +106,38 @@ def synthetic_png_payload(ref: str) -> bytes:
     return _png.encode_png(img, filter_type="mixed")
 
 
+def synthetic_wav_payload(ref: str) -> bytes:
+    """Deterministic REAL audio payload: a seeded sine + noise mix at a
+    varied sample rate / bit depth / channel count, through the
+    pure-numpy PCM encoder in wav.py."""
+    seed = hashlib.sha256(ref.encode()).digest()
+    rng = np.random.default_rng(int.from_bytes(seed[:8], "little"))
+    rate = (8000, 16000, 44100)[seed[1] % 3]
+    n = rate // 20 + int(seed[2]) * 8  # 50ms + jitter
+    channels = 1 + seed[3] % 2
+    t = np.arange(n) / rate
+    freq = 100.0 + (seed[4] % 40) * 20.0
+    base = 0.6 * np.sin(2 * np.pi * freq * t)
+    sig = base[:, None] + 0.1 * rng.standard_normal((n, channels))
+    return _wav.encode_wav(sig, rate, bits=(8, 16)[seed[5] % 2])
+
+
 def synthetic_media_payload(ref: str) -> bytes:
     """Deterministic object-store stand-in for a MIXED crawl corpus:
-    roughly 3/8 of refs yield a PNG, 3/8 a baseline JPEG (the dominant
+    roughly 3/8 of refs yield a PNG, 2/8 a baseline JPEG (the dominant
     web media type — 4:4:4 or 4:2:0, color or grayscale, some with
-    restart markers, all through the pure-numpy encoder in jpeg.py), and
-    2/8 opaque bytes standing in for codecs with no in-container decoder
-    (video/audio). Every decoder branch of ``_decode_real`` sees data."""
+    restart markers, all through the pure-numpy encoder in jpeg.py),
+    1/8 a PCM WAV (wav.py), and 2/8 opaque bytes standing in for codecs
+    with no in-container decoder (video, exotic audio). Every decoder
+    branch of ``_decode_real`` sees data."""
     seed = hashlib.sha256(ref.encode()).digest()
     sel = seed[0] % 8
     if sel < 2:
         return _fake_payload(ref)
     if sel < 5:
         return synthetic_png_payload(f"png:{ref}")
+    if sel == 7:
+        return synthetic_wav_payload(f"wav:{ref}")
     rng = np.random.default_rng(int.from_bytes(seed[:8], "little"))
     w = 8 + seed[1] % 41
     h = 8 + seed[2] % 41
@@ -199,6 +221,29 @@ def image_features(img: np.ndarray) -> np.ndarray:
     )
 
 
+def audio_features(samples: np.ndarray, rate: int) -> np.ndarray:
+    """FEATURE_DIM audio-statistics features from (n_frames, channels)
+    float64 samples in [-1, 1]: RMS, peak, zero-crossing rate, mean |x|,
+    std, duration (capped at 60 s), channel count, sample rate — all
+    normalized to [0, 1]. The mono mix drives the waveform stats."""
+    mono = samples.mean(axis=1)
+    n = len(mono)
+    zcr = float(np.mean(np.signbit(mono[1:]) != np.signbit(mono[:-1]))) if n > 1 else 0.0
+    return np.array(
+        [
+            min(float(np.sqrt(np.mean(mono**2))) if n else 0.0, 1.0),
+            min(float(np.abs(mono).max()) if n else 0.0, 1.0),
+            zcr,
+            min(float(np.abs(mono).mean()) if n else 0.0, 1.0),
+            min(float(mono.std()) if n else 0.0, 1.0),
+            min(n / rate / 60.0, 1.0),
+            samples.shape[1] / 8.0,
+            rate / 96000.0,
+        ],
+        dtype=np.float32,
+    )
+
+
 def _decode_real(b: bytes):
     """(kind, width, height, features) for one payload. PNG and baseline
     JPEG decode for real (pure-numpy codecs in png.py / jpeg.py); codecs
@@ -225,15 +270,28 @@ def _decode_real(b: bytes):
             return "corrupt", None, None, None
         h, w, _c = img.shape
         return "image", w, h, image_features(img)
+    if _wav.is_wav(b):
+        try:
+            samples, rate = _wav.decode_wav(b)
+        except _wav.WavError as exc:
+            # compressed/exotic WAV is an honest feature gap, broken
+            # RIFF bytes are corrupt data
+            if "not supported" in str(exc):
+                return "unsupported", None, None, None
+            return "corrupt", None, None, None
+        # width/height are image dims; audio carries its shape in the
+        # feature vector (duration, channels, rate)
+        return "audio", None, None, audio_features(samples, rate)
     return "unsupported", None, None, None
 
 
 def decode_and_featurize(fetched: DataFrame, decoder: str = "fake") -> DataFrame:
     """Decode payloads and extract fixed-dim features (Arrow-batched).
 
-    decoder='real' decodes PNG payloads with the pure-numpy codec and
-    computes pixel-statistics features; non-PNG payloads degrade to
-    'unsupported' (see _decode_real for the PIL/ffmpeg seam).
+    decoder='real' decodes PNG/JPEG/WAV payloads with the pure-numpy
+    codecs and computes pixel- or audio-statistics features; payloads in
+    other codecs degrade to 'unsupported' (see _decode_real for the
+    PIL/ffmpeg seam).
     decoder='fake' derives deterministic metadata + features from the
     payload hash (cheap plumbing tests).
     """
