@@ -1383,7 +1383,9 @@ def q_quality_classifier(spark, sf_dir):
     labeled = docs.select(
         "doc_id", "text", (F.col("lang") == "en").cast("long").alias("label")
     )
-    feats = emb.text_embed(labeled, dim=32).join(
+    feats = emb.text_embed(
+        labeled, dim=32, partitions=spark.sparkContext.defaultParallelism
+    ).join(
         labeled.select("doc_id", "label"), "doc_id"
     )
     model = classifier.train_logreg(feats, n_iter=20, lr=1.0)
@@ -1407,6 +1409,7 @@ def q_text_embed(spark, sf_dir):
         dim=_TEXT_EMBED_DIM,
         ngram=_TEXT_EMBED_NGRAM,
         normalize=False,
+        partitions=spark.sparkContext.defaultParallelism,
     )
     return (
         dense.select(

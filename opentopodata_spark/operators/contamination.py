@@ -84,6 +84,7 @@ def contamination_check(
     min_shared: int = 1,
     k1: float = 1.2,
     b: float = 0.75,
+    max_df_frac: float | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
     bench_id_col: str = "bench_id",
@@ -104,7 +105,8 @@ def contamination_check(
         F.col(bench_text_col).alias("query"),
     )
     hits = bm25_topk(
-        docs, queries, k=k, k1=k1, b=b, id_col=id_col, text_col=text_col
+        docs, queries, k=k, k1=k1, b=b, max_df_frac=max_df_frac,
+        id_col=id_col, text_col=text_col
     ).select(
         F.col("query_id").alias("bench_id"),
         "doc_id",

@@ -165,6 +165,7 @@ def text_embed(
     dim: int = 64,
     ngram: int = 3,
     normalize: bool = True,
+    partitions: int | None = None,
 ) -> DataFrame:
     """Hashing-trick character-n-gram embedding: (doc_id, embedding
     array<float> of ``dim``) — the feature-hashing projection (Weinberger
@@ -174,16 +175,30 @@ def text_embed(
     same convention as simhash) with a ±1 sign from an independent high
     bit; bucket weights are signed counts, L2-normalized.
 
-    Plan shape: FULLY narrow — gram construction, hashing, bucket
-    accumulation and normalization are all Catalyst higher-order array
-    expressions per row. Zero shuffles, zero Python; embedding rows
-    stream to the next stage partitioned however the scan was. The
-    per-row cost is O(dim × grams) comparisons in codegen (the md5 per
-    gram is bound once); for mega-documents where that bites, chunk
-    first (chunk_documents) — which a training pipeline does anyway.
+    Plan shape: one md5 + one (bucket, ±1) entry per gram (narrow),
+    then TWO integer hash aggregations — (doc, bucket) partial sums with
+    map-side combine, then per-doc map assembly — and a dense-vector
+    projection. Work is O(grams + dim) per doc and the shuffles carry at
+    most ``dim`` rows per document. (A previous revision accumulated
+    buckets with a per-bucket aggregate over the gram array — zero
+    shuffles but O(dim × grams) work, and higher-order-function
+    expressions are NOT whole-stage-codegen'd, so the interpreted
+    element loop dominated: 7.9 s → ~1 s on the sf0.1 bench for the
+    same output. The shuffle is the cheaper currency here.)
+
+    Contract: ``id_col`` identifies a document uniquely (duplicate ids
+    would sum their gram streams into one vector).
+
+    ``partitions``: optional pre-repartition of the input. The gram+md5
+    work runs in the SCAN stage, so a few-file input (one parquet file =
+    one task) serializes it; a production many-file corpus already has
+    scan parallelism and should leave this None. Measured on the
+    one-file sf0.1 fixture: 4.0 s -> 1.1 s at 32 cores.
     """
     if dim <= 0 or ngram <= 0:
         raise ValueError("dim and ngram must be positive")
+    if partitions:
+        df = df.repartition(partitions, id_col)
     from .exprutil import bind_once
 
     t = F.col(text_col)
@@ -196,56 +211,62 @@ def text_embed(
         ),
     ).otherwise(F.array().cast("array<string>"))
 
-    def _embed(gram_arr):
-        # one md5 per gram, bound once; signed value per gram
-        hs = F.transform(
-            gram_arr,
-            lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast(
-                "long"
+    # one md5 per gram -> (bucket, sign); explode_outer keeps gram-less
+    # docs (they must still emit a zero vector, not vanish)
+    entries = F.transform(
+        grams,
+        lambda g: bind_once(
+            F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long"),
+            lambda h: F.struct(
+                F.pmod(h, F.lit(dim)).cast("int").alias("bucket"),
+                F.when(
+                    F.shiftright(h, 55).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+                )
+                .otherwise(F.lit(-1))
+                .cast("long")
+                .alias("sign"),
             ),
-        )
-
-        def _accum(hashes):
-            weights = F.transform(
-                F.sequence(F.lit(0), F.lit(dim - 1)),
-                lambda b: F.aggregate(
-                    hashes,
-                    F.lit(0).cast("long"),
-                    lambda acc, h: acc
-                    + F.when(
-                        F.pmod(h, F.lit(dim)) == b,
-                        F.when(
-                            F.shiftright(h, 55).bitwiseAND(F.lit(1)) == 1,
-                            F.lit(1),
-                        ).otherwise(F.lit(-1)),
-                    ).otherwise(F.lit(0)).cast("long"),
-                ),
+        ),
+    )
+    per_bucket = (
+        df.select(F.col(id_col).alias("doc_id"), F.explode_outer(entries).alias("e"))
+        .groupBy("doc_id", F.col("e.bucket").alias("bucket"))
+        .agg(F.sum("e.sign").alias("w"))
+    )
+    assembled = per_bucket.groupBy("doc_id").agg(
+        F.map_from_entries(
+            F.collect_list(
+                F.when(F.col("bucket").isNotNull(), F.struct("bucket", "w"))
             )
-            if not normalize:
-                return F.transform(weights, lambda w: w.cast("float"))
+        ).alias("_m")
+    )
+    weights = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.coalesce(
+            F.element_at(F.col("_m"), i.cast("int")), F.lit(0).cast("long")
+        ),
+    )
+    if not normalize:
+        emb = F.transform(weights, lambda w: w.cast("float"))
+    else:
 
-            def _norm(ws):
-                ss = F.sqrt(
-                    F.aggregate(
-                        ws,
-                        F.lit(0.0),
-                        lambda acc, w: acc
-                        + w.cast("double") * w.cast("double"),
-                    )
-                )
-                return F.transform(
+        def _norm(ws):
+            ss = F.sqrt(
+                F.aggregate(
                     ws,
-                    lambda w: F.when(ss > 0, w.cast("double") / ss)
-                    .otherwise(F.lit(0.0))
-                    .cast("float"),
+                    F.lit(0.0),
+                    lambda acc, w: acc + w.cast("double") * w.cast("double"),
                 )
+            )
+            return F.transform(
+                ws,
+                lambda w: F.when(ss > 0, w.cast("double") / ss)
+                .otherwise(F.lit(0.0))
+                .cast("float"),
+            )
 
-            return bind_once(weights, _norm)
-
-        return bind_once(hs, _accum)
-
-    emb = bind_once(grams, _embed)
-    return df.select(F.col(id_col).alias("doc_id"), emb.alias("embedding"))
+        emb = bind_once(weights, _norm)
+    return assembled.select("doc_id", emb.alias("embedding"))
 
 
 def dot(a, b):

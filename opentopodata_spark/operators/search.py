@@ -61,13 +61,21 @@ def bm25_topk(
     query_id_col: str = "query_id",
     query_col: str = "query",
     round_to: int = 6,
+    max_df_frac: float | None = None,
 ) -> DataFrame:
     """Top-k BM25 results per query: (query_id, doc_id, rank, score).
 
     ``queries`` is a small frame (query_id, query text); it is broadcast.
     Ties broken by ascending doc_id after rounding to ``round_to`` —
     deterministic across partitionings and engines.
-    """
+
+    ``max_df_frac``: optionally elide query terms whose document
+    frequency exceeds this fraction of the corpus (Lucene-style stopword
+    elision). A term with df ≈ N contributes idf ≈ ln(1 + 0.5/N) ≈ 0 to
+    every score but multiplies the scoring stream by |docs containing
+    it| × |queries containing it| — the dominant cost when queries share
+    ubiquitous words. Exactly equivalent to deleting those terms from
+    the query strings. Default None scores every term (exact Okapi)."""
     # query-term dictionary: distinct terms per query (BM25 sums each
     # distinct query term once; repeated terms in a query don't stack)
     qterms = queries.select(
@@ -104,6 +112,14 @@ def bm25_topk(
     tf = tf.withColumn(
         "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
     )
+    if max_df_frac is not None:
+        # before the qterms fanout join: the elision's whole point is to
+        # keep (ubiquitous term × every query containing it) rows out of
+        # the scoring stream
+        n_docs_bc = F.broadcast(stats.select("n_docs"))
+        tf = tf.crossJoin(n_docs_bc).where(
+            F.col("df") <= F.lit(float(max_df_frac)) * F.col("n_docs")
+        ).drop("n_docs")
 
     idf = F.log(
         1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)

@@ -128,3 +128,31 @@ def test_job_cli(tmp_path, spark, corpus, bench, capsys):
     cols = set(written.columns)
     assert {"bench_id", "doc_id", "n_shared_grams", "gram_coverage",
             "bm25_rank", "bm25_score"} <= cols
+
+
+def test_bm25_max_df_frac_equals_query_term_removal(spark):
+    """Eliding df > frac*N terms == deleting those terms from the query
+    strings: identical scores and ranks (exact equivalence, not approx)."""
+    from opentopodata_spark.operators.search import bm25_topk
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(i, "the common filler " + ("alpha " if i % 7 == 0 else "beta ")
+          + f"word{i % 11} tail the")
+         for i in range(70)],
+        "doc_id long, text string",
+    )
+    queries = spark.createDataFrame(
+        [(1, "the alpha word3"), (2, "the beta filler word5")],
+        "query_id long, query string",
+    )
+    # 'the'/'common'/'filler' are in every doc -> df = N > 0.9N
+    pruned = bm25_topk(docs, queries, k=5, max_df_frac=0.9)
+    stripped_queries = spark.createDataFrame(
+        [(1, "alpha word3"), (2, "beta word5")],
+        "query_id long, query string",
+    )
+    expect = bm25_topk(docs, stripped_queries, k=5)
+    got = {(r.query_id, r.doc_id, r.rank, r.score) for r in pruned.collect()}
+    want = {(r.query_id, r.doc_id, r.rank, r.score) for r in expect.collect()}
+    assert got == want and got

@@ -400,13 +400,17 @@ class TestTextEmbed:
         sim_far = float(vecs[1] @ vecs[3])
         assert sim_near > sim_far  # near-dup texts embed closer
 
-    def test_plan_is_narrow(self, spark):
-        """text_embed must add NO exchange and NO Python stage — the
-        whole embedding is Catalyst expressions over the scan."""
+    def test_plan_shape(self, spark):
+        """text_embed is Catalyst-only (no Python stage) and its work is
+        linear: exactly the two integer hash aggregations — (doc, bucket)
+        partial sums and per-doc assembly — with map-side combine, never
+        a per-bucket pass over the gram array (O(dim x grams) was the
+        round-3 7.9s->1s fix) and never a sort."""
         df = spark.createDataFrame([(1, "abc def")], "doc_id long, text string")
         plan = emb.text_embed(df)._jdf.queryExecution().executedPlan().toString()
-        assert "Exchange" not in plan
         assert "Python" not in plan and "ArrowEval" not in plan
+        assert plan.count("HashAggregate") == 4  # 2 aggs x partial+final
+        assert "Sort" not in plan
 
     def test_validates(self, spark):
         df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
