@@ -7,7 +7,10 @@ side of the engine: one script that runs identically under
 
 Pipeline (one metrics scan, one dedup shuffle, optional LSH near-dup):
 
-    documents(doc_id, text)
+    documents(doc_id, text[, url])
+      -> optional URL front door (--url-col): normalize, blocklist
+         (--block-domains), keep one doc per canonical URL — a
+         projection + one agg BEFORE any text bytes move
       -> document_metrics: token stats + quality + language in ONE
          projection (operators/textops.document_metrics — no metric joins)
       -> filters: --min-quality, --langs, --min-tokens/--max-tokens,
@@ -28,6 +31,9 @@ Pipeline (one metrics scan, one dedup shuffle, optional LSH near-dup):
          engine-independent, auditable via the emitted sample_key column
       -> parquet corpus + one-line JSON stats (per-stage survivor counts
          from a single conditional aggregation — not one count() per stage)
+      -> optional sequence packing (--pack-seq-len): {out}/packing holds
+         the contiguous fixed-length training-sequence assignments
+         (operators/packing.pack_sequences, distributed prefix sum)
 
 Example:
 
@@ -81,6 +87,18 @@ def build_parser() -> argparse.ArgumentParser:
                    help="keep dup/top n-gram-fraction columns in the output "
                         "corpus even when --max-dup-ngram-frac is not set "
                         "(they cost an extra gram pass, so they are opt-in)")
+    p.add_argument("--url-col", default=None,
+                   help="input column holding each doc's URL: enables the "
+                        "crawl front door — URL normalization, optional "
+                        "domain blocklist, and URL-level dedup (keep the "
+                        "min doc_id per canonical URL) BEFORE any text work")
+    p.add_argument("--block-domains", default=None,
+                   help="comma-separated registrable domains to drop "
+                        "(requires --url-col)")
+    p.add_argument("--pack-seq-len", type=int, default=None,
+                   help="also emit {out}/packing: contiguous fixed-length "
+                        "training-sequence assignments over the cleaned "
+                        "corpus (operators/packing.pack_sequences)")
     p.add_argument("--max-ppl", type=float, default=None,
                    help="drop docs whose bigram-LM perplexity exceeds this "
                         "(CCNet-style quality filter; the LM self-trains on "
@@ -118,7 +136,26 @@ def run(ns: argparse.Namespace, spark=None) -> dict:
             master=ns.master,
         )
     t0 = time.time()
-    docs = spark.read.parquet(ns.documents).select("doc_id", "text")
+    raw = spark.read.parquet(ns.documents)
+    url_stats = {}
+    if getattr(ns, "url_col", None):
+        from ..operators import urlops as _urlops
+
+        raw = raw.select("doc_id", "text", ns.url_col)
+        if ns.block_domains:
+            blocked = [d.strip() for d in ns.block_domains.split(",") if d.strip()]
+            raw = _urlops.blocklist_filter(raw, blocked, url_col=ns.url_col)
+        # URL-level dedup first: two crawl records of one page normalize
+        # to the same string; keep the min doc_id per canonical URL.
+        # This runs BEFORE metrics/text dedup — it's the cheap front door
+        # (a projection + one agg) that spares the text stages the bytes.
+        raw = raw.withColumn(
+            "_nurl", _urlops.normalize_url(F.col(ns.url_col))
+        )
+        keep_url = raw.groupBy("_nurl").agg(F.min("doc_id").alias("doc_id"))
+        raw = raw.join(keep_url, ["_nurl", "doc_id"], "left_semi").drop("_nurl")
+        url_stats["after_url_stage"] = raw.count()
+    docs = raw.select("doc_id", "text")
     m = _textops.document_metrics(
         docs,
         include_repetition=(
@@ -151,6 +188,7 @@ def run(ns: argparse.Namespace, spark=None) -> dict:
     ).collect()[0]
     stats: dict = {
         "job": "dataprep",
+        **url_stats,
         "input_docs": int(stage_counts.input_docs),
         # SUM over zero rows is NULL — an empty corpus must produce empty
         # output + zero stats, not a TypeError
@@ -234,6 +272,18 @@ def run(ns: argparse.Namespace, spark=None) -> dict:
         )
         chunks.write.mode("overwrite").parquet(f"{ns.out}/chunks")
         stats["output_chunks"] = spark.read.parquet(f"{ns.out}/chunks").count()
+    if getattr(ns, "pack_seq_len", None) is not None:
+        from ..operators import packing as _packing
+
+        pk = _packing.pack_sequences(
+            spark.read.parquet(out_corpus), seq_len=ns.pack_seq_len
+        )
+        pk.write.mode("overwrite").parquet(f"{ns.out}/packing")
+        stats["output_sequences"] = (
+            spark.read.parquet(f"{ns.out}/packing")
+            .agg(F.countDistinct("seq_id"))
+            .collect()[0][0]
+        )
     stats["seconds"] = round(time.time() - t0, 3)
     filtered.unpersist()
 

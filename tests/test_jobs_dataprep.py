@@ -304,3 +304,33 @@ def test_dataprep_perplexity_foreign_model(tmp_path, spark, capsys):
     assert stats["after_ppl_filter"] == 1
     kept = {r.doc_id for r in spark.read.parquet(f"{out}/corpus").collect()}
     assert kept == {1}
+
+
+def test_dataprep_url_front_door_and_packing(tmp_path, spark, capsys):
+    rows = [
+        (1, "the cat sat on the mat today", "http://www.example.com/a?utm_source=x"),
+        (2, "the cat sat on the mat today", "http://example.com/a"),   # same page
+        (3, "a different page about dogs and parks", "http://example.com/b"),
+        (4, "spam spam spam buy now", "http://ads.bad-site.net/p"),
+        (5, "another clean document about the weather", "https://News.co.uk:443/w/"),
+    ]
+    p = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(rows, "doc_id long, text string, url string").write.parquet(p)
+    out = str(tmp_path / "clean")
+    argv = [
+        "--documents", p, "--out", out,
+        "--url-col", "url", "--block-domains", "bad-site.net",
+        "--pack-seq-len", "8",
+        "--no-exact-dedup",
+        "--cores", "4",
+    ]
+    assert job.main(argv) == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # 4 dropped by blocklist, 2 dropped as URL-dup of 1
+    assert stats["after_url_stage"] == 3
+    kept = {r.doc_id for r in spark.read.parquet(f"{out}/corpus").collect()}
+    assert kept == {1, 3, 5}
+    # packing emitted and covers every kept doc
+    pk = spark.read.parquet(f"{out}/packing").collect()
+    assert {r.doc_id for r in pk} == {1, 3, 5}
+    assert stats["output_sequences"] >= 2
