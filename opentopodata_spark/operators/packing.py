@@ -45,6 +45,7 @@ def pack_sequences(
     doc_id: str = "doc_id",
     text_col: str = "text",
     bucket_shift: int = 12,
+    n_tok_col: str | None = None,
 ) -> DataFrame:
     """(seq_id, doc_id, doc_from, doc_to, seq_from) packing assignments.
 
@@ -60,12 +61,19 @@ def pack_sequences(
     A doc spanning k boundaries emits k+1 rows. ``bucket_shift`` sizes
     the prefix-sum buckets (2^shift ids per bucket); the driver-side
     cumulation holds one row per NON-EMPTY bucket.
+
+    ``n_tok_col``: use a precomputed token-count column instead of the
+    whitespace rule — how a BPE-tokenized pipeline packs (token_stats
+    n_bpe_tokens, or bpe.encode lengths) without re-tokenizing here.
     """
     if seq_len < 1:
         raise ValueError(f"seq_len must be >= 1, got {seq_len}")
+    n_tok = (
+        F.col(n_tok_col) if n_tok_col is not None else F.size(tokens(text_col))
+    )
     d = docs.select(
         F.col(doc_id).cast("long").alias("doc_id"),
-        F.size(tokens(text_col)).cast("long").alias("n_tok"),
+        n_tok.cast("long").alias("n_tok"),
     ).where(F.col("n_tok") > 0)
     d = d.withColumn("bucket", F.shiftright(F.col("doc_id"), bucket_shift))
 

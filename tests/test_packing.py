@@ -93,3 +93,16 @@ def test_pack_rejects_bad_seq_len(spark):
     df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
     with pytest.raises(ValueError, match="seq_len"):
         pack_sequences(df, 0)
+
+
+def test_pack_precomputed_token_counts(spark):
+    # BPE-style: pack on a precomputed count column, not the whitespace rule
+    rows = [(1, "ignored", 5), (2, "ignored", 3), (3, "ignored", 0), (4, "x", 9)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, n_bpe long")
+    out = pack_sequences(df, 4, n_tok_col="n_bpe").collect()
+    per_doc = {}
+    for r in out:
+        per_doc.setdefault(r.doc_id, 0)
+        per_doc[r.doc_id] += r.doc_to - r.doc_from + 1
+    assert per_doc == {1: 5, 2: 3, 4: 9}  # doc 3 (0 tokens) dropped
+    assert max(r.seq_id for r in out) == (5 + 3 + 9 - 1) // 4
