@@ -17,6 +17,9 @@ Pipeline (one metrics scan, one dedup shuffle, optional LSH near-dup):
          --max-dup-ngram-frac (Gopher repetition rule)
       -> optional perplexity filter (--max-ppl): bigram-LM scores
          (operators/lm, CCNet-style) against --lm-train or self-trained
+      -> optional learned quality filter (--quality-positive): logreg
+         over hashed features, trusted corpus vs md5-sampled crawl
+         negatives (operators/classifier), keep >= --min-quality-prob
       -> exact dedup: keep each text-hash group's canonical (min) doc_id —
          one hash aggregation with map-side combine
       -> optional near-dup drop (--near-dup-threshold): MinHash -> LSH ->
@@ -109,6 +112,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--lm-min-count", type=int, default=1,
                    help="prune LM bigrams below this count (the large-"
                         "trusted-corpus knob)")
+    p.add_argument("--quality-positive", default=None,
+                   help="parquet of trusted positive examples (doc_id, "
+                        "text): train a logreg quality classifier against "
+                        "md5-sampled negatives from this corpus and keep "
+                        "docs scoring >= --min-quality-prob (GPT-3-style "
+                        "learned filter; operators/classifier)")
+    p.add_argument("--min-quality-prob", type=float, default=0.5)
+    p.add_argument("--quality-dim", type=int, default=64,
+                   help="hashing-trick feature width for the classifier")
+    p.add_argument("--quality-iters", type=int, default=20)
     p.add_argument("--no-exact-dedup", action="store_true", help="skip exact text dedup (kept on by default)")
     p.add_argument("--near-dup-threshold", type=float, default=None,
                    help="also drop LSH-verified near-duplicates at this Jaccard threshold")
@@ -211,6 +224,50 @@ def run(ns: argparse.Namespace, spark=None) -> dict:
         )
         filtered = filtered.join(keep_ids, "doc_id", "left_semi")
         stats["after_ppl_filter"] = filtered.count()
+
+    if getattr(ns, "quality_positive", None):
+        from ..operators import classifier as _clf
+        from ..operators import embeddings as _emb
+
+        pos = (
+            spark.read.parquet(ns.quality_positive)
+            .select("text")
+            .withColumn("doc_id", -1 - F.monotonically_increasing_id())
+            .withColumn("label", F.lit(1).cast("long"))
+        )
+        n_pos = pos.count()
+        n_corpus = filtered.count()
+        # deterministic md5-threshold negative sample of ~n_pos crawl
+        # docs (the GPT-3 recipe: trusted = positive, raw crawl =
+        # negative) — layout-independent, no orderBy, no rand().
+        # BALANCED classes (~1:1): an unbalanced base rate shifts every
+        # probability away from the 0.5 threshold users reason about
+        rate = min(1.0, float(n_pos) / max(n_corpus, 1))
+        thr = int(rate * 0xFFFFFFFF)
+        neg = (
+            filtered.select("doc_id", "text")
+            .where(
+                F.conv(F.substring(F.md5(F.concat_ws("|", F.lit("qneg"),
+                       F.col("doc_id"))), 1, 8), 16, 10).cast("long") <= thr
+            )
+            .withColumn("label", F.lit(0).cast("long"))
+        )
+        train = pos.unionByName(neg.select("text", "doc_id", "label"))
+        par = spark.sparkContext.defaultParallelism
+        feats = _emb.text_embed(train, dim=ns.quality_dim, partitions=par).join(
+            train.select("doc_id", "label"), "doc_id"
+        )
+        model = _clf.train_logreg(feats, n_iter=ns.quality_iters)
+        corpus_feats = _emb.text_embed(
+            filtered.select("doc_id", "text"), dim=ns.quality_dim, partitions=par
+        )
+        keep_ids = (
+            _clf.predict_proba(corpus_feats, model)
+            .where(F.col("prob") >= float(ns.min_quality_prob))
+            .select("doc_id")
+        )
+        filtered = filtered.join(keep_ids, "doc_id", "left_semi")
+        stats["after_quality_classifier"] = filtered.count()
 
     survivors = filtered
     if not ns.no_exact_dedup:

@@ -334,3 +334,35 @@ def test_dataprep_url_front_door_and_packing(tmp_path, spark, capsys):
     pk = spark.read.parquet(f"{out}/packing").collect()
     assert {r.doc_id for r in pk} == {1, 3, 5}
     assert stats["output_sequences"] >= 2
+
+
+def test_dataprep_learned_quality_filter(tmp_path, spark, capsys):
+    # trusted corpus and the crawl's clean half draw from the SAME
+    # distribution (the learned-filter premise); the mash half doesn't
+    trusted = [(i, f"the weather report for day {i} says mild wind and rain")
+               for i in range(40)]
+    crawl = (
+        [(i, f"the weather report for day {i + 60} says mild wind and rain")
+         for i in range(50)]
+        + [(100 + i, "zx%q@@ 9#v!! jk$w## " * (2 + i % 3)) for i in range(50)]
+    )
+    tp = str(tmp_path / "trusted.parquet")
+    cp = str(tmp_path / "crawl.parquet")
+    spark.createDataFrame(trusted, "doc_id long, text string").write.parquet(tp)
+    spark.createDataFrame(crawl, "doc_id long, text string").write.parquet(cp)
+    out = str(tmp_path / "clean")
+    argv = [
+        "--documents", cp, "--out", out,
+        "--quality-positive", tp, "--min-quality-prob", "0.5",
+        "--quality-dim", "32", "--quality-iters", "30",
+        "--no-exact-dedup", "--cores", "4",
+    ]
+    assert job.main(argv) == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    kept = {r.doc_id for r in spark.read.parquet(f"{out}/corpus").collect()}
+    # every clean doc kept, every mash dropped (they're linearly separable
+    # in hashed char-3-gram space; negatives contain both classes but the
+    # positive-only trusted set anchors the clean side)
+    assert all(i in kept for i in range(50))
+    assert stats["after_quality_classifier"] == len(kept)
+    assert all(i not in kept for i in range(100, 150))
