@@ -1533,6 +1533,57 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_geofence_counts(spark, sf_dir):
+    """Geofencing aggregate (operators/events.geofence_rollup): events
+    with deterministic coordinates PIP-joined against the polygon set
+    (broadcast S2 cover + interior fast path), rolled up per (hour,
+    polygon). Full SQL oracle: ray-cast crossings + group-by."""
+    _ship_package(spark)
+    e = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "ts",
+        "user_id",
+        ((F.col("event_id") % 1700) / 10.0 - 85.0 + 0.05).alias("lat"),
+        ((F.col("event_id") * 7 % 3500) / 10.0 - 175.0 + 0.05).alias("lon"),
+    )
+    out = ev.geofence_rollup(e, _PIP_POLYGONS)
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "polygon_id",
+        "n_events",
+        "n_users",
+    )
+
+
+def _geofence_sql() -> str:
+    pts_sql = (
+        "SELECT event_id AS pid, ts, user_id,"
+        " (event_id % 1700) / 10.0 - 85.0 + 0.05 AS lat,"
+        " (event_id * 7 % 3500) / 10.0 - 175.0 + 0.05 AS lon"
+        " FROM events"
+    )
+    return f"""
+WITH pts AS ({pts_sql}),
+edges(polygon_id, y1, x1, y2, x2) AS (VALUES
+    {_pip_edge_values()}),
+crossings AS (
+  SELECT p.pid AS point_id, e.polygon_id,
+         CASE WHEN ((e.y1 > p.lat) <> (e.y2 > p.lat))
+               AND (p.lon < (e.x2 - e.x1) * (p.lat - e.y1) / (e.y2 - e.y1) + e.x1)
+              THEN 1 ELSE 0 END AS c
+  FROM pts p CROSS JOIN edges e),
+inside AS (
+  SELECT point_id, polygon_id FROM crossings
+  GROUP BY point_id, polygon_id HAVING SUM(c) % 2 = 1)
+SELECT strftime(date_trunc('hour', p.ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       i.polygon_id,
+       count(*) AS n_events,
+       count(DISTINCT p.user_id) AS n_users
+FROM inside i JOIN pts p ON i.point_id = p.pid
+GROUP BY 1, 2
+"""
+
+
 def q_streaming_rollup(spark, sf_dir):
     """Structured Streaming twin of events_rollup: the events table is
     consumed via readStream with a 10-minute watermark and hourly windows
@@ -2073,7 +2124,7 @@ def q_pip_coverage(spark, sf_dir):
     return out.select(F.col("pid").alias("point_id"), "polygon_id")
 
 
-def _pip_sql() -> str:
+def _pip_edge_values() -> str:
     edge_rows = []
     for poly in _PIP_POLYGONS:
         la, lo = poly["lats"], poly["lons"]
@@ -2086,7 +2137,11 @@ def _pip_sql() -> str:
             edge_rows.append(
                 f"('{poly['polygon_id']}', {y1!r}, {x1!r}, {y2!r}, {x2!r})"
             )
-    edges = ",\n    ".join(edge_rows)
+    return ",\n    ".join(edge_rows)
+
+
+def _pip_sql() -> str:
+    edges = _pip_edge_values()
     return f"""
 WITH pts AS ({_POINTS_SQL}),
 edges(polygon_id, y1, x1, y2, x2) AS (VALUES
@@ -3051,6 +3106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_lsh_buckets": q_emb_lsh_buckets,
         "embedding_near_dups": q_emb_near_dups,
         "events_rollup": q_events_rollup,
+        "geofence_counts": q_geofence_counts,
         "streaming_rollup": q_streaming_rollup,
         "streaming_sessionize": q_streaming_sessionize,
         "streaming_dedup": q_streaming_dedup,
@@ -3114,6 +3170,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_lsh_buckets": _emb_lsh_sql(),
         "embedding_near_dups": _emb_near_dups_sql(),
         "events_rollup": _Q_EVENTS_SQL,
+        "geofence_counts": _geofence_sql(),
         "streaming_rollup": _Q_STREAMING_ROLLUP_SQL,
         "streaming_sessionize": _Q_STREAMING_SESSIONIZE_SQL,
         "streaming_dedup": _Q_STREAMING_DEDUP_SQL,

@@ -116,6 +116,14 @@ def main() -> None:
         "ivf_topk": lambda: contract.q_ivf_topk(spark, SF_DIR),
         "ivfpq_topk": lambda: contract.q_ivfpq_topk(spark, SF_DIR),
         "knn_topk": lambda: contract.q_knn_topk(spark, SF_DIR),
+        "range_join": lambda: contract.q_range_join(spark, SF_DIR),
+        "ngram_lm_ppl": lambda: contract.q_ngram_lm_ppl(spark, SF_DIR),
+        "url_normalize": lambda: contract.q_url_normalize(spark, SF_DIR),
+        "domain_stats": lambda: contract.q_domain_stats(spark, SF_DIR),
+        "pack_sequences": lambda: contract.q_pack_sequences(spark, SF_DIR),
+        "quality_classifier": lambda: contract.q_quality_classifier(
+            spark, SF_DIR
+        ),
         "tile_floor_keys": lambda: contract.q_tile_floor_keys(spark, SF_DIR),
         "priority_coalesce": lambda: contract.q_priority_coalesce(spark, SF_DIR),
         "coord_extract": lambda: contract.q_coord_extract(spark, SF_DIR),

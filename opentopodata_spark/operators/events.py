@@ -92,3 +92,73 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         F.max("ts").alias("session_end"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+def geofence_rollup(
+    events: DataFrame,
+    polygons: list,
+    width: str = "hour",
+    level: int = 10,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """Per-(polygon, window) presence counts: the geofencing aggregate.
+
+    (window_start, polygon_id, n_events, n_users) for every event whose
+    coordinate falls inside a polygon — the spatial-join trio's PIP
+    member (operators/spatial.point_in_polygon_join: broadcast S2 cover,
+    proven-interior fast path, exact ray-cast only on boundary cells)
+    composed with the tumbling rollup. An event in k overlapping fences
+    counts toward all k. One broadcast join + one hash aggregation.
+    """
+    from . import spatial as _spatial
+
+    hits = _spatial.point_in_polygon_join(
+        events, polygons, level=level, lat_col=lat_col, lon_col=lon_col
+    )
+    return hits.groupBy(
+        F.date_trunc(width, F.col("ts")).alias("window_start"),
+        F.col("polygon_id"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+def streaming_geofence_rollup(
+    events: DataFrame,
+    polygons: list,
+    width: str = "1 hour",
+    watermark: str = "2 hours",
+    level: int = 10,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """Structured Streaming twin of ``geofence_rollup`` (live geofencing).
+
+    The PIP join is STATELESS (broadcast polygon cover + per-batch
+    refine), so only the windowed aggregate carries state — bounded by
+    (#windows in the watermark horizon) x (#polygons). n_users uses
+    approx_count_distinct: exact distinct inside streaming state would
+    buffer every user id per (window, polygon); the HLL sketch is the
+    honest unbounded-cardinality choice, and the batch twin stays exact.
+    """
+    from . import spatial as _spatial
+
+    hits = _spatial.point_in_polygon_join(
+        events, polygons, level=level, lat_col=lat_col, lon_col=lon_col
+    )
+    return (
+        hits.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width).alias("win"), F.col("polygon_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.approx_count_distinct("user_id").alias("n_users_approx"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "polygon_id",
+            "n_events",
+            "n_users_approx",
+        )
+    )

@@ -99,3 +99,11 @@ def test_empty_frame_raises(spark):
     df = spark.createDataFrame([], "label long, embedding array<double>")
     with pytest.raises(ValueError, match="empty"):
         train_logreg(df)
+
+
+def test_local_and_distributed_paths_agree(spark):
+    df, X, y = _toy(spark, n=120)
+    m_local = train_logreg(df, n_iter=12, lr=0.7)           # under threshold
+    m_dist = train_logreg(df, n_iter=12, lr=0.7, local_threshold=0)
+    assert np.allclose(m_local.weights, m_dist.weights, atol=1e-9)
+    assert abs(m_local.bias - m_dist.bias) < 1e-9

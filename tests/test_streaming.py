@@ -465,3 +465,66 @@ def test_near_dup_stream_incremental(spark, tmp_path):
     # the bucket index holds rows ONLY for admitted docs
     idx = spark.read.parquet(idx_dir)
     assert {r.doc_id for r in idx.collect()} == {1, 2, 4, 7}
+
+
+def test_geofence_stream_matches_batch(spark, tmp_path):
+    """streaming_geofence_rollup over an availableNow drain produces the
+    same (window, polygon) event counts as the batch geofence_rollup
+    (n_users is approximate in the stream by design and checked for
+    sanity, not equality)."""
+    from opentopodata_spark.operators import events as evops
+
+    polygons = [
+        {"polygon_id": "BOX_A", "lats": [0.0, 0.0, 30.0, 30.0],
+         "lons": [0.0, 40.0, 40.0, 0.0]},
+        {"polygon_id": "BOX_B", "lats": [-20.0, -20.0, 10.0, 10.0],
+         "lons": [20.0, 70.0, 70.0, 20.0]},  # overlaps BOX_A: double count
+    ]
+    rows = []
+    for i in range(240):
+        h, m = divmod(i, 60)
+        # lat in [-30, 30), lon in [0, 80): inside A, B, both, or neither
+        rows.append((i, f"2024-01-01 {h:02d}:{m:02d}:00", i % 9,
+                     float(i % 61 - 30) + 0.5, float(i * 13 % 80) + 0.5))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts_s string, user_id long, lat double, lon double"
+    ).withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+
+    batch = {
+        (str(r.window_start), r.polygon_id): (r.n_events, r.n_users)
+        for r in evops.geofence_rollup(df, polygons).collect()
+    }
+    assert batch  # fixture actually hits the fences
+    assert any(k[1] == "BOX_A" for k in batch) and any(k[1] == "BOX_B" for k in batch)
+
+    inbox = str(tmp_path / "gf_in")
+    os.makedirs(inbox)
+    df.select("event_id", "ts", "user_id", "lat", "lon").coalesce(1).write.mode(
+        "append"
+    ).parquet(inbox)
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, lat double, lon double"
+    ).parquet(inbox)
+    out = str(tmp_path / "gf_out")
+    q = (
+        evops.streaming_geofence_rollup(
+            stream, polygons, width="1 hour", watermark="0 seconds"
+        )
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "gf_ckpt"))
+        .trigger(availableNow=True)
+        .start(path=out, format="parquet")
+    )
+    q.awaitTermination()
+    got = {
+        (str(r.window_start), r.polygon_id): (r.n_events, r.n_users_approx)
+        for r in spark.read.parquet(out).collect()
+    }
+    # append mode finalizes a window once the watermark passes its END:
+    # the last hour (max ts 03:59 < end 04:00) stays in state by design
+    finalized = {k: v for k, v in batch.items()
+                 if k[0] < "2024-01-01 03:00:00"}
+    assert set(got) == set(finalized) and finalized
+    for k, (n_events, n_users) in finalized.items():
+        assert got[k][0] == n_events            # counts exact
+        assert abs(got[k][1] - n_users) <= max(2, int(0.15 * n_users))  # HLL
