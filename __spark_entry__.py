@@ -1546,7 +1546,11 @@ def q_geofence_counts(spark, sf_dir):
         ((F.col("event_id") % 1700) / 10.0 - 85.0 + 0.05).alias("lat"),
         ((F.col("event_id") * 7 % 3500) / 10.0 - 175.0 + 0.05).alias("lon"),
     )
-    out = ev.geofence_rollup(e, _PIP_POLYGONS)
+    # level 6 (~1.2 deg cells): these fences are continent-sized, so a
+    # fine cover costs ~10^6 driver-built cells per polygon while the
+    # exactness is level-independent (boundary cells ray-cast anyway);
+    # the level trades cover size against refine volume, nothing else
+    out = ev.geofence_rollup(e, _PIP_POLYGONS, level=6)
     return out.select(
         F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
         "polygon_id",
