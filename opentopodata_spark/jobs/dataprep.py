@@ -134,6 +134,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "(the standard union-find corpus dedup — treats "
                         "near-duplication as transitive)")
     p.add_argument("--shingle-n", type=int, default=2)
+    p.add_argument("--resume", action="store_true",
+                   help="skip stages whose output already exists complete "
+                        "(_SUCCESS marker): a crash between corpus, chunks "
+                        "and packing redoes only the missing stages "
+                        "(Spark's own overwrite keeps each single stage "
+                        "atomic; local-filesystem marker check)")
     p.add_argument("--cores", type=int, default=None, help="local[] cores (ignored with --master external)")
     p.add_argument("--shuffle-partitions", type=int, default=None)
     p.add_argument("--master", default=None, help="Spark master; 'external' defers to spark-submit")
@@ -149,6 +155,23 @@ def run(ns: argparse.Namespace, spark=None) -> dict:
             master=ns.master,
         )
     t0 = time.time()
+    out_corpus = f"{ns.out}/corpus"
+
+    def _stage_done(path: str) -> bool:
+        import os as _os
+
+        return getattr(ns, "resume", False) and _os.path.exists(
+            f"{path}/_SUCCESS"
+        )
+
+    if _stage_done(out_corpus):
+        # the whole corpus pipeline completed in a prior run: don't
+        # recompute filters/dedup, just finish the derived stages
+        stats: dict = {"job": "dataprep", "resumed_corpus": True}
+        stats["output_docs"] = spark.read.parquet(out_corpus).count()
+        filtered = None
+        return _derived_stages(spark, ns, stats, out_corpus, t0, filtered)
+
     raw = spark.read.parquet(ns.documents)
     url_stats = {}
     if getattr(ns, "url_col", None):
@@ -316,33 +339,49 @@ def run(ns: argparse.Namespace, spark=None) -> dict:
             default_rate=float(ns.sample_default),
         )
 
-    out_corpus = f"{ns.out}/corpus"
     survivors.write.mode("overwrite").parquet(out_corpus)
     stats["output_docs"] = spark.read.parquet(out_corpus).count()
-    if ns.chunk_tokens is not None:
-        # chunk the WRITTEN corpus (a fresh scan of the small cleaned
-        # output, not a third pass over the raw input)
-        chunks = _textops.chunk_documents(
-            spark.read.parquet(out_corpus),
-            chunk_tokens=ns.chunk_tokens,
-            stride=ns.chunk_stride,
+    return _derived_stages(spark, ns, stats, out_corpus, t0, filtered)
+
+
+def _derived_stages(spark, ns, stats, out_corpus, t0, filtered):
+    """Chunking + packing over the WRITTEN corpus (fresh scans of the
+    small cleaned output, not extra passes over the raw input); with
+    --resume, a stage whose _SUCCESS marker exists is only re-counted."""
+    import os as _os
+
+    def _stage_done(path: str) -> bool:
+        return getattr(ns, "resume", False) and _os.path.exists(
+            f"{path}/_SUCCESS"
         )
-        chunks.write.mode("overwrite").parquet(f"{ns.out}/chunks")
-        stats["output_chunks"] = spark.read.parquet(f"{ns.out}/chunks").count()
+
+    if ns.chunk_tokens is not None:
+        chunks_out = f"{ns.out}/chunks"
+        if not _stage_done(chunks_out):
+            chunks = _textops.chunk_documents(
+                spark.read.parquet(out_corpus),
+                chunk_tokens=ns.chunk_tokens,
+                stride=ns.chunk_stride,
+            )
+            chunks.write.mode("overwrite").parquet(chunks_out)
+        stats["output_chunks"] = spark.read.parquet(chunks_out).count()
     if getattr(ns, "pack_seq_len", None) is not None:
         from ..operators import packing as _packing
 
-        pk = _packing.pack_sequences(
-            spark.read.parquet(out_corpus), seq_len=ns.pack_seq_len
-        )
-        pk.write.mode("overwrite").parquet(f"{ns.out}/packing")
+        pack_out = f"{ns.out}/packing"
+        if not _stage_done(pack_out):
+            pk = _packing.pack_sequences(
+                spark.read.parquet(out_corpus), seq_len=ns.pack_seq_len
+            )
+            pk.write.mode("overwrite").parquet(pack_out)
         stats["output_sequences"] = (
-            spark.read.parquet(f"{ns.out}/packing")
+            spark.read.parquet(pack_out)
             .agg(F.countDistinct("seq_id"))
             .collect()[0][0]
         )
     stats["seconds"] = round(time.time() - t0, 3)
-    filtered.unpersist()
+    if filtered is not None:
+        filtered.unpersist()
 
     # local filesystem only — on an object store / HDFS the stats line is
     # still on stdout via main(); a production deploy would append it to

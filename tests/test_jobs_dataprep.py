@@ -366,3 +366,34 @@ def test_dataprep_learned_quality_filter(tmp_path, spark, capsys):
     assert all(i in kept for i in range(50))
     assert stats["after_quality_classifier"] == len(kept)
     assert all(i not in kept for i in range(100, 150))
+
+
+def test_dataprep_resume_skips_completed_stages(tmp_path, spark, capsys):
+    rows = [(i, f"one two three four five six seven {i % 4}") for i in range(30)]
+    p = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(p)
+    out = str(tmp_path / "clean")
+    base = ["--documents", p, "--out", out, "--no-exact-dedup", "--cores", "4"]
+
+    # first run: corpus only
+    assert job.main(base) == 0
+    capsys.readouterr()
+    corpus_mtime = os.path.getmtime(f"{out}/corpus/_SUCCESS")
+
+    # resume run adds packing: corpus is NOT recomputed, packing appears
+    assert job.main(base + ["--pack-seq-len", "8", "--resume"]) == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats.get("resumed_corpus") is True
+    assert os.path.getmtime(f"{out}/corpus/_SUCCESS") == corpus_mtime
+    assert stats["output_sequences"] >= 1
+    pk_mtime = os.path.getmtime(f"{out}/packing/_SUCCESS")
+
+    # resume again: packing also skipped (only re-counted)
+    assert job.main(base + ["--pack-seq-len", "8", "--resume"]) == 0
+    stats2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert os.path.getmtime(f"{out}/packing/_SUCCESS") == pk_mtime
+    assert stats2["output_sequences"] == stats["output_sequences"]
+
+    # without --resume everything recomputes (overwrite semantics intact)
+    assert job.main(base) == 0
+    assert os.path.getmtime(f"{out}/corpus/_SUCCESS") > corpus_mtime
