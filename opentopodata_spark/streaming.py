@@ -275,6 +275,7 @@ def run_dedup_stream(
     checkpoint_dir: str,
     index_dir: str,
     available_now: bool = True,
+    key=None,
 ):
     """Streaming corpus ingestion with INCREMENTAL exact dedup: each
     micro-batch admits only documents whose text hash has never been seen
@@ -285,6 +286,11 @@ def run_dedup_stream(
     This is the continuous twin of jobs/dataprep's exact-dedup stage: a
     training-data pipeline does not re-scan a 100 TB corpus per crawl
     drop; it folds each drop against the (tiny by comparison) hash index.
+
+    ``key``: optional Column overriding the dedup key (default
+    md5(text)) — pass ``urlops.normalize_url(F.col("url"))`` for
+    URL-level crawl dedup with identical exactly-once mechanics (the
+    index stays tiny either way: one key string per admitted doc).
 
     State layout: ``index_dir`` holds ONLY text hashes, partitioned by
     ingest_batch — ~48 bytes/doc, so a 10^12-doc corpus carries a ~50 TB
@@ -304,7 +310,9 @@ def run_dedup_stream(
         # already folds all NULL-text docs into one group, and <=> keeps
         # them matchable in the semi/anti joins — same semantics as the
         # batch twin exact_duplicates, still a hash-partitionable equi-join.
-        hashed = batch_df.withColumn("text_hash", F.md5(F.col("text")))
+        hashed = batch_df.withColumn(
+            "text_hash", key if key is not None else F.md5(F.col("text"))
+        )
         canon = hashed.groupBy("text_hash").agg(F.min("doc_id").alias("doc_id"))
         batch_canon = hashed.alias("h").join(
             canon.alias("c"),

@@ -528,3 +528,49 @@ def test_geofence_stream_matches_batch(spark, tmp_path):
     for k, (n_events, n_users) in finalized.items():
         assert got[k][0] == n_events            # counts exact
         assert abs(got[k][1] - n_users) <= max(2, int(0.15 * n_users))  # HLL
+
+
+def test_dedup_stream_url_key(spark, tmp_path):
+    """run_dedup_stream with key=normalize_url: the second crawl drop's
+    re-fetch of the same page (tracking params, www, default port) is
+    rejected by the accumulated URL index; genuinely new pages admit."""
+    from opentopodata_spark import streaming
+    from opentopodata_spark.operators import urlops
+
+    inbox = str(tmp_path / "u_in")
+    os.makedirs(inbox)
+    schema = "doc_id long, text string, url string"
+    drop1 = [(1, "page one", "http://www.example.com/a?utm_source=x"),
+             (2, "page two", "http://example.com/b")]
+    drop2 = [(3, "page one refetched", "https://example.com/a"),   # dup of 1... scheme!
+             (4, "page three", "http://example.com/c")]
+    spark.createDataFrame(drop1, schema).coalesce(1).write.mode("append").parquet(inbox)
+
+    out = str(tmp_path / "u_out")
+    ckpt = str(tmp_path / "u_ckpt")
+    idx = str(tmp_path / "u_idx")
+    key = urlops.normalize_url(F.col("url"))
+
+    def drain():
+        q = streaming.run_dedup_stream(
+            spark.readStream.schema(schema).parquet(inbox),
+            out, ckpt, idx, key=key,
+        )
+        q.awaitTermination()
+
+    drain()
+    assert {r.doc_id for r in spark.read.parquet(out).collect()} == {1, 2}
+
+    spark.createDataFrame(drop2, schema).coalesce(1).write.mode("append").parquet(inbox)
+    drain()
+    kept = {r.doc_id for r in spark.read.parquet(out).collect()}
+    # doc 3's canonical URL differs from doc 1's only by scheme — that IS
+    # a different canonical URL (https vs http), so it admits; the true
+    # test of the index is a same-scheme refetch:
+    assert kept == {1, 2, 3, 4}
+
+    drop3 = [(5, "page one third fetch", "http://Example.COM:80/a?fbclid=zz")]
+    spark.createDataFrame(drop3, schema).coalesce(1).write.mode("append").parquet(inbox)
+    drain()
+    kept = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert kept == {1, 2, 3, 4}  # doc 5 normalizes to doc 1's URL: rejected
