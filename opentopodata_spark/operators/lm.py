@@ -103,7 +103,16 @@ def perplexity(
     logprob = sum ln p(w2|w1) over the doc's framed bigrams (rounded to
     ``round_to`` decimals), ppl = exp(-logprob / n_bigrams). Lower ppl =
     more like the training corpus; the dataprep filter thresholds on it.
+
+    The model frame feeds THREE consumers (the bigram join, the context
+    sums, the vocab size) — without a persist Spark recomputes the
+    training aggregation, i.e. re-scans the training corpus, once per
+    consumer (verified in the physical plan: the (w1, w2) exchange
+    appeared twice). It is persisted here; callers scoring repeatedly
+    against one model should pass an already-persisted frame and
+    unpersist it when done.
     """
+    model = model.persist()
     ctx = model.groupBy("w1").agg(F.sum("c").alias("ctx_c"))
     vocab = model.agg(F.countDistinct("w2").alias("v"))
     bg = _doc_bigrams(docs, doc_id, text_col)
