@@ -93,10 +93,17 @@ def encode_wav(samples: np.ndarray, sample_rate: int, bits: int = 16) -> bytes:
         s = s[:, None]
     channels = s.shape[1]
     s = np.clip(s, -1.0, 1.0)
+    # symmetric with the decoder's /128 and /32768 (an x*127-style
+    # encode decodes back with an |x|/128 scale error — caught by the
+    # hypothesis round-trip property); +1.0 clips to the top code
     if bits == 16:
-        pcm = np.round(s * 32767.0).astype("<i2").tobytes()
+        pcm = np.clip(np.round(s * 32768.0), -32768, 32767).astype("<i2").tobytes()
     elif bits == 8:
-        pcm = (np.round(s * 127.0) + 128).astype(np.uint8).tobytes()
+        pcm = (
+            (np.clip(np.round(s * 128.0), -128, 127) + 128)
+            .astype(np.uint8)
+            .tobytes()
+        )
     else:
         raise WavError(f"encode supports 8/16 bit, got {bits}")
     balign = channels * bits // 8
