@@ -110,3 +110,35 @@ def test_no_python_udfs(spark):
                                  "doc_id long, url string, text string")
     plan = domain_stats(docs)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_normalize_idempotent_on_adversarial_corpus(spark):
+    """normalize(normalize(u)) == normalize(u): canonical forms are fixed
+    points, over a generated corpus of scheme/case/port/userinfo/param/
+    fragment/suffix combinations."""
+    import itertools
+
+    schemes = ["http", "HTTPS", "ftp"]
+    hosts = ["Example.COM", "www.news.co.uk", "a.b.c.example.com.au",
+             "localhost", "[::1]", "www.x"]
+    ports = ["", ":80", ":443", ":8080"]
+    userinfos = ["", "user@", "u:p@"]
+    paths = ["", "/", "/a//b/", "/A/b"]
+    queries = ["", "?utm_source=x", "?z=1&a=2&utm_b=c", "?a", "?=v", "?a&&b=1"]
+    frags = ["", "#f"]
+    urls = [
+        f"{s}://{u}{h}{po}{pa}{q}{fr}"
+        for s, u, h, po, pa, q, fr in itertools.islice(
+            itertools.product(schemes, userinfos, hosts, ports, paths,
+                              queries, frags),
+            0, None, 7,  # stride to ~900 combos
+        )
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    rows = (
+        df.select("url", normalize_url(F.col("url")).alias("n1"))
+        .select("url", "n1", normalize_url(F.col("n1")).alias("n2"))
+        .collect()
+    )
+    bad = [(r.url, r.n1, r.n2) for r in rows if r.n1 != r.n2]
+    assert not bad, bad[:5]
