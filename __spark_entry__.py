@@ -1159,6 +1159,31 @@ FROM ex
 """
 
 
+def q_collocations(spark, sf_dir):
+    """operators/lm.collocations: top-100 word pairs by PMI (min count
+    5) — one (w1,w2) aggregation, marginals as windows over that small
+    stream, deterministic (pmi desc, w1, w2) cut."""
+    from opentopodata_spark.operators import lm
+
+    return lm.collocations(_t(spark, sf_dir, "documents"), min_count=5, k=100)
+
+
+_Q_COLLOC_SQL = f"""
+WITH toks AS (SELECT doc_id, {_TOKENS_SQL} AS f FROM documents),
+bg AS (SELECT f[i] AS w1, f[i + 1] AS w2
+       FROM toks, UNNEST(generate_series(1, len(f) - 1)) AS g(i)),
+pairs AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY w1, w2),
+m AS (SELECT *,
+        sum(c) OVER (PARTITION BY w1) AS c1,
+        sum(c) OVER (PARTITION BY w2) AS c2,
+        sum(c) OVER () AS n FROM pairs)
+SELECT w1, w2, CAST(c AS BIGINT) AS c,
+       round(ln(c * 1.0 * n / (c1 * 1.0 * c2)), 6) AS pmi
+FROM m WHERE c >= 5
+ORDER BY pmi DESC, w1, w2 LIMIT 100
+"""
+
+
 def q_token_stats(spark, sf_dir):
     return textops.token_stats(_t(spark, sf_dir, "documents"))
 
@@ -3095,6 +3120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "token_stats": q_token_stats,
         "ngram_lm_ppl": q_ngram_lm_ppl,
+        "collocations": q_collocations,
         "url_normalize": q_url_normalize,
         "domain_stats": q_domain_stats,
         "quality_score": q_quality,
@@ -3160,6 +3186,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash": _simhash_sql(),
         "token_stats": _Q_TOKEN_SQL,
         "ngram_lm_ppl": _Q_LM_SQL,
+        "collocations": _Q_COLLOC_SQL,
         "url_normalize": _Q_URL_NORM_SQL,
         "domain_stats": _Q_DOMAIN_STATS_SQL,
         "quality_score": _quality_sql(),

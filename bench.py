@@ -118,6 +118,7 @@ def main() -> None:
         "knn_topk": lambda: contract.q_knn_topk(spark, SF_DIR),
         "range_join": lambda: contract.q_range_join(spark, SF_DIR),
         "ngram_lm_ppl": lambda: contract.q_ngram_lm_ppl(spark, SF_DIR),
+        "collocations": lambda: contract.q_collocations(spark, SF_DIR),
         "url_normalize": lambda: contract.q_url_normalize(spark, SF_DIR),
         "domain_stats": lambda: contract.q_domain_stats(spark, SF_DIR),
         "pack_sequences": lambda: contract.q_pack_sequences(spark, SF_DIR),

@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 
 from .exprutil import bind_once, tokens
 
-__all__ = ["train_bigram_lm", "perplexity", "BOS", "EOS"]
+__all__ = ["train_bigram_lm", "perplexity", "collocations", "BOS", "EOS"]
 
 BOS = "<s>"
 EOS = "</s>"
@@ -135,4 +135,67 @@ def perplexity(
         F.count(F.lit(1)).alias("n_bigrams"),
         F.round(F.sum("lp"), round_to).alias("logprob"),
         F.round(F.exp(-F.sum("lp") / F.count(F.lit(1))), round_to).alias("ppl"),
+    )
+
+
+def collocations(
+    docs: DataFrame,
+    min_count: int = 5,
+    k: int = 50,
+    doc_id: str = "doc_id",
+    text_col: str = "text",
+    round_to: int = 6,
+) -> DataFrame:
+    """Top-k word pairs by pointwise mutual information: (w1, w2, c,
+    pmi) — the corpus-exploration primitive behind tokenizer-merge
+    inspection and multi-word-entity discovery.
+
+        pmi(w1, w2) = ln( c(w1,w2) * N / (c1(w1) * c2(w2)) )
+
+    over INTERIOR bigrams (BOS/EOS frames excluded: a sentence-start
+    marker is not a collocate), where N is the total interior-bigram
+    count, c1 counts w1 as a left element and c2 counts w2 as a right
+    element. ``min_count`` suppresses the classic PMI singleton
+    artifact (rare pairs saturating the top of the list).
+
+    Shape: the bigram stream aggregates once on (w1, w2); marginals are
+    two window counts over that already-aggregated (small) stream — NOT
+    separate re-aggregations of the corpus; N rides along as a 1-row
+    broadcast. Ties break on (w1, w2) for a deterministic top-k.
+    """
+    from pyspark.sql import Window
+
+    bg = _doc_bigrams(docs, doc_id, text_col).where(
+        (F.col("w1") != BOS) & (F.col("w2") != EOS)
+    )
+    # persisted: the window chain and the N aggregate are two consumers —
+    # without it each re-runs the corpus-wide bigram aggregation (same
+    # plan-verified pattern as perplexity's model frame)
+    pairs = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c")).persist()
+    pairs = pairs.withColumn(
+        "c1", F.sum("c").over(Window.partitionBy("w1"))
+    ).withColumn("c2", F.sum("c").over(Window.partitionBy("w2")))
+    total = pairs.agg(F.sum("c").alias("n_total"))
+    scored = (
+        pairs.where(F.col("c") >= F.lit(int(min_count)))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w1",
+            "w2",
+            "c",
+            F.round(
+                F.log(
+                    F.col("c").cast("double")
+                    * F.col("n_total").cast("double")
+                    / (F.col("c1").cast("double") * F.col("c2").cast("double"))
+                ),
+                round_to,
+            ).alias("pmi"),
+        )
+    )
+    return (
+        scored.orderBy(
+            F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc()
+        )
+        .limit(k)
     )

@@ -121,3 +121,34 @@ def test_null_text_not_dropped(spark):
     model = train_bigram_lm(docs)
     rows = {r.doc_id: r.n_bigrams for r in perplexity(docs, model).collect()}
     assert rows == {1: 3, 2: 1}  # NULL scores like empty, not dropped
+
+
+def test_collocations_pmi(spark):
+    from opentopodata_spark.operators.lm import collocations
+
+    # "san francisco" always co-occurs; "the" pairs with everything
+    rows = [(i, f"the city of san francisco is near the bay {i % 3}")
+            for i in range(12)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = collocations(docs, min_count=3, k=10).collect()
+    got = {(r.w1, r.w2): (r.c, r.pmi) for r in out}
+    assert ("san", "francisco") in got
+    # python twin for the pmi value
+    import math
+    from collections import Counter
+
+    bigs = Counter()
+    for _, t in rows:
+        toks = t.split()
+        bigs.update(zip(toks, toks[1:]))
+    n = sum(bigs.values())
+    c12 = bigs[("san", "francisco")]
+    c1 = sum(v for (a, _), v in bigs.items() if a == "san")
+    c2 = sum(v for (_, b), v in bigs.items() if b == "francisco")
+    assert got[("san", "francisco")] == (c12, round(math.log(c12 * n / (c1 * c2)), 6))
+    # a promiscuous left word scores lower than the exclusive pair
+    the_pairs = [v[1] for k, v in got.items() if k[0] == "the"]
+    assert all(p < got[("san", "francisco")][1] for p in the_pairs)
+    # deterministic k cut: rank by (pmi desc, w1, w2)
+    ordered = [(r.pmi, r.w1, r.w2) for r in out]
+    assert ordered == sorted(ordered, key=lambda t: (-t[0], t[1], t[2]))
