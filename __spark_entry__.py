@@ -1613,6 +1613,71 @@ GROUP BY 1, 2
 """
 
 
+def q_geofence_transitions(spark, sf_dir):
+    """operators/events.geofence_transitions: per-user fence enter/exit
+    changes (PIP membership sets diffed against the previous event via
+    one per-user window). Full SQL oracle (ray-cast + lag of lists)."""
+    _ship_package(spark)
+    e = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "ts",
+        "user_id",
+        ((F.col("event_id") % 1700) / 10.0 - 85.0 + 0.05).alias("lat"),
+        ((F.col("event_id") * 7 % 3500) / 10.0 - 175.0 + 0.05).alias("lon"),
+    )
+    out = ev.geofence_transitions(e, _PIP_POLYGONS, level=6)
+    return out.select(
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        "polygon_id",
+        "transition",
+    )
+
+
+def _geofence_transitions_sql() -> str:
+    pts_sql = (
+        "SELECT event_id AS pid, ts, user_id,"
+        " (event_id % 1700) / 10.0 - 85.0 + 0.05 AS lat,"
+        " (event_id * 7 % 3500) / 10.0 - 175.0 + 0.05 AS lon"
+        " FROM events"
+    )
+    return f"""
+WITH pts AS ({pts_sql}),
+edges(polygon_id, y1, x1, y2, x2) AS (VALUES
+    {_pip_edge_values()}),
+crossings AS (
+  SELECT p.pid AS point_id, e.polygon_id,
+         CASE WHEN ((e.y1 > p.lat) <> (e.y2 > p.lat))
+               AND (p.lon < (e.x2 - e.x1) * (p.lat - e.y1) / (e.y2 - e.y1) + e.x1)
+              THEN 1 ELSE 0 END AS c
+  FROM pts p CROSS JOIN edges e),
+inside AS (
+  SELECT point_id, polygon_id FROM crossings
+  GROUP BY point_id, polygon_id HAVING SUM(c) % 2 = 1),
+memb AS (
+  SELECT p.pid, p.user_id, p.ts,
+         coalesce(list_sort(list(i.polygon_id)
+                  FILTER (WHERE i.polygon_id IS NOT NULL)),
+                  CAST([] AS VARCHAR[])) AS ins
+  FROM pts p LEFT JOIN inside i ON p.pid = i.point_id
+  GROUP BY p.pid, p.user_id, p.ts),
+lagd AS (
+  SELECT user_id, ts, ins,
+         coalesce(lag(ins) OVER (PARTITION BY user_id ORDER BY ts, pid),
+                  CAST([] AS VARCHAR[])) AS prev
+  FROM memb)
+SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+       unnest(list_filter(ins, x -> NOT list_contains(prev, x))) AS polygon_id,
+       'enter' AS transition
+FROM lagd
+UNION ALL
+SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+       unnest(list_filter(prev, x -> NOT list_contains(ins, x))) AS polygon_id,
+       'exit' AS transition
+FROM lagd
+"""
+
+
 def q_streaming_rollup(spark, sf_dir):
     """Structured Streaming twin of events_rollup: the events table is
     consumed via readStream with a 10-minute watermark and hourly windows
@@ -3137,6 +3202,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": q_emb_near_dups,
         "events_rollup": q_events_rollup,
         "geofence_counts": q_geofence_counts,
+        "geofence_transitions": q_geofence_transitions,
         "streaming_rollup": q_streaming_rollup,
         "streaming_sessionize": q_streaming_sessionize,
         "streaming_dedup": q_streaming_dedup,
@@ -3202,6 +3268,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dups": _emb_near_dups_sql(),
         "events_rollup": _Q_EVENTS_SQL,
         "geofence_counts": _geofence_sql(),
+        "geofence_transitions": _geofence_transitions_sql(),
         "streaming_rollup": _Q_STREAMING_ROLLUP_SQL,
         "streaming_sessionize": _Q_STREAMING_SESSIONIZE_SQL,
         "streaming_dedup": _Q_STREAMING_DEDUP_SQL,

@@ -162,3 +162,63 @@ def streaming_geofence_rollup(
             "n_users_approx",
         )
     )
+
+
+def geofence_transitions(
+    events: DataFrame,
+    polygons: list,
+    level: int = 10,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-user fence ENTER/EXIT transitions (batch form).
+
+    (user_id, ts, polygon_id, transition) — one row per fence whose
+    membership changed relative to the user's PREVIOUS event (ordered by
+    ts, then ``id_col`` for deterministic ties). A user's first event
+    emits an 'enter' for every fence it is already inside. Events with
+    no membership change emit nothing.
+
+    Shape: PIP join -> per-event membership set (sort_array(collect_set)
+    keyed by the event) -> one window lag over (user, ts, id) -> set
+    difference explode. The window is the only per-user state; at
+    10^12 events it partitions by user_id.
+    """
+    from pyspark.sql import Window
+
+    from . import spatial as _spatial
+
+    hits = _spatial.point_in_polygon_join(
+        events, polygons, level=level, lat_col=lat_col, lon_col=lon_col
+    ).select(id_col, "polygon_id")
+    memb = (
+        events.join(hits, id_col, "left")
+        .groupBy(id_col, "user_id", "ts")
+        .agg(
+            F.sort_array(
+                F.filter(
+                    F.collect_set("polygon_id"), lambda p: p.isNotNull()
+                )
+            ).alias("inside")
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col(id_col).asc())
+    prev = F.coalesce(
+        F.lag("inside").over(w), F.array().cast("array<string>")
+    )
+    diff = memb.select(
+        "user_id",
+        "ts",
+        F.array_except(F.col("inside"), prev).alias("_enter"),
+        F.array_except(prev, F.col("inside")).alias("_exit"),
+    )
+    enters = diff.select(
+        "user_id", "ts", F.explode("_enter").alias("polygon_id"),
+        F.lit("enter").alias("transition"),
+    )
+    exits = diff.select(
+        "user_id", "ts", F.explode("_exit").alias("polygon_id"),
+        F.lit("exit").alias("transition"),
+    )
+    return enters.unionByName(exits)

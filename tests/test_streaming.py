@@ -574,3 +574,39 @@ def test_dedup_stream_url_key(spark, tmp_path):
     drain()
     kept = {r.doc_id for r in spark.read.parquet(out).collect()}
     assert kept == {1, 2, 3, 4}  # doc 5 normalizes to doc 1's URL: rejected
+
+
+def test_geofence_transitions_batch(spark):
+    """Batch enter/exit derivation: first-event enters, membership-change
+    transitions only, deterministic tie order."""
+    from opentopodata_spark.operators import events as evops
+
+    polygons = [
+        {"polygon_id": "A", "lats": [0.0, 0.0, 30.0, 30.0],
+         "lons": [0.0, 40.0, 40.0, 0.0]},
+        {"polygon_id": "B", "lats": [-20.0, -20.0, 10.0, 10.0],
+         "lons": [20.0, 70.0, 70.0, 20.0]},
+    ]
+    rows = [
+        (1, "2024-01-01 00:00:00", 1, 5.0, 10.0),    # in A        -> enter A
+        (2, "2024-01-01 00:10:00", 1, 5.0, 30.0),    # in A+B      -> enter B
+        (3, "2024-01-01 00:20:00", 1, -10.0, 50.0),  # in B only   -> exit A
+        (4, "2024-01-01 00:30:00", 1, 50.0, 50.0),   # outside     -> exit B
+        (5, "2024-01-01 00:05:00", 2, 5.0, 25.0),    # u2 in both  -> enter A, B
+        (6, "2024-01-01 00:06:00", 2, 5.1, 25.1),    # no change   -> nothing
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts_s string, user_id long, lat double, lon double"
+    ).withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+    got = sorted(
+        (r.user_id, str(r.ts), r.polygon_id, r.transition)
+        for r in evops.geofence_transitions(df, polygons).collect()
+    )
+    assert got == [
+        (1, "2024-01-01 00:00:00", "A", "enter"),
+        (1, "2024-01-01 00:10:00", "B", "enter"),
+        (1, "2024-01-01 00:20:00", "A", "exit"),
+        (1, "2024-01-01 00:30:00", "B", "exit"),
+        (2, "2024-01-01 00:05:00", "A", "enter"),
+        (2, "2024-01-01 00:05:00", "B", "enter"),
+    ]
