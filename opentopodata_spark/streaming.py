@@ -538,3 +538,95 @@ def run_overview_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def geofence_transitions_stream(
+    spark: SparkSession,
+    events_dir: str,
+    polygons: list,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming twin of operators/events.geofence_transitions — live
+    fence ENTER/EXIT detection via ``applyInPandasWithState``.
+
+    Membership per event is computed INLINE by a closure over the
+    polygon list (vectorized ray-cast per polygon over the Arrow batch)
+    rather than the batch op's S2-cover join: a second stateful operator
+    (the membership groupBy) upstream of the state function is exactly
+    the multi-stateful-operator shape streaming restricts, and a
+    geofence set is small by nature (10s-100s of fences — a broadcast
+    closure). The batch operator remains the shape for polygon sets too
+    big to close over.
+
+    Per-user state = the sorted list of currently-inside fence ids.
+    Events apply in (ts, event_id) order within each batch; a user's
+    first-ever event enters every fence it is already inside —
+    identical to the batch twin for in-order arrivals (the sessionize
+    determinism caveat applies to out-of-order cross-batch data; the
+    watermark bounds it). State never times out: membership is durable
+    per active user, one small row each.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from .operators.spatial import points_in_polygon_mask
+
+    polys = [
+        (str(p["polygon_id"]), list(p["lats"]), list(p["lons"]))
+        for p in polygons
+    ]
+    out_schema = (
+        "user_id long, ts timestamp, polygon_id string, transition string"
+    )
+    state_schema = "inside array<string>"
+
+    def fn(key, pdf_iter, state):
+        (user_id,) = key
+        if state.hasTimedOut:  # pragma: no cover - NoTimeout configured
+            state.remove()
+            return
+        inside = set(state.get[0]) if state.exists else set()
+        out_ts, out_poly, out_tr = [], [], []
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            la = pdf["lat"].to_numpy(dtype=np.float64)
+            lo = pdf["lon"].to_numpy(dtype=np.float64)
+            members = np.zeros((len(pdf), len(polys)), dtype=bool)
+            for j, (_pid, pla, plo) in enumerate(polys):
+                members[:, j] = points_in_polygon_mask(la, lo, pla, plo)
+            for i, ts in enumerate(pdf["ts"]):
+                now = {polys[j][0] for j in np.nonzero(members[i])[0]}
+                for p in sorted(now - inside):
+                    out_ts.append(ts)
+                    out_poly.append(p)
+                    out_tr.append("enter")
+                for p in sorted(inside - now):
+                    out_ts.append(ts)
+                    out_poly.append(p)
+                    out_tr.append("exit")
+                inside = now
+        state.update((sorted(inside),))
+        if out_ts:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(out_ts),
+                    "ts": out_ts,
+                    "polygon_id": out_poly,
+                    "transition": out_tr,
+                }
+            )
+
+    ev = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, lat double, lon double"
+    ).parquet(events_dir)
+    return (
+        ev.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf="NoTimeout",
+        )
+    )

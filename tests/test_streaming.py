@@ -610,3 +610,62 @@ def test_geofence_transitions_batch(spark):
         (2, "2024-01-01 00:05:00", "A", "enter"),
         (2, "2024-01-01 00:05:00", "B", "enter"),
     ]
+
+
+def test_geofence_transitions_stream_matches_batch(spark, tmp_path):
+    """The stateful streaming twin emits exactly the batch transitions
+    across two micro-batches (in-order arrivals), with membership state
+    carried across the batch boundary."""
+    from opentopodata_spark.operators import events as evops
+
+    polygons = [
+        {"polygon_id": "A", "lats": [0.0, 0.0, 30.0, 30.0],
+         "lons": [0.0, 40.0, 40.0, 0.0]},
+        {"polygon_id": "B", "lats": [-20.0, -20.0, 10.0, 10.0],
+         "lons": [20.0, 70.0, 70.0, 20.0]},
+    ]
+    rows = [
+        (1, "2024-01-01 00:00:00", 1, 5.0, 10.0),
+        (2, "2024-01-01 00:10:00", 1, 5.0, 30.0),
+        (5, "2024-01-01 00:05:00", 2, 5.0, 25.0),
+        # batch 2
+        (3, "2024-01-01 00:20:00", 1, -10.0, 50.0),  # exit A (state crosses batches)
+        (4, "2024-01-01 00:30:00", 1, 50.0, 50.0),   # exit B
+        (6, "2024-01-01 00:40:00", 2, 5.0, 25.0),    # no change
+    ]
+    schema = "event_id long, ts_s string, user_id long, lat double, lon double"
+
+    def _df(chunk):
+        return spark.createDataFrame(chunk, schema).withColumn(
+            "ts", F.col("ts_s").cast("timestamp")
+        ).drop("ts_s").select("event_id", "ts", "user_id", "lat", "lon")
+
+    inbox = str(tmp_path / "gt_in")
+    os.makedirs(inbox)
+    out = str(tmp_path / "gt_out")
+    ckpt = str(tmp_path / "gt_ckpt")
+
+    def drain():
+        q = (
+            streaming.geofence_transitions_stream(spark, inbox, polygons)
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start(path=out, format="parquet")
+        )
+        q.awaitTermination()
+
+    _df(rows[:3]).coalesce(1).write.mode("append").parquet(inbox)
+    drain()
+    _df(rows[3:]).coalesce(1).write.mode("append").parquet(inbox)
+    drain()
+
+    got = sorted(
+        (r.user_id, str(r.ts), r.polygon_id, r.transition)
+        for r in spark.read.parquet(out).collect()
+    )
+    want = sorted(
+        (r.user_id, str(r.ts), r.polygon_id, r.transition)
+        for r in evops.geofence_transitions(_df(rows), polygons).collect()
+    )
+    assert got == want and len(got) == 6
