@@ -71,8 +71,6 @@ def train_logreg(
     the sf0.1 bench query). Above the threshold the loop is the
     distributed partial-sum shape.
     """
-    import pandas as pd  # executor-side import kept local
-
     first = feats.select(vec_col).first()
     if first is None:
         raise ValueError("empty feature frame")
@@ -90,8 +88,10 @@ def train_logreg(
     n = src.count()
 
     if n * dim <= local_threshold:
-        rows = src.collect()
-        src.unpersist()
+        try:
+            rows = src.collect()
+        finally:
+            src.unpersist()
         X = np.asarray([list(r.x) for r in rows], dtype=np.float64)
         y = np.asarray([r.y for r in rows], dtype=np.float64)
         for _ in range(n_iter):
@@ -101,49 +101,60 @@ def train_logreg(
             b = b - lr * (float(r.sum()) / n)
         return LogRegModel(w, b)
 
-    for _ in range(n_iter):
-        wb = spark.sparkContext.broadcast((w, b))
-
-        def partials(batches):
-            from pyspark import TaskContext
-
-            ww, bb = wb.value
-            g = np.zeros_like(ww)
-            gb = 0.0
-            seen = 0
-            for pdf in batches:
-                if not len(pdf):
-                    continue
-                X = np.asarray(list(pdf["x"]), dtype=np.float64)
-                y = pdf["y"].to_numpy(dtype=np.float64)
-                z = X @ ww + bb
-                p = 1.0 / (1.0 + np.exp(-z))
-                r = p - y
-                g += r @ X
-                gb += float(r.sum())
-                seen += len(pdf)
-            pid = TaskContext.get().partitionId()
-            yield pd.DataFrame(
-                {"pid": [pid], "n": [seen], "g": [g], "gb": [gb]}
-            )
-
-        rows = src.mapInPandas(
-            partials, "pid int, n long, g array<double>, gb double"
-        ).collect()
-        g = np.zeros(dim, dtype=np.float64)
-        gb = 0.0
-        # partition-id order: the reduce is reproducible run-over-run
-        for r in sorted(rows, key=lambda r: r.pid):
-            if r.n:
-                g += np.asarray(r.g, dtype=np.float64)
-                gb += r.gb
-        g = g / n + l2 * w
-        gb = gb / n
-        w = w - lr * g
-        b = b - lr * gb
-        wb.destroy()
-    src.unpersist()
+    try:
+        for _ in range(n_iter):
+            wb = spark.sparkContext.broadcast((w, b))
+            try:
+                w, b = _distributed_step(src, wb, w, b, n, lr, l2)
+            finally:
+                wb.destroy()
+    finally:
+        src.unpersist()
     return LogRegModel(w, b)
+
+
+def _distributed_step(src, wb, w, b, n, lr, l2):
+    import numpy as np
+    import pandas as pd
+
+    dim = w.shape[0]
+
+    def partials(batches):
+        from pyspark import TaskContext
+
+        ww, bb = wb.value
+        g = np.zeros_like(ww)
+        gb = 0.0
+        seen = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.asarray(list(pdf["x"]), dtype=np.float64)
+            y = pdf["y"].to_numpy(dtype=np.float64)
+            z = X @ ww + bb
+            p = 1.0 / (1.0 + np.exp(-z))
+            r = p - y
+            g += r @ X
+            gb += float(r.sum())
+            seen += len(pdf)
+        pid = TaskContext.get().partitionId()
+        yield pd.DataFrame(
+            {"pid": [pid], "n": [seen], "g": [g], "gb": [gb]}
+        )
+
+    rows = src.mapInPandas(
+        partials, "pid int, n long, g array<double>, gb double"
+    ).collect()
+    g = np.zeros(dim, dtype=np.float64)
+    gb = 0.0
+    # partition-id order: the reduce is reproducible run-over-run
+    for r in sorted(rows, key=lambda r: r.pid):
+        if r.n:
+            g += np.asarray(r.g, dtype=np.float64)
+            gb += r.gb
+    g = g / n + l2 * w
+    gb = gb / n
+    return w - lr * g, b - lr * gb
 
 
 def predict_proba(
