@@ -1558,6 +1558,43 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_asof_join(spark, sf_dir):
+    """operators/asof.asof_join: every event annotated with the most
+    recent at-or-before 'error' event per user — the union + running-
+    last window shape (ONE exchange, no join node; plan pinned in
+    tests). Oracle: DuckDB's NATIVE ASOF LEFT JOIN."""
+    from opentopodata_spark.operators import asof
+
+    e = _t(spark, sf_dir, "events")
+    left = e.select("event_id", "user_id", "ts")
+    right = (
+        e.where(F.col("event_type") == "error")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("err_value"))
+    )
+    out = asof.asof_join(left, right, on="user_id")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        F.date_format("right_ts", "yyyy-MM-dd HH:mm:ss").alias("err_ts"),
+        F.round("right_err_value", 6).alias("err_value"),
+    )
+
+
+_Q_ASOF_SQL = """
+WITH r AS (
+  SELECT user_id, ts, max(value) AS err_value
+  FROM events WHERE event_type = 'error' GROUP BY user_id, ts)
+SELECT e.event_id, e.user_id,
+       strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+       strftime(r.ts, '%Y-%m-%d %H:%M:%S') AS err_ts,
+       round(r.err_value, 6) AS err_value
+FROM events e ASOF LEFT JOIN r
+  ON e.user_id = r.user_id AND e.ts >= r.ts
+"""
+
+
 def q_geofence_counts(spark, sf_dir):
     """Geofencing aggregate (operators/events.geofence_rollup): events
     with deterministic coordinates PIP-joined against the polygon set
@@ -3201,6 +3238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_lsh_buckets": q_emb_lsh_buckets,
         "embedding_near_dups": q_emb_near_dups,
         "events_rollup": q_events_rollup,
+        "asof_join": q_asof_join,
         "geofence_counts": q_geofence_counts,
         "geofence_transitions": q_geofence_transitions,
         "streaming_rollup": q_streaming_rollup,
@@ -3267,6 +3305,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_lsh_buckets": _emb_lsh_sql(),
         "embedding_near_dups": _emb_near_dups_sql(),
         "events_rollup": _Q_EVENTS_SQL,
+        "asof_join": _Q_ASOF_SQL,
         "geofence_counts": _geofence_sql(),
         "geofence_transitions": _geofence_transitions_sql(),
         "streaming_rollup": _Q_STREAMING_ROLLUP_SQL,

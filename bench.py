@@ -123,6 +123,7 @@ def main() -> None:
         "domain_stats": lambda: contract.q_domain_stats(spark, SF_DIR),
         "pack_sequences": lambda: contract.q_pack_sequences(spark, SF_DIR),
         "geofence_counts": lambda: contract.q_geofence_counts(spark, SF_DIR),
+        "asof_join": lambda: contract.q_asof_join(spark, SF_DIR),
         "geofence_transitions": lambda: contract.q_geofence_transitions(
             spark, SF_DIR
         ),
