@@ -49,15 +49,23 @@ def asof_join(
     prefix: str = "right_",
     tolerance=None,
     right_order: str | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: left rows + the latest right row at-or-before.
+    """As-of join: left rows + the latest right row at-or-before
+    (``direction="backward"``, default) or the earliest right row
+    at-or-after (``direction="forward"``) — merge_asof's two directions.
 
     left: any frame with (on, ts, ...); right: (on, ts, payload...).
     right_cols: payload columns to carry (default: every right column
     except ``on``); each appears on the output as ``prefix + name``,
     plus ``prefix + ts`` = the matched right timestamp (null if no right
-    row at-or-before, or outside ``tolerance``).
+    row in the direction, or outside ``tolerance``).
+
+    Forward is backward on the reversed time axis: the same one-exchange
+    union + running-last window, ordered descending.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction}")
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in (on, ts)]
     order_col = (
@@ -89,10 +97,18 @@ def asof_join(
     u = lhs.unionByName(rhs)
 
     # right rows sort before left rows at equal ts (equal-ts rights DO
-    # match); among equal-(key, ts) right rows the greatest _rord wins
+    # match); among equal-(key, ts) right rows the greatest _rord wins.
+    # forward mode reverses the time axis: descending ts, so "last seen"
+    # is the earliest at-or-after.
+    if direction == "backward":
+        order = [F.col(ts).asc(), F.col("_side").asc(), F.col("_rord").asc()]
+    else:
+        # _rord stays ASC: the window keeps the LAST-seen right row, so
+        # ascending order makes the greatest tiebreaker win in both modes
+        order = [F.col(ts).desc(), F.col("_side").asc(), F.col("_rord").asc()]
     w = (
         Window.partitionBy(on)
-        .orderBy(F.col(ts).asc(), F.col("_side").asc(), F.col("_rord").asc())
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = [f"{prefix}{ts}"] + [f"{prefix}{c}" for c in right_cols]
@@ -104,7 +120,10 @@ def asof_join(
         ],
     ).where(F.col("_side") == 1)
     if tolerance is not None:
-        ok = F.col(f"_m_{prefix}{ts}") >= (F.col(ts) - tolerance)
+        if direction == "backward":
+            ok = F.col(f"_m_{prefix}{ts}") >= (F.col(ts) - tolerance)
+        else:
+            ok = F.col(f"_m_{prefix}{ts}") <= (F.col(ts) + tolerance)
         matched = {
             c: F.when(ok, F.col(f"_m_{c}")).otherwise(F.lit(None)) for c in carried
         }

@@ -99,3 +99,56 @@ def test_asof_timestamps(spark):
         ldf, rdf, on="user_id", tolerance=F.expr("INTERVAL 30 MINUTES")
     ).collect()[0]
     assert row2.right_ts is None and row2.right_val is None
+
+
+def test_asof_forward_direction(spark):
+    left = [(1, 7, 100), (2, 7, 401), (3, 7, 900)]
+    right = [(7, 100, 1.0), (7, 400, 2.0), (7, 800, 3.0)]
+    ldf = spark.createDataFrame(left, "lid long, user_id long, ts long")
+    rdf = spark.createDataFrame(right, "user_id long, ts long, val double")
+    got = {r.lid: (r.right_ts, r.right_val)
+           for r in asof_join(ldf, rdf, on="user_id",
+                              direction="forward").collect()}
+    # equal ts matches; 401 -> next at 800; 900 -> nothing after
+    assert got == {1: (100, 1.0), 2: (800, 3.0), 3: (None, None)}
+    # forward tolerance
+    got_tol = {r.lid: (r.right_ts, r.right_val)
+               for r in asof_join(ldf, rdf, on="user_id", direction="forward",
+                                  tolerance=F.lit(100)).collect()}
+    assert got_tol == {1: (100, 1.0), 2: (None, None), 3: (None, None)}
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(ldf, rdf, on="user_id", direction="nearest")
+
+
+def test_asof_forward_matches_brute(spark):
+    rng = np.random.default_rng(5)
+    left = [(i, int(rng.integers(0, 4)), int(rng.integers(0, 500)))
+            for i in range(120)]
+    right_raw = {(int(rng.integers(0, 4)), int(rng.integers(0, 500))): float(i)
+                 for i in range(60)}
+    right = [(k, t, v) for (k, t), v in right_raw.items()]
+    ldf = spark.createDataFrame(left, "lid long, user_id long, ts long")
+    rdf = spark.createDataFrame(right, "user_id long, ts long, val double")
+    got = {r.lid: (r.right_ts, r.right_val)
+           for r in asof_join(ldf, rdf, on="user_id",
+                              direction="forward").collect()}
+    for lid, key, lts in left:
+        best = None
+        for k, t, v in right:
+            if k == key and t >= lts and (best is None or t < best[0]):
+                best = (t, v)
+        assert got[lid] == (best if best else (None, None))
+
+
+def test_asof_forward_duplicate_ts_tiebreaker(spark):
+    left = [(1, 5, 10)]
+    right = [(5, 10, 1.0, 1), (5, 10, 9.0, 2)]
+    ldf = spark.createDataFrame(left, "lid long, user_id long, ts long")
+    rdf = spark.createDataFrame(
+        right, "user_id long, ts long, val double, seq long"
+    )
+    got = asof_join(
+        ldf, rdf, on="user_id", right_cols=["val"], right_order="seq",
+        direction="forward",
+    ).collect()[0]
+    assert got.right_val == 9.0  # greatest seq wins in both directions
