@@ -1558,6 +1558,31 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_funnel(spark, sf_dir):
+    """operators/events.funnel: view -> click -> purchase ordered
+    conversion counts (greedy earliest chain, k-1 join+min rounds over
+    per-user step minima — no per-user event arrays)."""
+    return ev.funnel(
+        _t(spark, sf_dir, "events"), ["view", "click", "purchase"]
+    )
+
+
+_Q_FUNNEL_SQL = """
+WITH s0 AS (SELECT user_id, min(ts) AS t0 FROM events
+            WHERE event_type = 'view' GROUP BY user_id),
+s1 AS (SELECT e.user_id, min(e.ts) AS t1
+       FROM events e JOIN s0 ON e.user_id = s0.user_id AND e.ts >= s0.t0
+       WHERE e.event_type = 'click' GROUP BY e.user_id),
+s2 AS (SELECT e.user_id, min(e.ts) AS t2
+       FROM events e JOIN s1 ON e.user_id = s1.user_id AND e.ts >= s1.t1
+       WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+SELECT 'view' AS step, CAST(0 AS BIGINT) AS step_index,
+       count(*) AS n_users FROM s0
+UNION ALL SELECT 'click', CAST(1 AS BIGINT), count(*) FROM s1
+UNION ALL SELECT 'purchase', CAST(2 AS BIGINT), count(*) FROM s2
+"""
+
+
 def q_asof_join(spark, sf_dir):
     """operators/asof.asof_join: every event annotated with the most
     recent at-or-before 'error' event per user — the union + running-
@@ -3239,6 +3264,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": q_emb_near_dups,
         "events_rollup": q_events_rollup,
         "asof_join": q_asof_join,
+        "funnel": q_funnel,
         "geofence_counts": q_geofence_counts,
         "geofence_transitions": q_geofence_transitions,
         "streaming_rollup": q_streaming_rollup,
@@ -3306,6 +3332,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dups": _emb_near_dups_sql(),
         "events_rollup": _Q_EVENTS_SQL,
         "asof_join": _Q_ASOF_SQL,
+        "funnel": _Q_FUNNEL_SQL,
         "geofence_counts": _geofence_sql(),
         "geofence_transitions": _geofence_transitions_sql(),
         "streaming_rollup": _Q_STREAMING_ROLLUP_SQL,

@@ -222,3 +222,63 @@ def geofence_transitions(
         F.lit("exit").alias("transition"),
     )
     return enters.unionByName(exits)
+
+
+def funnel(
+    events: DataFrame,
+    steps: list[str],
+    within=None,
+    user: str = "user_id",
+    ts: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered-funnel conversion counts: (step, step_index, n_users).
+
+    A user converts at step i when an event of ``steps[i]`` exists
+    AT-OR-AFTER their step i-1 conversion time, taking the EARLIEST
+    possible chain (greedy — for unwindowed funnels earliest-chain
+    completion is equivalent to any-chain completion).
+    ``within``: optional bound on total funnel duration — every step
+    must land at-or-before t0 + within (e.g. F.expr("INTERVAL 1 DAY")),
+    with FIRST-TOUCH attribution: t0 is the user's first step-0 event
+    (the standard product-analytics rule — a user whose first touch
+    times out is not re-attributed to a later touch).
+
+    Shape: k-1 join+min rounds over PER-STEP MINIMA — state per round is
+    one row per surviving user (never a per-user event array), each
+    round one equi-join against the step's events plus one aggregation.
+    k is the funnel length (tiny, driver-side loop); event volume flows
+    through exactly once per step it could convert.
+    """
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    counts = []
+    prev = None
+    for i, st in enumerate(steps):
+        e_i = events.where(F.col(type_col) == st).select(
+            F.col(user).alias("_u"), F.col(ts).alias("_t")
+        )
+        if i == 0:
+            prev = e_i.groupBy("_u").agg(F.min("_t").alias("t0"))
+        else:
+            cond = F.col("_t") >= F.col(f"t{i - 1}")
+            if within is not None:
+                cond = cond & (F.col("_t") <= F.col("t0") + within)
+            carried = [f"t{j}" for j in range(i)]
+            prev = (
+                prev.join(e_i, "_u")
+                .where(cond)
+                .groupBy("_u", *carried)
+                .agg(F.min("_t").alias(f"t{i}"))
+            )
+        counts.append(
+            prev.agg(
+                F.lit(st).alias("step"),
+                F.lit(i).cast("long").alias("step_index"),
+                F.count(F.lit(1)).alias("n_users"),
+            )
+        )
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    return out

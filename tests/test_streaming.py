@@ -669,3 +669,42 @@ def test_geofence_transitions_stream_matches_batch(spark, tmp_path):
         for r in evops.geofence_transitions(_df(rows), polygons).collect()
     )
     assert got == want and len(got) == 6
+
+
+def test_funnel_counts(spark):
+    from opentopodata_spark.operators import events as evops
+
+    t = "2024-01-01 {}:00"
+    rows = [
+        # u1 completes in order
+        (1, t.format("00:00"), 1, "view", 0.0, "{}"),
+        (2, t.format("00:10"), 1, "click", 0.0, "{}"),
+        (3, t.format("00:20"), 1, "purchase", 0.0, "{}"),
+        # u2: click BEFORE view, purchase after -> converts only to view...
+        (4, t.format("00:00"), 2, "click", 0.0, "{}"),
+        (5, t.format("00:10"), 2, "view", 0.0, "{}"),
+        (6, t.format("00:20"), 2, "purchase", 0.0, "{}"),
+        # u3: view only
+        (7, t.format("00:00"), 3, "view", 0.0, "{}"),
+        # u4: view then click, no purchase
+        (8, t.format("00:00"), 4, "view", 0.0, "{}"),
+        (9, t.format("00:30"), 4, "click", 0.0, "{}"),
+        # u5: equal-ts chain (view and click same instant): at-or-after
+        (10, t.format("01:00"), 5, "view", 0.0, "{}"),
+        (11, t.format("01:00"), 5, "click", 0.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts_s string, user_id long, event_type string,"
+        " value double, props string"
+    ).withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+    got = {r.step: r.n_users
+           for r in evops.funnel(df, ["view", "click", "purchase"]).collect()}
+    # view: u1-u5 all have one; click-after-view: u1, u4, u5 (u2's click
+    # precedes its view... but u2 has no second click) ; purchase: u1 only
+    assert got == {"view": 5, "click": 3, "purchase": 1}
+
+    # windowed: only chains finishing within 15 min of first touch
+    got_w = {r.step: r.n_users
+             for r in evops.funnel(df, ["view", "click", "purchase"],
+                                   within=F.expr("INTERVAL 15 MINUTES")).collect()}
+    assert got_w == {"view": 5, "click": 2, "purchase": 0}  # u1+u5 click in time
