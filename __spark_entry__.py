@@ -1583,6 +1583,45 @@ UNION ALL SELECT 'purchase', CAST(2 AS BIGINT), count(*) FROM s2
 """
 
 
+def q_retention(spark, sf_dir):
+    """operators/events.retention: signup cohorts by first-anchor date,
+    day-offset activity counts on a DENSE (cohort x period) grid with
+    explicit zeros (activity collapsed to (user, day) before the final
+    shuffle)."""
+    out = ev.retention(_t(spark, sf_dir, "events"), max_periods=5)
+    return out.select(
+        F.date_format("cohort_date", "yyyy-MM-dd").alias("cohort_date"),
+        "period",
+        "n_cohort",
+        "n_active",
+    )
+
+
+_Q_RETENTION_SQL = """
+WITH cohorts AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS cohort_date
+  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+hits AS (
+  SELECT c.cohort_date, datediff('day', c.cohort_date, a.d) AS period,
+         count(DISTINCT c.user_id) AS n_active
+  FROM cohorts c JOIN days a ON c.user_id = a.user_id
+  WHERE datediff('day', c.cohort_date, a.d) BETWEEN 0 AND 5
+  GROUP BY 1, 2),
+sizes AS (SELECT cohort_date, count(*) AS n_cohort
+          FROM cohorts GROUP BY cohort_date),
+grid AS (
+  SELECT s.cohort_date, s.n_cohort, g.period
+  FROM sizes s, UNNEST(generate_series(0, 5)) AS g(period))
+SELECT strftime(g.cohort_date, '%Y-%m-%d') AS cohort_date,
+       CAST(g.period AS BIGINT) AS period,
+       CAST(g.n_cohort AS BIGINT) AS n_cohort,
+       CAST(coalesce(h.n_active, 0) AS BIGINT) AS n_active
+FROM grid g LEFT JOIN hits h
+  ON g.cohort_date = h.cohort_date AND g.period = h.period
+"""
+
+
 def q_asof_join(spark, sf_dir):
     """operators/asof.asof_join: every event annotated with the most
     recent at-or-before 'error' event per user — the union + running-
@@ -3265,6 +3304,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rollup": q_events_rollup,
         "asof_join": q_asof_join,
         "funnel": q_funnel,
+        "retention": q_retention,
         "geofence_counts": q_geofence_counts,
         "geofence_transitions": q_geofence_transitions,
         "streaming_rollup": q_streaming_rollup,
@@ -3333,6 +3373,7 @@ def oracle_sql() -> dict[str, str]:
         "events_rollup": _Q_EVENTS_SQL,
         "asof_join": _Q_ASOF_SQL,
         "funnel": _Q_FUNNEL_SQL,
+        "retention": _Q_RETENTION_SQL,
         "geofence_counts": _geofence_sql(),
         "geofence_transitions": _geofence_transitions_sql(),
         "streaming_rollup": _Q_STREAMING_ROLLUP_SQL,

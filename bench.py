@@ -125,6 +125,7 @@ def main() -> None:
         "geofence_counts": lambda: contract.q_geofence_counts(spark, SF_DIR),
         "asof_join": lambda: contract.q_asof_join(spark, SF_DIR),
         "funnel": lambda: contract.q_funnel(spark, SF_DIR),
+        "retention": lambda: contract.q_retention(spark, SF_DIR),
         "geofence_transitions": lambda: contract.q_geofence_transitions(
             spark, SF_DIR
         ),

@@ -282,3 +282,65 @@ def funnel(
     for c in counts[1:]:
         out = out.unionByName(c)
     return out
+
+
+def retention(
+    events: DataFrame,
+    anchor: str = "signup",
+    return_types: list[str] | None = None,
+    max_periods: int = 7,
+    user: str = "user_id",
+    ts: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Cohort retention: (cohort_date, period, n_cohort, n_active).
+
+    Users cohort by the DATE of their first ``anchor`` event; for each
+    day offset 0..max_periods a user is active if any event (or any of
+    ``return_types``) lands on cohort_date + period. Every (cohort,
+    period <= max_periods) cell is emitted, zeros included — a missing
+    cell and an empty cell are different facts in a retention table.
+
+    Shape: one aggregation for cohorts, one (user) equi-join to tag
+    activity days, one distinct + one aggregation — activity is counted
+    on (user, day) so event volume collapses before the final shuffle.
+    The dense (cohort x period) grid comes from a sequence explode of
+    the (tiny) cohort frame, never a cross join.
+    """
+    cohorts = (
+        events.where(F.col(type_col) == anchor)
+        .groupBy(F.col(user).alias("_u"))
+        .agg(F.min(F.to_date(ts)).alias("cohort_date"))
+    )
+    act = events
+    if return_types is not None:
+        act = act.where(F.col(type_col).isin(list(return_types)))
+    active_days = act.select(
+        F.col(user).alias("_u"), F.to_date(ts).alias("_day")
+    ).distinct()
+    hits = (
+        cohorts.join(active_days, "_u")
+        .select(
+            "cohort_date",
+            "_u",
+            F.datediff(F.col("_day"), F.col("cohort_date")).alias("period"),
+        )
+        .where((F.col("period") >= 0) & (F.col("period") <= max_periods))
+        .distinct()
+        .groupBy("cohort_date", "period")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    sizes = cohorts.groupBy("cohort_date").agg(
+        F.count(F.lit(1)).alias("n_cohort")
+    )
+    grid = sizes.select(
+        "cohort_date",
+        "n_cohort",
+        F.explode(F.sequence(F.lit(0), F.lit(int(max_periods)))).alias("period"),
+    )
+    return grid.join(hits, ["cohort_date", "period"], "left").select(
+        "cohort_date",
+        F.col("period").cast("long").alias("period"),
+        "n_cohort",
+        F.coalesce(F.col("n_active"), F.lit(0)).cast("long").alias("n_active"),
+    )

@@ -708,3 +708,37 @@ def test_funnel_counts(spark):
              for r in evops.funnel(df, ["view", "click", "purchase"],
                                    within=F.expr("INTERVAL 15 MINUTES")).collect()}
     assert got_w == {"view": 5, "click": 2, "purchase": 0}  # u1+u5 click in time
+
+
+def test_retention_cohorts(spark):
+    from opentopodata_spark.operators import events as evops
+
+    rows = [
+        # u1 signs up day 0, active days 0,1,3
+        (1, "2024-01-01 10:00:00", 1, "signup", 0.0, "{}"),
+        (2, "2024-01-02 09:00:00", 1, "view", 0.0, "{}"),
+        (3, "2024-01-04 09:00:00", 1, "click", 0.0, "{}"),
+        # u2 signs up day 0, never returns
+        (4, "2024-01-01 11:00:00", 2, "signup", 0.0, "{}"),
+        # u3 signs up day 1, active day 2; pre-signup activity ignored
+        (5, "2023-12-31 08:00:00", 3, "view", 0.0, "{}"),
+        (6, "2024-01-02 08:00:00", 3, "signup", 0.0, "{}"),
+        (7, "2024-01-03 08:00:00", 3, "purchase", 0.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts_s string, user_id long, event_type string,"
+        " value double, props string"
+    ).withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+    got = {(str(r.cohort_date), r.period): (r.n_cohort, r.n_active)
+           for r in evops.retention(df, max_periods=3).collect()}
+    # cohort 2024-01-01 = {u1, u2}: day0 both active (signup itself),
+    # day1 u1, day2 none, day3 u1
+    assert got[("2024-01-01", 0)] == (2, 2)
+    assert got[("2024-01-01", 1)] == (2, 1)
+    assert got[("2024-01-01", 2)] == (2, 0)   # zero cell EMITTED
+    assert got[("2024-01-01", 3)] == (2, 1)
+    # cohort 2024-01-02 = {u3}: day0 active, day1 active
+    assert got[("2024-01-02", 0)] == (1, 1)
+    assert got[("2024-01-02", 1)] == (1, 1)
+    assert got[("2024-01-02", 2)] == (1, 0)
+    assert len(got) == 8  # dense grid: 2 cohorts x 4 periods
