@@ -2201,6 +2201,59 @@ def q_geodesic_paths(spark, sf_dir):
     return paths.sample_paths(pdf, n_samples=5)
 
 
+_PROFILE_N_SAMPLES = 21
+
+
+def _profile_path_frame(spark, sf_dir):
+    """Deterministic multi-waypoint paths from nation keys; every 5th
+    path routes through the hi-res EU-DEM fixture window (lat 0..1,
+    lon 10..12) so the profile exercises priority coalesce, the rest
+    land on the global etopo1 layer. The numerics (int-mod grid, then
+    one double subtract/add per coordinate) are replayed bit-exact by
+    the single-process oracle (_build_profile_oracle)."""
+    n = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("path_id")
+    )
+    eu = F.col("path_id") % 5 == 0
+    lat0 = ((F.col("path_id") * 7) % 140).cast("double") - F.lit(69.75)
+    lon0 = ((F.col("path_id") * 13) % 320).cast("double") - F.lit(159.75)
+    return n.select(
+        "path_id",
+        F.when(
+            eu,
+            F.array(
+                F.lit(0.2),
+                F.lit(0.5) + F.col("path_id").cast("double") / F.lit(100.0),
+                F.lit(0.9),
+            ),
+        )
+        .otherwise(F.array(lat0, lat0 + F.lit(4.0), lat0 + F.lit(8.0)))
+        .alias("lats"),
+        F.when(eu, F.array(F.lit(10.2), F.lit(11.0), F.lit(11.8)))
+        .otherwise(F.array(lon0, lon0 + F.lit(6.0), lon0 + F.lit(3.0)))
+        .alias("lons"),
+    )
+
+
+def q_elevation_profile(spark, sf_dir):
+    """Per-path elevation profile: geodesic sampling -> distributed
+    elevation resolution -> ordered fold to (distance, min/max,
+    cumulative gain/loss). Checked against a single-process oracle that
+    replays the same Karney sampler + raster interpolation + sequential
+    fold without Spark."""
+    from opentopodata_spark import config
+    from opentopodata_spark.operators import elevation, paths
+
+    _ship_package(spark)
+    cfg_path, _ = _prepare_elevation_inputs(n_docs=1)
+    dsets = config.load_datasets(cfg_path)
+    ordered = config.resolve_dataset_names("multi_eudem_etopo1", dsets)
+    resolver = elevation.ElevationResolver(spark, ordered, "bilinear")
+    return paths.elevation_profile(
+        resolver, _profile_path_frame(spark, sf_dir), _PROFILE_N_SAMPLES
+    )
+
+
 def q_multimodal_features(spark, sf_dir):
     """Media spans -> fetch -> REAL decode/featurize over a MIXED
     PNG+JPEG corpus: both codecs decode through the pure-numpy codecs
@@ -2901,6 +2954,75 @@ def _build_geodesic_oracle(sf_dir: str):
     )
 
 
+def _build_profile_oracle(sf_dir: str):
+    """Single-process twin of q_elevation_profile: same waypoint grid,
+    same Karney sampler (incl. the distance linspace), same raster
+    interpolation via oracle.get_elevation, and a sequential left-fold
+    for gain/loss that matches the Spark F.aggregate order bit-exact."""
+    import numpy as np
+    import pyarrow as pa
+
+    from opentopodata_spark import config, geodesic, oracle
+
+    cfg_path, _ = _prepare_elevation_inputs(n_docs=1)
+    dsets = config.load_datasets(cfg_path)
+    ordered = config.resolve_dataset_names("multi_eudem_etopo1", dsets)
+    nk = _read_pq(sf_dir, "nation").column("n_nationkey").to_pylist()
+    cols = {k: [] for k in (
+        "path_id", "n_valid", "total_distance_m", "elev_min", "elev_max",
+        "elev_gain", "elev_loss",
+    )}
+    for key in sorted(int(k) for k in nk):
+        if key % 5 == 0:
+            plats = [0.2, 0.5 + float(key) / 100.0, 0.9]
+            plons = [10.2, 11.0, 11.8]
+        else:
+            lat0 = float((key * 7) % 140) - 69.75
+            lon0 = float((key * 13) % 320) - 159.75
+            plats = [lat0, lat0 + 4.0, lat0 + 8.0]
+            plons = [lon0, lon0 + 6.0, lon0 + 3.0]
+        s_lats, s_lons, s_dist = geodesic.sample_points_with_distance(
+            np.asarray(plats), np.asarray(plons), _PROFILE_N_SAMPLES
+        )
+        elevs, _names = oracle.get_elevation(s_lats, s_lons, ordered, "bilinear")
+        prev, gain, loss = None, 0.0, 0.0
+        valid = [float(e) for e in elevs if e is not None]
+        for e in elevs:
+            if e is None:
+                continue
+            e = float(e)
+            if prev is not None:
+                if e > prev:
+                    gain = gain + (e - prev)
+                else:
+                    gain = gain + 0.0
+                if e < prev:
+                    loss = loss + (prev - e)
+                else:
+                    loss = loss + 0.0
+            prev = e
+        cols["path_id"].append(key)
+        cols["n_valid"].append(len(valid))
+        cols["total_distance_m"].append(float(np.max(s_dist)))
+        cols["elev_min"].append(min(valid) if valid else None)
+        cols["elev_max"].append(max(valid) if valid else None)
+        cols["elev_gain"].append(gain)
+        cols["elev_loss"].append(loss)
+    return pa.table(
+        {
+            "path_id": pa.array(cols["path_id"], type=pa.int64()),
+            "n_valid": pa.array(cols["n_valid"], type=pa.int64()),
+            "total_distance_m": pa.array(
+                cols["total_distance_m"], type=pa.float64()
+            ),
+            "elev_min": pa.array(cols["elev_min"], type=pa.float64()),
+            "elev_max": pa.array(cols["elev_max"], type=pa.float64()),
+            "elev_gain": pa.array(cols["elev_gain"], type=pa.float64()),
+            "elev_loss": pa.array(cols["elev_loss"], type=pa.float64()),
+        }
+    )
+
+
 def _extract_points_single(docs_table):
     """Single-process mirror of operators/extract.extract_points (same
     grammar: ',' dispatch, pair regex, range validation, polyline decode)."""
@@ -3230,6 +3352,7 @@ _PRECOMPUTED_BUILDERS = {
     "s2_cells": _build_s2_oracle,
     "geodesic_paths": _build_geodesic_oracle,
     "elevation_e2e": _build_elevation_oracle,
+    "elevation_profile": _build_profile_oracle,
     "multimodal_features": _build_multimodal_oracle,
     "ivf_topk": _build_ivf_oracle,
     "ivfpq_topk": _build_ivfpq_oracle,
@@ -3313,6 +3436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_near_dup": q_streaming_near_dup,
         "sessionize": q_sessionize,
         "elevation_e2e": q_elevation_e2e,
+        "elevation_profile": q_elevation_profile,
         "geodesic_paths": q_geodesic_paths,
         "multimodal_features": q_multimodal_features,
         "ivf_topk": q_ivf_topk,

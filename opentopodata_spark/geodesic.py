@@ -287,6 +287,30 @@ def sample_points_on_path(path_lats, path_lons, n_samples):
             [path_lats[0], path_lats[-1]],
             [path_lons[0], path_lons[-1]],
         )
+    lats, lons, _ = sample_points_with_distance(path_lats, path_lons, n_samples)
+    return lats, lons
+
+
+def sample_points_with_distance(path_lats, path_lons, n_samples):
+    """``sample_points_on_path`` plus each sample's along-path distance
+    in metres from the first waypoint (the linspace values themselves —
+    exact by construction, not re-measured between samples). Elevation
+    profiles need the x-axis; the reference's path sampler computes the
+    same cumulative-distance linspace internally and discards it.
+
+    n=2 keeps the endpoint-exactness shortcut of the base sampler but
+    still measures the single segment for its distance axis.
+    """
+    if n_samples == 2:
+        total = inverse(
+            float(path_lats[0]), float(path_lons[0]),
+            float(path_lats[-1]), float(path_lons[-1]),
+        )["s12"]
+        return (
+            [path_lats[0], path_lats[-1]],
+            [path_lons[0], path_lons[-1]],
+            [0.0, float(total)],
+        )
 
     path = list(zip(path_lats, path_lons))
     path_distances = [0.0]
@@ -313,4 +337,8 @@ def sample_points_on_path(path_lats, path_lons, n_samples):
         points.append((g["lat2"], g["lon2"]))
 
     assert len(points) == n_samples
-    return [p[0] for p in points], [p[1] for p in points]
+    return (
+        [p[0] for p in points],
+        [p[1] for p in points],
+        [float(d) for d in point_distances],
+    )

@@ -1,4 +1,4 @@
-"""Distributed geodesic path sampling (SURVEY.md S6).
+"""Distributed geodesic path sampling + elevation profiles (SURVEY.md S6).
 
 The reference samples n equally-spaced points along a WGS84 geodesic per
 request (/root/reference/opentopodata/utils.py:102-168, geographiclib).
@@ -8,6 +8,14 @@ Arrow-batched ``mapInPandas``: one input row = one path (arrays of
 waypoint lats/lons), output = one row per sample. Paths are independent,
 so the operator is embarrassingly parallel — no shuffle at all; the
 explode happens inside the UDF batch.
+
+``elevation_profile`` is the end-to-end consumer the reference's users
+build client-side from the path endpoint: sample a path, resolve every
+sample's elevation, and reduce each path to profile metrics (total
+distance, min/max elevation, cumulative gain/loss). The reduce is a
+left-fold over the samples in path order (``array_sort`` +
+``F.aggregate``), so the floating-point addition order is fixed and
+matches a sequential single-process replay bit-for-bit.
 """
 
 from __future__ import annotations
@@ -15,29 +23,37 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from .. import geodesic
 
-__all__ = ["sample_paths"]
+__all__ = ["sample_paths", "elevation_profile", "profile_metrics"]
 
 _OUT_SCHEMA = "path_id long, sample_pos int, lat double, lon double"
+_OUT_SCHEMA_DIST = _OUT_SCHEMA + ", distance_m double"
 
 
-def sample_paths(paths: DataFrame, n_samples: int) -> DataFrame:
+def sample_paths(
+    paths: DataFrame, n_samples: int, with_distance: bool = False
+) -> DataFrame:
     """paths: (path_id long, lats array<double>, lons array<double>) ->
-    (path_id, sample_pos, lat, lon) with n_samples rows per path.
+    (path_id, sample_pos, lat, lon[, distance_m]) with n_samples rows
+    per path.
 
     Endpoint exactness and shortest-route wraparound semantics follow
     the reference (pinned by tests/test_utils_parity.py).
+    ``with_distance`` adds each sample's along-path distance in metres
+    from the first waypoint — the sampler's own cumulative-distance
+    linspace, exact by construction rather than re-measured.
     """
     if n_samples < 2:
         raise ValueError("n_samples must be >= 2")
 
     def run(batches):
         for pdf in batches:
-            ids, pos, las, los = [], [], [], []
+            ids, pos, las, los, dist = [], [], [], [], []
             for pid, plats, plons in zip(pdf["path_id"], pdf["lats"], pdf["lons"]):
-                s_lats, s_lons = geodesic.sample_points_on_path(
+                s_lats, s_lons, s_dist = geodesic.sample_points_with_distance(
                     np.asarray(plats, dtype=np.float64),
                     np.asarray(plons, dtype=np.float64),
                     n_samples,
@@ -46,8 +62,115 @@ def sample_paths(paths: DataFrame, n_samples: int) -> DataFrame:
                 pos.extend(range(n_samples))
                 las.extend(s_lats)
                 los.extend(s_lons)
-            yield pd.DataFrame(
-                {"path_id": ids, "sample_pos": pos, "lat": las, "lon": los}
-            )
+                if with_distance:
+                    dist.extend(s_dist)
+            out = {"path_id": ids, "sample_pos": pos, "lat": las, "lon": los}
+            if with_distance:
+                out["distance_m"] = dist
+            yield pd.DataFrame(out)
 
-    return paths.mapInPandas(run, _OUT_SCHEMA)
+    return paths.mapInPandas(
+        run, _OUT_SCHEMA_DIST if with_distance else _OUT_SCHEMA
+    )
+
+
+# point_id = path_id * _POINT_ID_STRIDE + sample_pos keeps the shuffle key a
+# long (strings in the wide exchange cost ~4x, docs/BENCH.md): unique while
+# path_id < 2^63 / stride and n_samples <= stride.
+_POINT_ID_STRIDE = 1_000_000
+
+
+def elevation_profile(resolver, paths: DataFrame, n_samples: int) -> DataFrame:
+    """Per-path elevation profile: sample -> resolve -> fold.
+
+    paths: (path_id long, lats array<double>, lons array<double>).
+    Output, one row per path: (path_id, n_valid, total_distance_m,
+    elev_min, elev_max, elev_gain, elev_loss).
+
+    Shape at scale: the sampler is shuffle-free; the resolver keeps its
+    single wide exchange (operators/elevation.py resolve); the final
+    groupBy(path_id) is the only shuffle this operator adds, and its
+    rows are 4 narrow columns (path_id, sample_pos, distance_m,
+    elevation) — the lat/lon/dataset payload is dropped before the
+    exchange. Per-group state is bounded by n_samples, so no salting is
+    needed beyond the resolver's own skew handling.
+    """
+    if n_samples > _POINT_ID_STRIDE:
+        raise ValueError(f"n_samples must be <= {_POINT_ID_STRIDE}")
+    samples = sample_paths(paths, n_samples, with_distance=True)
+    pts = samples.withColumn(
+        "point_id",
+        F.col("path_id") * F.lit(_POINT_ID_STRIDE) + F.col("sample_pos"),
+    )
+    resolved = resolver.resolve(
+        pts, carry=("path_id", "sample_pos", "distance_m")
+    )
+    return profile_metrics(
+        resolved.select("path_id", "sample_pos", "distance_m", "elevation")
+    )
+
+
+def profile_metrics(samples: DataFrame) -> DataFrame:
+    """(path_id, sample_pos, distance_m, elevation) -> one metrics row
+    per path. Split out so precomputed sample tables (or streaming
+    micro-batches) can reuse the fold without re-resolving.
+
+    Gain/loss are summed over consecutive *valid* samples in path order
+    — a null elevation (point outside every dataset) is skipped without
+    resetting the previous anchor, matching how the reference's clients
+    chart profiles across NODATA gaps. The left-fold runs entirely in
+    codegen'd Catalyst expressions (no Python), and its fixed
+    evaluation order makes the doubles reproducible run-to-run.
+    """
+    acc0 = F.struct(
+        F.lit(None).cast("double").alias("prev"),
+        F.lit(0.0).alias("gain"),
+        F.lit(0.0).alias("loss"),
+    )
+
+    def step(acc, x):
+        e = x["elevation"]
+        return F.when(e.isNull(), acc).otherwise(
+            F.struct(
+                e.alias("prev"),
+                (
+                    acc["gain"]
+                    + F.when(
+                        acc["prev"].isNotNull() & (e > acc["prev"]),
+                        e - acc["prev"],
+                    ).otherwise(F.lit(0.0))
+                ).alias("gain"),
+                (
+                    acc["loss"]
+                    + F.when(
+                        acc["prev"].isNotNull() & (e < acc["prev"]),
+                        acc["prev"] - e,
+                    ).otherwise(F.lit(0.0))
+                ).alias("loss"),
+            )
+        )
+
+    folded = F.aggregate(
+        F.array_sort(F.collect_list(F.struct("sample_pos", "elevation"))),
+        acc0,
+        step,
+    )
+    return (
+        samples.groupBy("path_id")
+        .agg(
+            F.count("elevation").alias("n_valid"),
+            F.max("distance_m").alias("total_distance_m"),
+            F.min("elevation").alias("elev_min"),
+            F.max("elevation").alias("elev_max"),
+            folded.alias("_f"),
+        )
+        .select(
+            "path_id",
+            "n_valid",
+            "total_distance_m",
+            "elev_min",
+            "elev_max",
+            F.col("_f")["gain"].alias("elev_gain"),
+            F.col("_f")["loss"].alias("elev_loss"),
+        )
+    )
