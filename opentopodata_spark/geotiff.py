@@ -910,16 +910,21 @@ _HGT_RE = re.compile(r"([NSns])(\d+)([EWew])(\d+)")
 
 
 def open_raster(path: str) -> Raster:
-    """Open a GeoTIFF, SRTM .hgt, Esri ASCII grid (.asc), Esri BIL
-    (.bil + .hdr), netCDF3 classic (.nc), or a .zip/.gz container of
-    one (the GDAL /vsizip/ and /vsigzip/ cases real DEM mirrors
-    distribute). The extra grid formats live in gridformats.py; all
-    return the same Raster, so callers are format-agnostic."""
+    """Open a GeoTIFF, SRTM .hgt, Esri ASCII grid (.asc), gridded XYZ
+    (.xyz), Esri BIL (.bil + .hdr), netCDF3 classic (.nc), or a
+    .zip/.gz container of one (the GDAL /vsizip/ and /vsigzip/ cases
+    real DEM mirrors distribute). The extra grid formats live in
+    gridformats.py; all return the same Raster, so callers are
+    format-agnostic."""
     lower = path.lower()
     if lower.endswith((".asc", ".agr", ".asc.gz", ".agr.gz")):
         from . import gridformats
 
         return gridformats.open_ascii_grid(path)
+    if lower.endswith((".xyz", ".xyz.gz")):
+        from . import gridformats
+
+        return gridformats.open_xyz(path)
     if lower.endswith(".bil"):
         from . import gridformats
 

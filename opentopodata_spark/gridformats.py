@@ -1,4 +1,5 @@
-"""Esri ASCII grid, Esri BIL/EHdr, and netCDF3-classic raster readers.
+"""Esri ASCII grid, gridded XYZ, Esri BIL/EHdr, and netCDF3-classic
+raster readers.
 
 The reference opens these through rasterio/GDAL (AAIGrid, EHdr and
 netCDF drivers — /root/reference/opentopodata/backend.py:89 just calls
@@ -56,9 +57,11 @@ __all__ = [
     "open_ascii_grid",
     "open_bil",
     "open_netcdf",
+    "open_xyz",
     "write_ascii_grid",
     "write_bil",
     "write_netcdf",
+    "write_xyz",
 ]
 
 
@@ -206,6 +209,135 @@ def write_ascii_grid(
     )
     with open(path, "w", encoding="ascii") as f:
         f.write("\n".join(lines) + "\n" + body + "\n")
+    if wkt is not None:
+        with open(os.path.splitext(path)[0] + ".prj", "w") as f:
+            f.write(wkt)
+
+
+# ---------------------------------------------------------------------------
+# gridded XYZ (GDAL XYZ driver)
+# ---------------------------------------------------------------------------
+
+_XYZ_X_NAMES = ("x", "lon", "long", "longitude", "east", "easting")
+_XYZ_Y_NAMES = ("y", "lat", "latitude", "north", "northing")
+_XYZ_Z_NAMES = ("z", "alt", "altitude", "height", "elev", "elevation", "value")
+
+
+def _xyz_pick(names: list[str], candidates: tuple[str, ...], default: int) -> int:
+    for i, nm in enumerate(names):
+        if nm in candidates:
+            return i
+    return default
+
+
+def open_xyz(path: str) -> Raster:
+    """Parse a gridded-XYZ DEM (optionally ``.xyz.gz``) into a Raster —
+    GDAL's XYZ driver semantics: one ``x y z`` triple per line (space,
+    comma, semicolon or tab separated), points on a REGULAR grid with
+    coordinates at cell CENTERS, an optional header line naming the
+    columns (picked by name, else positional 0/1/2). Both north-first
+    and south-first scan orders load; missing cells become NaN (the
+    engine's native nodata), forcing a float grid like GDAL's sparse-
+    grid handling. Non-grid point clouds are rejected loudly.
+
+    Like .asc this is a text format with no fixed row stride, so it
+    parses once at open (one vectorized split); wild XYZ DEM tiles
+    (e.g. the Swiss/German state open-data drops) are small per tile.
+    """
+    text = _read_maybe_gz(path).decode("ascii", errors="replace")
+    for sep in (",", ";", "\t"):
+        text = text.replace(sep, " ")
+    tokens_per_line = None
+    ix, iy, iz = 0, 1, 2
+    body_start = 0
+    for m in re.finditer(r"[^\n]*\n|[^\n]+$", text):
+        parts = m.group(0).split()
+        if not parts:
+            body_start = m.end()
+            continue
+        try:
+            float(parts[0])
+        except ValueError:
+            names = [p.lower() for p in parts]
+            ix = _xyz_pick(names, _XYZ_X_NAMES, 0)
+            iy = _xyz_pick(names, _XYZ_Y_NAMES, 1)
+            iz = _xyz_pick(names, _XYZ_Z_NAMES, 2)
+            tokens_per_line = len(parts)
+            body_start = m.end()
+            break
+        tokens_per_line = len(parts)
+        break
+    body = text[body_start:]
+    try:
+        flat = np.array(body.split(), dtype=np.float64)
+    except ValueError:
+        raise RasterOpenError(f"'{path}': non-numeric XYZ body")
+    ncolumns = tokens_per_line or 3
+    if ncolumns < 3 or flat.size == 0 or flat.size % ncolumns:
+        raise RasterOpenError(f"'{path}': XYZ body is not rows of {ncolumns}")
+    vals = flat.reshape(-1, ncolumns)
+    x, y, z = vals[:, ix], vals[:, iy], vals[:, iz]
+    xs, ys = np.unique(x), np.unique(y)
+    nrows, ncols = ys.size, xs.size
+    if nrows < 1 or ncols < 1 or len(vals) > nrows * ncols:
+        raise RasterOpenError(f"'{path}': XYZ points do not form a grid")
+    for nm, c in (("x", xs), ("y", ys)):
+        if c.size >= 2:
+            steps = np.diff(c)
+            if not np.allclose(steps, steps[0], rtol=1e-6, atol=0):
+                raise RasterOpenError(
+                    f"'{path}': non-uniform {nm} spacing — XYZ points do "
+                    "not form a regular grid"
+                )
+    sx = float(xs[1] - xs[0]) if ncols >= 2 else 1.0
+    sy = float(ys[1] - ys[0]) if nrows >= 2 else 1.0
+    col = np.searchsorted(xs, x)
+    row = (nrows - 1) - np.searchsorted(ys, y)  # row 0 = north
+    if np.unique(row * ncols + col).size != len(vals):
+        raise RasterOpenError(f"'{path}': duplicate XYZ grid point")
+    sparse = len(vals) < nrows * ncols
+    integral = not sparse and bool(np.all(z == np.rint(z)))
+    dtype = np.dtype(np.int32) if integral else np.dtype(np.float32)
+    arr = np.full((nrows, ncols), np.nan, dtype=np.float64)
+    arr[row, col] = z
+    src = path[:-3] if path.lower().endswith(".gz") else path
+    return Raster(
+        path=path, width=ncols, height=nrows, dtype=dtype, nodata=None,
+        crs=_crs_from_prj(src),
+        x0=float(xs[0] - sx / 2.0), y0=float(ys[-1] + sy / 2.0),
+        sx=sx, sy=sy, _data=arr.astype(dtype),
+    )
+
+
+def write_xyz(
+    path: str,
+    array: np.ndarray,
+    *,
+    x0: float,
+    y0: float,
+    sx: float,
+    sy: float | None = None,
+    wkt: str | None = None,
+    header: bool = False,
+) -> None:
+    """Write a gridded XYZ file (north-first scan lines, x ascending,
+    cell-center coordinates — the layout GDAL's XYZ writer emits).
+    (x0, y0) is the top-left EDGE like the engine's other writers."""
+    a = np.asarray(array)
+    if a.ndim != 2:
+        raise ValueError("XYZ array must be 2-D")
+    nrows, ncols = a.shape
+    syv = sx if sy is None else sy
+    is_f = a.dtype.kind == "f"
+    lines = ["x y z"] if header else []
+    for r in range(nrows):
+        yv = y0 - (r + 0.5) * syv
+        for c in range(ncols):
+            xv = x0 + (c + 0.5) * sx
+            zv = repr(float(a[r, c])) if is_f else str(int(a[r, c]))
+            lines.append(f"{xv!r} {yv!r} {zv}")
+    with open(path, "w", encoding="ascii") as f:
+        f.write("\n".join(lines) + "\n")
     if wkt is not None:
         with open(os.path.splitext(path)[0] + ".prj", "w") as f:
             f.write(wkt)

@@ -157,6 +157,75 @@ class TestAsciiGrid:
 
 
 # ---------------------------------------------------------------------------
+# gridded XYZ
+# ---------------------------------------------------------------------------
+
+class TestXyz:
+    def test_round_trip_float(self, tmp_path):
+        arr = (np.arange(12, dtype=np.float32).reshape(3, 4) + 0.5)
+        p = str(tmp_path / "t.xyz")
+        gf.write_xyz(p, arr, x0=10.0, y0=1.0, sx=0.25, wkt=WGS84_WKT)
+        r = open_raster(p)
+        assert r.dtype == np.float32 and r.nodata is None
+        assert (r.x0, r.y0, r.sx, r.sy) == (10.0, 1.0, 0.25, 0.25)
+        assert r.crs.epsg == 4326
+        assert np.allclose(r.read_window(0, 3, 0, 4)[0], arr)
+
+    def test_integer_dtype_and_header_and_seps(self, tmp_path):
+        # comma-separated, named-header, SOUTH-first scan order, and the
+        # z column deliberately not in position 2
+        p = str(tmp_path / "h.xyz")
+        with open(p, "w") as f:
+            f.write("lon;alt;lat\n")
+            f.write("0.5,11,0.25\n1.5,12,0.25\n")   # south row first
+            f.write("0.5;1;0.75\n1.5;2;0.75\n")
+        r = open_raster(p)
+        assert r.dtype == np.int32
+        assert (r.x0, r.y0, r.sx, r.sy) == (0.0, 1.0, 1.0, 0.5)
+        assert np.array_equal(
+            r.read_window(0, 2, 0, 2)[0], np.array([[1, 2], [11, 12]])
+        )
+
+    def test_sparse_grid_fills_nan(self, tmp_path):
+        p = str(tmp_path / "s.xyz")
+        with open(p, "w") as f:
+            f.write("0.5 1.5 1\n1.5 1.5 2\n0.5 0.5 3\n")  # (1,1) missing
+        r = open_raster(p)
+        assert r.dtype == np.float32  # sparse forces float
+        w = r.read_window(0, 2, 0, 2)[0]
+        assert w[0, 0] == 1 and w[0, 1] == 2 and w[1, 0] == 3
+        assert np.isnan(w[1, 1])
+
+    def test_gz_container(self, tmp_path, terrain):
+        arr, res = terrain
+        plain = str(tmp_path / "N00E010.xyz")
+        gf.write_xyz(plain, arr, x0=10.0, y0=1.0, sx=res)
+        gz = str(tmp_path / "N00E010.xyz.gz")
+        with open(plain, "rb") as f, gzip.open(gz, "wb") as g:
+            g.write(f.read())
+        a, b = open_raster(plain), open_raster(gz)
+        assert np.array_equal(a.read_window(0, 61, 0, 61)[0],
+                              b.read_window(0, 61, 0, 61)[0])
+
+    def test_errors(self, tmp_path):
+        irregular = str(tmp_path / "irr.xyz")
+        with open(irregular, "w") as f:
+            f.write("0 0 1\n1 0 2\n2.5 0 3\n0 1 4\n1 1 5\n2.5 1 6\n")
+        with pytest.raises(RasterOpenError, match="non-uniform x"):
+            open_raster(irregular)
+        dup = str(tmp_path / "dup.xyz")
+        with open(dup, "w") as f:
+            f.write("0 0 1\n0 0 2\n1 0 3\n1 1 4\n")
+        with pytest.raises(RasterOpenError, match="duplicate|do not form"):
+            open_raster(dup)
+        ragged = str(tmp_path / "rag.xyz")
+        with open(ragged, "w") as f:
+            f.write("0 0 1\n1 0\n")
+        with pytest.raises(RasterOpenError, match="rows of 3"):
+            open_raster(ragged)
+
+
+# ---------------------------------------------------------------------------
 # BIL / EHdr
 # ---------------------------------------------------------------------------
 
@@ -288,7 +357,7 @@ def test_formats_bit_identical_through_pipeline(tmp_path, spark, terrain):
         tiles[stem] = (lon0, grid)
 
     dirs = {}
-    for fmt in ("tif", "asc", "bil", "nc"):
+    for fmt in ("tif", "asc", "xyz", "bil", "nc"):
         d = str(tmp_path / fmt)
         os.makedirs(d)
         for stem, (lon0, grid) in tiles.items():
@@ -299,6 +368,9 @@ def test_formats_bit_identical_through_pipeline(tmp_path, spark, terrain):
             elif fmt == "asc":
                 gf.write_ascii_grid(p, grid, x0=lon0, y0=1.0, sx=res,
                                     nodata=-32768, wkt=WGS84_WKT)
+            elif fmt == "xyz":
+                gf.write_xyz(p, grid, x0=lon0, y0=1.0, sx=res,
+                             wkt=WGS84_WKT)
             elif fmt == "bil":
                 gf.write_bil(p, grid, x0=lon0, y0=1.0, sx=res,
                              nodata=-32768, wkt=WGS84_WKT)
@@ -330,5 +402,5 @@ def test_formats_bit_identical_through_pipeline(tmp_path, spark, terrain):
 
     base = results["tif"]
     assert len(base) == 150
-    for fmt in ("asc", "bil", "nc"):
+    for fmt in ("asc", "xyz", "bil", "nc"):
         assert results[fmt] == base, f"{fmt} diverges from GeoTIFF"
