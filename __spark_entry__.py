@@ -2256,10 +2256,11 @@ def q_elevation_profile(spark, sf_dir):
 
 def q_multimodal_features(spark, sf_dir):
     """Media spans -> fetch -> REAL decode/featurize over a MIXED
-    PNG+JPEG corpus: both codecs decode through the pure-numpy codecs
-    (png.py / jpeg.py); payloads with no in-container decoder degrade to
-    'unsupported'. Checked against a single-process oracle that decodes
-    the same payloads without Spark."""
+    PNG+JPEG+WAV+Y4M corpus: all four codecs decode through the
+    pure-numpy codecs (png.py / jpeg.py / wav.py / y4m.py); payloads
+    with no in-container decoder degrade to 'unsupported'. Checked
+    against a single-process oracle that decodes the same payloads
+    without Spark."""
     from opentopodata_spark.operators import multimodal
 
     _ship_package(spark)
@@ -3102,7 +3103,7 @@ def _build_multimodal_oracle(sf_dir: str):
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    from opentopodata_spark import jpeg, png, wav
+    from opentopodata_spark import jpeg, png, wav, y4m
     from opentopodata_spark.operators.multimodal import synthetic_media_payload
 
     _, docs_path = _prepare_elevation_inputs(n_docs=1000)
@@ -3132,6 +3133,9 @@ def _build_multimodal_oracle(sf_dir: str):
             elif wav.is_wav(b):
                 wav.decode_wav(b)  # must parse — audio decodes for real
                 kind, w, h = "audio", None, None
+            elif y4m.is_y4m(b):
+                _y, _u, _v, meta = y4m.decode_y4m(b)  # video decodes for real
+                kind, w, h = "video", meta.width, meta.height
             else:
                 kind, w, h = "unsupported", None, None
             out["doc_id"].append(doc_id)

@@ -14,10 +14,11 @@ gives media spans the same first-class treatment text gets:
   partitioning are real and testable.
 * ``decode_and_featurize``: mapInPandas over Arrow batches producing
   typed metadata + a feature vector per media item. ``decoder='real'``
-  REALLY decodes PNG, baseline JPEG, and WAV/PCM payloads (pure-numpy
-  codecs in png.py / jpeg.py / wav.py) and computes pixel-statistics or
-  audio-statistics features; payloads in codecs the container genuinely
-  lacks libraries for (video, progressive JPEG, compressed WAV) degrade
+  REALLY decodes PNG, baseline JPEG, WAV/PCM, and Y4M uncompressed-video
+  payloads (pure-numpy codecs in png.py / jpeg.py / wav.py / y4m.py) and
+  computes pixel-, audio- or frame-statistics features; payloads in
+  codecs the container genuinely lacks libraries for (H.264-class
+  compressed video, progressive JPEG, compressed WAV) degrade
   to ``media_kind='unsupported'`` with null features — at corpus scale undecodable blobs are data, not
   exceptions, and the PIL/ffmpeg seam to widen codec coverage is marked
   in ``_decode_real``. ``decoder='fake'`` keeps the hash-derived
@@ -45,6 +46,7 @@ from pyspark.sql import functions as F
 from .. import jpeg as _jpeg
 from .. import png as _png
 from .. import wav as _wav
+from .. import y4m as _y4m
 
 __all__ = [
     "media_spans",
@@ -52,7 +54,9 @@ __all__ = [
     "decode_and_featurize",
     "image_features",
     "audio_features",
+    "video_features",
     "synthetic_wav_payload",
+    "synthetic_y4m_payload",
     "plan_fetch_partitions",
     "synthetic_png_payload",
     "synthetic_media_payload",
@@ -122,18 +126,50 @@ def synthetic_wav_payload(ref: str) -> bytes:
     return _wav.encode_wav(sig, rate, bits=(8, 16)[seed[5] % 2])
 
 
+def synthetic_y4m_payload(ref: str) -> bytes:
+    """Deterministic REAL video payload: a seeded Y4M stream (2-13
+    frames, varied even dims, 420/422/444/mono colorspaces) whose luma
+    is a gradient drifting frame-to-frame — real motion for the motion
+    feature — through the pure-numpy encoder in y4m.py."""
+    seed = hashlib.sha256(ref.encode()).digest()
+    rng = np.random.default_rng(int.from_bytes(seed[:8], "little"))
+    w = 8 + 2 * (seed[1] % 13)
+    h = 8 + 2 * (seed[2] % 13)
+    n = 2 + seed[3] % 12
+    cs = ("420jpeg", "422", "444", "mono")[seed[4] % 4]
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = (yy * 255 // max(h - 1, 1) + xx * 255 // max(w - 1, 1)) // 2
+    drift = rng.integers(-8, 9, size=(n, 1, 1))
+    y = (
+        base[None] + np.cumsum(drift, axis=0)
+        + rng.integers(-10, 11, size=(n, h, w))
+    ).clip(0, 255).astype(np.uint8)
+    if cs == "mono":
+        u = v = None
+    else:
+        dw, dh = {"420jpeg": (2, 2), "422": (2, 1), "444": (1, 1)}[cs]
+        shape = (n, h // dh, w // dw)
+        u = rng.integers(96, 161, size=shape).astype(np.uint8)
+        v = rng.integers(96, 161, size=shape).astype(np.uint8)
+    fps = ((25, 1), (30000, 1001), (24, 1))[seed[5] % 3]
+    return _y4m.encode_y4m(y, u, v, fps=fps, colorspace=cs)
+
+
 def synthetic_media_payload(ref: str) -> bytes:
     """Deterministic object-store stand-in for a MIXED crawl corpus:
     roughly 3/8 of refs yield a PNG, 2/8 a baseline JPEG (the dominant
     web media type — 4:4:4 or 4:2:0, color or grayscale, some with
     restart markers, all through the pure-numpy encoder in jpeg.py),
-    1/8 a PCM WAV (wav.py), and 2/8 opaque bytes standing in for codecs
-    with no in-container decoder (video, exotic audio). Every decoder
-    branch of ``_decode_real`` sees data."""
+    1/8 a PCM WAV (wav.py), 1/8 a Y4M video (y4m.py), and 1/8 opaque
+    bytes standing in for codecs with no in-container decoder
+    (H.264-class video, exotic audio). Every decoder branch of
+    ``_decode_real`` sees data."""
     seed = hashlib.sha256(ref.encode()).digest()
     sel = seed[0] % 8
-    if sel < 2:
+    if sel == 0:
         return _fake_payload(ref)
+    if sel == 1:
+        return synthetic_y4m_payload(f"y4m:{ref}")
     if sel < 5:
         return synthetic_png_payload(f"png:{ref}")
     if sel == 7:
@@ -244,10 +280,56 @@ def audio_features(samples: np.ndarray, rate: int) -> np.ndarray:
     )
 
 
+_VIDEO_SAMPLE_FRAMES = 16
+
+
+def video_features(y, u, v, meta, n_frames: int) -> np.ndarray:
+    """FEATURE_DIM frame-statistics features from decoded Y4M planes.
+
+    Frame SAMPLING, not full-scan: statistics run over at most
+    ``_VIDEO_SAMPLE_FRAMES`` frames picked by an even linspace over the
+    stream (the deterministic frame-sample step a training pipeline
+    applies before any per-frame model) — a 2-hour clip costs the same
+    as a 2-second one. Features: frame count (capped), duration, width,
+    height, mean/std luma of sampled frames, motion (mean |luma diff|
+    between consecutive sampled frames), chroma mean (0.5 for mono) —
+    all normalized to [0, 1]."""
+    idx = np.unique(
+        np.linspace(0, n_frames - 1, min(n_frames, _VIDEO_SAMPLE_FRAMES))
+        .astype(np.int64)
+    )
+    ys = y[idx].astype(np.float64)
+    motion = (
+        float(np.abs(np.diff(ys, axis=0)).mean()) if len(idx) > 1 else 0.0
+    )
+    if u is None:
+        chroma = 0.5
+    else:
+        chroma = float(
+            (u[idx].astype(np.float64).mean() + v[idx].astype(np.float64).mean())
+            / 2.0
+        ) / 255.0
+    duration = n_frames * meta.fps_den / meta.fps_num
+    return np.array(
+        [
+            min(n_frames / 1000.0, 1.0),
+            min(duration / 60.0, 1.0),
+            min(meta.width / 4096.0, 1.0),
+            min(meta.height / 4096.0, 1.0),
+            float(ys.mean()) / 255.0,
+            float(ys.std()) / 128.0,
+            motion / 255.0,
+            chroma,
+        ],
+        dtype=np.float32,
+    )
+
+
 def _decode_real(b: bytes):
-    """(kind, width, height, features) for one payload. PNG and baseline
-    JPEG decode for real (pure-numpy codecs in png.py / jpeg.py); codecs
-    with no in-container decoder (video/audio/JPEG-progressive) degrade
+    """(kind, width, height, features) for one payload. PNG, baseline
+    JPEG, WAV/PCM, and Y4M video decode for real (pure-numpy codecs in
+    png.py / jpeg.py / wav.py / y4m.py); codecs with no in-container
+    decoder (H.264-class compressed video, JPEG-progressive) degrade
     to 'unsupported' + nulls instead of failing the job (undecodable
     blobs are data at corpus scale). Widening coverage = add a sniffer +
     decoder branch here."""
@@ -282,6 +364,19 @@ def _decode_real(b: bytes):
         # width/height are image dims; audio carries its shape in the
         # feature vector (duration, channels, rate)
         return "audio", None, None, audio_features(samples, rate)
+    if _y4m.is_y4m(b):
+        try:
+            y, u, v, meta = _y4m.decode_y4m(b)
+        except _y4m.Y4mError as exc:
+            # interlaced/10-bit Y4M is an honest feature gap; broken
+            # stream bytes are corrupt data
+            if "not supported" in str(exc):
+                return "unsupported", None, None, None
+            return "corrupt", None, None, None
+        return (
+            "video", meta.width, meta.height,
+            video_features(y, u, v, meta, y.shape[0]),
+        )
     return "unsupported", None, None, None
 
 

@@ -803,6 +803,28 @@ class TestPathsMultimodal:
                 assert r.features is None
         assert n_img > 0  # the corpus really contains decodable PNGs
 
+    def test_multimodal_real_decode_video(self, spark, documents_path):
+        """decoder='real' genuinely decodes Y4M video payloads: dims and
+        frame-sampled features match an independent single-process decode
+        of the same bytes."""
+        from opentopodata_spark import y4m
+
+        documents = spark.read.parquet(documents_path)
+        spans = multimodal.media_spans(documents)
+        fetched = multimodal.fetch_media(
+            spans,
+            fetcher=lambda ref: multimodal.synthetic_y4m_payload(f"y4m:{ref}"),
+        )
+        rows = multimodal.decode_and_featurize(fetched, decoder="real").collect()
+        assert rows
+        for r in rows[:30]:
+            b = multimodal.synthetic_y4m_payload(f"y4m:{r.media_ref}")
+            y, u, v, meta = y4m.decode_y4m(b)
+            assert r.media_kind == "video"
+            assert (r.width, r.height) == (meta.width, meta.height)
+            expect = multimodal.video_features(y, u, v, meta, y.shape[0])
+            assert tuple(r.features) == tuple(float(x) for x in expect)
+
     def test_plan_fetch_partitions_by_bytes(self):
         mb = 1 << 20
         # 1000 × 1MB at 128MB/task -> 8 tasks
