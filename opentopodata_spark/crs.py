@@ -25,6 +25,11 @@ formulas:
 * Albers Equal-Area Conic (EPSG method 9822, Snyder §14) — EPSG:5070
   CONUS, 3577 Australia (southern cone), 3338 Alaska, 3310 California;
   pinned by Snyder's ellipsoidal numeric example.
+* Polar Stereographic variants A/B (EPSG methods 9810/9829, Snyder §21)
+  — EPSG:3031 Antarctic (REMA), 3413/3976 NSIDC sea-ice grids
+  (ArcticDEM), 3995 Arctic, 3032 Australian Antarctic, 5041/5042 +
+  32661/32761 UPS; pinned by both EPSG Guidance Note 7-2 worked
+  examples.
 * Web/spherical Mercator (EPSG:3857).
 
 API mirrors the reference's ``utils.reproject_latlons``
@@ -406,6 +411,80 @@ class AlbersEqualArea:
         return np.degrees(lam + self.lon0), np.degrees(phi)
 
 
+class PolarStereographic:
+    """Ellipsoidal Polar Stereographic (EPSG methods 9810 'variant A' /
+    9829 'variant B', Snyder 1987 §21) — EPSG 3031 Antarctic (REMA and
+    every Antarctic DEM mosaic), 3413/3976 NSIDC Arctic/Antarctic sea-ice
+    grids, 5041/5042 + 32661/32761 UPS. Variant A: natural origin at the
+    pole with explicit k0 (pass ``k0``). Variant B: scale pinned by a
+    standard parallel (pass ``lat_ts_deg``; k0 is derived via the EPSG
+    GN7-2 mF/2tF formula). The south aspect folds through phi -> -phi
+    with the northing cosine sign flipped, per the EPSG guidance."""
+
+    def __init__(self, a, inv_f, lat0_deg, lon0_deg, false_easting,
+                 false_northing, k0=None, lat_ts_deg=None):
+        f = 1.0 / inv_f
+        self.a = a
+        self.e2 = f * (2 - f)
+        self.e = math.sqrt(self.e2)
+        self.lon0 = math.radians(lon0_deg)
+        self.fe = false_easting
+        self.fn = false_northing
+        self.s = -1.0 if lat0_deg < 0 else 1.0  # aspect: +north / -south
+        e = self.e
+        self._c = math.sqrt((1 + e) ** (1 + e) * (1 - e) ** (1 - e))
+        if (k0 is None) == (lat_ts_deg is None):
+            raise CRSError(
+                "PolarStereographic needs exactly one of k0 (variant A) "
+                "or lat_ts_deg (variant B)"
+            )
+        if k0 is None:
+            phi_f = self.s * math.radians(lat_ts_deg)  # folded to north
+            s_f = math.sin(phi_f)
+            m_f = math.cos(phi_f) / math.sqrt(1 - self.e2 * s_f * s_f)
+            t_f = math.tan(math.pi / 4 - phi_f / 2) * (
+                (1 + e * s_f) / (1 - e * s_f)
+            ) ** (e / 2)
+            k0 = m_f * self._c / (2 * t_f)
+        self.k0 = k0
+        self._rho_f = 2 * a * k0 / self._c
+
+    def _t(self, phi_north):
+        # north-aspect isometric t; the south aspect passes -phi
+        s = np.sin(phi_north)
+        return np.tan(np.pi / 4 - phi_north / 2) * (
+            (1 + self.e * s) / (1 - self.e * s)
+        ) ** (self.e / 2)
+
+    def forward(self, lons, lats):
+        lats = np.asarray(lats, dtype=np.float64)
+        lons = np.asarray(lons, dtype=np.float64)
+        phi = self.s * np.radians(lats)
+        lam = np.radians(lons) - self.lon0
+        rho = self._rho_f * self._t(phi)
+        x = self.fe + rho * np.sin(lam)
+        y = self.fn - self.s * rho * np.cos(lam)
+        return x, y
+
+    def inverse(self, xs, ys):
+        x = np.asarray(xs, dtype=np.float64) - self.fe
+        y = np.asarray(ys, dtype=np.float64) - self.fn
+        rho = np.hypot(x, y)
+        tp = rho / self._rho_f
+        lam = np.arctan2(x, -self.s * y)
+        phi = np.pi / 2 - 2.0 * np.arctan(tp)
+        for _ in range(8):
+            sphi = np.sin(phi)
+            phi = np.pi / 2 - 2.0 * np.arctan(
+                tp * ((1 - self.e * sphi) / (1 + self.e * sphi)) ** (self.e / 2)
+            )
+        phi = np.where(rho == 0.0, np.pi / 2, phi)
+        # non-zero lon0 (3413: -45) can push lam + lon0 past +-pi
+        lon = np.degrees(lam + self.lon0)
+        lon = (lon + 180.0) % 360.0 - 180.0
+        return lon, np.degrees(self.s * phi)
+
+
 class WebMercator:
     R = 6378137.0
 
@@ -583,6 +662,29 @@ _ALBERS_EPSGS: dict[int, tuple] = {
 }
 
 
+# Polar Stereographic CRSs on WGS84: (lat0/aspect, lon0, fe, fn, k0,
+# lat_ts) — exactly one of k0 / lat_ts is non-None (variant A / B).
+# Parameters are the published EPSG registry values.
+_POLAR_EPSGS: dict[int, tuple] = {
+    # WGS84 / Antarctic Polar Stereographic (REMA, MODIS MOA, every
+    # Antarctic DEM mosaic)
+    3031: (-90.0, 0.0, 0.0, 0.0, None, -71.0),
+    # WGS84 / NSIDC Sea Ice Polar Stereographic North (ArcticDEM)
+    3413: (90.0, -45.0, 0.0, 0.0, None, 70.0),
+    # WGS84 / NSIDC Sea Ice Polar Stereographic South
+    3976: (-90.0, 0.0, 0.0, 0.0, None, -70.0),
+    # WGS84 / Arctic Polar Stereographic (IBCAO)
+    3995: (90.0, 0.0, 0.0, 0.0, None, 71.0),
+    # WGS84 / Australian Antarctic Polar Stereographic
+    3032: (-90.0, 70.0, 6000000.0, 6000000.0, None, -71.0),
+    # WGS84 / UPS North & South (variant A, both numberings)
+    5041: (90.0, 0.0, 2000000.0, 2000000.0, 0.994, None),
+    5042: (-90.0, 0.0, 2000000.0, 2000000.0, 0.994, None),
+    32661: (90.0, 0.0, 2000000.0, 2000000.0, 0.994, None),
+    32761: (-90.0, 0.0, 2000000.0, 2000000.0, 0.994, None),
+}
+
+
 def _projection_for_epsg(epsg: int):
     if epsg in _GEOGRAPHIC_IDENTITY_EPSGS:
         return Identity()
@@ -625,6 +727,11 @@ def _projection_for_epsg(epsg: int):
         return AlbersEqualArea(*ell, lat0_deg=lat0, lon0_deg=lon0,
                                sp1_deg=sp1, sp2_deg=sp2,
                                false_easting=fe, false_northing=fn)
+    if epsg in _POLAR_EPSGS:
+        lat0, lon0, fe, fn, k0, lat_ts = _POLAR_EPSGS[epsg]
+        return PolarStereographic(*_WGS84, lat0_deg=lat0, lon0_deg=lon0,
+                                  false_easting=fe, false_northing=fn,
+                                  k0=k0, lat_ts_deg=lat_ts)
     if epsg == 3035:  # ETRS89-extended / LAEA Europe
         return LambertAzimuthalEqualArea(*_GRS80, lat0_deg=52.0, lon0_deg=10.0,
                                          false_easting=4321000.0,
@@ -697,6 +804,25 @@ def _projection_for_wkt(wkt: str):
                       default=p("standard_parallel_1", default=lat0)),
             false_easting=p("false_easting"),
             false_northing=p("false_northing"),
+        )
+    if "polar_stereographic" in name:
+        # GDAL WKT1 convention: latitude_of_origin = the pole (variant A,
+        # scale_factor applies) OR the standard parallel (variant B)
+        lat0 = p("latitude_of_origin", "latitude_of_center", default=90.0)
+        if abs(abs(lat0) - 90.0) < 1e-9:
+            return PolarStereographic(
+                a, inv_f, lat0_deg=lat0,
+                lon0_deg=p("central_meridian", "longitude_of_origin"),
+                false_easting=p("false_easting"),
+                false_northing=p("false_northing"),
+                k0=p("scale_factor", default=1.0),
+            )
+        return PolarStereographic(
+            a, inv_f, lat0_deg=90.0 if lat0 >= 0 else -90.0,
+            lon0_deg=p("central_meridian", "longitude_of_origin"),
+            false_easting=p("false_easting"),
+            false_northing=p("false_northing"),
+            lat_ts_deg=lat0,
         )
     raise CRSError(f"WKT projection '{mproj.group(1)}' not supported")
 

@@ -289,6 +289,152 @@ def test_lcc_1sp_wkt_roundtrip_and_scale():
     assert abs(ke - 0.9996) < 1e-7 and abs(kn - 0.9996) < 1e-7
 
 
+# ---------------------------------------------------------------------------
+# Polar Stereographic family (EPSG 9810 variant A / 9829 variant B)
+
+
+_POLAR_CASES = [
+    (3031, (-89.5, -60.0), (-180.0, 179.9)),   # WGS84 Antarctic PS (REMA)
+    (3413, (60.0, 89.5), (-180.0, 179.9)),     # NSIDC North (ArcticDEM)
+    (3976, (-89.5, -60.0), (-180.0, 179.9)),   # NSIDC South
+    (3995, (60.0, 89.5), (-180.0, 179.9)),     # Arctic PS (IBCAO)
+    (3032, (-89.5, -60.0), (-180.0, 179.9)),   # Australian Antarctic PS
+    (5041, (60.0, 89.5), (-180.0, 179.9)),     # UPS North (variant A)
+    (32761, (-89.5, -60.0), (-180.0, 179.9)),  # UPS South (variant A)
+]
+
+
+@pytest.mark.parametrize("epsg,lat_range,lon_range", _POLAR_CASES)
+def test_polar_roundtrip(epsg, lat_range, lon_range):
+    rng = np.random.default_rng(epsg)
+    lats = rng.uniform(*lat_range, 300)
+    lons = rng.uniform(*lon_range, 300)
+    x, y = crs.reproject_latlons(lats, lons, epsg=epsg)
+    lon2, lat2 = crs.unproject_xys(x, y, epsg=epsg)
+    np.testing.assert_allclose(lat2, lats, atol=1e-9)
+    np.testing.assert_allclose(lon2, lons, atol=1e-9)
+
+
+def test_polar_variant_a_worked_example_epsg_method_9810():
+    """EPSG Guidance Note 7-2's worked example for method 9810 (WGS84 /
+    UPS North): 73N 44E -> E 3320416.75, N 632668.43."""
+    x, y = crs.reproject_latlons(np.array([73.0]), np.array([44.0]), epsg=5041)
+    assert abs(x[0] - 3320416.75) < 0.01
+    assert abs(y[0] - 632668.43) < 0.01
+    # 32661 is the same UPS North definition under its legacy number
+    x2, y2 = crs.reproject_latlons(np.array([73.0]), np.array([44.0]), epsg=32661)
+    assert x2[0] == x[0] and y2[0] == y[0]
+
+
+def test_polar_variant_b_worked_example_epsg_method_9829():
+    """EPSG Guidance Note 7-2's worked example for method 9829 (WGS84 /
+    Australian Antarctic Polar Stereographic, EPSG 3032): 75S 120E ->
+    E 7255380.79, N 7053389.56."""
+    x, y = crs.reproject_latlons(np.array([-75.0]), np.array([120.0]), epsg=3032)
+    assert abs(x[0] - 7255380.79) < 0.01
+    assert abs(y[0] - 7053389.56) < 0.01
+
+
+def test_polar_conformality_and_ts_scale():
+    """Conformal invariants of EPSG 3031: isotropic local scale
+    everywhere, exactly 1 at the standard parallel (71S), below scale
+    poleward of it (minimum at the pole), above scale equatorward."""
+    p = crs._projection_for_epsg(3031)
+    _WGS84_E2 = crs._e2(crs._WGS84)
+    for lat, lon in [(-71.0, 0.0), (-71.0, 133.0), (-80.0, -45.0), (-65.0, 10.0)]:
+        ke, kn, _ = _local_scales(p, lon, lat, crs._WGS84[0], _WGS84_E2)
+        assert abs(ke - kn) < 1e-7, (lat, lon, ke, kn)
+    ke_ts, _, _ = _local_scales(p, 40.0, -71.0, crs._WGS84[0], _WGS84_E2)
+    assert abs(ke_ts - 1.0) < 1e-7
+    ke_pole, _, _ = _local_scales(p, 40.0, -80.0, crs._WGS84[0], _WGS84_E2)
+    assert ke_pole < 1.0
+    ke_eq, _, _ = _local_scales(p, 40.0, -65.0, crs._WGS84[0], _WGS84_E2)
+    assert ke_eq > 1.0
+
+
+_POLAR_WKT_3031 = (
+    'PROJCS["WGS 84 / Antarctic Polar Stereographic",'
+    'GEOGCS["WGS 84",DATUM["WGS_1984",'
+    'SPHEROID["WGS 84",6378137,298.257223563]],'
+    'PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],'
+    'PROJECTION["Polar_Stereographic"],'
+    'PARAMETER["latitude_of_origin",-71],'
+    'PARAMETER["central_meridian",0],'
+    'PARAMETER["false_easting",0],'
+    'PARAMETER["false_northing",0],'
+    'UNIT["metre",1],AUTHORITY["EPSG","3031"]]'
+)
+
+
+def test_polar_wkt_matches_epsg_3031():
+    """GDAL's WKT1 spelling for 3031 (variant B encoded as
+    latitude_of_origin = the standard parallel) builds the same
+    transform as the EPSG table entry."""
+    lats = np.array([-77.85, -66.0, -89.9])
+    lons = np.array([166.67, 0.0, -45.0])
+    x1, y1 = crs.reproject_latlons(lats, lons, wkt=_POLAR_WKT_3031)
+    x2, y2 = crs.reproject_latlons(lats, lons, epsg=3031)
+    np.testing.assert_allclose(x1, x2, atol=1e-6)
+    np.testing.assert_allclose(y1, y2, atol=1e-6)
+
+
+def test_polar_crs_elevation_differential(spark, tmp_path):
+    """End-to-end differential on a REMA-style EPSG:3031 raster (McMurdo
+    area): Spark resolver vs the single-process oracle, bit-identical."""
+    import os
+
+    from opentopodata_spark import config, geotiff, oracle
+    from opentopodata_spark.operators import elevation
+
+    d = os.path.join(str(tmp_path), "rema-dem")
+    os.makedirs(d)
+    # center the grid on (77.85S, 166.67E)
+    cx, cy = crs.reproject_latlons(np.array([-77.85]), np.array([166.67]),
+                                   epsg=3031)
+    px = 1000.0
+    x0 = float(cx[0]) - 50 * px
+    y0 = float(cy[0]) + 50 * px
+    xs = x0 + (np.arange(100) + 0.5) * px
+    ys = y0 - (np.arange(100) + 0.5) * px
+    X, Y = np.meshgrid(xs, ys)
+    grid = (1500.0 + 400.0 * np.sin(X / 2.3e4) + 300.0 * np.cos(Y / 1.7e4)
+            ).astype(np.float32)
+    geotiff.write_geotiff(os.path.join(d, "rema.tif"), grid, x0=x0, y0=y0,
+                          sx=px, sy=px, epsg=3031, nodata=-9999)
+    cfg = os.path.join(str(tmp_path), "cfg.yaml")
+    with open(cfg, "w") as f:
+        f.write(f"datasets:\n- name: rema\n  path: {d}/\n")
+    ds = config.load_datasets(cfg)["rema"]
+
+    rng = np.random.default_rng(31)
+    lats = np.concatenate([
+        rng.uniform(-78.2, -77.5, 80),   # inside the grid
+        rng.uniform(-50.0, 50.0, 20),    # far outside -> null
+    ])
+    lons = np.concatenate([
+        rng.uniform(164.8, 168.5, 80),
+        rng.uniform(-120.0, 120.0, 20),
+    ])
+    pts = spark.createDataFrame(
+        [(int(i), float(la), float(lo)) for i, (la, lo) in enumerate(zip(lats, lons))],
+        "point_id long, lat double, lon double",
+    )
+    res = elevation.ElevationResolver(spark, [ds], "bilinear").resolve(pts)
+    rows = {r.point_id: r for r in res.collect()}
+    e, names = oracle.get_elevation(lats, lons, [ds], "bilinear")
+    assert len(rows) == len(lats)
+    resolved = 0
+    for i in range(len(lats)):
+        r, eo = rows[i], e[i]
+        if eo is None:
+            assert r.elevation is None, (i, r.elevation, eo)
+        else:
+            assert r.elevation == eo, (i, r.elevation, eo)
+            resolved += 1
+        assert r.dataset == names[i]
+    assert resolved >= 60
+
+
 def test_albers_wkt_matches_epsg_5070():
     """The Albers WKT spelling (latitude_of_center/longitude_of_center)
     builds the same transform as the EPSG:5070 table entry."""
