@@ -12,10 +12,13 @@ Scope (deliberately the baseline web subset):
 
 * baseline sequential DCT (SOF0; SOF1 extended-sequential accepted — the
   decode path is identical for 8-bit), 8-bit samples
+* progressive DCT (SOF2): all four T.81 G.2 scan procedures — DC/AC
+  first passes and DC/AC successive-approximation refinements, spectral
+  selection, EOB runs, per-scan DHT replacement, restarts
 * 1-component (grayscale) and 3-component (YCbCr) images
 * sampling factors up to 2x2 (covers 4:4:4, 4:2:2, 4:2:0)
 * restart markers (DRI / RSTn), 0xFF00 byte stuffing
-* progressive (SOF2), arithmetic coding, 12-bit, and CMYK raise JpegError
+* arithmetic coding, 12-bit, hierarchical, and CMYK raise JpegError
   with a message naming the feature — they are resolvable seams, not
   silent corruption.
 
@@ -175,6 +178,26 @@ class _BitReader:
                 return sym
         raise JpegError("invalid JPEG Huffman code")
 
+    def read_bit(self) -> int:
+        if self.pos >= self.n:
+            raise JpegError("JPEG entropy stream truncated")
+        b = self.bits[self.pos]
+        self.pos += 1
+        return b
+
+    def read_bits(self, t: int) -> int:
+        """t raw bits, MSB first (EOBRUN extension bits — no EXTEND)."""
+        if self.pos + t > self.n:
+            raise JpegError("JPEG entropy stream truncated")
+        v = 0
+        bits = self.bits
+        pos = self.pos
+        for _ in range(t):
+            v = (v << 1) | bits[pos]
+            pos += 1
+        self.pos = pos
+        return v
+
     def receive_extend(self, t: int) -> int:
         if t == 0:
             return 0
@@ -241,7 +264,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         if data[pos] != 0xFF:
             raise JpegError("JPEG marker sync lost")
         marker = data[pos + 1]
-        if marker == 0xD9:  # EOI before SOS
+        if marker == 0xD9:  # EOI: progressive frames finish here
+            if frame is not None and frame.get("coef_ready"):
+                return _finish_progressive(frame, quant)
             break
         (seglen,) = struct.unpack(">H", data[pos + 2 : pos + 4])
         body = data[pos + 4 : pos + 2 + seglen]
@@ -261,7 +286,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 q = np.zeros(64, dtype=np.float64)
                 q[_ZZ_RASTER] = tbl  # stored in zigzag order
                 quant[tq] = q.reshape(8, 8)
-        elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 ext sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # baseline / ext seq / progressive
             precision = body[0]
             if precision != 8:
                 raise JpegError(f"unsupported JPEG precision {precision}")
@@ -276,9 +301,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 if not (1 <= hi <= 2 and 1 <= vi <= 2):
                     raise JpegError(f"unsupported sampling factors {hi}x{vi}")
                 comps.append({"id": cid, "h": hi, "v": vi, "tq": tq})
-            frame = {"w": w, "h": h, "comps": comps}
-        elif marker == 0xC2:
-            raise JpegError("progressive JPEG (SOF2) not supported")
+            frame = {"w": w, "h": h, "comps": comps,
+                     "progressive": marker == 0xC2}
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD,
                         0xCE, 0xCF):
             raise JpegError(f"unsupported JPEG SOF marker 0xFF{marker:02X}")
@@ -309,16 +333,253 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 comp["dc"] = tds >> 4
                 comp["ac"] = tds & 0x0F
                 scan_comps.append(comp)
+            scan_start = pos + 2 + seglen
+            if frame.get("progressive"):
+                ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+                ahal = body[3 + 2 * ns]
+                pos = _decode_prog_scan(
+                    data, scan_start, frame, scan_comps, quant, huff_dc,
+                    huff_ac, restart_interval, ss, se, ahal >> 4,
+                    ahal & 0x0F,
+                )
+                continue
             if len(scan_comps) != len(frame["comps"]):
                 raise JpegError("partial JPEG scans not supported")
-            scan_start = pos + 2 + seglen
             return _decode_scan(
                 data, scan_start, frame, quant, huff_dc, huff_ac,
                 restart_interval,
             )
         # APPn / COM / anything else: skip
         pos += 2 + seglen
+    # EOI right at EOF leaves fewer than 4 bytes for the loop guard
+    if frame is not None and frame.get("coef_ready"):
+        return _finish_progressive(frame, quant)
     raise JpegError("JPEG missing SOS")
+
+
+def _prog_alloc(frame):
+    """Per-component int64 coefficient planes shared across the scans of
+    a progressive frame, plus the block-grid geometry both interleaved
+    (DC) and single-component (AC) scans index into."""
+    if frame.get("coef_ready"):
+        return
+    comps = frame["comps"]
+    w, h = frame["w"], frame["h"]
+    if w == 0 or h == 0:
+        raise JpegError("empty JPEG")
+    if len(comps) == 1:
+        comps[0]["h"] = comps[0]["v"] = 1
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    frame["hmax"], frame["vmax"] = hmax, vmax
+    frame["mcux"] = -(-w // (8 * hmax))
+    frame["mcuy"] = -(-h // (8 * vmax))
+    for c in comps:
+        c["bw"] = frame["mcux"] * c["h"]  # padded (interleaved) grid
+        c["bh"] = frame["mcuy"] * c["v"]
+        cw = -(-w * c["h"] // hmax)  # actual component samples
+        chh = -(-h * c["v"] // vmax)
+        c["cbx"] = -(-cw // 8)  # used blocks (non-interleaved scans)
+        c["cby"] = -(-chh // 8)
+        c["coef"] = np.zeros((c["bh"] * c["bw"], 64), dtype=np.int64)
+    frame["coef_ready"] = True
+
+
+def _decode_prog_scan(data, start, frame, scan_comps, quant, huff_dc,
+                      huff_ac, restart_interval, ss, se, ah, al):
+    """One progressive scan (T.81 G.2): DC first/refine (possibly
+    interleaved), AC first/refine (single component, EOB runs). Updates
+    the frame's coefficient planes and returns the stream position of
+    the next marker."""
+    _prog_alloc(frame)
+    intervals, endpos = _split_scan(data, start)
+    if ss == 0:
+        if se != 0:
+            raise JpegError("JPEG progressive DC scan with Se != 0")
+        _prog_dc_scan(intervals, frame, scan_comps, huff_dc,
+                      restart_interval, ah, al)
+    else:
+        if len(scan_comps) != 1:
+            raise JpegError("JPEG progressive AC scan must be one component")
+        if not (1 <= ss <= se <= 63):
+            raise JpegError("JPEG bad spectral selection")
+        _prog_ac_scan(intervals, scan_comps[0], huff_ac, restart_interval,
+                      ss, se, ah, al)
+    return endpos
+
+
+def _prog_dc_scan(intervals, frame, scan_comps, huff_dc, restart_interval,
+                  ah, al):
+    mcux, mcuy = frame["mcux"], frame["mcuy"]
+    interleaved = len(scan_comps) > 1
+    if interleaved:
+        n_units = mcux * mcuy
+    else:
+        c0 = scan_comps[0]
+        n_units = c0["cbx"] * c0["cby"]
+    per = restart_interval if restart_interval else n_units
+    unit = 0
+    for ivl in intervals:
+        if unit >= n_units:
+            break
+        reader = _BitReader(ivl)
+        pred = {id(c): 0 for c in scan_comps}
+        for _ in range(min(per, n_units - unit)):
+            for c in scan_comps:
+                if interleaved:
+                    my, mx = divmod(unit, mcux)
+                    blocks = [
+                        (my * c["v"] + by) * c["bw"] + (mx * c["h"] + bx)
+                        for by in range(c["v"]) for bx in range(c["h"])
+                    ]
+                else:
+                    by, bx = divmod(unit, c["cbx"])
+                    blocks = [by * c["bw"] + bx]
+                for idx in blocks:
+                    coef = c["coef"][idx]
+                    if ah == 0:  # first pass: DC diff at precision al
+                        t = reader.read_huff(huff_dc[c["dc"]])
+                        if t > 11:
+                            raise JpegError("invalid JPEG DC category")
+                        pred[id(c)] += reader.receive_extend(t)
+                        coef[0] = pred[id(c)] << al
+                    else:  # refinement: one bit per block
+                        if reader.read_bit():
+                            coef[0] |= 1 << al
+            unit += 1
+    if unit != n_units:
+        raise JpegError("JPEG truncated: missing DC units")
+
+
+def _prog_ac_scan(intervals, c, huff_ac, restart_interval, ss, se, ah, al):
+    n_units = c["cbx"] * c["cby"]
+    per = restart_interval if restart_interval else n_units
+    act = huff_ac[c["ac"]]
+    unit = 0
+    for ivl in intervals:
+        if unit >= n_units:
+            break
+        reader = _BitReader(ivl)
+        eobrun = 0
+        for _ in range(min(per, n_units - unit)):
+            by, bx = divmod(unit, c["cbx"])
+            coef = c["coef"][by * c["bw"] + bx]
+            if ah == 0:
+                eobrun = _ac_first_block(reader, act, coef, ss, se, al,
+                                         eobrun)
+            else:
+                eobrun = _ac_refine_block(reader, act, coef, ss, se, al,
+                                          eobrun)
+            unit += 1
+    if unit != n_units:
+        raise JpegError("JPEG truncated: missing AC units")
+
+
+def _ac_first_block(reader, act, coef, ss, se, al, eobrun):
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = reader.read_huff(act)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += reader.read_bits(r)
+            break
+        k += r
+        if k > se:
+            raise JpegError("JPEG AC run overflow")
+        coef[k] = reader.receive_extend(s) << al
+        k += 1
+    return eobrun
+
+
+def _ac_refine_block(reader, act, coef, ss, se, al, eobrun):
+    """Successive-approximation AC refinement (T.81 G.1.2.3): newly
+    nonzero coefficients arrive as +-1 at bit ``al``; coefficients
+    already nonzero from earlier scans each receive one correction bit
+    (history positions don't count toward the zero-run)."""
+    p1 = 1 << al
+    m1 = -1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = reader.read_huff(act)
+            r, s = rs >> 4, rs & 0x0F
+            if s:
+                if s != 1:
+                    raise JpegError("invalid JPEG AC refinement size")
+                s = p1 if reader.read_bit() else m1
+            else:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.read_bits(r)
+                    break
+                # r == 15 (ZRL): skip 16 zero-history positions, s == 0
+            while k <= se:
+                if coef[k] != 0:
+                    if reader.read_bit():
+                        if (int(coef[k]) & p1) == 0:
+                            coef[k] += p1 if coef[k] >= 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if s and k <= se:
+                coef[k] = s
+            k += 1
+    if eobrun > 0:
+        while k <= se:  # correction bits continue through the EOB run
+            if coef[k] != 0:
+                if reader.read_bit():
+                    if (int(coef[k]) & p1) == 0:
+                        coef[k] += p1 if coef[k] >= 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _finish_progressive(frame, quant):
+    comps = frame["comps"]
+    hmax, vmax = frame["hmax"], frame["vmax"]
+    w, h = frame["w"], frame["h"]
+    planes = []
+    for c in comps:
+        if c["tq"] not in quant:
+            raise JpegError("JPEG quant table missing")
+        q = quant[c["tq"]].reshape(64)[_ZZ_RASTER]  # zigzag-ordered
+        coef_zz = c["coef"].astype(np.float64) * q
+        coef = np.zeros_like(coef_zz)
+        coef[:, _ZZ_RASTER] = coef_zz
+        spatial = _idct_blocks(coef.reshape(-1, 8, 8)) + 128.0
+        plane = spatial.reshape(c["bh"], c["bw"], 8, 8).transpose(
+            0, 2, 1, 3
+        ).reshape(c["bh"] * 8, c["bw"] * 8)
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1:
+            plane = np.repeat(plane, ry, axis=0)
+        if rx > 1:
+            plane = np.repeat(plane, rx, axis=1)
+        planes.append(plane[:h, :w])
+    return _planes_to_image(planes)
+
+
+def _planes_to_image(planes):
+    if len(planes) == 1:
+        out = planes[0][:, :, None]
+    else:
+        y, cb, cr = planes
+        r = y + 1.402 * (cr - 128.0)
+        g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+        b = y + 1.772 * (cb - 128.0)
+        out = np.stack([r, g, b], axis=2)
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)
 
 
 def _decode_scan(data, start, frame, quant, huff_dc, huff_ac,
@@ -531,14 +792,20 @@ def _dc_diffs(raw_dc: np.ndarray, blocks_per_mcu: int,
 
 def encode_jpeg(array: np.ndarray, quality: int = 85,
                 subsampling: str = "444",
-                restart_interval: int = 0) -> bytes:
-    """(h, w) or (h, w, 1|3) uint8 -> baseline JFIF bytes.
+                restart_interval: int = 0,
+                progressive: bool = False) -> bytes:
+    """(h, w) or (h, w, 1|3) uint8 -> baseline (or progressive) JFIF bytes.
 
     subsampling: "444" (no chroma subsampling) or "420" (2x2). Grayscale
     input emits a single-component stream. restart_interval > 0 emits a
     DRI segment and RSTn markers every that many MCUs (DC predictors
     reset, bitstream byte-aligned) — what real encoders do for error
     resilience, and what exercises the decoder's interval splitting.
+    progressive=True emits an SOF2 stream with a 4-stage scan script
+    (DC first at Al=1, per-component AC first at Al=1, DC refinement,
+    per-component AC refinement) exercising every T.81 G.1.2 procedure;
+    the quantized coefficients are identical to the baseline encoding of
+    the same input, so both decodes must produce identical pixels.
     Deterministic: same input -> same bytes (Huffman tables are derived
     from the data, canonically)."""
     array = np.asarray(array, dtype=np.uint8)
@@ -551,6 +818,12 @@ def encode_jpeg(array: np.ndarray, quality: int = 85,
     h, w, nchan = array.shape
     if h == 0 or w == 0:
         raise JpegError("empty image")
+    if progressive:
+        if restart_interval:
+            raise JpegError(
+                "restart markers in progressive output are not supported"
+            )
+        return _encode_progressive(array, quality, subsampling)
 
     gray = nchan == 1
     if gray:
@@ -694,4 +967,316 @@ def encode_jpeg(array: np.ndarray, quality: int = 85,
                         writer.write(v, s)
     out += writer.flush()
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# --------------------------------------------------------------------------
+# progressive encoder (SOF2; T.81 G.1.2 scan procedures)
+
+
+class _SymCounter:
+    """Counting emitter: first pass over a scan collects Huffman symbol
+    frequencies; raw bits are ignored."""
+
+    def __init__(self):
+        self.freq: dict[int, int] = {}
+
+    def sym(self, s: int):
+        self.freq[s] = self.freq.get(s, 0) + 1
+
+    def bits(self, v: int, n: int):
+        pass
+
+
+class _SymWriter:
+    def __init__(self, codes: dict):
+        self.writer = _BitWriter()
+        self.codes = codes
+
+    def sym(self, s: int):
+        code, ln = self.codes[s]
+        self.writer.write(code, ln)
+
+    def bits(self, v: int, n: int):
+        if n:
+            self.writer.write(v, n)
+
+
+def _enc_dc_first(em, ncomp, grids, order, table_of, al):
+    """Interleaved DC-first scan: diffs of (dc >> al), MCU order.
+    Symbols are (huff-table class, category) pairs so the two-pass scan
+    writer can build one DC table per class."""
+    pred = [0] * ncomp
+    for ci, idx in order:
+        v = int(grids[ci][idx, 0]) >> al  # arithmetic shift, like the spec
+        diff = v - pred[ci]
+        pred[ci] = v
+        cat = _bit_category(diff)
+        em.sym((table_of[ci], cat))
+        if cat:
+            em.bits(diff if diff >= 0 else diff + (1 << cat) - 1, cat)
+
+
+def _enc_dc_refine(em, grids, order, al):
+    for ci, idx in order:
+        em.bits((int(grids[ci][idx, 0]) >> al) & 1, 1)
+
+
+def _enc_ac_first(em, blocks, ss, se, al):
+    eobrun = 0
+
+    def flush_eob():
+        nonlocal eobrun
+        if eobrun:
+            nbits = eobrun.bit_length() - 1
+            em.sym(nbits << 4)
+            em.bits(eobrun - (1 << nbits), nbits)
+            eobrun = 0
+
+    for coef in blocks:
+        temp = []
+        for k in range(ss, se + 1):
+            v = int(coef[k])
+            t = abs(v) >> al
+            temp.append(t if v >= 0 else -t)
+        nz = [i for i, t in enumerate(temp) if t]
+        if not nz:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush_eob()
+            continue
+        flush_eob()
+        run = 0
+        for i in range(nz[-1] + 1):
+            t = temp[i]
+            if t == 0:
+                run += 1
+                continue
+            while run > 15:
+                em.sym(0xF0)  # ZRL
+                run -= 16
+            s = _bit_category(t)
+            em.sym((run << 4) | s)
+            em.bits(t if t >= 0 else t + (1 << s) - 1, s)
+            run = 0
+        if nz[-1] < se - ss:
+            eobrun = 1  # this block's trailing zeros start an EOB run
+    flush_eob()
+
+
+def _enc_ac_refine(em, blocks, ss, se, al):
+    """T.81 G.1.2.3 AC refinement: newly-nonzero (+-1 at bit al) coded
+    with s=1 symbols; history coefficients emit one buffered correction
+    bit each, appended after the symbol (or EOBn) that flushes them."""
+    eobrun = 0
+    pending: list[int] = []  # correction bits owned by the open EOB run
+
+    def flush_eob():
+        nonlocal eobrun
+        if eobrun:
+            nbits = eobrun.bit_length() - 1
+            em.sym(nbits << 4)
+            em.bits(eobrun - (1 << nbits), nbits)
+            eobrun = 0
+        for b in pending:
+            em.bits(b, 1)
+        pending.clear()
+
+    for coef, orig in blocks:
+        absv = []
+        eob = -1
+        for i, k in enumerate(range(ss, se + 1)):
+            t = abs(int(coef[k])) >> al
+            absv.append(t)
+            if t == 1:
+                eob = i
+        run = 0
+        br: list[int] = []  # correction bits since the last emitted symbol
+        for i in range(len(absv)):
+            t = absv[i]
+            if t == 0:
+                run += 1
+                continue
+            while run > 15 and i <= eob:
+                flush_eob()
+                em.sym(0xF0)
+                run -= 16
+                for b in br:
+                    em.bits(b, 1)
+                br = []
+            if t > 1:  # history coefficient: one correction bit
+                br.append(t & 1)
+                continue
+            flush_eob()
+            em.sym((run << 4) | 1)
+            em.bits(1 if int(orig[ss + i]) >= 0 else 0, 1)
+            for b in br:
+                em.bits(b, 1)
+            br = []
+            run = 0
+        if run > 0 or br:  # trailing zeros / history-only tail -> EOB run
+            eobrun += 1
+            pending.extend(br)
+            if eobrun == 0x7FFF:
+                flush_eob()
+    flush_eob()
+
+
+def _encode_progressive(array: np.ndarray, quality: int,
+                        subsampling: str) -> bytes:
+    h, w, nchan = array.shape
+    gray = nchan == 1
+    if gray:
+        planes = [array[:, :, 0].astype(np.float64)]
+        samps = [(1, 1)]
+        qids = [0]
+    else:
+        rgb = array.astype(np.float64)
+        r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        if subsampling == "420":
+            samps = [(2, 2), (1, 1), (1, 1)]
+
+            def ds(p):
+                ph = p if p.shape[0] % 2 == 0 else np.vstack([p, p[-1:]])
+                ph = ph if ph.shape[1] % 2 == 0 else np.hstack(
+                    [ph, ph[:, -1:]]
+                )
+                return 0.25 * (
+                    ph[0::2, 0::2] + ph[0::2, 1::2]
+                    + ph[1::2, 0::2] + ph[1::2, 1::2]
+                )
+
+            planes = [y, ds(cb), ds(cr)]
+        else:
+            samps = [(1, 1), (1, 1), (1, 1)]
+            planes = [y, cb, cr]
+        qids = [0, 1, 1]
+
+    hmax = max(s[0] for s in samps)
+    vmax = max(s[1] for s in samps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    qtables = {0: _quality_scale(_QUANT_LUMA, quality)}
+    if not gray:
+        qtables[1] = _quality_scale(_QUANT_CHROMA, quality)
+
+    # per component: ROW-MAJOR padded block grid (bh, bw) of zigzag
+    # coefficients — the layout progressive scans index — plus the used
+    # (non-interleaved) block dims
+    grids, used = [], []
+    for plane, (sh, sv), qid in zip(planes, samps, qids):
+        bh, bw = mcuy * sv, mcux * sh
+        padded = np.empty((bh * 8, bw * 8), dtype=np.float64)
+        padded[: plane.shape[0], : plane.shape[1]] = plane
+        padded[plane.shape[0]:, : plane.shape[1]] = plane[-1:, :]
+        padded[:, plane.shape[1]:] = padded[
+            :, plane.shape[1] - 1 : plane.shape[1]
+        ]
+        blocks = (
+            padded.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)
+            .reshape(-1, 8, 8)
+        ) - 128.0
+        qz = np.round(_fdct_blocks(blocks) / qtables[qid]).astype(
+            np.int64
+        ).reshape(-1, 64)
+        grids.append(qz[:, _ZZ_RASTER])
+        used.append((-(-plane.shape[1] // 8), -(-plane.shape[0] // 8), bw))
+
+    ncomp = len(planes)
+    table_of = [0] + ([1, 1] if not gray else [])
+    # interleaved MCU traversal order as (component, grid row index)
+    dc_order = []
+    for m in range(mcux * mcuy):
+        my, mx = divmod(m, mcux)
+        for ci in range(ncomp):
+            sh, sv = samps[ci]
+            for by in range(sv):
+                for bx in range(sh):
+                    dc_order.append(
+                        (ci, (my * sv + by) * (mcux * sh) + (mx * sh + bx))
+                    )
+
+    def used_blocks(ci):
+        cbx, cby, bw = used[ci]
+        return [grids[ci][by * bw + bx]
+                for by in range(cby) for bx in range(cbx)]
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    for tq, q in qtables.items():
+        zz = q.reshape(64)[_ZZ_RASTER].astype(np.uint8)
+        out += seg(0xDB, bytes([tq]) + zz.tobytes())
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        sh, sv = samps[ci]
+        sof += bytes([ci + 1, (sh << 4) | sv, qids[ci]])
+    out += seg(0xC2, sof)
+
+    def run_scan(enc, tc, table_ids, scan_members, ss, se, ah, al,
+                 needs_huff=True):
+        """Two passes: count symbols -> optimal DHT + entropy bytes.
+        ``enc`` takes an emitter; symbols may be (table_id, raw) pairs
+        for interleaved DC scans using per-class tables."""
+        if needs_huff:
+            counter = _SymCounter()
+            enc(counter)
+            # split counts per table class
+            per_tbl: dict[int, dict[int, int]] = {}
+            for s, f in counter.freq.items():
+                t, raw = s if isinstance(s, tuple) else (table_ids[0], s)
+                per_tbl.setdefault(t, {})[raw] = (
+                    per_tbl.setdefault(t, {}).get(raw, 0) + f
+                )
+            tables = {t: _build_huff_encoder(fr) for t, fr in per_tbl.items()}
+            for t, (counts, symbols, _) in sorted(tables.items()):
+                out.extend(seg(0xC4, bytes([(tc << 4) | t]) + bytes(counts)
+                               + symbols))
+            codes = {}
+            for s in counter.freq:
+                t, raw = s if isinstance(s, tuple) else (table_ids[0], s)
+                codes[s] = tables[t][2][raw]
+            wr = _SymWriter(codes)
+        else:
+            wr = _SymWriter({})
+        sos = bytes([len(scan_members)])
+        for ci in scan_members:
+            t = table_of[ci]
+            sos += bytes([ci + 1, (t << 4) | t])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out.extend(seg(0xDA, sos))
+        enc(wr)
+        out.extend(wr.writer.flush())
+
+    all_comps = list(range(ncomp))
+    # scan 1: DC first, interleaved, Al=1 (symbols carry the table class)
+    run_scan(
+        lambda em: _enc_dc_first(em, ncomp, grids, dc_order, table_of, 1),
+        0, [0], all_comps, 0, 0, 0, 1,
+    )
+    # scans 2..: AC first per component, Al=1
+    for ci in all_comps:
+        blocks = used_blocks(ci)
+        run_scan(
+            lambda em, b=blocks: _enc_ac_first(em, b, 1, 63, 1),
+            1, [table_of[ci]], [ci], 1, 63, 0, 1,
+        )
+    # DC refinement (no Huffman symbols, raw bits only)
+    run_scan(
+        lambda em: _enc_dc_refine(em, grids, dc_order, 0),
+        0, [0], all_comps, 0, 0, 1, 0, needs_huff=False,
+    )
+    # AC refinement per component
+    for ci in all_comps:
+        blocks = [(b, b) for b in used_blocks(ci)]
+        run_scan(
+            lambda em, b=blocks: _enc_ac_refine(em, b, 1, 63, 0),
+            1, [table_of[ci]], [ci], 1, 63, 1, 0,
+        )
+    out += b"\xff\xd9"
     return bytes(out)

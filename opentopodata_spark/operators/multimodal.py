@@ -18,7 +18,7 @@ gives media spans the same first-class treatment text gets:
   payloads (pure-numpy codecs in png.py / jpeg.py / wav.py / y4m.py) and
   computes pixel-, audio- or frame-statistics features; payloads in
   codecs the container genuinely lacks libraries for (H.264-class
-  compressed video, progressive JPEG, compressed WAV) degrade
+  compressed video, compressed WAV) degrade
   to ``media_kind='unsupported'`` with null features — at corpus scale undecodable blobs are data, not
   exceptions, and the PIL/ffmpeg seam to widen codec coverage is marked
   in ``_decode_real``. ``decoder='fake'`` keeps the hash-derived
@@ -157,9 +157,10 @@ def synthetic_y4m_payload(ref: str) -> bytes:
 
 def synthetic_media_payload(ref: str) -> bytes:
     """Deterministic object-store stand-in for a MIXED crawl corpus:
-    roughly 3/8 of refs yield a PNG, 2/8 a baseline JPEG (the dominant
-    web media type — 4:4:4 or 4:2:0, color or grayscale, some with
-    restart markers, all through the pure-numpy encoder in jpeg.py),
+    roughly 3/8 of refs yield a PNG, 2/8 a JPEG (the dominant web media
+    type — 4:4:4 or 4:2:0, color or grayscale, some with restart
+    markers, ~1/3 progressive SOF2, all through the pure-numpy encoder
+    in jpeg.py),
     1/8 a PCM WAV (wav.py), 1/8 a Y4M video (y4m.py), and 1/8 opaque
     bytes standing in for codecs with no in-container decoder
     (H.264-class video, exotic audio). Every decoder branch of
@@ -187,6 +188,13 @@ def synthetic_media_payload(ref: str) -> bytes:
     img = (
         base[:, :, None] + rng.integers(-15, 16, size=(h, w, 3))
     ).clip(0, 255).astype(np.uint8)
+    if seed[7] % 3 == 0:  # ~1/3 of color JPEGs are progressive (SOF2)
+        return _jpeg.encode_jpeg(
+            img,
+            quality=70 + seed[4] % 26,
+            subsampling="420" if seed[5] % 2 else "444",
+            progressive=True,
+        )
     return _jpeg.encode_jpeg(
         img,
         quality=70 + seed[4] % 26,
@@ -329,7 +337,7 @@ def _decode_real(b: bytes):
     """(kind, width, height, features) for one payload. PNG, baseline
     JPEG, WAV/PCM, and Y4M video decode for real (pure-numpy codecs in
     png.py / jpeg.py / wav.py / y4m.py); codecs with no in-container
-    decoder (H.264-class compressed video, JPEG-progressive) degrade
+    decoder (H.264-class compressed video, arithmetic-coded JPEG) degrade
     to 'unsupported' + nulls instead of failing the job (undecodable
     blobs are data at corpus scale). Widening coverage = add a sniffer +
     decoder branch here."""
@@ -345,8 +353,8 @@ def _decode_real(b: bytes):
             img = _jpeg.decode_jpeg(b)
         except _jpeg.JpegError as exc:
             # distinguish broken bytes from honest feature gaps: an
-            # unsupported-but-valid JPEG flavor (progressive, CMYK) is
-            # 'unsupported'; anything else failing to parse is 'corrupt'
+            # unsupported-but-valid JPEG flavor (arithmetic-coded, CMYK)
+            # is 'unsupported'; anything else failing to parse is 'corrupt'
             if "not supported" in str(exc) or "unsupported" in str(exc):
                 return "unsupported", None, None, None
             return "corrupt", None, None, None

@@ -122,12 +122,61 @@ def test_truncated_raises():
         jpeg.decode_jpeg(data[: len(data) // 2])
 
 
-def test_progressive_rejected():
+def test_arithmetic_sof_rejected():
     data = bytearray(jpeg.encode_jpeg(_gradient(16, 16)))
     i = bytes(data).index(b"\xff\xc0")
-    data[i + 1] = 0xC2  # SOF0 -> SOF2
-    with pytest.raises(jpeg.JpegError, match="progressive"):
+    data[i + 1] = 0xC9  # SOF0 -> SOF9 (arithmetic sequential)
+    with pytest.raises(jpeg.JpegError, match="SOF"):
         jpeg.decode_jpeg(bytes(data))
+
+
+@pytest.mark.parametrize("size,subsampling", [
+    ((16, 16), "444"), ((16, 16), "420"), ((13, 21), "420"),
+    ((31, 9), "444"), ((40, 56), "420"), ((7, 7), "444"),
+])
+def test_progressive_matches_baseline(size, subsampling):
+    """The strongest cross-check two independent entropy paths allow:
+    progressive encoding quantizes to the SAME coefficients as baseline,
+    so the SOF2 decode (DC/AC first + refinement scans, EOB runs) must
+    produce pixel-identical output to the SOF0 decode."""
+    h, w = size
+    img = _gradient(h, w)
+    for q in (60, 85, 95):
+        base = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=q,
+                                                 subsampling=subsampling))
+        prog_bytes = jpeg.encode_jpeg(img, quality=q,
+                                      subsampling=subsampling,
+                                      progressive=True)
+        # really SOF2, with more than one scan
+        assert b"\xff\xc2" in prog_bytes and prog_bytes.count(b"\xff\xda") > 1
+        prog = jpeg.decode_jpeg(prog_bytes)
+        np.testing.assert_array_equal(prog, base)
+
+
+def test_progressive_grayscale_matches_baseline():
+    g = _gradient(19, 27)[:, :, 0]
+    base = jpeg.decode_jpeg(jpeg.encode_jpeg(g, quality=80))
+    prog = jpeg.decode_jpeg(jpeg.encode_jpeg(g, quality=80, progressive=True))
+    np.testing.assert_array_equal(prog, base)
+
+
+def test_progressive_noise_stress():
+    """High-entropy input exercises long zero runs, ZRL-in-refinement,
+    EOB-run buffered correction bits, and every Huffman table shape."""
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(33, 18, 3)).astype(np.uint8)
+    for q in (40, 90):
+        base = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=q))
+        prog = jpeg.decode_jpeg(
+            jpeg.encode_jpeg(img, quality=q, progressive=True)
+        )
+        np.testing.assert_array_equal(prog, base)
+
+
+def test_progressive_truncated_raises():
+    data = jpeg.encode_jpeg(_gradient(24, 24), progressive=True)
+    with pytest.raises(jpeg.JpegError, match="truncated|missing|Huffman"):
+        jpeg.decode_jpeg(data[: len(data) // 2])
 
 
 def test_bad_precision_rejected():
