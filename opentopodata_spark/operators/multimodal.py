@@ -123,6 +123,13 @@ def synthetic_wav_payload(ref: str) -> bytes:
     freq = 100.0 + (seed[4] % 40) * 20.0
     base = 0.6 * np.sin(2 * np.pi * freq * t)
     sig = base[:, None] + 0.1 * rng.standard_normal((n, channels))
+    kind = seed[6] % 5
+    if kind == 2:  # telephony G.711
+        return _wav.encode_wav_compressed(
+            sig, rate, codec=("ulaw", "alaw")[seed[7] % 2]
+        )
+    if kind == 3:
+        return _wav.encode_wav_compressed(sig, rate, codec="ima_adpcm")
     return _wav.encode_wav(sig, rate, bits=(8, 16)[seed[5] % 2])
 
 
