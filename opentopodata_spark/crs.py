@@ -30,6 +30,8 @@ formulas:
   (ArcticDEM), 3995 Arctic, 3032 Australian Antarctic, 5041/5042 +
   32661/32761 UPS; pinned by both EPSG Guidance Note 7-2 worked
   examples.
+* Ellipsoidal Mercator variant A (EPSG method 9804, Snyder §7) —
+  EPSG:3395 World Mercator; pinned by the GN7-2 Makassar worked example.
 * Web/spherical Mercator (EPSG:3857).
 
 API mirrors the reference's ``utils.reproject_latlons``
@@ -485,6 +487,46 @@ class PolarStereographic:
         return lon, np.degrees(self.s * phi)
 
 
+class EllipsoidalMercator:
+    """Ellipsoidal Mercator variant A (EPSG method 9804, Snyder §7) —
+    EPSG:3395 World Mercator. Distinct from WebMercator (3857), which
+    uses spherical formulas on the ellipsoidal latitude."""
+
+    def __init__(self, a, inv_f, lon0_deg=0.0, k0=1.0,
+                 false_easting=0.0, false_northing=0.0):
+        f = 1.0 / inv_f
+        self.ak = a * k0
+        self.e2 = f * (2 - f)
+        self.e = math.sqrt(self.e2)
+        self.lon0 = math.radians(lon0_deg)
+        self.fe = false_easting
+        self.fn = false_northing
+
+    def forward(self, lons, lats):
+        lats = np.asarray(lats, dtype=np.float64)
+        lons = np.asarray(lons, dtype=np.float64)
+        phi = np.radians(lats)
+        s = np.sin(phi)
+        x = self.fe + self.ak * (np.radians(lons) - self.lon0)
+        y = self.fn + self.ak * np.log(
+            np.tan(np.pi / 4 + phi / 2)
+            * ((1 - self.e * s) / (1 + self.e * s)) ** (self.e / 2)
+        )
+        return x, y
+
+    def inverse(self, xs, ys):
+        x = np.asarray(xs, dtype=np.float64) - self.fe
+        y = np.asarray(ys, dtype=np.float64) - self.fn
+        t = np.exp(-y / self.ak)
+        phi = np.pi / 2 - 2.0 * np.arctan(t)
+        for _ in range(8):
+            s = np.sin(phi)
+            phi = np.pi / 2 - 2.0 * np.arctan(
+                t * ((1 - self.e * s) / (1 + self.e * s)) ** (self.e / 2)
+            )
+        return np.degrees(x / self.ak + self.lon0), np.degrees(phi)
+
+
 class WebMercator:
     R = 6378137.0
 
@@ -736,6 +778,8 @@ def _projection_for_epsg(epsg: int):
         return LambertAzimuthalEqualArea(*_GRS80, lat0_deg=52.0, lon0_deg=10.0,
                                          false_easting=4321000.0,
                                          false_northing=3210000.0)
+    if epsg == 3395:  # WGS84 / World Mercator (ellipsoidal, method 9804)
+        return EllipsoidalMercator(*_WGS84)
     if epsg == 3857:
         return WebMercator()
     raise CRSError(f"EPSG:{epsg} is not supported by this build")
@@ -802,6 +846,23 @@ def _projection_for_wkt(wkt: str):
             sp1_deg=p("standard_parallel_1", default=lat0),
             sp2_deg=p("standard_parallel_2",
                       default=p("standard_parallel_1", default=lat0)),
+            false_easting=p("false_easting"),
+            false_northing=p("false_northing"),
+        )
+    if "mercator" in name and "transverse" not in name:
+        # 1SP: explicit scale_factor; 2SP: k0 derived from the standard
+        # parallel, k0 = cos(sp1)/sqrt(1 - e^2 sin^2 sp1)
+        sp1 = p("standard_parallel_1", default=float("nan"))
+        if sp1 == sp1:  # not NaN
+            e2 = 1.0 - (1.0 - 1.0 / inv_f) ** 2
+            sphi = math.sin(math.radians(sp1))
+            k0 = math.cos(math.radians(sp1)) / math.sqrt(1 - e2 * sphi * sphi)
+        else:
+            k0 = p("scale_factor", default=1.0)
+        return EllipsoidalMercator(
+            a, inv_f,
+            lon0_deg=p("central_meridian", "longitude_of_origin"),
+            k0=k0,
             false_easting=p("false_easting"),
             false_northing=p("false_northing"),
         )

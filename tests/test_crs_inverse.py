@@ -290,6 +290,60 @@ def test_lcc_1sp_wkt_roundtrip_and_scale():
 
 
 # ---------------------------------------------------------------------------
+# Ellipsoidal Mercator (EPSG method 9804) — EPSG:3395 World Mercator
+
+
+def test_mercator_worked_example_epsg_method_9804():
+    """EPSG Guidance Note 7-2's worked example for method 9804
+    (Makassar / NEIEZ, Bessel 1841, k0=0.997, lon0=110E): 3S 120E ->
+    E 5009726.58, N 569150.82."""
+    p = crs.EllipsoidalMercator(
+        6377397.155, 299.1528128, lon0_deg=110.0, k0=0.997,
+        false_easting=3900000.0, false_northing=900000.0,
+    )
+    x, y = p.forward(np.array([120.0]), np.array([-3.0]))
+    assert abs(x[0] - 5009726.58) < 0.01
+    assert abs(y[0] - 569150.82) < 0.01
+
+
+def test_world_mercator_3395_roundtrip_and_differs_from_3857():
+    rng = np.random.default_rng(95)
+    lats = rng.uniform(-80.0, 80.0, 300)
+    lons = rng.uniform(-179.9, 179.9, 300)
+    x, y = crs.reproject_latlons(lats, lons, epsg=3395)
+    lon2, lat2 = crs.unproject_xys(x, y, epsg=3395)
+    np.testing.assert_allclose(lat2, lats, atol=1e-9)
+    np.testing.assert_allclose(lon2, lons, atol=1e-9)
+    # ellipsoidal (3395) vs spherical-on-ellipsoidal-lat (3857): same x,
+    # different y away from the equator — conflating them is a classic bug
+    x8, y8 = crs.reproject_latlons(lats, lons, epsg=3857)
+    np.testing.assert_allclose(x, x8, atol=1e-6)
+    assert np.abs(y - y8).max() > 1000.0
+
+
+def test_mercator_wkt_2sp_matches_derived_k0():
+    """A Mercator_2SP WKT (standard_parallel_1, no scale_factor) builds
+    k0 = cos(sp1)/sqrt(1-e^2 sin^2 sp1): at the standard parallel the
+    local scale must be exactly 1."""
+    wkt = (
+        'PROJCS["Custom Mercator 2SP",'
+        'GEOGCS["WGS 84",DATUM["WGS_1984",'
+        'SPHEROID["WGS 84",6378137,298.257223563]],'
+        'PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],'
+        'PROJECTION["Mercator_2SP"],'
+        'PARAMETER["standard_parallel_1",42],'
+        'PARAMETER["central_meridian",51],'
+        'PARAMETER["false_easting",0],'
+        'PARAMETER["false_northing",0],'
+        'UNIT["metre",1]]'
+    )
+    p = crs.get_transformer(wkt=wkt).proj
+    e2 = crs._e2(crs._WGS84)
+    ke, kn, _ = _local_scales(p, 51.0, 42.0, crs._WGS84[0], e2)
+    assert abs(ke - 1.0) < 1e-7 and abs(kn - 1.0) < 1e-7
+
+
+# ---------------------------------------------------------------------------
 # Polar Stereographic family (EPSG 9810 variant A / 9829 variant B)
 
 
