@@ -55,6 +55,8 @@ WGS84_LATLON_EPSG = 4326
 _WGS84 = (6378137.0, 298.257223563)
 _GRS80 = (6378137.0, 298.257222101)
 _AIRY1830 = (6377563.396, 299.3249646)
+_AIRY_MOD = (6377340.189, 299.3249646)
+_BESSEL1841 = (6377397.155, 299.1528128)
 
 _TRANSFORMER_CACHE: dict[str, "Transformer"] = {}
 
@@ -527,6 +529,273 @@ class EllipsoidalMercator:
         return np.degrees(x / self.ak + self.lon0), np.degrees(phi)
 
 
+def _phi_from_conformal_tau(tau_p, e, e2):
+    """Invert the conformal latitude: given tau' = tan(chi), return phi
+    (radians) by Newton on tau = tan(phi) — GeographicLib's tauf scheme,
+    same iteration the Krüger inverse uses. Converges to double precision
+    in <=5 steps for |phi| < 89.9 deg."""
+    tau_p = np.asarray(tau_p, dtype=np.float64)
+    tau = tau_p / math.sqrt(1 - e2)
+    for _ in range(5):
+        sig = np.sinh(e * np.arctanh(e * tau / np.hypot(1.0, tau)))
+        tau_p_i = tau * np.hypot(1.0, sig) - sig * np.hypot(1.0, tau)
+        dtau = (
+            (tau_p - tau_p_i)
+            * (1 + (1 - e2) * tau**2)
+            / ((1 - e2) * np.hypot(1.0, tau_p_i) * np.hypot(1.0, tau))
+        )
+        tau = tau + dtau
+    return np.arctan(tau)
+
+
+class ObliqueStereographic:
+    """Ellipsoidal Oblique (double) Stereographic, EPSG method 9809 —
+    the conformal-sphere (Gauss) construction from EPSG Guidance Note 7-2
+    §3.2.5. Covers EPSG:28992 (Amersfoort / RD New — the CRS of the Dutch
+    AHN lidar DEMs) and the Romanian/Polish stereographic grids. Pinned by
+    the GN7-2 worked example (53N 6E -> 196105.283E 557057.739N).
+
+    The reference accepts this CRS through PROJ's ``sterea``
+    (/root/reference/opentopodata/utils.py:17-52)."""
+
+    def __init__(self, a, inv_f, lat0_deg, lon0_deg, k0,
+                 false_easting, false_northing):
+        f = 1.0 / inv_f
+        self.e2 = f * (2 - f)
+        self.e = e = math.sqrt(self.e2)
+        phi0 = math.radians(lat0_deg)
+        s0 = math.sin(phi0)
+        # radii of curvature at the origin -> Gaussian sphere radius
+        rho0 = a * (1 - self.e2) / (1 - self.e2 * s0 * s0) ** 1.5
+        nu0 = a / math.sqrt(1 - self.e2 * s0 * s0)
+        self.R = math.sqrt(rho0 * nu0)
+        self.n = n = math.sqrt(1 + self.e2 * math.cos(phi0) ** 4 / (1 - self.e2))
+        S1 = (1 + s0) / (1 - s0)
+        S2 = (1 - e * s0) / (1 + e * s0)
+        w1 = (S1 * S2**e) ** n
+        sin_chi0 = (w1 - 1) / (w1 + 1)
+        self.c = c = ((n + s0) * (1 - sin_chi0)) / ((n - s0) * (1 + sin_chi0))
+        w2 = c * w1
+        self.chi0 = math.asin((w2 - 1) / (w2 + 1))
+        self.lam0 = math.radians(lon0_deg)
+        self.k0 = k0
+        self.fe = false_easting
+        self.fn = false_northing
+
+    def forward(self, lons, lats):
+        lats = np.asarray(lats, dtype=np.float64)
+        lons = np.asarray(lons, dtype=np.float64)
+        phi = np.radians(lats)
+        lam = np.radians(lons)
+        dlam = (lam - self.lam0 + np.pi) % (2 * np.pi) - np.pi
+        # conformal-sphere longitude difference scales by n
+        L = self.n * dlam
+        e, n, c = self.e, self.n, self.c
+        s = np.sin(phi)
+        Sa = (1 + s) / (1 - s)
+        Sb = (1 - e * s) / (1 + e * s)
+        w = c * (Sa * Sb**e) ** n
+        chi = np.arcsin((w - 1) / (w + 1))
+        B = 1 + np.sin(chi) * math.sin(self.chi0) \
+            + np.cos(chi) * math.cos(self.chi0) * np.cos(L)
+        x = self.fe + 2 * self.R * self.k0 * np.cos(chi) * np.sin(L) / B
+        y = self.fn + 2 * self.R * self.k0 * (
+            np.sin(chi) * math.cos(self.chi0)
+            - np.cos(chi) * math.sin(self.chi0) * np.cos(L)
+        ) / B
+        return x, y
+
+    def inverse(self, xs, ys):
+        x = np.asarray(xs, dtype=np.float64) - self.fe
+        y = np.asarray(ys, dtype=np.float64) - self.fn
+        Rk2 = 2 * self.R * self.k0
+        # GN7-2 inverse on the conformal sphere
+        g = Rk2 * math.tan(math.pi / 4 - self.chi0 / 2)
+        h = 2 * Rk2 * math.tan(self.chi0) + g
+        i = np.arctan2(x, h + y)
+        j = np.arctan2(x, g - y) - i
+        chi = self.chi0 + 2 * np.arctan2(y - x * np.tan(j / 2), Rk2)
+        L = j + 2 * i
+        lam = L / self.n + self.lam0
+        # isometric latitude on the ellipsoid from the conformal latitude
+        e, n, c = self.e, self.n, self.c
+        s = np.sin(chi)
+        psi = 0.5 * np.log((1 + s) / (c * (1 - s))) / n
+        # iterate phi from isometric latitude (GN7-2 scheme)
+        phi = 2 * np.arctan(np.exp(psi)) - math.pi / 2
+        for _ in range(6):
+            sp = np.sin(phi)
+            psi_i = np.log(
+                np.tan(phi / 2 + math.pi / 4)
+                * ((1 - e * sp) / (1 + e * sp)) ** (e / 2)
+            )
+            phi = phi - (psi_i - psi) * np.cos(phi) * (1 - e * e * sp * sp) / (1 - e * e)
+        return np.degrees(lam), np.degrees(phi)
+
+
+class HotineObliqueMercator:
+    """Ellipsoidal Hotine Oblique Mercator, EPSG methods 9812 (variant A,
+    FE/FN at the natural origin) and 9815 (variant B, Ec/Nc at the
+    projection centre) — EPSG Guidance Note 7-2 §3.4.4 formulas.
+
+    Covers the oblique national grids a DEM user actually hits: Swiss
+    CH1903+/LV95 (EPSG:2056, swissALTI3D) and CH1903/LV03 (21781) — the
+    alpha=90 special case PROJ calls ``somerc`` — Borneo RSO (29873),
+    Malaysia GDM2000 RSO (3375/3376), and NAD83 Michigan Oblique (3078).
+    Pinned by the GN7-2 Timbalai worked example (variant B) and a
+    differential test against an independent Snyder §12 implementation.
+
+    Reference accepts these through PROJ ``omerc``/``somerc``
+    (/root/reference/opentopodata/utils.py:17-52)."""
+
+    def __init__(self, a, inv_f, latc_deg, lonc_deg, alphac_deg, gammac_deg,
+                 kc, false_easting, false_northing, variant="B"):
+        f = 1.0 / inv_f
+        self.e2 = e2 = f * (2 - f)
+        self.e = e = math.sqrt(e2)
+        phic = math.radians(latc_deg)
+        alphac = math.radians(alphac_deg)
+        self.gammac = math.radians(gammac_deg)
+        sc, cc = math.sin(phic), math.cos(phic)
+        self.B = B = math.sqrt(1 + e2 * cc**4 / (1 - e2))
+        self.A = A = a * B * kc * math.sqrt(1 - e2) / (1 - e2 * sc * sc)
+        t0 = math.tan(math.pi / 4 - phic / 2) / ((1 - e * sc) / (1 + e * sc)) ** (e / 2)
+        D = B * math.sqrt(1 - e2) / (cc * math.sqrt(1 - e2 * sc * sc))
+        D2 = max(D * D, 1.0)
+        sign = 1.0 if phic >= 0 else -1.0
+        F = D + math.sqrt(D2 - 1) * sign
+        self.H = F * t0**B
+        G = (F - 1 / F) / 2
+        self.gamma0 = math.asin(math.sin(alphac) / D)
+        # alpha_c = 90 makes G*tan(gamma0) exactly 1; clamp the float noise
+        gt = min(1.0, max(-1.0, G * math.tan(self.gamma0)))
+        self.lam0 = math.radians(lonc_deg) - math.asin(gt) / B
+        self.variant = variant
+        self.fe = false_easting
+        self.fn = false_northing
+        if variant == "B":
+            if abs(alphac_deg - 90.0) < 1e-12:
+                uc = A * (math.radians(lonc_deg) - self.lam0)
+            else:
+                uc = (A / B) * math.atan2(math.sqrt(D2 - 1), math.cos(alphac)) * sign
+            self.uc_off = abs(uc) * sign
+        else:
+            self.uc_off = 0.0
+
+    def forward(self, lons, lats):
+        lats = np.asarray(lats, dtype=np.float64)
+        lons = np.asarray(lons, dtype=np.float64)
+        phi = np.radians(lats)
+        lam = np.radians(lons)
+        dlam = (lam - self.lam0 + np.pi) % (2 * np.pi) - np.pi
+        e, A, B = self.e, self.A, self.B
+        s = np.sin(phi)
+        t = np.tan(math.pi / 4 - phi / 2) / ((1 - e * s) / (1 + e * s)) ** (e / 2)
+        Q = self.H / t**B
+        S = (Q - 1 / Q) / 2
+        T = (Q + 1 / Q) / 2
+        V = np.sin(B * dlam)
+        U = (-V * math.cos(self.gamma0) + S * math.sin(self.gamma0)) / T
+        v = A * np.log((1 - U) / (1 + U)) / (2 * B)
+        u = (A / B) * np.arctan2(
+            S * math.cos(self.gamma0) + V * math.sin(self.gamma0),
+            np.cos(B * dlam),
+        ) - self.uc_off
+        cg, sg = math.cos(self.gammac), math.sin(self.gammac)
+        x = v * cg + u * sg + self.fe
+        y = u * cg - v * sg + self.fn
+        return x, y
+
+    def inverse(self, xs, ys):
+        x = np.asarray(xs, dtype=np.float64) - self.fe
+        y = np.asarray(ys, dtype=np.float64) - self.fn
+        cg, sg = math.cos(self.gammac), math.sin(self.gammac)
+        v = x * cg - y * sg
+        u = y * cg + x * sg + self.uc_off
+        e, A, B = self.e, self.A, self.B
+        Q = np.exp(-B * v / A)
+        S = (Q - 1 / Q) / 2
+        V = np.sin(B * u / A)
+        T = (Q + 1 / Q) / 2
+        U = (V * math.cos(self.gamma0) + S * math.sin(self.gamma0)) / T
+        t = (self.H / np.sqrt((1 + U) / (1 - U))) ** (1 / B)
+        # t = tan(pi/4 - chi/2) -> tau' = tan(chi); Newton back to phi
+        chi = math.pi / 2 - 2 * np.arctan(t)
+        phi = _phi_from_conformal_tau(np.tan(chi), e, self.e2)
+        lam = self.lam0 - np.arctan2(
+            S * math.cos(self.gamma0) - V * math.sin(self.gamma0),
+            np.cos(B * u / A),
+        ) / B
+        lam = (lam + np.pi) % (2 * np.pi) - np.pi
+        return np.degrees(lam), np.degrees(phi)
+
+
+def _rect_mu_coeffs(n: float) -> np.ndarray:
+    """phi -> rectifying latitude series: mu = phi + sum c_j sin(2j phi)."""
+    n2, n3, n4, n5 = n**2, n**3, n**4, n**5
+    return np.array([
+        -3 * n / 2 + 9 * n3 / 16 - 3 * n5 / 32,
+        15 * n2 / 16 - 15 * n4 / 32,
+        -35 * n3 / 48 + 105 * n5 / 256,
+        315 * n4 / 512,
+        -693 * n5 / 1280,
+    ])
+
+
+def _rect_phi_coeffs(n: float) -> np.ndarray:
+    """rectifying latitude -> phi series: phi = mu + sum d_j sin(2j mu)."""
+    n2, n3, n4, n5 = n**2, n**3, n**4, n**5
+    return np.array([
+        3 * n / 2 - 27 * n3 / 32 + 269 * n5 / 512,
+        21 * n2 / 16 - 55 * n4 / 32,
+        151 * n3 / 96 - 417 * n5 / 128,
+        1097 * n4 / 512,
+        8011 * n5 / 2560,
+    ])
+
+
+class EquidistantCylindrical:
+    """Ellipsoidal Equidistant Cylindrical, EPSG method 1028 — EPSG:4087
+    (WGS 84 / World Equidistant Cylindrical) and the Plate Carrée family.
+    Northing is the meridian arc M(phi) (rectifying-latitude series, same
+    scale constant as the Krüger A), easting is nu1*cos(phi1)*dlam. Pinned
+    by the GN7-2 worked example (55N 10E -> 1113194.91E 6097230.31N)."""
+
+    def __init__(self, a, inv_f, lat_ts_deg=0.0, lon0_deg=0.0,
+                 false_easting=0.0, false_northing=0.0):
+        f = 1.0 / inv_f
+        self.e2 = f * (2 - f)
+        n = f / (2 - f)
+        self.A = a / (1 + n) * (1 + n**2 / 4 + n**4 / 64 + n**6 / 256)
+        self.mu_c = _rect_mu_coeffs(n)
+        self.phi_c = _rect_phi_coeffs(n)
+        phi1 = math.radians(lat_ts_deg)
+        nu1 = a / math.sqrt(1 - self.e2 * math.sin(phi1) ** 2)
+        self.cx = nu1 * math.cos(phi1)
+        self.lam0 = math.radians(lon0_deg)
+        self.fe = false_easting
+        self.fn = false_northing
+
+    def forward(self, lons, lats):
+        lats = np.asarray(lats, dtype=np.float64)
+        lons = np.asarray(lons, dtype=np.float64)
+        phi = np.radians(lats)
+        dlam = (np.radians(lons) - self.lam0 + np.pi) % (2 * np.pi) - np.pi
+        mu = phi.copy()
+        for j, c_j in enumerate(self.mu_c, start=1):
+            mu += c_j * np.sin(2 * j * phi)
+        return self.fe + self.cx * dlam, self.fn + self.A * mu
+
+    def inverse(self, xs, ys):
+        x = np.asarray(xs, dtype=np.float64) - self.fe
+        y = np.asarray(ys, dtype=np.float64) - self.fn
+        mu = y / self.A
+        phi = mu.copy()
+        for j, d_j in enumerate(self.phi_c, start=1):
+            phi += d_j * np.sin(2 * j * mu)
+        return np.degrees(x / self.cx + self.lam0), np.degrees(phi)
+
+
 class WebMercator:
     R = 6378137.0
 
@@ -661,6 +930,22 @@ _GEOGRAPHIC_IDENTITY_EPSGS = frozenset(
 _OSGB36_DATUM = ("airy_osgb36", -446.448, 125.157, -542.060,
                  -0.1502, -0.2470, -0.8421, 20.4894)
 
+# WGS84 -> Amersfoort position-vector Helmert (negated PROJ towgs84 set for
+# EPSG:28992, the RDNAPTRANS-derived small-Helmert approximation, ~0.5 m —
+# exact RD needs the NTv2 correction grid, which grid-less PROJ also skips).
+_AMERSFOORT_DATUM = ("bessel_amersfoort", -565.4171, -50.3319, -465.5524,
+                     0.398957, -0.343988, 1.8774, -4.0725)
+
+# WGS84 -> CH1903(+) 3-translation Helmert (negated swisstopo towgs84 set;
+# ~1 m vs the exact FINELTRA grid).
+_CH1903_DATUM = ("bessel_ch1903", -674.374, -15.056, -405.346,
+                 0.0, 0.0, 0.0, 0.0)
+
+# WGS84 -> Ireland 1965/TM75 position-vector Helmert (negated OSi/OSNI
+# towgs84 set, ~1 m vs the official polynomial transform).
+_IRELAND65_DATUM = ("airymod_ireland65", -482.5, 130.6, -564.6,
+                    1.042, 0.214, 0.631, -8.15)
+
 # Named national grids, all Transverse Mercator instances the Krüger code
 # handles: (ellipsoid, lat0, lon0, k0, false_easting, false_northing, datum)
 _NAMED_TM_EPSGS: dict[int, tuple] = {
@@ -669,6 +954,46 @@ _NAMED_TM_EPSGS: dict[int, tuple] = {
     # OSGB36 / British National Grid
     27700: (_AIRY1830, 49.0, -2.0, 0.9996012717, 400000.0, -100000.0,
             _OSGB36_DATUM),
+    # IRENET95 / Irish Transverse Mercator (IRENET95 ~ WGS84)
+    2157: (_GRS80, 53.5, -8.0, 0.99982, 600000.0, 750000.0, None),
+    # TM75 / Irish Grid (the legacy OSi grid most Irish DEMs still ship in)
+    29903: (_AIRY_MOD, 53.5, -8.0, 1.000035, 200000.0, 250000.0,
+            _IRELAND65_DATUM),
+}
+
+# Oblique Stereographic (EPSG method 9809) grids:
+# (ellipsoid, lat0, lon0, k0, fe, fn, datum).
+_OBLIQUE_STEREO_EPSGS: dict[int, tuple] = {
+    # Amersfoort / RD New — the Dutch national grid (AHN DEMs)
+    28992: (_BESSEL1841, 52.0 + 9.0 / 60.0 + 22.178 / 3600.0,
+            5.0 + 23.0 / 60.0 + 15.5 / 3600.0, 0.9999079,
+            155000.0, 463000.0, _AMERSFOORT_DATUM),
+}
+
+# Hotine Oblique Mercator grids: (ellipsoid, latc, lonc, alphac, gammac,
+# kc, fe/ec, fn/nc, variant, datum).
+_HOM_EPSGS: dict[int, tuple] = {
+    # CH1903+ / LV95 (swissALTI3D and every modern Swiss raster) — the
+    # alpha=90 'Swiss Oblique Mercator' special case, EPSG variant B
+    2056: (_BESSEL1841, 46.0 + 57.0 / 60.0 + 8.66 / 3600.0,
+           7.0 + 26.0 / 60.0 + 22.5 / 3600.0, 90.0, 90.0, 1.0,
+           2600000.0, 1200000.0, "B", _CH1903_DATUM),
+    # CH1903 / LV03 (legacy Swiss grid)
+    21781: (_BESSEL1841, 46.0 + 57.0 / 60.0 + 8.66 / 3600.0,
+            7.0 + 26.0 / 60.0 + 22.5 / 3600.0, 90.0, 90.0, 1.0,
+            600000.0, 200000.0, "B", _CH1903_DATUM),
+    # NAD83 / Michigan Oblique Mercator (variant A, NAD83 ~ WGS84)
+    3078: (_GRS80, 45.0 + 18.0 / 60.0 + 33.0 / 3600.0, -86.0,
+           337.0 + 15.0 / 60.0 + 20.0 / 3600.0,
+           337.0 + 15.0 / 60.0 + 20.0 / 3600.0, 0.9996,
+           2546731.496, -4354009.816, "A", None),
+}
+
+# Equidistant Cylindrical (EPSG method 1028): (ellipsoid, lat_ts, lon0,
+# fe, fn).
+_EQC_EPSGS: dict[int, tuple] = {
+    # WGS 84 / World Equidistant Cylindrical
+    4087: (_WGS84, 0.0, 0.0, 0.0, 0.0),
 }
 
 
@@ -774,6 +1099,28 @@ def _projection_for_epsg(epsg: int):
         return PolarStereographic(*_WGS84, lat0_deg=lat0, lon0_deg=lon0,
                                   false_easting=fe, false_northing=fn,
                                   k0=k0, lat_ts_deg=lat_ts)
+    if epsg in _OBLIQUE_STEREO_EPSGS:
+        ell, lat0, lon0, k0, fe, fn, datum = _OBLIQUE_STEREO_EPSGS[epsg]
+        proj = ObliqueStereographic(*ell, lat0_deg=lat0, lon0_deg=lon0, k0=k0,
+                                    false_easting=fe, false_northing=fn)
+        if datum is not None:
+            _, tx, ty, tz, rx, ry, rz, s = datum
+            proj = DatumShifted(proj, HelmertDatum(*ell, tx, ty, tz, rx, ry, rz, s))
+        return proj
+    if epsg in _HOM_EPSGS:
+        ell, latc, lonc, alphac, gammac, kc, fe, fn, variant, datum = _HOM_EPSGS[epsg]
+        proj = HotineObliqueMercator(*ell, latc_deg=latc, lonc_deg=lonc,
+                                     alphac_deg=alphac, gammac_deg=gammac,
+                                     kc=kc, false_easting=fe, false_northing=fn,
+                                     variant=variant)
+        if datum is not None:
+            _, tx, ty, tz, rx, ry, rz, s = datum
+            proj = DatumShifted(proj, HelmertDatum(*ell, tx, ty, tz, rx, ry, rz, s))
+        return proj
+    if epsg in _EQC_EPSGS:
+        ell, lat_ts, lon0, fe, fn = _EQC_EPSGS[epsg]
+        return EquidistantCylindrical(*ell, lat_ts_deg=lat_ts, lon0_deg=lon0,
+                                      false_easting=fe, false_northing=fn)
     if epsg == 3035:  # ETRS89-extended / LAEA Europe
         return LambertAzimuthalEqualArea(*_GRS80, lat0_deg=52.0, lon0_deg=10.0,
                                          false_easting=4321000.0,
@@ -849,7 +1196,7 @@ def _projection_for_wkt(wkt: str):
             false_easting=p("false_easting"),
             false_northing=p("false_northing"),
         )
-    if "mercator" in name and "transverse" not in name:
+    if "mercator" in name and "transverse" not in name and "oblique" not in name:
         # 1SP: explicit scale_factor; 2SP: k0 derived from the standard
         # parallel, k0 = cos(sp1)/sqrt(1 - e^2 sin^2 sp1)
         sp1 = p("standard_parallel_1", default=float("nan"))
@@ -863,6 +1210,42 @@ def _projection_for_wkt(wkt: str):
             a, inv_f,
             lon0_deg=p("central_meridian", "longitude_of_origin"),
             k0=k0,
+            false_easting=p("false_easting"),
+            false_northing=p("false_northing"),
+        )
+    if "oblique_stereographic" in name or "double_stereographic" in name:
+        return ObliqueStereographic(
+            a, inv_f,
+            lat0_deg=p("latitude_of_origin", "latitude_of_center"),
+            lon0_deg=p("central_meridian", "longitude_of_center"),
+            k0=p("scale_factor", default=1.0),
+            false_easting=p("false_easting"),
+            false_northing=p("false_northing"),
+        )
+    if "hotine_oblique_mercator" in name or "swiss_oblique" in name \
+            or "oblique_mercator" in name:
+        # GDAL WKT1: ..._Azimuth_Center (variant B, FE/FN at the projection
+        # centre) vs plain Hotine_Oblique_Mercator (variant A). Swiss WKTs
+        # (Swiss_Oblique_Cylindrical / Hotine_..._Azimuth_Center az=90)
+        # are variant B.
+        variant = "B" if ("azimuth_center" in name or "swiss" in name) else "A"
+        latc = p("latitude_of_center", "latitude_of_origin")
+        alphac = p("azimuth", default=90.0)
+        return HotineObliqueMercator(
+            a, inv_f, latc_deg=latc,
+            lonc_deg=p("longitude_of_center", "central_meridian"),
+            alphac_deg=alphac,
+            gammac_deg=p("rectified_grid_angle", default=alphac),
+            kc=p("scale_factor", default=1.0),
+            false_easting=p("false_easting"),
+            false_northing=p("false_northing"),
+            variant=variant,
+        )
+    if "equirectangular" in name or "equidistant_cylindrical" in name:
+        return EquidistantCylindrical(
+            a, inv_f,
+            lat_ts_deg=p("standard_parallel_1", "latitude_of_origin"),
+            lon0_deg=p("central_meridian", "longitude_of_center"),
             false_easting=p("false_easting"),
             false_northing=p("false_northing"),
         )

@@ -758,3 +758,363 @@ def test_registry_srtm_bbox_still_honors_config(raster_root, datasets):
     (_, _, _, left, bottom, right, top, *_rest), = tiles.dataset_registry_rows(ordered)
     assert left >= 10.0 and right <= 12.0
     assert bottom >= 0.0 and top <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# Oblique Stereographic / Hotine Oblique Mercator / Equidistant Cylindrical
+
+
+_OBLIQUE_CASES = [
+    (28992, (50.75, 53.6), (3.2, 7.3)),      # Amersfoort / RD New (AHN)
+    (2056, (45.8, 47.9), (5.9, 10.6)),       # CH1903+ / LV95 (swissALTI3D)
+    (21781, (45.8, 47.9), (5.9, 10.6)),      # CH1903 / LV03
+    (3078, (41.5, 48.5), (-90.5, -82.0)),    # NAD83 / Michigan Oblique
+    (4087, (-75.0, 80.0), (-179.0, 179.0)),  # WGS84 / World Eq. Cylindrical
+    (2157, (51.3, 55.5), (-10.7, -5.3)),     # IRENET95 / ITM
+    (29903, (51.3, 55.5), (-10.7, -5.3)),    # TM75 / Irish Grid
+]
+
+
+@pytest.mark.parametrize("epsg,lat_range,lon_range", _OBLIQUE_CASES)
+def test_oblique_family_roundtrip(epsg, lat_range, lon_range):
+    rng = np.random.default_rng(epsg)
+    lats = rng.uniform(*lat_range, 200)
+    lons = rng.uniform(*lon_range, 200)
+    x, y = crs.reproject_latlons(lats, lons, epsg=epsg)
+    lon2, lat2 = crs.unproject_xys(x, y, epsg=epsg)
+    np.testing.assert_allclose(lat2, lats, atol=1e-6)
+    np.testing.assert_allclose(lon2, lons, atol=1e-6)
+
+
+def test_oblique_stereographic_worked_example_epsg_method_9809():
+    """EPSG GN7-2 §3.2.5 worked example (Amersfoort / RD New): the input
+    is Amersfoort geographic (Bessel), so drive the bare projection.
+    53N 6E -> E 196105.283, N 557057.739."""
+    p = crs.ObliqueStereographic(
+        *crs._BESSEL1841,
+        lat0_deg=52 + 9 / 60 + 22.178 / 3600,
+        lon0_deg=5 + 23 / 60 + 15.5 / 3600,
+        k0=0.9999079, false_easting=155000.0, false_northing=463000.0,
+    )
+    x, y = p.forward(np.array([6.0]), np.array([53.0]))
+    assert abs(x[0] - 196105.283) < 0.005
+    assert abs(y[0] - 557057.739) < 0.005
+    lon2, lat2 = p.inverse(x, y)
+    assert abs(lon2[0] - 6.0) < 1e-11 and abs(lat2[0] - 53.0) < 1e-11
+
+
+def test_hom_variant_b_worked_example_epsg_method_9815():
+    """EPSG GN7-2 §3.4.4 worked example (Timbalai 1948 / RSO Borneo (m)),
+    Everest 1830 (1967) ellipsoid: 5d23'14.1129\"N 115d48'19.8196\"E ->
+    E 679245.73, N 596562.78."""
+    h = crs.HotineObliqueMercator(
+        6377298.556, 300.8017,
+        latc_deg=4.0, lonc_deg=115.0,
+        alphac_deg=53 + 18 / 60 + 56.9537 / 3600,
+        gammac_deg=53 + 7 / 60 + 48.3685 / 3600,
+        kc=0.99984, false_easting=590476.87, false_northing=442857.65,
+        variant="B",
+    )
+    lat = 5 + 23 / 60 + 14.1129 / 3600
+    lon = 115 + 48 / 60 + 19.8196 / 3600
+    x, y = h.forward(np.array([lon]), np.array([lat]))
+    assert abs(x[0] - 679245.73) < 0.01
+    assert abs(y[0] - 596562.78) < 0.01
+    lon2, lat2 = h.inverse(x, y)
+    assert abs(lon2[0] - lon) < 1e-11 and abs(lat2[0] - lat) < 1e-11
+
+
+def test_eqc_worked_example_epsg_method_1028():
+    """EPSG GN7-2 worked example (WGS84 / World Equidistant Cylindrical):
+    55N 10E -> E 1113194.91, N 6097230.31."""
+    x, y = crs.reproject_latlons(np.array([55.0]), np.array([10.0]), epsg=4087)
+    assert abs(x[0] - 1113194.91) < 0.01
+    assert abs(y[0] - 6097230.31) < 0.01
+
+
+def _local_jacobian(proj, lon, lat, ell):
+    """Numerical Jacobian d(x,y)/d(east,north) in metres-per-metre on the
+    given ellipsoid (north uses the meridian radius rho, east the prime
+    vertical nu*cos(phi)), so a conformal projection must show an isotropic
+    Jacobian (circle->circle)."""
+    a, inv_f = ell
+    f = 1.0 / inv_f
+    e2 = f * (2 - f)
+    dlat = 1e-7
+    dlon = 1e-7
+    sinlat = np.sin(np.radians(lat))
+    coslat = np.cos(np.radians(lat))
+    w2 = 1 - e2 * sinlat * sinlat
+    nu = a / np.sqrt(w2)
+    rho = a * (1 - e2) / w2**1.5
+    x0, y0 = proj.forward(np.array([lon]), np.array([lat]))
+    xe, ye = proj.forward(np.array([lon + dlon]), np.array([lat]))
+    xn, yn = proj.forward(np.array([lon]), np.array([lat + dlat]))
+    east = np.radians(dlon) * nu * coslat
+    north = np.radians(dlat) * rho
+    return np.array([
+        [(xe[0] - x0[0]) / east, (xn[0] - x0[0]) / north],
+        [(ye[0] - y0[0]) / east, (yn[0] - y0[0]) / north],
+    ])
+
+
+@pytest.mark.parametrize("lon,lat", [(5.0, 51.5), (6.8, 52.9), (4.2, 52.0)])
+def test_oblique_stereographic_conformality(lon, lat):
+    """Singular values of the local Jacobian agree (circle stays a circle)
+    — a formula error in the conformal-sphere construction breaks this."""
+    p = crs.ObliqueStereographic(
+        *crs._BESSEL1841, lat0_deg=52.15616055555555,
+        lon0_deg=5.38763888888889, k0=0.9999079,
+        false_easting=155000.0, false_northing=463000.0,
+    )
+    s = np.linalg.svd(_local_jacobian(p, lon, lat, crs._BESSEL1841), compute_uv=False)
+    assert abs(s[0] / s[1] - 1.0) < 1e-4
+    # scale at the natural origin is exactly k0
+    s0 = np.linalg.svd(
+        _local_jacobian(p, 5.38763888888889, 52.15616055555555, crs._BESSEL1841),
+        compute_uv=False)
+    np.testing.assert_allclose(s0, [0.9999079, 0.9999079], rtol=2e-5)
+
+
+@pytest.mark.parametrize("variant", ["A", "B"])
+@pytest.mark.parametrize("lon,lat", [(115.8, 5.4), (114.0, 3.1), (117.5, 6.5)])
+def test_hom_conformality_and_centre_scale(variant, lon, lat):
+    h = crs.HotineObliqueMercator(
+        6377298.556, 300.8017, latc_deg=4.0, lonc_deg=115.0,
+        alphac_deg=53.31582047222222, gammac_deg=53.13010236111111,
+        kc=0.99984, false_easting=0.0, false_northing=0.0, variant=variant,
+    )
+    s = np.linalg.svd(_local_jacobian(h, lon, lat, (6377298.556, 300.8017)), compute_uv=False)
+    assert abs(s[0] / s[1] - 1.0) < 1e-4
+    sc = np.linalg.svd(_local_jacobian(h, 115.0, 4.0, (6377298.556, 300.8017)), compute_uv=False)
+    np.testing.assert_allclose(sc, [0.99984, 0.99984], rtol=2e-5)
+
+
+def test_swiss_lv95_centre_and_lv03_offset():
+    """LV95 = LV03 + (2_000_000, 1_000_000) exactly (same projection, same
+    datum, different false origin); the Bern origin lands on the LV95
+    false origin through the Helmert shift to within ~2 cm."""
+    lats = np.array([46.2044, 47.3769, 46.0037])   # Geneva, Zurich, Zermatt
+    lons = np.array([6.1432, 8.5417, 7.7491])
+    x95, y95 = crs.reproject_latlons(lats, lons, epsg=2056)
+    x03, y03 = crs.reproject_latlons(lats, lons, epsg=21781)
+    np.testing.assert_allclose(x95 - x03, 2000000.0, atol=1e-6)
+    np.testing.assert_allclose(y95 - y03, 1000000.0, atol=1e-6)
+    # swisstopo's published WGS84 position of the Bern LV95 origin
+    x, y = crs.reproject_latlons(
+        np.array([46.951082877]), np.array([7.438632495]), epsg=2056)
+    assert abs(x[0] - 2600000.0) < 0.05 and abs(y[0] - 1200000.0) < 0.05
+
+
+def test_rd_new_datum_shift_magnitude():
+    """EPSG:28992 includes the WGS84->Amersfoort Helmert; in the
+    Netherlands the horizontal effect is roughly 100 m."""
+    x, y = crs.reproject_latlons(np.array([52.37]), np.array([4.90]), epsg=28992)
+    bare = crs.ObliqueStereographic(
+        *crs._BESSEL1841, lat0_deg=52.15616055555555,
+        lon0_deg=5.38763888888889, k0=0.9999079,
+        false_easting=155000.0, false_northing=463000.0,
+    )
+    x2, y2 = bare.forward(np.array([4.90]), np.array([52.37]))
+    shift = float(np.hypot(x[0] - x2[0], y[0] - y2[0]))
+    assert 40.0 < shift < 200.0
+    # Amsterdam lands in the right km of the RD grid
+    assert abs(x[0] - 121000) < 2000 and abs(y[0] - 487000) < 2000
+
+
+def test_irish_grids():
+    """ITM (2157) and the legacy Irish Grid (29903) are both TM lat0=53.5
+    lon0=-8 but differ in k0/false origin/datum: same point, offsets of
+    ~400 km by construction. Dublin sanity-anchored on both."""
+    x_itm, y_itm = crs.reproject_latlons(
+        np.array([53.3498]), np.array([-6.2603]), epsg=2157)
+    x_ig, y_ig = crs.reproject_latlons(
+        np.array([53.3498]), np.array([-6.2603]), epsg=29903)
+    # Dublin: ITM ~ (715830, 734697), Irish Grid ~ (315904, 234671)
+    assert abs(x_itm[0] - 715830) < 1500 and abs(y_itm[0] - 734697) < 1500
+    assert abs(x_ig[0] - 315904) < 1500 and abs(y_ig[0] - 234671) < 1500
+
+
+def test_oblique_stereographic_wkt_matches_epsg_raw():
+    wkt = (
+        'PROJCS["Amersfoort / RD New",'
+        'GEOGCS["Amersfoort",DATUM["Amersfoort",'
+        'SPHEROID["Bessel 1841",6377397.155,299.1528128]],'
+        'PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],'
+        'PROJECTION["Oblique_Stereographic"],'
+        'PARAMETER["latitude_of_origin",52.1561605555556],'
+        'PARAMETER["central_meridian",5.38763888888889],'
+        'PARAMETER["scale_factor",0.9999079],'
+        'PARAMETER["false_easting",155000],'
+        'PARAMETER["false_northing",463000],UNIT["metre",1]]'
+    )
+    lats = np.array([52.0, 53.1])
+    lons = np.array([4.5, 6.2])
+    xw, yw = crs.reproject_latlons(lats, lons, wkt=wkt)
+    bare = crs.ObliqueStereographic(
+        *crs._BESSEL1841, lat0_deg=52.1561605555556,
+        lon0_deg=5.38763888888889, k0=0.9999079,
+        false_easting=155000.0, false_northing=463000.0,
+    )
+    xb, yb = bare.forward(lons, lats)
+    np.testing.assert_allclose(xw, xb, atol=1e-6)
+    np.testing.assert_allclose(yw, yb, atol=1e-6)
+
+
+def test_hom_azimuth_center_wkt_matches_swiss_raw():
+    """GDAL writes LV95 as Hotine_Oblique_Mercator_Azimuth_Center az=90 —
+    must parse as variant B and match the bare EPSG:2056 projection."""
+    wkt = (
+        'PROJCS["CH1903+ / LV95",'
+        'GEOGCS["CH1903+",DATUM["CH1903+",'
+        'SPHEROID["Bessel 1841",6377397.155,299.1528128]],'
+        'PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],'
+        'PROJECTION["Hotine_Oblique_Mercator_Azimuth_Center"],'
+        'PARAMETER["latitude_of_center",46.9524055555556],'
+        'PARAMETER["longitude_of_center",7.43958333333333],'
+        'PARAMETER["azimuth",90],'
+        'PARAMETER["rectified_grid_angle",90],'
+        'PARAMETER["scale_factor",1],'
+        'PARAMETER["false_easting",2600000],'
+        'PARAMETER["false_northing",1200000],UNIT["metre",1]]'
+    )
+    lats = np.array([46.3, 47.2])
+    lons = np.array([6.8, 9.1])
+    xw, yw = crs.reproject_latlons(lats, lons, wkt=wkt)
+    bare = crs.HotineObliqueMercator(
+        *crs._BESSEL1841, latc_deg=46.9524055555556,
+        lonc_deg=7.43958333333333, alphac_deg=90.0, gammac_deg=90.0,
+        kc=1.0, false_easting=2600000.0, false_northing=1200000.0,
+        variant="B",
+    )
+    xb, yb = bare.forward(lons, lats)
+    np.testing.assert_allclose(xw, xb, atol=1e-6)
+    np.testing.assert_allclose(yw, yb, atol=1e-6)
+
+
+def test_equirectangular_wkt_matches_epsg_4087():
+    wkt = (
+        'PROJCS["WGS 84 / World Equidistant Cylindrical",'
+        'GEOGCS["WGS 84",DATUM["WGS_1984",'
+        'SPHEROID["WGS 84",6378137,298.257223563]],'
+        'PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],'
+        'PROJECTION["Equirectangular"],'
+        'PARAMETER["standard_parallel_1",0],'
+        'PARAMETER["central_meridian",0],'
+        'PARAMETER["false_easting",0],'
+        'PARAMETER["false_northing",0],UNIT["metre",1]]'
+    )
+    lats = np.array([55.0, -33.5])
+    lons = np.array([10.0, 151.2])
+    xw, yw = crs.reproject_latlons(lats, lons, wkt=wkt)
+    xe, ye = crs.reproject_latlons(lats, lons, epsg=4087)
+    np.testing.assert_allclose(xw, xe, atol=1e-6)
+    np.testing.assert_allclose(yw, ye, atol=1e-6)
+
+
+def _write_rd_new_tiles(root):
+    """Two RD New (EPSG:28992) 50 km tiles over the central Netherlands
+    with projected-corner filenames — the AHN layout in miniature."""
+    import os
+
+    from opentopodata_spark import geotiff
+
+    d = os.path.join(root, "rd-tiles")
+    os.makedirs(d, exist_ok=True)
+    px = 500.0
+    for easting in (100000, 150000):
+        x0, y0 = float(easting), 500000.0
+        xs = x0 + (np.arange(100) + 0.5) * px
+        ys = y0 - (np.arange(100) + 0.5) * px
+        X, Y = np.meshgrid(xs, ys)
+        grid = (5.0 + 12.0 * np.sin(X / 1.6e4) + 9.0 * np.cos(Y / 2.3e4)).astype(
+            np.float32
+        )
+        geotiff.write_geotiff(
+            os.path.join(d, f"N450000E{easting}.tif"), grid,
+            x0=x0, y0=y0, sx=px, sy=px, epsg=28992, nodata=-9999,
+            compression="deflate", predictor=3, tile_size=(32, 32),
+        )
+    return d
+
+
+def _write_swiss_lv95_single(root):
+    import os
+
+    from opentopodata_spark import geotiff
+
+    d = os.path.join(root, "lv95-dem")
+    os.makedirs(d, exist_ok=True)
+    px = 800.0
+    # around Bern: LV95 E ~ 2,600,000, N ~ 1,200,000
+    x0, y0 = 2570000.0, 1220000.0
+    xs = x0 + (np.arange(100) + 0.5) * px
+    ys = y0 - (np.arange(100) + 0.5) * px
+    X, Y = np.meshgrid(xs, ys)
+    grid = (800.0 + 500.0 * np.sin(X / 2.1e4) + 350.0 * np.cos(Y / 1.7e4)).astype(
+        np.float32
+    )
+    geotiff.write_geotiff(
+        os.path.join(d, "lv95.tif"), grid, x0=x0, y0=y0, sx=px, sy=px,
+        epsg=2056, nodata=-9999, compression="lzw",
+    )
+    return d
+
+
+def test_oblique_crs_elevation_differential(spark, tmp_path):
+    """End-to-end differential on the oblique CRSs: an RD New tiled
+    dataset (projected filename corners, EPSG:28992, datum-shifted) + a
+    Swiss LV95 single-file dataset (EPSG:2056, somerc special case),
+    Spark resolver vs the single-process oracle, bit-identical."""
+    import os
+
+    from opentopodata_spark import config, oracle
+    from opentopodata_spark.operators import elevation
+
+    root = str(tmp_path)
+    nl_dir = _write_rd_new_tiles(root)
+    ch_dir = _write_swiss_lv95_single(root)
+    cfg = os.path.join(root, "cfg.yaml")
+    with open(cfg, "w") as f:
+        f.write(
+            "datasets:\n"
+            f"- name: rdnew\n  path: {nl_dir}/\n"
+            "  filename_epsg: 28992\n  filename_tile_size: 50000\n"
+            f"- name: swisslv95\n  path: {ch_dir}/\n"
+        )
+    dsets = config.load_datasets(cfg)
+    ordered = [dsets["rdnew"], dsets["swisslv95"]]
+
+    rng = np.random.default_rng(28992)
+    lats = np.concatenate([
+        rng.uniform(52.0, 52.35, 60),    # RD New tiles area
+        rng.uniform(46.55, 47.0, 60),    # LV95 raster area
+        rng.uniform(-20.0, 0.0, 20),     # out of both -> null
+    ])
+    lons = np.concatenate([
+        rng.uniform(4.6, 5.7, 60),
+        rng.uniform(7.2, 7.95, 60),
+        rng.uniform(30.0, 60.0, 20),
+    ])
+    pts = spark.createDataFrame(
+        [(int(i), float(la), float(lo)) for i, (la, lo) in enumerate(zip(lats, lons))],
+        "point_id long, lat double, lon double",
+    )
+    res = elevation.ElevationResolver(spark, ordered, "bilinear").resolve(pts)
+    rows = {r.point_id: r for r in res.collect()}
+    e, names = oracle.get_elevation(lats, lons, ordered, "bilinear")
+    assert len(rows) == len(lats)
+    resolved = 0
+    for i in range(len(lats)):
+        r = rows[i]
+        eo, no = e[i], names[i]
+        if eo is None:
+            assert r.elevation is None, (i, r.elevation, eo)
+        else:
+            assert r.elevation == eo, (i, r.elevation, eo)
+            resolved += 1
+        assert r.dataset == no, (i, r.dataset, no)
+    assert resolved >= 60
+    assert {r.dataset for r in rows.values() if r.elevation is not None} == {
+        "rdnew", "swisslv95",
+    }
