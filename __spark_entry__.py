@@ -553,6 +553,52 @@ FROM documents
 """
 
 
+def q_html_extract(spark, sf_dir):
+    """HTML -> text extraction (operators/textops.html_to_text): strip
+    container elements / comments / tags, block closers -> newlines,
+    fixed entity decode, whitespace discipline. The synthetic corpus is
+    plain text, so each doc is first wrapped in a deterministic HTML
+    shell (same expression in the SQL oracle) including a <script>, a
+    <style>-bearing <head>, entities, and nav-ish <li> noise. Pure
+    codegen'd regexp projection — zero shuffles, scan-speed at 100 TB."""
+    d = _t(spark, sf_dir, "documents")
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("<html><head><title>doc</title><style>p{color:red}"
+                  "</style></head><body><h1>"),
+            F.substring(F.col("text"), 1, 40),
+            F.lit("</h1><script>if(a<b){track()}</script><p>"),
+            F.col("text"),
+            F.lit("</p><ul><li>nav&nbsp;home</li><li>x</li></ul>"
+                  "<div>tail &amp; fin &#39;q&#39;</div></body></html>"),
+        ).alias("html"),
+    )
+    return textops.html_to_text(planted)
+
+
+def _html_extract_sql() -> str:
+    from opentopodata_spark.operators.textops import html_text_sql
+
+    frag = html_text_sql("html")
+    return f"""
+WITH planted AS (
+  SELECT doc_id,
+         '<html><head><title>doc</title><style>p{{color:red}}</style>'
+         || '</head><body><h1>' || substr(text, 1, 40)
+         || '</h1><script>if(a<b){{track()}}</script><p>' || text
+         || '</p><ul><li>nav&nbsp;home</li><li>x</li></ul>'
+         || '<div>tail &amp; fin &#39;q&#39;</div></body></html>' AS html
+  FROM documents),
+extracted AS (SELECT doc_id, {frag} AS text FROM planted)
+SELECT doc_id, text,
+       CASE WHEN text = '' THEN 0
+            ELSE len(string_split(text, chr(10))) END AS n_lines,
+       length(text) AS n_chars
+FROM extracted
+"""
+
+
 _CHUNK_TOKENS, _CHUNK_STRIDE = 32, 24
 
 
@@ -3404,6 +3450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search": q_bm25_search,
         "contamination_check": q_contamination_check,
         "pii_scrub": q_pii_scrub,
+        "html_extract": q_html_extract,
         "text_normalize": q_text_normalize,
         "corpus_stats": q_corpus_stats,
         "corpus_stats_approx": q_corpus_stats_approx,
@@ -3476,6 +3523,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_search": _bm25_sql(),
         "contamination_check": _contamination_sql(),
         "pii_scrub": _pii_scrub_sql(),
+        "html_extract": _html_extract_sql(),
         "text_normalize": _Q_TEXT_NORMALIZE_SQL,
         "corpus_stats": _Q_CORPUS_STATS_SQL,
         "corpus_stats_approx": _Q_CORPUS_STATS_APPROX_SQL,

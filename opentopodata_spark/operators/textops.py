@@ -22,7 +22,7 @@ the DuckDB oracle in ``__spark_entry__.py`` runs the same arithmetic.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .exprutil import bind_once, tokens, word_ngram_array
@@ -522,4 +522,103 @@ def chunk_documents(
         F.col("chunk_idx").cast("long").alias("chunk_idx"),
         F.col("w.chunk").alias("chunk"),
         F.col("w.n_tokens").alias("n_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# HTML -> text extraction (the crawl-pipeline front door)
+
+# Sequential regex steps, applied in list order. Written in the common
+# Java-regex / RE2 subset (inline (?is) flags, non-greedy, \A/\z anchors,
+# NO backrefs — RE2 has none, hence one step per container tag instead of
+# <(script|style)>.*?</\1>) so the Spark chain and the DuckDB oracle
+# transform text identically. Replacements avoid '$' and '\' (special in
+# Java's replacement grammar).
+_HTML_CONTAINER_TAGS = ("script", "style", "noscript", "template", "svg",
+                        "head")
+HTML_STEPS: list[tuple[str, str]] = [
+    # comments, then whole container elements (content is never text)
+    ("(?s)<!--.*?-->", " "),
+    *[
+        (f"(?is)<{t}[ >].*?</{t} *>", " ")
+        for t in _HTML_CONTAINER_TAGS
+    ],
+    # block-level closers + <br> become line breaks before tag stripping
+    ("(?is)<br */?>|</(?:p|div|li|tr|td|th|blockquote|section|article|"
+     "header|footer|h1|h2|h3|h4|h5|h6|ul|ol|table)( [^>]*)? *>", "\n"),
+    # every remaining tag becomes a space (never joins words)
+    ("(?s)</?[a-zA-Z][^>]*>", " "),
+    # fixed entity table; &amp; decoded LAST so &amp;lt; -> &lt; (single
+    # decode, the lossless order)
+    ("&nbsp;|&#160;", " "),
+    ("&lt;|&#60;", "<"),
+    ("&gt;|&#62;", ">"),
+    ("&quot;|&#34;", "\""),
+    ("&apos;|&#39;", "'"),
+    ("&amp;|&#38;", "&"),
+    # whitespace discipline: collapse spaces, tighten around newlines,
+    # collapse blank-line runs, trim ends (\A/\z anchors: RE2 '$' is
+    # end-of-text while Java's also matches before a final newline — the
+    # explicit anchors mean both engines agree)
+    ("[ \\t\\r\\f]+", " "),
+    (" ?\\n ?", "\n"),
+    ("\\n+", "\n"),
+    ("\\A\\s+|\\s+\\z", ""),
+]
+
+
+def html_text_expr(col) -> Column:
+    """Column expression applying the full HTML_STEPS chain."""
+    c = F.col(col) if isinstance(col, str) else col
+    for pat, repl in HTML_STEPS:
+        c = F.regexp_replace(c, pat, repl)
+    return c
+
+
+def html_text_sql(expr: str) -> str:
+    """The IDENTICAL chain as a DuckDB SQL fragment over ``expr`` — the
+    oracle runs the same step table, so the two sides cannot drift."""
+
+    def q(s: str) -> str:
+        return "e'" + s.replace("\\", "\\\\").replace("'", "\\'") \
+                       .replace("\n", "\\n").replace("\t", "\\t") + "'"
+
+    out = expr
+    for pat, repl in HTML_STEPS:
+        out = f"regexp_replace({out}, {q(pat)}, {q(repl)}, 'g')"
+    return out
+
+
+def html_to_text(
+    df: DataFrame, id_col: str = "doc_id", html_col: str = "html",
+    min_line_chars: int = 0,
+) -> DataFrame:
+    """Extract readable text from raw HTML: (doc_id, text, n_lines,
+    n_chars).
+
+    Strips comments and container elements (script/style/head/...),
+    converts block boundaries to newlines, removes remaining tags,
+    decodes the fixed HTML entity table, and normalizes whitespace —
+    the standard first stage of a crawl->training-corpus pipeline
+    (c4/refinedweb shape). ``min_line_chars`` > 0 additionally drops
+    short lines (cheap boilerplate cut: nav items, button labels).
+
+    Pure codegen'd column expressions — narrow projection, zero Python,
+    zero shuffle; at 100 TB this runs at scan speed and never exchanges.
+    """
+    text = html_text_expr(html_col)
+    if min_line_chars > 0:
+        text = F.array_join(
+            F.filter(
+                F.split(text, "\n"),
+                lambda ln: F.length(ln) >= F.lit(min_line_chars),
+            ),
+            "\n",
+        )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        text.alias("text"),
+        (F.size(F.split(text, "\n"))
+         - F.when(text == "", 1).otherwise(0)).cast("long").alias("n_lines"),
+        F.length(text).cast("long").alias("n_chars"),
     )

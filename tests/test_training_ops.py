@@ -1141,3 +1141,84 @@ class TestChunking:
         import pytest as _pt
         with _pt.raises(ValueError):
             textops.chunk_documents(df, chunk_tokens=0)
+
+
+class TestHtmlToText:
+    SAMPLES = [
+        "<html><head><title>T</title><style>p{}</style></head><body>"
+        "<h1>Head &amp; tail</h1><script>if(a<b){x()}</script><p>one  two"
+        "</p><div> three </div><ul><li>item&nbsp;1</li><li>i2</li></ul>"
+        "</body></html>",
+        "plain text, no tags at all",
+        "<p>a&lt;b &amp;&amp; c&gt;d &quot;q&quot; &#39;s&#39; &amp;lt;</p>",
+        "<!-- c --><br><br/><BR >x<svg width=3><circle/></svg>y",
+        "<div class='a'>first</div>\n\n<div>second</div>",
+        "",
+        "<script>only script</script>",
+        "<td>cell</td><TABLE border=1><tr><td>a</td></tr></table>tail",
+    ]
+
+    def test_goldens(self, spark):
+        df = spark.createDataFrame(
+            list(enumerate(self.SAMPLES)), "doc_id long, html string"
+        )
+        got = {r.doc_id: r for r in textops.html_to_text(df).collect()}
+        assert got[0].text == "Head & tail\none two\nthree\nitem 1\ni2"
+        assert got[0].n_lines == 5
+        assert got[1].text == self.SAMPLES[1]  # plain text untouched
+        # &amp;lt; decodes ONCE (to &lt;), never double-decodes to <
+        assert got[2].text == "a<b && c>d \"q\" 's' &lt;"
+        assert got[3].text == "x y"
+        assert got[4].text == "first\nsecond"
+        assert got[5].text == "" and got[5].n_lines == 0
+        assert got[6].text == "" and got[6].n_chars == 0
+        assert got[7].text == "cell\na\ntail"
+
+    def test_duckdb_chain_parity(self, spark):
+        """html_text_sql builds the oracle from the SAME step table —
+        outputs must be byte-identical across Spark and DuckDB on the
+        adversarial corpus."""
+        import duckdb
+
+        df = spark.createDataFrame(
+            list(enumerate(self.SAMPLES)), "doc_id long, html string"
+        )
+        got = {r.doc_id: r.text for r in textops.html_to_text(df).collect()}
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t(doc_id BIGINT, html VARCHAR)")
+        con.executemany(
+            "INSERT INTO t VALUES (?, ?)", list(enumerate(self.SAMPLES))
+        )
+        frag = textops.html_text_sql("html")
+        for doc_id, otext in con.sql(
+            f"SELECT doc_id, {frag} AS text FROM t"
+        ).fetchall():
+            assert got[doc_id] == otext, doc_id
+
+    def test_min_line_chars(self, spark):
+        df = spark.createDataFrame(
+            [(1, "<p>a real sentence here</p><li>nav</li><li>ok</li>"
+                 "<p>another long line of text</p>")],
+            "doc_id long, html string",
+        )
+        r = textops.html_to_text(df, min_line_chars=10).collect()[0]
+        assert r.text == "a real sentence here\nanother long line of text"
+        assert r.n_lines == 2
+
+    def test_idempotent_on_extracted(self, spark):
+        """Running the extractor on its own output is a no-op for text
+        with no residual markup syntax. Sample 2 is excluded: its OUTPUT
+        legitimately contains '<' and '&lt;' from decoded entities, which
+        a second pass re-parses as markup — single-pass extraction is the
+        contract, and this pins exactly that asymmetry."""
+        df = spark.createDataFrame(
+            [(i, s) for i, s in enumerate(self.SAMPLES) if i != 2],
+            "doc_id long, html string",
+        )
+        once = textops.html_to_text(df)
+        twice = textops.html_to_text(
+            once.select("doc_id", F.col("text").alias("html"))
+        )
+        a = {r.doc_id: r.text for r in once.collect()}
+        b = {r.doc_id: r.text for r in twice.collect()}
+        assert a == b
