@@ -4,7 +4,7 @@ The raster<->vector cluster surface, submit-able the same way as
 jobs/elevation.py (``spark-submit --py-files otds.zip -m ... raster``).
 Subcommands:
 
-  terrain    tiled DEM -> slope|aspect|hillshade GeoTIFF tiles
+  terrain    tiled DEM -> slope|aspect|hillshade|tpi|tri|roughness tiles
              (cross-tile halo reads, resume via --skip-existing,
              per-tile lineage checksums in the manifest)
   zonal      tiled/loose rasters + polygons (GeoJSON or engine JSON)
@@ -113,7 +113,9 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--dataset", help="tiled dataset name from the config")
     t.add_argument("--rasters", nargs="*", help="glob(s) of a regular tile grid (alternative to --config; grid keys derived from filenames is NOT attempted — files must share one grid and are keyed by sorted order per row/col of their corners)")
     t.add_argument("--out", required=True)
-    t.add_argument("--kind", default="slope", choices=["slope", "aspect", "hillshade"])
+    t.add_argument("--kind", default="slope",
+                   choices=["slope", "aspect", "hillshade", "tpi", "tri",
+                            "tri_wilson", "roughness"])
     t.add_argument("--scale", type=float, default=1.0, help="xy->z unit factor (111120 for degree grids with meter elevations)")
     t.add_argument("--z-factor", type=float, default=1.0)
     t.add_argument("--azimuth", type=float, default=315.0)

@@ -73,6 +73,30 @@ def terrain_kernel(
     azimuth: float = 315.0, altitude: float = 45.0,
 ) -> np.ndarray:
     """Padded (h+2, w+2) float64 -> (h, w) derivative of ``kind``."""
+    if kind in ("tpi", "tri", "tri_wilson", "roughness"):
+        # 3x3 neighborhood statistics (the other gdaldem modes). Plain
+        # (non-nan) reductions so any NODATA in the window -> NODATA out,
+        # matching the slope/aspect border discipline.
+        z = padded
+        c0 = z[1:-1, 1:-1]
+        nb = np.stack([
+            z[:-2, :-2], z[:-2, 1:-1], z[:-2, 2:],
+            z[1:-1, :-2], z[1:-1, 2:],
+            z[2:, :-2], z[2:, 1:-1], z[2:, 2:],
+        ])
+        if kind == "tpi":
+            # Topographic Position Index: center minus neighborhood mean
+            return c0 - nb.mean(axis=0)
+        if kind == "tri":
+            # Terrain Ruggedness Index, Riley 1999 (gdaldem >=3.3 default):
+            # sqrt of the sum of squared center-neighbor differences
+            return np.sqrt(((nb - c0) ** 2).sum(axis=0))
+        if kind == "tri_wilson":
+            # Wilson 2007 variant: mean absolute center-neighbor difference
+            return np.abs(nb - c0).mean(axis=0)
+        # roughness: max minus min over the full 9-cell window
+        allv = np.concatenate([nb, c0[None]], axis=0)
+        return allv.max(axis=0) - allv.min(axis=0)
     dzdx, dzdy = horn_derivatives(padded, sx, sy, scale)
     slope_rad = np.arctan(z_factor * np.hypot(dzdx, dzdy))
     if kind == "slope":

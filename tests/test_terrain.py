@@ -75,7 +75,8 @@ def _make_tile_grid(tmp_path, n_ty=2, n_tx=2, side=40, res=0.025):
     return tiles, mosaic
 
 
-@pytest.mark.parametrize("kind", ["slope", "aspect", "hillshade"])
+@pytest.mark.parametrize("kind", ["slope", "aspect", "hillshade", "tpi",
+                                  "tri", "tri_wilson", "roughness"])
 def test_seamless_vs_mosaic(spark, tmp_path, kind):
     tiles, mosaic = _make_tile_grid(tmp_path)
     out_dir = str(tmp_path / f"out_{kind}")
@@ -163,3 +164,32 @@ def test_resume_skip_existing(spark, tmp_path):
     assert sorted(os.listdir(out_dir)) == sorted(
         list(kept_mtimes) + lost
     )
+
+
+def test_kernel_neighborhood_stats_goldens():
+    """gdaldem tpi/tri/roughness semantics on a hand-computed window."""
+    z = np.full((3, 3), np.nan)
+    z = np.array([[1.0, 2.0, 3.0],
+                  [4.0, 5.0, 6.0],
+                  [7.0, 8.0, 9.0]])
+    # single interior pixel: neighbors 1,2,3,4,6,7,8,9 around center 5
+    tpi = terrain.terrain_kernel(z, 1.0, 1.0, "tpi")
+    assert tpi.shape == (1, 1) and abs(tpi[0, 0] - 0.0) < 1e-12
+    tri = terrain.terrain_kernel(z, 1.0, 1.0, "tri")
+    # Riley: sqrt(sum (c-n)^2) = sqrt(16+9+4+1+1+4+9+16) = sqrt(60)
+    assert abs(tri[0, 0] - np.sqrt(60.0)) < 1e-12
+    triw = terrain.terrain_kernel(z, 1.0, 1.0, "tri_wilson")
+    assert abs(triw[0, 0] - (4 + 3 + 2 + 1 + 1 + 2 + 3 + 4) / 8.0) < 1e-12
+    rough = terrain.terrain_kernel(z, 1.0, 1.0, "roughness")
+    assert abs(rough[0, 0] - 8.0) < 1e-12
+    # a plane has TPI exactly 0 everywhere (center == neighborhood mean)
+    x = np.arange(8) * 1.0
+    zp = 0.7 * x[None, :] - 0.4 * x[:, None]
+    assert np.allclose(terrain.terrain_kernel(zp, 1.0, 1.0, "tpi"), 0.0,
+                       atol=1e-12)
+    # NaN poisons the window for all four modes
+    zn = np.full((6, 6), 2.0)
+    zn[2, 2] = np.nan
+    for kind in ("tpi", "tri", "tri_wilson", "roughness"):
+        out = terrain.terrain_kernel(zn, 1.0, 1.0, kind)
+        assert np.isnan(out[0:3, 0:3]).all() and np.isfinite(out[3, 3])
