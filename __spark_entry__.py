@@ -2560,6 +2560,95 @@ def _srtm_tile_rows() -> list[tuple[int, int, str]]:
     return [(0, 10 + i, p) for i, p in enumerate(paths)]
 
 
+def _hydro_surface():
+    """Deterministic DEM for the hydrology queries: smooth hills + an
+    eastward tilt (long cross-tile flow lines) + noise + a NODATA lake."""
+    import numpy as np
+
+    rng = np.random.default_rng(4242)
+    H, W = 120, 120
+    yy, xx = np.mgrid[0:H, 0:W]
+    z = (
+        50.0 * np.sin(xx / 11.0) * np.cos(yy / 9.0)
+        + 0.25 * xx - 0.15 * yy + rng.normal(0, 0.6, (H, W))
+    )
+    z[30:34, 70:78] = np.nan
+    return z
+
+
+def _hydro_tile_rows() -> list[tuple[int, int, str]]:
+    """2x2 non-overlapping 60x60 tile grid over _hydro_surface()."""
+    import numpy as np
+
+    from opentopodata_spark import geotiff
+
+    d = os.path.join(_fixture_root(), "hydro_tiles")
+    os.makedirs(d, exist_ok=True)
+    res, side = 0.02, 60
+    z = None
+    tiles = []
+    for ty in range(2):
+        for tx in range(2):
+            path = os.path.join(d, f"h_{ty}_{tx}.tif")
+            if not os.path.exists(path):
+                if z is None:
+                    z = _hydro_surface()
+                arr = z[ty * side:(ty + 1) * side, tx * side:(tx + 1) * side]
+                tmp = path + f".tmp{os.getpid()}"
+                geotiff.write_geotiff(
+                    tmp, arr.astype(np.float64), x0=8.0 + tx * side * res,
+                    y0=2.0 - ty * side * res, sx=res, sy=res, epsg=4326,
+                    nodata=-9999,
+                )
+                os.replace(tmp, path)
+            tiles.append((2 - 1 - ty, tx, path))
+    return tiles
+
+
+def q_flow_accumulation(spark, sf_dir):
+    """D8 flow accumulation (operators/hydrology.flow_accumulation):
+    two-level decomposition — per-tile numpy topological peel, a border-
+    cell-only global routing solve, then an inflow-injected re-peel and
+    GeoTIFF sink. Pixels never shuffle; only O(border cells) rows are
+    exchanged. Oracle: single-process whole-mosaic accumulation (no
+    tiling, no halo, no border graph), precomputed to parquet."""
+    from opentopodata_spark.operators import hydrology
+
+    _ship_package(spark)
+    out_dir = os.path.join(_fixture_root(), "flow_acc_out")
+    m = hydrology.flow_accumulation(spark, _hydro_tile_rows(), out_dir)
+    return m.select("tile_iy", "tile_ix", "n_valid", "checksum")
+
+
+def _build_flow_acc_oracle(sf_dir: str):
+    import numpy as np
+    import pyarrow as pa
+
+    from opentopodata_spark.operators import hydrology
+
+    z = _hydro_surface()
+    acc = hydrology.mosaic_flow_accumulation(z, 0.02, 0.02)
+    side = 60
+    rows = []
+    for ty in range(2):
+        for tx in range(2):
+            blk = acc[ty * side:(ty + 1) * side, tx * side:(tx + 1) * side]
+            fin = np.isfinite(blk)
+            arr = blk[fin].astype(np.float32)
+            rows.append((
+                2 - 1 - ty, tx, int(fin.sum()),
+                round(float(arr.astype(np.float64).sum()), 3),
+            ))
+    return pa.table(
+        {
+            "tile_iy": pa.array([r[0] for r in rows], type=pa.int64()),
+            "tile_ix": pa.array([r[1] for r in rows], type=pa.int64()),
+            "n_valid": pa.array([r[2] for r in rows], type=pa.int64()),
+            "checksum": pa.array([r[3] for r in rows], type=pa.float64()),
+        }
+    )
+
+
 def q_terrain_slope(spark, sf_dir):
     """Distributed Horn-slope stencil over the SRTM tile pair: per-tile
     computation with a 1-pixel cross-tile halo read directly from the
@@ -3407,6 +3496,7 @@ _PRECOMPUTED_BUILDERS = {
     "ivf_topk": _build_ivf_oracle,
     "ivfpq_topk": _build_ivfpq_oracle,
     "terrain_slope": _build_terrain_oracle,
+    "flow_accumulation": _build_flow_acc_oracle,
     "overview_tiles": _build_overview_oracle,
     "streaming_overview": _build_overview_oracle,
     "contour_lines": _build_contour_oracle,
@@ -3497,6 +3587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal_stats": q_zonal_stats,
         "rasterize_grid": q_rasterize_grid,
         "terrain_slope": q_terrain_slope,
+        "flow_accumulation": q_flow_accumulation,
         "overview_tiles": q_overview_tiles,
         "streaming_overview": q_streaming_overview,
         "contour_lines": q_contour_lines,

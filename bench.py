@@ -142,6 +142,7 @@ def main() -> None:
         "zonal_stats": lambda: contract.q_zonal_stats(spark, SF_DIR),
         "rasterize_grid": lambda: contract.q_rasterize_grid(spark, SF_DIR),
         "terrain_slope": lambda: contract.q_terrain_slope(spark, SF_DIR),
+        "flow_accumulation": lambda: contract.q_flow_accumulation(spark, SF_DIR),
         "overview_tiles": lambda: contract.q_overview_tiles(spark, SF_DIR),
         "contour_lines": lambda: contract.q_contour_lines(spark, SF_DIR),
         "raster_diff": lambda: contract.q_raster_diff(spark, SF_DIR),

@@ -122,6 +122,13 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--altitude", type=float, default=45.0)
     t.add_argument("--skip-existing", action="store_true", help="resume: do not recompute tiles whose output exists")
 
+    fa = sub.add_parser("flowacc", help="D8 flow accumulation tiles")
+    fa.add_argument("--config")
+    fa.add_argument("--dataset")
+    fa.add_argument("--rasters", nargs="*")
+    fa.add_argument("--out", required=True)
+    fa.add_argument("--scale", type=float, default=1.0)
+
     z = sub.add_parser("zonal", help="per-polygon raster statistics")
     z.add_argument("--config")
     z.add_argument("--dataset")
@@ -192,6 +199,26 @@ def run(argv: list[str] | None = None) -> dict:
             spark, tiles, ns.out, kind=ns.kind, scale=ns.scale,
             z_factor=ns.z_factor, azimuth=ns.azimuth, altitude=ns.altitude,
             skip_existing=ns.skip_existing,
+        )
+        manifest.write.mode("overwrite").parquet(f"{ns.out}/_manifest")
+        m = spark.read.parquet(f"{ns.out}/_manifest")
+        stats.update(
+            tiles=m.count(),
+            errors=m.where(m.error.isNotNull()).count(),
+            out=ns.out,
+        )
+
+    elif ns.cmd == "flowacc":
+        from ..operators import hydrology as _hydrology
+
+        if ns.config and ns.dataset:
+            tiles = _tile_rows_from_config(ns.config, ns.dataset)
+        elif ns.rasters:
+            tiles = _tiles_from_globs(ns.rasters)
+        else:
+            raise ValueError("flowacc needs --config/--dataset or --rasters")
+        manifest = _hydrology.flow_accumulation(
+            spark, tiles, ns.out, scale=ns.scale,
         )
         manifest.write.mode("overwrite").parquet(f"{ns.out}/_manifest")
         m = spark.read.parquet(f"{ns.out}/_manifest")

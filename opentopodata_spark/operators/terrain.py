@@ -48,6 +48,12 @@ MANIFEST_SCHEMA = (
     "checksum double, error string"
 )
 
+# (esri_code, d_row_south, d_col_east) in tie-break order (lowest code wins)
+D8_CODES = (
+    (1, 0, 1), (2, 1, 1), (4, 1, 0), (8, 1, -1),
+    (16, 0, -1), (32, -1, -1), (64, -1, 0), (128, -1, 1),
+)
+
 
 def horn_derivatives(padded: np.ndarray, sx: float, sy: float, scale: float):
     """(dz/dx_east, dz/dy_north) from a NaN-padded (h+2, w+2) float64
@@ -73,6 +79,32 @@ def terrain_kernel(
     azimuth: float = 315.0, altitude: float = 45.0,
 ) -> np.ndarray:
     """Padded (h+2, w+2) float64 -> (h, w) derivative of ``kind``."""
+    if kind == "flow_dir":
+        # D8 steepest-descent direction, ESRI encoding (E=1 SE=2 S=4 SW=8
+        # W=16 NW=32 N=64 NE=128; pit/flat=0). Drop RATE per unit distance
+        # (diagonals over hypot(sx,sy)); NODATA neighbors are excluded
+        # (directions never point into NODATA), ties break to the lowest
+        # code — deterministic, so tiled == mosaic bit-for-bit. NODATA
+        # center -> NODATA out.
+        z = padded
+        c0 = z[1:-1, 1:-1]
+        best = np.zeros(c0.shape)
+        code = np.zeros(c0.shape)
+        for dcode, dy, dx in D8_CODES:
+            nbv = z[1 + dy:z.shape[0] - 1 + dy, 1 + dx:z.shape[1] - 1 + dx]
+            if dy and dx:
+                dist = float(np.hypot(sx, sy)) * scale
+            elif dx:
+                dist = sx * scale
+            else:
+                dist = sy * scale
+            with np.errstate(invalid="ignore"):
+                rate = (c0 - nbv) / dist
+                take = rate > best  # NaN rate compares False: excluded
+            code = np.where(take, float(dcode), code)
+            best = np.where(take, rate, best)
+        code = code + 0.0 * c0  # propagate NODATA centers
+        return code
     if kind in ("tpi", "tri", "tri_wilson", "roughness"):
         # 3x3 neighborhood statistics (the other gdaldem modes). Plain
         # (non-nan) reductions so any NODATA in the window -> NODATA out,

@@ -132,3 +132,44 @@ def test_calc_cli_self_diff(spark, srtm_cfg, tmp_path, capsys):
     assert res["status"] == "OK" and res["tiles"] == 2 and res["errors"] == 0
     m = spark.read.parquet(f"{out}/_manifest")
     assert all(r["sum_value"] == 0.0 for r in m.collect())
+
+
+def test_flowacc_cli(spark, tmp_path, capsys):
+    # small non-overlapping 2x2 grid (flowacc requires no tile overlap)
+    rng = np.random.default_rng(9)
+    H = W = 40
+    yy, xx = np.mgrid[0:H, 0:W]
+    mosaic = 15.0 * np.sin(xx / 6.0) + 0.3 * yy + rng.normal(0, 0.3, (H, W))
+    res = 0.01
+    for ty in range(2):
+        for tx in range(2):
+            geotiff.write_geotiff(
+                str(tmp_path / f"fa_{ty}_{tx}.tif"),
+                mosaic[ty * 20:(ty + 1) * 20, tx * 20:(tx + 1) * 20],
+                x0=5.0 + tx * 20 * res, y0=1.0 - ty * 20 * res,
+                sx=res, sy=res, epsg=4326, nodata=-9999,
+            )
+    out = str(tmp_path / "acc")
+    rc = job.main([
+        "--cores", "4", "flowacc",
+        "--rasters", str(tmp_path / "fa_*.tif"), "--out", out,
+    ])
+    assert rc == 0
+    resj = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert resj["status"] == "OK" and resj["tiles"] == 4 and resj["errors"] == 0
+    tifs = sorted(glob.glob(os.path.join(out, "flow_acc_*.tif")))
+    assert len(tifs) == 4
+    # mass balance: sum over all cells of (acc+1) counts each cell once
+    # per path cell; instead pin a cheap invariant — total accumulation
+    # equals total path length, and every value is a whole number >= 0
+    from opentopodata_spark.operators import hydrology
+
+    want = hydrology.mosaic_flow_accumulation(mosaic, res, res)
+    got = np.full((H, W), np.nan)
+    for p in tifs:
+        iy, ix = map(int, os.path.basename(p)[:-4].split("_")[2:])
+        r = geotiff.open_raster(p)
+        got[(1 - iy) * 20:(2 - iy) * 20, ix * 20:(ix + 1) * 20] = \
+            r.read_block(0, r.height, 0, r.width)
+    fin = np.isfinite(want)
+    assert np.array_equal(got[fin].astype(np.float64), want[fin])
