@@ -1439,6 +1439,43 @@ WHERE sample_key < CASE lang {cases} ELSE '{default}' END
 """
 
 
+def q_mixture_sample(spark, sf_dir):
+    """Temperature-based data mixing (sampling.temperature_mixture,
+    alpha=0 = equal expected characters per language): one tiny
+    per-stratum aggregate decides the rates, then the same deterministic
+    md5-threshold predicate as corpus_sample. The alpha=0 rate is the
+    single double division n_min/n_i, so the DuckDB oracle reproduces
+    every threshold bit-exactly — floor(rate * 2^24) scales by a power
+    of two (exact) and no libm pow is involved."""
+    docs = _t(spark, sf_dir, "documents")
+    out, _rates = sampling.temperature_mixture(
+        docs, strata_col="lang", alpha=0.0, weight_col="n_chars",
+        id_col="doc_id", seed="mix1",
+    )
+    return out.select("doc_id", "lang", "n_chars", "sample_key")
+
+
+_Q_MIXTURE_SQL = """
+WITH totals AS (
+  SELECT lang, CAST(SUM(n_chars) AS DOUBLE) AS n FROM documents GROUP BY lang),
+mn AS (SELECT MIN(n) AS nmin FROM totals),
+thr AS (
+  SELECT lang,
+         CASE WHEN n = (SELECT nmin FROM mn) THEN 'g'
+              ELSE printf('%06x', CAST(floor(((SELECT nmin FROM mn) / n)
+                                             * 16777216.0) AS BIGINT))
+         END AS t
+  FROM totals),
+k AS (SELECT doc_id, lang, n_chars,
+             substr(md5('mix1#' || CAST(doc_id AS VARCHAR)), 1, 6)
+               AS sample_key
+      FROM documents)
+SELECT k.doc_id, k.lang, k.n_chars, k.sample_key
+FROM k JOIN thr ON thr.lang = k.lang
+WHERE k.sample_key < thr.t
+"""
+
+
 _TEXT_EMBED_DIM, _TEXT_EMBED_NGRAM = 64, 3
 
 
@@ -3560,6 +3597,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repeated_ngrams": q_repeated_ngrams,
         "span_dedup": q_span_dedup,
         "corpus_sample": q_corpus_sample,
+        "mixture_sample": q_mixture_sample,
         "text_embed": q_text_embed,
         "quality_classifier": q_quality_classifier,
         "embedding_topk": q_embedding_topk,
@@ -3633,6 +3671,7 @@ def oracle_sql() -> dict[str, str]:
         "repeated_ngrams": _Q_REPEATED_SQL,
         "span_dedup": _Q_SPAN_DEDUP_SQL,
         "corpus_sample": _corpus_sample_sql(),
+        "mixture_sample": _Q_MIXTURE_SQL,
         "text_embed": _Q_TEXT_EMBED_SQL,
         "embedding_topk": _Q_EMB_TOPK_SQL,
         "embedding_lsh_buckets": _emb_lsh_sql(),

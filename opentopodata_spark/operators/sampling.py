@@ -83,3 +83,93 @@ def stratified_sample(
         )
     key = sample_key(id_col, seed)
     return df.withColumn("sample_key", key).where(F.col("sample_key") < thr)
+
+
+def mixture_rates(
+    counts: dict[str, float],
+    alpha: float = 0.0,
+    token_budget: float | None = None,
+) -> dict[str, float]:
+    """Per-stratum keep rates for temperature-based data mixing.
+
+    Target mixture shares follow the multilingual-training recipe
+    p_i ∝ n_i^alpha (alpha=1 keeps the natural mixture, alpha=0 weights
+    every stratum equally, 0<alpha<1 interpolates). This is a
+    downsampling-only sampler:
+
+    * without ``token_budget``: rates are scaled so the largest is 1.0 —
+      the cheapest selection achieving the target PROPORTIONS
+      (r_i ∝ n_i^(alpha-1)). alpha=1 -> every rate 1.0.
+    * with ``token_budget``: water-filling — allocate the budget by p_i,
+      clip strata that cannot fill their share (rate 1.0), reallocate
+      the leftover among the rest until stable. Expected kept weight
+      sums to min(budget, total).
+
+    alpha=0 rates are computed as the single division n_min/n_i so an
+    engine-portable oracle (DuckDB double division) reproduces the
+    thresholds bit-exactly — no libm pow in that path.
+    """
+    import math
+
+    n = {k: float(v) for k, v in counts.items() if v > 0}
+    if not n:
+        return {k: 0.0 for k in counts}
+    out = {k: 0.0 for k in counts}
+    if token_budget is None:
+        if alpha == 0.0:
+            nmin = min(n.values())
+            out.update({k: nmin / n[k] for k in n})
+        else:
+            r = {k: math.pow(n[k], alpha - 1.0) for k in n}
+            m = max(r.values())
+            out.update({k: r[k] / m for k in r})
+        return out
+    w = {k: math.pow(v, alpha) for k, v in n.items()}
+    active = set(n)
+    remaining = float(token_budget)
+    while active and remaining > 0:
+        tw = sum(w[k] for k in active)
+        clipped = [
+            k for k in active if remaining * w[k] / tw >= n[k]
+        ]
+        if not clipped:
+            for k in active:
+                out[k] = (remaining * w[k] / tw) / n[k]
+            return out
+        for k in clipped:
+            out[k] = 1.0
+            active.remove(k)
+            remaining -= n[k]
+    return out
+
+
+def temperature_mixture(
+    df: DataFrame,
+    strata_col: str = "lang",
+    alpha: float = 0.0,
+    token_budget: float | None = None,
+    weight_col: str | None = None,
+    id_col: str = "doc_id",
+    seed: str = "s1",
+) -> tuple[DataFrame, dict[str, float]]:
+    """Temperature-mixed corpus sample: one tiny per-stratum aggregate
+    (sum of ``weight_col``, or row count) pulled to the driver (K rows,
+    K = #strata), rates from :func:`mixture_rates`, then the same
+    single-scan deterministic hash predicate as
+    :func:`stratified_sample`. Returns (sampled_df, rates) so pipelines
+    can log the realized mixture. Two scans of the input total — the
+    aggregate is map-side-combined and the filter is a pure predicate."""
+    agg = (
+        df.groupBy(strata_col).agg(
+            (F.sum(weight_col) if weight_col else F.count("*")).alias("n")
+        )
+    )
+    counts = {r[0]: r[1] for r in agg.collect()}
+    rates = mixture_rates(counts, alpha=alpha, token_budget=token_budget)
+    return (
+        stratified_sample(
+            df, rates, strata_col=strata_col, id_col=id_col, seed=seed,
+            default_rate=0.0,
+        ),
+        rates,
+    )

@@ -18,6 +18,7 @@ from opentopodata_spark.operators import (
     knn,
     multimodal,
     paths,
+    sampling,
     textops,
 )
 
@@ -1222,3 +1223,56 @@ class TestHtmlToText:
         a = {r.doc_id: r.text for r in once.collect()}
         b = {r.doc_id: r.text for r in twice.collect()}
         assert a == b
+
+
+class TestTemperatureMixture:
+    def test_mixture_rates_properties(self):
+        # alpha=1 -> natural mixture, nothing dropped
+        assert sampling.mixture_rates({"a": 10, "b": 990}, alpha=1.0) == {
+            "a": 1.0, "b": 1.0}
+        # alpha=0 -> equal EXPECTED kept weight per stratum
+        r = sampling.mixture_rates({"a": 100, "b": 900, "c": 400}, alpha=0.0)
+        kept = {k: n * r[k] for k, n in {"a": 100, "b": 900, "c": 400}.items()}
+        assert r["a"] == 1.0
+        assert abs(kept["b"] - 100) < 1e-9 and abs(kept["c"] - 100) < 1e-9
+        # interpolation: 0 < alpha < 1 sits between the two
+        r5 = sampling.mixture_rates({"a": 100, "b": 900}, alpha=0.5)
+        assert 0.111 < r5["b"] < 1.0 and r5["a"] == 1.0
+        # zero-count strata get rate 0, never divide-by-zero
+        assert sampling.mixture_rates({"a": 0, "b": 5}, alpha=0.0)["a"] == 0.0
+
+    def test_mixture_rates_budget_waterfill(self):
+        n = {"a": 100, "b": 900}
+        r = sampling.mixture_rates(n, alpha=0.0, token_budget=300)
+        # equal shares would be 150/150 but a can only supply 100: clip a
+        # to 1.0 and give the leftover 200 to b
+        assert r["a"] == 1.0 and abs(900 * r["b"] - 200) < 1e-9
+        assert abs(sum(n[k] * r[k] for k in n) - 300) < 1e-9
+        # budget >= total keeps everything
+        assert sampling.mixture_rates(n, alpha=0.0, token_budget=10_000) == {
+            "a": 1.0, "b": 1.0}
+        # natural mixture under budget: proportional cut
+        r1 = sampling.mixture_rates(n, alpha=1.0, token_budget=500)
+        assert abs(r1["a"] - 0.5) < 1e-9 and abs(r1["b"] - 0.5) < 1e-9
+
+    def test_temperature_mixture_e2e(self, spark):
+        rows = [(i, "big" if i % 10 else "small", 10) for i in range(2000)]
+        df = spark.createDataFrame(rows, "doc_id long, lang string, n long")
+        out, rates = sampling.temperature_mixture(
+            df, strata_col="lang", alpha=0.0, weight_col="n", seed="t1"
+        )
+        assert rates["small"] == 1.0
+        got = out.groupBy("lang").count().collect()
+        counts = {r.lang: r["count"] for r in got}
+        assert counts["small"] == 200                      # all kept
+        assert 120 < counts.get("big", 0) < 280            # ~200 expected
+        # determinism: second run selects the identical set
+        out2, _ = sampling.temperature_mixture(
+            df, strata_col="lang", alpha=0.0, weight_col="n", seed="t1"
+        )
+        assert {r.doc_id for r in out.collect()} == {
+            r.doc_id for r in out2.collect()}
+        # auditability: every kept key is below its stratum threshold
+        thr = sampling.rate_threshold(rates["big"])
+        for r in out.where(F.col("lang") == "big").collect():
+            assert r.sample_key < thr
