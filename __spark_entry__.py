@@ -2337,6 +2337,118 @@ def q_elevation_profile(spark, sf_dir):
     )
 
 
+_LOS_N_SAMPLES = 33
+
+
+def _los_pair_frame(spark, sf_dir):
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey")
+    k = F.col("n_nationkey").cast("long")
+    return nat.select(
+        k.alias("los_id"),
+        # half the pairs cross the hi-res EU window, half are global
+        F.when(k % 2 == 0, 0.2 + (k % 7) / 10.0)
+         .otherwise((k * 11 % 140) - 69.5).alias("lat_a"),
+        F.when(k % 2 == 0, 10.2 + (k % 5) / 10.0)
+         .otherwise((k * 17 % 320) - 159.5).alias("lon_a"),
+        F.when(k % 2 == 0, 0.9 - (k % 3) / 10.0)
+         .otherwise((k * 11 % 140) - 62.5).alias("lat_b"),
+        F.when(k % 2 == 0, 11.8 - (k % 4) / 10.0)
+         .otherwise((k * 17 % 320) - 150.5).alias("lon_b"),
+    )
+
+
+def q_line_of_sight(spark, sf_dir):
+    """Point-to-point terrain line-of-sight (paths.line_of_sight):
+    geodesic sampling -> distributed elevation resolution -> per-pair
+    visibility fold with earth-curvature/refraction correction. Oracle:
+    a single-process sequential replay (same Karney sampler, same raster
+    interpolation, same chord/bulge arithmetic) without Spark."""
+    from opentopodata_spark import config
+    from opentopodata_spark.operators import elevation, paths
+
+    _ship_package(spark)
+    cfg_path, _ = _prepare_elevation_inputs(n_docs=1)
+    dsets = config.load_datasets(cfg_path)
+    ordered = config.resolve_dataset_names("multi_eudem_etopo1", dsets)
+    resolver = elevation.ElevationResolver(spark, ordered, "bilinear")
+    out = paths.line_of_sight(
+        resolver, _los_pair_frame(spark, sf_dir), _LOS_N_SAMPLES
+    )
+    # round the doubles the fold sums in a fixed order anyway; keeps the
+    # compare robust to future fold reshapes without weakening visibility
+    return out.select(
+        "los_id", "visible", F.round("min_clearance_m", 6).alias("clear_r"),
+        F.round("distance_m", 3).alias("dist_r"), "elev_a", "elev_b",
+        "n_missing",
+    )
+
+
+def _build_los_oracle(sf_dir: str):
+    import numpy as np
+    import pyarrow as pa
+
+    from opentopodata_spark import config, geodesic, oracle
+
+    cfg_path, _ = _prepare_elevation_inputs(n_docs=1)
+    dsets = config.load_datasets(cfg_path)
+    ordered = config.resolve_dataset_names("multi_eudem_etopo1", dsets)
+    nk = _read_pq(sf_dir, "nation").column("n_nationkey").to_pylist()
+    R = 6371008.8
+    cols = {k: [] for k in ("los_id", "visible", "clear_r", "dist_r",
+                            "elev_a", "elev_b", "n_missing")}
+    for key in sorted(int(k) for k in nk):
+        if key % 2 == 0:
+            la, lo = 0.2 + (key % 7) / 10.0, 10.2 + (key % 5) / 10.0
+            lb, lon_b = 0.9 - (key % 3) / 10.0, 11.8 - (key % 4) / 10.0
+        else:
+            la = float(key * 11 % 140) - 69.5
+            lo = float(key * 17 % 320) - 159.5
+            lb = float(key * 11 % 140) - 62.5
+            lon_b = float(key * 17 % 320) - 150.5
+        n = _LOS_N_SAMPLES
+        s_lats, s_lons, s_dist = geodesic.sample_points_with_distance(
+            np.asarray([la, lb]), np.asarray([lo, lon_b]), n
+        )
+        elevs, _ = oracle.get_elevation(s_lats, s_lons, ordered, "bilinear")
+        ea, eb, D = elevs[0], elevs[-1], float(s_dist[-1])
+        margins, miss = [], 0
+        for i in range(1, n - 1):
+            if elevs[i] is None:
+                miss += 1
+                continue
+            if ea is None or eb is None:
+                continue
+            d = float(s_dist[i])
+            line = (float(ea) + 2.0) + (float(eb) - (float(ea) + 2.0)) * d / D
+            terr = float(elevs[i]) + (1 - 0.13) / (2 * R) * d * (D - d)
+            margins.append(line - terr)
+        if ea is None or eb is None:
+            vis, clear = None, None
+        elif not margins:
+            vis, clear = True, None
+        else:
+            clear = min(margins)
+            vis = clear >= 0
+        cols["los_id"].append(key)
+        cols["visible"].append(vis)
+        cols["clear_r"].append(None if clear is None else round(clear, 6))
+        cols["dist_r"].append(round(D, 3))
+        cols["elev_a"].append(None if ea is None else float(ea))
+        cols["elev_b"].append(None if eb is None else float(eb))
+        cols["n_missing"].append(miss)
+    return pa.table(
+        {
+            "los_id": pa.array(cols["los_id"], type=pa.int64()),
+            "visible": pa.array(cols["visible"], type=pa.bool_()),
+            "clear_r": pa.array(cols["clear_r"], type=pa.float64()),
+            "dist_r": pa.array(cols["dist_r"], type=pa.float64()),
+            "elev_a": pa.array(cols["elev_a"], type=pa.float64()),
+            "elev_b": pa.array(cols["elev_b"], type=pa.float64()),
+            "n_missing": pa.array(cols["n_missing"], type=pa.int64()),
+        }
+    )
+
+
 def q_multimodal_features(spark, sf_dir):
     """Media spans -> fetch -> REAL decode/featurize over a MIXED
     PNG+JPEG+WAV+Y4M corpus: all four codecs decode through the
@@ -3529,6 +3641,7 @@ _PRECOMPUTED_BUILDERS = {
     "geodesic_paths": _build_geodesic_oracle,
     "elevation_e2e": _build_elevation_oracle,
     "elevation_profile": _build_profile_oracle,
+    "line_of_sight": _build_los_oracle,
     "multimodal_features": _build_multimodal_oracle,
     "ivf_topk": _build_ivf_oracle,
     "ivfpq_topk": _build_ivfpq_oracle,
@@ -3616,6 +3729,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "elevation_e2e": q_elevation_e2e,
         "elevation_profile": q_elevation_profile,
+        "line_of_sight": q_line_of_sight,
         "geodesic_paths": q_geodesic_paths,
         "multimodal_features": q_multimodal_features,
         "ivf_topk": q_ivf_topk,

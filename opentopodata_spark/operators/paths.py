@@ -27,7 +27,8 @@ from pyspark.sql import functions as F
 
 from .. import geodesic
 
-__all__ = ["sample_paths", "elevation_profile", "profile_metrics"]
+__all__ = ["sample_paths", "elevation_profile", "profile_metrics",
+           "line_of_sight", "los_metrics"]
 
 _OUT_SCHEMA = "path_id long, sample_pos int, lat double, lon double"
 _OUT_SCHEMA_DIST = _OUT_SCHEMA + ", distance_m double"
@@ -173,4 +174,119 @@ def profile_metrics(samples: DataFrame) -> DataFrame:
             F.col("_f")["gain"].alias("elev_gain"),
             F.col("_f")["loss"].alias("elev_loss"),
         )
+    )
+
+
+_EARTH_R = 6371008.8  # mean earth radius (m), the usual LOS convention
+
+
+def line_of_sight(
+    resolver,
+    pairs: DataFrame,
+    n_samples: int,
+    *,
+    observer_height: float = 2.0,
+    target_height: float = 0.0,
+    refraction: float = 0.13,
+    use_curvature: bool = True,
+) -> DataFrame:
+    """Point-to-point terrain line-of-sight over the resolver's datasets.
+
+    pairs: (los_id long, lat_a, lon_a, lat_b, lon_b doubles). Each pair
+    is sampled as an ``n_samples``-point geodesic, every sample's
+    elevation is resolved distributedly, and a per-pair fold decides
+    visibility: the sight line runs from (0, elev_a + observer_height)
+    to (D, elev_b + target_height); a pair is visible iff no
+    INTERMEDIATE terrain sample rises above it. With ``use_curvature``
+    terrain is raised relative to the chord by the earth bulge
+    d*(D-d)*(1-refraction)/(2R) — the chord-frame equivalent of dropping
+    everything beyond the observer by d^2(1-k)/(2R) (refraction=0.13 is
+    the common optical coefficient; 0 disables refraction only).
+
+    Output per pair: (los_id, visible, min_clearance_m, distance_m,
+    elev_a, elev_b, n_missing). ``min_clearance_m`` is the smallest
+    (sight line - terrain) over intermediates — negative means blocked
+    by that many metres. Samples outside every dataset are SKIPPED and
+    counted in ``n_missing``; endpoints outside coverage make
+    ``visible`` null (no anchor). Same scale shape as
+    elevation_profile: shuffle-free sampler, the resolver's one wide
+    exchange, then one narrow groupBy(los_id) whose per-group state is
+    bounded by n_samples.
+    """
+    if n_samples > _POINT_ID_STRIDE:
+        raise ValueError(f"n_samples must be <= {_POINT_ID_STRIDE}")
+    paths_df = pairs.select(
+        F.col("los_id").alias("path_id"),
+        F.array("lat_a", "lat_b").alias("lats"),
+        F.array("lon_a", "lon_b").alias("lons"),
+    )
+    samples = sample_paths(paths_df, n_samples, with_distance=True)
+    pts = samples.withColumn(
+        "point_id",
+        F.col("path_id") * F.lit(_POINT_ID_STRIDE) + F.col("sample_pos"),
+    )
+    resolved = resolver.resolve(
+        pts, carry=("path_id", "sample_pos", "distance_m")
+    )
+    return los_metrics(
+        resolved.select("path_id", "sample_pos", "distance_m", "elevation"),
+        observer_height=observer_height,
+        target_height=target_height,
+        refraction=refraction,
+        use_curvature=use_curvature,
+    )
+
+
+def los_metrics(
+    samples: DataFrame,
+    *,
+    observer_height: float = 2.0,
+    target_height: float = 0.0,
+    refraction: float = 0.13,
+    use_curvature: bool = True,
+) -> DataFrame:
+    """(path_id, sample_pos, distance_m, elevation) -> one visibility
+    row per path (see :func:`line_of_sight`). Split out so precomputed
+    sample tables can re-score with different heights/refraction without
+    re-resolving elevations."""
+    arr = F.array_sort(
+        F.collect_list(F.struct("sample_pos", "distance_m", "elevation"))
+    )
+    g = samples.groupBy(F.col("path_id").alias("los_id")).agg(arr.alias("a"))
+    first = F.element_at("a", 1)
+    last = F.element_at("a", -1)
+    ea = first["elevation"]
+    eb = last["elevation"]
+    dist = last["distance_m"]
+    inter = F.slice("a", 2, F.size("a") - 2)
+    oh = F.lit(float(observer_height))
+    th = F.lit(float(target_height))
+    curv = (1.0 - float(refraction)) / (2.0 * _EARTH_R) if use_curvature \
+        else 0.0
+
+    def margin(x):
+        d = x["distance_m"]
+        line = (ea + oh) + ((eb + th) - (ea + oh)) * d / dist
+        # + : the bulge RAISES terrain relative to the endpoint chord
+        terrain = x["elevation"] + F.lit(curv) * d * (dist - d)
+        return line - terrain  # null when elevation is null
+
+    margins = F.filter(
+        F.transform(inter, margin), lambda m: m.isNotNull()
+    )
+    min_clear = F.when(F.size(margins) > 0, F.array_min(margins))
+    n_missing = F.size(
+        F.filter(inter, lambda x: x["elevation"].isNull())
+    ).cast("long")
+    visible = F.when(
+        ea.isNull() | eb.isNull(), F.lit(None).cast("boolean")
+    ).otherwise(F.coalesce(min_clear >= 0.0, F.lit(True)))
+    return g.select(
+        "los_id",
+        visible.alias("visible"),
+        min_clear.alias("min_clearance_m"),
+        dist.alias("distance_m"),
+        ea.alias("elev_a"),
+        eb.alias("elev_b"),
+        n_missing.alias("n_missing"),
     )

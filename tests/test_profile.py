@@ -149,3 +149,103 @@ class TestElevationProfileE2E:
                 assert m.elev_max == max(valid)
             assert m.elev_gain == pytest.approx(gain, abs=1e-9)
             assert m.elev_loss == pytest.approx(loss, abs=1e-9)
+
+
+class TestLineOfSight:
+    def _samples(self, spark, elevs, step=100.0):
+        rows = [
+            (1, i, i * step, e) for i, e in enumerate(elevs)
+        ]
+        return spark.createDataFrame(
+            rows, "path_id long, sample_pos long, distance_m double, "
+                  "elevation double",
+        )
+
+    def test_flat_visible_and_hill_blocks(self, spark):
+        flat = self._samples(spark, [10.0, 10.0, 10.0, 10.0, 10.0])
+        r = paths.los_metrics(flat, observer_height=2.0, target_height=0.0,
+                              use_curvature=False).collect()[0]
+        assert r.visible is True
+        # line goes 12 -> 10 over 400 m; clearance at d=100 is
+        # (12 - 0.5) - 10 = 1.5
+        assert r.min_clearance_m == pytest.approx(10.0 + 2.0 * (1 - 3 / 4)
+                                                  - 10.0)
+        hill = self._samples(spark, [10.0, 10.0, 40.0, 10.0, 10.0])
+        r = paths.los_metrics(hill, observer_height=2.0,
+                              use_curvature=False).collect()[0]
+        assert r.visible is False
+        # sight line at d=200: 12 + (10-12)*0.5 = 11; terrain 40
+        assert r.min_clearance_m == pytest.approx(11.0 - 40.0)
+
+    def test_curvature_blocks_long_flat_path(self, spark):
+        # 60 km dead-flat sea-level path, 1.5 m eyes: earth's bulge
+        # (~ (1-0.13)*30000^2/(2R) = 61 m) blocks it; without curvature
+        # it is visible
+        n, D = 61, 60_000.0
+        flat = self._samples(spark, [0.0] * n, step=D / (n - 1))
+        vis = paths.los_metrics(flat, observer_height=1.5,
+                                target_height=1.5,
+                                use_curvature=False).collect()[0]
+        assert vis.visible is True
+        blocked = paths.los_metrics(flat, observer_height=1.5,
+                                    target_height=1.5).collect()[0]
+        assert blocked.visible is False
+        bulge = (1 - 0.13) * (D / 2) ** 2 / (2 * 6371008.8)
+        assert blocked.min_clearance_m == pytest.approx(1.5 - bulge, abs=0.5)
+
+    def test_null_handling(self, spark):
+        # missing endpoint -> visible null; missing intermediates counted
+        r = paths.los_metrics(
+            self._samples(spark, [None, 10.0, 10.0]),
+            use_curvature=False,
+        ).collect()[0]
+        assert r.visible is None and r.elev_a is None
+        r = paths.los_metrics(
+            self._samples(spark, [10.0, None, 10.5, 10.0]),
+            use_curvature=False,
+        ).collect()[0]
+        # line at d=200 is 12 + (10-12)*2/3 = 10.667 > 10.5 -> visible
+        assert r.visible is True and r.n_missing == 1
+
+    def test_e2e_matches_sequential_replay(self, spark, datasets):
+        ds = [datasets["eudemsubset"], datasets["etopo1deg"]]
+        prs = [
+            (1, 0.25, 10.25, 0.85, 11.75),   # across the EU window
+            (2, -40.0, 100.0, -30.0, 103.0),  # global etopo
+            (3, 0.5, 11.0, 40.0, 11.0),       # long south->north
+        ]
+        pdf = spark.createDataFrame(
+            prs, "los_id long, lat_a double, lon_a double, lat_b double, "
+                 "lon_b double",
+        )
+        n = 33
+        resolver = elevation.ElevationResolver(spark, ds, "bilinear")
+        got = {
+            r.los_id: r
+            for r in paths.line_of_sight(resolver, pdf, n).collect()
+        }
+        assert set(got) == {1, 2, 3}
+        R = 6371008.8
+        for pid, la, lo, lb, lon_b in prs:
+            s_lats, s_lons, s_dist = geodesic.sample_points_with_distance(
+                np.asarray([la, lb]), np.asarray([lo, lon_b]), n
+            )
+            elevs, _ = oracle.get_elevation(s_lats, s_lons, ds, "bilinear")
+            ea, eb, D = elevs[0], elevs[-1], s_dist[-1]
+            margins = []
+            miss = 0
+            for i in range(1, n - 1):
+                if elevs[i] is None:
+                    miss += 1
+                    continue
+                d = s_dist[i]
+                line = (ea + 2.0) + ((eb + 0.0) - (ea + 2.0)) * d / D
+                terr = float(elevs[i]) + (1 - 0.13) / (2 * R) * d * (D - d)
+                margins.append(line - terr)
+            m = got[pid]
+            assert m.elev_a == ea and m.elev_b == eb
+            assert m.distance_m == pytest.approx(D, rel=1e-12)
+            assert m.n_missing == miss
+            assert m.min_clearance_m == pytest.approx(min(margins),
+                                                      abs=1e-9)
+            assert m.visible == (min(margins) >= 0)
