@@ -1439,6 +1439,39 @@ WHERE sample_key < CASE lang {cases} ELSE '{default}' END
 """
 
 
+_HH_K, _HH_CAP = 10, 500
+
+
+def q_heavy_hitters(spark, sf_dir):
+    """Bounded-memory exact top-k (operators/sketch.heavy_hitters):
+    per-partition Misra-Gries summaries -> broadcast candidate recount
+    -> deterministic cut, with a per-row provability flag (cnt >
+    N/(capacity+1)). Two scans; only candidate keys ever shuffle. The
+    oracle is the plain exact SQL top-k — they must agree whenever the
+    candidates cover the vocabulary, which capacity=500 guarantees on
+    this corpus."""
+    from opentopodata_spark.operators import sketch
+    from opentopodata_spark.operators.exprutil import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(F.explode(tokens("text")).alias("tok"))
+    return sketch.heavy_hitters(toks, "tok", k=_HH_K, capacity=_HH_CAP)
+
+
+_Q_HEAVY_HITTERS_SQL = f"""
+WITH toks AS (
+  SELECT t.tok
+  FROM documents,
+       unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t(tok)),
+tot AS (SELECT COUNT(*) AS n FROM toks),
+cnts AS (SELECT tok AS key, COUNT(*) AS cnt FROM toks GROUP BY tok)
+SELECT key, cnt,
+       cnt > (SELECT CAST(n AS DOUBLE) FROM tot) / {_HH_CAP + 1}.0
+         AS guaranteed
+FROM cnts ORDER BY cnt DESC, key ASC LIMIT {_HH_K}
+"""
+
+
 def q_mixture_sample(spark, sf_dir):
     """Temperature-based data mixing (sampling.temperature_mixture,
     alpha=0 = equal expected characters per language): one tiny
@@ -3711,6 +3744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_dedup": q_span_dedup,
         "corpus_sample": q_corpus_sample,
         "mixture_sample": q_mixture_sample,
+        "heavy_hitters": q_heavy_hitters,
         "text_embed": q_text_embed,
         "quality_classifier": q_quality_classifier,
         "embedding_topk": q_embedding_topk,
@@ -3786,6 +3820,7 @@ def oracle_sql() -> dict[str, str]:
         "span_dedup": _Q_SPAN_DEDUP_SQL,
         "corpus_sample": _corpus_sample_sql(),
         "mixture_sample": _Q_MIXTURE_SQL,
+        "heavy_hitters": _Q_HEAVY_HITTERS_SQL,
         "text_embed": _Q_TEXT_EMBED_SQL,
         "embedding_topk": _Q_EMB_TOPK_SQL,
         "embedding_lsh_buckets": _emb_lsh_sql(),

@@ -1276,3 +1276,63 @@ class TestTemperatureMixture:
         thr = sampling.rate_threshold(rates["big"])
         for r in out.where(F.col("lang") == "big").collect():
             assert r.sample_key < thr
+
+
+class TestHeavyHitters:
+    def test_mg_summary_bounds(self):
+        import pandas as pd
+
+        from opentopodata_spark.operators import sketch
+
+        # 1000 'a', 500 'b', 1 each of 200 noise keys; capacity 10
+        vals = ["a"] * 1000 + ["b"] * 500 + [f"n{i}" for i in range(200)]
+        s = pd.Series(vals).value_counts()
+        counts = sketch.mg_summarize(s, capacity=10)
+        assert len(counts) <= 10
+        n = len(vals)
+        # undercount property: true - N/(cap+1) <= est <= true
+        assert 1000 - n / 11 <= counts["a"] <= 1000
+        assert 500 - n / 11 <= counts["b"] <= 500
+        # incremental merge over chunks finds the same heavy keys
+        c2: dict = {}
+        for i in range(0, len(vals), 97):
+            c2 = sketch.mg_summarize(
+                pd.Series(vals[i:i + 97]).value_counts(), 10, c2)
+        assert "a" in c2 and "b" in c2
+
+    def test_matches_exact_topk(self, spark):
+        from opentopodata_spark.operators import sketch
+
+        # Zipf-ish: key i appears 1000//(i+1) times
+        rows = [(f"k{i:03d}",) for i in range(60) for _ in range(1000 // (i + 1))]
+        df = spark.createDataFrame(rows, "v string").repartition(8)
+        got = sketch.heavy_hitters(df, "v", k=10).collect()
+        exact = (
+            df.groupBy("v").count()
+            .orderBy(F.col("count").desc(), F.col("v").asc())
+            .limit(10).collect()
+        )
+        assert [(r.key, r.cnt) for r in got] == [
+            (r.v, r["count"]) for r in exact]
+        assert all(r.guaranteed for r in got)
+
+    def test_flat_distribution_flags_unguaranteed(self, spark):
+        from opentopodata_spark.operators import sketch
+
+        # 5000 distinct keys, 2 rows each; capacity 20 cannot certify
+        rows = [(f"u{i}",) for i in range(5000) for _ in range(2)]
+        df = spark.createDataFrame(rows, "v string").repartition(4)
+        got = sketch.heavy_hitters(df, "v", k=5, capacity=20).collect()
+        assert len(got) == 5
+        assert not any(r.guaranteed for r in got)   # honest: not provable
+
+    def test_ties_and_nulls_and_empty(self, spark):
+        from opentopodata_spark.operators import sketch
+
+        df = spark.createDataFrame(
+            [("b",), ("a",), (None,), ("b",), ("a",), ("c",)], "v string"
+        )
+        got = sketch.heavy_hitters(df, "v", k=2).collect()
+        assert [(r.key, r.cnt) for r in got] == [("a", 2), ("b", 2)]
+        empty = spark.createDataFrame([], "v string")
+        assert sketch.heavy_hitters(empty, "v", k=3).collect() == []
