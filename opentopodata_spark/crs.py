@@ -730,6 +730,94 @@ class HotineObliqueMercator:
         return np.degrees(lam), np.degrees(phi)
 
 
+class Krovak:
+    """Krovak oblique conformal conic (EPSG method 9819), EPSG GN7-2
+    formulas — S-JTSK / Krovak East North (EPSG:5514), the grid Czech and
+    Slovak DEMs ship in. Internally computes the classic south-oriented
+    (X=southing, Y=westing) pair; ``east_north=True`` negates both, the
+    5514 axis convention. Pinned by the GN7-2 worked example and
+    conformality/roundtrip invariants."""
+
+    # EPSG stores the longitude of origin as 42d30' east of FERRO; Ferro
+    # is 17d40' west of Greenwich, so the Greenwich value is 24d50'E.
+    def __init__(self, a, inv_f, latc_deg=49.5,
+                 lon0_greenwich_deg=42.5 - (17.0 + 40.0 / 60.0),
+                 alphac_deg=30.0 + 17.0 / 60.0 + 17.3031 / 3600.0,
+                 lat1_deg=78.5, kp=0.9999,
+                 false_easting=0.0, false_northing=0.0, east_north=True):
+        f = 1.0 / inv_f
+        self.e2 = e2 = f * (2 - f)
+        self.e = e = math.sqrt(e2)
+        phic = math.radians(latc_deg)
+        sc = math.sin(phic)
+        self.A = a * math.sqrt(1 - e2) / (1 - e2 * sc * sc)
+        self.B = B = math.sqrt(1 + e2 * math.cos(phic) ** 4 / (1 - e2))
+        self.gamma0 = math.asin(sc / B)
+        self.t0 = (
+            math.tan(math.pi / 4 + self.gamma0 / 2)
+            * ((1 + e * sc) / (1 - e * sc)) ** (e * B / 2)
+            / math.tan(math.pi / 4 + phic / 2) ** B
+        )
+        self.alphac = math.radians(alphac_deg)
+        self.n = math.sin(math.radians(lat1_deg))
+        self.r0 = kp * self.A / math.tan(math.radians(lat1_deg))
+        self.lam0 = math.radians(lon0_greenwich_deg)
+        self.tan1 = math.tan(math.radians(lat1_deg) / 2 + math.pi / 4)
+        self.fe = false_easting
+        self.fn = false_northing
+        self.sign = -1.0 if east_north else 1.0
+
+    def forward(self, lons, lats):
+        lats = np.asarray(lats, dtype=np.float64)
+        lons = np.asarray(lons, dtype=np.float64)
+        phi = np.radians(lats)
+        lam = np.radians(lons)
+        e, B = self.e, self.B
+        s = np.sin(phi)
+        U = 2 * (np.arctan(
+            self.t0 * np.tan(phi / 2 + math.pi / 4) ** B
+            / ((1 + e * s) / (1 - e * s)) ** (e * B / 2)
+        ) - math.pi / 4)
+        V = B * (self.lam0 - lam)
+        T = np.arcsin(
+            math.cos(self.alphac) * np.sin(U)
+            + math.sin(self.alphac) * np.cos(U) * np.cos(V)
+        )
+        D = np.arcsin(np.cos(U) * np.sin(V) / np.cos(T))
+        theta = self.n * D
+        r = self.r0 * self.tan1 ** self.n \
+            / np.tan(T / 2 + math.pi / 4) ** self.n
+        X = r * np.cos(theta)   # southing
+        Y = r * np.sin(theta)   # westing
+        return (self.sign * Y + self.fe, self.sign * X + self.fn)
+
+    def inverse(self, xs, ys):
+        Yw = (np.asarray(xs, dtype=np.float64) - self.fe) * self.sign
+        Xs = (np.asarray(ys, dtype=np.float64) - self.fn) * self.sign
+        e, B = self.e, self.B
+        r = np.hypot(Xs, Yw)
+        theta = np.arctan2(Yw, Xs)
+        D = theta / self.n
+        T = 2 * (np.arctan((self.r0 / r) ** (1 / self.n) * self.tan1)
+                 - math.pi / 4)
+        U = np.arcsin(
+            math.cos(self.alphac) * np.sin(T)
+            - math.sin(self.alphac) * np.cos(T) * np.cos(D)
+        )
+        V = np.arcsin(np.cos(T) * np.sin(D) / np.cos(U))
+        lam = self.lam0 - V / B
+        # iterate phi from U (the Krovak gaussian-latitude inversion)
+        phi = U.copy()
+        for _ in range(8):
+            sp = np.sin(phi)
+            phi = 2 * (np.arctan(
+                self.t0 ** (-1 / B)
+                * np.tan(U / 2 + math.pi / 4) ** (1 / B)
+                * ((1 + e * sp) / (1 - e * sp)) ** (e / 2)
+            ) - math.pi / 4)
+        return np.degrees(lam), np.degrees(phi)
+
+
 def _rect_mu_coeffs(n: float) -> np.ndarray:
     """phi -> rectifying latitude series: mu = phi + sum c_j sin(2j phi)."""
     n2, n3, n4, n5 = n**2, n**3, n**4, n**5
@@ -1117,6 +1205,13 @@ def _projection_for_epsg(epsg: int):
             _, tx, ty, tz, rx, ry, rz, s = datum
             proj = DatumShifted(proj, HelmertDatum(*ell, tx, ty, tz, rx, ry, rz, s))
         return proj
+    if epsg == 5514:  # S-JTSK / Krovak East North (Czech + Slovak DEMs)
+        proj = Krovak(*_BESSEL1841, east_north=True)
+        # WGS84 -> S-JTSK (negated PROJ towgs84 589,76,480; ~1 m class)
+        return DatumShifted(
+            proj, HelmertDatum(*_BESSEL1841, -589.0, -76.0, -480.0,
+                               0.0, 0.0, 0.0, 0.0)
+        )
     if epsg in _EQC_EPSGS:
         ell, lat_ts, lon0, fe, fn = _EQC_EPSGS[epsg]
         return EquidistantCylindrical(*ell, lat_ts_deg=lat_ts, lon0_deg=lon0,
@@ -1240,6 +1335,22 @@ def _projection_for_wkt(wkt: str):
             false_easting=p("false_easting"),
             false_northing=p("false_northing"),
             variant=variant,
+        )
+    if "krovak" in name:
+        # GDAL WKT1 carries the GREENWICH longitude_of_center (24d50'E)
+        lat1 = p("pseudo_standard_parallel_1", default=78.5)
+        return Krovak(
+            a, inv_f,
+            latc_deg=p("latitude_of_center", default=49.5),
+            lon0_greenwich_deg=p("longitude_of_center",
+                                 default=42.5 - (17.0 + 40.0 / 60.0)),
+            alphac_deg=p("azimuth",
+                         default=30.0 + 17.0 / 60.0 + 17.3031 / 3600.0),
+            lat1_deg=lat1,
+            kp=p("scale_factor", default=0.9999),
+            false_easting=p("false_easting"),
+            false_northing=p("false_northing"),
+            east_north=True,
         )
     if "equirectangular" in name or "equidistant_cylindrical" in name:
         return EquidistantCylindrical(

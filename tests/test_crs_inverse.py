@@ -1118,3 +1118,75 @@ def test_oblique_crs_elevation_differential(spark, tmp_path):
     assert {r.dataset for r in rows.values() if r.elevation is not None} == {
         "rdnew", "swisslv95",
     }
+
+
+def test_krovak_worked_example_epsg_method_9819():
+    """EPSG GN7-2 worked example (S-JTSK / Krovak): Greenwich
+    50d12'32.4416\"N 16d50'59.1790\"E -> southing 1050538.64,
+    westing 568991.00 (and the 5514 east-north negation)."""
+    lat = 50 + 12 / 60 + 32.4416 / 3600
+    lon = 16 + 50 / 60 + 59.1790 / 3600
+    k = crs.Krovak(*crs._BESSEL1841, east_north=False)
+    y_west, x_south = k.forward(np.array([lon]), np.array([lat]))
+    assert abs(y_west[0] - 568991.00) < 0.01
+    assert abs(x_south[0] - 1050538.64) < 0.01
+    lon2, lat2 = k.inverse(y_west, x_south)
+    assert abs(lon2[0] - lon) < 1e-11 and abs(lat2[0] - lat) < 1e-11
+    en = crs.Krovak(*crs._BESSEL1841)
+    e, n = en.forward(np.array([lon]), np.array([lat]))
+    assert e[0] == -y_west[0] and n[0] == -x_south[0]
+
+
+def test_krovak_5514_roundtrip_and_datum():
+    """EPSG:5514 includes the S-JTSK Helmert; Czech coordinates land in
+    the familiar negative east/north band and roundtrip exactly."""
+    rng = np.random.default_rng(5514)
+    lats = rng.uniform(47.8, 51.0, 200)
+    lons = rng.uniform(12.2, 22.5, 200)
+    x, y = crs.reproject_latlons(lats, lons, epsg=5514)
+    assert (x < -140000).all() and (x > -1000000).all()
+    assert (y < -900000).all() and (y > -1400000).all()
+    lon2, lat2 = crs.unproject_xys(x, y, epsg=5514)
+    np.testing.assert_allclose(lat2, lats, atol=1e-6)
+    np.testing.assert_allclose(lon2, lons, atol=1e-6)
+    # Prague lands in the right km (S-JTSK: ~ -743000, -1043000)
+    xp, yp = crs.reproject_latlons(np.array([50.0755]), np.array([14.4378]),
+                                   epsg=5514)
+    assert abs(xp[0] + 743000) < 2000 and abs(yp[0] + 1043000) < 2000
+
+
+def test_krovak_conformality():
+    k = crs.Krovak(*crs._BESSEL1841)
+    for lon, lat in [(14.4, 50.1), (17.2, 49.2), (21.3, 48.7)]:
+        s = np.linalg.svd(_local_jacobian(k, lon, lat, crs._BESSEL1841),
+                          compute_uv=False)
+        assert abs(s[0] / s[1] - 1.0) < 1e-4
+    # scale on the pseudo standard parallel region is ~0.9999 (the cone
+    # touches along T = lat1; central Czech latitudes sit near it)
+    s = np.linalg.svd(_local_jacobian(k, 16.8, 49.75, crs._BESSEL1841),
+                      compute_uv=False)
+    assert 0.9998 < s[0] < 1.0001
+
+
+def test_krovak_wkt_matches_epsg_5514_raw():
+    wkt = (
+        'PROJCS["S-JTSK / Krovak East North",'
+        'GEOGCS["S-JTSK",DATUM["S_JTSK",'
+        'SPHEROID["Bessel 1841",6377397.155,299.1528128]],'
+        'PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],'
+        'PROJECTION["Krovak"],'
+        'PARAMETER["latitude_of_center",49.5],'
+        'PARAMETER["longitude_of_center",24.8333333333333],'
+        'PARAMETER["azimuth",30.2881397527778],'
+        'PARAMETER["pseudo_standard_parallel_1",78.5],'
+        'PARAMETER["scale_factor",0.9999],'
+        'PARAMETER["false_easting",0],'
+        'PARAMETER["false_northing",0],UNIT["metre",1]]'
+    )
+    lats = np.array([49.1, 50.3])
+    lons = np.array([14.0, 17.5])
+    xw, yw = crs.reproject_latlons(lats, lons, wkt=wkt)
+    bare = crs.Krovak(*crs._BESSEL1841)
+    xb, yb = bare.forward(lons, lats)
+    np.testing.assert_allclose(xw, xb, atol=1e-6)
+    np.testing.assert_allclose(yw, yb, atol=1e-6)
