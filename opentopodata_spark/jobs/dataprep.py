@@ -79,6 +79,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "(data mixing); languages not listed use --sample-default")
     p.add_argument("--sample-default", type=float, default=1.0)
     p.add_argument("--sample-seed", default="s1")
+    p.add_argument("--mix-alpha", type=float, default=None,
+                   help="temperature-based mixing: derive per-language "
+                        "rates from token mass as p_i ~ n_i^alpha "
+                        "(alpha=0 equal shares, alpha=1 natural mixture); "
+                        "mutually exclusive with --sample-rates")
+    p.add_argument("--mix-token-budget", type=float, default=None,
+                   help="with --mix-alpha: water-fill rates so the kept "
+                        "token mass is ~ this budget")
     p.add_argument("--chunk-tokens", type=int, default=None,
                    help="also emit a chunked corpus ({out}/chunks): fixed-"
                         "token windows over the cleaned corpus "
@@ -321,6 +329,22 @@ def run(ns: argparse.Namespace, spark=None) -> dict:
             ).distinct()
             survivors = survivors.join(losers, "doc_id", "left_anti")
 
+    if ns.sample_rates and ns.mix_alpha is not None:
+        raise ValueError("--sample-rates and --mix-alpha are mutually "
+                         "exclusive (explicit vs derived rates)")
+    if ns.mix_alpha is not None:
+        from ..operators import sampling as _sampling
+
+        survivors, mix_rates = _sampling.temperature_mixture(
+            survivors,
+            strata_col="pred_lang",
+            alpha=float(ns.mix_alpha),
+            token_budget=ns.mix_token_budget,
+            weight_col="n_ws_tokens",
+            id_col="doc_id",
+            seed=ns.sample_seed,
+        )
+        stats["mix_rates"] = {k: round(v, 6) for k, v in mix_rates.items()}
     if ns.sample_rates:
         from ..operators import sampling as _sampling
 

@@ -397,3 +397,29 @@ def test_dataprep_resume_skips_completed_stages(tmp_path, spark, capsys):
     # without --resume everything recomputes (overwrite semantics intact)
     assert job.main(base) == 0
     assert os.path.getmtime(f"{out}/corpus/_SUCCESS") > corpus_mtime
+
+
+def test_dataprep_mix_alpha_stage(tmp_path, corpus_path, spark, capsys):
+    """--mix-alpha derives per-language rates from kept token mass:
+    alpha=0 equalizes expected tokens; realized rates are reported in
+    stats and the minority language is kept in full."""
+    out = str(tmp_path / "mixed")
+    assert job.main([
+        "--documents", corpus_path, "--out", out,
+        "--mix-alpha", "0.0", "--cores", "2",
+    ]) == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    rates = stats["mix_rates"]
+    # the corpus is en-dominated: the minority stratum keeps rate 1.0
+    assert max(rates.values()) == 1.0
+    assert min(rates.values()) < 1.0
+    rows = spark.read.parquet(f"{out}/corpus").collect()
+    assert rows and all(len(r.sample_key) == 6 for r in rows)
+
+
+def test_dataprep_mix_alpha_conflicts_with_sample_rates(tmp_path, corpus_path):
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        job.main([
+            "--documents", corpus_path, "--out", str(tmp_path / "x"),
+            "--mix-alpha", "0.0", "--sample-rates", "en=1.0",
+        ])
