@@ -1472,6 +1472,57 @@ FROM cnts ORDER BY cnt DESC, key ASC LIMIT {_HH_K}
 """
 
 
+def q_streaming_heavy_hitters(spark, sf_dir):
+    """Streaming heavy hitters (streaming.run_heavy_hitters_stream):
+    document tokens arrive in three waves; each micro-batch is counted
+    exactly, strictly MG-trimmed, and merged into a bounded summary
+    (capacity keys + exact error bookkeeping), with per-batch
+    retry-idempotent state partitions. Capacity 100 exceeds this
+    corpus's vocabulary, so no trim fires and the estimates are EXACT —
+    the oracle is the plain SQL top-k with est_hi = est; the trim path
+    is pinned by tests/test_streaming.py against a sequential replay."""
+    import shutil
+    import tempfile
+
+    from opentopodata_spark import streaming as stx
+    from opentopodata_spark.operators.exprutil import tokens
+
+    work = tempfile.mkdtemp(prefix="otds_hh_stream_q_")
+    try:
+        docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+        for wave in range(3):
+            docs.where(F.pmod(F.col("doc_id"), F.lit(3)) == wave).coalesce(
+                1
+            ).write.mode("overwrite").parquet(f"{work}/in/wave{wave}")
+            stream = (
+                spark.readStream.schema("doc_id long, text string")
+                .parquet(f"{work}/in/*")
+                .select(F.explode(tokens("text")).alias("key"))
+            )
+            q = stx.run_heavy_hitters_stream(
+                stream, f"{work}/state", f"{work}/ckpt", capacity=100,
+            )
+            q.awaitTermination()
+        out = stx.heavy_hitters_state_topk(spark, f"{work}/state", k=_HH_K)
+        out = out.cache()
+        out.count()
+        return out
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+_Q_STREAMING_HH_SQL = f"""
+WITH toks AS (
+  SELECT t.tok
+  FROM documents,
+       unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t(tok)),
+tot AS (SELECT COUNT(*) AS n FROM toks),
+cnts AS (SELECT tok AS key, COUNT(*) AS est FROM toks GROUP BY tok)
+SELECT key, est, est AS est_hi, (SELECT n FROM tot) AS n_total
+FROM cnts ORDER BY est DESC, key ASC LIMIT {_HH_K}
+"""
+
+
 def q_mixture_sample(spark, sf_dir):
     """Temperature-based data mixing (sampling.temperature_mixture,
     alpha=0 = equal expected characters per language): one tiny
@@ -3745,6 +3796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_sample": q_corpus_sample,
         "mixture_sample": q_mixture_sample,
         "heavy_hitters": q_heavy_hitters,
+        "streaming_heavy_hitters": q_streaming_heavy_hitters,
         "text_embed": q_text_embed,
         "quality_classifier": q_quality_classifier,
         "embedding_topk": q_embedding_topk,
@@ -3821,6 +3873,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_sample": _corpus_sample_sql(),
         "mixture_sample": _Q_MIXTURE_SQL,
         "heavy_hitters": _Q_HEAVY_HITTERS_SQL,
+        "streaming_heavy_hitters": _Q_STREAMING_HH_SQL,
         "text_embed": _Q_TEXT_EMBED_SQL,
         "embedding_topk": _Q_EMB_TOPK_SQL,
         "embedding_lsh_buckets": _emb_lsh_sql(),

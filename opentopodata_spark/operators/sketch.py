@@ -32,7 +32,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["mg_summarize", "heavy_hitters"]
+__all__ = ["mg_summarize", "mg_trim", "heavy_hitters"]
 
 
 def mg_summarize(values, capacity: int, counts: dict | None = None) -> dict:
@@ -121,3 +121,18 @@ def heavy_hitters(
     return exact.select(
         "key", "cnt", (F.col("cnt") > F.lit(thresh)).alias("guaranteed")
     )
+
+
+def mg_trim(counts: dict, capacity: int) -> tuple[dict, int]:
+    """One strict Misra-Gries decrement: subtract the (capacity+1)-th
+    largest count from every entry, keep the strictly-positive survivors
+    (<= capacity of them), and return (survivors, cut). ``cut`` is the
+    per-key error this trim can have introduced — callers accumulate it
+    for the est <= true <= est + sum(cuts) bound. Deterministic tie
+    order (count desc, key asc) so a sequential replay reproduces the
+    distributed stream exactly."""
+    if len(counts) <= capacity:
+        return dict(counts), 0
+    items = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    cut = items[capacity][1]
+    return {k: v - cut for k, v in items[:capacity] if v - cut > 0}, cut

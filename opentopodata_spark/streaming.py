@@ -630,3 +630,114 @@ def geofence_transitions_stream(
             timeoutConf="NoTimeout",
         )
     )
+
+
+_HH_STATE_SCHEMA = "key string, est long, n_total long, delta long"
+
+
+def _read_hh_state(spark, state_dir: str, exclude_batch: int):
+    """Latest heavy-hitters summary before ``exclude_batch``: (counts
+    dict, n_total, delta). Same retry discipline as the dedup index —
+    each batch OVERWRITES its own ingest_batch partition and reads only
+    strictly earlier ones, so a retried batch never merges against its
+    own half-written state."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        st = spark.read.parquet(state_dir).where(
+            F.col("ingest_batch") < exclude_batch
+        )
+        rows = st.collect()
+    except AnalysisException:
+        return {}, 0, 0
+    if not rows:
+        return {}, 0, 0
+    latest = max(r.ingest_batch for r in rows)
+    counts, n_total, delta = {}, 0, 0
+    for r in rows:
+        if r.ingest_batch != latest:
+            continue
+        if r.key is None:
+            n_total, delta = int(r.n_total), int(r.delta)
+        else:
+            counts[r.key] = int(r.est)
+    return counts, n_total, delta
+
+
+def run_heavy_hitters_stream(
+    stream_df: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    key_col: str = "key",
+    capacity: int = 100,
+    available_now: bool = True,
+):
+    """Streaming heavy hitters with bounded state: the continuous twin
+    of operators/sketch.heavy_hitters for feeds that cannot be
+    re-scanned for an exact recount. Each micro-batch is counted
+    exactly (one map-side-combined groupBy), strictly MG-trimmed to
+    ``capacity`` (only the top capacity+1 rows are ever collected), and
+    merged into the running summary with a second trim. The state is
+    <= capacity keys + one metadata row, written per ingest_batch
+    partition (retry-idempotent, exactly like the streaming-dedup hash
+    index), and carries the EXACT error bookkeeping: every trim's cut
+    accumulates into ``delta``, giving est <= true <= est + delta for
+    every key — including keys absent from the summary (true <= delta).
+
+    Read the final top-k with :func:`heavy_hitters_state_topk`.
+    """
+    from .operators.sketch import mg_trim
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark_l = batch_df.sparkSession
+        cnts = (
+            batch_df.select(F.col(key_col).cast("string").alias("key"))
+            .where(F.col("key").isNotNull())
+            .groupBy("key").agg(F.count("*").alias("c"))
+        )
+        top = cnts.orderBy(F.col("c").desc(), F.col("key").asc()).limit(
+            capacity + 1
+        ).collect()
+        n_batch = cnts.agg(F.sum("c")).collect()[0][0] or 0
+        batch_counts = {r.key: int(r.c) for r in top}
+        batch_summary, cut1 = mg_trim(batch_counts, capacity)
+        prev, n_prev, delta_prev = _read_hh_state(
+            spark_l, state_dir, exclude_batch=batch_id
+        )
+        merged = dict(prev)
+        for k, v in batch_summary.items():
+            merged[k] = merged.get(k, 0) + v
+        merged, cut2 = mg_trim(merged, capacity)
+        n_total = n_prev + int(n_batch)
+        delta = delta_prev + cut1 + cut2
+        rows = [(k, v, 0, 0) for k, v in merged.items()]
+        rows.append((None, 0, n_total, delta))
+        spark_l.createDataFrame(rows, _HH_STATE_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{state_dir}/ingest_batch={batch_id}")
+
+    writer = stream_df.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def heavy_hitters_state_topk(spark, state_dir: str, k: int) -> DataFrame:
+    """Top-k view over the final streaming summary: (key, est, est_hi,
+    n_total) with est <= true <= est_hi, deterministic (est desc, key
+    asc) cut."""
+    counts, n_total, delta = _read_hh_state(
+        spark, state_dir, exclude_batch=2**62
+    )
+    items = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    rows = [(key, est, est + delta, n_total) for key, est in items]
+    if not rows:
+        df = spark.createDataFrame(
+            [], "key string, est long, est_hi long, n_total long"
+        )
+        return df
+    return spark.createDataFrame(
+        rows, "key string, est long, est_hi long, n_total long"
+    )

@@ -742,3 +742,79 @@ def test_retention_cohorts(spark):
     assert got[("2024-01-02", 1)] == (1, 1)
     assert got[("2024-01-02", 2)] == (1, 0)
     assert len(got) == 8  # dense grid: 2 cohorts x 4 periods
+
+
+class TestStreamingHeavyHitters:
+    def _run(self, spark, tmp_path, waves, capacity):
+        import opentopodata_spark.streaming as st
+
+        in_dir = tmp_path / "hh_in"
+        work = str(tmp_path / "hh")
+        for i, keys in enumerate(waves):
+            spark.createDataFrame(
+                [(j, k, "en", "s") for j, k in enumerate(keys)],
+                "doc_id long, text string, lang string, source string",
+            ).coalesce(1).write.mode("overwrite").parquet(
+                f"{in_dir}/wave{i}"
+            )
+            q = st.run_heavy_hitters_stream(
+                st.stream_corpus(spark, str(in_dir) + "/*").select(
+                    F.col("text").alias("key")
+                ),
+                f"{work}/state", f"{work}/ckpt", capacity=capacity,
+            )
+            q.awaitTermination()
+        return st._read_hh_state(spark, f"{work}/state", exclude_batch=2**62)
+
+    def test_matches_sequential_replay_and_bounds(self, spark, tmp_path):
+        from opentopodata_spark.operators.sketch import mg_trim
+
+        rng = __import__("random").Random(7)
+        waves = []
+        for _ in range(3):
+            w = (["alpha"] * 120 + ["beta"] * 60 + ["gamma"] * 30
+                 + [f"n{rng.randrange(200)}" for _ in range(300)])
+            rng.shuffle(w)
+            waves.append(w)
+        cap = 8
+        counts, n_total, delta = self._run(spark, tmp_path, waves, cap)
+        # sequential replay: exact wave counts -> trim -> merge -> trim
+        import pandas as pd
+
+        rc, rn, rd = {}, 0, 0
+        for w in waves:
+            vc = pd.Series(w).value_counts()
+            bc = {k: int(v) for k, v in vc.items()}
+            # the stream only ever sees the top cap+1 of the batch
+            top = sorted(bc.items(), key=lambda kv: (-kv[1], kv[0]))[:cap + 1]
+            bs, cut1 = mg_trim(dict(top), cap)
+            for k, v in bs.items():
+                rc[k] = rc.get(k, 0) + v
+            rc, cut2 = mg_trim(rc, cap)
+            rn += len(w)
+            rd += cut1 + cut2
+        assert counts == rc and n_total == rn and delta == rd
+        # MG bound vs exact truth, for every key (present or not)
+        exact: dict = {}
+        for w in waves:
+            for k in w:
+                exact[k] = exact.get(k, 0) + 1
+        for k, true in exact.items():
+            est = counts.get(k, 0)
+            assert est <= true <= est + delta, (k, est, true, delta)
+        # the real heavy hitter surfaces on top
+        top1 = max(counts.items(), key=lambda kv: kv[1])
+        assert top1[0] == "alpha"
+
+    def test_topk_view_and_exact_when_capacity_covers(self, spark, tmp_path):
+        import opentopodata_spark.streaming as st
+
+        waves = [["a"] * 5 + ["b"] * 3, ["a"] * 2 + ["c"] * 4]
+        self._run(spark, tmp_path, waves, capacity=10)
+        top = st.heavy_hitters_state_topk(
+            spark, str(tmp_path / "hh" / "state"), k=2
+        ).collect()
+        # no trims fired (distinct <= capacity): estimates are exact
+        assert [(r.key, r.est, r.est_hi) for r in top] == [
+            ("a", 7, 7), ("c", 4, 4)]
+        assert top[0].n_total == 14
