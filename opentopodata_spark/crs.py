@@ -884,6 +884,57 @@ class EquidistantCylindrical:
         return np.degrees(x / self.cx + self.lam0), np.degrees(phi)
 
 
+class Sinusoidal:
+    """Sinusoidal (Sanson-Flamsteed) projection — the MODIS land grid
+    (WKT-declared SPHERE of radius 6371007.181, inverse flattening 0)
+    and GDAL's SRS_PT_SINUSOIDAL. Ellipsoidal form: x = nu cos(phi)
+    dlam, y = meridian arc M(phi); reduces to the spherical formulas
+    when e = 0 (the MODIS case). Equal-area, pseudo-cylindrical."""
+
+    def __init__(self, a, inv_f, lon0_deg=0.0,
+                 false_easting=0.0, false_northing=0.0):
+        f = 1.0 / inv_f if inv_f else 0.0  # inv_f == 0 declares a sphere
+        self.a = a
+        self.e2 = f * (2 - f)
+        n = f / (2 - f) if f else 0.0
+        self.A = a / (1 + n) * (1 + n**2 / 4 + n**4 / 64 + n**6 / 256)
+        self.mu_c = _rect_mu_coeffs(n)
+        self.phi_c = _rect_phi_coeffs(n)
+        self.lam0 = math.radians(lon0_deg)
+        self.fe = false_easting
+        self.fn = false_northing
+
+    def forward(self, lons, lats):
+        lats = np.asarray(lats, dtype=np.float64)
+        lons = np.asarray(lons, dtype=np.float64)
+        phi = np.radians(lats)
+        # wrap to (-pi, pi] so +180E lands on the grid's +x edge (the
+        # MODIS convention), not -x
+        dlam = np.pi - (np.pi - (np.radians(lons) - self.lam0)) % (2 * np.pi)
+        s = np.sin(phi)
+        x = self.fe + self.a * np.cos(phi) * dlam / np.sqrt(
+            1 - self.e2 * s * s
+        )
+        mu = phi.copy()
+        for j, c_j in enumerate(self.mu_c, start=1):
+            mu += c_j * np.sin(2 * j * phi)
+        return x, self.fn + self.A * mu
+
+    def inverse(self, xs, ys):
+        x = np.asarray(xs, dtype=np.float64) - self.fe
+        y = np.asarray(ys, dtype=np.float64) - self.fn
+        mu = y / self.A
+        phi = mu.copy()
+        for j, d_j in enumerate(self.phi_c, start=1):
+            phi += d_j * np.sin(2 * j * mu)
+        s = np.sin(phi)
+        cos = np.cos(phi)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            dlam = x * np.sqrt(1 - self.e2 * s * s) / (self.a * cos)
+        dlam = np.where(np.abs(cos) < 1e-12, 0.0, dlam)  # poles
+        return np.degrees(self.lam0 + dlam), np.degrees(phi)
+
+
 class WebMercator:
     R = 6378137.0
 
@@ -1351,6 +1402,13 @@ def _projection_for_wkt(wkt: str):
             false_easting=p("false_easting"),
             false_northing=p("false_northing"),
             east_north=True,
+        )
+    if "sinusoidal" in name:
+        return Sinusoidal(
+            a, inv_f,
+            lon0_deg=p("central_meridian", "longitude_of_center"),
+            false_easting=p("false_easting"),
+            false_northing=p("false_northing"),
         )
     if "equirectangular" in name or "equidistant_cylindrical" in name:
         return EquidistantCylindrical(

@@ -1190,3 +1190,64 @@ def test_krovak_wkt_matches_epsg_5514_raw():
     xb, yb = bare.forward(lons, lats)
     np.testing.assert_allclose(xw, xb, atol=1e-6)
     np.testing.assert_allclose(yw, yb, atol=1e-6)
+
+
+MODIS_SIN_WKT = (
+    'PROJCS["MODIS Sinusoidal",'
+    'GEOGCS["Unknown datum based upon the custom spheroid",'
+    'DATUM["Not_specified_based_on_custom_spheroid",'
+    'SPHEROID["Custom spheroid",6371007.181,0]],'
+    'PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],'
+    'PROJECTION["Sinusoidal"],'
+    'PARAMETER["longitude_of_center",0],'
+    'PARAMETER["false_easting",0],'
+    'PARAMETER["false_northing",0],UNIT["metre",1]]'
+)
+
+
+def test_sinusoidal_modis_grid_anchors():
+    """The MODIS sinusoidal grid edges are closed-form: x(180E, 0N) =
+    pi*R = 20015109.354 m (the published grid half-width) and
+    y(90N) = pi*R/2; Snyder's spherical worked example (R=1,
+    lon0=-90: 50S 75W -> 0.168281, -0.872665) pins the formula."""
+    lons = np.array([180.0, 0.0])
+    lats = np.array([0.0, 90.0])
+    x, y = crs.reproject_latlons(lats, lons, wkt=MODIS_SIN_WKT)
+    R = 6371007.181
+    assert abs(x[0] - np.pi * R) < 0.01 and abs(y[0]) < 1e-6
+    assert abs(x[1]) < 1e-6 and abs(y[1] - np.pi * R / 2) < 0.01
+    # Snyder 1987 numerical example, sphere R=1, lon0 = -90
+    p = crs.Sinusoidal(1.0, 0.0, lon0_deg=-90.0)
+    xs, ys = p.forward(np.array([-75.0]), np.array([-50.0]))
+    assert abs(xs[0] - 0.1682814) < 1e-6
+    assert abs(ys[0] + 0.8726646) < 1e-6
+
+
+def test_sinusoidal_roundtrip_and_equal_area():
+    rng = np.random.default_rng(6974)
+    lats = rng.uniform(-85.0, 85.0, 300)
+    lons = rng.uniform(-179.0, 179.0, 300)
+    x, y = crs.reproject_latlons(lats, lons, wkt=MODIS_SIN_WKT)
+    lon2, lat2 = crs.unproject_xys(x, y, wkt=MODIS_SIN_WKT)
+    np.testing.assert_allclose(lat2, lats, atol=1e-9)
+    np.testing.assert_allclose(lon2, lons, atol=1e-9)
+    # equal-area invariant: |det J| == 1 against the sphere metric
+    p = crs._projection_for_wkt(MODIS_SIN_WKT)
+    for lon, lat in [(10.0, 45.0), (-120.0, -33.0), (60.0, 70.0)]:
+        J = _local_jacobian(p, lon, lat, (6371007.181, 1e12))
+        assert abs(abs(np.linalg.det(J)) - 1.0) < 1e-4
+
+
+def test_sinusoidal_ellipsoidal_reduces_and_extends():
+    """On WGS84 the sinusoidal y-axis is the meridian arc — identical to
+    the Equidistant Cylindrical northing (both are M(phi))."""
+    lats = np.array([55.0, -23.5])
+    lons = np.array([10.0, 133.0])
+    sin = crs.Sinusoidal(*crs._WGS84)
+    eqc = crs.EquidistantCylindrical(*crs._WGS84)
+    _, ys = sin.forward(lons, lats)
+    _, ye = eqc.forward(lons, lats)
+    np.testing.assert_allclose(ys, ye, atol=1e-9)
+    lon2, lat2 = sin.inverse(*sin.forward(lons, lats))
+    np.testing.assert_allclose(lat2, lats, atol=1e-9)
+    np.testing.assert_allclose(lon2, lons, atol=1e-9)
