@@ -2533,6 +2533,103 @@ def _build_los_oracle(sf_dir: str):
     )
 
 
+_VS_RAYS, _VS_SAMPLES, _VS_RADIUS = 8, 17, 40000.0
+
+
+def _vs_observer_frame(spark, sf_dir):
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey")
+    k = F.col("n_nationkey").cast("long")
+    return nat.select(
+        k.alias("obs_id"),
+        F.when(k % 2 == 0, 0.3 + (k % 6) / 10.0)
+         .otherwise((k * 13 % 120) - 59.5).alias("lat"),
+        F.when(k % 2 == 0, 10.4 + (k % 4) / 5.0)
+         .otherwise((k * 23 % 320) - 159.5).alias("lon"),
+    )
+
+
+def q_viewshed(spark, sf_dir):
+    """Radial terrain visibility (paths.viewshed): geodesic rays from
+    each observer -> distributed elevation resolve -> per-ray
+    running-max-angle sweep with curvature -> per-observer rollup.
+    Oracle: single-process sequential replay (same Karney direct rays,
+    same interpolation, same sweep arithmetic) without Spark."""
+    from opentopodata_spark import config
+    from opentopodata_spark.operators import elevation, paths
+
+    _ship_package(spark)
+    cfg_path, _ = _prepare_elevation_inputs(n_docs=1)
+    dsets = config.load_datasets(cfg_path)
+    ordered = config.resolve_dataset_names("multi_eudem_etopo1", dsets)
+    resolver = elevation.ElevationResolver(spark, ordered, "bilinear")
+    vs = paths.viewshed(
+        resolver, _vs_observer_frame(spark, sf_dir),
+        _VS_RADIUS, _VS_RAYS, _VS_SAMPLES,
+    )
+    return paths.viewshed_summary(vs)
+
+
+def _build_viewshed_oracle(sf_dir: str):
+    import numpy as np
+    import pyarrow as pa
+
+    from opentopodata_spark import config, geodesic, oracle
+
+    cfg_path, _ = _prepare_elevation_inputs(n_docs=1)
+    dsets = config.load_datasets(cfg_path)
+    ordered = config.resolve_dataset_names("multi_eudem_etopo1", dsets)
+    nk = _read_pq(sf_dir, "nation").column("n_nationkey").to_pylist()
+    R = 6371008.8
+    curv = (1 - 0.13) / (2 * R)
+    cols = {c: [] for c in ("obs_id", "n_visible", "n_valid",
+                            "visible_frac")}
+    for key in sorted(int(k) for k in nk):
+        if key % 2 == 0:
+            la, lo = 0.3 + (key % 6) / 10.0, 10.4 + (key % 4) / 5.0
+        else:
+            la = float(key * 13 % 120) - 59.5
+            lo = float(key * 23 % 320) - 159.5
+        e0 = oracle.get_elevation(
+            np.array([la]), np.array([lo]), ordered, "bilinear")[0][0]
+        eye = None if e0 is None else float(e0) + 2.0
+        n_vis = n_val = 0
+        for ray in range(_VS_RAYS):
+            az = 360.0 * ray / _VS_RAYS
+            lats, lons, dd = [], [], []
+            for i in range(1, _VS_SAMPLES):
+                d = _VS_RADIUS * i / (_VS_SAMPLES - 1)
+                g = geodesic.direct(la, lo, az, d)
+                lats.append(g["lat2"])
+                lons.append((g["lon2"] + 180.0) % 360.0 - 180.0)
+                dd.append(d)
+            elevs, _ = oracle.get_elevation(
+                np.array(lats), np.array(lons), ordered, "bilinear")
+            maxtan = -np.inf
+            for e, d in zip(elevs, dd):
+                if eye is None or e is None:
+                    continue
+                t = (float(e) - curv * d * d - eye) / d
+                n_val += 1
+                if t >= maxtan:
+                    n_vis += 1
+                maxtan = max(maxtan, t)
+        cols["obs_id"].append(key)
+        cols["n_visible"].append(n_vis)
+        cols["n_valid"].append(n_val)
+        cols["visible_frac"].append(
+            round(n_vis / n_val, 6) if n_val else None
+        )
+    return pa.table(
+        {
+            "obs_id": pa.array(cols["obs_id"], type=pa.int64()),
+            "n_visible": pa.array(cols["n_visible"], type=pa.int64()),
+            "n_valid": pa.array(cols["n_valid"], type=pa.int64()),
+            "visible_frac": pa.array(cols["visible_frac"],
+                                     type=pa.float64()),
+        }
+    )
+
+
 def q_multimodal_features(spark, sf_dir):
     """Media spans -> fetch -> REAL decode/featurize over a MIXED
     PNG+JPEG+WAV+Y4M corpus: all four codecs decode through the
@@ -3726,6 +3823,7 @@ _PRECOMPUTED_BUILDERS = {
     "elevation_e2e": _build_elevation_oracle,
     "elevation_profile": _build_profile_oracle,
     "line_of_sight": _build_los_oracle,
+    "viewshed": _build_viewshed_oracle,
     "multimodal_features": _build_multimodal_oracle,
     "ivf_topk": _build_ivf_oracle,
     "ivfpq_topk": _build_ivfpq_oracle,
@@ -3816,6 +3914,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "elevation_e2e": q_elevation_e2e,
         "elevation_profile": q_elevation_profile,
         "line_of_sight": q_line_of_sight,
+        "viewshed": q_viewshed,
         "geodesic_paths": q_geodesic_paths,
         "multimodal_features": q_multimodal_features,
         "ivf_topk": q_ivf_topk,

@@ -128,6 +128,7 @@ def main() -> None:
         "geofence_counts": lambda: contract.q_geofence_counts(spark, SF_DIR),
         "elevation_profile": lambda: contract.q_elevation_profile(spark, SF_DIR),
         "line_of_sight": lambda: contract.q_line_of_sight(spark, SF_DIR),
+        "viewshed": lambda: contract.q_viewshed(spark, SF_DIR),
         "asof_join": lambda: contract.q_asof_join(spark, SF_DIR),
         "funnel": lambda: contract.q_funnel(spark, SF_DIR),
         "retention": lambda: contract.q_retention(spark, SF_DIR),

@@ -290,3 +290,121 @@ def los_metrics(
         eb.alias("elev_b"),
         n_missing.alias("n_missing"),
     )
+
+
+_VIEWSHED_SCHEMA = (
+    "obs_id long, ray int, sample_pos int, lat double, lon double, "
+    "distance_m double"
+)
+
+
+def viewshed(
+    resolver,
+    observers: DataFrame,
+    radius_m: float,
+    n_rays: int = 16,
+    n_samples: int = 32,
+    *,
+    observer_height: float = 2.0,
+    refraction: float = 0.13,
+    use_curvature: bool = True,
+) -> DataFrame:
+    """Radial visibility grid: which terrain around each observer can it
+    see. observers: (obs_id long, lat, lon). Casts ``n_rays`` geodesic
+    rays (equal azimuth spacing, Karney direct solver) of ``radius_m``
+    from each observer, samples each ray at ``n_samples`` points,
+    resolves every sample's elevation distributedly, and folds each ray
+    outward with the classic running-max-elevation-angle sweep: a sample
+    is visible iff its (curvature-corrected) elevation angle from the
+    observer's eye ties or beats every angle before it on the ray.
+
+    Output, one row per ray sample (sample_pos >= 1): (obs_id, ray,
+    sample_pos, lat, lon, distance_m, elevation, visible). Samples with
+    no elevation get visible = null and do NOT raise the horizon
+    (unknown terrain never blocks); observers outside coverage yield all
+    nulls for their rays. Curvature drops distant terrain by
+    d^2(1-refraction)/(2R) in the observer-tangent frame.
+
+    Scale shape: ray generation is an embarrassingly parallel
+    mapInPandas (no shuffle), elevations ride the resolver's one wide
+    exchange, and the sweep is one applyInPandas over (obs_id, ray)
+    groups bounded by n_samples rows of 6 narrow columns.
+    """
+    if n_rays * n_samples > _POINT_ID_STRIDE:
+        raise ValueError("n_rays * n_samples must be <= 1_000_000")
+    if n_samples < 2:
+        raise ValueError("n_samples must be >= 2")
+
+    def cast_rays(batches):
+        from .. import geodesic
+
+        for pdf in batches:
+            rows = []
+            for oid, la, lo in zip(pdf["obs_id"], pdf["lat"], pdf["lon"]):
+                for ray in range(n_rays):
+                    az = 360.0 * ray / n_rays
+                    rows.append((oid, ray, 0, la, lo, 0.0))
+                    for i in range(1, n_samples):
+                        d = radius_m * i / (n_samples - 1)
+                        g = geodesic.direct(la, lo, az, d)
+                        lon2 = (g["lon2"] + 180.0) % 360.0 - 180.0
+                        rows.append((oid, ray, i, g["lat2"], lon2, d))
+            yield pd.DataFrame(
+                rows, columns=["obs_id", "ray", "sample_pos", "lat", "lon",
+                               "distance_m"],
+            )
+
+    samples = observers.mapInPandas(cast_rays, _VIEWSHED_SCHEMA)
+    pts = samples.withColumn(
+        "point_id",
+        F.col("obs_id") * F.lit(_POINT_ID_STRIDE)
+        + F.col("ray") * F.lit(n_samples) + F.col("sample_pos"),
+    )
+    resolved = resolver.resolve(
+        pts, carry=("obs_id", "ray", "sample_pos", "distance_m"),
+    ).select("obs_id", "ray", "sample_pos", "lat", "lon", "distance_m",
+             "elevation")
+
+    oh = float(observer_height)
+    curv = (1.0 - float(refraction)) / (2.0 * _EARTH_R) if use_curvature \
+        else 0.0
+
+    def sweep(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("sample_pos").reset_index(drop=True)
+        e = pdf["elevation"].to_numpy(dtype=np.float64)  # NaN for null
+        d = pdf["distance_m"].to_numpy(dtype=np.float64)
+        vis = np.full(len(pdf), np.nan)
+        eye = e[0] + oh
+        if np.isfinite(eye):
+            corr = e - curv * d * d
+            maxtan = -np.inf
+            for i in range(1, len(pdf)):
+                if not np.isfinite(corr[i]):
+                    continue
+                t = (corr[i] - eye) / d[i]
+                vis[i] = 1.0 if t >= maxtan else 0.0
+                maxtan = max(maxtan, t)
+        out = pdf[pdf["sample_pos"] >= 1].copy()
+        v = vis[pdf["sample_pos"].to_numpy() >= 1]
+        out["visible"] = pd.array(
+            [None if not np.isfinite(x) else bool(x) for x in v],
+            dtype="boolean",
+        )
+        return out
+
+    return resolved.groupBy("obs_id", "ray").applyInPandas(
+        sweep, _VIEWSHED_SCHEMA + ", elevation double, visible boolean"
+    )
+
+
+def viewshed_summary(samples: DataFrame) -> DataFrame:
+    """Per-observer rollup of a :func:`viewshed` frame: (obs_id,
+    n_visible, n_valid, visible_frac)."""
+    n_vis = F.coalesce(F.sum(F.col("visible").cast("long")), F.lit(0))
+    return samples.groupBy("obs_id").agg(
+        n_vis.alias("n_visible"),
+        F.count("visible").alias("n_valid"),
+        F.round(
+            F.sum(F.col("visible").cast("long")) / F.count("visible"), 6
+        ).alias("visible_frac"),
+    )

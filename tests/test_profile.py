@@ -249,3 +249,107 @@ class TestLineOfSight:
             assert m.min_clearance_m == pytest.approx(min(margins),
                                                       abs=1e-9)
             assert m.visible == (min(margins) >= 0)
+
+
+class TestViewshed:
+    @pytest.fixture()
+    def wall_ds(self, tmp_path):
+        """Flat 0 m terrain with a 200 m-tall, ~1 km-thick north-south
+        wall starting ~1.1 km east of the observer at (0, 10): rays east
+        are blocked beyond the wall, rays west stay clear."""
+        import os
+
+        from opentopodata_spark import config, geotiff
+
+        n, res = 200, 0.001  # ~111 m cells, 0.2 deg box around (0, 10)
+        grid = np.zeros((n, n), dtype=np.float32)
+        grid[:, 110:119] = 200.0  # wall: lon ~ 10.010-10.019 (1.1-2.1 km)
+        d = tmp_path / "wall"
+        os.makedirs(d, exist_ok=True)
+        geotiff.write_geotiff(
+            str(d / "wall.tif"), grid, x0=9.9, y0=0.1, sx=res, sy=res,
+            epsg=4326, nodata=-9999,
+        )
+        cfg = tmp_path / "wall.yaml"
+        cfg.write_text(f"datasets:\n- name: wall\n  path: {d}/\n")
+        return [config.load_datasets(str(cfg))["wall"]]
+
+    def test_wall_blocks_east_not_west(self, spark, wall_ds):
+        obs = spark.createDataFrame([(1, 0.0, 10.0)],
+                                    "obs_id long, lat double, lon double")
+        resolver = elevation.ElevationResolver(spark, wall_ds, "bilinear")
+        vs = paths.viewshed(
+            resolver, obs, radius_m=8000.0, n_rays=4, n_samples=17,
+            observer_height=2.0,
+        )
+        rows = vs.collect()
+        by_ray = {}
+        for r in rows:
+            by_ray.setdefault(r.ray, []).append(r)
+        for ray, rs in by_ray.items():
+            rs.sort(key=lambda r: r.sample_pos)
+        # ray 1 = east (azimuths 0=N,1=E,2=S,3=W): wall at ~1.2 km
+        east = [r for r in by_ray[1] if r.elevation is not None]
+        near = [r for r in east if r.distance_m < 1000]
+        far = [r for r in east if r.distance_m > 2500]
+        assert all(r.visible for r in near)
+        assert all(not r.visible for r in far)
+        # the NEAR edge of the wall is visible (it IS the horizon);
+        # its own far edge is already in the near edge's shadow
+        wall_hits = [r for r in east if r.elevation and r.elevation > 100]
+        assert wall_hits and wall_hits[0].visible
+        # ray 3 = west: flat, so visibility ends at the 2 m-eye horizon
+        # (~3.57*sqrt(h) km ~ 5.0 km with the 0.87 refraction factor):
+        # near samples visible, beyond-horizon flat ground hidden by the
+        # earth bulge itself
+        west = [r for r in by_ray[3] if r.elevation is not None]
+        assert all(r.visible for r in west if r.distance_m < 4500)
+        assert all(not r.visible for r in west if r.distance_m > 6500)
+        # summary rollup agrees with the sample-level frame
+        s = {r.obs_id: r for r in paths.viewshed_summary(vs).collect()}[1]
+        vals = [r for r in rows if r.visible is not None]
+        assert s.n_valid == len(vals)
+        assert s.n_visible == sum(1 for r in vals if r.visible)
+
+    def test_matches_sequential_replay(self, spark, datasets):
+        ds = [datasets["eudemsubset"], datasets["etopo1deg"]]
+        obs = [(1, 0.45, 10.8), (2, -35.0, 101.0)]
+        odf = spark.createDataFrame(obs,
+                                    "obs_id long, lat double, lon double")
+        resolver = elevation.ElevationResolver(spark, ds, "bilinear")
+        n_rays, n_samples, radius = 6, 9, 30000.0
+        got = {}
+        vs = paths.viewshed(resolver, odf, radius, n_rays, n_samples)
+        for r in vs.collect():
+            got[(r.obs_id, r.ray, r.sample_pos)] = (
+                r.visible, r.elevation, r.distance_m)
+        R = 6371008.8
+        curv = (1 - 0.13) / (2 * R)
+        n_checked = 0
+        for oid, la, lo in obs:
+            e0 = oracle.get_elevation(
+                np.array([la]), np.array([lo]), ds, "bilinear")[0][0]
+            for ray in range(n_rays):
+                az = 360.0 * ray / n_rays
+                lats, lons, dd = [], [], []
+                for i in range(1, n_samples):
+                    d = radius * i / (n_samples - 1)
+                    g = geodesic.direct(la, lo, az, d)
+                    lats.append(g["lat2"])
+                    lons.append((g["lon2"] + 180.0) % 360.0 - 180.0)
+                    dd.append(d)
+                elevs, _ = oracle.get_elevation(
+                    np.array(lats), np.array(lons), ds, "bilinear")
+                eye = None if e0 is None else float(e0) + 2.0
+                maxtan = -np.inf
+                for i, (e, d) in enumerate(zip(elevs, dd), start=1):
+                    gv, ge, gd = got[(oid, ray, i)]
+                    assert ge == e and abs(gd - d) < 1e-9
+                    if eye is None or e is None:
+                        assert gv is None
+                        continue
+                    t = (float(e) - curv * d * d - eye) / d
+                    assert gv == (t >= maxtan), (oid, ray, i)
+                    maxtan = max(maxtan, t)
+                    n_checked += 1
+        assert n_checked > 50
