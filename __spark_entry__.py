@@ -1560,6 +1560,33 @@ WHERE k.sample_key < thr.t
 """
 
 
+def q_stratified_take(spark, sf_dir):
+    """Exactly-k-per-language deterministic sample
+    (sampling.stratified_take): rank by md5 sample key within stratum,
+    keep the k smallest — layout-independent, auditable, exact output
+    size. One stratum-partitioned window; the prefilter_rate seam is the
+    documented scale path for huge strata."""
+    d = _t(spark, sf_dir, "documents")
+    return sampling.stratified_take(
+        d.select("doc_id", "lang"), k=12, strata_col="lang",
+        id_col="doc_id", seed="take1",
+    )
+
+
+_Q_STRATIFIED_TAKE_SQL = """
+WITH keyed AS (
+  SELECT doc_id, lang,
+         substr(md5('take1#' || CAST(doc_id AS VARCHAR)), 1, 6)
+           AS sample_key
+  FROM documents),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY lang
+                               ORDER BY sample_key, doc_id) AS rk
+  FROM keyed)
+SELECT doc_id, lang, sample_key FROM r WHERE rk <= 12
+"""
+
+
 _TEXT_EMBED_DIM, _TEXT_EMBED_NGRAM = 64, 3
 
 
@@ -3893,6 +3920,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_dedup": q_span_dedup,
         "corpus_sample": q_corpus_sample,
         "mixture_sample": q_mixture_sample,
+        "stratified_take": q_stratified_take,
         "heavy_hitters": q_heavy_hitters,
         "streaming_heavy_hitters": q_streaming_heavy_hitters,
         "text_embed": q_text_embed,
@@ -3971,6 +3999,7 @@ def oracle_sql() -> dict[str, str]:
         "span_dedup": _Q_SPAN_DEDUP_SQL,
         "corpus_sample": _corpus_sample_sql(),
         "mixture_sample": _Q_MIXTURE_SQL,
+        "stratified_take": _Q_STRATIFIED_TAKE_SQL,
         "heavy_hitters": _Q_HEAVY_HITTERS_SQL,
         "streaming_heavy_hitters": _Q_STREAMING_HH_SQL,
         "text_embed": _Q_TEXT_EMBED_SQL,

@@ -113,6 +113,7 @@ def main() -> None:
         ),
         "corpus_sample": lambda: contract.q_corpus_sample(spark, SF_DIR),
         "mixture_sample": lambda: contract.q_mixture_sample(spark, SF_DIR),
+        "stratified_take": lambda: contract.q_stratified_take(spark, SF_DIR),
         "heavy_hitters": lambda: contract.q_heavy_hitters(spark, SF_DIR),
         "embedding_topk": lambda: contract.q_embedding_topk(spark, SF_DIR),
         "embedding_near_dups": lambda: contract.q_emb_near_dups(spark, SF_DIR),

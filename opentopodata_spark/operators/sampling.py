@@ -173,3 +173,47 @@ def temperature_mixture(
         ),
         rates,
     )
+
+
+def stratified_take(
+    df: DataFrame,
+    k: int,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    seed: str = "s1",
+    prefilter_rate: float | None = None,
+) -> DataFrame:
+    """EXACTLY-k-per-stratum deterministic sample (corpus inspection /
+    eval-set carving): rank rows within each stratum by their md5
+    sample key (doc id as tiebreak) and keep rank <= k. Unlike
+    rate-based sampling the output size is exact; like it, the
+    selection is content-keyed — layout- and engine-independent, and
+    auditable from the emitted sample_key.
+
+    Scale shape: one window shuffle partitioned by stratum. For a
+    stratum with 10^10 rows that window sorts everything, so pass
+    ``prefilter_rate`` (e.g. 100*k/n_min_stratum): the codegen'd
+    sample_key < threshold predicate cuts the scan FIRST and the window
+    ranks only survivors — the ranking is unchanged because the
+    prefilter keeps a prefix of the same order. Each stratum must
+    retain >= k rows under the prefilter or fewer rows come back
+    (the caller knows its stratum sizes; pick the rate accordingly).
+    """
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    key = sample_key(id_col, seed)
+    out = df.withColumn("sample_key", key)
+    if prefilter_rate is not None:
+        out = out.where(
+            F.col("sample_key") < F.lit(rate_threshold(prefilter_rate))
+        )
+    w = Window.partitionBy(strata_col).orderBy(
+        F.col("sample_key").asc(), F.col(id_col).asc()
+    )
+    return (
+        out.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .drop("rk")
+    )

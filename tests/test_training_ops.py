@@ -1336,3 +1336,42 @@ class TestHeavyHitters:
         assert [(r.key, r.cnt) for r in got] == [("a", 2), ("b", 2)]
         empty = spark.createDataFrame([], "v string")
         assert sketch.heavy_hitters(empty, "v", k=3).collect() == []
+
+
+class TestStratifiedTake:
+    def test_exact_k_deterministic_and_auditable(self, spark):
+        rows = [(i, "en" if i % 3 else "de") for i in range(300)]
+        df = spark.createDataFrame(rows, "doc_id long, lang string")
+        got = sampling.stratified_take(df, k=7, seed="t")
+        by = {}
+        for r in got.collect():
+            by.setdefault(r.lang, []).append(r)
+        assert {k: len(v) for k, v in by.items()} == {"en": 7, "de": 7}
+        # deterministic: same selection on a different layout
+        got2 = sampling.stratified_take(df.repartition(13), k=7, seed="t")
+        assert {r.doc_id for r in got.collect()} == {
+            r.doc_id for r in got2.collect()}
+        # the selection is the k smallest sample keys per stratum
+        import hashlib
+
+        for lang in ("en", "de"):
+            ids = [i for i, lg in rows if lg == lang]
+            keyed = sorted(
+                (hashlib.md5(f"t#{i}".encode()).hexdigest()[:6], i)
+                for i in ids
+            )
+            assert {r.doc_id for r in by[lang]} == {i for _, i in keyed[:7]}
+
+    def test_prefilter_prefix_preserves_selection(self, spark):
+        rows = [(i, "x") for i in range(2000)]
+        df = spark.createDataFrame(rows, "doc_id long, lang string")
+        full = {r.doc_id for r in
+                sampling.stratified_take(df, k=5, seed="p").collect()}
+        pre = {r.doc_id for r in sampling.stratified_take(
+            df, k=5, seed="p", prefilter_rate=0.05).collect()}
+        assert pre == full
+
+    def test_small_stratum_returns_all(self, spark):
+        df = spark.createDataFrame([(1, "a"), (2, "a")],
+                                   "doc_id long, lang string")
+        assert sampling.stratified_take(df, k=10).count() == 2
