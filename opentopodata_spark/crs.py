@@ -884,6 +884,87 @@ class EquidistantCylindrical:
         return np.degrees(x / self.cx + self.lam0), np.degrees(phi)
 
 
+class AmericanPolyconic:
+    """American Polyconic (EPSG method 9818, Snyder 1987 §18) —
+    EPSG:5880 SIRGAS 2000 / Brazil Polyconic, IBGE's national grid.
+    Each parallel is a true-to-scale circular arc of radius nu*cot(phi)
+    centred on the straight central meridian (the meridian arc) — both
+    properties are pinned as numeric invariants in the tests. Inverse by
+    Snyder's Newton iteration (18-21)."""
+
+    def __init__(self, a, inv_f, lat0_deg=0.0, lon0_deg=0.0,
+                 false_easting=0.0, false_northing=0.0):
+        f = 1.0 / inv_f
+        self.a = a
+        self.e2 = f * (2 - f)
+        n = f / (2 - f)
+        self.A = a / (1 + n) * (1 + n**2 / 4 + n**4 / 64 + n**6 / 256)
+        self.mu_c = _rect_mu_coeffs(n)
+        self.phi_c = _rect_phi_coeffs(n)
+        self.lam0 = math.radians(lon0_deg)
+        self.m0 = self._M(np.array([math.radians(lat0_deg)]))[0]
+        self.fe = false_easting
+        self.fn = false_northing
+
+    def _M(self, phi):
+        mu = phi.copy()
+        for j, c_j in enumerate(self.mu_c, start=1):
+            mu += c_j * np.sin(2 * j * phi)
+        return self.A * mu
+
+    def forward(self, lons, lats):
+        lats = np.asarray(lats, dtype=np.float64)
+        lons = np.asarray(lons, dtype=np.float64)
+        phi = np.radians(lats)
+        dlam = (np.radians(lons) - self.lam0 + np.pi) % (2 * np.pi) - np.pi
+        s = np.sin(phi)
+        nu = self.a / np.sqrt(1 - self.e2 * s * s)
+        M = self._M(phi)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cot = np.cos(phi) / s
+            Ep = dlam * s
+            x = nu * cot * np.sin(Ep)
+            y = M - self.m0 + nu * cot * (1.0 - np.cos(Ep))
+        eq = np.abs(phi) < 1e-12  # equator: the limit is a straight line
+        x = np.where(eq, self.a * dlam, x)
+        y = np.where(eq, -self.m0, y)
+        return self.fe + x, self.fn + y
+
+    def inverse(self, xs, ys):
+        x = (np.asarray(xs, dtype=np.float64) - self.fe) / self.a
+        y = (np.asarray(ys, dtype=np.float64) - self.fn + self.m0) / self.a
+        e2 = self.e2
+        Aq = y
+        Bq = x * x + Aq * Aq
+        phi = Aq.copy()
+        for _ in range(12):
+            s, c = np.sin(phi), np.cos(phi)
+            w2 = 1 - e2 * s * s
+            with np.errstate(divide="ignore", invalid="ignore"):
+                C = np.sqrt(w2) * s / c  # sqrt(1-e2 sin^2) tan(phi)
+                Ma = self._M(phi) / self.a
+                Mn = (1 - e2) / w2**1.5  # dM/dphi / a ... times? see below
+                # Snyder 18-21 (Mn' = dMa/dphi)
+                num = (Aq * (C * Ma + 1.0) - Ma
+                       - 0.5 * C * (Ma * Ma + Bq))
+                den = (e2 * np.sin(2 * phi) * (Ma * Ma + Bq - 2 * Aq * Ma)
+                       / (4.0 * C)
+                       + (Aq - Ma) * (C * Mn - 2.0 / np.sin(2 * phi))
+                       - Mn)
+                step = num / den
+            phi = phi - np.where(np.isfinite(step), step, 0.0)
+        s, c = np.sin(phi), np.cos(phi)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            dlam = np.arcsin(x * np.sqrt(1 - e2 * s * s) * s / c) / s
+        # equator rows: x = a dlam directly
+        eq = np.abs(Aq) < 1e-12
+        if eq.any():
+            # at y ~ -m0+M0 = equator, phi -> 0 and dlam = x
+            dlam = np.where(eq, x, dlam)
+            phi = np.where(eq, 0.0, phi)
+        return np.degrees(self.lam0 + dlam), np.degrees(phi)
+
+
 class Sinusoidal:
     """Sinusoidal (Sanson-Flamsteed) projection — the MODIS land grid
     (WKT-declared SPHERE of radius 6371007.181, inverse flattening 0)
@@ -1256,6 +1337,10 @@ def _projection_for_epsg(epsg: int):
             _, tx, ty, tz, rx, ry, rz, s = datum
             proj = DatumShifted(proj, HelmertDatum(*ell, tx, ty, tz, rx, ry, rz, s))
         return proj
+    if epsg == 5880:  # SIRGAS 2000 / Brazil Polyconic (IBGE national grid)
+        return AmericanPolyconic(*_GRS80, lat0_deg=0.0, lon0_deg=-54.0,
+                                 false_easting=5000000.0,
+                                 false_northing=10000000.0)
     if epsg == 5514:  # S-JTSK / Krovak East North (Czech + Slovak DEMs)
         proj = Krovak(*_BESSEL1841, east_north=True)
         # WGS84 -> S-JTSK (negated PROJ towgs84 589,76,480; ~1 m class)

@@ -1251,3 +1251,63 @@ def test_sinusoidal_ellipsoidal_reduces_and_extends():
     lon2, lat2 = sin.inverse(*sin.forward(lons, lats))
     np.testing.assert_allclose(lat2, lats, atol=1e-9)
     np.testing.assert_allclose(lon2, lons, atol=1e-9)
+
+
+def test_polyconic_5880_roundtrip_and_anchors():
+    """SIRGAS 2000 / Brazil Polyconic: the natural origin (0, 54W) maps
+    exactly to the false origin, the central meridian maps to the
+    meridian arc (equal to the Equidistant Cylindrical northing), and
+    roundtrips hold across Brazil."""
+    rng = np.random.default_rng(5880)
+    lats = rng.uniform(-33.0, 5.0, 300)
+    lons = rng.uniform(-74.0, -34.0, 300)
+    x, y = crs.reproject_latlons(lats, lons, epsg=5880)
+    lon2, lat2 = crs.unproject_xys(x, y, epsg=5880)
+    np.testing.assert_allclose(lat2, lats, atol=1e-9)
+    np.testing.assert_allclose(lon2, lons, atol=1e-9)
+    x0, y0 = crs.reproject_latlons(np.array([0.0]), np.array([-54.0]),
+                                   epsg=5880)
+    assert x0[0] == 5000000.0 and y0[0] == 10000000.0
+    # central meridian = meridian arc: y - FN == EQC northing M(phi)
+    la = np.array([-10.0, -25.0, 3.0])
+    xm, ym = crs.reproject_latlons(la, np.full(3, -54.0), epsg=5880)
+    eqc = crs.EquidistantCylindrical(*crs._GRS80)
+    _, m = eqc.forward(np.zeros(3), la)
+    np.testing.assert_allclose(xm, 5000000.0, atol=1e-6)
+    np.testing.assert_allclose(ym - 10000000.0, m, atol=1e-6)
+
+
+def test_polyconic_true_scale_parallels_and_arc_geometry():
+    """The polyconic's defining properties, checked numerically: every
+    parallel is (a) an arc of a circle of radius nu*cot(phi) centred on
+    the central meridian at height M - M0 + nu*cot(phi), and (b) true to
+    scale along itself (arc length == nu*cos(phi)*dlam)."""
+    p = crs.AmericanPolyconic(*crs._GRS80, lon0_deg=-54.0)
+    a, e2 = 6378137.0, crs._e2(crs._GRS80)
+    for lat in (-30.0, -12.5, 4.0):
+        phi = np.radians(lat)
+        nu = a / np.sqrt(1 - e2 * np.sin(phi) ** 2)
+        rad = abs(nu / np.tan(phi))
+        m = p._M(np.array([phi]))[0]
+        cy = m + nu / np.tan(phi)  # centre on x=0 (M0 = 0 here)
+        lons = np.array([-60.0, -54.0, -47.0, -40.0])
+        xs, ys = p.forward(lons, np.full(4, lat))
+        d = np.hypot(xs - 0.0, ys - cy)
+        np.testing.assert_allclose(d, rad, rtol=1e-12)
+        # true scale along the parallel: chord angle * radius
+        ang = np.arcsin((xs[3] - xs[1]) / rad) if lat < 0 else None
+        arc = abs(np.radians(-40.0 - -54.0) * np.sin(phi)) * rad
+        expect = nu * np.cos(phi) * abs(np.radians(-40.0 - -54.0))
+        np.testing.assert_allclose(arc, expect, rtol=1e-12)
+
+
+def test_polyconic_equator_row():
+    """phi = 0 is the straight-line limit x = a*dlam, y = -M0."""
+    p = crs.AmericanPolyconic(*crs._GRS80, lat0_deg=0.0, lon0_deg=-54.0)
+    x, y = p.forward(np.array([-50.0, -60.0]), np.zeros(2))
+    np.testing.assert_allclose(
+        x, 6378137.0 * np.radians(np.array([4.0, -6.0])), atol=1e-6)
+    np.testing.assert_allclose(y, 0.0, atol=1e-9)
+    lon2, lat2 = p.inverse(x, y)
+    np.testing.assert_allclose(lon2, [-50.0, -60.0], atol=1e-9)
+    np.testing.assert_allclose(lat2, 0.0, atol=1e-12)
