@@ -2811,6 +2811,46 @@ HAVING SUM(c) % 2 = 1
 """
 
 
+_SLIPPY_ZOOM = 11
+
+
+def q_slippy_tiles(spark, sf_dir):
+    """Web-Mercator slippy/XYZ tile keys + Bing quadkeys at zoom 11
+    (operators/spatial.with_slippy_tile) over the point stream — the
+    tile-pyramid partitioning key (ancestors are quadkey prefixes).
+    Pure codegen'd floor/asinh arithmetic, zero shuffles; the oracle
+    recomputes the same formulas in SQL (asinh spelled ln(tan+sec))."""
+    from opentopodata_spark.operators import spatial
+
+    p = _points(spark, sf_dir)
+    return spatial.with_slippy_tile(p, _SLIPPY_ZOOM).select(
+        "pid", "tile_x", "tile_y", "quadkey"
+    )
+
+
+def _slippy_sql() -> str:
+    z = _SLIPPY_ZOOM
+    n = 2**z
+    digits = " || ".join(
+        f"CAST(((tile_x >> {z - 1 - i}) & 1) + 2 * ((tile_y >> {z - 1 - i}) & 1) AS VARCHAR)"
+        for i in range(z)
+    )
+    return f"""
+WITH p AS ({_POINTS_SQL}),
+t AS (
+  SELECT pid,
+         least(greatest(CAST(floor((lon + 180.0) / 360.0 * {n}) AS BIGINT),
+                        0), {n - 1}) AS tile_x,
+         least(greatest(CAST(floor((1.0 - ln(tan(radians(
+                    least(greatest(lat, -85.05112878), 85.05112878)))
+                 + 1.0 / cos(radians(least(greatest(lat, -85.05112878),
+                                           85.05112878)))) / pi()) / 2.0
+                 * {n}) AS BIGINT), 0), {n - 1}) AS tile_y
+  FROM p)
+SELECT pid, tile_x, tile_y, {digits} AS quadkey FROM t
+"""
+
+
 def q_s2_cells(spark, sf_dir):
     """S2 cell encoding (level 8) of the point stream — vectorized Arrow
     batches, parity-tested against canonical S2 ids (tests/test_s2_spatial).
@@ -3921,6 +3961,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_sample": q_corpus_sample,
         "mixture_sample": q_mixture_sample,
         "stratified_take": q_stratified_take,
+        "slippy_tiles": q_slippy_tiles,
         "heavy_hitters": q_heavy_hitters,
         "streaming_heavy_hitters": q_streaming_heavy_hitters,
         "text_embed": q_text_embed,
@@ -4000,6 +4041,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_sample": _corpus_sample_sql(),
         "mixture_sample": _Q_MIXTURE_SQL,
         "stratified_take": _Q_STRATIFIED_TAKE_SQL,
+        "slippy_tiles": _slippy_sql(),
         "heavy_hitters": _Q_HEAVY_HITTERS_SQL,
         "streaming_heavy_hitters": _Q_STREAMING_HH_SQL,
         "text_embed": _Q_TEXT_EMBED_SQL,

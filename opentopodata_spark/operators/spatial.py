@@ -18,6 +18,8 @@ rectangles to arbitrary polygons (SURVEY.md J2).
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -232,3 +234,51 @@ def point_in_polygon_join(
         F.col("_interior")
         | refine(F.col(lat_col), F.col(lon_col), F.col("polygon_id"))
     ).drop("s2_cell", "_interior")
+
+
+def slippy_tile_cols(lat_col, lon_col, zoom: int):
+    """Web-Mercator slippy-map tile coordinates (the OSM/XYZ pyramid the
+    overview/tile sinks serve into): returns (tile_x, tile_y, quadkey)
+    Columns for ``zoom``. Pure codegen'd arithmetic — the standard
+    formulas x = floor((lon+180)/360 * 2^z) and
+    y = floor((1 - asinh(tan(lat))/pi)/2 * 2^z), latitude clamped to the
+    Web-Mercator band (+-85.05112878). The quadkey is the Bing-style
+    base-4 string (bit i of x and y interleaved per level) — the key
+    that makes a tile's ancestors its string prefixes, so pyramid
+    rollups are `substr` groupBys."""
+    if not 0 <= zoom <= 30:
+        raise ValueError("zoom must be in [0, 30]")
+    n = F.lit(float(2**zoom))
+    lat = F.least(F.greatest(lat_col, F.lit(-85.05112878)),
+                  F.lit(85.05112878))
+    lat_r = F.radians(lat)
+    tx = F.floor((lon_col + 180.0) / 360.0 * n).cast("long")
+    # asinh(tan(phi)) = ln(tan(phi) + sec(phi)); F.asinh exists
+    ty = F.floor(
+        (1.0 - F.asinh(F.tan(lat_r)) / F.lit(math.pi)) / 2.0 * n
+    ).cast("long")
+    # clamp the lon=180 / lat=-85.05.. edge into the last tile
+    tx = F.least(F.greatest(tx, F.lit(0)), F.lit(2**zoom - 1))
+    ty = F.least(F.greatest(ty, F.lit(0)), F.lit(2**zoom - 1))
+    if zoom == 0:
+        qk = F.lit("")
+    else:
+        digits = [
+            (F.shiftrightunsigned(tx, z - 1 - i) % 2
+             + (F.shiftrightunsigned(ty, z - 1 - i) % 2) * 2).cast("int")
+            for z in [zoom] for i in range(zoom)
+        ]
+        qk = F.concat(*[d.cast("string") for d in digits])
+    return tx, ty, qk
+
+
+def with_slippy_tile(
+    df: DataFrame, zoom: int, lat_col: str = "lat", lon_col: str = "lon"
+) -> DataFrame:
+    """Attach (tile_x, tile_y, quadkey) for ``zoom`` — the equi-join /
+    groupBy key for XYZ tile pyramids; ancestors at zoom z' < z are
+    substr(quadkey, 1, z'), so one keying serves every pyramid level."""
+    tx, ty, qk = slippy_tile_cols(F.col(lat_col), F.col(lon_col), zoom)
+    return df.withColumn("tile_x", tx).withColumn("tile_y", ty).withColumn(
+        "quadkey", qk
+    )

@@ -207,3 +207,69 @@ def test_pip_join_interior_fastpath_equivalence(spark):
         level=9,
     )
     assert {r.point_id for r in out.collect()} == expect
+
+
+class TestSlippyTiles:
+    def test_published_anchors(self, spark):
+        from opentopodata_spark.operators import spatial
+
+        df = spark.createDataFrame(
+            [(1, 52.51628, 13.37771),   # Berlin (OSM wiki example)
+             (2, 41.85, -87.65),        # Chicago (Bing quadkey docs)
+             (3, 85.3, -180.0),         # clamps into tile (0, 0)
+             (4, -85.3, 179.999999)],   # clamps into the last tile
+            "id long, lat double, lon double",
+        )
+        got = {r.id: r for r in spatial.with_slippy_tile(df, 10).collect()}
+        assert (got[1].tile_x, got[1].tile_y) == (550, 335)
+        assert (got[3].tile_x, got[3].tile_y) == (0, 0)
+        assert (got[4].tile_x, got[4].tile_y) == (1023, 1023)
+        assert got[4].quadkey == "3" * 10
+        # Bing's documented convention example: tile (3, 5) at level 3
+        # has quadkey "213"; (-55, -20) falls in that tile. Chicago's
+        # (2, 2) follows as "030".
+        g3 = {r.id: r for r in spatial.with_slippy_tile(df, 3).collect()}
+        assert (g3[2].tile_x, g3[2].tile_y) == (2, 2)
+        assert g3[2].quadkey == "030"
+        df35 = spark.createDataFrame([(1, -55.0, -20.0)],
+                                     "id long, lat double, lon double")
+        r35 = spatial.with_slippy_tile(df35, 3).collect()[0]
+        assert (r35.tile_x, r35.tile_y, r35.quadkey) == (3, 5, "213")
+
+    def test_quadkey_prefix_is_parent(self, spark):
+        """Pyramid invariant: the zoom-z quadkey of a point is a prefix
+        of its zoom-(z+k) quadkey — substr rollups are exact."""
+        from opentopodata_spark.operators import spatial
+
+        rng = np.random.default_rng(99)
+        rows = [(i, float(la), float(lo)) for i, (la, lo) in enumerate(
+            zip(rng.uniform(-84, 84, 50), rng.uniform(-179, 179, 50)))]
+        df = spark.createDataFrame(rows, "id long, lat double, lon double")
+        q12 = {r.id: r.quadkey
+               for r in spatial.with_slippy_tile(df, 12).collect()}
+        q7 = {r.id: r.quadkey
+              for r in spatial.with_slippy_tile(df, 7).collect()}
+        for i in q12:
+            assert q12[i].startswith(q7[i])
+            assert len(q12[i]) == 12 and len(q7[i]) == 7
+
+    def test_tile_bounds_roundtrip(self, spark):
+        """Every point falls inside its own tile's geographic bounds
+        (inverse Web-Mercator of the tile box)."""
+        from opentopodata_spark.operators import spatial
+
+        rng = np.random.default_rng(7)
+        rows = [(i, float(la), float(lo)) for i, (la, lo) in enumerate(
+            zip(rng.uniform(-80, 80, 60), rng.uniform(-179, 179, 60)))]
+        df = spark.createDataFrame(rows, "id long, lat double, lon double")
+        z, n = 9, 2**9
+        for r in spatial.with_slippy_tile(df, z).collect():
+            la, lo = rows[r.id][1], rows[r.id][2]
+            lon_w = r.tile_x / n * 360.0 - 180.0
+            lon_e = (r.tile_x + 1) / n * 360.0 - 180.0
+            lat_n = np.degrees(np.arctan(np.sinh(
+                np.pi * (1 - 2 * r.tile_y / n))))
+            lat_s = np.degrees(np.arctan(np.sinh(
+                np.pi * (1 - 2 * (r.tile_y + 1) / n))))
+            assert lon_w <= lo < lon_e + 1e-9
+            assert lat_s - 1e-9 <= la <= lat_n + 1e-9
