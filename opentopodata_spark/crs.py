@@ -884,6 +884,75 @@ class EquidistantCylindrical:
         return np.degrees(x / self.cx + self.lam0), np.degrees(phi)
 
 
+class CassiniSoldner:
+    """Cassini-Soldner (EPSG method 9806, Snyder 1987 §13) — the legacy
+    cadastral grids (Trinidad 30200, Palestine 28191, historic German
+    Soldner nets). Unit-agnostic (a, FE, FN share whatever unit the grid
+    uses — Clarke links for Trinidad). Pinned by the GN7-2 Trinidad
+    worked example."""
+
+    def __init__(self, a, inv_f, lat0_deg, lon0_deg,
+                 false_easting=0.0, false_northing=0.0):
+        f = 1.0 / inv_f
+        self.a = a
+        self.e2 = f * (2 - f)
+        n = f / (2 - f)
+        self.A = a / (1 + n) * (1 + n**2 / 4 + n**4 / 64 + n**6 / 256)
+        self.mu_c = _rect_mu_coeffs(n)
+        self.phi_c = _rect_phi_coeffs(n)
+        self.lam0 = math.radians(lon0_deg)
+        self.m0 = self._M(np.array([math.radians(lat0_deg)]))[0]
+        self.fe = false_easting
+        self.fn = false_northing
+
+    def _M(self, phi):
+        mu = phi.copy()
+        for j, c_j in enumerate(self.mu_c, start=1):
+            mu += c_j * np.sin(2 * j * phi)
+        return self.A * mu
+
+    def forward(self, lons, lats):
+        lats = np.asarray(lats, dtype=np.float64)
+        lons = np.asarray(lons, dtype=np.float64)
+        phi = np.radians(lats)
+        dlam = (np.radians(lons) - self.lam0 + np.pi) % (2 * np.pi) - np.pi
+        s, c = np.sin(phi), np.cos(phi)
+        T = (s / c) ** 2
+        Cc = self.e2 * c * c / (1 - self.e2)
+        nu = self.a / np.sqrt(1 - self.e2 * s * s)
+        Aa = dlam * c
+        A2, A3, A4, A5 = Aa * Aa, None, None, None
+        A3 = A2 * Aa
+        A4 = A2 * A2
+        A5 = A4 * Aa
+        x = nu * (Aa - T * A3 / 6.0 - (8.0 - T + 8.0 * Cc) * T * A5 / 120.0)
+        y = (self._M(phi) - self.m0
+             + nu * (s / c) * (A2 / 2.0 + (5.0 - T + 6.0 * Cc) * A4 / 24.0))
+        return self.fe + x, self.fn + y
+
+    def inverse(self, xs, ys):
+        x = np.asarray(xs, dtype=np.float64) - self.fe
+        y = np.asarray(ys, dtype=np.float64) - self.fn
+        mu1 = (self.m0 + y) / self.A
+        phi1 = mu1.copy()
+        for j, d_j in enumerate(self.phi_c, start=1):
+            phi1 += d_j * np.sin(2 * j * mu1)
+        s1, c1 = np.sin(phi1), np.cos(phi1)
+        T1 = (s1 / c1) ** 2
+        w2 = 1 - self.e2 * s1 * s1
+        nu1 = self.a / np.sqrt(w2)
+        rho1 = self.a * (1 - self.e2) / w2**1.5
+        D = x / nu1
+        D2 = D * D
+        phi = phi1 - (nu1 * s1 / c1 / rho1) * (
+            D2 / 2.0 - (1.0 + 3.0 * T1) * D2 * D2 / 24.0
+        )
+        lam = self.lam0 + (
+            D - T1 * D2 * D / 3.0 + (1.0 + 3.0 * T1) * T1 * D2 * D2 * D / 15.0
+        ) / c1
+        return np.degrees(lam), np.degrees(phi)
+
+
 class AmericanPolyconic:
     """American Polyconic (EPSG method 9818, Snyder 1987 §18) —
     EPSG:5880 SIRGAS 2000 / Brazil Polyconic, IBGE's national grid.
@@ -1337,6 +1406,19 @@ def _projection_for_epsg(epsg: int):
             _, tx, ty, tz, rx, ry, rz, s = datum
             proj = DatumShifted(proj, HelmertDatum(*ell, tx, ty, tz, rx, ry, rz, s))
         return proj
+    if epsg == 30200:  # Trinidad 1903 / Trinidad Grid (Clarke 1858, LINKS)
+        proj = CassiniSoldner(31706587.88, 294.2606764,
+                              lat0_deg=10 + 26 / 60 + 30 / 3600,
+                              lon0_deg=-(61 + 20 / 60),
+                              false_easting=430000.0,
+                              false_northing=325000.0)
+        # WGS84 -> Trinidad 1903 (negated PROJ towgs84; ellipsoid axes
+        # for the Helmert ECEF math are in METRES: Clarke 1858 a)
+        return DatumShifted(
+            proj, HelmertDatum(6378293.645208759, 294.2606764,
+                               61.702, -284.488, -472.052,
+                               0.0, 0.0, 0.0, 0.0)
+        )
     if epsg == 5880:  # SIRGAS 2000 / Brazil Polyconic (IBGE national grid)
         return AmericanPolyconic(*_GRS80, lat0_deg=0.0, lon0_deg=-54.0,
                                  false_easting=5000000.0,
@@ -1471,6 +1553,14 @@ def _projection_for_wkt(wkt: str):
             false_easting=p("false_easting"),
             false_northing=p("false_northing"),
             variant=variant,
+        )
+    if "cassini" in name:
+        return CassiniSoldner(
+            a, inv_f,
+            lat0_deg=p("latitude_of_origin", "latitude_of_center"),
+            lon0_deg=p("central_meridian", "longitude_of_center"),
+            false_easting=p("false_easting"),
+            false_northing=p("false_northing"),
         )
     if "krovak" in name:
         # GDAL WKT1 carries the GREENWICH longitude_of_center (24d50'E)

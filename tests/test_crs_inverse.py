@@ -1311,3 +1311,57 @@ def test_polyconic_equator_row():
     lon2, lat2 = p.inverse(x, y)
     np.testing.assert_allclose(lon2, [-50.0, -60.0], atol=1e-9)
     np.testing.assert_allclose(lat2, 0.0, atol=1e-12)
+
+
+def test_cassini_worked_example_epsg_method_9806():
+    """EPSG GN7-2 Trinidad 1903 worked example (Clarke 1858, LINKS):
+    10N 62W -> E 66644.94, N 82536.22 links."""
+    p = crs.CassiniSoldner(
+        31706587.88, 294.2606764,
+        lat0_deg=10 + 26 / 60 + 30 / 3600, lon0_deg=-(61 + 20 / 60),
+        false_easting=430000.0, false_northing=325000.0,
+    )
+    x, y = p.forward(np.array([-62.0]), np.array([10.0]))
+    assert abs(x[0] - 66644.94) < 0.01
+    assert abs(y[0] - 82536.22) < 0.01
+    lon2, lat2 = p.inverse(x, y)
+    assert abs(lon2[0] + 62.0) < 1e-9 and abs(lat2[0] - 10.0) < 1e-9
+
+
+def test_cassini_30200_roundtrip_and_datum():
+    rng = np.random.default_rng(30200)
+    lats = rng.uniform(10.0, 10.9, 150)
+    lons = rng.uniform(-61.95, -60.9, 150)
+    x, y = crs.reproject_latlons(lats, lons, epsg=30200)
+    lon2, lat2 = crs.unproject_xys(x, y, epsg=30200)
+    np.testing.assert_allclose(lat2, lats, atol=1e-6)
+    np.testing.assert_allclose(lon2, lons, atol=1e-6)
+    # Port of Spain lands in the right km of the links grid
+    xp, yp = crs.reproject_latlons(np.array([10.652]), np.array([-61.517]),
+                                   epsg=30200)
+    assert 300000 < xp[0] < 360000 and 420000 < yp[0] < 460000
+
+
+def test_cassini_wkt_matches_raw():
+    wkt = (
+        'PROJCS["Trinidad 1903 / Trinidad Grid",'
+        'GEOGCS["Trinidad 1903",DATUM["Trinidad_1903",'
+        'SPHEROID["Clarke 1858",31706587.88,294.2606764]],'
+        'PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],'
+        'PROJECTION["Cassini_Soldner"],'
+        'PARAMETER["latitude_of_origin",10.4416666666667],'
+        'PARAMETER["central_meridian",-61.3333333333333],'
+        'PARAMETER["false_easting",430000],'
+        'PARAMETER["false_northing",325000],UNIT["link",0.201166195]]'
+    )
+    lats = np.array([10.2, 10.7])
+    lons = np.array([-61.8, -61.1])
+    xw, yw = crs.reproject_latlons(lats, lons, wkt=wkt)
+    bare = crs.CassiniSoldner(
+        31706587.88, 294.2606764, lat0_deg=10.4416666666667,
+        lon0_deg=-61.3333333333333, false_easting=430000.0,
+        false_northing=325000.0,
+    )
+    xb, yb = bare.forward(lons, lats)
+    np.testing.assert_allclose(xw, xb, atol=1e-6)
+    np.testing.assert_allclose(yw, yb, atol=1e-6)
