@@ -2851,6 +2851,63 @@ SELECT pid, tile_x, tile_y, {digits} AS quadkey FROM t
 """
 
 
+def q_tile_pyramid(spark, sf_dir):
+    """Tile-pyramid rollup over quadkeys: point counts at zoom 12 are
+    aggregated once, then every coarser level is a substr groupBy over
+    the LEVEL-12 AGGREGATE (not the points) — the quadkey
+    prefix-is-ancestor property means the pyramid costs one scan of the
+    points plus rollups over ever-smaller frames, the gdaladdo shape
+    for point density."""
+    from opentopodata_spark.operators import spatial
+
+    p = _points(spark, sf_dir)
+    base = (
+        spatial.with_slippy_tile(p, 12)
+        .groupBy("quadkey").agg(F.count("*").alias("n_points"))
+    )
+    levels = [base.select(F.lit(12).alias("zoom"), "quadkey", "n_points")]
+    for z in (8, 4):
+        levels.append(
+            base.groupBy(F.substring("quadkey", 1, z).alias("quadkey"))
+            .agg(F.sum("n_points").alias("n_points"))
+            .select(F.lit(z).alias("zoom"), "quadkey", "n_points")
+        )
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return out
+
+
+def _tile_pyramid_sql() -> str:
+    z = 12
+    n = 2**z
+    digits = " || ".join(
+        f"CAST(((tile_x >> {z - 1 - i}) & 1) + 2 * ((tile_y >> {z - 1 - i}) & 1) AS VARCHAR)"
+        for i in range(z)
+    )
+    return f"""
+WITH p AS ({_POINTS_SQL}),
+t AS (
+  SELECT least(greatest(CAST(floor((lon + 180.0) / 360.0 * {n}) AS BIGINT),
+                        0), {n - 1}) AS tile_x,
+         least(greatest(CAST(floor((1.0 - ln(tan(radians(
+                    least(greatest(lat, -85.05112878), 85.05112878)))
+                 + 1.0 / cos(radians(least(greatest(lat, -85.05112878),
+                                           85.05112878)))) / pi()) / 2.0
+                 * {n}) AS BIGINT), 0), {n - 1}) AS tile_y
+  FROM p),
+base AS (SELECT {digits} AS quadkey, COUNT(*) AS n_points FROM t
+         GROUP BY 1)
+SELECT 12 AS zoom, quadkey, n_points FROM base
+UNION ALL
+SELECT 8 AS zoom, substr(quadkey, 1, 8) AS quadkey,
+       CAST(SUM(n_points) AS BIGINT) AS n_points FROM base GROUP BY 2
+UNION ALL
+SELECT 4 AS zoom, substr(quadkey, 1, 4) AS quadkey,
+       CAST(SUM(n_points) AS BIGINT) AS n_points FROM base GROUP BY 2
+"""
+
+
 def q_s2_cells(spark, sf_dir):
     """S2 cell encoding (level 8) of the point stream — vectorized Arrow
     batches, parity-tested against canonical S2 ids (tests/test_s2_spatial).
@@ -3962,6 +4019,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": q_mixture_sample,
         "stratified_take": q_stratified_take,
         "slippy_tiles": q_slippy_tiles,
+        "tile_pyramid": q_tile_pyramid,
         "heavy_hitters": q_heavy_hitters,
         "streaming_heavy_hitters": q_streaming_heavy_hitters,
         "text_embed": q_text_embed,
@@ -4042,6 +4100,7 @@ def oracle_sql() -> dict[str, str]:
         "mixture_sample": _Q_MIXTURE_SQL,
         "stratified_take": _Q_STRATIFIED_TAKE_SQL,
         "slippy_tiles": _slippy_sql(),
+        "tile_pyramid": _tile_pyramid_sql(),
         "heavy_hitters": _Q_HEAVY_HITTERS_SQL,
         "streaming_heavy_hitters": _Q_STREAMING_HH_SQL,
         "text_embed": _Q_TEXT_EMBED_SQL,

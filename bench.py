@@ -141,6 +141,7 @@ def main() -> None:
         ),
         "tile_floor_keys": lambda: contract.q_tile_floor_keys(spark, SF_DIR),
         "slippy_tiles": lambda: contract.q_slippy_tiles(spark, SF_DIR),
+        "tile_pyramid": lambda: contract.q_tile_pyramid(spark, SF_DIR),
         "priority_coalesce": lambda: contract.q_priority_coalesce(spark, SF_DIR),
         "coord_extract": lambda: contract.q_coord_extract(spark, SF_DIR),
         "events_rollup": lambda: contract.q_events_rollup(spark, SF_DIR),
