@@ -116,9 +116,6 @@ def terminals(nxt: np.ndarray) -> np.ndarray:
         P = P2
 
 
-_D8_DELTA = {float(c): (dy, dx) for c, dy, dx in D8_CODES}
-
-
 def _tile_context(t):
     """Open a tile and return (raster, NaN-padded elevation array)."""
     own = _open_cached(t.path)
