@@ -599,6 +599,81 @@ FROM extracted
 """
 
 
+def q_crawl_pipeline(spark, sf_dir):
+    """Capstone composition — the crawl front half as ONE Catalyst plan:
+    deterministic HTML wrap -> html_to_text -> min-token filter ->
+    exact dedup (min doc_id per md5 of the EXTRACTED text) ->
+    deterministic 50% sample. Every stage reuses an operator whose
+    oracle is already green; this query pins that they compose (column
+    flow, null discipline, one shuffle for the dedup window)."""
+    from opentopodata_spark.operators.exprutil import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    planted = d.select(
+        "doc_id", "lang",
+        F.concat(
+            F.lit("<html><head><title>doc</title><style>p{color:red}"
+                  "</style></head><body><h1>"),
+            F.substring(F.col("text"), 1, 40),
+            F.lit("</h1><script>if(a<b){track()}</script><p>"),
+            F.col("text"),
+            F.lit("</p><ul><li>nav&nbsp;home</li><li>x</li></ul>"
+                  "<div>tail &amp; fin &#39;q&#39;</div></body></html>"),
+        ).alias("html"),
+    )
+    extracted = planted.select(
+        "doc_id", "lang",
+        textops.html_text_expr("html").alias("text"),
+    )
+    filtered = extracted.withColumn(
+        "n_tokens", F.size(tokens("text")).cast("long")
+    ).where(F.col("n_tokens") >= 10)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    deduped = (
+        filtered.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1).drop("rn")
+    )
+    out = deduped.withColumn(
+        "sample_key", sampling.sample_key("doc_id", "pipe")
+    ).where(F.col("sample_key") < F.lit(sampling.rate_threshold(0.5)))
+    return out.select("doc_id", "lang", "n_tokens", "sample_key")
+
+
+def _crawl_pipeline_sql() -> str:
+    from opentopodata_spark.operators.textops import html_text_sql
+
+    frag = html_text_sql("html")
+    thr = sampling.rate_threshold(0.5)
+    return f"""
+WITH planted AS (
+  SELECT doc_id, lang,
+         '<html><head><title>doc</title><style>p{{color:red}}</style>'
+         || '</head><body><h1>' || substr(text, 1, 40)
+         || '</h1><script>if(a<b){{track()}}</script><p>' || text
+         || '</p><ul><li>nav&nbsp;home</li><li>x</li></ul>'
+         || '<div>tail &amp; fin &#39;q&#39;</div></body></html>' AS html
+  FROM documents),
+extracted AS (SELECT doc_id, lang, {frag} AS text FROM planted),
+filtered AS (
+  SELECT doc_id, lang, text,
+         len(list_filter(string_split(text, ' '), x -> x <> ''))
+           AS n_tokens
+  FROM extracted
+  WHERE len(list_filter(string_split(text, ' '), x -> x <> '')) >= 10),
+deduped AS (
+  SELECT *, row_number() OVER (PARTITION BY md5(text)
+                               ORDER BY doc_id) AS rn
+  FROM filtered)
+SELECT doc_id, lang, n_tokens,
+       substr(md5('pipe#' || CAST(doc_id AS VARCHAR)), 1, 6) AS sample_key
+FROM deduped
+WHERE rn = 1
+  AND substr(md5('pipe#' || CAST(doc_id AS VARCHAR)), 1, 6) < '{thr}'
+"""
+
+
 _CHUNK_TOKENS, _CHUNK_STRIDE = 32, 24
 
 
@@ -3997,6 +4072,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_check": q_contamination_check,
         "pii_scrub": q_pii_scrub,
         "html_extract": q_html_extract,
+        "crawl_pipeline": q_crawl_pipeline,
         "text_normalize": q_text_normalize,
         "corpus_stats": q_corpus_stats,
         "corpus_stats_approx": q_corpus_stats_approx,
@@ -4079,6 +4155,7 @@ def oracle_sql() -> dict[str, str]:
         "contamination_check": _contamination_sql(),
         "pii_scrub": _pii_scrub_sql(),
         "html_extract": _html_extract_sql(),
+        "crawl_pipeline": _crawl_pipeline_sql(),
         "text_normalize": _Q_TEXT_NORMALIZE_SQL,
         "corpus_stats": _Q_CORPUS_STATS_SQL,
         "corpus_stats_approx": _Q_CORPUS_STATS_APPROX_SQL,

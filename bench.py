@@ -99,6 +99,7 @@ def main() -> None:
         "fingerprint": lambda: contract.q_fingerprint(spark, SF_DIR),
         "pii_scrub": lambda: contract.q_pii_scrub(spark, SF_DIR),
         "html_extract": lambda: contract.q_html_extract(spark, SF_DIR),
+        "crawl_pipeline": lambda: contract.q_crawl_pipeline(spark, SF_DIR),
         "repetition_stats": lambda: contract.q_repetition_stats(spark, SF_DIR),
         "repeated_ngrams": lambda: contract.q_repeated_ngrams(spark, SF_DIR),
         "span_dedup": lambda: contract.q_span_dedup(spark, SF_DIR),
