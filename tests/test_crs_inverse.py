@@ -1365,3 +1365,56 @@ def test_cassini_wkt_matches_raw():
     xb, yb = bare.forward(lons, lats)
     np.testing.assert_allclose(xw, xb, atol=1e-6)
     np.testing.assert_allclose(yw, yb, atol=1e-6)
+
+
+def test_krovak_negative_coordinate_elevation_differential(spark, tmp_path):
+    """EPSG:5514 rasters live entirely in negative easting/northing —
+    an edge the tile/window math must survive. Single Czech raster,
+    Spark resolver vs the single-process oracle, bit-identical."""
+    import os
+
+    from opentopodata_spark import config, geotiff, oracle
+    from opentopodata_spark.operators import elevation
+
+    d = os.path.join(str(tmp_path), "krovak-dem")
+    os.makedirs(d, exist_ok=True)
+    px = 500.0
+    # around Prague: S-JTSK/5514 E ~ -743k, N ~ -1043k
+    x0, y0 = -770000.0, -1020000.0
+    xs = x0 + (np.arange(120) + 0.5) * px
+    ys = y0 - (np.arange(120) + 0.5) * px
+    X, Y = np.meshgrid(xs, ys)
+    grid = (300.0 + 150.0 * np.sin(X / 1.4e4) + 90.0 * np.cos(Y / 1.9e4)
+            ).astype(np.float32)
+    geotiff.write_geotiff(
+        os.path.join(d, "cz.tif"), grid, x0=x0, y0=y0, sx=px, sy=px,
+        epsg=5514, nodata=-9999, compression="deflate", predictor=3,
+    )
+    cfg = os.path.join(str(tmp_path), "cfg.yaml")
+    with open(cfg, "w") as f:
+        f.write(f"datasets:\n- name: krovakcz\n  path: {d}/\n")
+    ordered = [config.load_datasets(cfg)["krovakcz"]]
+
+    rng = np.random.default_rng(5514)
+    lats = np.concatenate([rng.uniform(49.85, 50.25, 70),
+                           rng.uniform(-20.0, 0.0, 15)])   # out -> null
+    lons = np.concatenate([rng.uniform(14.1, 14.8, 70),
+                           rng.uniform(60.0, 80.0, 15)])
+    pts = spark.createDataFrame(
+        [(int(i), float(la), float(lo))
+         for i, (la, lo) in enumerate(zip(lats, lons))],
+        "point_id long, lat double, lon double",
+    )
+    res = elevation.ElevationResolver(spark, ordered, "bilinear").resolve(pts)
+    rows = {r.point_id: r for r in res.collect()}
+    e, names = oracle.get_elevation(lats, lons, ordered, "bilinear")
+    resolved = 0
+    for i in range(len(lats)):
+        r = rows[i]
+        if e[i] is None:
+            assert r.elevation is None, (i, r.elevation)
+        else:
+            assert r.elevation == e[i], (i, r.elevation, e[i])
+            resolved += 1
+        assert r.dataset == names[i]
+    assert resolved >= 55
