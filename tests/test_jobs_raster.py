@@ -173,3 +173,53 @@ def test_flowacc_cli(spark, tmp_path, capsys):
             r.read_block(0, r.height, 0, r.width)
     fin = np.isfinite(want)
     assert np.array_equal(got[fin].astype(np.float64), want[fin])
+
+
+def test_visibility_cli(spark, srtm_cfg, tmp_path, capsys):
+    """jobs/visibility: los + viewshed subcommands end-to-end over the
+    SRTM fixture config."""
+    from opentopodata_spark.jobs import visibility as vjob
+
+    pairs = str(tmp_path / "pairs.parquet")
+    spark.createDataFrame(
+        [(1, 0.25, 10.25, 0.85, 11.75), (2, 0.5, 10.4, 0.55, 10.9)],
+        "los_id long, lat_a double, lon_a double, lat_b double, "
+        "lon_b double",
+    ).write.parquet(pairs)
+    out = str(tmp_path / "los")
+    rc = vjob.main([
+        "--cores", "4", "los", "--config", srtm_cfg,
+        "--datasets", "srtm90subset", "--pairs", pairs,
+        "--out", out, "--n-samples", "17",
+    ])
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["status"] == "OK" and res["pairs"] == 2
+    rows = {r.los_id: r for r in spark.read.parquet(out).collect()}
+    assert rows[1].visible is not None and rows[1].min_clearance_m is not None
+
+    obs = str(tmp_path / "obs.parquet")
+    spark.createDataFrame(
+        [(7, 0.5, 10.8)], "obs_id long, lat double, lon double"
+    ).write.parquet(obs)
+    vout = str(tmp_path / "vs")
+    rc = vjob.main([
+        "--cores", "4", "viewshed", "--config", srtm_cfg,
+        "--datasets", "srtm90subset", "--observers", obs, "--out", vout,
+        "--radius-m", "15000", "--n-rays", "6", "--n-samples", "9",
+    ])
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["status"] == "OK" and res["observers"] == 1
+    samples = spark.read.parquet(f"{vout}/samples")
+    assert samples.count() == 6 * 8   # n_rays * (n_samples - 1)
+    s = spark.read.parquet(f"{vout}/summary").collect()[0]
+    assert s.n_valid > 0 and 0.0 <= s.visible_frac <= 1.0
+
+    # invalid interpolation -> INVALID_REQUEST exit 2
+    rc = vjob.main([
+        "los", "--config", srtm_cfg, "--datasets", "srtm90subset",
+        "--pairs", pairs, "--out", str(tmp_path / "x"),
+        "--interpolation", "bogus",
+    ])
+    assert rc == 2
