@@ -39,9 +39,9 @@ def mg_summarize(values, capacity: int, counts: dict | None = None) -> dict:
     """Merge an iterable of pre-counted (key -> count) pandas Series (or
     one Series) into a Misra-Gries summary of at most ``capacity``
     entries. Trimming subtracts the (capacity+1)-th largest count from
-    every entry and drops the non-positive ones — the classic decrement
-    step, batched. Estimates are UNDERcounts: true - N/(capacity+1) <=
-    est <= true."""
+    every entry and keeps the top-capacity keys (estimates clipped at
+    0) — the classic decrement step, batched; see the inline note.
+    Estimates are UNDERcounts: true - sum(cuts) <= est <= true."""
     counts = {} if counts is None else counts
     if isinstance(values, pd.Series):
         values = [values]
