@@ -128,6 +128,7 @@ def build_parser() -> argparse.ArgumentParser:
     fa.add_argument("--rasters", nargs="*")
     fa.add_argument("--out", required=True)
     fa.add_argument("--scale", type=float, default=1.0)
+    fa.add_argument("--skip-existing", action="store_true")
 
     z = sub.add_parser("zonal", help="per-polygon raster statistics")
     z.add_argument("--config")
@@ -219,6 +220,7 @@ def run(argv: list[str] | None = None) -> dict:
             raise ValueError("flowacc needs --config/--dataset or --rasters")
         manifest = _hydrology.flow_accumulation(
             spark, tiles, ns.out, scale=ns.scale,
+            skip_existing=ns.skip_existing,
         )
         manifest.write.mode("overwrite").parquet(f"{ns.out}/_manifest")
         m = spark.read.parquet(f"{ns.out}/_manifest")

@@ -148,6 +148,7 @@ def flow_accumulation(
     nodata: float = -9999.0,
     num_partitions: int | None = None,
     local_threshold: int = 5_000_000,
+    skip_existing: bool = False,
 ) -> DataFrame:
     """D8 flow accumulation over a non-overlapping uniform tile grid.
 
@@ -361,6 +362,27 @@ def flow_accumulation(
                 key = (int(t.tile_iy), int(t.tile_ix))
                 out = os.path.join(out_dir, f"flow_acc_{key[0]}_{key[1]}.tif")
                 try:
+                    if skip_existing and os.path.exists(out):
+                        # outputs publish via atomic rename, so an
+                        # existing file IS a complete tile (same resume
+                        # contract as terrain_tiles); re-derive its
+                        # manifest row from the stored pixels. Phases
+                        # A/B recompute regardless — only the expensive
+                        # final peel + write is skipped, and the skip is
+                        # sound because the border solve is a pure
+                        # function of the INPUT tiles.
+                        from .. import geotiff
+
+                        done = geotiff.open_raster(out)
+                        band = done.read_window(
+                            0, done.height, 0, done.width
+                        )[0].astype(np.float64)
+                        fin = band != float(done.nodata)
+                        rows.append((
+                            key[0], key[1], out, int(fin.sum()),
+                            round(float(band[fin].sum()), 3), None,
+                        ))
+                        continue
                     own, padded = _tile_context(t)
                     _fill_halo(padded, own, neighbor_paths(key))
                     dirs = flow_direction_grid(padded, own.sx, own.sy, scale)

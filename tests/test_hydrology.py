@@ -227,3 +227,28 @@ def test_overlapping_grid_refused(spark, raster_root):
         hydrology.flow_accumulation(
             spark, tiles, "/tmp/never_written_flowacc"
         ).collect()
+
+
+def test_resume_skip_existing(spark, tmp_path):
+    """skip_existing: a re-run recomputes only missing tiles; skipped
+    tiles' manifest rows are re-derived from the stored files, so the
+    manifest stays complete and identical."""
+    rng = np.random.default_rng(12)
+    H = W = 40
+    yy, xx = np.mgrid[0:H, 0:W]
+    mosaic = 12.0 * np.sin(xx / 5.0) + 0.25 * yy + rng.normal(0, 0.3, (H, W))
+    tiles = _write_tiles(tmp_path, mosaic, 2, 2)
+    out_dir = os.path.join(str(tmp_path), "acc_out")
+    m1 = {(r.tile_iy, r.tile_ix): (r.n_valid, r.checksum)
+          for r in hydrology.flow_accumulation(spark, tiles, out_dir).collect()}
+    paths = sorted(glob.glob(os.path.join(out_dir, "flow_acc_*.tif")))
+    mt = {p: os.path.getmtime(p) for p in paths}
+    # delete one tile; the resume run rewrites only that one
+    os.remove(paths[0])
+    m2 = {(r.tile_iy, r.tile_ix): (r.n_valid, r.checksum)
+          for r in hydrology.flow_accumulation(
+              spark, tiles, out_dir, skip_existing=True).collect()}
+    assert m1 == m2
+    for p in paths[1:]:
+        assert os.path.getmtime(p) == mt[p]   # untouched
+    assert os.path.exists(paths[0])            # recomputed
