@@ -4054,7 +4054,42 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Registration order matters: the round driver verifies roughly the
+    # FIRST 50 entries against their oracles each round. Discipline:
+    #   1. queries never driver-checked (or changed this round) go first,
+    #   2. then queries whose last green row is a round old (stale),
+    #   3. then the most recently re-verified ones, which rotate out.
     return {
+        # -- never driver-checked before r4 / changed in r4 --
+        "funnel": q_funnel,
+        "retention": q_retention,
+        "geofence_counts": q_geofence_counts,
+        "geofence_transitions": q_geofence_transitions,
+        "elevation_profile": q_elevation_profile,
+        "line_of_sight": q_line_of_sight,
+        "viewshed": q_viewshed,
+        "flow_accumulation": q_flow_accumulation,
+        # -- last green in r2; rotated back into the checked window --
+        "elevation_e2e": q_elevation_e2e,
+        "multimodal_features": q_multimodal_features,
+        "geodesic_paths": q_geodesic_paths,
+        "ivf_topk": q_ivf_topk,
+        "ivfpq_topk": q_ivfpq_topk,
+        "pip_coverage": q_pip_coverage,
+        "s2_cells": q_s2_cells,
+        "zonal_stats": q_zonal_stats,
+        "rasterize_grid": q_rasterize_grid,
+        "terrain_slope": q_terrain_slope,
+        "overview_tiles": q_overview_tiles,
+        "contour_lines": q_contour_lines,
+        "raster_diff": q_raster_diff,
+        "sessionize": q_sessionize,
+        "streaming_rollup": q_streaming_rollup,
+        "streaming_sessionize": q_streaming_sessionize,
+        "streaming_dedup": q_streaming_dedup,
+        "streaming_near_dup": q_streaming_near_dup,
+        "streaming_overview": q_streaming_overview,
+        # -- green in CORRECTNESS_r03; keep the headline ones in-window --
         "tile_floor_keys": q_tile_floor_keys,
         "bbox_coverage": q_bbox_coverage,
         "priority_coalesce": q_priority_coalesce,
@@ -4078,6 +4113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stats_approx": q_corpus_stats_approx,
         "chunk_documents": q_chunk_documents,
         "chunk_documents_bpe": q_chunk_documents_bpe,
+        # -- below here is outside the ~50-query driver window this round --
         "pack_sequences": q_pack_sequences,
         "simhash": q_simhash,
         "token_stats": q_token_stats,
@@ -4105,33 +4141,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": q_emb_near_dups,
         "events_rollup": q_events_rollup,
         "asof_join": q_asof_join,
-        "funnel": q_funnel,
-        "retention": q_retention,
-        "geofence_counts": q_geofence_counts,
-        "geofence_transitions": q_geofence_transitions,
-        "streaming_rollup": q_streaming_rollup,
-        "streaming_sessionize": q_streaming_sessionize,
-        "streaming_dedup": q_streaming_dedup,
-        "streaming_near_dup": q_streaming_near_dup,
-        "sessionize": q_sessionize,
-        "elevation_e2e": q_elevation_e2e,
-        "elevation_profile": q_elevation_profile,
-        "line_of_sight": q_line_of_sight,
-        "viewshed": q_viewshed,
-        "geodesic_paths": q_geodesic_paths,
-        "multimodal_features": q_multimodal_features,
-        "ivf_topk": q_ivf_topk,
-        "ivfpq_topk": q_ivfpq_topk,
-        "pip_coverage": q_pip_coverage,
-        "s2_cells": q_s2_cells,
-        "zonal_stats": q_zonal_stats,
-        "rasterize_grid": q_rasterize_grid,
-        "terrain_slope": q_terrain_slope,
-        "flow_accumulation": q_flow_accumulation,
-        "overview_tiles": q_overview_tiles,
-        "streaming_overview": q_streaming_overview,
-        "contour_lines": q_contour_lines,
-        "raster_diff": q_raster_diff,
     }
 
 
