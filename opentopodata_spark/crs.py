@@ -1535,12 +1535,20 @@ def _projection_for_wkt(wkt: str):
             false_easting=p("false_easting"),
             false_northing=p("false_northing"),
         )
-    if "hotine_oblique_mercator" in name or "swiss_oblique" in name \
+    if "laborde" in name or "two_point" in name:
+        # Laborde (Madagascar) and Two-Point oblique Mercator are NOT the
+        # Hotine formulation — routing them through Hotine would return
+        # silently wrong coordinates. Fall through to the loud
+        # unsupported-projection error instead.
+        pass
+    elif "hotine_oblique_mercator" in name or "swiss_oblique" in name \
             or "oblique_mercator" in name:
         # GDAL WKT1: ..._Azimuth_Center (variant B, FE/FN at the projection
         # centre) vs plain Hotine_Oblique_Mercator (variant A). Swiss WKTs
         # (Swiss_Oblique_Cylindrical / Hotine_..._Azimuth_Center az=90)
-        # are variant B.
+        # are variant B. Plain "Oblique_Mercator" (with azimuth /
+        # rectified_grid_angle params) is a Hotine spelling and is
+        # accepted; named non-Hotine variants are excluded above.
         variant = "B" if ("azimuth_center" in name or "swiss" in name) else "A"
         latc = p("latitude_of_center", "latitude_of_origin")
         alphac = p("azimuth", default=90.0)

@@ -218,8 +218,21 @@ def inverse(lat1, lon1, lat2, lon2) -> dict:
     }
 
 
-def direct(lat1, lon1, azi1, s12) -> dict:
-    """Solve the direct geodesic problem (LONG_UNROLL longitudes)."""
+def direct_distances(lat1, lon1, azi1, s12):
+    """Vectorized direct problem: one geodesic line, MANY distances.
+
+    All the line setup (departure azimuth trig, series coefficients,
+    sigma_1/omega_1) depends only on (lat1, lon1, azi1) and is computed
+    once with scalar math; only the distance-dependent tail runs in
+    numpy over the ``s12`` array. This is the hot path for radial
+    sampling (viewshed rays: n_samples points per azimuth in ONE call
+    instead of n_samples scalar Karney solves).
+
+    Returns (lat2, lon2, azi2) float64 arrays; longitudes LONG_UNROLL
+    like :func:`direct` (the scalar form delegates here, so the two can
+    never drift).
+    """
+    s12 = np.asarray(s12, dtype=np.float64)
     alp1 = math.radians(azi1)
     b1 = _beta(lat1)
     sb1, cb1 = math.sin(b1), math.cos(b1)
@@ -238,27 +251,43 @@ def direct(lat1, lon1, azi1, s12) -> dict:
     s1 = _B * a1 * (sig1 + _sin_series(sig1, c1))
     s2 = s1 + s12
     tau2 = s2 / (_B * a1)
-    sig2 = tau2 + _sin_series(tau2, c1p)
+    sig2 = tau2 + _sin_series_np(tau2, c1p)
 
     calp0 = math.sqrt(max(calp0_sq, 0.0))
-    ssig2, csig2 = math.sin(sig2), math.cos(sig2)
+    ssig2, csig2 = np.sin(sig2), np.cos(sig2)
     sb2 = calp0 * ssig2
-    cb2 = math.hypot(salp0, calp0 * csig2)
-    lat2 = math.degrees(math.atan2(sb2, (1 - _F) * cb2))
-    omg2 = math.atan2(salp0 * ssig2, csig2)
+    cb2 = np.hypot(salp0, calp0 * csig2)
+    lat2 = np.degrees(np.arctan2(sb2, (1 - _F) * cb2))
+    omg2 = np.arctan2(salp0 * ssig2, csig2)
 
     c3 = _c3(eps)
     a3 = _a3(eps)
     # unroll omega difference to follow sigma continuously
     domg = omg2 - omg1
     dsig = sig2 - sig1
-    domg += 2 * math.pi * round((dsig - domg) / (2 * math.pi))
+    domg = domg + 2 * math.pi * np.round((dsig - domg) / (2 * math.pi))
     lam12 = domg - _F * salp0 * a3 * (
-        dsig + (_sin_series(sig2, c3) - _sin_series(sig1, c3))
+        dsig + (_sin_series_np(sig2, c3) - _sin_series(sig1, c3))
     )
-    lon2 = lon1 + math.degrees(lam12)
-    azi2 = math.degrees(math.atan2(salp0, calp0 * csig2))
-    return {"lat2": lat2, "lon2": lon2, "azi2": azi2, "s12": s12}
+    lon2 = lon1 + np.degrees(lam12)
+    azi2 = np.degrees(np.arctan2(salp0, calp0 * csig2))
+    return lat2, lon2, azi2
+
+
+def _sin_series_np(sigma, coeffs):
+    out = np.zeros_like(sigma)
+    for j, c in enumerate(coeffs):
+        out += c * np.sin(2 * (j + 1) * sigma)
+    return out
+
+
+def direct(lat1, lon1, azi1, s12) -> dict:
+    """Solve the direct geodesic problem (LONG_UNROLL longitudes)."""
+    lat2, lon2, azi2 = direct_distances(
+        lat1, lon1, azi1, np.array([float(s12)])
+    )
+    return {"lat2": float(lat2[0]), "lon2": float(lon2[0]),
+            "azi2": float(azi2[0]), "s12": s12}
 
 
 class InverseLine:

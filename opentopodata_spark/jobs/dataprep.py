@@ -332,6 +332,10 @@ def run(ns: argparse.Namespace, spark=None) -> dict:
     if ns.sample_rates and ns.mix_alpha is not None:
         raise ValueError("--sample-rates and --mix-alpha are mutually "
                          "exclusive (explicit vs derived rates)")
+    if ns.mix_token_budget is not None and ns.mix_alpha is None:
+        raise ValueError("--mix-token-budget requires --mix-alpha "
+                         "(the budget scales temperature-mixture rates; "
+                         "alone it would be silently ignored)")
     if ns.mix_alpha is not None:
         from ..operators import sampling as _sampling
 

@@ -244,44 +244,49 @@ def funnel(
     (the standard product-analytics rule — a user whose first touch
     times out is not re-attributed to a later touch).
 
-    Shape: k-1 join+min rounds over PER-STEP MINIMA — state per round is
-    one row per surviving user (never a per-user event array), each
-    round one equi-join against the step's events plus one aggregation.
-    k is the funnel length (tiny, driver-side loop); event volume flows
-    through exactly once per step it could convert.
+    Shape: k-1 LEFT join+min rounds over PER-STEP MINIMA — state per
+    round is one row per step-0 user carrying nullable conversion times
+    t0..ti (never a per-user event array); a user who drops out keeps a
+    null ti instead of leaving the frame. All k counts then come from
+    ONE aggregate over the final frame (count(ti) per step, unpivoted
+    with stack), so the whole funnel is a single linear plan that scans
+    each step's events exactly once — no per-step re-execution of the
+    join chain (the old k-row-of-aggregates form re-ran step i's joins
+    for every j >= i).
     """
     if not steps:
         raise ValueError("steps must be non-empty")
-    counts = []
-    prev = None
-    for i, st in enumerate(steps):
+    e0 = events.where(F.col(type_col) == steps[0]).select(
+        F.col(user).alias("_u"), F.col(ts).alias("_t")
+    )
+    prev = e0.groupBy("_u").agg(F.min("_t").alias("t0"))
+    for i, st in enumerate(steps[1:], start=1):
         e_i = events.where(F.col(type_col) == st).select(
-            F.col(user).alias("_u"), F.col(ts).alias("_t")
+            F.col(user).alias(f"_u{i}"), F.col(ts).alias("_t")
         )
-        if i == 0:
-            prev = e_i.groupBy("_u").agg(F.min("_t").alias("t0"))
-        else:
-            cond = F.col("_t") >= F.col(f"t{i - 1}")
-            if within is not None:
-                cond = cond & (F.col("_t") <= F.col("t0") + within)
-            carried = [f"t{j}" for j in range(i)]
-            prev = (
-                prev.join(e_i, "_u")
-                .where(cond)
-                .groupBy("_u", *carried)
-                .agg(F.min("_t").alias(f"t{i}"))
-            )
-        counts.append(
-            prev.agg(
-                F.lit(st).alias("step"),
-                F.lit(i).cast("long").alias("step_index"),
-                F.count(F.lit(1)).alias("n_users"),
-            )
+        cond = (F.col("_u") == F.col(f"_u{i}")) & (
+            F.col("_t") >= F.col(f"t{i - 1}")
         )
-    out = counts[0]
-    for c in counts[1:]:
-        out = out.unionByName(c)
-    return out
+        if within is not None:
+            cond = cond & (F.col("_t") <= F.col("t0") + within)
+        carried = [f"t{j}" for j in range(i)]
+        # LEFT join: a non-qualifying user keeps a null _t, so min()
+        # yields null ti and the user stays in the frame for counting.
+        prev = (
+            prev.join(e_i, cond, "left")
+            .groupBy("_u", *carried)
+            .agg(F.min("_t").alias(f"t{i}"))
+        )
+    per_step = prev.agg(
+        *[F.count(F.col(f"t{i}")).alias(f"n{i}") for i in range(len(steps))]
+    )
+    stack_args = ", ".join(
+        "'{}', {}L, n{}".format(st.replace("\\", "\\\\").replace("'", "\\'"), i, i)
+        for i, st in enumerate(steps)
+    )
+    return per_step.selectExpr(
+        f"stack({len(steps)}, {stack_args}) AS (step, step_index, n_users)"
+    )
 
 
 def retention(

@@ -338,21 +338,31 @@ def viewshed(
     def cast_rays(batches):
         from .. import geodesic
 
+        # one vectorized Karney solve per (observer, azimuth): the line
+        # setup is shared across the ray, only the distance array varies
+        # (geodesic.direct_distances) — no per-sample scalar solves.
+        dists = np.array(
+            [radius_m * i / (n_samples - 1) for i in range(1, n_samples)]
+        )
         for pdf in batches:
-            rows = []
+            frames = []
             for oid, la, lo in zip(pdf["obs_id"], pdf["lat"], pdf["lon"]):
                 for ray in range(n_rays):
                     az = 360.0 * ray / n_rays
-                    rows.append((oid, ray, 0, la, lo, 0.0))
-                    for i in range(1, n_samples):
-                        d = radius_m * i / (n_samples - 1)
-                        g = geodesic.direct(la, lo, az, d)
-                        lon2 = (g["lon2"] + 180.0) % 360.0 - 180.0
-                        rows.append((oid, ray, i, g["lat2"], lon2, d))
-            yield pd.DataFrame(
-                rows, columns=["obs_id", "ray", "sample_pos", "lat", "lon",
-                               "distance_m"],
-            )
+                    lat2, lon2, _ = geodesic.direct_distances(
+                        la, lo, az, dists
+                    )
+                    frames.append(pd.DataFrame({
+                        "obs_id": np.full(n_samples, oid, dtype=np.int64),
+                        "ray": np.full(n_samples, ray, dtype=np.int32),
+                        "sample_pos": np.arange(n_samples, dtype=np.int32),
+                        "lat": np.concatenate(([la], lat2)),
+                        "lon": np.concatenate(
+                            ([lo], (lon2 + 180.0) % 360.0 - 180.0)),
+                        "distance_m": np.concatenate(([0.0], dists)),
+                    }))
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
 
     samples = observers.mapInPandas(cast_rays, _VIEWSHED_SCHEMA)
     pts = samples.withColumn(

@@ -635,33 +635,78 @@ def geofence_transitions_stream(
 _HH_STATE_SCHEMA = "key string, est long, n_total long, delta long"
 
 
+def _hh_state_fs(spark, state_dir: str):
+    """(hadoop FileSystem, Path) for the state dir — works for any
+    scheme Spark's Hadoop conf knows (local, HDFS, s3a), not just
+    local paths."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(state_dir)
+    fs = path.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    return fs, path
+
+
+def _list_hh_batches(spark, state_dir: str) -> list[int]:
+    """Sorted ingest_batch partition ids present under state_dir, via a
+    single directory listing — O(#partitions) names, zero data read."""
+    fs, path = _hh_state_fs(spark, state_dir)
+    if not fs.exists(path):
+        return []
+    out = []
+    for st in fs.listStatus(path):
+        name = st.getPath().getName()
+        if name.startswith("ingest_batch="):
+            try:
+                out.append(int(name.split("=", 1)[1]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
 def _read_hh_state(spark, state_dir: str, exclude_batch: int):
     """Latest heavy-hitters summary before ``exclude_batch``: (counts
     dict, n_total, delta). Same retry discipline as the dedup index —
     each batch OVERWRITES its own ingest_batch partition and reads only
     strictly earlier ones, so a retried batch never merges against its
-    own half-written state."""
-    from pyspark.errors import AnalysisException
+    own half-written state.
 
-    try:
-        st = spark.read.parquet(state_dir).where(
-            F.col("ingest_batch") < exclude_batch
-        )
-        rows = st.collect()
-    except AnalysisException:
+    Reads exactly ONE partition: the latest eligible ingest_batch is
+    found by listing directory names, never by scanning rows of every
+    historical partition — per-batch read cost stays O(capacity)
+    regardless of stream age."""
+    eligible = [b for b in _list_hh_batches(spark, state_dir)
+                if b < exclude_batch]
+    if not eligible:
         return {}, 0, 0
-    if not rows:
-        return {}, 0, 0
-    latest = max(r.ingest_batch for r in rows)
+    latest = eligible[-1]
+    rows = spark.read.parquet(
+        f"{state_dir}/ingest_batch={latest}"
+    ).collect()
     counts, n_total, delta = {}, 0, 0
     for r in rows:
-        if r.ingest_batch != latest:
-            continue
         if r.key is None:
             n_total, delta = int(r.n_total), int(r.delta)
         else:
             counts[r.key] = int(r.est)
     return counts, n_total, delta
+
+
+def _prune_hh_state(spark, state_dir: str, current_batch: int) -> None:
+    """After batch ``current_batch`` commits, drop state partitions
+    older than its merge input. A retried batch N re-reads the latest
+    batch < N, so the newest strictly-older partition must survive;
+    everything before that is unreachable and only grows the dir."""
+    batches = _list_hh_batches(spark, state_dir)
+    older = [b for b in batches if b < current_batch]
+    keep = set(older[-1:])  # the partition batch N merged against
+    fs, path = _hh_state_fs(spark, state_dir)
+    jvm = spark._jvm
+    for b in older:
+        if b in keep:
+            continue
+        fs.delete(
+            jvm.org.apache.hadoop.fs.Path(f"{state_dir}/ingest_batch={b}"),
+            True,
+        )
 
 
 def run_heavy_hitters_stream(
@@ -715,6 +760,7 @@ def run_heavy_hitters_stream(
         spark_l.createDataFrame(rows, _HH_STATE_SCHEMA).coalesce(1).write.mode(
             "overwrite"
         ).parquet(f"{state_dir}/ingest_batch={batch_id}")
+        _prune_hh_state(spark_l, state_dir, batch_id)
 
     writer = stream_df.writeStream.foreachBatch(process_batch).option(
         "checkpointLocation", checkpoint_dir

@@ -1418,3 +1418,38 @@ def test_krovak_negative_coordinate_elevation_differential(spark, tmp_path):
             resolved += 1
         assert r.dataset == names[i]
     assert resolved >= 55
+
+
+_LABORDE_WKT = (
+    'PROJCS["Tananarive (Paris) / Laborde Grid",'
+    'GEOGCS["Tananarive (Paris)",DATUM["Tananarive_1925",'
+    'SPHEROID["International 1924",6378388,297]],'
+    'PRIMEM["Paris",2.33722917],UNIT["degree",0.0174532925199433]],'
+    'PROJECTION["Laborde_Oblique_Mercator"],'
+    'PARAMETER["latitude_of_center",-18.9],'
+    'PARAMETER["longitude_of_center",44.1],'
+    'PARAMETER["azimuth",18.9],'
+    'PARAMETER["scale_factor",0.9995],'
+    'PARAMETER["false_easting",400000],'
+    'PARAMETER["false_northing",800000],'
+    'UNIT["metre",1]]'
+)
+
+_TWO_POINT_OM_WKT = (
+    _LABORDE_WKT.replace("Laborde_Oblique_Mercator",
+                         "Oblique_Mercator_Two_Point_Natural_Origin")
+)
+
+
+def test_non_hotine_oblique_mercator_raises_loudly():
+    """Laborde / two-point oblique Mercator are NOT Hotine — routing
+    them through the Hotine implementation yields silently wrong
+    coordinates. The dispatch must refuse them with CRSError, while
+    plain Hotine WKTs keep working."""
+    import numpy as np
+    import pytest
+
+    for wkt in (_LABORDE_WKT, _TWO_POINT_OM_WKT):
+        with pytest.raises(crs.CRSError, match="not supported"):
+            crs.reproject_latlons(np.array([-18.9]), np.array([44.1]),
+                                  wkt=wkt)

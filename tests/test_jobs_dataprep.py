@@ -423,3 +423,13 @@ def test_dataprep_mix_alpha_conflicts_with_sample_rates(tmp_path, corpus_path):
             "--documents", corpus_path, "--out", str(tmp_path / "x"),
             "--mix-alpha", "0.0", "--sample-rates", "en=1.0",
         ])
+
+
+def test_dataprep_mix_token_budget_requires_mix_alpha(tmp_path, corpus_path):
+    """--mix-token-budget without --mix-alpha used to be silently
+    ignored (the mixture branch only runs when mix_alpha is set)."""
+    with pytest.raises(ValueError, match="requires --mix-alpha"):
+        job.main([
+            "--documents", corpus_path, "--out", str(tmp_path / "x"),
+            "--mix-token-budget", "10000",
+        ])
