@@ -216,9 +216,19 @@ def filename_to_tile_corner(filename: str) -> tuple[Decimal, Decimal]:
 
 def dataset_from_config(name: str, path: str | None = None, **kwargs) -> Dataset:
     """Classify + build a dataset (parity with
-    /root/reference/opentopodata/config.py:186-276)."""
+    /root/reference/opentopodata/config.py:186-276).
+
+    Remote datasets (engine extension, no reference analog): ``path``
+    may be an http(s) URL. Object stores can't be globbed, so a remote
+    TILED dataset must carry an explicit ``tiles:`` list of member
+    filenames (relative to the URL base); a URL pointing straight at a
+    raster object becomes a SingleFileDataset. Tiles are then read with
+    byte-range requests on the executors (geotiff._RangeByteSource)."""
     if "child_datasets" in kwargs:
         return MultiDataset(name, kwargs["child_datasets"])
+
+    if path and path.startswith(("http://", "https://")):
+        return _dataset_from_remote(name, path, **kwargs)
 
     if not path or not os.path.isdir(path):
         raise ConfigError(f"No dataset folder found at location '{path}'")
@@ -282,6 +292,82 @@ def dataset_from_config(name: str, path: str | None = None, **kwargs) -> Dataset
     if invalid:
         msg += f" Unrecognised filename: '{invalid[0]}'."
     raise ConfigError(msg)
+
+
+def _dataset_from_remote(name: str, path: str, **kwargs) -> Dataset:
+    """Remote (http/https) dataset builder — see dataset_from_config."""
+    wgs84_bounds = None
+    if "wgs84_bounds" in kwargs:
+        b = kwargs["wgs84_bounds"]
+        wgs84_bounds = Bounds(b["left"], b["bottom"], b["right"], b["top"])
+
+    tiles = kwargs.get("tiles")
+    if not tiles:
+        if path.endswith("/"):
+            raise ConfigError(
+                f"Remote dataset '{name}' points at a URL prefix; object"
+                " stores can't be globbed, so list the member rasters"
+                " explicitly with a 'tiles:' attribute (filenames relative"
+                " to the URL), or point 'path' at a single raster object."
+            )
+        try:
+            geotiff.open_raster(path)
+        except geotiff.RasterOpenError as e:
+            raise ConfigError(f"Unsupported filetype for '{path}'. ({e})")
+        ds = SingleFileDataset(name, tile_path=path)
+        if wgs84_bounds:
+            ds.wgs84_bounds = wgs84_bounds
+        return ds
+
+    base = path if path.endswith("/") else path + "/"
+    rasters = sorted(
+        base + str(t).lstrip("/") for t in tiles
+        if not _is_aux_file(str(t))
+    )
+    if not rasters:
+        raise ConfigError(
+            f"Remote dataset '{name}' has an empty 'tiles:' list after"
+            " ignoring aux files."
+        )
+    if len(rasters) == 1:
+        try:
+            geotiff.open_raster(rasters[0])
+        except geotiff.RasterOpenError as e:
+            raise ConfigError(f"Unsupported filetype for '{rasters[0]}'. ({e})")
+        ds = SingleFileDataset(name, tile_path=rasters[0])
+        if wgs84_bounds:
+            ds.wgs84_bounds = wgs84_bounds
+        return ds
+
+    filenames = [os.path.basename(p) for p in rasters]
+    is_srtm = [re.match(FILENAME_TILE_REGEX, f, re.IGNORECASE) for f in filenames]
+    if not all(is_srtm):
+        bad = [fn for fn, ok in zip(filenames, is_srtm) if not ok][0]
+        raise ConfigError(
+            f"Unknown dataset type for '{name}'. Remote tiled datasets need"
+            " lower-left corner coords in each tile filename like 'N20W120'."
+            f" Unrecognised filename: '{bad}'."
+        )
+    filename_epsg = kwargs.get("filename_epsg", DEFAULTS["dataset.filename_epsg"])
+    tile_size = parse_filename_tile_size(
+        kwargs.get("filename_tile_size", DEFAULTS["dataset.filename_tile_size"])
+    )
+    corners = [filename_to_tile_corner(p) for p in rasters]
+    if len(corners) > len(set(corners)):
+        raise ConfigError(
+            "SRTM-type tile coords must be unique, cannot be the same tile"
+            " with different extensions."
+        )
+    ds = TiledDataset(
+        name,
+        path=base,
+        filename_epsg=filename_epsg,
+        filename_tile_size=tile_size,
+        tile_lookup=dict(zip(corners, rasters)),
+    )
+    if wgs84_bounds:
+        ds.wgs84_bounds = wgs84_bounds
+    return ds
 
 
 def load_datasets(config_path: str | None = None) -> dict[str, Dataset]:

@@ -1,0 +1,299 @@
+"""Remote raster IO: HTTP(S) byte-range reads + per-process chunk cache.
+
+The reference only ever opens local files (rasterio paths,
+/root/reference/opentopodata/backend.py:89-106); at this engine's target
+scale DEM tiles live on object storage, so geotiff gained a range-read
+seam (_RangeByteSource). These tests serve the REAL fixture corpus over
+an in-process HTTP server that implements (or deliberately ignores)
+Range requests, and pin:
+
+- bit-identical windows/elevations vs the local files,
+- windowed access (a small window never fetches the whole object),
+- chunk-cache hits (repeat reads issue zero new requests),
+- graceful degradation when the server ignores Range (200 full body),
+- the config surface for remote datasets (explicit tiles list).
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+import zipfile
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+import pytest
+
+from opentopodata_spark import config, geotiff, oracle
+
+
+class _Handler(BaseHTTPRequestHandler):
+    protocol_version = "HTTP/1.1"
+
+    def _target(self):
+        path = self.path.split("?", 1)[0].lstrip("/")
+        full = os.path.join(self.server.root, *path.split("/"))
+        return full if os.path.isfile(full) else None
+
+    def do_HEAD(self):
+        full = self._target()
+        if full is None:
+            self.send_error(404)
+            return
+        self.send_response(200)
+        self.send_header("Content-Length", str(os.path.getsize(full)))
+        self.send_header("Accept-Ranges", "bytes")
+        self.send_header("ETag", f'"{os.path.getmtime(full)}"')
+        self.end_headers()
+
+    def do_GET(self):
+        full = self._target()
+        if full is None:
+            self.send_error(404)
+            return
+        size = os.path.getsize(full)
+        rng = self.headers.get("Range")
+        self.server.requests.append((self.path, rng))
+        with open(full, "rb") as f:
+            if rng and not self.server.ignore_range:
+                spec = rng.split("=", 1)[1]
+                lo_s, hi_s = spec.split("-", 1)
+                lo = int(lo_s)
+                hi = min(int(hi_s) if hi_s else size - 1, size - 1)
+                f.seek(lo)
+                body = f.read(hi - lo + 1)
+                self.send_response(206)
+                self.send_header("Content-Range", f"bytes {lo}-{hi}/{size}")
+            else:
+                body = f.read()
+                self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.send_header("ETag", f'"{os.path.getmtime(full)}"')
+            self.end_headers()
+            self.wfile.write(body)
+
+    def log_message(self, *a):  # silence
+        pass
+
+
+def _serve(root: str):
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _Handler)
+    srv.root = root
+    srv.requests = []
+    srv.ignore_range = False
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    return srv, f"http://127.0.0.1:{srv.server_address[1]}"
+
+
+@pytest.fixture()
+def http_fixtures(raster_root):
+    srv, base = _serve(raster_root)
+    yield srv, base
+    srv.shutdown()
+
+
+def _fetched_bytes(srv) -> int:
+    total = 0
+    for _, rng in srv.requests:
+        if not rng:
+            return -1  # a full-object GET happened
+        lo, hi = rng.split("=", 1)[1].split("-", 1)
+        total += int(hi) - int(lo) + 1
+    return total
+
+
+class TestRangeReads:
+    def test_window_matches_local_and_is_windowed(self, http_fixtures):
+        srv, base = http_fixtures
+        geotiff.clear_range_cache()
+        geotiff.clear_block_cache()
+        rel = "test-srtm90m-subset/N00E010.tif"
+        local = geotiff.open_raster(os.path.join(srv.root, *rel.split("/")))
+        remote = geotiff.open_raster(f"{base}/{rel}")
+        assert remote.width == local.width and remote.height == local.height
+        assert remote.nodata == local.nodata
+        assert remote.bounds == local.bounds
+        w_l, org_l = local.read_window(100, 140, 50, 90)
+        w_r, org_r = remote.read_window(100, 140, 50, 90)
+        assert org_l == org_r
+        np.testing.assert_array_equal(np.asarray(w_l), np.asarray(w_r))
+        # windowed: far less than the ~2.9 MB object crossed the wire
+        fetched = _fetched_bytes(srv)
+        size = os.path.getsize(os.path.join(srv.root, *rel.split("/")))
+        assert 0 < fetched < size // 4
+        # repeat read: chunk + block caches absorb it, zero new requests
+        n = len(srv.requests)
+        w2, _ = remote.read_window(100, 140, 50, 90)
+        np.testing.assert_array_equal(np.asarray(w_l), np.asarray(w2))
+        assert len(srv.requests) == n
+
+    def test_compressed_tiled_remote(self, http_fixtures, tmp_path):
+        srv, base = http_fixtures
+        rng = np.random.RandomState(3)
+        arr = (rng.rand(200, 300) * 500).astype(np.float32)
+        sub = os.path.join(srv.root, "tmp_remote")
+        os.makedirs(sub, exist_ok=True)
+        p = os.path.join(sub, "deflate_tiled.tif")
+        geotiff.write_geotiff(
+            p, arr, x0=5.0, y0=2.0, sx=0.01, sy=0.01, epsg=4326,
+            nodata=-32768, compression="deflate", predictor=3,
+            tile_size=(64, 64),
+        )
+        geotiff.clear_range_cache()
+        remote = geotiff.open_raster(f"{base}/tmp_remote/deflate_tiled.tif")
+        local = geotiff.open_raster(p)
+        w_r, _ = remote.read_window(10, 80, 100, 260)
+        w_l, _ = local.read_window(10, 80, 100, 260)
+        np.testing.assert_array_equal(np.asarray(w_r), np.asarray(w_l))
+
+    def test_server_ignoring_range_still_correct(self, http_fixtures):
+        srv, base = http_fixtures
+        srv.ignore_range = True
+        geotiff.clear_range_cache()
+        geotiff.clear_block_cache()
+        rel = "test-srtm90m-subset/N00E011.tif"
+        local = geotiff.open_raster(os.path.join(srv.root, *rel.split("/")))
+        remote = geotiff.open_raster(f"{base}/{rel}")
+        w_r, _ = remote.read_window(0, 50, 0, 50)
+        w_l, _ = local.read_window(0, 50, 0, 50)
+        np.testing.assert_array_equal(np.asarray(w_r), np.asarray(w_l))
+
+    def test_remote_hgt_zip(self, http_fixtures):
+        srv, base = http_fixtures
+        side = 61
+        grid = (np.arange(side * side) % 997).astype(">i2").reshape(side, side)
+        sub = os.path.join(srv.root, "tmp_remote")
+        os.makedirs(sub, exist_ok=True)
+        zp = os.path.join(sub, "N10E020.hgt.zip")
+        with zipfile.ZipFile(zp, "w") as zf:
+            zf.writestr("N10E020.hgt", grid.tobytes())
+        r = geotiff.open_raster(f"{base}/tmp_remote/N10E020.hgt.zip")
+        np.testing.assert_array_equal(
+            np.asarray(r.band).astype(np.int32), grid.astype(np.int32)
+        )
+        assert r.bounds.left == pytest.approx(20 - r.sx / 2)
+
+    def test_missing_remote_object_is_loud(self, http_fixtures):
+        _, base = http_fixtures
+        with pytest.raises(geotiff.RasterOpenError, match="404"):
+            geotiff.open_raster(f"{base}/nope/missing.tif")
+
+    def test_unsupported_remote_format_is_loud(self, http_fixtures):
+        srv, base = http_fixtures
+        sub = os.path.join(srv.root, "tmp_remote")
+        os.makedirs(sub, exist_ok=True)
+        with open(os.path.join(sub, "grid.asc"), "w") as f:
+            f.write("ncols 2\n")
+        with pytest.raises(geotiff.RasterOpenError, match="GeoTIFF"):
+            geotiff.open_raster(f"{base}/tmp_remote/grid.asc")
+
+
+class TestRemoteDatasets:
+    def test_prefix_without_tiles_is_loud(self, http_fixtures):
+        _, base = http_fixtures
+        with pytest.raises(config.ConfigError, match="tiles"):
+            config.dataset_from_config("r", path=f"{base}/test-srtm90m-subset/")
+
+    def test_tiled_remote_dataset_matches_local_oracle(self, http_fixtures):
+        srv, base = http_fixtures
+        local_ds = config.dataset_from_config(
+            "srtm_local", path=os.path.join(srv.root, "test-srtm90m-subset/")
+        )
+        remote_ds = config.dataset_from_config(
+            "srtm_remote",
+            path=f"{base}/test-srtm90m-subset/",
+            tiles=["N00E010.tif", "N00E011.tif"],
+        )
+        assert remote_ds.kind == "tiled"
+        rng = np.random.RandomState(11)
+        lats = rng.uniform(0.05, 0.95, 40)
+        lons = rng.uniform(10.05, 11.95, 40)
+        # tile ASSIGNMENT parity (URLs vs local paths, same basenames)
+        lp = local_ds.location_paths(lats, lons)
+        rp = remote_ds.location_paths(lats, lons)
+        assert [os.path.basename(p) for p in lp] == [
+            os.path.basename(p) for p in rp]
+        for interp in ("nearest", "bilinear", "cubic"):
+            el, _ = oracle.get_elevation(lats, lons, [local_ds], interp)
+            er, _ = oracle.get_elevation(lats, lons, [remote_ds], interp)
+            assert el == er  # bit-identical, not approx
+
+    def test_single_file_remote_dataset(self, http_fixtures):
+        _, base = http_fixtures
+        ds = config.dataset_from_config(
+            "etopo_remote",
+            path=f"{base}/test-etopo1-resampled-1deg/ETOPO1_synthetic_1deg.tif",
+        )
+        assert ds.kind == "single"
+        lats, lons = np.array([49.6, -12.1]), np.array([10.1, 33.3])
+        local = config.dataset_from_config(
+            "etopo_local",
+            path=os.path.join(
+                os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                ".fixture_cache", "test-etopo1-resampled-1deg/"),
+        )
+        el, dl = oracle.get_elevation(lats, lons, [local], "bilinear")
+        er, dr = oracle.get_elevation(lats, lons, [ds], "bilinear")
+        assert el == er
+
+
+class TestRemoteElevationPipeline:
+    def test_resolver_differential_local_vs_remote(
+        self, http_fixtures, spark, tmp_path
+    ):
+        """The full distributed pipeline (extract -> tile join -> priority
+        coalesce) over HTTP-served tiles is bit-identical to local files:
+        executors fetch ranges themselves (per-worker chunk caches)."""
+        from pyspark.sql import functions as F
+
+        from opentopodata_spark.operators import elevation, extract
+
+        srv, base = http_fixtures
+        cfg = tmp_path / "remote-config.yaml"
+        cfg.write_text(
+            "datasets:\n"
+            f"- name: srtm_remote\n"
+            f"  path: {base}/test-srtm90m-subset/\n"
+            "  tiles: [N00E010.tif, N00E011.tif]\n"
+            "  wgs84_bounds: {left: 10, right: 12, bottom: 0, top: 1}\n"
+            f"- name: etopo_remote\n"
+            f"  path: {base}/test-etopo1-resampled-1deg/"
+            "ETOPO1_synthetic_1deg.tif\n"
+            "- name: multi_remote\n"
+            "  child_datasets: [srtm_remote, etopo_remote]\n"
+        )
+        remote_sets = config.load_datasets(str(cfg))
+        ordered_r = config.resolve_dataset_names("multi_remote", remote_sets)
+
+        local_sets = config.load_datasets(
+            os.path.join(srv.root, "test-config.yaml"))
+        ordered_l = [
+            config.dataset_from_config(
+                "srtm_remote", path=os.path.join(srv.root, "test-srtm90m-subset/"),
+                wgs84_bounds={"left": 10, "right": 12, "bottom": 0, "top": 1},
+            ),
+            config.dataset_from_config(
+                "etopo_remote",
+                path=os.path.join(srv.root, "test-etopo1-resampled-1deg/"),
+            ),
+        ]
+        # same names so dataset ATTRIBUTION strings compare equal
+        rows = [(i, 0.05 + (i % 20) * 0.045, 10.02 + (i % 40) * 0.049)
+                for i in range(120)]
+        rows += [(900, 49.0, 8.0), (901, -20.0, 140.0)]  # etopo fallthrough
+        pts = spark.createDataFrame(
+            rows, "point_id long, lat double, lon double")
+        res_r = elevation.ElevationResolver(spark, ordered_r, "bilinear") \
+            .resolve(pts).orderBy("point_id").collect()
+        res_l = elevation.ElevationResolver(spark, ordered_l, "bilinear") \
+            .resolve(pts).orderBy("point_id").collect()
+        assert len(res_r) == len(res_l) == len(rows)
+        for a, b in zip(res_r, res_l):
+            assert a.point_id == b.point_id
+            assert a.dataset == b.dataset
+            if a.elevation is None or (isinstance(a.elevation, float)
+                                       and a.elevation != a.elevation):
+                assert b.elevation is None or b.elevation != b.elevation
+            else:
+                assert a.elevation == b.elevation  # bit-identical
