@@ -57,6 +57,10 @@ _GRS80 = (6378137.0, 298.257222101)
 _AIRY1830 = (6377563.396, 299.3249646)
 _AIRY_MOD = (6377340.189, 299.3249646)
 _BESSEL1841 = (6377397.155, 299.1528128)
+_KRASSOWSKY = (6378245.0, 298.3)
+_CLARKE1866 = (6378206.4, 294.9786982)
+_INTL1924 = (6378388.0, 297.0)
+_GRS67 = (6378160.0, 298.247167427)
 
 _TRANSFORMER_CACHE: dict[str, "Transformer"] = {}
 
@@ -1235,6 +1239,35 @@ _CH1903_DATUM = ("bessel_ch1903", -674.374, -15.056, -405.346,
 _IRELAND65_DATUM = ("airymod_ireland65", -482.5, 130.6, -564.6,
                     1.042, 0.214, 0.631, -8.15)
 
+# WGS84 -> NAD27 via the classic continental 3-translation set (negated
+# PROJ towgs84 -8,160,176; metre-class over CONUS — exact NAD27 needs the
+# NADCON grids, which grid-less PROJ also skips).
+_NAD27_DATUM = ("clarke1866_nad27", 8.0, -160.0, -176.0, 0.0, 0.0, 0.0, 0.0)
+
+# WGS84 -> Pulkovo 1942 via EPSG transformation 1254 negated
+# (Pulkovo 1942 to WGS 84 (1), dx=28 dy=-130 dz=-95; ~10 m class).
+_PULKOVO42_DATUM = ("krassowsky_pulkovo42", -28.0, 130.0, 95.0,
+                    0.0, 0.0, 0.0, 0.0)
+
+# WGS84 -> GGRS87 (negated EPSG 1272: -199.87, 74.79, 246.62).
+_GGRS87_DATUM = ("grs80_ggrs87", 199.87, -74.79, -246.62, 0.0, 0.0, 0.0, 0.0)
+
+# WGS84 -> Israel 1993 (negated PROJ towgs84 -48, 55, 52; ~m class).
+_ISRAEL93_DATUM = ("grs80_israel93", 48.0, -55.0, -52.0, 0.0, 0.0, 0.0, 0.0)
+
+# WGS84 -> Belge 1972 position-vector Helmert (negated PROJ towgs84 set
+# -106.8686, 52.2978, -103.7239, 0.3366, -0.457, 1.8422, -1.2747).
+_BELGE72_DATUM = ("intl1924_belge72", 106.8686, -52.2978, 103.7239,
+                  -0.3366, 0.457, -1.8422, 1.2747)
+
+# WGS84 -> HD72 (negated towgs84 52.17, -71.82, -14.9; ~m class vs the
+# official Hungarian grid correction).
+_HD72_DATUM = ("grs67_hd72", -52.17, 71.82, 14.9, 0.0, 0.0, 0.0, 0.0)
+
+# WGS84 -> Dealul Piscului 1970 (negated PROJ towgs84 28, -121, -77).
+_DEALUL70_DATUM = ("krassowsky_dealul70", -28.0, 121.0, 77.0,
+                   0.0, 0.0, 0.0, 0.0)
+
 # Named national grids, all Transverse Mercator instances the Krüger code
 # handles: (ellipsoid, lat0, lon0, k0, false_easting, false_northing, datum)
 _NAMED_TM_EPSGS: dict[int, tuple] = {
@@ -1248,6 +1281,23 @@ _NAMED_TM_EPSGS: dict[int, tuple] = {
     # TM75 / Irish Grid (the legacy OSi grid most Irish DEMs still ship in)
     29903: (_AIRY_MOD, 53.5, -8.0, 1.000035, 200000.0, 250000.0,
             _IRELAND65_DATUM),
+    # ETRS89 / Poland CS92 (the national LiDAR DEM grid)
+    2180: (_GRS80, 0.0, 19.0, 0.9993, 500000.0, -5300000.0, None),
+    # SWEREF99 TM (Lantmäteriet national rasters)
+    3006: (_GRS80, 0.0, 15.0, 0.9996, 500000.0, 0.0, None),
+    # ETRS89 / TM35FIN (Finnish national grid)
+    3067: (_GRS80, 0.0, 27.0, 0.9996, 500000.0, 0.0, None),
+    # GGRS87 / Greek Grid
+    2100: (_GRS80, 0.0, 24.0, 0.9996, 500000.0, 0.0, _GGRS87_DATUM),
+    # Israel 1993 / Israeli TM Grid
+    2039: (_GRS80, 31.0 + 44.0 / 60.0 + 3.817 / 3600.0,
+           35.0 + 12.0 / 60.0 + 16.261 / 3600.0, 1.0000067,
+           219529.584, 626907.39, _ISRAEL93_DATUM),
+    # ETRS89 / Poland CS2000 zones 5-8 (3-degree belts, lon0 = 3 * zone)
+    2176: (_GRS80, 0.0, 15.0, 0.999923, 5500000.0, 0.0, None),
+    2177: (_GRS80, 0.0, 18.0, 0.999923, 6500000.0, 0.0, None),
+    2178: (_GRS80, 0.0, 21.0, 0.999923, 7500000.0, 0.0, None),
+    2179: (_GRS80, 0.0, 24.0, 0.999923, 8500000.0, 0.0, None),
 }
 
 # Oblique Stereographic (EPSG method 9809) grids:
@@ -1257,6 +1307,9 @@ _OBLIQUE_STEREO_EPSGS: dict[int, tuple] = {
     28992: (_BESSEL1841, 52.0 + 9.0 / 60.0 + 22.178 / 3600.0,
             5.0 + 23.0 / 60.0 + 15.5 / 3600.0, 0.9999079,
             155000.0, 463000.0, _AMERSFOORT_DATUM),
+    # Dealul Piscului 1970 / Stereo 70 — the Romanian national grid
+    31700: (_KRASSOWSKY, 46.0, 25.0, 0.99975,
+            500000.0, 500000.0, _DEALUL70_DATUM),
 }
 
 # Hotine Oblique Mercator grids: (ellipsoid, latc, lonc, alphac, gammac,
@@ -1276,6 +1329,11 @@ _HOM_EPSGS: dict[int, tuple] = {
            337.0 + 15.0 / 60.0 + 20.0 / 3600.0,
            337.0 + 15.0 / 60.0 + 20.0 / 3600.0, 0.9996,
            2546731.496, -4354009.816, "A", None),
+    # HD72 / EOV — the Hungarian national grid (alpha=90 'somerc' case,
+    # same variant-B formulation as the Swiss grids)
+    23700: (_GRS67, 47.0 + 8.0 / 60.0 + 39.8174 / 3600.0,
+            19.0 + 2.0 / 60.0 + 54.8584 / 3600.0, 90.0, 90.0, 0.99993,
+            650000.0, 200000.0, "B", _HD72_DATUM),
 }
 
 # Equidistant Cylindrical (EPSG method 1028): (ellipsoid, lat_ts, lon0,
@@ -1303,6 +1361,13 @@ _LCC_EPSGS: dict[int, tuple] = {
     # NAD83 / Colorado Central (state plane; FE/FN are exact ftUS->m)
     26954: (_GRS80, 37.0 + 50.0 / 60.0, -105.5, 38.0 + 27.0 / 60.0,
             39.0 + 45.0 / 60.0, 914401.8289, 304800.6096),
+    # GDA94 / Geoscience Australia Lambert (national analysis grid)
+    3112: (_GRS80, 0.0, 134.0, -18.0, -36.0, 0.0, 0.0),
+    # Belge 1972 / Belgian Lambert 72 (optional 8th element: datum)
+    31370: (_INTL1924, 90.0, 4.0 + 21.0 / 60.0 + 24.983 / 3600.0,
+            51.0 + 10.0 / 60.0 + 0.00204 / 3600.0,
+            49.0 + 50.0 / 60.0 + 0.00204 / 3600.0,
+            150000.013, 5400088.438, _BELGE72_DATUM),
 }
 
 # Albers Equal-Area CRSs: (ellipsoid, lat0, lon0, sp1, sp2, fe, fn).
@@ -1365,6 +1430,44 @@ def _projection_for_epsg(epsg: int):
         return TransverseMercator(*_GRS80, lon0_deg=zone * 6 - 183, k0=0.9996,
                                   false_easting=500000.0,
                                   false_northing=10000000.0)
+    if 7846 <= epsg <= 7859:  # GDA2020 / MGA zones 46-59 (GDA2020 ~ WGS84)
+        zone = epsg - 7800
+        return TransverseMercator(*_GRS80, lon0_deg=zone * 6 - 183, k0=0.9996,
+                                  false_easting=500000.0,
+                                  false_northing=10000000.0)
+    if 31965 <= epsg <= 31976:  # SIRGAS 2000 / UTM zones 11N-22N
+        zone = epsg - 31954
+        return TransverseMercator(*_GRS80, lon0_deg=zone * 6 - 183, k0=0.9996,
+                                  false_easting=500000.0, false_northing=0.0)
+    if 31977 <= epsg <= 31985:  # SIRGAS 2000 / UTM zones 17S-25S (Brazil DEMs)
+        zone = epsg - 31960
+        return TransverseMercator(*_GRS80, lon0_deg=zone * 6 - 183, k0=0.9996,
+                                  false_easting=500000.0,
+                                  false_northing=10000000.0)
+    if 26703 <= epsg <= 26722:  # NAD27 / UTM zones 3N-22N (Clarke 1866)
+        zone = epsg - 26700
+        proj = TransverseMercator(*_CLARKE1866, lon0_deg=zone * 6 - 183,
+                                  k0=0.9996, false_easting=500000.0,
+                                  false_northing=0.0)
+        _, tx, ty, tz, rx, ry, rz, s = _NAD27_DATUM
+        return DatumShifted(
+            proj, HelmertDatum(*_CLARKE1866, tx, ty, tz, rx, ry, rz, s))
+    if 28402 <= epsg <= 28432:  # Pulkovo 1942 / Gauss-Krüger zones 2-32
+        zone = epsg - 28400
+        proj = TransverseMercator(*_KRASSOWSKY, lon0_deg=zone * 6 - 3, k0=1.0,
+                                  false_easting=zone * 1e6 + 500000.0,
+                                  false_northing=0.0)
+        _, tx, ty, tz, rx, ry, rz, s = _PULKOVO42_DATUM
+        return DatumShifted(
+            proj, HelmertDatum(*_KRASSOWSKY, tx, ty, tz, rx, ry, rz, s))
+    if 21413 <= epsg <= 21423:  # Beijing 1954 / Gauss-Krüger zones 13-23
+        # no published Beijing54<->WGS84 Helmert set exists in the EPSG
+        # registry; grid-less PROJ treats the datums as coincident too —
+        # same ~100 m-class caveat applies to both engines
+        zone = epsg - 21400
+        return TransverseMercator(*_KRASSOWSKY, lon0_deg=zone * 6 - 3, k0=1.0,
+                                  false_easting=zone * 1e6 + 500000.0,
+                                  false_northing=0.0)
     if epsg in _NAMED_TM_EPSGS:
         ell, lat0, lon0, k0, fe, fn, datum = _NAMED_TM_EPSGS[epsg]
         proj = TransverseMercator(*ell, lat0_deg=lat0, lon0_deg=lon0, k0=k0,
@@ -1374,10 +1477,14 @@ def _projection_for_epsg(epsg: int):
             proj = DatumShifted(proj, HelmertDatum(*ell, tx, ty, tz, rx, ry, rz, s))
         return proj
     if epsg in _LCC_EPSGS:
-        ell, lat0, lon0, sp1, sp2, fe, fn = _LCC_EPSGS[epsg]
-        return LambertConformalConic(*ell, lat0_deg=lat0, lon0_deg=lon0,
+        ell, lat0, lon0, sp1, sp2, fe, fn, *rest = _LCC_EPSGS[epsg]
+        proj = LambertConformalConic(*ell, lat0_deg=lat0, lon0_deg=lon0,
                                      sp1_deg=sp1, sp2_deg=sp2,
                                      false_easting=fe, false_northing=fn)
+        if rest and rest[0] is not None:
+            _, tx, ty, tz, rx, ry, rz, s = rest[0]
+            proj = DatumShifted(proj, HelmertDatum(*ell, tx, ty, tz, rx, ry, rz, s))
+        return proj
     if epsg in _ALBERS_EPSGS:
         ell, lat0, lon0, sp1, sp2, fe, fn = _ALBERS_EPSGS[epsg]
         return AlbersEqualArea(*ell, lat0_deg=lat0, lon0_deg=lon0,

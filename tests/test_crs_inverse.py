@@ -1453,3 +1453,140 @@ def test_non_hotine_oblique_mercator_raises_loudly():
         with pytest.raises(crs.CRSError, match="not supported"):
             crs.reproject_latlons(np.array([-18.9]), np.array([44.1]),
                                   wkt=wkt)
+
+
+# Round-4 EPSG expansion: zone families + national grids. Each entry is
+# (epsg, (lat, lon) inside the CRS's domain). The sweep pins (a) inverse
+# round-trips < 1e-6 deg and (b) the definitional natural-origin
+# invariant where one exists (TM with lat0=0: (0, lon0) -> (FE, FN)).
+_EPSG_SWEEP = [
+    # GDA2020 / MGA zones 46-59
+    (7846, (-25.0, 95.0)), (7850, (-32.0, 116.0)), (7855, (-37.8, 145.0)),
+    (7859, (-28.0, 153.5)),
+    # SIRGAS 2000 / UTM north + south
+    (31965, (8.0, -64.0)), (31972, (4.6, -74.0)), (31976, (1.0, -51.0)),
+    (31977, (-3.0, -80.0)), (31983, (-23.5, -46.6)), (31985, (-30.0, -52.0)),
+    # NAD27 / UTM
+    (26703, (58.3, -134.4)), (26710, (49.2, -123.1)), (26717, (43.7, -79.4)),
+    (26722, (18.4, -66.1)),
+    # Pulkovo 1942 / Gauss-Krüger
+    (28402, (55.0, 9.0)), (28407, (55.75, 37.6)), (28418, (62.0, 105.0)),
+    (28432, (64.0, 189.0)),
+    # Beijing 1954 / Gauss-Krüger
+    (21413, (30.0, 75.0)), (21418, (34.0, 105.0)), (21423, (45.8, 135.0)),
+    # national TM grids
+    (2180, (52.2, 21.0)), (3006, (59.3, 18.1)), (3067, (60.2, 24.9)),
+    (2100, (38.0, 23.7)), (2039, (32.1, 34.8)),
+    (2176, (50.0, 15.5)), (2179, (53.0, 23.0)),
+    # LCC additions
+    (3112, (-25.0, 134.0)), (31370, (50.85, 4.35)),
+    # oblique grids
+    (23700, (47.5, 19.05)), (31700, (45.8, 24.9)),
+]
+
+
+def test_epsg_sweep_roundtrips():
+    assert len(_EPSG_SWEEP) >= 25
+    for epsg, (lat, lon) in _EPSG_SWEEP:
+        lats = np.array([lat, lat + 0.2, lat - 0.2])
+        lons = np.array([lon, lon + 0.3, lon - 0.3])
+        xs, ys = crs.reproject_latlons(lats, lons, epsg=epsg)
+        assert np.all(np.isfinite(xs)) and np.all(np.isfinite(ys)), epsg
+        lon2, lat2 = crs.unproject_xys(xs, ys, epsg=epsg)
+        assert np.max(np.abs(lat2 - lats)) < 1e-6, epsg
+        # longitudes may unroll by 360 (e.g. GK zone 32 at lon > 180)
+        dlon = (np.asarray(lon2) - lons + 180.0) % 360.0 - 180.0
+        assert np.max(np.abs(dlon)) < 1e-6, epsg
+
+
+def test_epsg_sweep_natural_origins():
+    """TM grids with lat0=0 and no datum shift must map (0, lon0) to
+    exactly (FE, FN) — definitional, registry-independent."""
+    cases = [
+        (7855, 147.0, 500000.0, 10000000.0),   # MGA2020 zone 55
+        (31983, -45.0, 500000.0, 10000000.0),  # SIRGAS UTM 23S
+        (31972, -75.0, 500000.0, 0.0),         # SIRGAS UTM 18N
+        (2180, 19.0, 500000.0, -5300000.0),    # Poland CS92
+        (3006, 15.0, 500000.0, 0.0),           # SWEREF99 TM
+        (3067, 27.0, 500000.0, 0.0),           # TM35FIN
+        (2177, 18.0, 6500000.0, 0.0),          # Poland CS2000 zone 6
+        (21418, 105.0, 18500000.0, 0.0),       # Beijing54 GK zone 18
+    ]
+    for epsg, lon0, fe, fn in cases:
+        x, y = crs.reproject_latlons(np.array([0.0]), np.array([lon0]),
+                                     epsg=epsg)
+        assert abs(float(x[0]) - fe) < 1e-6, epsg
+        assert abs(float(y[0]) - fn) < 1e-6, epsg
+
+
+def test_epsg_sweep_zone_arithmetic():
+    """Adjacent zone codes differ by exactly one 6-degree belt: the same
+    ground point must land 6 degrees' worth of easting apart when
+    projected in neighbouring zones (sanity on the zone decoding)."""
+    lat, lon = -20.0, 146.9
+    xa, _ = crs.reproject_latlons(np.array([lat]), np.array([lon]), epsg=7854)
+    xb, _ = crs.reproject_latlons(np.array([lat]), np.array([lon]), epsg=7855)
+    # zone 54 lon0=141 (point 5.9E of centre), zone 55 lon0=147 (0.1W)
+    assert float(xa[0]) > 1000000.0 and 480000.0 < float(xb[0]) < 500000.0
+
+
+def test_gauss_krueger_zone_prefix_easting():
+    """GK eastings carry the zone number as a million-metre prefix."""
+    x, y = crs.reproject_latlons(np.array([55.75]), np.array([37.6]),
+                                 epsg=28407)
+    assert 7_000_000.0 < float(x[0]) < 8_000_000.0
+    assert y[0] > 6_000_000.0  # ~6180 km from the equator
+
+
+def test_pulkovo_gk_elevation_differential(spark, tmp_path):
+    """New family through the full pipeline: a Pulkovo 1942 Gauss-Krüger
+    zone-7 raster (Krassowsky ellipsoid + datum shift, zone-prefixed
+    eastings in the millions) — Spark resolver vs the single-process
+    oracle, bit-identical."""
+    import os
+
+    from opentopodata_spark import config, geotiff, oracle
+    from opentopodata_spark.operators import elevation
+
+    d = os.path.join(str(tmp_path), "gk-dem")
+    os.makedirs(d, exist_ok=True)
+    px = 500.0
+    # around Moscow: GK zone 7 E ~ 7.41M, N ~ 6.18M
+    x0, y0 = 7380000.0, 6210000.0
+    xs = x0 + (np.arange(120) + 0.5) * px
+    ys = y0 - (np.arange(120) + 0.5) * px
+    X, Y = np.meshgrid(xs, ys)
+    grid = (160.0 + 60.0 * np.sin(X / 1.1e4) + 40.0 * np.cos(Y / 2.3e4)
+            ).astype(np.float32)
+    geotiff.write_geotiff(
+        os.path.join(d, "msk.tif"), grid, x0=x0, y0=y0, sx=px, sy=px,
+        epsg=28407, nodata=-9999, compression="deflate", predictor=3,
+    )
+    cfg = os.path.join(str(tmp_path), "cfg.yaml")
+    with open(cfg, "w") as f:
+        f.write(f"datasets:\n- name: gkmsk\n  path: {d}/\n")
+    ordered = [config.load_datasets(cfg)["gkmsk"]]
+
+    rng = np.random.default_rng(28407)
+    lats = np.concatenate([rng.uniform(55.55, 55.95, 70),
+                           rng.uniform(-20.0, 0.0, 15)])   # out -> null
+    lons = np.concatenate([rng.uniform(37.15, 37.95, 70),
+                           rng.uniform(-60.0, -40.0, 15)])
+    pts = spark.createDataFrame(
+        [(int(i), float(la), float(lo))
+         for i, (la, lo) in enumerate(zip(lats, lons))],
+        "point_id long, lat double, lon double",
+    )
+    res = elevation.ElevationResolver(spark, ordered, "bilinear").resolve(pts)
+    rows = {r.point_id: r for r in res.collect()}
+    e, names = oracle.get_elevation(lats, lons, ordered, "bilinear")
+    resolved = 0
+    for i in range(len(lats)):
+        r = rows[i]
+        if e[i] is None:
+            assert r.elevation is None, (i, r.elevation)
+        else:
+            assert r.elevation == e[i], (i, r.elevation, e[i])
+            resolved += 1
+        assert r.dataset == names[i]
+    assert resolved >= 55
