@@ -67,6 +67,42 @@ def run(make, warmup: bool = True) -> tuple[float, float, float]:
     return sorted(times)[len(times) // 2], min(times), max(times)
 
 
+_CLK_TCK = os.sysconf("SC_CLK_TCK") if hasattr(os, "sysconf") else 100
+
+
+def _proc_tree_cpu() -> float:
+    """user+system CPU seconds consumed so far by this process and every
+    live descendant (the local-mode JVM and its reused Python workers).
+    Round-over-round wall-clock on a shared VM aliases host weather into
+    phantom regressions; CPU-per-coord is the day-invariant twin."""
+    try:
+        pids = {}
+        for entry in os.listdir("/proc"):
+            if not entry.isdigit():
+                continue
+            try:
+                with open(f"/proc/{entry}/stat", "rb") as f:
+                    raw = f.read().decode("latin-1")
+            except OSError:
+                continue
+            # comm may contain spaces/parens: split after the LAST ')'
+            rest = raw.rsplit(")", 1)[1].split()
+            ppid = int(rest[1])
+            utime, stime = int(rest[11]), int(rest[12])
+            pids[int(entry)] = (ppid, utime + stime)
+        mine = {os.getpid()}
+        grew = True
+        while grew:
+            grew = False
+            for pid, (ppid, _) in pids.items():
+                if ppid in mine and pid not in mine:
+                    mine.add(pid)
+                    grew = True
+        return sum(pids[p][1] for p in mine if p in pids) / _CLK_TCK
+    except OSError:
+        return 0.0
+
+
 def main() -> None:
     sf = _sf_label(SF_DIR)
     spark = get_spark(
@@ -83,8 +119,25 @@ def main() -> None:
     n_coords = elev_df.count()  # fixtures built, rasters opened
     timings: dict[str, float] = {}
     spreads: dict[str, list[float]] = {}
+    cpu0 = _proc_tree_cpu()
     timings["elevation_e2e"], lo, hi = run(elev_df)  # run() warms once untimed
     spreads["elevation_e2e"] = [lo, hi]
+    # CPU across the warmup + N_RUNS timed executions; per-run average.
+    # (the warmup is CPU-identical to a timed run, so include it)
+    elev_cpu_per_run = (_proc_tree_cpu() - cpu0) / (N_RUNS + 1)
+
+    # stage decomposition: the extraction sub-plan alone (docs scan +
+    # coordinate parse + polyline decode), so the gate metric can tell a
+    # front-half regression from a resolve-half one without re-deriving
+    # the pipeline. resolve-half = e2e - extract.
+    from opentopodata_spark.operators import extract as _extract
+
+    _, docs_path = contract._prepare_elevation_inputs(n_docs, n_files=CPUS)
+    extract_df = _extract.with_point_id(
+        _extract.extract_points(spark.read.parquet(docs_path))
+    ).where(F.col("loc_error").isNull())
+    t_extract, _, _ = run(extract_df)  # not in `queries`/total: a
+    # diagnostic sub-plan of elevation_e2e, not an extra suite member
 
     queries = {
         "minhash_lsh": lambda: contract.q_lsh_pairs(spark, SF_DIR),
@@ -178,6 +231,21 @@ def main() -> None:
                 "elevation_coords_per_sec": round(
                     n_coords / timings["elevation_e2e"], 1
                 ),
+                # day-invariant gate twin: CPU burned per coordinate
+                # (all JVM + Python-worker threads), and the wall split
+                # between the extraction front half and the resolve half
+                "elevation_cpu_us_per_coord": round(
+                    elev_cpu_per_run / n_coords * 1e6, 3
+                ),
+                "elevation_wall_us_per_coord": round(
+                    timings["elevation_e2e"] / n_coords * 1e6, 3
+                ),
+                "elevation_stage_split": {
+                    "extract": round(t_extract, 3),
+                    "resolve": round(
+                        max(timings["elevation_e2e"] - t_extract, 0.0), 3
+                    ),
+                },
             }
         )
     )
