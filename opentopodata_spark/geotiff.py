@@ -1153,10 +1153,22 @@ def open_raster(path: str) -> Raster:
         from . import gridformats
 
         return gridformats.open_bil(path)
-    if lower.endswith(".nc"):
+    if lower.endswith((".nc", ".nc4")):
+        # netCDF comes in two wire formats: classic (magic 'CDF') and
+        # netCDF4 = HDF5 (magic \x89HDF) — sniff, don't trust the name
+        with open(path, "rb") as f:
+            magic = f.read(8)
+        if magic[:4] == b"\x89HDF":
+            from . import hdf5
+
+            return hdf5.open_netcdf4(path)
         from . import gridformats
 
         return gridformats.open_netcdf(path)
+    if lower.endswith((".h5", ".hdf5")):
+        from . import hdf5
+
+        return hdf5.open_netcdf4(path)
     if lower.endswith(".zip"):
         return _open_zip(path)
     if lower.endswith(".gz"):
@@ -1218,6 +1230,21 @@ def _open_remote(url: str) -> Raster:
         if inner.endswith(".hgt"):
             return _hgt_from_bytes(url, buf, inner)
         return _open_tiff(_ByteSource(url, buf=buf))
+    if lower.endswith((".nc", ".nc4", ".h5", ".hdf5")):
+        # netCDF4 = HDF5: the reader runs on the _ByteSource interface,
+        # so chunked variables read windowed over HTTP like GeoTIFF does.
+        # netCDF3 (magic 'CDF') has a memmap-based local reader only.
+        src = _RangeByteSource(url)
+        magic = src.read_at(0, 8)
+        if magic[:4] == b"\x89HDF":
+            from . import hdf5
+
+            return hdf5.open_netcdf4(url, source=src)
+        raise RasterOpenError(
+            f"'{url}': remote netCDF must be netCDF4/HDF5 (classic netCDF3"
+            " has no random access worth ranging into — convert, or serve"
+            " GeoTIFF)"
+        )
     if lower.endswith(".zip"):
         import io
 

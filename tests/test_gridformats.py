@@ -317,12 +317,24 @@ class TestNetcdf:
         assert blk[0, 0] == 101.0 and blk[1, 0] == 103.0
         assert np.isnan(blk[1, 1])
 
-    def test_hdf5_file_rejected_loudly(self, tmp_path):
+    def test_hdf5_magic_routes_to_hdf5_reader(self, tmp_path):
+        """.nc with HDF5 magic dispatches to the netCDF4 reader (round 4
+        — previously rejected); corrupt HDF5 still fails loudly."""
         p = str(tmp_path / "h.nc")
         with open(p, "wb") as f:
             f.write(b"\x89HDF\r\n\x1a\n" + b"\x00" * 64)
-        with pytest.raises(RasterOpenError, match="classic"):
+        with pytest.raises(RasterOpenError):
             open_raster(p)
+        from opentopodata_spark import hdf5
+
+        q = str(tmp_path / "ok.nc")
+        hdf5.write_netcdf4(q, np.array([[1.0, 2.0], [3.0, 4.0]],
+                                       dtype=np.float32),
+                           x0=10.0, y0=1.0, sx=0.5, sy=0.5,
+                           compression=None)
+        r = open_raster(q)
+        assert np.array_equal(r.read_window(0, 2, 0, 2)[0],
+                              np.array([[1, 2], [3, 4]], dtype=np.float32))
 
     def test_non_uniform_spacing_rejected(self, tmp_path):
         p = str(tmp_path / "n.nc")
@@ -357,7 +369,7 @@ def test_formats_bit_identical_through_pipeline(tmp_path, spark, terrain):
         tiles[stem] = (lon0, grid)
 
     dirs = {}
-    for fmt in ("tif", "asc", "xyz", "bil", "nc"):
+    for fmt in ("tif", "asc", "xyz", "bil", "nc", "nc4"):
         d = str(tmp_path / fmt)
         os.makedirs(d)
         for stem, (lon0, grid) in tiles.items():
@@ -374,6 +386,14 @@ def test_formats_bit_identical_through_pipeline(tmp_path, spark, terrain):
             elif fmt == "bil":
                 gf.write_bil(p, grid, x0=lon0, y0=1.0, sx=res,
                              nodata=-32768, wkt=WGS84_WKT)
+            elif fmt == "nc4":
+                from opentopodata_spark import hdf5
+
+                hdf5.write_netcdf4(
+                    p, grid, x0=lon0, y0=1.0, sx=res, sy=res,
+                    nodata=-32768, compression="deflate", shuffle=True,
+                    ascending_lat=True, chunk=(32, 32),
+                )
             else:
                 gf.write_netcdf(
                     p, grid,
@@ -402,5 +422,5 @@ def test_formats_bit_identical_through_pipeline(tmp_path, spark, terrain):
 
     base = results["tif"]
     assert len(base) == 150
-    for fmt in ("asc", "xyz", "bil", "nc"):
+    for fmt in ("asc", "xyz", "bil", "nc", "nc4"):
         assert results[fmt] == base, f"{fmt} diverges from GeoTIFF"
