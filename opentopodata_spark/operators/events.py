@@ -181,9 +181,16 @@ def geofence_transitions(
     no membership change emit nothing.
 
     Shape: PIP join -> per-event membership set (sort_array(collect_set)
-    keyed by the event) -> one window lag over (user, ts, id) -> set
-    difference explode. The window is the only per-user state; at
-    10^12 events it partitions by user_id.
+    keyed by the event) -> RANGE-partitioned per-user lag -> set
+    difference explode. A plain Window.partitionBy(user_id) serializes a
+    hot user (one Zipf user owning half the events runs in ONE task);
+    instead the frame is repartitionByRange(user, ts, id) — a hot user's
+    timeline SPLITS across consecutive partitions — the lag runs inside
+    each (partition, user) slice, and each slice head gets its true
+    predecessor from a tiny boundary frame (the last row of the previous
+    partition: one row per partition, broadcast back). Task skew is
+    bounded by the range partitioner regardless of the user histogram;
+    results are identical to the single-window form (pinned by test).
     """
     from pyspark.sql import Window
 
@@ -203,11 +210,55 @@ def geofence_transitions(
             ).alias("inside")
         )
     )
-    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col(id_col).asc())
-    prev = F.coalesce(
-        F.lag("inside").over(w), F.array().cast("array<string>")
+    rp = (
+        memb.repartitionByRange("user_id", "ts", id_col)
+        .sortWithinPartitions("user_id", "ts", id_col)
+        .withColumn("_pid", F.spark_partition_id())
     )
-    diff = memb.select(
+    # global sort order is (user, ts, id): a user's rows are contiguous
+    # across partition boundaries, so a slice head's true predecessor is
+    # the previous partition's LAST row iff that row is the same user.
+    last_rows = rp.groupBy("_pid").agg(
+        F.max_by(
+            F.struct("user_id", "inside"), F.struct("ts", F.col(id_col))
+        ).alias("_last")
+    ).select(
+        "_pid",
+        F.col("_last.user_id").alias("_last_user"),
+        F.col("_last.inside").alias("_last_inside"),
+    )
+    # chain through EMPTY partitions: slice p's predecessor is the last
+    # row of the nearest non-empty partition BEFORE p. The frame is one
+    # row per non-empty partition (tiny), so the single-task window +
+    # gap-filling sequence explode are driver-scale work done on
+    # executors — and the range exchange under both branches is one
+    # ReusedExchange in the final plan.
+    wl = Window.orderBy("_pid")
+    lasts = (
+        last_rows.withColumn("_next", F.lead("_pid").over(wl))
+        .select(
+            F.explode(
+                F.sequence(
+                    F.col("_pid") + 1,
+                    F.coalesce(F.col("_next"), F.col("_pid") + 1),
+                )
+            ).alias("_pid"),
+            "_last_user",
+            "_last_inside",
+        )
+    )
+    w = Window.partitionBy("_pid", "user_id").orderBy(
+        F.col("ts").asc(), F.col(id_col).asc()
+    )
+    lagged = rp.withColumn("_prev_local", F.lag("inside").over(w))
+    joined = lagged.join(F.broadcast(lasts), "_pid", "left")
+    prev = F.coalesce(
+        F.col("_prev_local"),
+        F.when(F.col("_last_user") == F.col("user_id"),
+               F.col("_last_inside")),
+        F.array().cast("array<string>"),
+    )
+    diff = joined.select(
         "user_id",
         "ts",
         F.array_except(F.col("inside"), prev).alias("_enter"),

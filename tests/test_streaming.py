@@ -612,6 +612,82 @@ def test_geofence_transitions_batch(spark):
     ]
 
 
+def test_geofence_transitions_zipf_skew_bounded(spark):
+    """One user owns 50% of events (Zipf hotspot): the range-partitioned
+    lag must (a) match a sequential per-user replay exactly and (b) keep
+    the hot user SPLIT across partitions — max/median partition rows
+    <= 2 in the lag stage, where a hash-by-user window would put half
+    the table in one task."""
+    import random
+
+    import numpy as np
+
+    from opentopodata_spark.operators import events as evops
+    from opentopodata_spark.operators import spatial as _spatial
+
+    polygons = [
+        {"polygon_id": "A", "lats": [0.0, 0.0, 30.0, 30.0],
+         "lons": [0.0, 40.0, 40.0, 0.0]},
+        {"polygon_id": "B", "lats": [-20.0, -20.0, 10.0, 10.0],
+         "lons": [20.0, 70.0, 70.0, 20.0]},
+    ]
+    rng = random.Random(99)
+    rows = []
+    eid = 0
+    for i in range(4000):
+        # user 1 owns half the stream; 50 cold users share the rest
+        uid = 1 if i % 2 == 0 else 2 + rng.randrange(50)
+        lat = rng.uniform(-25.0, 35.0)
+        lon = rng.uniform(-5.0, 75.0)
+        ts = f"2024-01-01 {i // 3600:02d}:{(i // 60) % 60:02d}:{i % 60:02d}"
+        rows.append((eid, ts, uid, lat, lon))
+        eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts_s string, user_id long, lat double,"
+        " lon double"
+    ).withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+
+    got = sorted(
+        (r.user_id, str(r.ts), r.polygon_id, r.transition)
+        for r in evops.geofence_transitions(df, polygons).collect()
+    )
+
+    # sequential replay oracle: per-user ordered membership diff
+    def inside(lat, lon):
+        out = set()
+        if 0.0 <= lat <= 30.0 and 0.0 <= lon <= 40.0:
+            out.add("A")
+        if -20.0 <= lat <= 10.0 and 20.0 <= lon <= 70.0:
+            out.add("B")
+        return out
+
+    by_user: dict = {}
+    for e, ts, u, la, lo in rows:
+        by_user.setdefault(u, []).append((ts, e, la, lo))
+    want = []
+    for u, evs in by_user.items():
+        evs.sort()
+        cur: set = set()
+        for ts, _e, la, lo in evs:
+            now = inside(la, lo)
+            for p in sorted(now - cur):
+                want.append((u, ts, p, "enter"))
+            for p in sorted(cur - now):
+                want.append((u, ts, p, "exit"))
+            cur = now
+    assert got == sorted(want)
+    # the PIP membership must agree with the replay's rectangle math
+    # implicitly via the equality above; now pin the skew bound on the
+    # range-partitioned frame the lag runs over
+    memb = df.select("event_id", "user_id", "ts")
+    rp = memb.repartitionByRange("user_id", "ts", "event_id")
+    counts = np.array(
+        rp.rdd.mapPartitions(lambda it: [sum(1 for _ in it)]).collect()
+    )
+    counts = counts[counts > 0]
+    assert counts.max() / np.median(counts) <= 2.0, counts.tolist()
+
+
 def test_geofence_transitions_stream_matches_batch(spark, tmp_path):
     """The stateful streaming twin emits exactly the batch transitions
     across two micro-batches (in-order arrivals), with membership state
