@@ -1153,6 +1153,10 @@ def open_raster(path: str) -> Raster:
         from . import gridformats
 
         return gridformats.open_bil(path)
+    if lower.endswith(".vrt"):
+        from . import gridformats
+
+        return gridformats.open_vrt(path)
     if lower.endswith((".nc", ".nc4")):
         # netCDF comes in two wire formats: classic (magic 'CDF') and
         # netCDF4 = HDF5 (magic \x89HDF) — sniff, don't trust the name

@@ -782,3 +782,192 @@ def write_netcdf(
     out += lat_raw + lon_raw + dat_raw
     with open(path, "wb") as f:
         f.write(out)
+
+
+# ---------------------------------------------------------------------------
+# GDAL VRT mosaics (XML virtual rasters over other files)
+# ---------------------------------------------------------------------------
+
+_VRT_DTYPES = {
+    "Byte": "u1", "Int8": "i1", "UInt16": "u2", "Int16": "i2",
+    "UInt32": "u4", "Int32": "i4", "Float32": "f4", "Float64": "f8",
+}
+
+
+class _VRTReader:
+    """Windowed reads over a VRT band: overlay each SimpleSource /
+    ComplexSource (1:1 scaling only) in document order, GDAL's painter
+    semantics. Child rasters open lazily through open_raster (any
+    supported format, including nested VRTs and http(s) URLs) and are
+    cached per reader; their own block caches make repeat windows cheap.
+    Duck-types geotiff._BlockReader.read."""
+
+    def __init__(self, path: str, dtype: np.dtype, height: int, width: int,
+                 sources: list[dict], fill: float):
+        self.path = path
+        self.dtype = dtype
+        self.height = height
+        self.width = width
+        self.sources = sources
+        self.fill = fill
+        self._open: dict[str, Raster] = {}
+
+    def _child(self, fn: str) -> Raster:
+        r = self._open.get(fn)
+        if r is None:
+            from .geotiff import open_raster
+
+            r = open_raster(fn)
+            self._open[fn] = r
+        return r
+
+    def read(self, r0: int, r1: int, c0: int, c1: int) -> np.ndarray:
+        native = self.dtype.newbyteorder("=")
+        out = np.full((r1 - r0, c1 - c0), native.type(self.fill),
+                      dtype=native)
+        for s in self.sources:
+            dr0, dc0 = s["dst_yoff"], s["dst_xoff"]
+            dr1, dc1 = dr0 + s["ysize"], dc0 + s["xsize"]
+            orow0, orow1 = max(r0, dr0), min(r1, dr1)
+            ocol0, ocol1 = max(c0, dc0), min(c1, dc1)
+            if orow0 >= orow1 or ocol0 >= ocol1:
+                continue
+            child = self._child(s["filename"])
+            sr0 = s["src_yoff"] + (orow0 - dr0)
+            sc0 = s["src_xoff"] + (ocol0 - dc0)
+            win, (gr, gc) = child.read_window(
+                sr0, sr0 + (orow1 - orow0), sc0, sc0 + (ocol1 - ocol0)
+            )
+            if win.size == 0:
+                continue
+            win = np.asarray(win)
+            # child clipping can shrink the window at raster edges
+            rr0 = orow0 + (gr - sr0)
+            cc0 = ocol0 + (gc - sc0)
+            patch = win.astype(native, copy=False)
+            tgt = out[rr0 - r0 : rr0 - r0 + win.shape[0],
+                      cc0 - c0 : cc0 - c0 + win.shape[1]]
+            if s["src_nodata"] is not None:
+                mask = patch != native.type(s["src_nodata"])
+                np.copyto(tgt, patch, where=mask)
+            else:
+                tgt[...] = patch
+        return out
+
+
+def open_vrt(path: str) -> Raster:
+    """Open a GDAL VRT mosaic (the XML virtual format GDAL builds with
+    gdalbuildvrt) as a Raster. Supported: single-band VRTRasterBand with
+    SimpleSource / ComplexSource children at 1:1 scale (SrcRect size ==
+    DstRect size), north-up GeoTransform, EPSG or WKT SRS. Scaled or
+    rotated VRTs and raw-band VRTs are refused loudly."""
+    import xml.etree.ElementTree as ET
+
+    try:
+        tree = ET.parse(path)
+    except ET.ParseError as e:
+        raise RasterOpenError(f"'{path}': unparseable VRT XML ({e})")
+    root = tree.getroot()
+    if root.tag != "VRTDataset":
+        raise RasterOpenError(f"'{path}': not a VRTDataset")
+    try:
+        width = int(root.attrib["rasterXSize"])
+        height = int(root.attrib["rasterYSize"])
+    except (KeyError, ValueError):
+        raise RasterOpenError(f"'{path}': VRT missing raster size")
+    gt_el = root.find("GeoTransform")
+    if gt_el is None or not gt_el.text:
+        raise RasterOpenError(f"'{path}': VRT has no GeoTransform")
+    gt = [float(v) for v in gt_el.text.split(",")]
+    x0, sx, rot1, y0, rot2, nsy = gt
+    if rot1 != 0.0 or rot2 != 0.0 or nsy >= 0 or sx <= 0:
+        raise RasterOpenError(
+            f"'{path}': only north-up, unrotated VRTs are supported"
+        )
+    sy = -nsy
+
+    epsg = None
+    wkt = None
+    srs_el = root.find("SRS")
+    if srs_el is not None and srs_el.text:
+        txt = srs_el.text.strip()
+        m = re.match(r"EPSG:(\d+)$", txt, re.IGNORECASE)
+        if m:
+            epsg = int(m.group(1))
+        elif txt.upper().startswith(("GEOGCS", "PROJCS", "GEOGCRS",
+                                     "PROJCRS")):
+            wkt = txt
+            mw = re.search(
+                r'AUTHORITY\[\s*"EPSG"\s*,\s*"?(\d+)"?\s*\]\s*\]\s*$', txt
+            )
+            if mw:
+                epsg = int(mw.group(1))
+    if epsg is None and wkt is None:
+        raise RasterOpenError(f"'{path}': VRT has no usable SRS")
+
+    bands = root.findall("VRTRasterBand")
+    if not bands:
+        raise RasterOpenError(f"'{path}': VRT has no raster bands")
+    band = bands[0]  # band 1 only, like every other reader here
+    if band.attrib.get("subClass") not in (None, "VRTSourcedRasterBand"):
+        raise RasterOpenError(
+            f"'{path}': VRT band subClass"
+            f" '{band.attrib.get('subClass')}' is not supported"
+        )
+    dt_name = band.attrib.get("dataType", "Float32")
+    if dt_name not in _VRT_DTYPES:
+        raise RasterOpenError(f"'{path}': VRT dataType {dt_name} unsupported")
+    dtype = np.dtype("<" + _VRT_DTYPES[dt_name])
+    nd_el = band.find("NoDataValue")
+    nodata = float(nd_el.text) if nd_el is not None and nd_el.text else None
+
+    base = os.path.dirname(os.path.abspath(path))
+    sources = []
+    for src in band:
+        if src.tag not in ("SimpleSource", "ComplexSource"):
+            continue
+        fn_el = src.find("SourceFilename")
+        if fn_el is None or not fn_el.text:
+            raise RasterOpenError(f"'{path}': VRT source without filename")
+        fn = fn_el.text.strip()
+        rel = fn_el.attrib.get("relativeToVRT", "0") == "1"
+        if rel and not fn.startswith(("http://", "https://")):
+            fn = os.path.join(base, fn)
+        sr = src.find("SrcRect")
+        dr = src.find("DstRect")
+
+        def rect(el, w, h):
+            if el is None:
+                return 0, 0, w, h
+            return (int(float(el.attrib["xOff"])),
+                    int(float(el.attrib["yOff"])),
+                    int(float(el.attrib["xSize"])),
+                    int(float(el.attrib["ySize"])))
+
+        sxo, syo, sxs, sys_ = rect(sr, width, height)
+        dxo, dyo, dxs, dys = rect(dr, width, height)
+        if (sxs, sys_) != (dxs, dys):
+            raise RasterOpenError(
+                f"'{path}': scaled VRT sources (SrcRect != DstRect size)"
+                " are not supported — regenerate with gdalbuildvrt"
+                " without -tr/-outsize"
+            )
+        nd_src = src.find("NODATA")
+        sources.append({
+            "filename": fn,
+            "src_xoff": sxo, "src_yoff": syo,
+            "dst_xoff": dxo, "dst_yoff": dyo,
+            "xsize": sxs, "ysize": sys_,
+            "src_nodata": float(nd_src.text) if nd_src is not None
+            and nd_src.text else None,
+        })
+    if not sources:
+        raise RasterOpenError(f"'{path}': VRT band has no sources")
+
+    blocks = _VRTReader(path, dtype, height, width, sources,
+                        nodata if nodata is not None else 0.0)
+    return Raster(
+        path=path, width=width, height=height, dtype=dtype, nodata=nodata,
+        crs=CRSInfo(epsg=epsg, wkt=wkt), x0=x0, y0=y0, sx=sx, sy=sy,
+        _blocks=blocks,
+    )
