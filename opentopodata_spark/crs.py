@@ -1730,6 +1730,47 @@ def _projection_for_wkt(wkt: str):
     raise CRSError(f"WKT projection '{mproj.group(1)}' not supported")
 
 
+# EPSG -> (NTv2Grid, direction, replace_helmert): datum-grid corrections
+# registered at runtime (crs.register_ntv2). The reference gets these from
+# PROJ's grid catalog; here a user supplies the .gsb explicitly.
+_NTV2_REGISTRY: dict[int, tuple] = {}
+
+
+def register_ntv2(epsg: int, grid_or_path, direction: str = "to_wgs84",
+                  replace_helmert: bool = True) -> None:
+    """Attach an NTv2 .gsb datum-shift grid to an EPSG code.
+
+    After registration, reproject_latlons/unproject_xys for that EPSG
+    run the grid shift on the geographic side instead of (or on top of)
+    the built-in Helmert approximation — the centimeter-class path the
+    reference reaches through PROJ's grid catalog. ``direction`` is the
+    grid's published sense: 'to_wgs84' (NAD27->NAD83-style, the common
+    case) or 'from_wgs84'. ``replace_helmert=True`` strips the built-in
+    Helmert (the grid IS the better version of it)."""
+    from . import ntv2 as _ntv2
+
+    grid = (_ntv2.NTv2Grid.load(grid_or_path)
+            if isinstance(grid_or_path, str) else grid_or_path)
+    _NTV2_REGISTRY[int(epsg)] = (grid, direction, replace_helmert)
+    _TRANSFORMER_CACHE.pop(f"EPSG:{epsg}", None)
+
+
+def unregister_ntv2(epsg: int) -> None:
+    _NTV2_REGISTRY.pop(int(epsg), None)
+    _TRANSFORMER_CACHE.pop(f"EPSG:{epsg}", None)
+
+
+def _apply_ntv2(epsg: int | None, proj):
+    if epsg is None or epsg not in _NTV2_REGISTRY:
+        return proj
+    from . import ntv2 as _ntv2
+
+    grid, direction, replace = _NTV2_REGISTRY[epsg]
+    if replace and isinstance(proj, DatumShifted):
+        proj = proj._proj  # the grid supersedes the Helmert approximation
+    return DatumShifted(proj, _ntv2.GridShiftedDatum(grid, direction))
+
+
 def get_transformer(epsg: int | None = None, wkt: str | None = None) -> Transformer:
     """Build (or fetch from cache) a WGS84->target transformer.
 
@@ -1740,6 +1781,7 @@ def get_transformer(epsg: int | None = None, wkt: str | None = None) -> Transfor
     tr = _TRANSFORMER_CACHE.get(key)
     if tr is None:
         proj = _projection_for_wkt(wkt) if wkt else _projection_for_epsg(epsg)
+        proj = _apply_ntv2(epsg, proj) if not wkt else proj
         tr = Transformer(proj)
         _TRANSFORMER_CACHE[key] = tr
     return tr
