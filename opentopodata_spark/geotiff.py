@@ -1157,6 +1157,10 @@ def open_raster(path: str) -> Raster:
         from . import gridformats
 
         return gridformats.open_vrt(path)
+    if lower.endswith(".gpkg"):
+        from . import gpkg
+
+        return gpkg.open_gpkg(path)
     if lower.endswith((".nc", ".nc4")):
         # netCDF comes in two wire formats: classic (magic 'CDF') and
         # netCDF4 = HDF5 (magic \x89HDF) — sniff, don't trust the name

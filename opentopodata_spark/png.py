@@ -72,22 +72,25 @@ def _paeth(a: int, b: int, c: int) -> int:
 
 
 def decode_png(data: bytes) -> np.ndarray:
-    """PNG bytes -> (height, width, channels) uint8 array.
+    """PNG bytes -> (height, width, channels) array.
 
-    Raises PngError on anything outside the supported subset.
+    uint8 for 8-bit files, uint16 for 16-bit (the GeoPackage
+    gridded-coverage DEM encoding). Raises PngError on anything outside
+    the supported subset.
     """
     data = bytes(data)
     if not is_png(data):
         raise PngError("not a PNG (bad signature)")
     width = height = None
     channels = None
+    bit_depth = 8
     idat = []
     for ctype, body in _chunks(data):
         if ctype == b"IHDR":
             width, height, bit_depth, color_type, comp, filt, interlace = (
                 struct.unpack(">IIBBBBB", body)
             )
-            if bit_depth != 8:
+            if bit_depth not in (8, 16):
                 raise PngError(f"unsupported PNG bit depth {bit_depth}")
             if color_type not in _CHANNELS:
                 raise PngError(f"unsupported PNG color type {color_type}")
@@ -110,14 +113,16 @@ def decode_png(data: bytes) -> np.ndarray:
     except zlib.error as exc:  # pragma: no cover - corrupt stream
         raise PngError(f"bad PNG zlib stream: {exc}") from exc
 
-    stride = width * channels
+    # PNG filters operate on BYTES with bpp = bytes per pixel, for any
+    # bit depth; 16-bit samples are reassembled big-endian afterwards
+    stride = width * channels * (bit_depth // 8)
     if len(raw) != height * (stride + 1):
         raise PngError("PNG pixel data length mismatch")
     rows = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
     filters = rows[:, 0]
     filt = rows[:, 1:].astype(np.int16)  # headroom for filter arithmetic
     out = np.zeros((height, stride), dtype=np.uint8)
-    bpp = channels
+    bpp = channels * (bit_depth // 8)
 
     prev = np.zeros(stride, dtype=np.int16)
     for y in range(height):
@@ -150,24 +155,47 @@ def decode_png(data: bytes) -> np.ndarray:
         out[y] = recon.astype(np.uint8)
         prev = recon.astype(np.int16)
 
+    if bit_depth == 16:
+        return (
+            out.reshape(height, width * channels, 2)
+            .view(">u2")[:, :, 0]
+            .astype(np.uint16)
+            .reshape(height, width, channels)
+        )
     return out.reshape(height, width, channels)
 
 
 def encode_png(array: np.ndarray, filter_type: int | str = "mixed") -> bytes:
-    """(h, w) or (h, w, channels) uint8 -> PNG bytes.
+    """(h, w) or (h, w, channels) uint8 (or uint16 -> 16-bit PNG) to
+    PNG bytes.
 
     filter_type: 0-4 applies one filter to every row; "mixed" cycles
     through all five so decoders exercise every unfilter path.
     """
-    array = np.asarray(array, dtype=np.uint8)
+    array = np.asarray(array)
+    bit_depth = 16 if array.dtype == np.uint16 else 8
+    array = array.astype(np.uint16 if bit_depth == 16 else np.uint8,
+                         copy=False)
     if array.ndim == 2:
         array = array[:, :, None]
     if array.ndim != 3 or array.shape[2] not in (1, 2, 3, 4):
         raise PngError(f"unsupported array shape {array.shape}")
     h, w, channels = array.shape
     color_type = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
-    bpp = channels
-    stride = w * channels
+    if bit_depth == 16:
+        # filters run on the big-endian BYTE stream
+        array = (
+            array.astype(">u2").reshape(h, w * channels).view(np.uint8)
+            .reshape(h, w * channels * 2, 1)
+        )
+        channels_b = 1
+        bpp = 2 * {0: 1, 4: 2, 2: 3, 6: 4}[color_type]
+        stride = array.shape[1]
+    else:
+        channels_b = channels
+        bpp = channels
+        stride = w * channels
+    del channels_b
     flat = array.reshape(h, stride).astype(np.int16)
 
     def filt_row(y: int, f: int) -> np.ndarray:
@@ -205,7 +233,7 @@ def encode_png(array: np.ndarray, filter_type: int | str = "mixed") -> bytes:
             + struct.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, bit_depth, color_type, 0, 0, 0)
     return (
         _SIGNATURE
         + chunk(b"IHDR", ihdr)

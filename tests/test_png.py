@@ -74,10 +74,20 @@ def test_malformed(mutate, match):
 def test_unsupported_bit_depth():
     data = bytearray(png.encode_png(_img((4, 4, 1))))
     # IHDR body starts at offset 16; bit depth is byte 8 of the body
+    # (8 and 16 are supported since the GeoPackage DEM work; 4 is not)
     assert data[12:16] == b"IHDR"
-    data[16 + 8] = 16
+    data[16 + 8] = 4
     with pytest.raises(png.PngError, match="bit depth"):
         png.decode_png(bytes(data))
+
+
+def test_16bit_gray_round_trip():
+    rng = np.random.RandomState(3)
+    a = rng.randint(0, 65536, (23, 31), dtype=np.uint16)
+    for ft in (0, 1, 2, 3, 4, "mixed"):
+        out = png.decode_png(png.encode_png(a, filter_type=ft))
+        assert out.dtype == np.uint16 and out.shape == (23, 31, 1)
+        assert np.array_equal(out[:, :, 0], a)
 
 
 def test_interlaced_rejected():
