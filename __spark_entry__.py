@@ -4015,7 +4015,290 @@ def _build_quality_classifier_oracle(sf_dir: str):
     )
 
 
+_FORMAT_FMTS = ("tif", "asc", "bil", "nc", "nc4", "gpkg", "vrt")
+
+
+def _formats_fixture_dir() -> str:
+    """Deterministic two-tile terrain written in EVERY supported raster
+    format (one subdir per format, same values), for the cross-format
+    and remote-IO contract queries. Idempotent via a .complete marker."""
+    import numpy as np
+
+    from opentopodata_spark import fixtures, geotiff, gpkg, hdf5
+    from opentopodata_spark import gridformats as gf
+
+    root = os.path.join(_fixture_root(), "formats_r4")
+    marker = os.path.join(root, ".complete")
+    if os.path.exists(marker):
+        return root
+    wgs84_wkt = (
+        'GEOGCS["WGS 84",DATUM["WGS_1984",SPHEROID["WGS 84",6378137,'
+        '298.257223563]],PRIMEM["Greenwich",0],'
+        'UNIT["degree",0.0174532925199433],AUTHORITY["EPSG","4326"]]'
+    )
+    side = 64
+    res = 1.0 / side
+    tiles = {}
+    for lon0, stem in ((10.0, "N00E010"), (11.0, "N00E011")):
+        lons = lon0 + (np.arange(side) + 0.5) * res
+        lats = 1.0 - (np.arange(side) + 0.5) * res
+        tiles[stem] = (lon0, np.round(
+            fixtures.terrain_wgs84(lats[:, None], lons[None, :])
+        ).astype(np.int16))
+    for fmt in _FORMAT_FMTS:
+        d = os.path.join(root, f"fmt_{fmt}")
+        os.makedirs(d, exist_ok=True)
+        for stem, (lon0, grid) in tiles.items():
+            p = os.path.join(d, f"{stem}.{fmt}")
+            if fmt == "tif":
+                geotiff.write_geotiff(p, grid, x0=lon0, y0=1.0, sx=res,
+                                      sy=res, epsg=4326, nodata=-32768)
+            elif fmt == "asc":
+                gf.write_ascii_grid(p, grid, x0=lon0, y0=1.0, sx=res,
+                                    nodata=-32768, wkt=wgs84_wkt)
+            elif fmt == "bil":
+                gf.write_bil(p, grid, x0=lon0, y0=1.0, sx=res,
+                             nodata=-32768, wkt=wgs84_wkt)
+            elif fmt == "nc":
+                gf.write_netcdf(
+                    p, grid,
+                    lats=1.0 - (np.arange(side) + 0.5) * res,
+                    lons=lon0 + (np.arange(side) + 0.5) * res,
+                    nodata=-32768,
+                )
+            elif fmt == "nc4":
+                hdf5.write_netcdf4(p, grid, x0=lon0, y0=1.0, sx=res,
+                                   sy=res, nodata=-32768,
+                                   compression="deflate", shuffle=True,
+                                   chunk=(32, 32))
+            elif fmt == "gpkg":
+                gpkg.write_gpkg(p, grid.astype(np.float64), x0=lon0,
+                                y0=1.0, sx=res, sy=res, epsg=4326,
+                                tile_size=32, scale=1.0, offset=0.0)
+        if fmt == "vrt":
+            body = []
+            for i, stem in enumerate(sorted(tiles)):
+                body.append(
+                    f'<SimpleSource><SourceFilename relativeToVRT="1">'
+                    f"../fmt_tif/{stem}.tif</SourceFilename>"
+                    "<SourceBand>1</SourceBand>"
+                    f'<SrcRect xOff="0" yOff="0" xSize="{side}"'
+                    f' ySize="{side}"/>'
+                    f'<DstRect xOff="{i * side}" yOff="0" xSize="{side}"'
+                    f' ySize="{side}"/></SimpleSource>'
+                )
+            with open(os.path.join(d, "mosaic.vrt"), "w") as f:
+                f.write(
+                    f'<VRTDataset rasterXSize="{2 * side}" '
+                    f'rasterYSize="{side}"><SRS>EPSG:4326</SRS>'
+                    f"<GeoTransform>10.0, {res}, 0, 1.0, 0, {-res}"
+                    "</GeoTransform>"
+                    '<VRTRasterBand dataType="Int16" band="1">'
+                    "<NoDataValue>-32768</NoDataValue>"
+                    + "".join(body) + "</VRTRasterBand></VRTDataset>"
+                )
+    with open(marker, "w") as f:
+        f.write("ok")
+    return root
+
+
+def _format_point_set():
+    ids = list(range(60))
+    lats = [0.03 + (i * 0.0157) % 0.94 for i in ids]
+    lons = [10.03 + (i * 0.0311) % 1.94 for i in ids]
+    return ids, lats, lons
+
+
+def _format_dataset(fmt: str):
+    from opentopodata_spark import config
+
+    root = _formats_fixture_dir()
+    d = os.path.join(root, f"fmt_{fmt}")
+    if fmt == "vrt":
+        return config.dataset_from_config(f"fmt_{fmt}", path=d)
+    return config.dataset_from_config(f"fmt_{fmt}", path=d,
+                                      filename_tile_size=1)
+
+
+def q_raster_formats(spark, sf_dir):
+    """Cross-format differential as a CONTRACT query: the same two-tile
+    terrain written as GeoTIFF / Esri ASCII / BIL / netCDF3 / netCDF4
+    (HDF5, deflate+shuffle) / GeoPackage (PNG16 gridded coverage) / VRT
+    mosaic, resolved through the distributed pipeline — every format
+    must produce the same elevations as its single-process sequential
+    twin; the same-geometry integer formats (tif/asc/bil/nc/nc4) must
+    also agree with each other bit-for-bit (asserted inside the oracle
+    build). The VRT is ONE mosaic (seam points see true cross-tile
+    neighbors, not tile-edge clamps) and the GeoPackage gridded profile
+    is float32 (unrounded bilinear — the reference's dtype-driven
+    integer rounding, S9), so those two verify against their own
+    sequential twins."""
+    from opentopodata_spark.operators import elevation
+
+    _ship_package(spark)
+    ids, lats, lons = _format_point_set()
+    pts = spark.createDataFrame(
+        [(int(i), float(la), float(lo))
+         for i, la, lo in zip(ids, lats, lons)],
+        "point_id long, lat double, lon double",
+    )
+    out = None
+    for fmt in _FORMAT_FMTS:
+        ds = _format_dataset(fmt)
+        res = (
+            elevation.ElevationResolver(spark, [ds], "bilinear")
+            .resolve(pts)
+            .select(F.lit(fmt).alias("fmt"), "point_id", "elevation")
+        )
+        out = res if out is None else out.unionByName(res)
+    return out
+
+
+def _build_raster_formats_oracle(sf_dir: str):
+    import pyarrow as pa
+
+    from opentopodata_spark import oracle
+
+    ids, lats, lons = _format_point_set()
+    fmts, pids, els = [], [], []
+    base = None
+    for fmt in _FORMAT_FMTS:
+        elev, _names = oracle.get_elevation(
+            lats, lons, [_format_dataset(fmt)], "bilinear")
+        if fmt == "tif":
+            base = elev
+        elif fmt in ("asc", "bil", "nc", "nc4"):
+            # same-geometry integer formats must agree with the GeoTIFF
+            # exactly — a failed assert fails the oracle build loudly.
+            # (vrt is ONE mosaic, so seam points interpolate true
+            # cross-tile neighbors instead of tile-edge clamps; gpkg is
+            # float32, unrounded)
+            assert elev == base, f"{fmt} oracle diverges from tif"
+        fmts.extend([fmt] * len(ids))
+        pids.extend(ids)
+        els.extend(None if v is None else float(v) for v in elev)
+    return pa.table({
+        "fmt": pa.array(fmts, type=pa.string()),
+        "point_id": pa.array(pids, type=pa.int64()),
+        "elevation": pa.array(els, type=pa.float64()),
+    })
+
+
+_FORMATS_SERVER: dict = {"base": None}
+
+
+def _formats_http_base() -> str:
+    """Singleton in-process HTTP server with Range support over the
+    formats fixture dir (daemon thread, lives for the process) — the
+    remote-elevation contract query's object store stand-in."""
+    if _FORMATS_SERVER["base"] is not None:
+        return _FORMATS_SERVER["base"]
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    root = _formats_fixture_dir()
+
+    class H(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def _target(self):
+            p = self.path.split("?", 1)[0].lstrip("/")
+            full = os.path.join(root, *p.split("/"))
+            return full if os.path.isfile(full) else None
+
+        def do_HEAD(self):
+            full = self._target()
+            if full is None:
+                self.send_error(404)
+                return
+            self.send_response(200)
+            self.send_header("Content-Length",
+                             str(os.path.getsize(full)))
+            self.send_header("Accept-Ranges", "bytes")
+            self.end_headers()
+
+        def do_GET(self):
+            full = self._target()
+            if full is None:
+                self.send_error(404)
+                return
+            size = os.path.getsize(full)
+            rng = self.headers.get("Range")
+            with open(full, "rb") as f:
+                if rng:
+                    spec = rng.split("=", 1)[1]
+                    lo_s, hi_s = spec.split("-", 1)
+                    lo = int(lo_s)
+                    hi = min(int(hi_s) if hi_s else size - 1, size - 1)
+                    f.seek(lo)
+                    body = f.read(hi - lo + 1)
+                    self.send_response(206)
+                    self.send_header("Content-Range",
+                                     f"bytes {lo}-{hi}/{size}")
+                else:
+                    body = f.read()
+                    self.send_response(200)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    _FORMATS_SERVER["base"] = f"http://127.0.0.1:{srv.server_address[1]}"
+    return _FORMATS_SERVER["base"]
+
+
+def q_remote_elevation(spark, sf_dir):
+    """Remote raster IO as a CONTRACT query: the GeoTIFF tiles served
+    over HTTP (byte-range reads on the executors, per-worker chunk
+    caches) must resolve bit-identically to the local files. Oracle:
+    the single-process sampler over the LOCAL tiles."""
+    from opentopodata_spark import config
+    from opentopodata_spark.operators import elevation
+
+    _ship_package(spark)
+    base = _formats_http_base()
+    ds = config.dataset_from_config(
+        "remote_srtm", path=f"{base}/fmt_tif/",
+        tiles=["N00E010.tif", "N00E011.tif"], filename_tile_size=1,
+    )
+    ids, lats, lons = _format_point_set()
+    pts = spark.createDataFrame(
+        [(int(i), float(la), float(lo))
+         for i, la, lo in zip(ids, lats, lons)],
+        "point_id long, lat double, lon double",
+    )
+    return (
+        elevation.ElevationResolver(spark, [ds], "bilinear")
+        .resolve(pts)
+        .select("point_id", "lat", "lon", "elevation")
+    )
+
+
+def _build_remote_elevation_oracle(sf_dir: str):
+    import pyarrow as pa
+
+    from opentopodata_spark import oracle
+
+    ids, lats, lons = _format_point_set()
+    elev, _names = oracle.get_elevation(
+        lats, lons, [_format_dataset("tif")], "bilinear")
+    return pa.table({
+        "point_id": pa.array(ids, type=pa.int64()),
+        "lat": pa.array([float(v) for v in lats], type=pa.float64()),
+        "lon": pa.array([float(v) for v in lons], type=pa.float64()),
+        "elevation": pa.array(
+            [None if v is None else float(v) for v in elev],
+            type=pa.float64()),
+    })
+
+
 _PRECOMPUTED_BUILDERS = {
+    "raster_formats": _build_raster_formats_oracle,
+    "remote_elevation": _build_remote_elevation_oracle,
     "quality_classifier": _build_quality_classifier_oracle,
     "s2_cells": _build_s2_oracle,
     "geodesic_paths": _build_geodesic_oracle,
@@ -4060,6 +4343,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   2. then queries whose last green row is a round old (stale),
     #   3. then the most recently re-verified ones, which rotate out.
     return {
+        # -- new in r4 --
+        "raster_formats": q_raster_formats,
+        "remote_elevation": q_remote_elevation,
         # -- never driver-checked before r4 / changed in r4 --
         "funnel": q_funnel,
         "retention": q_retention,
