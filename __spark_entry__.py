@@ -4015,7 +4015,7 @@ def _build_quality_classifier_oracle(sf_dir: str):
     )
 
 
-_FORMAT_FMTS = ("tif", "asc", "bil", "nc", "nc4", "gpkg", "vrt")
+_FORMAT_FMTS = ("tif", "asc", "bil", "nc", "nc4", "gpkg", "vrt", "jpa")
 
 
 def _formats_fixture_dir() -> str:
@@ -4027,7 +4027,7 @@ def _formats_fixture_dir() -> str:
     from opentopodata_spark import fixtures, geotiff, gpkg, hdf5
     from opentopodata_spark import gridformats as gf
 
-    root = os.path.join(_fixture_root(), "formats_r4")
+    root = os.path.join(_fixture_root(), "formats_r4b")
     marker = os.path.join(root, ".complete")
     if os.path.exists(marker):
         return root
@@ -4049,10 +4049,21 @@ def _formats_fixture_dir() -> str:
         d = os.path.join(root, f"fmt_{fmt}")
         os.makedirs(d, exist_ok=True)
         for stem, (lon0, grid) in tiles.items():
-            p = os.path.join(d, f"{stem}.{fmt}")
+            ext = "tif" if fmt == "jpa" else fmt
+            p = os.path.join(d, f"{stem}.{ext}")
             if fmt == "tif":
                 geotiff.write_geotiff(p, grid, x0=lon0, y0=1.0, sx=res,
                                       sy=res, epsg=4326, nodata=-32768)
+            elif fmt == "jpa":
+                # arithmetic-coded JPEG-in-TIFF (T.81 QM coder): lossy
+                # uint8, so the terrain rides at a -1500 m offset; its
+                # oracle is its own single-process twin over the SAME
+                # bytes, not the int16 family
+                geotiff.write_geotiff(
+                    p, (grid - 1500).astype(np.uint8), x0=lon0, y0=1.0,
+                    sx=res, sy=res, epsg=4326,
+                    compression="jpeg-arith", tile_size=(32, 32),
+                )
             elif fmt == "asc":
                 gf.write_ascii_grid(p, grid, x0=lon0, y0=1.0, sx=res,
                                     nodata=-32768, wkt=wgs84_wkt)
@@ -4124,7 +4135,9 @@ def q_raster_formats(spark, sf_dir):
     """Cross-format differential as a CONTRACT query: the same two-tile
     terrain written as GeoTIFF / Esri ASCII / BIL / netCDF3 / netCDF4
     (HDF5, deflate+shuffle) / GeoPackage (PNG16 gridded coverage) / VRT
-    mosaic, resolved through the distributed pipeline — every format
+    mosaic / arithmetic-coded JPEG-in-TIFF (T.81 QM coder, uint8 at a
+    -1500 m offset), resolved through the distributed pipeline — every
+    format
     must produce the same elevations as its single-process sequential
     twin; the same-geometry integer formats (tif/asc/bil/nc/nc4) must
     also agree with each other bit-for-bit (asserted inside the oracle

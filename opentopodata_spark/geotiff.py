@@ -115,6 +115,9 @@ _COMPRESSION_CODES = {
     "packbits": _C_PACKBITS,
     "lzma": _C_LZMA,
     "jpeg": _C_JPEG,
+    # same TIFF code 7, entropy-coded with the T.81 QM arithmetic coder
+    # (GDAL: JPEGTABLESMODE + libjpeg built with arithmetic support)
+    "jpeg-arith": _C_JPEG,
 }
 
 # GeoTIFF keys
@@ -909,7 +912,9 @@ def write_geotiff(
     are offset by half a pixel, exactly the convention the reference's
     bounds-validation relies on (backend.py:46-60).
 
-    compression: "none" | "deflate" | "lzw" | "packbits" | "lzma".
+    compression: "none" | "deflate" | "lzw" | "packbits" | "lzma" |
+    "jpeg" | "jpeg-arith" (TIFF code 7 with Huffman / QM-arithmetic
+    entropy coding respectively; uint8 only).
     predictor: 1 (none), 2 (horizontal, integer dtypes), 3 (float byte
     shuffle, float dtypes).
     sparse_ok: blocks entirely equal to the nodata value (or entirely zero
@@ -941,10 +946,20 @@ def write_geotiff(
     if predictor == 3 and kind != "f":
         raise ValueError("predictor 3 requires a float dtype")
     if comp == _C_JPEG:
-        # lossy 8-bit imagery blocks (aerial/ortho sidecars); elevation
-        # data should use a lossless codec
-        if array.dtype != np.uint8:
-            raise ValueError("JPEG compression requires a uint8 array")
+        # lossy imagery blocks (aerial/ortho sidecars, 12-bit deep DEM
+        # derivatives); precision-critical elevation data should use a
+        # lossless codec
+        if array.dtype == np.uint16:
+            if array.max(initial=0) > 4095:
+                raise ValueError(
+                    "12-bit JPEG compression requires values < 4096"
+                )
+            bits = 12  # uint16 container, 12 significant bits (JPEG12)
+        elif array.dtype != np.uint8:
+            raise ValueError(
+                "JPEG compression requires a uint8 (or uint16 for "
+                "12-bit) array"
+            )
         if predictor != 1:
             raise ValueError("JPEG compression does not take a predictor")
 
@@ -954,7 +969,10 @@ def write_geotiff(
         if comp == _C_JPEG:
             from .jpeg import encode_jpeg
 
-            return encode_jpeg(np.ascontiguousarray(blk), quality=95)
+            return encode_jpeg(
+                np.ascontiguousarray(blk), quality=95,
+                arithmetic=compression == "jpeg-arith",
+            )
         if predictor == 2:
             raw = _predict2_encode(blk).astype(le_dtype, copy=False).tobytes()
         elif predictor == 3:
@@ -1445,16 +1463,21 @@ def _open_tiff(source: _ByteSource) -> Raster:
     predictor = int(value(_T_PREDICTOR, [1])[0])
     if predictor not in (1, 2, 3):
         raise RasterOpenError(f"'{path}': unsupported predictor {predictor}")
-    if comp == _C_JPEG and bits != 8:
+    if comp == _C_JPEG and bits not in (8, 12):
         raise RasterOpenError(
-            f"'{path}': {bits}-bit TIFF JPEG is not supported (baseline"
-            " JPEG is 8-bit)"
+            f"'{path}': {bits}-bit TIFF JPEG is not supported (8-bit"
+            " baseline and 12-bit extended-sequential are)"
         )
     sfmt = int(value(_T_SAMPLE_FORMAT, [1])[0])
     kind = _KIND_FOR_SAMPLE_FORMAT.get(sfmt)
     if kind is None:
         raise RasterOpenError(f"'{path}': unsupported sample format {sfmt}")
-    dtype = np.dtype(f"{bo}{kind}{bits // 8}")
+    if comp == _C_JPEG and bits == 12:
+        # 12-bit JPEG samples ride in a uint16 container (GDAL's
+        # JPEG12 convention)
+        dtype = np.dtype(f"{bo}u2")
+    else:
+        dtype = np.dtype(f"{bo}{kind}{bits // 8}")
 
     # Multi-band files: read band 1 only (the reference's rasterio read(1),
     # backend.py:103). PlanarConfiguration=2 stores each band's blocks

@@ -18,9 +18,11 @@ Scope (deliberately the baseline web subset):
 * 1-component (grayscale) and 3-component (YCbCr) images
 * sampling factors up to 2x2 (covers 4:4:4, 4:2:2, 4:2:0)
 * restart markers (DRI / RSTn), 0xFF00 byte stuffing
-* arithmetic coding, 12-bit, hierarchical, and CMYK raise JpegError
-  with a message naming the feature — they are resolvable seams, not
-  silent corruption.
+* arithmetic-coded sequential DCT (SOF9 + DAC) via jpeg_arith.py's
+  T.81 Annex D QM-coder
+* 12-bit, hierarchical, progressive-arithmetic (SOF10), and CMYK raise
+  JpegError with a message naming the feature — they are resolvable
+  seams, not silent corruption.
 
 The encoder exists so fixtures and differential tests have deterministic
 real JPEG bytes without external tools. It is two-pass: symbol
@@ -256,6 +258,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     quant: dict[int, np.ndarray] = {}
     huff_dc: dict[int, dict] = {}
     huff_ac: dict[int, dict] = {}
+    dc_arith_cond: dict[int, tuple] = {}
+    ac_arith_cond: dict[int, int] = {}
     frame = None
     restart_interval = 0
     pos = 2
@@ -286,14 +290,24 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 q = np.zeros(64, dtype=np.float64)
                 q[_ZZ_RASTER] = tbl  # stored in zigzag order
                 quant[tq] = q.reshape(8, 8)
-        elif marker in (0xC0, 0xC1, 0xC2):  # baseline / ext seq / progressive
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC9):
+            # baseline / ext seq / progressive / arithmetic sequential
             precision = body[0]
-            if precision != 8:
+            if precision not in (8, 12):
                 raise JpegError(f"unsupported JPEG precision {precision}")
+            if precision == 12 and marker == 0xC0:
+                raise JpegError("baseline JPEG (SOF0) is 8-bit only")
+            if precision == 12 and marker == 0xC2:
+                raise JpegError("12-bit progressive JPEG is not supported")
             h, w = struct.unpack(">HH", body[1:5])
             ncomp = body[5]
             if ncomp not in (1, 3):
                 raise JpegError(f"unsupported JPEG component count {ncomp}")
+            if precision == 12 and ncomp != 1:
+                raise JpegError(
+                    "12-bit JPEG is supported for single-component "
+                    "(grayscale raster) streams only"
+                )
             comps = []
             for c in range(ncomp):
                 cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
@@ -302,10 +316,16 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     raise JpegError(f"unsupported sampling factors {hi}x{vi}")
                 comps.append({"id": cid, "h": hi, "v": vi, "tq": tq})
             frame = {"w": w, "h": h, "comps": comps,
-                     "progressive": marker == 0xC2}
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD,
+                     "progressive": marker == 0xC2,
+                     "arith": marker == 0xC9,
+                     "precision": precision}
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCA, 0xCB, 0xCD,
                         0xCE, 0xCF):
             raise JpegError(f"unsupported JPEG SOF marker 0xFF{marker:02X}")
+        elif marker == 0xCC:  # DAC: arithmetic conditioning
+            from .jpeg_arith import parse_dac
+
+            parse_dac(body, dc_arith_cond, ac_arith_cond)
         elif marker == 0xC4:  # DHT
             j = 0
             while j < len(body):
@@ -345,6 +365,13 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 continue
             if len(scan_comps) != len(frame["comps"]):
                 raise JpegError("partial JPEG scans not supported")
+            if frame.get("arith"):
+                from .jpeg_arith import decode_scan_arith
+
+                return decode_scan_arith(
+                    data, scan_start, frame, quant, dc_arith_cond,
+                    ac_arith_cond, restart_interval,
+                )
             return _decode_scan(
                 data, scan_start, frame, quant, huff_dc, huff_ac,
                 restart_interval,
@@ -623,7 +650,8 @@ def _decode_scan(data, start, frame, quant, huff_dc, huff_ac,
                 for b in range(nblk):
                     coefs = c["blocks"][base + b]
                     t = reader.read_huff(dct)
-                    if t > 11:
+                    if t > (15 if frame.get("precision", 8) == 12
+                            else 11):
                         raise JpegError("invalid JPEG DC category")
                     diff = reader.receive_extend(t)
                     pred[id(c)] += diff
@@ -645,16 +673,22 @@ def _decode_scan(data, start, frame, quant, huff_dc, huff_ac,
             mcu += 1
     if mcu != n_mcu:
         raise JpegError("JPEG truncated: missing MCUs")
+    return _assemble_image(frame, quant, mcux, mcuy, hmax, vmax)
 
-    # vectorized tail: dequantize + un-zigzag + IDCT per component,
-    # then stitch MCU block grids into planes and upsample
+
+def _assemble_image(frame, quant, mcux, mcuy, hmax, vmax):
+    """Vectorized tail shared by the Huffman and arithmetic sequential
+    decoders: dequantize + un-zigzag + IDCT per component, stitch MCU
+    block grids into planes, upsample, color-convert."""
+    w, h, comps = frame["w"], frame["h"], frame["comps"]
+    shift = 2048.0 if frame.get("precision", 8) == 12 else 128.0
     planes = []
     for c in comps:
         q = quant[c["tq"]].reshape(64)[_ZZ_RASTER]  # zigzag-ordered
         coef_zz = c["blocks"] * q
         coef = np.zeros_like(coef_zz)
         coef[:, _ZZ_RASTER] = coef_zz
-        spatial = _idct_blocks(coef.reshape(-1, 8, 8)) + 128.0
+        spatial = _idct_blocks(coef.reshape(-1, 8, 8)) + shift
         ch, cv = c["h"], c["v"]
         # blocks are stored MCU-major, then v-major then h within the MCU
         grid = spatial.reshape(mcuy, mcux, cv, ch, 8, 8)
@@ -677,6 +711,8 @@ def _decode_scan(data, start, frame, quant, huff_dc, huff_ac,
         g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
         b = y + 1.772 * (cb - 128.0)
         out = np.stack([r, g, b], axis=2)
+    if shift == 2048.0:
+        return np.clip(np.round(out), 0, 4095).astype(np.uint16)
     return np.clip(np.round(out), 0, 255).astype(np.uint8)
 
 
@@ -793,7 +829,8 @@ def _dc_diffs(raw_dc: np.ndarray, blocks_per_mcu: int,
 def encode_jpeg(array: np.ndarray, quality: int = 85,
                 subsampling: str = "444",
                 restart_interval: int = 0,
-                progressive: bool = False) -> bytes:
+                progressive: bool = False,
+                arithmetic: bool = False) -> bytes:
     """(h, w) or (h, w, 1|3) uint8 -> baseline (or progressive) JFIF bytes.
 
     subsampling: "444" (no chroma subsampling) or "420" (2x2). Grayscale
@@ -806,22 +843,42 @@ def encode_jpeg(array: np.ndarray, quality: int = 85,
     per-component AC refinement) exercising every T.81 G.1.2 procedure;
     the quantized coefficients are identical to the baseline encoding of
     the same input, so both decodes must produce identical pixels.
-    Deterministic: same input -> same bytes (Huffman tables are derived
-    from the data, canonically)."""
-    array = np.asarray(array, dtype=np.uint8)
+    arithmetic=True emits an SOF9 sequential stream entropy-coded with
+    the T.81 Annex D QM-coder (explicit DAC segment with the default
+    conditioning); quantized coefficients are identical to the Huffman
+    encoding of the same input, so both decodes must produce identical
+    pixels. A uint16 input (values < 4096, single channel) selects
+    12-bit extended-sequential coding (SOF1, or SOF9 with arithmetic) —
+    the deep-sample grayscale mode GDAL uses for 12-bit JPEG-in-TIFF
+    rasters. Deterministic: same input -> same bytes (Huffman tables
+    are derived from the data, canonically)."""
+    array = np.asarray(array)
+    precision = 12 if array.dtype == np.uint16 else 8
+    if precision == 12:
+        if array.max(initial=0) > 4095:
+            raise JpegError("12-bit JPEG input must be < 4096")
+        if progressive:
+            raise JpegError("12-bit progressive JPEG is not supported")
+    else:
+        array = array.astype(np.uint8)
     if array.ndim == 2:
         array = array[:, :, None]
     if array.ndim != 3 or array.shape[2] not in (1, 3):
         raise JpegError(f"unsupported array shape {array.shape}")
+    if precision == 12 and array.shape[2] != 1:
+        raise JpegError(
+            "12-bit JPEG is supported for single-channel input only"
+        )
     if subsampling not in ("444", "420"):
         raise JpegError(f"unsupported subsampling '{subsampling}'")
     h, w, nchan = array.shape
     if h == 0 or w == 0:
         raise JpegError("empty image")
     if progressive:
-        if restart_interval:
+        if restart_interval or arithmetic:
             raise JpegError(
-                "restart markers in progressive output are not supported"
+                "restart markers / arithmetic coding in progressive "
+                "output are not supported"
             )
         return _encode_progressive(array, quality, subsampling)
 
@@ -876,56 +933,77 @@ def encode_jpeg(array: np.ndarray, quality: int = 85,
             padded.reshape(mcuy, sv, 8, mcux, sh, 8)
             .transpose(0, 3, 1, 4, 2, 5)
             .reshape(-1, 8, 8)
-        ) - 128.0
+        ) - (2048.0 if precision == 12 else 128.0)
         coef = _fdct_blocks(blocks)
         q = qtables[qid]
         qz = np.round(coef / q).astype(np.int64).reshape(-1, 64)
         comp_zz.append(qz[:, _ZZ_RASTER])  # raster -> zigzag order
-    comp_acs = [_component_ac_symbols(zz) for zz in comp_zz]
+    comp_acs = (
+        [] if arithmetic else
+        [_component_ac_symbols(zz) for zz in comp_zz]
+    )
     nblk = [sh * sv for sh, sv in samps]
     comp_dc = [
         _dc_diffs(zz[:, 0], nb, restart_interval)
         for zz, nb in zip(comp_zz, nblk)
     ]
 
-    # Huffman table classes: 0 = luma (component 0), 1 = chroma (1, 2)
+    # entropy table classes: 0 = luma (component 0), 1 = chroma (1, 2)
     table_of = [0] + ([1, 1] if not gray else [])
-    dc_freq: dict[int, dict[int, int]] = {0: {}, 1: {}}
-    ac_freq: dict[int, dict[int, int]] = {0: {}, 1: {}}
-    for ci in range(len(comp_zz)):
-        t = table_of[ci]
-        for d in comp_dc[ci]:
-            dcat = _bit_category(int(d))
-            dc_freq[t][dcat] = dc_freq[t].get(dcat, 0) + 1
-        for acs in comp_acs[ci]:
-            for rs, _ in acs:
-                ac_freq[t][rs] = ac_freq[t].get(rs, 0) + 1
-
     huff = {}
-    for t in (0, 1):
-        if dc_freq[t]:
-            huff[("dc", t)] = _build_huff_encoder(dc_freq[t])
-        if ac_freq[t]:
-            huff[("ac", t)] = _build_huff_encoder(ac_freq[t])
+    if not arithmetic:
+        dc_freq: dict[int, dict[int, int]] = {0: {}, 1: {}}
+        ac_freq: dict[int, dict[int, int]] = {0: {}, 1: {}}
+        for ci in range(len(comp_zz)):
+            t = table_of[ci]
+            for d in comp_dc[ci]:
+                dcat = _bit_category(int(d))
+                dc_freq[t][dcat] = dc_freq[t].get(dcat, 0) + 1
+            for acs in comp_acs[ci]:
+                for rs, _ in acs:
+                    ac_freq[t][rs] = ac_freq[t].get(rs, 0) + 1
+
+        for t in (0, 1):
+            if dc_freq[t]:
+                huff[("dc", t)] = _build_huff_encoder(dc_freq[t])
+            if ac_freq[t]:
+                huff[("ac", t)] = _build_huff_encoder(ac_freq[t])
 
     # ---- emit segments
     def seg(marker: int, body: bytes) -> bytes:
         return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
 
     out = bytearray(b"\xff\xd8")  # SOI
-    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    if precision == 8:  # JFIF is defined for 8-bit samples only
+        out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
     for tq, q in qtables.items():
         zz = q.reshape(64)[_ZZ_RASTER].astype(np.uint8)
         out += seg(0xDB, bytes([tq]) + zz.tobytes())
     ncomp = 1 if gray else 3
-    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    sof = struct.pack(">BHHB", precision, h, w, ncomp)
     for ci in range(ncomp):
         sh, sv = samps[ci]
         sof += bytes([ci + 1, (sh << 4) | sv, qids[ci]])
-    out += seg(0xC0, sof)
-    for (kind, t), (counts, symbols, _) in sorted(huff.items()):
-        tc = 0 if kind == "dc" else 1
-        out += seg(0xC4, bytes([(tc << 4) | t]) + bytes(counts) + symbols)
+    if arithmetic:
+        sof_marker = 0xC9
+    else:
+        sof_marker = 0xC1 if precision == 12 else 0xC0
+    out += seg(sof_marker, sof)
+    if arithmetic:
+        from . import jpeg_arith
+
+        low, up = jpeg_arith.DC_COND_DEFAULT
+        dac = b""
+        for t in sorted(set(table_of)):
+            dac += bytes([t, (up << 4) | low])
+            dac += bytes([0x10 | t, jpeg_arith.AC_COND_DEFAULT])
+        out += seg(0xCC, dac)
+    else:
+        for (kind, t), (counts, symbols, _) in sorted(huff.items()):
+            tc = 0 if kind == "dc" else 1
+            out += seg(
+                0xC4, bytes([(tc << 4) | t]) + bytes(counts) + symbols
+            )
     if restart_interval:
         out += seg(0xDD, struct.pack(">H", restart_interval))
     sos = bytes([ncomp])
@@ -934,6 +1012,20 @@ def encode_jpeg(array: np.ndarray, quality: int = 85,
         sos += bytes([ci + 1, (t << 4) | t])
     sos += b"\x00\x3f\x00"  # Ss=0, Se=63, Ah/Al=0
     out += seg(0xDA, sos)
+
+    if arithmetic:
+        n_mcu = mcux * mcuy
+        segments = jpeg_arith.encode_entropy_arith(
+            comp_zz, comp_dc, nblk, table_of, n_mcu, restart_interval,
+            {t: jpeg_arith.DC_COND_DEFAULT for t in set(table_of)},
+            {t: jpeg_arith.AC_COND_DEFAULT for t in set(table_of)},
+        )
+        for si, segdata in enumerate(segments):
+            if si:
+                out += bytes([0xFF, 0xD0 + ((si - 1) % 8)])
+            out += segdata
+        out += b"\xff\xd9"  # EOI
+        return bytes(out)
 
     # ---- entropy-coded data: interleave components per MCU
     writer = _BitWriter()

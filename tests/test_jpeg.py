@@ -122,10 +122,10 @@ def test_truncated_raises():
         jpeg.decode_jpeg(data[: len(data) // 2])
 
 
-def test_arithmetic_sof_rejected():
+def test_progressive_arithmetic_sof_rejected():
     data = bytearray(jpeg.encode_jpeg(_gradient(16, 16)))
     i = bytes(data).index(b"\xff\xc0")
-    data[i + 1] = 0xC9  # SOF0 -> SOF9 (arithmetic sequential)
+    data[i + 1] = 0xCA  # SOF0 -> SOF10 (arithmetic progressive)
     with pytest.raises(jpeg.JpegError, match="SOF"):
         jpeg.decode_jpeg(bytes(data))
 
@@ -182,8 +182,17 @@ def test_progressive_truncated_raises():
 def test_bad_precision_rejected():
     data = bytearray(jpeg.encode_jpeg(_gradient(16, 16)))
     i = bytes(data).index(b"\xff\xc0")
-    data[i + 4] = 12  # precision byte of SOF
+    data[i + 4] = 16  # precision byte of SOF (12 is now supported)
     with pytest.raises(jpeg.JpegError, match="precision"):
+        jpeg.decode_jpeg(bytes(data))
+
+
+def test_12bit_baseline_sof0_rejected():
+    # 12-bit samples are legal in SOF1/SOF9 only
+    data = bytearray(jpeg.encode_jpeg(_gradient(16, 16)))
+    i = bytes(data).index(b"\xff\xc0")
+    data[i + 4] = 12
+    with pytest.raises(jpeg.JpegError, match="8-bit"):
         jpeg.decode_jpeg(bytes(data))
 
 

@@ -173,14 +173,55 @@ def test_old_style_jpeg_rejected(tmp_path):
         open_raster(p)
 
 
-def test_12bit_jpeg_rejected(tmp_path):
+def test_14bit_jpeg_rejected(tmp_path):
     img = smooth_image(16, 16)
     blob = bytearray(_tiff_with_jpegtables(img))
     idx = blob.find(struct.pack("<HHI", 258, 3, 1) + struct.pack("<HH", 8, 0))
     assert idx > 0
-    blob[idx + 8:idx + 10] = struct.pack("<H", 12)
-    p = str(tmp_path / "b12.tif")
+    blob[idx + 8:idx + 10] = struct.pack("<H", 14)
+    p = str(tmp_path / "b14.tif")
     with open(p, "wb") as f:
         f.write(bytes(blob))
-    with pytest.raises(RasterOpenError, match="12-bit"):
+    with pytest.raises(RasterOpenError, match="14-bit"):
         open_raster(p)
+
+
+class TestJpeg12InTiff:
+    """12-bit JPEG-in-TIFF (GDAL's JPEG12: BitsPerSample=12, uint16
+    container) — the deep-sample mode real elevation derivatives ship
+    in; reference reads it through GDAL (backend.py:89)."""
+
+    def _dem12(self, h=96, w=96):
+        x = np.linspace(0, 4 * np.pi, w)
+        y = np.linspace(0, 3 * np.pi, h)
+        return (2000 + 1400 * np.sin(y)[:, None] * np.cos(x)[None, :]
+                ).astype(np.uint16)
+
+    @pytest.mark.parametrize("comp", ["jpeg", "jpeg-arith"])
+    def test_roundtrip(self, tmp_path, comp):
+        img = self._dem12()
+        p = str(tmp_path / f"d12_{comp}.tif")
+        write_geotiff(p, img, x0=0.0, y0=1.0, sx=0.01, sy=0.01,
+                      epsg=4326, compression=comp, tile_size=(32, 32))
+        r = open_raster(p)
+        assert r.dtype == np.uint16
+        w, _ = r.read_window(0, 96, 0, 96)
+        # q95 quantization error on a 12-bit range
+        assert np.abs(w.astype(int) - img.astype(int)).max() <= 40
+
+    def test_huffman_arith_twin(self, tmp_path):
+        img = self._dem12()
+        ws = []
+        for comp in ("jpeg", "jpeg-arith"):
+            p = str(tmp_path / f"t_{comp}.tif")
+            write_geotiff(p, img, x0=0.0, y0=1.0, sx=0.01, sy=0.01,
+                          epsg=4326, compression=comp, rows_per_strip=24)
+            ws.append(open_raster(p).read_window(3, 90, 7, 88)[0])
+        assert np.array_equal(ws[0], ws[1])
+
+    def test_writer_rejects_overrange(self, tmp_path):
+        with pytest.raises(ValueError, match="4096"):
+            write_geotiff(str(tmp_path / "x.tif"),
+                          np.full((8, 8), 5000, dtype=np.uint16),
+                          x0=0, y0=1, sx=0.1, sy=0.1, epsg=4326,
+                          compression="jpeg")
