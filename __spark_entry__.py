@@ -4015,7 +4015,8 @@ def _build_quality_classifier_oracle(sf_dir: str):
     )
 
 
-_FORMAT_FMTS = ("tif", "asc", "bil", "nc", "nc4", "gpkg", "vrt", "jpa")
+_FORMAT_FMTS = ("tif", "asc", "bil", "nc", "nc4", "gpkg", "vrt", "jpa",
+                "jp2")
 
 
 def _formats_fixture_dir() -> str:
@@ -4026,8 +4027,9 @@ def _formats_fixture_dir() -> str:
 
     from opentopodata_spark import fixtures, geotiff, gpkg, hdf5
     from opentopodata_spark import gridformats as gf
+    from opentopodata_spark import jp2 as jp2mod
 
-    root = os.path.join(_fixture_root(), "formats_r4b")
+    root = os.path.join(_fixture_root(), "formats_r4c")
     marker = os.path.join(root, ".complete")
     if os.path.exists(marker):
         return root
@@ -4064,6 +4066,12 @@ def _formats_fixture_dir() -> str:
                     sx=res, sy=res, epsg=4326,
                     compression="jpeg-arith", tile_size=(32, 32),
                 )
+            elif fmt == "jp2":
+                # GeoJP2 (T.800 reversible 5/3 + MQ EBCOT): LOSSLESS,
+                # so the oracle build asserts it equals the GeoTIFF
+                # int16 family bit-for-bit
+                jp2mod.write_jp2(p, grid, x0=lon0, y0=1.0, sx=res,
+                                 sy=res, epsg=4326, levels=3)
             elif fmt == "asc":
                 gf.write_ascii_grid(p, grid, x0=lon0, y0=1.0, sx=res,
                                     nodata=-32768, wkt=wgs84_wkt)
@@ -4136,7 +4144,8 @@ def q_raster_formats(spark, sf_dir):
     terrain written as GeoTIFF / Esri ASCII / BIL / netCDF3 / netCDF4
     (HDF5, deflate+shuffle) / GeoPackage (PNG16 gridded coverage) / VRT
     mosaic / arithmetic-coded JPEG-in-TIFF (T.81 QM coder, uint8 at a
-    -1500 m offset), resolved through the distributed pipeline — every
+    -1500 m offset) / GeoJP2 (T.800 reversible 5/3 + MQ EBCOT,
+    lossless int16), resolved through the distributed pipeline — every
     format
     must produce the same elevations as its single-process sequential
     twin; the same-geometry integer formats (tif/asc/bil/nc/nc4) must
@@ -4180,7 +4189,7 @@ def _build_raster_formats_oracle(sf_dir: str):
             lats, lons, [_format_dataset(fmt)], "bilinear")
         if fmt == "tif":
             base = elev
-        elif fmt in ("asc", "bil", "nc", "nc4"):
+        elif fmt in ("asc", "bil", "nc", "nc4", "jp2"):
             # same-geometry integer formats must agree with the GeoTIFF
             # exactly — a failed assert fails the oracle build loudly.
             # (vrt is ONE mosaic, so seam points interpolate true

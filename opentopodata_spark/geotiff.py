@@ -1179,6 +1179,10 @@ def open_raster(path: str) -> Raster:
         from . import gpkg
 
         return gpkg.open_gpkg(path)
+    if lower.endswith((".jp2", ".j2k")):
+        from . import jp2
+
+        return jp2.open_jp2(path)
     if lower.endswith((".nc", ".nc4")):
         # netCDF comes in two wire formats: classic (magic 'CDF') and
         # netCDF4 = HDF5 (magic \x89HDF) — sniff, don't trust the name

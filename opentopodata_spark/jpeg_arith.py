@@ -150,23 +150,29 @@ def parse_dac(body: bytes, dc_cond: dict, ac_cond: dict) -> None:
 
 
 class _ArithDecoder:
-    """QM decoder over a de-framed bit list (MSB-first entropy bits).
+    """QM/MQ-family decoder over a de-framed bit list (MSB-first entropy
+    bits).
 
     Maintains ``c_off`` = (code value prefix) - (accumulated interval
     base), which the interval updates keep inside [0, A).  Exhausted
     input feeds 1-bits, matching the marker-feeds-1s rule of BYTEIN.
+    The table/interval parameters default to T.81's QM coder; T.800's
+    MQ coder (jp2.py) shares the identical branch structure with its
+    own 47-state table and a 15-bit interval.
     """
 
-    __slots__ = ("bits", "pos", "n", "a", "c_off")
+    __slots__ = ("bits", "pos", "n", "a", "c_off", "table")
 
-    def __init__(self, bits: list):
+    def __init__(self, bits: list, table=None, a_init: int = 0x10000,
+                 init_bits: int = 16):
         self.bits = bits
         self.n = len(bits)
+        self.table = _QE if table is None else table
         v = 0
-        for i in range(16):
+        for i in range(init_bits):
             v = (v << 1) | (bits[i] if i < self.n else 1)
-        self.pos = 16
-        self.a = 0x10000
+        self.pos = init_bits
+        self.a = a_init
         self.c_off = v
 
     def _renorm(self):
@@ -179,7 +185,7 @@ class _ArithDecoder:
         self.a, self.c_off, self.pos = a, c, pos
 
     def decode(self, st: _Stats, i: int) -> int:
-        qe, nlps, nmps, sw = _QE[st.idx[i]]
+        qe, nlps, nmps, sw = self.table[st.idx[i]]
         a = self.a - qe
         if self.c_off < qe:
             # bottom subinterval: LPS unless the exchange applies
@@ -216,22 +222,26 @@ class _ArithDecoder:
 
 
 class _ArithEncoder:
-    """QM encoder: big-int interval base + incremental stable-prefix
-    flush; ``finish()`` returns the framed entropy bytes (FF-stuffed)."""
+    """QM/MQ-family encoder: big-int interval base + incremental
+    stable-prefix flush; ``finish()`` returns the framed entropy bytes
+    (FF-stuffed). Parameters as in _ArithDecoder."""
 
-    __slots__ = ("a", "base", "pending", "out", "accv", "accn", "last_ff")
+    __slots__ = ("a", "base", "pending", "out", "accv", "accn", "last_ff",
+                 "table")
 
-    def __init__(self):
-        self.a = 0x10000
+    def __init__(self, table=None, a_init: int = 0x10000,
+                 init_bits: int = 16):
+        self.table = _QE if table is None else table
+        self.a = a_init
         self.base = 0
-        self.pending = 16  # bits currently represented by `base`
+        self.pending = init_bits  # bits currently represented by `base`
         self.out = bytearray()
         self.accv = 0  # bit accumulator value
         self.accn = 0  # bits in accumulator
         self.last_ff = False
 
     def encode(self, st: _Stats, i: int, d: int) -> None:
-        qe, nlps, nmps, sw = _QE[st.idx[i]]
+        qe, nlps, nmps, sw = self.table[st.idx[i]]
         a = self.a - qe
         if d == st.mps[i]:
             if a & 0x8000:
