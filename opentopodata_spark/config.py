@@ -171,7 +171,16 @@ def load_config(path: str | None = None) -> dict:
 
 
 def _is_aux_file(path: str) -> bool:
-    return any(path.lower().endswith(e) for e in AUX_EXTENSIONS)
+    lower = path.lower()
+    if any(lower.endswith(e) for e in AUX_EXTENSIONS):
+        return True
+    # Spark job sidecars: transcode/terrain/... outputs double as dataset
+    # dirs, so _SUCCESS markers, .crc files, and anything inside an
+    # underscore-prefixed subdir (e.g. _manifest parquet) are not tiles
+    base = os.path.basename(path)
+    if base in ("_SUCCESS", "_temporary") or base.startswith("._"):
+        return True
+    return lower.endswith((".crc", ".parquet"))
 
 
 def parse_filename_tile_size(filename_tile_size) -> Decimal:

@@ -1275,6 +1275,12 @@ def _open_remote(url: str) -> Raster:
             " has no random access worth ranging into — convert, or serve"
             " GeoTIFF)"
         )
+    if lower.endswith((".jp2", ".j2k")):
+        # whole-object fetch: JP2 tier-1 has no cheap random access, so
+        # remote JP2 tiles behave like .zip/.gz containers
+        from . import jp2
+
+        return jp2.open_jp2_bytes(url, _fetch_url(url))
     if lower.endswith(".zip"):
         import io
 

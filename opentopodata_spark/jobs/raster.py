@@ -165,6 +165,23 @@ def build_parser() -> argparse.ArgumentParser:
     x.add_argument("--expression", default="a - b")
     x.add_argument("--skip-existing", action="store_true")
 
+    tc = sub.add_parser(
+        "transcode",
+        help="any-format tiles -> GeoTIFF (gdal_translate -of GTiff)")
+    tc.add_argument("--config")
+    tc.add_argument("--dataset")
+    tc.add_argument("--rasters", nargs="*",
+                    help="glob(s) or http(s) URLs of source tiles in any "
+                         "supported format (jp2, gpkg, nc, asc, ...)")
+    tc.add_argument("--out", required=True)
+    tc.add_argument("--compression", default="deflate",
+                    choices=["none", "deflate", "lzw", "packbits",
+                             "lzma"])
+    tc.add_argument("--tile-px", type=int, default=256,
+                    help="output GeoTIFF internal tile size (multiple "
+                         "of 16; 0 = strips)")
+    tc.add_argument("--skip-existing", action="store_true")
+
     r = sub.add_parser("rasterize", help="points -> grid aggregation")
     r.add_argument("--points", required=True, help="parquet with lat, lon[, value] columns")
     r.add_argument("--value-col", default=None)
@@ -285,6 +302,27 @@ def run(argv: list[str] | None = None) -> dict:
             raise ValueError("resample needs --config/--dataset or --rasters")
         manifest = _resample.resample_tiles(
             spark, tiles, ns.out, factor=ns.factor, method=ns.method,
+            skip_existing=ns.skip_existing,
+        )
+        manifest.write.mode("overwrite").parquet(f"{ns.out}/_manifest")
+        m = spark.read.parquet(f"{ns.out}/_manifest")
+        stats.update(
+            tiles=m.count(),
+            errors=m.where(m.error.isNotNull()).count(),
+            out=ns.out,
+        )
+
+    elif ns.cmd == "transcode":
+        from ..operators import transcode as _transcode
+
+        if ns.rasters and any(
+                p.startswith(("http://", "https://")) for p in ns.rasters):
+            paths = list(ns.rasters)  # URLs pass through unglobbed
+        else:
+            paths = _raster_paths(ns)
+        manifest = _transcode.transcode_tiles(
+            spark, paths, ns.out, compression=ns.compression,
+            tile_size=(ns.tile_px, ns.tile_px) if ns.tile_px else None,
             skip_existing=ns.skip_existing,
         )
         manifest.write.mode("overwrite").parquet(f"{ns.out}/_manifest")

@@ -1225,10 +1225,17 @@ def open_jp2(path: str):
     """Open a GeoJP2 file as a geotiff.Raster (full-image decode; the
     per-tile file is the distributed pipeline's parallelism unit, so
     windowing happens on the decoded array)."""
-    from .geotiff import CRSInfo, Raster, RasterOpenError
-
     with open(path, "rb") as f:
         data = f.read()
+    return open_jp2_bytes(path, data)
+
+
+def open_jp2_bytes(path: str, data: bytes):
+    """open_jp2 over already-fetched bytes (the remote full-object
+    path — a JP2 codestream has no random access worth ranging into
+    without a windowed tier-1, so remote tiles fetch whole)."""
+    from .geotiff import CRSInfo, Raster, RasterOpenError
+
     try:
         arr, geo = decode_jp2(data)
     except Jp2Error as exc:

@@ -341,13 +341,33 @@ def video_features(y, u, v, meta, n_frames: int) -> np.ndarray:
 
 
 def _decode_real(b: bytes):
-    """(kind, width, height, features) for one payload. PNG, baseline
-    JPEG, WAV/PCM, and Y4M video decode for real (pure-numpy codecs in
-    png.py / jpeg.py / wav.py / y4m.py); codecs with no in-container
-    decoder (H.264-class compressed video, arithmetic-coded JPEG) degrade
-    to 'unsupported' + nulls instead of failing the job (undecodable
-    blobs are data at corpus scale). Widening coverage = add a sniffer +
-    decoder branch here."""
+    """(kind, width, height, features) for one payload. PNG, JPEG
+    (baseline, progressive, arithmetic-coded, 12-bit), JPEG 2000,
+    WAV/PCM, and Y4M video decode for real (pure-numpy codecs in
+    png.py / jpeg.py / jpeg_arith.py / jp2.py / wav.py / y4m.py);
+    codecs with no in-container decoder (H.264-class compressed video,
+    CMYK JPEG) degrade to 'unsupported' + nulls instead of failing the
+    job (undecodable blobs are data at corpus scale). Widening coverage
+    = add a sniffer + decoder branch here."""
+    if b[:4] == b"\xff\x4f\xff\x51" or (
+            len(b) > 12 and b[4:12] == b"jP\x20\x20\x0d\x0a\x87\x0a"):
+        from .. import jp2 as _jp2
+
+        try:
+            arr, _geo = _jp2.decode_jp2(bytes(b))
+        except _jp2.Jp2Error as exc:
+            if "not supported" in str(exc):
+                return "unsupported", None, None, None
+            return "corrupt", None, None, None
+        # deep (16-bit) samples scale into the uint8 feature space
+        if arr.dtype != np.uint8:
+            a64 = arr.astype(np.float64)
+            lo, hi = float(a64.min()), float(a64.max())
+            arr = np.zeros_like(a64, dtype=np.uint8) if hi == lo else (
+                ((a64 - lo) * (255.0 / (hi - lo))).astype(np.uint8))
+        img = arr[:, :, None]
+        h, w, _c = img.shape
+        return "image", w, h, image_features(img)
     if _png.is_png(b):
         try:
             img = _png.decode_png(b)
@@ -360,7 +380,7 @@ def _decode_real(b: bytes):
             img = _jpeg.decode_jpeg(b)
         except _jpeg.JpegError as exc:
             # distinguish broken bytes from honest feature gaps: an
-            # unsupported-but-valid JPEG flavor (arithmetic-coded, CMYK)
+            # unsupported-but-valid JPEG flavor (CMYK, hierarchical)
             # is 'unsupported'; anything else failing to parse is 'corrupt'
             if "not supported" in str(exc) or "unsupported" in str(exc):
                 return "unsupported", None, None, None

@@ -223,3 +223,56 @@ def test_visibility_cli(spark, srtm_cfg, tmp_path, capsys):
         "--interpolation", "bogus",
     ])
     assert rc == 2
+
+
+def test_transcode_jp2_to_geotiff(spark, tmp_path, capsys):
+    """JP2 tiles -> GeoTIFF via the transcode job: lossless values,
+    preserved stems/georeferencing, resumable."""
+    from opentopodata_spark import jp2
+
+    src = tmp_path / "jp2src"
+    src.mkdir()
+    side = 48
+    res = 1.0 / side
+    grids = {}
+    for lon0, stem in ((10.0, "N00E010"), (11.0, "N00E011")):
+        y, x = np.mgrid[0:side, 0:side]
+        g = (1500 + 900 * np.sin((x + lon0) / 7.0)
+             * np.cos(y / 11.0)).astype(np.int16)
+        grids[stem] = g
+        jp2.write_jp2(str(src / f"{stem}.jp2"), g, x0=lon0, y0=1.0,
+                      sx=res, sy=res, epsg=4326)
+    out = str(tmp_path / "tif")
+    rc = job.main([
+        "--cores", "4", "transcode",
+        "--rasters", str(src / "*.jp2"), "--out", out,
+    ])
+    assert rc == 0
+    r1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert r1["status"] == "OK" and r1["tiles"] == 2 and r1["errors"] == 0
+    for stem, g in grids.items():
+        t = geotiff.open_raster(os.path.join(out, f"{stem}.tif"))
+        assert np.array_equal(t.read_window(0, side, 0, side)[0], g)
+        assert t.crs.epsg == 4326 and abs(t.sx - res) < 1e-12
+    # resume: outputs untouched
+    mt = {p: os.path.getmtime(p)
+          for p in glob.glob(os.path.join(out, "*.tif"))}
+    rc = job.main([
+        "--cores", "4", "transcode",
+        "--rasters", str(src / "*.jp2"), "--out", out, "--skip-existing",
+    ])
+    assert rc == 0
+    assert {p: os.path.getmtime(p)
+            for p in glob.glob(os.path.join(out, "*.tif"))} == mt
+    # the transcoded tiles resolve identically to the originals
+    from opentopodata_spark import config, oracle
+
+    lats = [0.05 + (i * 0.171) % 0.9 for i in range(25)]
+    lons = [10.05 + (i * 0.313) % 1.9 for i in range(25)]
+    ds_j = config.dataset_from_config("j", path=str(src) + "/",
+                                      filename_tile_size=1)
+    ds_t = config.dataset_from_config("t", path=out + "/",
+                                      filename_tile_size=1)
+    ej, _ = oracle.get_elevation(lats, lons, [ds_j], "bilinear")
+    et, _ = oracle.get_elevation(lats, lons, [ds_t], "bilinear")
+    assert ej == et

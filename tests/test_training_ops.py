@@ -1375,3 +1375,41 @@ class TestStratifiedTake:
         df = spark.createDataFrame([(1, "a"), (2, "a")],
                                    "doc_id long, lang string")
         assert sampling.stratified_take(df, k=10).count() == 2
+
+
+def test_multimodal_real_decode_jp2(spark):
+    """decoder='real' decodes JPEG2000 payloads (dims + lossless pixel
+    statistics) and arithmetic-coded JPEG now decodes instead of
+    degrading to 'unsupported'."""
+    import numpy as np
+
+    from opentopodata_spark import jp2, jpeg
+    from opentopodata_spark.operators import multimodal
+
+    y, x = np.mgrid[0:40, 0:56]
+    dem = (2000 + 1500 * np.sin(x / 7.0) * np.cos(y / 9.0)).astype(
+        np.int16)
+    img8 = (128 + 90 * np.sin(x / 5.0) * np.cos(y / 7.0)).astype(np.uint8)
+    payloads = {
+        "jp2:1": jp2.encode_jp2(dem, x0=0, y0=1, sx=0.01, sy=0.01),
+        "j2k:2": jp2.encode_jp2_codestream(img8),
+        "jar:3": jpeg.encode_jpeg(img8, arithmetic=True),
+    }
+    fetched = spark.createDataFrame(
+        [("d", i, k, bytearray(v), len(v))
+         for i, (k, v) in enumerate(payloads.items())],
+        "doc_id string, span_pos int, media_ref string, payload binary, "
+        "n_bytes long",
+    )
+    rows = {r.media_ref: r for r in multimodal.decode_and_featurize(
+        fetched, decoder="real").collect()}
+    assert rows["jp2:1"].media_kind == "image"
+    assert (rows["jp2:1"].height, rows["jp2:1"].width) == dem.shape
+    assert rows["j2k:2"].media_kind == "image"
+    assert (rows["j2k:2"].height, rows["j2k:2"].width) == img8.shape
+    assert rows["jar:3"].media_kind == "image"
+    assert (rows["jar:3"].height, rows["jar:3"].width) == img8.shape
+    # lossless 8-bit JP2: features equal the direct computation
+    expect = multimodal.image_features(img8[:, :, None])
+    assert tuple(rows["j2k:2"].features) == tuple(
+        float(v) for v in expect)
