@@ -1559,7 +1559,240 @@ _WKT_SPHEROID_RE = re.compile(
 )
 
 
+# PROJ4 ellipsoid registry (the +ellps values real DEM metadata uses;
+# (a, 1/f) pairs from the published PROJ ellps table)
+_PROJ4_ELLPS = {
+    "wgs84": (6378137.0, 298.257223563),
+    "grs80": _GRS80,
+    "bessel": (6377397.155, 299.1528128),
+    "intl": (6378388.0, 297.0),
+    "clrk66": (6378206.4, 294.9786982),
+    "clrk80": (6378249.145, 293.465),
+    "clrk80ign": (6378249.2, 293.4660213),
+    "krass": (6378245.0, 298.3),
+    "airy": (6377563.396, 299.3249646),
+    "mod_airy": (6377340.189, 299.3249646),
+    "aust_sa": (6378160.0, 298.25),
+    "grs67": (6378160.0, 298.247167427),
+    "evrst30": (6377276.345, 300.8017),
+    "helmert": (6378200.0, 298.3),
+}
+
+_PROJ4_DATUM_ELLPS = {"wgs84": "wgs84", "nad83": "grs80"}
+
+
+def _projection_for_proj4(s: str):
+    """PROJ.4 string -> projection, the third CRS spelling the reference
+    accepts (pyproj.CRS.from_user_input at
+    /root/reference/opentopodata/utils.py:17-52 takes EPSG ints, WKT,
+    and '+proj=...' strings). Maps onto the same projection classes as
+    the WKT parser; unsupported +proj values and modifiers raise
+    CRSError rather than guessing."""
+    kv: dict[str, str] = {}
+    flags: set[str] = set()
+    for tok in s.split():
+        if not tok.startswith("+"):
+            continue
+        body = tok[1:]
+        if "=" in body:
+            k, v = body.split("=", 1)
+            kv[k.lower()] = v
+        else:
+            flags.add(body.lower())
+
+    proj = kv.get("proj", "").lower()
+    if not proj:
+        raise CRSError("PROJ4 string lacks +proj")
+    unit = kv.get("units", "m").lower()
+    if unit != "m" and proj not in ("longlat", "latlong", "lonlat"):
+        raise CRSError(f"PROJ4 +units={unit} is not supported (meters only)")
+    if "to_meter" in kv and float(kv["to_meter"]) != 1.0:
+        raise CRSError("PROJ4 +to_meter != 1 is not supported")
+    pm = kv.get("pm", "0")
+    try:
+        pm_deg = float(pm)
+    except ValueError:
+        raise CRSError(f"PROJ4 named meridian +pm={pm} is not supported")
+    if pm_deg != 0.0:
+        raise CRSError("PROJ4 non-Greenwich +pm is not supported")
+    if kv.get("axis", "enu").lower() != "enu":
+        raise CRSError("PROJ4 +axis reordering is not supported")
+
+    # ellipsoid: +a/+b or +a/+rf, +R (sphere), +ellps, +datum
+    if "a" in kv:
+        a = float(kv["a"])
+        if "rf" in kv:
+            inv_f = float(kv["rf"])
+        elif "b" in kv:
+            b = float(kv["b"])
+            inv_f = math.inf if b == a else a / (a - b)
+        elif "f" in kv:
+            fv = float(kv["f"])
+            inv_f = math.inf if fv == 0 else 1.0 / fv
+        else:
+            inv_f = math.inf  # +a alone declares a sphere, like PROJ
+    elif "r" in kv:
+        a, inv_f = float(kv["r"]), math.inf
+    elif "ellps" in kv:
+        e = kv["ellps"].lower()
+        if e not in _PROJ4_ELLPS:
+            raise CRSError(f"PROJ4 +ellps={kv['ellps']} is not supported")
+        a, inv_f = _PROJ4_ELLPS[e]
+    elif "datum" in kv:
+        d = kv["datum"].lower()
+        if d not in _PROJ4_DATUM_ELLPS:
+            raise CRSError(
+                f"PROJ4 +datum={kv['datum']} needs a datum grid this "
+                "build does not bundle (supported: WGS84, NAD83)"
+            )
+        a, inv_f = _PROJ4_ELLPS[_PROJ4_DATUM_ELLPS[d]]
+    else:
+        a, inv_f = _PROJ4_ELLPS["wgs84"]  # PROJ's default
+
+    def p(key, default=0.0):
+        return float(kv[key]) if key in kv else default
+
+    lat0, lon0 = p("lat_0"), p("lon_0")
+    k0 = p("k", default=p("k_0", default=1.0))
+    fe, fn = p("x_0"), p("y_0")
+
+    if proj in ("longlat", "latlong", "lonlat"):
+        base = Identity()
+    elif proj == "utm":
+        zone = int(kv.get("zone", 0))
+        if not 1 <= zone <= 60:
+            raise CRSError("PROJ4 +proj=utm needs +zone in [1, 60]")
+        base = TransverseMercator(
+            a, inv_f, lon0_deg=zone * 6 - 183, k0=0.9996,
+            false_easting=500000.0,
+            false_northing=10000000.0 if "south" in flags else 0.0,
+        )
+    elif proj == "tmerc":
+        base = TransverseMercator(
+            a, inv_f, lon0_deg=lon0, k0=k0, false_easting=fe,
+            false_northing=fn, lat0_deg=lat0,
+        )
+    elif proj == "lcc":
+        sp1 = p("lat_1", default=lat0)
+        base = LambertConformalConic(
+            a, inv_f, lat0_deg=lat0, lon0_deg=lon0, sp1_deg=sp1,
+            sp2_deg=p("lat_2", default=sp1), false_easting=fe,
+            false_northing=fn, k0=k0,
+        )
+    elif proj == "aea":
+        sp1 = p("lat_1", default=lat0)
+        base = AlbersEqualArea(
+            a, inv_f, lat0_deg=lat0, lon0_deg=lon0, sp1_deg=sp1,
+            sp2_deg=p("lat_2", default=sp1), false_easting=fe,
+            false_northing=fn,
+        )
+    elif proj == "laea":
+        base = LambertAzimuthalEqualArea(
+            a, inv_f, lat0_deg=lat0, lon0_deg=lon0, false_easting=fe,
+            false_northing=fn,
+        )
+    elif proj == "stere":
+        if abs(lat0) != 90.0:
+            raise CRSError(
+                "PROJ4 +proj=stere is supported at the poles only "
+                "(use +proj=sterea for the oblique double-stereographic)"
+            )
+        base = PolarStereographic(
+            a, inv_f, lat0_deg=lat0, lon0_deg=lon0, false_easting=fe,
+            false_northing=fn,
+            k0=None if "lat_ts" in kv else k0,
+            lat_ts_deg=p("lat_ts") if "lat_ts" in kv else None,
+        )
+    elif proj == "sterea":
+        base = ObliqueStereographic(
+            a, inv_f, lat0_deg=lat0, lon0_deg=lon0, k0=k0,
+            false_easting=fe, false_northing=fn,
+        )
+    elif proj == "merc":
+        if "lat_ts" in kv:
+            phi = math.radians(p("lat_ts"))
+            f = 1.0 / inv_f
+            e2 = f * (2 - f)
+            k0 = math.cos(phi) / math.sqrt(1 - e2 * math.sin(phi) ** 2)
+        base = EllipsoidalMercator(
+            a, inv_f, lon0_deg=lon0, k0=k0, false_easting=fe,
+            false_northing=fn,
+        )
+    elif proj == "webmerc":
+        if fe or fn:
+            raise CRSError(
+                "PROJ4 +proj=webmerc with false offsets is not supported"
+            )
+        base = WebMercator()
+    elif proj == "omerc":
+        alpha = p("alpha", default=90.0)
+        base = HotineObliqueMercator(
+            a, inv_f, latc_deg=lat0, lonc_deg=p("lonc", default=lon0),
+            alphac_deg=alpha, gammac_deg=p("gamma", default=alpha),
+            kc=k0, false_easting=fe, false_northing=fn,
+            variant="A" if "no_uoff" in flags else "B",
+        )
+    elif proj == "somerc":
+        base = HotineObliqueMercator(
+            a, inv_f, latc_deg=lat0, lonc_deg=lon0, alphac_deg=90.0,
+            gammac_deg=90.0, kc=k0, false_easting=fe, false_northing=fn,
+            variant="B",
+        )
+    elif proj == "krovak":
+        base = Krovak(
+            a, inv_f, latc_deg=p("lat_0", default=49.5),
+            lon0_greenwich_deg=p("lon_0",
+                                 default=42.5 - (17.0 + 40.0 / 60.0)),
+            alphac_deg=p("alpha",
+                         default=30.0 + 17.0 / 60.0 + 17.3031 / 3600.0),
+            lat1_deg=p("lat_1", default=78.5),
+            kp=p("k", default=p("k_0", default=0.9999)),
+            false_easting=fe, false_northing=fn, east_north=True,
+        )
+    elif proj == "eqc":
+        base = EquidistantCylindrical(
+            a, inv_f, lat_ts_deg=p("lat_ts"), lon0_deg=lon0,
+            false_easting=fe, false_northing=fn,
+        )
+    elif proj == "cass":
+        base = CassiniSoldner(
+            a, inv_f, lat0_deg=lat0, lon0_deg=lon0, false_easting=fe,
+            false_northing=fn,
+        )
+    elif proj == "poly":
+        base = AmericanPolyconic(
+            a, inv_f, lat0_deg=lat0, lon0_deg=lon0, false_easting=fe,
+            false_northing=fn,
+        )
+    elif proj == "sinu":
+        base = Sinusoidal(
+            a, inv_f if math.isfinite(inv_f) else 0.0, lon0_deg=lon0,
+            false_easting=fe, false_northing=fn,
+        )
+    else:
+        raise CRSError(f"PROJ4 +proj={proj} is not supported by this build")
+
+    tow = kv.get("towgs84")
+    if tow:
+        vals = [float(v) for v in tow.split(",")]
+        if len(vals) == 3:
+            vals += [0.0, 0.0, 0.0, 0.0]
+        if len(vals) != 7:
+            raise CRSError("PROJ4 +towgs84 needs 3 or 7 values")
+        if any(vals):
+            # +towgs84 is datum->WGS84 (position vector); HelmertDatum
+            # takes the WGS84->datum direction, i.e. the negated set
+            datum = HelmertDatum(a, inv_f, *(-v for v in vals[:6]),
+                                 -vals[6])
+            return DatumShifted(base, datum)
+    return base
+
+
 def _projection_for_wkt(wkt: str):
+    if wkt.lstrip().startswith("+"):
+        # pyproj.CRS.from_user_input accepts PROJ.4 strings through the
+        # same argument the reference passes WKT in — mirror that
+        return _projection_for_proj4(wkt)
     mproj = _WKT_PROJ_RE.search(wkt)
     msph = _WKT_SPHEROID_RE.search(wkt)
     if not mproj or not msph:

@@ -1590,3 +1590,152 @@ def test_pulkovo_gk_elevation_differential(spark, tmp_path):
             resolved += 1
         assert r.dataset == names[i]
     assert resolved >= 55
+
+
+class TestProj4Strings:
+    """PROJ.4 string support — the third CRS spelling the reference
+    accepts (pyproj.CRS.from_user_input). Twin contract: a proj4 string
+    describing the same CRS as a built-in EPSG code must produce the
+    same coordinates."""
+
+    PAIRS = [
+        (32633, "+proj=utm +zone=33 +datum=WGS84 +units=m +no_defs", 0),
+        (32733, "+proj=utm +zone=33 +south +datum=WGS84 +units=m", 0),
+        (3035, "+proj=laea +lat_0=52 +lon_0=10 +x_0=4321000 "
+               "+y_0=3210000 +ellps=GRS80 +units=m +no_defs", 0),
+        (2154, "+proj=lcc +lat_0=46.5 +lon_0=3 +lat_1=49 +lat_2=44 "
+               "+x_0=700000 +y_0=6600000 +ellps=GRS80 +units=m", 0),
+        # the OS towgs84 set is the negated spelling of the built-in
+        # WGS84->OSGB36 Helmert; published roundings differ by ~mm
+        (27700, "+proj=tmerc +lat_0=49 +lon_0=-2 +k=0.9996012717 "
+                "+x_0=400000 +y_0=-100000 +ellps=airy "
+                "+towgs84=446.448,-125.157,542.06,0.15,0.247,0.842,"
+                "-20.489 +units=m +no_defs", 0.01),
+        (28992, "+proj=sterea +lat_0=52.15616055555555 "
+                "+lon_0=5.38763888888889 +k=0.9999079 +x_0=155000 "
+                "+y_0=463000 +ellps=bessel +towgs84=565.4171,50.3319,"
+                "465.5524,-0.398957,0.343988,-1.87740,4.0725 +units=m",
+         0),
+        (2056, "+proj=somerc +lat_0=46.95240555555556 "
+               "+lon_0=7.439583333333333 +k_0=1 +x_0=2600000 "
+               "+y_0=1200000 +ellps=bessel +towgs84=674.374,15.056,"
+               "405.346 +units=m +no_defs", 0),
+        (3413, "+proj=stere +lat_0=90 +lat_ts=70 +lon_0=-45 +x_0=0 "
+               "+y_0=0 +datum=WGS84 +units=m +no_defs", 0),
+        (3395, "+proj=merc +lon_0=0 +k=1 +x_0=0 +y_0=0 +datum=WGS84", 0),
+        (3857, "+proj=webmerc +datum=WGS84", 0),
+    ]
+
+    @pytest.mark.parametrize("epsg,p4,tol", PAIRS)
+    def test_twin_vs_epsg(self, epsg, p4, tol):
+        lats = np.array([47.2, 51.5, 43.7, 55.1, 49.9])
+        lons = np.array([8.5, -0.1, 7.3, 12.6, 2.2])
+        xe, ye = crs.reproject_latlons(lats, lons, epsg=epsg)
+        xp, yp = crs.reproject_latlons(lats, lons, wkt=p4)
+        d = np.max(np.hypot(np.asarray(xe) - np.asarray(xp),
+                            np.asarray(ye) - np.asarray(yp)))
+        assert d <= max(tol, 1e-6), (epsg, float(d))
+
+    @pytest.mark.parametrize("p4,lons,lats", [
+        ("+proj=utm +zone=33 +datum=WGS84",
+         [13.0, 16.5, 11.2], [47.0, 52.5, 60.1]),
+        ("+proj=cass +lat_0=10 +lon_0=5 +ellps=intl",
+         [4.2, 5.8, 6.1], [9.0, 10.5, 11.2]),
+        ("+proj=poly +lat_0=30 +lon_0=-90 +ellps=clrk66",
+         [-92.0, -88.5, -90.7], [28.0, 33.5, 41.2]),
+        ("+proj=eqc +lat_ts=30 +lon_0=15 +ellps=WGS84",
+         [12.0, 18.5, 15.7], [28.0, 33.5, 41.2]),
+        ("+proj=sinu +lon_0=0 +a=6371007.181 +b=6371007.181",
+         [-10.0, 8.5, 25.7], [28.0, -33.5, 41.2]),
+        ("+proj=krovak +lat_0=49.5 +lon_0=24.83333333333333 "
+         "+alpha=30.28813972222222 +k=0.9999 +ellps=bessel "
+         "+towgs84=589,76,480",
+         [14.4, 17.2, 16.6], [50.1, 49.2, 48.7]),
+        ("+proj=longlat +datum=WGS84", [1.5, -3.25], [47.0, -12.5]),
+    ])
+    def test_inverse_roundtrip(self, p4, lons, lats):
+        lons = np.asarray(lons, dtype=np.float64)
+        lats = np.asarray(lats, dtype=np.float64)
+        x, y = crs.reproject_latlons(lats, lons, wkt=p4)
+        lo, la = crs.unproject_xys(x, y, wkt=p4)
+        assert np.max(np.abs(lo - lons)) < 1e-6
+        assert np.max(np.abs(la - lats)) < 1e-6
+
+    @pytest.mark.parametrize("p4,msg", [
+        ("+proj=igh +ellps=WGS84", "not supported"),
+        ("+proj=utm +zone=99 +datum=WGS84", "zone"),
+        ("+proj=utm +zone=33 +datum=NAD27", "datum"),
+        ("+proj=tmerc +lon_0=9 +ellps=GRS80 +units=ft", "units"),
+        ("+proj=stere +lat_0=50 +ellps=WGS84", "pole"),
+        ("+ellps=WGS84", "proj"),
+        ("+proj=utm +zone=33 +ellps=WGS84 +pm=paris", None),
+    ])
+    def test_loud_rejections(self, p4, msg):
+        if msg is None:
+            with pytest.raises((crs.CRSError, ValueError)):
+                crs.reproject_latlons([50.0], [10.0], wkt=p4)
+            return
+        with pytest.raises(crs.CRSError, match=msg):
+            crs.reproject_latlons([50.0], [10.0], wkt=p4)
+
+
+def test_proj4_crs_elevation_differential(spark, tmp_path):
+    """End-to-end differential on a raster whose CRS is carried as a
+    PROJ.4 string: distributed resolver == sequential oracle, and both
+    equal the SAME grid declared as EPSG:32633 (the twin spelling)."""
+    import os
+
+    from opentopodata_spark import config, geotiff, oracle
+    from opentopodata_spark.operators import elevation
+
+    p4 = "+proj=utm +zone=33 +datum=WGS84 +units=m +no_defs"
+    cx, cy = crs.reproject_latlons(np.array([47.5]), np.array([15.0]),
+                                   epsg=32633)
+    px = 500.0
+    x0 = float(cx[0]) - 60 * px
+    y0 = float(cy[0]) + 60 * px
+    xs = x0 + (np.arange(120) + 0.5) * px
+    ys = y0 - (np.arange(120) + 0.5) * px
+    X, Y = np.meshgrid(xs, ys)
+    grid = (900.0 + 300.0 * np.sin(X / 1.1e4) + 250.0 * np.cos(Y / 0.9e4)
+            ).astype(np.float32)
+    dirs = {}
+    for key, kw in (("p4", {"wkt": p4, "epsg": None}),
+                    ("epsg", {"epsg": 32633})):
+        d = os.path.join(str(tmp_path), key)
+        os.makedirs(d)
+        geotiff.write_geotiff(os.path.join(d, "t.tif"), grid, x0=x0,
+                              y0=y0, sx=px, sy=px, nodata=-9999, **kw)
+        dirs[key] = d
+    cfg = os.path.join(str(tmp_path), "cfg.yaml")
+    with open(cfg, "w") as f:
+        f.write("datasets:\n"
+                f"- name: p4\n  path: {dirs['p4']}/\n"
+                f"- name: epsg\n  path: {dirs['epsg']}/\n")
+    dsets = config.load_datasets(cfg)
+
+    rng = np.random.default_rng(7)
+    lats = np.concatenate([rng.uniform(47.2, 47.8, 60),
+                           rng.uniform(-20.0, 20.0, 10)])
+    lons = np.concatenate([rng.uniform(14.6, 15.4, 60),
+                           rng.uniform(60.0, 120.0, 10)])
+    pts = spark.createDataFrame(
+        [(int(i), float(la), float(lo))
+         for i, (la, lo) in enumerate(zip(lats, lons))],
+        "point_id long, lat double, lon double",
+    )
+    res = elevation.ElevationResolver(
+        spark, [dsets["p4"]], "bilinear").resolve(pts)
+    rows = {r.point_id: r.elevation for r in res.collect()}
+    e_p4, _ = oracle.get_elevation(lats, lons, [dsets["p4"]], "bilinear")
+    e_ep, _ = oracle.get_elevation(lats, lons, [dsets["epsg"]], "bilinear")
+    assert e_p4 == e_ep  # proj4 spelling == EPSG spelling, bit-for-bit
+    hits = 0
+    for i, ev in enumerate(e_p4):
+        got = rows[i]
+        if ev is None:
+            assert got is None or np.isnan(got)
+        else:
+            assert got == ev
+            hits += 1
+    assert hits >= 50
