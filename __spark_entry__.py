@@ -4318,9 +4318,99 @@ def _build_remote_elevation_oracle(sf_dir: str):
     })
 
 
+_PROJ4_CRS = "+proj=utm +zone=33 +datum=WGS84 +units=m +no_defs"
+
+
+def _proj4_fixture_dir() -> str:
+    """One UTM-33N tile whose CRS is carried as a PROJ.4 string — the
+    reference's third CRS spelling (pyproj.CRS.from_user_input)."""
+    import numpy as np
+
+    from opentopodata_spark import crs as _crs
+    from opentopodata_spark import geotiff
+
+    root = os.path.join(_fixture_root(), "proj4_r4")
+    marker = os.path.join(root, ".complete")
+    if os.path.exists(marker):
+        return root
+    os.makedirs(root, exist_ok=True)
+    cx, cy = _crs.reproject_latlons([47.5], [15.0], epsg=32633)
+    px = 500.0
+    x0 = float(cx[0]) - 60 * px
+    y0 = float(cy[0]) + 60 * px
+    xs = x0 + (np.arange(120) + 0.5) * px
+    ys = y0 - (np.arange(120) + 0.5) * px
+    X, Y = np.meshgrid(xs, ys)
+    grid = (900.0 + 300.0 * np.sin(X / 1.1e4)
+            + 250.0 * np.cos(Y / 0.9e4)).astype(np.float32)
+    geotiff.write_geotiff(os.path.join(root, "utm33.tif"), grid, x0=x0,
+                          y0=y0, sx=px, sy=px, epsg=None, wkt=_PROJ4_CRS,
+                          nodata=-9999)
+    with open(marker, "w") as f:
+        f.write("ok")
+    return root
+
+
+def _proj4_point_set():
+    ids = list(range(60))
+    lats = [47.22 + (i * 0.0113) % 0.55 for i in ids]
+    lons = [14.62 + (i * 0.0149) % 0.75 for i in ids]
+    # a few out-of-coverage points exercise the null path
+    lats[-3:] = [10.0, -45.0, 61.5]
+    lons[-3:] = [100.0, -60.0, 5.2]
+    return ids, lats, lons
+
+
+def _proj4_dataset():
+    from opentopodata_spark import config
+
+    return config.dataset_from_config(
+        "proj4_utm", path=_proj4_fixture_dir() + "/")
+
+
+def q_proj4_elevation(spark, sf_dir):
+    """PROJ.4-CRS raster as a CONTRACT query: a UTM tile whose CRS
+    rides as a '+proj=...' string must resolve through the distributed
+    pipeline exactly like the single-process sampler (and, per
+    tests/test_crs_inverse.py, exactly like its EPSG:32633 twin)."""
+    from opentopodata_spark.operators import elevation
+
+    _ship_package(spark)
+    ids, lats, lons = _proj4_point_set()
+    pts = spark.createDataFrame(
+        [(int(i), float(la), float(lo))
+         for i, la, lo in zip(ids, lats, lons)],
+        "point_id long, lat double, lon double",
+    )
+    return (
+        elevation.ElevationResolver(spark, [_proj4_dataset()], "bilinear")
+        .resolve(pts)
+        .select("point_id", "lat", "lon", "elevation")
+    )
+
+
+def _build_proj4_elevation_oracle(sf_dir: str):
+    import pyarrow as pa
+
+    from opentopodata_spark import oracle
+
+    ids, lats, lons = _proj4_point_set()
+    elev, _names = oracle.get_elevation(
+        lats, lons, [_proj4_dataset()], "bilinear")
+    return pa.table({
+        "point_id": pa.array(ids, type=pa.int64()),
+        "lat": pa.array([float(v) for v in lats], type=pa.float64()),
+        "lon": pa.array([float(v) for v in lons], type=pa.float64()),
+        "elevation": pa.array(
+            [None if v is None else float(v) for v in elev],
+            type=pa.float64()),
+    })
+
+
 _PRECOMPUTED_BUILDERS = {
     "raster_formats": _build_raster_formats_oracle,
     "remote_elevation": _build_remote_elevation_oracle,
+    "proj4_elevation": _build_proj4_elevation_oracle,
     "quality_classifier": _build_quality_classifier_oracle,
     "s2_cells": _build_s2_oracle,
     "geodesic_paths": _build_geodesic_oracle,
@@ -4368,6 +4458,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new in r4 --
         "raster_formats": q_raster_formats,
         "remote_elevation": q_remote_elevation,
+        "proj4_elevation": q_proj4_elevation,
         # -- never driver-checked before r4 / changed in r4 --
         "funnel": q_funnel,
         "retention": q_retention,
