@@ -378,6 +378,8 @@ def _decode_real(b: bytes):
     if _jpeg.is_jpeg(b):
         try:
             img = _jpeg.decode_jpeg(b)
+            if img.dtype == np.uint16:  # 12-bit samples -> uint8 space
+                img = (img >> 4).astype(np.uint8)
         except _jpeg.JpegError as exc:
             # distinguish broken bytes from honest feature gaps: an
             # unsupported-but-valid JPEG flavor (CMYK, hierarchical)
