@@ -207,6 +207,13 @@ def main() -> None:
         "overview_tiles": lambda: contract.q_overview_tiles(spark, SF_DIR),
         "contour_lines": lambda: contract.q_contour_lines(spark, SF_DIR),
         "raster_diff": lambda: contract.q_raster_diff(spark, SF_DIR),
+        "raster_formats": lambda: contract.q_raster_formats(spark, SF_DIR),
+        "remote_elevation": lambda: contract.q_remote_elevation(
+            spark, SF_DIR
+        ),
+        "proj4_elevation": lambda: contract.q_proj4_elevation(
+            spark, SF_DIR
+        ),
     }
     for name, make in queries.items():
         timings[name], lo, hi = run(make)
