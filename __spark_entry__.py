@@ -4016,7 +4016,7 @@ def _build_quality_classifier_oracle(sf_dir: str):
 
 
 _FORMAT_FMTS = ("tif", "asc", "bil", "nc", "nc4", "gpkg", "vrt", "jpa",
-                "jp2")
+                "jp2", "dt0")
 
 
 def _formats_fixture_dir() -> str:
@@ -4029,7 +4029,7 @@ def _formats_fixture_dir() -> str:
     from opentopodata_spark import gridformats as gf
     from opentopodata_spark import jp2 as jp2mod
 
-    root = os.path.join(_fixture_root(), "formats_r4c")
+    root = os.path.join(_fixture_root(), "formats_r4d")
     marker = os.path.join(root, ".complete")
     if os.path.exists(marker):
         return root
@@ -4094,6 +4094,20 @@ def _formats_fixture_dir() -> str:
                 gpkg.write_gpkg(p, grid.astype(np.float64), x0=lon0,
                                 y0=1.0, sx=res, sy=res, epsg=4326,
                                 tile_size=32, scale=1.0, offset=0.0)
+            elif fmt == "dt0":
+                # DTED is POINT-registered on a 121-lattice (30 arcsec,
+                # level 0), so it carries its own grid sampled at the
+                # lattice points and verifies against its own
+                # sequential twin, like gpkg/vrt/jpa
+                from opentopodata_spark import dted
+
+                n = 121
+                dres = 1.0 / (n - 1)
+                dlats = (np.arange(n) * dres)[::-1]
+                dlons = lon0 + np.arange(n) * dres
+                dgrid = np.round(fixtures.terrain_wgs84(
+                    dlats[:, None], dlons[None, :])).astype(np.int16)
+                dted.write_dted(p, dgrid, lat0=0.0, lon0=lon0)
         if fmt == "vrt":
             body = []
             for i, stem in enumerate(sorted(tiles)):
@@ -4145,7 +4159,9 @@ def q_raster_formats(spark, sf_dir):
     (HDF5, deflate+shuffle) / GeoPackage (PNG16 gridded coverage) / VRT
     mosaic / arithmetic-coded JPEG-in-TIFF (T.81 QM coder, uint8 at a
     -1500 m offset) / GeoJP2 (T.800 reversible 5/3 + MQ EBCOT,
-    lossless int16), resolved through the distributed pipeline — every
+    lossless int16) / DTED level 0 (MIL-PRF-89020B signed-magnitude
+    records, point-registered lattice — its own sequential twin, like
+    gpkg/vrt), resolved through the distributed pipeline — every
     format
     must produce the same elevations as its single-process sequential
     twin; the same-geometry integer formats (tif/asc/bil/nc/nc4) must

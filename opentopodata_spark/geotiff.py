@@ -1205,6 +1205,10 @@ def open_raster(path: str) -> Raster:
         return _open_gz(path)
     if lower.endswith(".hgt"):
         return _open_hgt(path)
+    if lower.endswith((".dt0", ".dt1", ".dt2")):
+        from . import dted
+
+        return dted.open_dted(path)
     return _open_tiff(_ByteSource(path))
 
 
@@ -1281,6 +1285,12 @@ def _open_remote(url: str) -> Raster:
         from . import jp2
 
         return jp2.open_jp2_bytes(url, _fetch_url(url))
+    if lower.endswith((".dt0", ".dt1", ".dt2")):
+        # whole-object fetch: DTED's column-major signed-magnitude
+        # records have no useful row-range access, and a cell is <=25 MB
+        from . import dted
+
+        return dted.open_dted_bytes(url, _fetch_url(url))
     if lower.endswith(".zip"):
         import io
 
