@@ -1089,6 +1089,142 @@ class Sinusoidal:
         return np.degrees(self.lam0 + dlam), np.degrees(phi)
 
 
+class Mollweide:
+    """Mollweide pseudocylindrical equal-area (ESRI World_Mollweide /
+    ESRI:54009, GDAL SRS_PT_MOLLWEIDE, PROJ ``+proj=moll``).
+
+    PROJ's moll is sphere-only (pj_moll forces es = 0): the declared
+    semi-major axis is used as the sphere radius and flattening is
+    ignored, so World_Mollweide-on-WGS84 coordinates here agree with
+    PROJ/GDAL. Snyder 31-1..31-8: solve 2t + sin 2t = pi sin(phi) by
+    Newton, then x = (2 sqrt2 / pi) R dlam cos t, y = sqrt2 R sin t.
+    """
+
+    def __init__(self, a, lon0_deg=0.0, false_easting=0.0,
+                 false_northing=0.0):
+        self.a = a
+        self.lam0 = math.radians(lon0_deg)
+        self.fe = false_easting
+        self.fn = false_northing
+
+    @staticmethod
+    def _theta(phi: np.ndarray) -> np.ndarray:
+        target = np.pi * np.sin(phi)
+        theta = phi.copy()
+        for _ in range(30):
+            denom = 2.0 + 2.0 * np.cos(2.0 * theta)
+            # poles: the Newton denominator vanishes; theta == phi is
+            # already exact there
+            safe = denom > 1e-12
+            step = np.where(
+                safe,
+                (2.0 * theta + np.sin(2.0 * theta) - target)
+                / np.where(safe, denom, 1.0),
+                0.0,
+            )
+            theta -= step
+            if np.max(np.abs(step)) < 1e-15:
+                break
+        return theta
+
+    def forward(self, lons, lats):
+        phi = np.radians(np.asarray(lats, dtype=np.float64))
+        dlam = np.pi - (np.pi - (np.radians(np.asarray(
+            lons, dtype=np.float64)) - self.lam0)) % (2 * np.pi)
+        theta = self._theta(phi)
+        x = self.fe + (2.0 * math.sqrt(2.0) / np.pi) * self.a * dlam \
+            * np.cos(theta)
+        y = self.fn + math.sqrt(2.0) * self.a * np.sin(theta)
+        return x, y
+
+    def inverse(self, xs, ys):
+        x = np.asarray(xs, dtype=np.float64) - self.fe
+        y = np.asarray(ys, dtype=np.float64) - self.fn
+        s = np.clip(y / (math.sqrt(2.0) * self.a), -1.0, 1.0)
+        theta = np.arcsin(s)
+        phi = np.arcsin(np.clip(
+            (2.0 * theta + np.sin(2.0 * theta)) / np.pi, -1.0, 1.0))
+        cost = np.cos(theta)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            dlam = np.pi * x / (2.0 * math.sqrt(2.0) * self.a * cost)
+        dlam = np.where(cost < 1e-12, 0.0, dlam)
+        lam = np.pi - (np.pi - (self.lam0 + dlam)) % (2 * np.pi)
+        return np.degrees(lam), np.degrees(phi)
+
+
+class Bonne:
+    """Bonne pseudoconic equal-area (EPSG method 9827, PROJ
+    ``+proj=bonne``, GDAL SRS_PT_BONNE) — the classic French/Portuguese
+    national-map projection. Ellipsoidal form, Snyder 19-7..19-11:
+    parallels are concentric circular arcs with TRUE scale along each,
+    centered on the central meridian at ``a m1 / sin(phi1)`` above the
+    standard parallel; the central meridian is a true-length meridian
+    arc. The meridian-arc series are the shared third-flattening
+    helpers the Sinusoidal/Cassini classes use."""
+
+    def __init__(self, a, inv_f, lat1_deg, lon0_deg=0.0,
+                 false_easting=0.0, false_northing=0.0):
+        f = 1.0 / inv_f if inv_f and math.isfinite(inv_f) else 0.0
+        self.a = a
+        self.e2 = f * (2 - f)
+        n = f / (2 - f) if f else 0.0
+        self.A = a / (1 + n) * (1 + n**2 / 4 + n**4 / 64 + n**6 / 256)
+        self.mu_c = _rect_mu_coeffs(n)
+        self.phi_c = _rect_phi_coeffs(n)
+        phi1 = math.radians(lat1_deg)
+        s1 = math.sin(phi1)
+        if abs(s1) < 1e-12:
+            raise CRSError(
+                "Bonne needs a nonzero standard parallel (the phi1 -> 0"
+                " limit is the Sinusoidal projection — use that)")
+        m1 = math.cos(phi1) / math.sqrt(1 - self.e2 * s1 * s1)
+        self.south = s1 < 0
+        self.c = a * m1 / s1                 # arc-center northing
+        self.M1 = float(self._meridian(np.array([phi1]))[0])
+        self.lam0 = math.radians(lon0_deg)
+        self.fe = false_easting
+        self.fn = false_northing
+
+    def _meridian(self, phi: np.ndarray) -> np.ndarray:
+        mu = phi.copy()
+        for j, c_j in enumerate(self.mu_c, start=1):
+            mu += c_j * np.sin(2 * j * phi)
+        return self.A * mu
+
+    def forward(self, lons, lats):
+        phi = np.radians(np.asarray(lats, dtype=np.float64))
+        dlam = np.pi - (np.pi - (np.radians(np.asarray(
+            lons, dtype=np.float64)) - self.lam0)) % (2 * np.pi)
+        s = np.sin(phi)
+        m = np.cos(phi) / np.sqrt(1 - self.e2 * s * s)
+        rho = self.c + self.M1 - self._meridian(phi)
+        t = self.a * m * dlam / rho
+        x = self.fe + rho * np.sin(t)
+        y = self.fn + (self.c - rho * np.cos(t))
+        return x, y
+
+    def inverse(self, xs, ys):
+        x = np.asarray(xs, dtype=np.float64) - self.fe
+        yc = self.c - (np.asarray(ys, dtype=np.float64) - self.fn)
+        rho = np.hypot(x, yc)
+        if self.south:
+            rho = -rho
+        mu = (self.c + self.M1 - rho) / self.A
+        phi = mu.copy()
+        for j, d_j in enumerate(self.phi_c, start=1):
+            phi += d_j * np.sin(2 * j * mu)
+        s = np.sin(phi)
+        m = np.cos(phi) / np.sqrt(1 - self.e2 * s * s)
+        t = np.arctan2(-x, -yc) if self.south else np.arctan2(x, yc)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            dlam = rho * t / (self.a * m)
+        dlam = np.where(np.abs(m) < 1e-12, 0.0, dlam)  # poles
+        # forward wrapped dlam to (-pi, pi]; wrap the recovered
+        # longitude the same way so round-trips land in (-180, 180]
+        lam = np.pi - (np.pi - (self.lam0 + dlam)) % (2 * np.pi)
+        return np.degrees(lam), np.degrees(phi)
+
+
 class WebMercator:
     R = 6378137.0
 
@@ -1769,6 +1905,16 @@ def _projection_for_proj4(s: str):
             a, inv_f if math.isfinite(inv_f) else 0.0, lon0_deg=lon0,
             false_easting=fe, false_northing=fn,
         )
+    elif proj == "moll":
+        base = Mollweide(a, lon0_deg=lon0, false_easting=fe,
+                         false_northing=fn)
+    elif proj == "bonne":
+        if "lat_1" not in kv:
+            raise CRSError("PROJ4 +proj=bonne needs +lat_1")
+        base = Bonne(
+            a, inv_f, lat1_deg=p("lat_1"), lon0_deg=lon0,
+            false_easting=fe, false_northing=fn,
+        )
     else:
         raise CRSError(f"PROJ4 +proj={proj} is not supported by this build")
 
@@ -1925,6 +2071,24 @@ def _projection_for_wkt(wkt: str):
             false_easting=p("false_easting"),
             false_northing=p("false_northing"),
             east_north=True,
+        )
+    if "mollweide" in name:
+        return Mollweide(
+            a,
+            lon0_deg=p("central_meridian", "longitude_of_center"),
+            false_easting=p("false_easting"),
+            false_northing=p("false_northing"),
+        )
+    if "bonne" in name:
+        lat1 = p("standard_parallel_1",
+                 default=p("latitude_of_origin", default=float("nan")))
+        if lat1 != lat1:  # NaN
+            raise CRSError("Bonne WKT lacks standard_parallel_1")
+        return Bonne(
+            a, inv_f, lat1_deg=lat1,
+            lon0_deg=p("central_meridian", "longitude_of_center"),
+            false_easting=p("false_easting"),
+            false_northing=p("false_northing"),
         )
     if "sinusoidal" in name:
         return Sinusoidal(

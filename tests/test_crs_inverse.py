@@ -8,6 +8,8 @@ reference's "set wgs84_bounds for performance" advice
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pytest
 
@@ -1739,3 +1741,173 @@ def test_proj4_crs_elevation_differential(spark, tmp_path):
             assert got == ev
             hits += 1
     assert hits >= 50
+
+
+# ---------------------------------------------------------------------------
+# Mollweide + Bonne (equal-area world / pseudoconic families)
+# ---------------------------------------------------------------------------
+
+MOLLWEIDE_WKT = (
+    'PROJCS["World_Mollweide",GEOGCS["GCS_WGS_1984",DATUM["D_WGS_1984",'
+    'SPHEROID["WGS_1984",6378137.0,298.257223563]],PRIMEM["Greenwich",0.0],'
+    'UNIT["Degree",0.0174532925199433]],PROJECTION["Mollweide"],'
+    'PARAMETER["False_Easting",0.0],PARAMETER["False_Northing",0.0],'
+    'PARAMETER["Central_Meridian",0.0],UNIT["Meter",1.0]]'
+)
+
+
+def test_mollweide_anchors_roundtrip_and_equal_area():
+    """Structural anchors are exact closed forms of Snyder 31-1..31-8
+    (sphere radius a, since PROJ's moll forces es = 0); the parametric
+    angle is cross-checked by bisection, independent of the class's
+    Newton solver."""
+    a = 6378137.0
+    p = crs._projection_for_wkt(MOLLWEIDE_WKT)
+    # poles: (0, +-sqrt2 a); equator edge: x = +-2 sqrt2 a; origin: (0,0)
+    x, y = p.forward(np.array([0.0, 0.0, 180.0, 0.0]),
+                     np.array([90.0, -90.0, 0.0, 0.0]))
+    np.testing.assert_allclose(
+        y, [math.sqrt(2) * a, -math.sqrt(2) * a, 0.0, 0.0], atol=1e-6)
+    np.testing.assert_allclose(
+        x, [0.0, 0.0, 2 * math.sqrt(2) * a, 0.0], atol=1e-6)
+    # independent bisection solve of 2t + sin 2t = pi sin(45 deg)
+    target = math.pi * math.sin(math.radians(45.0))
+    lo, hi = 0.0, math.pi / 2
+    for _ in range(80):
+        mid = 0.5 * (lo + hi)
+        if 2 * mid + math.sin(2 * mid) < target:
+            lo = mid
+        else:
+            hi = mid
+    t = 0.5 * (lo + hi)
+    x, y = p.forward(np.array([10.0]), np.array([45.0]))
+    assert abs(y[0] - math.sqrt(2) * a * math.sin(t)) < 1e-5
+    assert abs(x[0] - (2 * math.sqrt(2) / math.pi) * a
+               * math.radians(10.0) * math.cos(t)) < 1e-5
+
+    rng = np.random.default_rng(31)
+    lats = rng.uniform(-89.9, 89.9, 400)
+    lons = rng.uniform(-179.99, 179.99, 400)
+    x, y = crs.reproject_latlons(lats, lons, wkt=MOLLWEIDE_WKT)
+    lon2, lat2 = crs.unproject_xys(x, y, wkt=MOLLWEIDE_WKT)
+    np.testing.assert_allclose(lat2, lats, atol=1e-9)
+    np.testing.assert_allclose(lon2, lons, atol=1e-9)
+    # equal-area: |det J| == 1 against the sphere metric
+    for lon, lat in [(10.0, 45.0), (-120.0, -33.0), (60.0, 70.0)]:
+        J = _local_jacobian(p, lon, lat, (a, 1e12))
+        assert abs(abs(np.linalg.det(J)) - 1.0) < 1e-4
+    # PROJ.4 spelling is the same projection
+    x2, y2 = crs.reproject_latlons([45.0], [10.0],
+                                   wkt="+proj=moll +lon_0=0 +datum=WGS84")
+    xw, yw = crs.reproject_latlons([45.0], [10.0], wkt=MOLLWEIDE_WKT)
+    assert x2[0] == xw[0] and y2[0] == yw[0]
+
+
+def test_bonne_pseudoconic_invariants_and_roundtrip():
+    """The three properties that uniquely characterize Bonne (Snyder
+    ch. 19): parallels are concentric circular arcs centered on the
+    central meridian at a*m1/sin(phi1) with TRUE scale along each,
+    the central meridian is a true-length meridian arc (== the
+    Sinusoidal northing, pinned by its own goldens), and the map is
+    equal-area on the ellipsoid."""
+    a, inv_f = crs._WGS84
+    f = 1.0 / inv_f
+    e2 = f * (2 - f)
+    b = crs.Bonne(a, inv_f, lat1_deg=40.0, lon0_deg=-75.0)
+    # origin of the graticule maps to the grid origin
+    x0, y0 = b.forward(np.array([-75.0]), np.array([40.0]))
+    assert abs(x0[0]) < 1e-6 and abs(y0[0]) < 1e-6
+    # central meridian northing == meridian arc == Sinusoidal northing
+    sin_p = crs.Sinusoidal(a, inv_f)
+    lats_cm = np.array([-10.0, 25.0, 40.0, 71.0])
+    _, y_cm = b.forward(np.full(4, -75.0), lats_cm)
+    _, m_arc = sin_p.forward(np.zeros(4), lats_cm)
+    _, m_arc1 = sin_p.forward(np.zeros(1), np.array([40.0]))
+    np.testing.assert_allclose(y_cm, m_arc - m_arc1[0], atol=1e-6)
+    # concentric circular arcs: hypot(x, c - y) is constant per parallel
+    s1 = math.sin(math.radians(40.0))
+    m1 = math.cos(math.radians(40.0)) / math.sqrt(1 - e2 * s1 * s1)
+    c = a * m1 / s1
+    for lat in (-20.0, 10.0, 55.0):
+        lons = np.array([-120.0, -75.0, -30.0, 40.0])
+        x, y = b.forward(lons, np.full(4, lat))
+        r = np.hypot(x, c - y)
+        assert np.ptp(r) < 1e-6
+        # true scale along the parallel: arc length == a m dlam
+        s = math.sin(math.radians(lat))
+        m = math.cos(math.radians(lat)) / math.sqrt(1 - e2 * s * s)
+        d = 1e-4
+        xa, ya = b.forward(np.array([10.0]), np.array([lat]))
+        xb, yb = b.forward(np.array([10.0 + d]), np.array([lat]))
+        arc = math.hypot(xb[0] - xa[0], yb[0] - ya[0])
+        assert abs(arc - a * m * math.radians(d)) < 1e-6 * arc + 1e-9
+    # equal-area on the ellipsoid
+    for lon, lat in [(10.0, 45.0), (-120.0, -33.0), (60.0, 70.0)]:
+        J = _local_jacobian(b, lon, lat, crs._WGS84)
+        assert abs(abs(np.linalg.det(J)) - 1.0) < 1e-4
+    # round-trips, both hemispheres of standard parallel
+    rng = np.random.default_rng(19)
+    lats = rng.uniform(-89.9, 89.9, 400)
+    lons = rng.uniform(-179.99, 179.99, 400)
+    for proj in (b, crs.Bonne(a, inv_f, lat1_deg=-30.0, lon0_deg=135.0)):
+        lon2, lat2 = proj.inverse(*proj.forward(lons, lats))
+        np.testing.assert_allclose(lat2, lats, atol=1e-9)
+        np.testing.assert_allclose(lon2, lons, atol=1e-9)
+    # front doors + loud rejections
+    xp, yp = crs.reproject_latlons(
+        [40.0], [-75.0], wkt="+proj=bonne +lat_1=40 +lon_0=-75 +ellps=WGS84")
+    assert abs(xp[0]) < 1e-6 and abs(yp[0]) < 1e-6
+    with pytest.raises(crs.CRSError, match="lat_1"):
+        crs.reproject_latlons([1.0], [1.0], wkt="+proj=bonne +lon_0=0")
+    with pytest.raises(crs.CRSError, match="standard parallel"):
+        crs.Bonne(a, inv_f, lat1_deg=0.0)
+    with pytest.raises(crs.CRSError, match="standard_parallel_1"):
+        crs._projection_for_wkt(
+            MOLLWEIDE_WKT.replace("Mollweide", "Bonne"))
+
+
+def test_bonne_elevation_differential(spark, tmp_path):
+    """End-to-end: a raster in a Bonne CRS (PROJ.4-declared) resolves
+    identically through the distributed pipeline and the sequential
+    oracle."""
+    import os
+
+    from opentopodata_spark import config, geotiff, oracle
+    from opentopodata_spark.operators import elevation
+
+    p4 = "+proj=bonne +lat_1=45 +lon_0=15 +ellps=WGS84 +units=m"
+    cx, cy = crs.reproject_latlons(np.array([47.5]), np.array([15.0]),
+                                   wkt=p4)
+    px = 500.0
+    x0 = float(cx[0]) - 60 * px
+    y0 = float(cy[0]) + 60 * px
+    xs = x0 + (np.arange(120) + 0.5) * px
+    ys = y0 - (np.arange(120) + 0.5) * px
+    X, Y = np.meshgrid(xs, ys)
+    grid = (700.0 + 250.0 * np.sin(X / 1.3e4) + 200.0 * np.cos(Y / 1.1e4)
+            ).astype(np.float32)
+    d = os.path.join(str(tmp_path), "bonne")
+    os.makedirs(d)
+    geotiff.write_geotiff(os.path.join(d, "t.tif"), grid, x0=x0, y0=y0,
+                          sx=px, sy=px, nodata=-9999, wkt=p4, epsg=None)
+    ds = config.dataset_from_config("bonne", path=d)
+
+    rng = np.random.default_rng(9)
+    lats = rng.uniform(47.2, 47.8, 50)
+    lons = rng.uniform(14.6, 15.4, 50)
+    pts = spark.createDataFrame(
+        [(int(i), float(la), float(lo))
+         for i, (la, lo) in enumerate(zip(lats, lons))],
+        "point_id long, lat double, lon double",
+    )
+    res = elevation.ElevationResolver(spark, [ds], "bilinear").resolve(pts)
+    rows = {r.point_id: r.elevation for r in res.collect()}
+    exp, _ = oracle.get_elevation(lats, lons, [ds], "bilinear")
+    hits = 0
+    for i, ev in enumerate(exp):
+        if ev is None:
+            assert rows[i] is None or np.isnan(rows[i])
+        else:
+            assert rows[i] == ev
+            hits += 1
+    assert hits >= 40
