@@ -109,6 +109,9 @@ def main() -> None:
         app_name="opentopodata-spark-bench",
         cores=CPUS,
         shuffle_partitions=max(CPUS, 8),
+        # keep stdout clean for the single JSON result line (the round
+        # driver parses the tail of the combined output)
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -220,6 +223,22 @@ def main() -> None:
         spreads[name] = [lo, hi]
 
     total = sum(timings.values())
+    # the [min, max] spreads go to STDERR: the round driver keeps only
+    # the last 2000 bytes of output and parses the final line as JSON —
+    # round 3's spread-carrying line outgrew that window and the
+    # headline metric was silently truncated off the front
+    print(
+        "bench spread (min/max of %d runs): %s"
+        % (
+            N_RUNS,
+            json.dumps(
+                {k: [round(v[0], 3), round(v[1], 3)]
+                 for k, v in spreads.items()},
+                separators=(",", ":"),
+            ),
+        ),
+        file=sys.stderr,
+    )
     print(
         json.dumps(
             {
@@ -227,10 +246,6 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": {k: round(v, 3) for k, v in timings.items()},
-                "spread": {
-                    k: [round(v[0], 3), round(v[1], 3)]
-                    for k, v in spreads.items()
-                },
                 "runs_per_query": N_RUNS,
                 "sf": sf,
                 "cores": CPUS,
@@ -253,7 +268,8 @@ def main() -> None:
                         max(timings["elevation_e2e"] - t_extract, 0.0), 3
                     ),
                 },
-            }
+            },
+            separators=(",", ":"),
         )
     )
 
