@@ -1225,6 +1225,186 @@ class Bonne:
         return np.degrees(lam), np.degrees(phi)
 
 
+class AzimuthalEquidistant:
+    """Azimuthal Equidistant (GDAL SRS_PT_AZIMUTHAL_EQUIDISTANT, PROJ
+    ``+proj=aeqd``): distance AND azimuth from the projection center
+    are true. Two aspects, exactly as PROJ splits them:
+
+    * **polar** (|lat0| = 90): closed form on any ellipsoid — the
+      radius is the meridian-arc distance to the pole (Snyder 25-1 /
+      PROJ aeqd e_fwd N/S_POLE mode), fully vectorized.
+    * **oblique/equatorial**: defined through geodesics (forward =
+      Karney inverse problem from the center, inverse = direct
+      problem), which is precisely modern PROJ's implementation. The
+      engine's geodesic module is WGS84-only, so this aspect requires
+      the WGS84/GRS80 ellipsoid and solves per point in Python —
+      correct but the slow path; polar DEM grids (the common raster
+      use) take the vectorized branch.
+    """
+
+    def __init__(self, a, inv_f, lat0_deg=0.0, lon0_deg=0.0,
+                 false_easting=0.0, false_northing=0.0):
+        f = 1.0 / inv_f if inv_f and math.isfinite(inv_f) else 0.0
+        self.a = a
+        self.e2 = f * (2 - f)
+        n = f / (2 - f) if f else 0.0
+        self.A = a / (1 + n) * (1 + n**2 / 4 + n**4 / 64 + n**6 / 256)
+        self.mu_c = _rect_mu_coeffs(n)
+        self.phi_c = _rect_phi_coeffs(n)
+        self.lat0 = lat0_deg
+        self.lon0 = lon0_deg
+        self.lam0 = math.radians(lon0_deg)
+        self.fe = false_easting
+        self.fn = false_northing
+        self.polar = abs(abs(lat0_deg) - 90.0) < 1e-9
+        self.north = lat0_deg > 0
+        if not self.polar and not (
+            abs(a - 6378137.0) < 1e-6 and abs(inv_f - 298.257) < 0.01
+        ):
+            raise CRSError(
+                "oblique Azimuthal Equidistant is geodesic-defined and"
+                " this build's geodesic solver is WGS84-only — supported"
+                " on WGS84/GRS80, or at the poles on any ellipsoid")
+
+    def _meridian(self, phi):
+        mu = phi + 0.0
+        for j, c_j in enumerate(self.mu_c, start=1):
+            mu += c_j * np.sin(2 * j * phi)
+        return self.A * mu
+
+    def forward(self, lons, lats):
+        lons = np.asarray(lons, dtype=np.float64)
+        lats = np.asarray(lats, dtype=np.float64)
+        if self.polar:
+            phi = np.radians(lats)
+            dlam = np.pi - (np.pi - (np.radians(lons) - self.lam0)) \
+                % (2 * np.pi)
+            mp = self._meridian(math.pi / 2)
+            if self.north:
+                rho = mp - self._meridian(phi)
+                return (self.fe + rho * np.sin(dlam),
+                        self.fn - rho * np.cos(dlam))
+            rho = mp + self._meridian(phi)
+            return (self.fe + rho * np.sin(dlam),
+                    self.fn + rho * np.cos(dlam))
+        from . import geodesic
+
+        x = np.empty(lons.shape, dtype=np.float64)
+        y = np.empty(lons.shape, dtype=np.float64)
+        for i in range(lons.size):
+            g = geodesic.inverse(self.lat0, self.lon0,
+                                 float(lats.flat[i]), float(lons.flat[i]))
+            az = math.radians(g["azi1"])
+            x.flat[i] = g["s12"] * math.sin(az)
+            y.flat[i] = g["s12"] * math.cos(az)
+        return self.fe + x, self.fn + y
+
+    def inverse(self, xs, ys):
+        x = np.asarray(xs, dtype=np.float64) - self.fe
+        y = np.asarray(ys, dtype=np.float64) - self.fn
+        if self.polar:
+            rho = np.hypot(x, y)
+            mp = self._meridian(math.pi / 2)
+            if self.north:
+                mu = (mp - rho) / self.A
+                dlam = np.arctan2(x, -y)
+            else:
+                mu = (rho - mp) / self.A
+                dlam = np.arctan2(x, y)
+            phi = mu.copy()
+            for j, d_j in enumerate(self.phi_c, start=1):
+                phi += d_j * np.sin(2 * j * mu)
+            dlam = np.where(rho < 1e-9, 0.0, dlam)
+            lam = np.pi - (np.pi - (self.lam0 + dlam)) % (2 * np.pi)
+            return np.degrees(lam), np.degrees(phi)
+        from . import geodesic
+
+        lon = np.empty(x.shape, dtype=np.float64)
+        lat = np.empty(x.shape, dtype=np.float64)
+        for i in range(x.size):
+            s = math.hypot(float(x.flat[i]), float(y.flat[i]))
+            az = math.degrees(math.atan2(float(x.flat[i]),
+                                         float(y.flat[i])))
+            g = geodesic.direct(self.lat0, self.lon0, az, s)
+            lat.flat[i] = g["lat2"]
+            lon.flat[i] = np.pi - (np.pi - math.radians(g["lon2"])) \
+                % (2 * np.pi)
+        return np.degrees(lon), lat
+
+
+class Orthographic:
+    """Orthographic (EPSG method 9840, PROJ ``+proj=ortho``, GDAL
+    SRS_PT_ORTHOGRAPHIC): the view of the ellipsoid from infinity over
+    the projection center — (E, N) are the topocentric east/north
+    components of the surface point in the ENU frame at the center.
+    That construction is algebraically identical to the EPSG GN7-2
+    formulas (expand the ECEF difference and the nu0 terms cancel), so
+    no tabulated constants are needed; the inverse is closed-form —
+    the up-component U of a surface point with known (E, N) solves a
+    QUADRATIC from the ellipsoid equation (near-side root), then
+    ECEF -> geodetic."""
+
+    def __init__(self, a, inv_f, lat0_deg=0.0, lon0_deg=0.0,
+                 false_easting=0.0, false_northing=0.0):
+        f = 1.0 / inv_f if inv_f and math.isfinite(inv_f) else 0.0
+        self.a = a
+        self.e2 = f * (2 - f)
+        self.lat0 = math.radians(lat0_deg)
+        self.lam0 = math.radians(lon0_deg)
+        self.fe = false_easting
+        self.fn = false_northing
+        s0, c0 = math.sin(self.lat0), math.cos(self.lat0)
+        self.s0, self.c0 = s0, c0
+        self.nu0 = a / math.sqrt(1 - self.e2 * s0 * s0)
+
+    def forward(self, lons, lats):
+        phi = np.radians(np.asarray(lats, dtype=np.float64))
+        dlam = np.pi - (np.pi - (np.radians(np.asarray(
+            lons, dtype=np.float64)) - self.lam0)) % (2 * np.pi)
+        s, c = np.sin(phi), np.cos(phi)
+        nu = self.a / np.sqrt(1 - self.e2 * s * s)
+        e = nu * c * np.sin(dlam)
+        n = nu * (s * self.c0 - c * self.s0 * np.cos(dlam)) \
+            + self.e2 * (self.nu0 * self.s0 - nu * s) * self.c0
+        return self.fe + e, self.fn + n
+
+    def inverse(self, xs, ys):
+        e = np.asarray(xs, dtype=np.float64) - self.fe
+        n = np.asarray(ys, dtype=np.float64) - self.fn
+        a2 = self.a * self.a
+        b2 = a2 * (1 - self.e2)
+        s0, c0 = self.s0, self.c0
+        sl0, cl0 = math.sin(self.lam0), math.cos(self.lam0)
+        # center ECEF and the ENU basis vectors there
+        cx = self.nu0 * c0 * cl0
+        cy = self.nu0 * c0 * sl0
+        cz = self.nu0 * (1 - self.e2) * s0
+        ex, ey, ez = -sl0, cl0, 0.0
+        nx, ny, nz = -s0 * cl0, -s0 * sl0, c0
+        ux, uy, uz = c0 * cl0, c0 * sl0, s0
+        # P(U) = C + e*ê + n*n̂ + U*û on the ellipsoid: quadratic in U
+        px = cx + e * ex + n * nx
+        py = cy + e * ey + n * ny
+        pz = cz + e * ez + n * nz
+        # scale by a2 so the discriminant test is relative, not absolute
+        r = a2 / b2
+        qa = (ux * ux + uy * uy) + uz * uz * r
+        qb = 2.0 * ((px * ux + py * uy) + pz * uz * r)
+        qc = (px * px + py * py) + pz * pz * r - a2
+        disc = qb * qb - 4.0 * qa * qc
+        if np.any(disc < -1e-9 * a2):
+            raise CRSError(
+                "orthographic inverse: coordinates fall outside the"
+                " visible hemisphere disk")
+        disc = np.maximum(disc, 0.0)
+        u = (-qb + np.sqrt(disc)) / (2.0 * qa)  # near-side (viewer) root
+        X = px + u * ux
+        Y = py + u * uy
+        Z = pz + u * uz
+        lons, lats = _ecef_to_geodetic(self.a, self.e2, X, Y, Z)
+        return lons, lats
+
+
 class WebMercator:
     R = 6378137.0
 
@@ -1908,6 +2088,16 @@ def _projection_for_proj4(s: str):
     elif proj == "moll":
         base = Mollweide(a, lon0_deg=lon0, false_easting=fe,
                          false_northing=fn)
+    elif proj == "aeqd":
+        base = AzimuthalEquidistant(
+            a, inv_f, lat0_deg=lat0, lon0_deg=lon0, false_easting=fe,
+            false_northing=fn,
+        )
+    elif proj == "ortho":
+        base = Orthographic(
+            a, inv_f, lat0_deg=lat0, lon0_deg=lon0, false_easting=fe,
+            false_northing=fn,
+        )
     elif proj == "bonne":
         if "lat_1" not in kv:
             raise CRSError("PROJ4 +proj=bonne needs +lat_1")
@@ -2071,6 +2261,22 @@ def _projection_for_wkt(wkt: str):
             false_easting=p("false_easting"),
             false_northing=p("false_northing"),
             east_north=True,
+        )
+    if "azimuthal_equidistant" in name:
+        return AzimuthalEquidistant(
+            a, inv_f,
+            lat0_deg=p("latitude_of_origin", "latitude_of_center"),
+            lon0_deg=p("central_meridian", "longitude_of_center"),
+            false_easting=p("false_easting"),
+            false_northing=p("false_northing"),
+        )
+    if "orthographic" in name:
+        return Orthographic(
+            a, inv_f,
+            lat0_deg=p("latitude_of_origin", "latitude_of_center"),
+            lon0_deg=p("central_meridian", "longitude_of_center"),
+            false_easting=p("false_easting"),
+            false_northing=p("false_northing"),
         )
     if "mollweide" in name:
         return Mollweide(

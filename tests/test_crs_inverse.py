@@ -1911,3 +1911,140 @@ def test_bonne_elevation_differential(spark, tmp_path):
             assert rows[i] == ev
             hits += 1
     assert hits >= 40
+
+
+# ---------------------------------------------------------------------------
+# Azimuthal Equidistant + Orthographic
+# ---------------------------------------------------------------------------
+
+def test_azimuthal_equidistant_polar():
+    """Polar aspect on any ellipsoid: the radius IS the meridian-arc
+    distance to the pole (cross-checked against the Karney geodesic
+    solver, an independent code path) and the map azimuth is the
+    longitude difference."""
+    from opentopodata_spark import geodesic
+
+    rng = np.random.default_rng(25)
+    lats = rng.uniform(-80.0, 88.0, 300)
+    lons = rng.uniform(-179.9, 179.9, 300)
+    for lat0, ell in [(90.0, crs._WGS84), (-90.0, crs._INTL1924)]:
+        p = crs.AzimuthalEquidistant(*ell, lat0_deg=lat0, lon0_deg=0.0)
+        lon2, lat2 = p.inverse(*p.forward(lons, lats))
+        np.testing.assert_allclose(lat2, lats, atol=1e-9)
+        np.testing.assert_allclose(lon2, lons, atol=1e-9)
+    p = crs.AzimuthalEquidistant(*crs._WGS84, lat0_deg=90.0)
+    for lat, lon in [(60.0, 30.0), (0.0, -120.0), (-45.0, 10.0)]:
+        x, y = p.forward(np.array([lon]), np.array([lat]))
+        g = geodesic.inverse(90.0, 0.0, lat, lon)
+        assert abs(math.hypot(x[0], y[0]) - g["s12"]) < 1e-6
+        # from the north pole every direction is south along the point's
+        # meridian: map azimuth atan2(x, -y) == longitude
+        assert abs(math.degrees(math.atan2(x[0], -y[0])) - lon) < 1e-9
+
+
+def test_azimuthal_equidistant_oblique_and_rejections():
+    """Oblique aspect is geodesic-DEFINED (PROJ's implementation):
+    distance and azimuth from the center are true by construction;
+    round-trips close; non-WGS84 ellipsoids are refused loudly."""
+    p = crs.AzimuthalEquidistant(*crs._WGS84, lat0_deg=47.0,
+                                 lon0_deg=15.0)
+    rng = np.random.default_rng(26)
+    lats = rng.uniform(-60.0, 85.0, 25)
+    lons = rng.uniform(-170.0, 170.0, 25)
+    lon2, lat2 = p.inverse(*p.forward(lons, lats))
+    np.testing.assert_allclose(lat2, lats, atol=1e-9)
+    np.testing.assert_allclose(lon2, lons, atol=1e-8)
+    x0, y0 = p.forward(np.array([15.0]), np.array([47.0]))
+    assert abs(x0[0]) < 1e-9 and abs(y0[0]) < 1e-9
+    with pytest.raises(crs.CRSError, match="WGS84"):
+        crs.AzimuthalEquidistant(*crs._INTL1924, lat0_deg=30.0)
+    xa, ya = crs.reproject_latlons(
+        [60.0], [30.0], wkt="+proj=aeqd +lat_0=90 +lon_0=0 +datum=WGS84")
+    xb, yb = p.forward(np.array([30.0]), np.array([60.0]))  # smoke only
+
+
+def test_orthographic_construction_and_roundtrip():
+    """The class computes (E, N) through the GN7-2 closed form; this
+    cross-checks it against the DEFINITION — the topocentric ENU
+    components of the surface point's ECEF vector — built independently
+    here, then pins round-trips and the outside-disk rejection."""
+    a, inv_f = crs._WGS84
+    o = crs.Orthographic(a, inv_f, lat0_deg=55.0, lon0_deg=5.0)
+    X, Y, Z = crs._geodetic_to_ecef(a, o.e2, np.array([12.0]),
+                                    np.array([48.0]))
+    cx, cy, cz = crs._geodetic_to_ecef(a, o.e2, np.array([5.0]),
+                                       np.array([55.0]))
+    l0, f0 = math.radians(5.0), math.radians(55.0)
+    dX, dY, dZ = X - cx, Y - cy, Z - cz
+    E = -math.sin(l0) * dX + math.cos(l0) * dY
+    N = (-math.sin(f0) * math.cos(l0) * dX
+         - math.sin(f0) * math.sin(l0) * dY + math.cos(f0) * dZ)
+    xe, yn = o.forward(np.array([12.0]), np.array([48.0]))
+    assert abs(xe[0] - E[0]) < 1e-6 and abs(yn[0] - N[0]) < 1e-6
+
+    rng = np.random.default_rng(27)
+    lats = 55.0 + rng.uniform(-20.0, 20.0, 300)
+    lons = 5.0 + rng.uniform(-25.0, 25.0, 300)
+    lon2, lat2 = o.inverse(*o.forward(lons, lats))
+    np.testing.assert_allclose(lat2, lats, atol=1e-9)
+    np.testing.assert_allclose(lon2, lons, atol=1e-9)
+    x0, y0 = o.forward(np.array([5.0]), np.array([55.0]))
+    assert x0[0] == 0.0 and y0[0] == 0.0
+    with pytest.raises(crs.CRSError, match="visible hemisphere"):
+        o.inverse(np.array([7e6]), np.array([7e6]))
+    # WKT front door (GDAL spelling)
+    wkt = (
+        'PROJCS["ortho",GEOGCS["WGS 84",DATUM["WGS_1984",SPHEROID['
+        '"WGS 84",6378137,298.257223563]],PRIMEM["Greenwich",0],'
+        'UNIT["degree",0.0174532925199433]],PROJECTION["Orthographic"],'
+        'PARAMETER["latitude_of_origin",55],PARAMETER["central_meridian"'
+        ',5],PARAMETER["false_easting",0],PARAMETER["false_northing",0],'
+        'UNIT["metre",1]]'
+    )
+    xw, yw = crs.reproject_latlons([48.0], [12.0], wkt=wkt)
+    assert xw[0] == xe[0] and yw[0] == yn[0]
+
+
+def test_polar_aeqd_elevation_differential(spark, tmp_path):
+    """A polar-aspect Azimuthal Equidistant raster (PROJ.4-declared)
+    resolves identically through the distributed pipeline and the
+    sequential oracle."""
+    import os
+
+    from opentopodata_spark import config, geotiff, oracle
+    from opentopodata_spark.operators import elevation
+
+    p4 = "+proj=aeqd +lat_0=90 +lon_0=-45 +datum=WGS84"
+    cx, cy = crs.reproject_latlons(np.array([82.0]), np.array([-40.0]),
+                                   wkt=p4)
+    px = 1000.0
+    x0 = float(cx[0]) - 40 * px
+    y0 = float(cy[0]) + 40 * px
+    X, Y = np.meshgrid(x0 + (np.arange(80) + 0.5) * px,
+                       y0 - (np.arange(80) + 0.5) * px)
+    grid = (300.0 + 150.0 * np.sin(X / 2.5e4) + 100.0 * np.cos(Y / 2.1e4)
+            ).astype(np.float32)
+    d = os.path.join(str(tmp_path), "aeqd")
+    os.makedirs(d)
+    geotiff.write_geotiff(os.path.join(d, "t.tif"), grid, x0=x0, y0=y0,
+                          sx=px, sy=px, nodata=-9999, wkt=p4, epsg=None)
+    ds = config.dataset_from_config("aeqd", path=d)
+    rng = np.random.default_rng(11)
+    lats = rng.uniform(81.6, 82.4, 40)
+    lons = rng.uniform(-42.0, -38.0, 40)
+    pts = spark.createDataFrame(
+        [(int(i), float(la), float(lo))
+         for i, (la, lo) in enumerate(zip(lats, lons))],
+        "point_id long, lat double, lon double",
+    )
+    res = elevation.ElevationResolver(spark, [ds], "bilinear").resolve(pts)
+    rows = {r.point_id: r.elevation for r in res.collect()}
+    exp, _ = oracle.get_elevation(lats, lons, [ds], "bilinear")
+    hits = 0
+    for i, ev in enumerate(exp):
+        if ev is None:
+            assert rows[i] is None or np.isnan(rows[i])
+        else:
+            assert rows[i] == ev
+            hits += 1
+    assert hits >= 30
