@@ -4016,7 +4016,7 @@ def _build_quality_classifier_oracle(sf_dir: str):
 
 
 _FORMAT_FMTS = ("tif", "asc", "bil", "nc", "nc4", "gpkg", "vrt", "jpa",
-                "jp2", "dt0")
+                "jp2", "dt0", "mbtiles")
 
 
 def _formats_fixture_dir() -> str:
@@ -4029,7 +4029,7 @@ def _formats_fixture_dir() -> str:
     from opentopodata_spark import gridformats as gf
     from opentopodata_spark import jp2 as jp2mod
 
-    root = os.path.join(_fixture_root(), "formats_r4d")
+    root = os.path.join(_fixture_root(), "formats_r4e")
     marker = os.path.join(root, ".complete")
     if os.path.exists(marker):
         return root
@@ -4094,6 +4094,37 @@ def _formats_fixture_dir() -> str:
                 gpkg.write_gpkg(p, grid.astype(np.float64), x0=lon0,
                                 y0=1.0, sx=res, sy=res, epsg=4326,
                                 tile_size=32, scale=1.0, offset=0.0)
+            elif fmt == "mbtiles":
+                # Terrain-RGB-family MBTiles live in Web Mercator XYZ
+                # tiles (terrarium encoding: integer metres exact), so
+                # like dt0/gpkg/vrt it verifies against its own
+                # sequential twin; one db covers both degrees, written
+                # only on the first stem iteration
+                if stem != "N00E010":
+                    continue
+                from opentopodata_spark import mbtiles as mbt
+
+                zz = 9
+                nn = 1 << zz
+                orig = 20037508.342789244
+                span = 2.0 * orig / nn
+                mc0 = int((10.0 + 180.0) / 360.0 * nn)       # 270
+                mc1 = int((12.0 + 180.0) / 360.0 * nn) + 1   # cover 12E
+                mr0 = 254  # covers lat (0, ~1.2]
+                tp = 256
+                xs = -orig + (mc0 * span) + (np.arange(
+                    (mc1 - mc0 + 1) * tp) + 0.5) * span / tp
+                ys_m = orig - mr0 * span - (np.arange(2 * tp) + 0.5) \
+                    * span / tp
+                mlats = np.degrees(
+                    2 * np.arctan(np.exp(ys_m / 6378137.0)) - np.pi / 2)
+                mlons = xs / orig * 180.0
+                mgrid = np.round(fixtures.terrain_wgs84(
+                    mlats[:, None], mlons[None, :]))
+                mbt.write_mbtiles(
+                    os.path.join(d, "terrain.mbtiles"), mgrid, zoom=zz,
+                    min_col=mc0, min_row=mr0, encoding="terrarium",
+                    tile_px=tp)
             elif fmt == "dt0":
                 # DTED is POINT-registered on a 121-lattice (30 arcsec,
                 # level 0), so it carries its own grid sampled at the
@@ -4161,7 +4192,10 @@ def q_raster_formats(spark, sf_dir):
     -1500 m offset) / GeoJP2 (T.800 reversible 5/3 + MQ EBCOT,
     lossless int16) / DTED level 0 (MIL-PRF-89020B signed-magnitude
     records, point-registered lattice — its own sequential twin, like
-    gpkg/vrt), resolved through the distributed pipeline — every
+    gpkg/vrt) / Terrarium-encoded MBTiles (the AWS/Mapbox web-terrain
+    distribution: SQLite XYZ pyramid of elevation-in-PNG-RGB tiles in
+    Web Mercator — its own sequential twin, integer metres exact),
+    resolved through the distributed pipeline — every
     format
     must produce the same elevations as its single-process sequential
     twin; the same-geometry integer formats (tif/asc/bil/nc/nc4) must

@@ -1179,6 +1179,10 @@ def open_raster(path: str) -> Raster:
         from . import gpkg
 
         return gpkg.open_gpkg(path)
+    if lower.endswith(".mbtiles"):
+        from . import mbtiles
+
+        return mbtiles.open_mbtiles(path)
     if lower.endswith((".jp2", ".j2k")):
         from . import jp2
 
@@ -1291,6 +1295,12 @@ def _open_remote(url: str) -> Raster:
         from . import dted
 
         return dted.open_dted_bytes(url, _fetch_url(url))
+    if lower.endswith(".mbtiles"):
+        # SQLite pages range-read like GeoTIFF blocks: only the B-tree
+        # path to the tiles a window touches is ever fetched
+        from . import mbtiles
+
+        return mbtiles.open_mbtiles(url, source=_RangeByteSource(url))
     if lower.endswith(".zip"):
         import io
 

@@ -1,0 +1,326 @@
+"""MBTiles terrain tiles (Mapbox Terrain-RGB / Terrarium) as rasters.
+
+MBTiles is the SQLite tile-pyramid container (public Mapbox spec 1.3);
+encoding elevation into PNG RGB channels is how planet-scale terrain
+actually ships on the web — Mapbox Terrain-RGB and the AWS Open Data
+Terrain ("Terrarium") tiles both distribute global DEMs this way, and
+GDAL reads the container through its MBTiles driver (the reference
+therefore accepts it via ``rasterio.open``,
+/root/reference/opentopodata/backend.py:89). Decoders:
+
+* ``terrain-rgb``:  elevation = -10000 + (R*65536 + G*256 + B) * 0.1
+* ``terrarium``:    elevation = R*256 + G + B/256 - 32768
+
+The SQLite B-tree walker, overflow-chain reader and record decoder are
+shared with the GeoPackage module (gpkg.py); PNG tiles decode through
+png.py into the process-wide block LRU, so windowed reads touch only
+the tiles a query needs. Tiles are Web Mercator (EPSG:3857) XYZ
+squares; the ``tiles`` table stores TMS (south-origin) rows, flipped
+here. Both the canonical ``tiles`` table and the tippecanoe/mb-util
+``map`` + ``images`` de-duplicated layout are supported (the spec
+models ``tiles`` as a view over the latter; views have no B-tree, so
+the two base tables are joined directly). Missing tiles inside the
+bounding tile range read as NaN.
+
+Scale shape: identical to GeoPackage — the reader runs on the
+``_ByteSource`` interface, so a remote ``.mbtiles`` object range-reads
+its SQLite pages over HTTP with the per-executor chunk LRU; nothing
+ever loads the whole pyramid.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from . import png as _png
+from .geotiff import CRSInfo, Raster, RasterOpenError, _ByteSource
+from .gpkg import GpkgError, _DbWriter, _SQLite, _table_dicts
+
+__all__ = ["open_mbtiles", "write_mbtiles"]
+
+_ORIGIN = 20037508.342789244  # pi * 6378137 (Web Mercator world edge)
+
+_ENCODINGS = ("terrain-rgb", "terrarium")
+
+
+class MbtilesError(RasterOpenError):
+    """File is not a readable MBTiles terrain db."""
+
+
+def _decode_elevation(rgb: np.ndarray, encoding: str) -> np.ndarray:
+    r = rgb[:, :, 0].astype(np.float64)
+    g = rgb[:, :, 1].astype(np.float64)
+    b = rgb[:, :, 2].astype(np.float64)
+    if encoding == "terrain-rgb":
+        return (-10000.0 + (r * 65536.0 + g * 256.0 + b) * 0.1).astype(
+            np.float32)
+    return (r * 256.0 + g + b / 256.0 - 32768.0).astype(np.float32)
+
+
+class _MbtilesTileReader:
+    """Windowed reads over the tile grid; duck-types
+    geotiff._BlockReader.read (same shape as gpkg._GpkgTileReader)."""
+
+    def __init__(self, source, tiles, tile_px, n_rows, n_cols, encoding,
+                 zoom):
+        self.source = source
+        self.tiles = tiles          # (grid_row, grid_col) -> PNG bytes
+        self.tile_h = self.tile_w = tile_px
+        self.height = n_rows * tile_px
+        self.width = n_cols * tile_px
+        self.encoding = encoding
+        self.zoom = zoom
+
+    def _decode(self, key) -> np.ndarray:
+        blob = self.tiles.get(key)
+        if blob is None:
+            return np.full((self.tile_h, self.tile_w), np.nan,
+                           dtype=np.float32)
+        arr = _png.decode_png(blob)
+        if arr.dtype != np.uint8 or arr.shape[2] < 3:
+            raise MbtilesError(
+                f"'{self.source.path}': terrain tiles must be 8-bit"
+                f" RGB(A) PNG, got {arr.dtype} x{arr.shape[2]}")
+        if arr.shape[0] != self.tile_h or arr.shape[1] != self.tile_w:
+            raise MbtilesError(
+                f"'{self.source.path}': mixed tile sizes"
+                f" ({arr.shape[0]}x{arr.shape[1]} vs {self.tile_h})")
+        return _decode_elevation(arr, self.encoding)
+
+    def read(self, r0: int, r1: int, c0: int, c1: int) -> np.ndarray:
+        from .geotiff import _cache_get, _cache_put
+
+        out = np.full((r1 - r0, c1 - c0), np.nan, dtype=np.float32)
+        tr0, tr1 = r0 // self.tile_h, (r1 - 1) // self.tile_h
+        tc0, tc1 = c0 // self.tile_w, (c1 - 1) // self.tile_w
+        for tr in range(tr0, tr1 + 1):
+            for tc in range(tc0, tc1 + 1):
+                ck = (self.source.cache_key, "mbt", self.zoom, tr, tc)
+                arr = _cache_get(ck)
+                if arr is None:
+                    arr = self._decode((tr, tc))
+                    _cache_put(ck, arr)
+                gr0, gc0 = tr * self.tile_h, tc * self.tile_w
+                orow0 = max(r0, gr0)
+                orow1 = min(r1, gr0 + self.tile_h, self.height)
+                ocol0 = max(c0, gc0)
+                ocol1 = min(c1, gc0 + self.tile_w, self.width)
+                if orow0 >= orow1 or ocol0 >= ocol1:
+                    continue
+                out[orow0 - r0 : orow1 - r0, ocol0 - c0 : ocol1 - c0] = \
+                    arr[orow0 - gr0 : orow1 - gr0,
+                        ocol0 - gc0 : ocol1 - gc0]
+        return out
+
+
+def _tile_rows(db: _SQLite, tables):
+    """Yield (zoom, col, tms_row, blob) from either layout."""
+    if "tiles" in tables:
+        for _r, d in _table_dicts(db, tables, "tiles"):
+            yield (int(d["zoom_level"]), int(d["tile_column"]),
+                   int(d["tile_row"]), d["tile_data"])
+        return
+    if "map" in tables and "images" in tables:
+        blobs = {}
+        for _r, d in _table_dicts(db, tables, "images"):
+            blobs[d["tile_id"]] = d["tile_data"]
+        for _r, d in _table_dicts(db, tables, "map"):
+            blob = blobs.get(d["tile_id"])
+            if blob is not None:
+                yield (int(d["zoom_level"]), int(d["tile_column"]),
+                       int(d["tile_row"]), blob)
+        return
+    raise MbtilesError("no 'tiles' table and no 'map'+'images' pair")
+
+
+def open_mbtiles(path: str, zoom: int | None = None,
+                 encoding: str | None = None,
+                 source: _ByteSource | None = None) -> Raster:
+    """Open an MBTiles terrain pyramid as a Raster.
+
+    ``zoom`` defaults to the finest level present. ``encoding``
+    ('terrain-rgb' or 'terrarium') comes from the argument, else the
+    metadata table's ``encoding`` key; anything else refuses loudly —
+    silently guessing a decoder would produce plausible wrong
+    elevations.
+    """
+    src = source if source is not None else _ByteSource(path)
+    try:
+        db = _SQLite(src)
+    except GpkgError as e:
+        raise MbtilesError(str(e))
+    tables = db.tables()
+
+    meta = {}
+    for _r, d in _table_dicts(db, tables, "metadata"):
+        if d.get("name") is not None:
+            meta[str(d["name"])] = d.get("value")
+    enc = encoding or meta.get("encoding")
+    if enc == "mapbox.terrain-rgb" or enc == "mapbox":
+        enc = "terrain-rgb"
+    if enc not in _ENCODINGS:
+        raise MbtilesError(
+            f"'{path}': elevation encoding not declared — pass "
+            f"encoding= or set a metadata 'encoding' row to one of "
+            f"{_ENCODINGS} (found {enc!r})")
+    fmt = (meta.get("format") or "png").lower()
+    if fmt != "png":
+        raise MbtilesError(
+            f"'{path}': terrain decode needs PNG tiles, metadata says"
+            f" format={fmt!r}")
+
+    try:
+        rows = list(_tile_rows(db, tables))
+    except GpkgError as e:
+        raise MbtilesError(str(e))
+    if not rows:
+        raise MbtilesError(f"'{path}': no tiles")
+    z = zoom if zoom is not None else max(r[0] for r in rows)
+    level = [(c, tr, blob) for (zz, c, tr, blob) in rows
+             if zz == z and isinstance(blob, (bytes, bytearray))]
+    if not level:
+        raise MbtilesError(f"'{path}': no tiles at zoom {z}")
+    for _c, _tr, blob in level:
+        if not _png.is_png(bytes(blob[:16])):
+            raise MbtilesError(
+                f"'{path}': non-PNG tile payload at zoom {z} (JPEG/WebP"
+                " terrain tiles are not a thing — re-encode)")
+
+    n = 1 << z
+    cols = [c for c, _t, _b in level]
+    xyz_rows = [n - 1 - tr for _c, tr, _b in level]
+    c_min, c_max = min(cols), max(cols)
+    r_min, r_max = min(xyz_rows), max(xyz_rows)
+    first = _png.decode_png(bytes(level[0][2]))
+    tile_px = first.shape[0]
+    if first.shape[0] != first.shape[1]:
+        raise MbtilesError(f"'{path}': non-square {first.shape[:2]} tiles")
+
+    tiles = {}
+    for c, tr, blob in level:
+        tiles[(n - 1 - tr - r_min, c - c_min)] = bytes(blob)
+
+    span = 2.0 * _ORIGIN / n
+    reader = _MbtilesTileReader(
+        src, tiles, tile_px, r_max - r_min + 1, c_max - c_min + 1, enc, z)
+    return Raster(
+        path=path, width=reader.width, height=reader.height,
+        dtype=np.dtype("<f4"),
+        nodata=None,  # absent tiles decode straight to NaN
+        crs=CRSInfo(epsg=3857),
+        x0=-_ORIGIN + c_min * span, y0=_ORIGIN - r_min * span,
+        sx=span / tile_px, sy=span / tile_px,
+        _blocks=reader,
+    )
+
+
+def _encode_elevation(block: np.ndarray, encoding: str) -> np.ndarray:
+    if encoding == "terrain-rgb":
+        v = np.round((block.astype(np.float64) + 10000.0) * 10.0)
+        v = np.clip(v, 0, (1 << 24) - 1).astype(np.uint32)
+        return np.stack([(v >> 16) & 0xFF, (v >> 8) & 0xFF, v & 0xFF],
+                        axis=-1).astype(np.uint8)
+    v = np.round((block.astype(np.float64) + 32768.0) * 256.0)
+    v = np.clip(v, 0, (1 << 24) - 1).astype(np.uint32)
+    return np.stack([(v >> 16) & 0xFF, (v >> 8) & 0xFF, v & 0xFF],
+                    axis=-1).astype(np.uint8)
+
+
+def write_mbtiles(
+    path: str,
+    array: np.ndarray,
+    *,
+    zoom: int,
+    min_col: int,
+    min_row: int,
+    encoding: str = "terrain-rgb",
+    tile_px: int = 256,
+    name: str = "terrain",
+    skip_tiles: tuple = (),
+) -> None:
+    """Write a single-zoom terrain MBTiles (fixture generator + sink).
+
+    ``array`` is north-up elevations whose top-left pixel sits at the
+    top-left corner of XYZ tile (``min_col``, ``min_row``) at ``zoom``;
+    its shape must be a multiple of ``tile_px``. ``skip_tiles`` is a
+    set of (grid_row, grid_col) offsets to leave out — they read back
+    as NaN holes. Terrarium round-trips integer metres exactly;
+    terrain-rgb quantizes to 0.1 m.
+    """
+    if encoding not in _ENCODINGS:
+        raise ValueError(f"encoding must be one of {_ENCODINGS}")
+    arr = np.asarray(array, dtype=np.float64)
+    h, w = arr.shape
+    if h % tile_px or w % tile_px:
+        raise ValueError(
+            f"array shape {arr.shape} is not a multiple of tile_px"
+            f" ({tile_px})")
+    n = 1 << zoom
+    tile_rows = []
+    rowid = 0
+    max_blob = 0
+    skip = set(skip_tiles)
+    for tr in range(h // tile_px):
+        for tc in range(w // tile_px):
+            if (tr, tc) in skip:
+                continue
+            block = arr[tr * tile_px:(tr + 1) * tile_px,
+                        tc * tile_px:(tc + 1) * tile_px]
+            blob = _png.encode_png(_encode_elevation(block, encoding),
+                                   filter_type=2)
+            rowid += 1
+            max_blob = max(max_blob, len(blob))
+            tms_row = n - 1 - (min_row + tr)
+            tile_rows.append((rowid, [zoom, min_col + tc, tms_row, blob]))
+
+    meta_rows = [
+        (1, ["name", name]),
+        (2, ["format", "png"]),
+        (3, ["encoding", encoding]),
+        (4, ["minzoom", str(zoom)]),
+        (5, ["maxzoom", str(zoom)]),
+    ]
+    import os
+
+    from .gpkg import _enc_record, _enc_varint
+
+    page_size = 4096
+    while page_size < max_blob + 200 and page_size < 65536:
+        page_size *= 2
+    dbw = _DbWriter(page_size)
+    # page 1 must be sqlite_master; reserve it, build the user tables,
+    # then fill page 1 with the real rootpages (the write_gpkg pattern)
+    dbw.pages.append(bytearray(page_size))
+    tables = [
+        ("metadata", "CREATE TABLE metadata (name TEXT, value TEXT)",
+         meta_rows),
+        ("tiles",
+         "CREATE TABLE tiles (zoom_level INTEGER, tile_column INTEGER,"
+         " tile_row INTEGER, tile_data BLOB)",
+         tile_rows),
+    ]
+    roots = {t[0]: dbw.table(t[2]) for t in tables}
+    master_cells = []
+    for i, (tname, sql, _rows) in enumerate(tables, start=1):
+        payload = _enc_record(["table", tname, tname, roots[tname], sql])
+        master_cells.append(
+            _enc_varint(len(payload)) + _enc_varint(i) + payload)
+    page1 = dbw.pages[0]
+    content = page_size
+    offs = []
+    for cell in master_cells:
+        content -= len(cell)
+        page1[content : content + len(cell)] = cell
+        offs.append(content)
+    page1[100] = 13
+    struct.pack_into(">HHHB", page1, 101, 0, len(master_cells),
+                     content & 0xFFFF, 0)
+    for i, o in enumerate(offs):
+        struct.pack_into(">H", page1, 108 + 2 * i, o)
+
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(dbw.finish())
+    os.replace(tmp, path)
