@@ -1301,6 +1301,10 @@ def _open_remote(url: str) -> Raster:
         from . import mbtiles
 
         return mbtiles.open_mbtiles(url, source=_RangeByteSource(url))
+    if lower.endswith(".gpkg"):
+        from . import gpkg
+
+        return gpkg.open_gpkg(url, source=_RangeByteSource(url))
     if lower.endswith(".zip"):
         import io
 

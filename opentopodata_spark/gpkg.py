@@ -296,7 +296,7 @@ class _GpkgTileReader:
         return out
 
 
-def open_gpkg(path: str) -> Raster:
+def open_gpkg(path: str, source: _ByteSource | None = None) -> Raster:
     """Open a GeoPackage raster/DEM as a Raster (finest zoom level).
 
     Supports tile pyramids ('tiles' content) with 8-bit gray PNG tiles
@@ -304,7 +304,7 @@ def open_gpkg(path: str) -> Raster:
     ancillary scale/offset/data_null (global and per-tile). JPEG or
     WebP tile payloads, and multi-table packages, are refused loudly.
     """
-    src = _ByteSource(path)
+    src = source if source is not None else _ByteSource(path)
     db = _SQLite(src)
     tables = db.tables()
 

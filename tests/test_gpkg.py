@@ -227,3 +227,29 @@ def test_gpkg_elevation_differential(tmp_path, spark):
     # the GPKG raster is float32 of the same integers the tif stores:
     # identical bilinear inputs -> identical outputs
     assert out["gp"] == out["tif"]
+
+
+def test_remote_gpkg_range_reads(tmp_path):
+    """A .gpkg served over HTTP reads through _RangeByteSource: SQLite
+    pages fetch as byte ranges (never a full-object GET) and windows
+    equal the local twin."""
+    import numpy as np
+
+    from opentopodata_spark.geotiff import open_raster
+    from test_remote_raster import _serve
+
+    arr = (100.0 + np.arange(128 * 128).reshape(128, 128) % 900
+           ).astype(np.float64)
+    p = str(tmp_path / "dem.gpkg")
+    gpkg.write_gpkg(p, arr, x0=10.0, y0=1.0, sx=1 / 128, sy=1 / 128,
+               epsg=4326, tile_size=64, scale=1.0, offset=0.0)
+    srv, base = _serve(str(tmp_path))
+    try:
+        local = open_raster(p)
+        remote = open_raster(f"{base}/dem.gpkg")
+        wl, _ = local.read_window(10, 50, 20, 70)
+        wr, _ = remote.read_window(10, 50, 20, 70)
+        assert np.array_equal(wl, wr)
+        assert all(rng for _p, rng in srv.requests), "full GET happened"
+    finally:
+        srv.shutdown()
