@@ -4323,6 +4323,42 @@ def _formats_http_base() -> str:
     return _FORMATS_SERVER["base"]
 
 
+def q_terrain_tiles_export(spark, sf_dir):
+    """Web-terrain tile export as a CONTRACT query: the two-degree
+    GeoTIFF fixture rendered into z9 Web Mercator Terrarium tiles
+    through the distributed pipeline (pixel grids from pure column
+    expressions -> the ONE-exchange resolver with carried tile keys ->
+    one grouped applyInPandas PNG encode per output tile). Oracle: the
+    single-process sequential twin over ``oracle.get_elevation`` —
+    per-tile md5 of the PNG bytes plus value stats must match exactly;
+    all-NODATA tiles are dropped on both sides."""
+    from opentopodata_spark.operators import tileexport
+
+    _ship_package(spark)
+    ds = _format_dataset("tif")
+    df = tileexport.render_terrain_tiles(
+        spark, [ds], 9, encoding="terrarium", tile_px=64)
+    return df.select("z", "x", "y", "n_valid", "min_el", "max_el", "md5")
+
+
+def _build_terrain_tiles_oracle(sf_dir: str):
+    import pyarrow as pa
+
+    from opentopodata_spark.operators import tileexport
+
+    rows = tileexport.render_terrain_tiles_sequential(
+        [_format_dataset("tif")], 9, encoding="terrarium", tile_px=64)
+    return pa.table({
+        "z": pa.array([r[0] for r in rows], type=pa.int32()),
+        "x": pa.array([r[1] for r in rows], type=pa.int32()),
+        "y": pa.array([r[2] for r in rows], type=pa.int32()),
+        "n_valid": pa.array([r[3] for r in rows], type=pa.int64()),
+        "min_el": pa.array([r[4] for r in rows], type=pa.float64()),
+        "max_el": pa.array([r[5] for r in rows], type=pa.float64()),
+        "md5": pa.array([r[6] for r in rows], type=pa.string()),
+    })
+
+
 def q_remote_elevation(spark, sf_dir):
     """Remote raster IO as a CONTRACT query: the GeoTIFF tiles served
     over HTTP (byte-range reads on the executors, per-worker chunk
@@ -4458,6 +4494,7 @@ def _build_proj4_elevation_oracle(sf_dir: str):
 
 
 _PRECOMPUTED_BUILDERS = {
+    "terrain_tiles_export": _build_terrain_tiles_oracle,
     "raster_formats": _build_raster_formats_oracle,
     "remote_elevation": _build_remote_elevation_oracle,
     "proj4_elevation": _build_proj4_elevation_oracle,
@@ -4506,6 +4543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   3. then the most recently re-verified ones, which rotate out.
     return {
         # -- new in r4 --
+        "terrain_tiles_export": q_terrain_tiles_export,
         "raster_formats": q_raster_formats,
         "remote_elevation": q_remote_elevation,
         "proj4_elevation": q_proj4_elevation,

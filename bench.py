@@ -217,6 +217,9 @@ def main() -> None:
         "proj4_elevation": lambda: contract.q_proj4_elevation(
             spark, SF_DIR
         ),
+        "terrain_tiles_export": lambda: contract.q_terrain_tiles_export(
+            spark, SF_DIR
+        ),
     }
     for name, make in queries.items():
         timings[name], lo, hi = run(make)

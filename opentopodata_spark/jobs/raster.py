@@ -182,6 +182,29 @@ def build_parser() -> argparse.ArgumentParser:
                          "of 16; 0 = strips)")
     tc.add_argument("--skip-existing", action="store_true")
 
+    w = sub.add_parser(
+        "tiles",
+        help="datasets -> Web Mercator terrain tiles (Terrain-RGB /"
+             " Terrarium web-DEM export)")
+    w.add_argument("--config", help="dataset config YAML")
+    w.add_argument("--dataset", help="dataset name (multidatasets ok)")
+    w.add_argument("--rasters", nargs="*",
+                   help="alternative to --config: files sharing ONE"
+                        " directory, opened as a dataset")
+    w.add_argument("--out", required=True,
+                   help="parquet tile-shard dir (z, x, y, stats, png)")
+    w.add_argument("--zoom", type=int, required=True)
+    w.add_argument("--tile-px", type=int, default=256)
+    w.add_argument("--encoding", default="terrarium",
+                   choices=["terrarium", "terrain-rgb"])
+    w.add_argument("--interpolation", default="bilinear")
+    w.add_argument("--bbox", default=None,
+                   help="left,bottom,right,top WGS84 clip")
+    w.add_argument("--mbtiles", default=None,
+                   help="also assemble one MBTiles db here (bounded"
+                        " exports; the parquet shards are the scale"
+                        " sink)")
+
     r = sub.add_parser("rasterize", help="points -> grid aggregation")
     r.add_argument("--points", required=True, help="parquet with lat, lon[, value] columns")
     r.add_argument("--value-col", default=None)
@@ -344,6 +367,52 @@ def run(argv: list[str] | None = None) -> dict:
         )
         out.write.mode("overwrite").parquet(ns.out)
         stats.update(polygons=spark.read.parquet(ns.out).count(), out=ns.out)
+
+    elif ns.cmd == "tiles":
+        from .. import config as _config
+        from ..operators import tileexport as _tileexport
+
+        if ns.config and ns.dataset:
+            all_ds = _config.load_datasets(ns.config)
+            dsets = _config.resolve_dataset_names(ns.dataset, all_ds)
+        elif ns.rasters:
+            import os as _os
+            from glob import glob as _glob
+
+            files = sorted({p for g in ns.rasters for p in _glob(g)})
+            if not files:
+                raise ValueError(f"no files match {ns.rasters}")
+            dirs = {_os.path.dirname(_os.path.abspath(p)) for p in files}
+            if len(dirs) != 1:
+                raise ValueError(
+                    "tiles --rasters needs all files in ONE directory"
+                    f" (got {sorted(dirs)})")
+            dsets = [_config.dataset_from_config(
+                "export", path=dirs.pop(), filename_tile_size=1)]
+        else:
+            raise ValueError("tiles needs --config/--dataset or --rasters")
+        bbox = None
+        if ns.bbox:
+            parts = [float(v) for v in ns.bbox.split(",")]
+            if len(parts) != 4:
+                raise ValueError("--bbox needs left,bottom,right,top")
+            bbox = tuple(parts)
+        df = _tileexport.render_terrain_tiles(
+            spark, dsets, ns.zoom, encoding=ns.encoding,
+            tile_px=ns.tile_px, interpolation=ns.interpolation, bbox=bbox)
+        df.write.mode("overwrite").parquet(ns.out)
+        back = spark.read.parquet(ns.out)
+        stats.update(tiles=back.count(), out=ns.out, zoom=ns.zoom,
+                     encoding=ns.encoding)
+        if ns.mbtiles:
+            from .. import mbtiles as _mbtiles
+
+            rows = back.select("x", "y", "tile_data").collect()
+            _mbtiles.write_mbtiles_tiles(
+                ns.mbtiles,
+                [(r.x, r.y, bytes(r.tile_data)) for r in rows],
+                zoom=ns.zoom, encoding=ns.encoding)
+            stats["mbtiles"] = ns.mbtiles
 
     elif ns.cmd == "rasterize":
         from ..operators import rasterize as _rz

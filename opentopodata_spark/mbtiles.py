@@ -38,7 +38,7 @@ from . import png as _png
 from .geotiff import CRSInfo, Raster, RasterOpenError, _ByteSource
 from .gpkg import GpkgError, _DbWriter, _SQLite, _table_dicts
 
-__all__ = ["open_mbtiles", "write_mbtiles"]
+__all__ = ["open_mbtiles", "write_mbtiles", "write_mbtiles_tiles"]
 
 _ORIGIN = 20037508.342789244  # pi * 6378137 (Web Mercator world edge)
 
@@ -275,6 +275,36 @@ def write_mbtiles(
             tms_row = n - 1 - (min_row + tr)
             tile_rows.append((rowid, [zoom, min_col + tc, tms_row, blob]))
 
+    _write_db(path, tile_rows, zoom=zoom, encoding=encoding, name=name,
+              max_blob=max_blob)
+
+
+def write_mbtiles_tiles(path: str, tiles, *, zoom: int,
+                        encoding: str = "terrarium",
+                        name: str = "terrain") -> None:
+    """Assemble pre-encoded tiles into one MBTiles db.
+
+    ``tiles``: iterable of (x, y_xyz, png_bytes). The convenience sink
+    for bounded exports (jobs/raster tiles --mbtiles); the scale sink
+    is the parquet tile-shard DataFrame itself.
+    """
+    n = 1 << zoom
+    tile_rows = []
+    max_blob = 0
+    for i, (x, y, blob) in enumerate(
+            sorted(tiles, key=lambda t: (t[0], t[1])), start=1):
+        blob = bytes(blob)
+        max_blob = max(max_blob, len(blob))
+        tile_rows.append((i, [zoom, int(x), n - 1 - int(y), blob]))
+    _write_db(path, tile_rows, zoom=zoom, encoding=encoding, name=name,
+              max_blob=max_blob)
+
+
+def _write_db(path, tile_rows, *, zoom, encoding, name, max_blob):
+    import os
+
+    from .gpkg import _enc_record, _enc_varint
+
     meta_rows = [
         (1, ["name", name]),
         (2, ["format", "png"]),
@@ -282,10 +312,6 @@ def write_mbtiles(
         (4, ["minzoom", str(zoom)]),
         (5, ["maxzoom", str(zoom)]),
     ]
-    import os
-
-    from .gpkg import _enc_record, _enc_varint
-
     page_size = 4096
     while page_size < max_blob + 200 and page_size < 65536:
         page_size *= 2

@@ -1,0 +1,256 @@
+"""Distributed web-terrain tile export: datasets -> XYZ elevation tiles.
+
+The product shape of Mapbox Terrain-RGB / AWS Terrarium: render a
+dataset (any supported raster format, any CRS) into Web Mercator XYZ
+tiles with elevation packed into PNG RGB channels, ready to serve from
+a CDN or an MBTiles container. This is the inverse of
+``mbtiles.open_mbtiles`` and closes the raster -> web loop the way
+``rasterize`` closes vector -> raster.
+
+Plan shape (scale-first):
+  1. the tile list at the target zoom comes from the dataset's WGS84
+     coverage intersected with an optional bbox — driver-side and tiny
+     (it is the OUTPUT partition list, like the terrain/overview jobs);
+  2. each tile explodes into its ``tile_px**2`` pixel-center sample
+     points with pure column expressions (slippy -> Web Mercator ->
+     lat/lon inside codegen, no Python);
+  3. the points run through the ordinary ``ElevationResolver`` — the
+     engine's ONE-exchange sampling pipeline, tile keys threaded via
+     ``carry=`` (no extra join);
+  4. one grouped ``applyInPandas`` per output tile assembles the pixel
+     grid, encodes the PNG, and emits stats + an md5 — tiles are
+     independent, so this second exchange is partitioned by the output
+     key and each group is exactly ``tile_px**2`` rows.
+
+All-NODATA tiles are dropped (sparse pyramids, like the real
+products). The sequential twin for oracle checks renders the same
+grids through ``oracle.get_elevation``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+_ORIGIN = 20037508.342789244
+_R = 6378137.0
+
+_TILE_SCHEMA = StructType([
+    StructField("z", IntegerType()),
+    StructField("x", IntegerType()),
+    StructField("y", IntegerType()),
+    StructField("n_valid", LongType()),
+    StructField("min_el", DoubleType()),
+    StructField("max_el", DoubleType()),
+    StructField("md5", StringType()),
+    StructField("tile_data", BinaryType()),
+])
+
+
+def tile_keys_for_bounds(bounds, zoom: int, bbox=None) -> list:
+    """XYZ (x, y) keys at ``zoom`` intersecting a WGS84 bounds object
+    (left/bottom/right/top), clipped to the Web Mercator latitude
+    range and an optional (left, bottom, right, top) bbox."""
+    left, bottom, right, top = (bounds.left, bounds.bottom,
+                                bounds.right, bounds.top)
+    if bbox is not None:
+        left = max(left, bbox[0])
+        bottom = max(bottom, bbox[1])
+        right = min(right, bbox[2])
+        top = min(top, bbox[3])
+    if left >= right or bottom >= top:
+        return []
+    bottom = max(bottom, -85.051128)
+    top = min(top, 85.051128)
+    n = 1 << zoom
+
+    def merc_y(lat):
+        return _R * math.log(math.tan(math.pi / 4
+                                      + math.radians(lat) / 2))
+
+    x0 = int((left + 180.0) / 360.0 * n)
+    x1 = int(min((right + 180.0) / 360.0 * n, n - 1e-9))
+    y0 = int((_ORIGIN - merc_y(top)) / (2 * _ORIGIN) * n)
+    y1 = int(min((_ORIGIN - merc_y(bottom)) / (2 * _ORIGIN) * n,
+                 n - 1e-9))
+    return [(x, y) for y in range(y0, y1 + 1) for x in range(x0, x1 + 1)]
+
+
+def _dataset_tile_keys(datasets, zoom: int, bbox) -> list:
+    """Output tile list: per dataset, config bounds tightened by the
+    DERIVED raster coverage (tiles.derived_wgs84_bounds) — a dataset
+    left at the global default bounds must not enumerate the whole
+    planet's tile grid at z12."""
+    from opentopodata_spark import tiles as _tiles
+    from opentopodata_spark.config import Bounds
+
+    keys = []
+    seen = set()
+    for ds in datasets:
+        b = ds.wgs84_bounds
+        derived = _tiles.derived_wgs84_bounds(ds)
+        if derived is not None:
+            b = Bounds(max(b.left, derived[0]), max(b.bottom, derived[1]),
+                       min(b.right, derived[2]), min(b.top, derived[3]))
+        for xy in tile_keys_for_bounds(b, zoom, bbox=bbox):
+            if xy not in seen:
+                seen.add(xy)
+                keys.append(xy)
+    return keys
+
+
+def _make_tile_encoder(zoom: int, tile_px: int, encoding: str):
+    def encode(pdf):
+        import pandas as pd
+
+        from opentopodata_spark import mbtiles, png
+
+        out = []
+        for (tx, ty), g in pdf.groupby(["tx", "ty"]):
+            grid = np.full((tile_px, tile_px), np.nan)
+            grid[g["pr"].to_numpy(), g["pc"].to_numpy()] = \
+                g["elevation"].to_numpy(dtype=np.float64)
+            valid = np.isfinite(grid)
+            n_valid = int(valid.sum())
+            if n_valid == 0:
+                continue  # sparse pyramid: all-NODATA tiles are dropped
+            enc = grid.copy()
+            enc[~valid] = 0.0  # terrain encodings have no alpha nodata
+            blob = png.encode_png(
+                mbtiles._encode_elevation(enc, encoding), filter_type=2)
+            out.append((
+                zoom, int(tx), int(ty), n_valid,
+                float(np.nanmin(grid)), float(np.nanmax(grid)),
+                hashlib.md5(blob).hexdigest(), bytearray(blob),
+            ))
+        cols = [f.name for f in _TILE_SCHEMA.fields]
+        return pd.DataFrame(out, columns=cols)
+
+    return encode
+
+
+def render_terrain_tiles(
+    spark: SparkSession,
+    datasets,
+    zoom: int,
+    *,
+    encoding: str = "terrarium",
+    tile_px: int = 256,
+    interpolation: str = "bilinear",
+    bbox=None,
+) -> DataFrame:
+    """Render ``datasets`` (priority-ordered, like the resolver) into
+    XYZ terrain tiles at ``zoom``. Returns a DataFrame
+    (z, x, y, n_valid, min_el, max_el, md5, tile_data)."""
+    from opentopodata_spark.operators.elevation import ElevationResolver
+
+    if encoding not in ("terrarium", "terrain-rgb"):
+        raise ValueError("encoding must be terrarium or terrain-rgb")
+    keys = _dataset_tile_keys(datasets, zoom, bbox)
+    if not keys:
+        raise ValueError(f"no tiles intersect the datasets at z{zoom}")
+
+    n = 1 << zoom
+    span = 2.0 * _ORIGIN / n
+    px = span / tile_px
+    tiles = spark.createDataFrame(
+        [(i, int(x), int(y)) for i, (x, y) in enumerate(sorted(keys))],
+        "tile_idx long, tx int, ty int",
+    )
+    pts = (
+        tiles
+        .withColumn("pr", F.explode(F.sequence(
+            F.lit(0), F.lit(tile_px - 1))))
+        .withColumn("pc", F.explode(F.sequence(
+            F.lit(0), F.lit(tile_px - 1))))
+        .withColumn("point_id",
+                    (F.col("tile_idx") * tile_px + F.col("pr"))
+                    * tile_px + F.col("pc"))
+        .withColumn("_mx", F.lit(-_ORIGIN) + F.col("tx") * F.lit(span)
+                    + (F.col("pc") + F.lit(0.5)) * F.lit(px))
+        .withColumn("_my", F.lit(_ORIGIN) - F.col("ty") * F.lit(span)
+                    - (F.col("pr") + F.lit(0.5)) * F.lit(px))
+        .withColumn("lon", F.col("_mx") / F.lit(_ORIGIN) * F.lit(180.0))
+        .withColumn("lat", F.degrees(
+            F.lit(2.0) * F.atan(F.exp(F.col("_my") / F.lit(_R)))
+            - F.lit(math.pi / 2)))
+        .select("point_id", "lat", "lon", "tx", "ty", "pr", "pc")
+    )
+    resolver = ElevationResolver(spark, list(datasets), interpolation)
+    resolved = resolver.resolve(pts, carry=("tx", "ty", "pr", "pc"))
+    return (
+        resolved
+        .select("tx", "ty", "pr", "pc", "elevation")
+        .groupBy("tx", "ty")
+        .applyInPandas(_make_tile_encoder(zoom, tile_px, encoding),
+                       schema=_TILE_SCHEMA)
+    )
+
+
+def render_terrain_tiles_sequential(datasets, zoom: int, *,
+                                    encoding: str = "terrarium",
+                                    tile_px: int = 256,
+                                    interpolation: str = "bilinear",
+                                    bbox=None) -> list:
+    """Single-process twin of :func:`render_terrain_tiles` (oracle and
+    small-export path): same grids through ``oracle.get_elevation``,
+    same encode; returns rows in the tile schema's column order."""
+    import hashlib as _hl
+
+    from opentopodata_spark import mbtiles, oracle, png
+
+    keys = _dataset_tile_keys(datasets, zoom, bbox)
+    n = 1 << zoom
+    span = 2.0 * _ORIGIN / n
+    pxs = span / tile_px
+    rows = []
+    for tx, ty in sorted(keys):
+        mx = -_ORIGIN + tx * span + (np.arange(tile_px) + 0.5) * pxs
+        my = _ORIGIN - ty * span - (np.arange(tile_px) + 0.5) * pxs
+        lons = np.repeat(mx[None, :] / _ORIGIN * 180.0, tile_px, axis=0)
+        lats = np.repeat(
+            np.degrees(2.0 * np.arctan(np.exp(my / _R))
+                       - math.pi / 2)[:, None], tile_px, axis=1)
+        elev, _ = oracle.get_elevation(
+            lats.ravel().tolist(), lons.ravel().tolist(),
+            list(datasets), interpolation)
+        grid = np.array([np.nan if v is None else float(v)
+                         for v in elev]).reshape(tile_px, tile_px)
+        valid = np.isfinite(grid)
+        n_valid = int(valid.sum())
+        if n_valid == 0:
+            continue
+        enc = grid.copy()
+        enc[~valid] = 0.0
+        blob = png.encode_png(
+            mbtiles._encode_elevation(enc, encoding), filter_type=2)
+        rows.append((zoom, int(tx), int(ty), n_valid,
+                     float(np.nanmin(grid)), float(np.nanmax(grid)),
+                     _hl.md5(blob).hexdigest(), bytes(blob)))
+    return rows
+
+
+def write_tiles_mbtiles(rows, path: str, *, zoom: int,
+                        encoding: str = "terrarium",
+                        name: str = "terrain") -> None:
+    """Assemble collected (z, x, y, ..., tile_data) rows into one
+    MBTiles db — the convenience sink for bounded exports (the scale
+    sink is the parquet tile-shard DataFrame itself)."""
+    from opentopodata_spark import mbtiles
+
+    mbtiles.write_mbtiles_tiles(
+        path, [(r[1], r[2], r[-1]) for r in rows],
+        zoom=zoom, encoding=encoding, name=name)

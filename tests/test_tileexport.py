@@ -1,0 +1,95 @@
+"""Distributed web-terrain tile export (operators/tileexport.py)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from opentopodata_spark import config, fixtures, geotiff, mbtiles
+from opentopodata_spark.operators import tileexport
+
+
+@pytest.fixture()
+def dataset(tmp_path):
+    d = str(tmp_path / "src")
+    os.makedirs(d)
+    res = 1.0 / 64
+    for lon0, stem in ((10.0, "N00E010"), (11.0, "N00E011")):
+        lons = lon0 + (np.arange(64) + 0.5) * res
+        lats = 1.0 - (np.arange(64) + 0.5) * res
+        grid = np.round(fixtures.terrain_wgs84(
+            lats[:, None], lons[None, :])).astype(np.int16)
+        geotiff.write_geotiff(os.path.join(d, f"{stem}.tif"), grid,
+                              x0=lon0, y0=1.0, sx=res, sy=res, epsg=4326,
+                              nodata=-32768)
+    return config.dataset_from_config("exp", path=d, filename_tile_size=1)
+
+
+def test_distributed_equals_sequential_twin(spark, dataset):
+    """Every column, including the md5 of the PNG bytes, matches the
+    single-process twin; all-NODATA tiles are dropped on both sides."""
+    df = tileexport.render_terrain_tiles(spark, [dataset], 9,
+                                         encoding="terrarium", tile_px=64)
+    got = sorted(tuple(r)[:7] for r in df.collect())
+    exp = sorted(r[:7] for r in tileexport.render_terrain_tiles_sequential(
+        [dataset], 9, encoding="terrarium", tile_px=64))
+    assert got == exp
+    assert len(got) >= 4
+    # every tile kept has data; none is fully valid (the 2-degree strip
+    # only part-covers its web tiles)
+    for _z, _x, _y, n_valid, mn, mx, _md5 in got:
+        assert 0 < n_valid <= 64 * 64
+        assert mn <= mx
+
+
+def test_export_reads_back_through_open_raster(spark, dataset, tmp_path):
+    """Assembled MBTiles round-trips: decoded pixel values equal the
+    encoder's input grid wherever the source had data (terrarium is
+    integer-exact)."""
+    df = tileexport.render_terrain_tiles(spark, [dataset], 9,
+                                         encoding="terrarium", tile_px=64)
+    rows = df.collect()
+    p = str(tmp_path / "out.mbtiles")
+    tileexport.write_tiles_mbtiles(
+        [tuple(r) for r in rows], p, zoom=9, encoding="terrarium")
+    r = geotiff.open_raster(p)
+    assert r.crs.epsg == 3857
+    band = r.band
+    assert np.isfinite(band).all()  # holes encoded as 0, not alpha
+    mx = max(float(row.max_el) for row in rows)
+    assert band.max() == np.float32(mx)
+
+
+def test_bbox_clip_and_derived_coverage(spark, dataset):
+    keys = tileexport._dataset_tile_keys([dataset], 9, None)
+    # the 2x1-degree strip at z9 is a handful of tiles, never the planet
+    assert 4 <= len(keys) <= 12
+    clipped = tileexport._dataset_tile_keys(
+        [dataset], 9, (10.0, 0.0, 10.7, 1.0))
+    assert set(clipped) < set(keys)
+    with pytest.raises(ValueError, match="no tiles"):
+        tileexport.render_terrain_tiles(spark, [dataset], 9,
+                                        bbox=(100.0, 0.0, 101.0, 1.0))
+    with pytest.raises(ValueError, match="encoding"):
+        tileexport.render_terrain_tiles(spark, [dataset], 9,
+                                        encoding="nope")
+
+
+def test_cli_tiles_job(spark, dataset, tmp_path):
+    """jobs/raster.py tiles: parquet shards + MBTiles assembly."""
+    from opentopodata_spark.jobs import raster as raster_job
+
+    out = str(tmp_path / "shards")
+    mbt = str(tmp_path / "cli.mbtiles")
+    stats = raster_job.run([
+        "tiles", "--rasters", os.path.join(dataset.path, "*.tif"),
+        "--out", out, "--zoom", "9", "--tile-px", "64",
+        "--mbtiles", mbt,
+    ])
+    assert stats["tiles"] >= 4 and stats["encoding"] == "terrarium"
+    back = spark.read.parquet(out)
+    assert back.count() == stats["tiles"]
+    assert set(back.columns) == {
+        "z", "x", "y", "n_valid", "min_el", "max_el", "md5", "tile_data"}
+    r = mbtiles.open_mbtiles(mbt)
+    assert r.crs.epsg == 3857
