@@ -1171,6 +1171,19 @@ def open_raster(path: str) -> Raster:
         from . import gridformats
 
         return gridformats.open_bil(path)
+    if lower.endswith(".dem"):
+        # .dem is two formats: GTOPO30/SRTM30 raw binary (EHdr family,
+        # .HDR sidecar — the global 30-arcsec DEM distribution) and the
+        # legacy USGS ASCII DEM (no sidecar); only the former is read
+        base = path[:-4]
+        if os.path.exists(base + ".hdr") or os.path.exists(base + ".HDR"):
+            from . import gridformats
+
+            return gridformats.open_bil(path)
+        raise RasterOpenError(
+            f"'{path}': .dem without an .hdr/.HDR sidecar — GTOPO30-"
+            "style binary DEMs are supported; the legacy USGS ASCII DEM"
+            " profile is not (convert to GeoTIFF)")
     if lower.endswith(".vrt"):
         from . import gridformats
 

@@ -361,8 +361,13 @@ def open_bil(path: str) -> Raster:
     multi-band files expose band 1 through a strided memmap view (the
     rasterio ``read(1)`` semantics the reference uses) — nothing beyond
     the touched pages is read."""
-    hdr_path = os.path.splitext(path)[0] + ".hdr"
-    if not os.path.exists(hdr_path):
+    base = os.path.splitext(path)[0]
+    hdr_path = None
+    for cand in (base + ".hdr", base + ".HDR"):  # GTOPO30 ships .HDR
+        if os.path.exists(cand):
+            hdr_path = cand
+            break
+    if hdr_path is None:
         raise RasterOpenError(f"'{path}': missing .hdr sidecar")
     kv: dict[str, str] = {}
     with open(hdr_path, "r", encoding="ascii", errors="replace") as f:

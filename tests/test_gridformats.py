@@ -424,3 +424,47 @@ def test_formats_bit_identical_through_pipeline(tmp_path, spark, terrain):
     assert len(base) == 150
     for fmt in ("asc", "xyz", "bil", "nc", "nc4"):
         assert results[fmt] == base, f"{fmt} diverges from GeoTIFF"
+
+
+def test_gtopo30_dem_with_uppercase_hdr(tmp_path):
+    """GTOPO30/SRTM30 distribution layout: W020N90.DEM + W020N90.HDR,
+    big-endian (BYTEORDER M) signed 16-bit, NODATA -9999, ULX/ULYMAP
+    pixel centers."""
+    import numpy as np
+
+    rng = np.random.default_rng(30)
+    grid = rng.integers(-500, 8000, size=(40, 50)).astype(">i2")
+    grid[3, 4] = -9999
+    p = str(tmp_path / "W020N90.DEM")
+    with open(p, "wb") as f:
+        f.write(grid.tobytes())
+    res = 1.0 / 120.0  # 30 arcsec
+    with open(str(tmp_path / "W020N90.HDR"), "w") as f:
+        f.write("BYTEORDER      M\n"
+                "LAYOUT         BIL\n"
+                "NROWS          40\n"
+                "NCOLS          50\n"
+                "NBANDS         1\n"
+                "NBITS          16\n"
+                "BANDROWBYTES   100\n"
+                "TOTALROWBYTES  100\n"
+                "BANDGAPBYTES   0\n"
+                "NODATA         -9999\n"
+                f"ULXMAP         {-20.0 + res / 2}\n"
+                f"ULYMAP         {90.0 - res / 2}\n"
+                f"XDIM           {res}\n"
+                f"YDIM           {res}\n")
+    r = open_raster(p)
+    assert (r.width, r.height) == (50, 40)
+    assert r.nodata == -9999.0
+    assert r.x0 == pytest.approx(-20.0)
+    assert r.y0 == pytest.approx(90.0)
+    assert np.array_equal(np.asarray(r.band), grid)
+    blk = r.read_block(2, 5, 3, 6)
+    assert np.isnan(blk[1, 1])
+    # .dem without a sidecar refuses loudly, naming the ASCII profile
+    q = str(tmp_path / "usgs.dem")
+    with open(q, "w") as f:
+        f.write("legacy ascii record A ...")
+    with pytest.raises(RasterOpenError, match="USGS ASCII"):
+        open_raster(q)
