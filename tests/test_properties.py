@@ -23,6 +23,7 @@ import pytest
 hyp = pytest.importorskip("hypothesis")
 from hypothesis import assume as _assume  # noqa: E402
 from hypothesis import given, settings, strategies as st  # noqa: E402
+from hypothesis.extra.numpy import arrays  # noqa: E402
 
 from opentopodata_spark import crs, geodesic, png, utilmath  # noqa: E402
 
@@ -334,3 +335,54 @@ def test_jpeg_arithmetic_huffman_twin(h, w, seed, q, gray):
     b_h = jpeg.encode_jpeg(img, quality=q)
     b_a = jpeg.encode_jpeg(img, quality=q, arithmetic=True)
     assert np.array_equal(jpeg.decode_jpeg(b_h), jpeg.decode_jpeg(b_a))
+
+
+@given(
+    arrays(
+        np.int16,
+        (7, 9),
+        elements=st.integers(min_value=-32767, max_value=32767),
+    )
+)
+@settings(max_examples=40, deadline=None)
+def test_dted_roundtrip_property(grid):
+    """Any in-range int16 lattice round-trips DTED bit-exactly (7x9 is
+    deliberately NOT a 1-degree-legal shape for the spans, so scale the
+    lattice to a legal 1-degree grid via tiling)."""
+    import tempfile
+
+    from opentopodata_spark import dted
+    from opentopodata_spark.geotiff import open_raster
+
+    full = np.tile(grid, (18, 9))[:121, :73]  # 121 x 73: both divide 1 deg
+    with tempfile.TemporaryDirectory() as d:
+        p = f"{d}/N00E010.dt1"
+        dted.write_dted(p, full, lat0=0.0, lon0=10.0)
+        r = open_raster(p)
+        assert np.array_equal(r.band, full)
+
+
+@given(
+    arrays(
+        np.float64,
+        (4, 4),
+        elements=st.floats(min_value=-9999.0, max_value=9000.0,
+                           allow_nan=False),  # terrain-rgb floor: -10 km
+    ),
+    st.sampled_from(["terrarium", "terrain-rgb"]),
+)
+@settings(max_examples=60, deadline=None)
+def test_terrain_encoding_quantization_property(block, encoding):
+    """decode(encode(x)) is within the encoding's quantum everywhere:
+    1/256 m for terrarium, 0.1 m for terrain-rgb; integers are EXACT
+    under terrarium."""
+    from opentopodata_spark import mbtiles
+
+    rgb = mbtiles._encode_elevation(block, encoding)
+    dec = mbtiles._decode_elevation(rgb, encoding)
+    q = (1.0 / 256.0) if encoding == "terrarium" else 0.1
+    assert np.abs(dec - block).max() <= q / 2 + 1e-4
+    ints = np.round(block)
+    dec_i = mbtiles._decode_elevation(
+        mbtiles._encode_elevation(ints, "terrarium"), "terrarium")
+    assert np.array_equal(dec_i, ints.astype(np.float32))

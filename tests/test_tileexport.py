@@ -93,3 +93,21 @@ def test_cli_tiles_job(spark, dataset, tmp_path):
         "z", "x", "y", "n_valid", "min_el", "max_el", "md5", "tile_data"}
     r = mbtiles.open_mbtiles(mbt)
     assert r.crs.epsg == 3857
+
+
+def test_plan_shape_two_wide_exchanges(spark, dataset):
+    """The export is the resolver's ONE wide exchange plus exactly one
+    hash exchange on the output tile key for the grouped encode — a
+    third exchange (e.g. the mapInPandas-drops-partitioning trap) or a
+    join node would be a scale regression."""
+    df = tileexport.render_terrain_tiles(spark, [dataset], 9,
+                                         encoding="terrarium", tile_px=64)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    wide = [ln for ln in plan.splitlines()
+            if "Exchange" in ln and "BroadcastExchange" not in ln]
+    assert len(wide) == 2, plan
+    # the resolver's candidate joins are broadcast by design; any
+    # SHUFFLE join here would be a regression
+    assert "SortMergeJoin" not in plan, plan
+    assert "ShuffledHashJoin" not in plan, plan
+    assert plan.count("BroadcastExchange") == 1, plan
