@@ -60,10 +60,13 @@ _TILE_SCHEMA = StructType([
 ])
 
 
-def tile_keys_for_bounds(bounds, zoom: int, bbox=None) -> list:
-    """XYZ (x, y) keys at ``zoom`` intersecting a WGS84 bounds object
-    (left/bottom/right/top), clipped to the Web Mercator latitude
-    range and an optional (left, bottom, right, top) bbox."""
+def tile_rect_for_bounds(bounds, zoom: int, bbox=None):
+    """Bounding XYZ tile rectangle (x0, x1, y0, y1 inclusive) at
+    ``zoom`` for a WGS84 bounds object (left/bottom/right/top), clipped
+    to the Web Mercator latitude range and an optional bbox; None when
+    empty. The RECTANGLE is the driver-side object — at z14 over a
+    continent the key list is millions of rows and must be generated
+    on the executors."""
     left, bottom, right, top = (bounds.left, bounds.bottom,
                                 bounds.right, bounds.top)
     if bbox is not None:
@@ -72,9 +75,11 @@ def tile_keys_for_bounds(bounds, zoom: int, bbox=None) -> list:
         right = min(right, bbox[2])
         top = min(top, bbox[3])
     if left >= right or bottom >= top:
-        return []
+        return None
     bottom = max(bottom, -85.051128)
     top = min(top, 85.051128)
+    if bottom >= top:
+        return None
     n = 1 << zoom
 
     def merc_y(lat):
@@ -86,29 +91,50 @@ def tile_keys_for_bounds(bounds, zoom: int, bbox=None) -> list:
     y0 = int((_ORIGIN - merc_y(top)) / (2 * _ORIGIN) * n)
     y1 = int(min((_ORIGIN - merc_y(bottom)) / (2 * _ORIGIN) * n,
                  n - 1e-9))
+    return (x0, x1, y0, y1)
+
+
+def tile_keys_for_bounds(bounds, zoom: int, bbox=None) -> list:
+    """Materialized (x, y) key list for a bounds object — the
+    sequential-twin form of :func:`tile_rect_for_bounds`."""
+    rect = tile_rect_for_bounds(bounds, zoom, bbox=bbox)
+    if rect is None:
+        return []
+    x0, x1, y0, y1 = rect
     return [(x, y) for y in range(y0, y1 + 1) for x in range(x0, x1 + 1)]
 
 
-def _dataset_tile_keys(datasets, zoom: int, bbox) -> list:
-    """Output tile list: per dataset, config bounds tightened by the
-    DERIVED raster coverage (tiles.derived_wgs84_bounds) — a dataset
-    left at the global default bounds must not enumerate the whole
-    planet's tile grid at z12."""
+def _dataset_tile_rects(datasets, zoom: int, bbox) -> list:
+    """Per-dataset bounding tile rectangles: config bounds tightened by
+    the DERIVED raster coverage (tiles.derived_wgs84_bounds) — a
+    dataset left at the global default bounds must not enumerate the
+    whole planet's tile grid at z12."""
     from opentopodata_spark import tiles as _tiles
     from opentopodata_spark.config import Bounds
 
-    keys = []
-    seen = set()
+    rects = []
     for ds in datasets:
         b = ds.wgs84_bounds
         derived = _tiles.derived_wgs84_bounds(ds)
         if derived is not None:
             b = Bounds(max(b.left, derived[0]), max(b.bottom, derived[1]),
                        min(b.right, derived[2]), min(b.top, derived[3]))
-        for xy in tile_keys_for_bounds(b, zoom, bbox=bbox):
-            if xy not in seen:
-                seen.add(xy)
-                keys.append(xy)
+        rect = tile_rect_for_bounds(b, zoom, bbox=bbox)
+        if rect is not None and rect not in rects:
+            rects.append(rect)
+    return rects
+
+
+def _dataset_tile_keys(datasets, zoom: int, bbox) -> list:
+    """Materialized key list across datasets (sequential twin)."""
+    keys = []
+    seen = set()
+    for x0, x1, y0, y1 in _dataset_tile_rects(datasets, zoom, bbox):
+        for y in range(y0, y1 + 1):
+            for x in range(x0, x1 + 1):
+                if (x, y) not in seen:
+                    seen.add((x, y))
+                    keys.append((x, y))
     return keys
 
 
@@ -159,17 +185,32 @@ def render_terrain_tiles(
 
     if encoding not in ("terrarium", "terrain-rgb"):
         raise ValueError("encoding must be terrarium or terrain-rgb")
-    keys = _dataset_tile_keys(datasets, zoom, bbox)
-    if not keys:
+    rects = _dataset_tile_rects(datasets, zoom, bbox)
+    if not rects:
         raise ValueError(f"no tiles intersect the datasets at z{zoom}")
 
     n = 1 << zoom
     span = 2.0 * _ORIGIN / n
     px = span / tile_px
-    tiles = spark.createDataFrame(
-        [(i, int(x), int(y)) for i, (x, y) in enumerate(sorted(keys))],
-        "tile_idx long, tx int, ty int",
-    )
+    # tile keys are generated ON THE EXECUTORS from the driver's tiny
+    # rectangle list (spark.range over each rect) — a z14 continental
+    # export is millions of keys and must never ride through
+    # createDataFrame; overlapping dataset rects dedupe with one
+    # key-frame-only exchange (skipped in the single-rect common case)
+    tiles = None
+    for x0, x1, y0, y1 in rects:
+        nx = x1 - x0 + 1
+        r = (
+            spark.range(nx * (y1 - y0 + 1))
+            .select(
+                (F.lit(x0) + (F.col("id") % nx)).cast("int").alias("tx"),
+                (F.lit(y0) + (F.col("id") / nx).cast("long"))
+                .cast("int").alias("ty"),
+            )
+        )
+        tiles = r if tiles is None else tiles.unionByName(r)
+    if len(rects) > 1:
+        tiles = tiles.dropDuplicates(["tx", "ty"])
     pts = (
         tiles
         .withColumn("pr", F.explode(F.sequence(
@@ -177,8 +218,8 @@ def render_terrain_tiles(
         .withColumn("pc", F.explode(F.sequence(
             F.lit(0), F.lit(tile_px - 1))))
         .withColumn("point_id",
-                    (F.col("tile_idx") * tile_px + F.col("pr"))
-                    * tile_px + F.col("pc"))
+                    ((F.col("ty").cast("long") * n + F.col("tx"))
+                     * tile_px + F.col("pr")) * tile_px + F.col("pc"))
         .withColumn("_mx", F.lit(-_ORIGIN) + F.col("tx") * F.lit(span)
                     + (F.col("pc") + F.lit(0.5)) * F.lit(px))
         .withColumn("_my", F.lit(_ORIGIN) - F.col("ty") * F.lit(span)
