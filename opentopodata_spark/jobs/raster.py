@@ -193,7 +193,11 @@ def build_parser() -> argparse.ArgumentParser:
                         " directory, opened as a dataset")
     w.add_argument("--out", required=True,
                    help="parquet tile-shard dir (z, x, y, stats, png)")
-    w.add_argument("--zoom", type=int, required=True)
+    w.add_argument("--zoom", type=int, required=True,
+                   help="base (finest) zoom level")
+    w.add_argument("--min-zoom", type=int, default=None,
+                   help="also roll the base level up into a pyramid"
+                        " down to this zoom (2x2 NaN-aware average)")
     w.add_argument("--tile-px", type=int, default=256)
     w.add_argument("--encoding", default="terrarium",
                    choices=["terrarium", "terrain-rgb"])
@@ -400,18 +404,24 @@ def run(argv: list[str] | None = None) -> dict:
         df = _tileexport.render_terrain_tiles(
             spark, dsets, ns.zoom, encoding=ns.encoding,
             tile_px=ns.tile_px, interpolation=ns.interpolation, bbox=bbox)
+        if ns.min_zoom is not None:
+            df = _tileexport.build_tile_pyramid(
+                df, base_zoom=ns.zoom, min_zoom=ns.min_zoom,
+                tile_px=ns.tile_px, encoding=ns.encoding)
         df.write.mode("overwrite").parquet(ns.out)
         back = spark.read.parquet(ns.out)
         stats.update(tiles=back.count(), out=ns.out, zoom=ns.zoom,
                      encoding=ns.encoding)
+        if ns.min_zoom is not None:
+            stats["min_zoom"] = ns.min_zoom
         if ns.mbtiles:
             from .. import mbtiles as _mbtiles
 
-            rows = back.select("x", "y", "tile_data").collect()
+            rows = back.select("z", "x", "y", "tile_data").collect()
             _mbtiles.write_mbtiles_tiles(
                 ns.mbtiles,
-                [(r.x, r.y, bytes(r.tile_data)) for r in rows],
-                zoom=ns.zoom, encoding=ns.encoding)
+                [(r.z, r.x, r.y, bytes(r.tile_data)) for r in rows],
+                encoding=ns.encoding)
             stats["mbtiles"] = ns.mbtiles
 
     elif ns.cmd == "rasterize":

@@ -275,32 +275,44 @@ def write_mbtiles(
             tms_row = n - 1 - (min_row + tr)
             tile_rows.append((rowid, [zoom, min_col + tc, tms_row, blob]))
 
-    _write_db(path, tile_rows, zoom=zoom, encoding=encoding, name=name,
-              max_blob=max_blob)
+    _write_db(path, tile_rows, min_zoom=zoom, max_zoom=zoom,
+              encoding=encoding, name=name, max_blob=max_blob)
 
 
-def write_mbtiles_tiles(path: str, tiles, *, zoom: int,
+def write_mbtiles_tiles(path: str, tiles, *, zoom: int | None = None,
                         encoding: str = "terrarium",
                         name: str = "terrain") -> None:
     """Assemble pre-encoded tiles into one MBTiles db.
 
-    ``tiles``: iterable of (x, y_xyz, png_bytes). The convenience sink
-    for bounded exports (jobs/raster tiles --mbtiles); the scale sink
-    is the parquet tile-shard DataFrame itself.
+    ``tiles``: (x, y_xyz, png_bytes) triples with ``zoom`` given, or
+    (z, x, y_xyz, png_bytes) quads for a multi-zoom pyramid. The
+    convenience sink for bounded exports (jobs/raster tiles
+    --mbtiles); the scale sink is the parquet tile-shard DataFrame.
     """
-    n = 1 << zoom
+    quads = []
+    for t in tiles:
+        if len(t) == 3:
+            if zoom is None:
+                raise ValueError("3-tuple tiles need an explicit zoom=")
+            quads.append((zoom, int(t[0]), int(t[1]), bytes(t[2])))
+        else:
+            quads.append((int(t[0]), int(t[1]), int(t[2]), bytes(t[3])))
+    if not quads:
+        raise ValueError("no tiles to write")
     tile_rows = []
     max_blob = 0
-    for i, (x, y, blob) in enumerate(
-            sorted(tiles, key=lambda t: (t[0], t[1])), start=1):
-        blob = bytes(blob)
+    for i, (z, x, y, blob) in enumerate(
+            sorted(quads, key=lambda t: (t[0], t[1], t[2])), start=1):
         max_blob = max(max_blob, len(blob))
-        tile_rows.append((i, [zoom, int(x), n - 1 - int(y), blob]))
-    _write_db(path, tile_rows, zoom=zoom, encoding=encoding, name=name,
-              max_blob=max_blob)
+        tile_rows.append((i, [z, x, (1 << z) - 1 - y, blob]))
+    _write_db(path, tile_rows,
+              min_zoom=min(q[0] for q in quads),
+              max_zoom=max(q[0] for q in quads),
+              encoding=encoding, name=name, max_blob=max_blob)
 
 
-def _write_db(path, tile_rows, *, zoom, encoding, name, max_blob):
+def _write_db(path, tile_rows, *, min_zoom, max_zoom, encoding, name,
+              max_blob):
     import os
 
     from .gpkg import _enc_record, _enc_varint
@@ -309,8 +321,8 @@ def _write_db(path, tile_rows, *, zoom, encoding, name, max_blob):
         (1, ["name", name]),
         (2, ["format", "png"]),
         (3, ["encoding", encoding]),
-        (4, ["minzoom", str(zoom)]),
-        (5, ["maxzoom", str(zoom)]),
+        (4, ["minzoom", str(min_zoom)]),
+        (5, ["maxzoom", str(max_zoom)]),
     ]
     page_size = 4096
     while page_size < max_blob + 200 and page_size < 65536:

@@ -284,6 +284,133 @@ def render_terrain_tiles_sequential(datasets, zoom: int, *,
     return rows
 
 
+def _make_parent_encoder(parent_zoom: int, tile_px: int, encoding: str):
+    """Grouped 2x2 rollup: decode up to 4 child PNGs, NaN-aware
+    average each 2x2 pixel block (GDAL 'average' overview semantics —
+    nodata excluded from the mean), re-encode at the parent zoom."""
+    def encode(pdf):
+        import pandas as pd
+
+        from opentopodata_spark import mbtiles, png
+
+        out = []
+        for (px_, py_), g in pdf.groupby(["parent_x", "parent_y"]):
+            mosaic = np.full((2 * tile_px, 2 * tile_px), np.nan)
+            for _i, row in g.iterrows():
+                arr = mbtiles._decode_elevation(
+                    png.decode_png(bytes(row["tile_data"])), encoding)
+                # children whose quadrant had no data carry zeros where
+                # their own parents were NaN-holes; n_valid bounds that
+                r0 = (int(row["y"]) % 2) * tile_px
+                c0 = (int(row["x"]) % 2) * tile_px
+                mosaic[r0:r0 + tile_px, c0:c0 + tile_px] = \
+                    arr.astype(np.float64)
+            quads = mosaic.reshape(tile_px, 2, tile_px, 2)
+            counts = np.isfinite(quads).sum(axis=(1, 3))
+            sums = np.nansum(quads, axis=(1, 3))
+            with np.errstate(invalid="ignore"):
+                grid = np.where(counts > 0, sums / np.maximum(counts, 1),
+                                np.nan)
+            valid = np.isfinite(grid)
+            n_valid = int(valid.sum())
+            if n_valid == 0:
+                continue
+            enc = grid.copy()
+            enc[~valid] = 0.0
+            blob = png.encode_png(
+                mbtiles._encode_elevation(enc, encoding), filter_type=2)
+            out.append((
+                parent_zoom, int(px_), int(py_), n_valid,
+                float(np.nanmin(grid)), float(np.nanmax(grid)),
+                hashlib.md5(blob).hexdigest(), bytearray(blob),
+            ))
+        cols = [f.name for f in _TILE_SCHEMA.fields]
+        return pd.DataFrame(out, columns=cols)
+
+    return encode
+
+
+def build_tile_pyramid(base: DataFrame, *, base_zoom: int, min_zoom: int,
+                       tile_px: int = 256,
+                       encoding: str = "terrarium") -> DataFrame:
+    """Roll a base tile level up into a pyramid (min_zoom..base_zoom).
+
+    Each parent level is one grouped applyInPandas over exactly its 4
+    children — encoded PNG bytes are what shuffles (KB-scale per tile),
+    never pixel rows, and level z-1 has a quarter of level z's tiles,
+    so the whole pyramid costs ~1/3 extra of the base level's bytes
+    (the gdaladdo geometry). Returns the union of all levels."""
+    if min_zoom > base_zoom:
+        raise ValueError("min_zoom must be <= base_zoom")
+    levels = [base]
+    level = base
+    for z in range(base_zoom, min_zoom, -1):
+        parent = (
+            level
+            .select(
+                "x", "y", "tile_data",
+                (F.col("x") / 2).cast("int").alias("parent_x"),
+                (F.col("y") / 2).cast("int").alias("parent_y"),
+            )
+            .groupBy("parent_x", "parent_y")
+            .applyInPandas(
+                _make_parent_encoder(z - 1, tile_px, encoding),
+                schema=_TILE_SCHEMA,
+            )
+        )
+        levels.append(parent)
+        level = parent
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return out
+
+
+def build_tile_pyramid_sequential(rows, *, base_zoom: int, min_zoom: int,
+                                  tile_px: int = 256,
+                                  encoding: str = "terrarium") -> list:
+    """Single-process twin of :func:`build_tile_pyramid` over collected
+    base rows (z, x, y, n_valid, min, max, md5, blob)."""
+    from opentopodata_spark import mbtiles, png
+
+    out = list(rows)
+    level = {(r[1], r[2]): bytes(r[-1]) for r in rows}
+    for z in range(base_zoom, min_zoom, -1):
+        parents: dict = {}
+        for (x, y), blob in level.items():
+            parents.setdefault((x // 2, y // 2), []).append((x, y, blob))
+        nxt = {}
+        for (px_, py_), kids in sorted(parents.items()):
+            mosaic = np.full((2 * tile_px, 2 * tile_px), np.nan)
+            for x, y, blob in kids:
+                arr = mbtiles._decode_elevation(
+                    png.decode_png(blob), encoding)
+                r0 = (y % 2) * tile_px
+                c0 = (x % 2) * tile_px
+                mosaic[r0:r0 + tile_px, c0:c0 + tile_px] = \
+                    arr.astype(np.float64)
+            quads = mosaic.reshape(tile_px, 2, tile_px, 2)
+            counts = np.isfinite(quads).sum(axis=(1, 3))
+            sums = np.nansum(quads, axis=(1, 3))
+            with np.errstate(invalid="ignore"):
+                grid = np.where(counts > 0, sums / np.maximum(counts, 1),
+                                np.nan)
+            valid = np.isfinite(grid)
+            n_valid = int(valid.sum())
+            if n_valid == 0:
+                continue
+            enc = grid.copy()
+            enc[~valid] = 0.0
+            blob = png.encode_png(
+                mbtiles._encode_elevation(enc, encoding), filter_type=2)
+            nxt[(px_, py_)] = blob
+            out.append((z - 1, px_, py_, n_valid,
+                        float(np.nanmin(grid)), float(np.nanmax(grid)),
+                        hashlib.md5(blob).hexdigest(), blob))
+        level = nxt
+    return out
+
+
 def write_tiles_mbtiles(rows, path: str, *, zoom: int,
                         encoding: str = "terrarium",
                         name: str = "terrain") -> None:

@@ -111,3 +111,43 @@ def test_plan_shape_two_wide_exchanges(spark, dataset):
     assert "SortMergeJoin" not in plan, plan
     assert "ShuffledHashJoin" not in plan, plan
     assert plan.count("BroadcastExchange") == 1, plan
+
+
+def test_pyramid_rollup_matches_sequential_twin(spark, dataset, tmp_path):
+    """z9 base rolled to z7: every pyramid level equals the
+    single-process twin md5-for-md5; a parent's 2x2 NaN-aware average
+    keeps value bounds inside its children's."""
+    base = tileexport.render_terrain_tiles(spark, [dataset], 9,
+                                           encoding="terrarium",
+                                           tile_px=64)
+    pyr = tileexport.build_tile_pyramid(base, base_zoom=9, min_zoom=7,
+                                        tile_px=64, encoding="terrarium")
+    got = sorted(tuple(r)[:7] for r in pyr.collect())
+    base_rows = tileexport.render_terrain_tiles_sequential(
+        [dataset], 9, encoding="terrarium", tile_px=64)
+    exp = sorted(r[:7] for r in tileexport.build_tile_pyramid_sequential(
+        base_rows, base_zoom=9, min_zoom=7, tile_px=64,
+        encoding="terrarium"))
+    assert got == exp
+    zs = {r[0] for r in got}
+    assert zs == {7, 8, 9}
+    by_z = {z: [r for r in got if r[0] == z] for z in zs}
+    assert len(by_z[8]) < len(by_z[9])
+    # averaging can never exceed the children's max; minima CAN drop
+    # toward 0 because encoded hole-pixels (terrain encodings have no
+    # alpha) enter parent averages, as in real terrain-rgb pyramids
+    maxs = {z: max(r[5] for r in by_z[z]) for z in zs}
+    assert maxs[8] <= maxs[9] + 0.01 and maxs[7] <= maxs[8] + 0.01
+
+    # multi-zoom MBTiles assembly reads back at every level
+    from opentopodata_spark import mbtiles as mbt
+
+    rows = pyr.collect()
+    p = str(tmp_path / "pyr.mbtiles")
+    mbt.write_mbtiles_tiles(
+        p, [(r.z, r.x, r.y, bytes(r.tile_data)) for r in rows])
+    for z in (7, 8, 9):
+        r = mbt.open_mbtiles(p, zoom=z)
+        assert r.width >= 64
+    # default open picks the finest level
+    assert mbt.open_mbtiles(p).sx == mbt.open_mbtiles(p, zoom=9).sx
