@@ -4359,6 +4359,42 @@ def _build_terrain_tiles_oracle(sf_dir: str):
     })
 
 
+def q_terrain_pyramid_export(spark, sf_dir):
+    """Pyramid rollup as a CONTRACT query: the z9 base level rolled up
+    to z7 with the distributed 2x2 NaN-aware-average encoder (only
+    encoded PNG bytes shuffle) must match the single-process twin
+    md5-for-md5 at every level."""
+    from opentopodata_spark.operators import tileexport
+
+    _ship_package(spark)
+    ds = _format_dataset("tif")
+    base = tileexport.render_terrain_tiles(
+        spark, [ds], 9, encoding="terrarium", tile_px=64)
+    pyr = tileexport.build_tile_pyramid(
+        base, base_zoom=9, min_zoom=7, tile_px=64, encoding="terrarium")
+    return pyr.select("z", "x", "y", "n_valid", "min_el", "max_el", "md5")
+
+
+def _build_terrain_pyramid_oracle(sf_dir: str):
+    import pyarrow as pa
+
+    from opentopodata_spark.operators import tileexport
+
+    base = tileexport.render_terrain_tiles_sequential(
+        [_format_dataset("tif")], 9, encoding="terrarium", tile_px=64)
+    rows = tileexport.build_tile_pyramid_sequential(
+        base, base_zoom=9, min_zoom=7, tile_px=64, encoding="terrarium")
+    return pa.table({
+        "z": pa.array([r[0] for r in rows], type=pa.int32()),
+        "x": pa.array([r[1] for r in rows], type=pa.int32()),
+        "y": pa.array([r[2] for r in rows], type=pa.int32()),
+        "n_valid": pa.array([r[3] for r in rows], type=pa.int64()),
+        "min_el": pa.array([r[4] for r in rows], type=pa.float64()),
+        "max_el": pa.array([r[5] for r in rows], type=pa.float64()),
+        "md5": pa.array([r[6] for r in rows], type=pa.string()),
+    })
+
+
 def q_remote_elevation(spark, sf_dir):
     """Remote raster IO as a CONTRACT query: the GeoTIFF tiles served
     over HTTP (byte-range reads on the executors, per-worker chunk
@@ -4495,6 +4531,7 @@ def _build_proj4_elevation_oracle(sf_dir: str):
 
 _PRECOMPUTED_BUILDERS = {
     "terrain_tiles_export": _build_terrain_tiles_oracle,
+    "terrain_pyramid_export": _build_terrain_pyramid_oracle,
     "raster_formats": _build_raster_formats_oracle,
     "remote_elevation": _build_remote_elevation_oracle,
     "proj4_elevation": _build_proj4_elevation_oracle,
@@ -4544,6 +4581,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- new in r4 --
         "terrain_tiles_export": q_terrain_tiles_export,
+        "terrain_pyramid_export": q_terrain_pyramid_export,
         "raster_formats": q_raster_formats,
         "remote_elevation": q_remote_elevation,
         "proj4_elevation": q_proj4_elevation,

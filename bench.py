@@ -220,6 +220,9 @@ def main() -> None:
         "terrain_tiles_export": lambda: contract.q_terrain_tiles_export(
             spark, SF_DIR
         ),
+        "terrain_pyramid_export": lambda: (
+            contract.q_terrain_pyramid_export(spark, SF_DIR)
+        ),
     }
     for name, make in queries.items():
         timings[name], lo, hi = run(make)
