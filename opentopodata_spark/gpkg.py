@@ -140,6 +140,92 @@ class _SQLite:
                     f"'{self.src.path}': unexpected page type {ptype}"
                 )
 
+    def _local_len(self, plen: int) -> int:
+        """Bytes of a payload stored inline on the leaf page (the rest
+        rides the overflow chain)."""
+        u = self.usable
+        max_local = u - 35
+        if plen <= max_local:
+            return plen
+        min_local = ((u - 12) * 32) // 255 - 23
+        local = min_local + (plen - min_local) % (u - 4)
+        return local if local <= max_local else min_local
+
+    def rows_prefix(self, rootpage: int, ncols: int):
+        """Yield (rowid, first-``ncols`` values) touching ONLY each
+        cell's local payload prefix — a trailing large blob's overflow
+        chain is never read. This is how a planet-scale tile table is
+        indexed without materializing its blobs; rows whose prefix
+        cannot satisfy ``ncols`` (pathological headers) fall back to
+        the full payload."""
+        stack = [rootpage]
+        while stack:
+            page = self._page(stack.pop())
+            base = 100 if page[:16] == b"SQLite format 3\x00" else 0
+            ptype = page[base]
+            ncells = struct.unpack(">H", page[base + 3 : base + 5])[0]
+            if ptype == 5:
+                right = struct.unpack(">I", page[base + 8 : base + 12])[0]
+                arr = base + 12
+                for i in range(ncells):
+                    off = struct.unpack(
+                        ">H", page[arr + 2 * i : arr + 2 * i + 2])[0]
+                    stack.append(
+                        struct.unpack(">I", page[off : off + 4])[0])
+                stack.append(right)
+            elif ptype == 13:
+                arr = base + 8
+                for i in range(ncells):
+                    off = struct.unpack(
+                        ">H", page[arr + 2 * i : arr + 2 * i + 2])[0]
+                    plen, p = _varint(page, off)
+                    rowid, p = _varint(page, p)
+                    local = page[p : p + self._local_len(plen)]
+                    vals = _record_prefix(local, ncols)
+                    if vals is None:  # header/values spill past prefix
+                        vals = _record(
+                            self._payload(page, p, plen))[:ncols]
+                    yield rowid, vals
+            else:
+                raise GpkgError(
+                    f"'{self.src.path}': unexpected page type {ptype}")
+
+    def row_by_rowid(self, rootpage: int, rowid: int):
+        """Fetch ONE row by rowid: descend interior pages, decode a
+        single leaf cell (including its overflow chain). O(tree depth)
+        page reads — the lazy-blob path for tile tables."""
+        page_no = rootpage
+        while True:
+            page = self._page(page_no)
+            base = 100 if page[:16] == b"SQLite format 3\x00" else 0
+            ptype = page[base]
+            ncells = struct.unpack(">H", page[base + 3 : base + 5])[0]
+            if ptype == 5:
+                arr = base + 12
+                nxt = struct.unpack(">I", page[base + 8 : base + 12])[0]
+                for i in range(ncells):
+                    off = struct.unpack(
+                        ">H", page[arr + 2 * i : arr + 2 * i + 2])[0]
+                    key, _ = _varint(page, off + 4)
+                    if rowid <= key:
+                        nxt = struct.unpack(
+                            ">I", page[off : off + 4])[0]
+                        break
+                page_no = nxt
+            elif ptype == 13:
+                arr = base + 8
+                for i in range(ncells):
+                    off = struct.unpack(
+                        ">H", page[arr + 2 * i : arr + 2 * i + 2])[0]
+                    plen, p = _varint(page, off)
+                    rid, p = _varint(page, p)
+                    if rid == rowid:
+                        return _record(self._payload(page, p, plen))
+                return None
+            else:
+                raise GpkgError(
+                    f"'{self.src.path}': unexpected page type {ptype}")
+
     def tables(self) -> dict[str, tuple[int, str]]:
         """name -> (rootpage, create_sql) from sqlite_master."""
         out = {}
@@ -178,6 +264,56 @@ def _record(payload: bytes) -> list:
         elif s >= 13:
             n = (s - 13) // 2
             vals.append(payload[p : p + n].decode("utf-8", "replace"))
+            p += n
+        else:
+            raise GpkgError(f"reserved SQLite serial type {s}")
+    return vals
+
+
+def _record_prefix(local: bytes, ncols: int):
+    """Decode the first ``ncols`` values from a payload PREFIX; None if
+    the header or any needed value extends past it."""
+    try:
+        hlen, p = _varint(local, 0)
+    except IndexError:
+        return None
+    if hlen > len(local):
+        return None
+    serials = []
+    q = p
+    while q < hlen and len(serials) < ncols:
+        s, q = _varint(local, q)
+        serials.append(s)
+    if len(serials) < ncols:
+        return None
+    p = hlen
+    vals = []
+    for s in serials:
+        if s == 0:
+            vals.append(None)
+        elif s in (1, 2, 3, 4, 5, 6):
+            n = {1: 1, 2: 2, 3: 3, 4: 4, 5: 6, 6: 8}[s]
+            if p + n > len(local):
+                return None
+            vals.append(int.from_bytes(local[p : p + n], "big",
+                                       signed=True))
+            p += n
+        elif s == 7:
+            if p + 8 > len(local):
+                return None
+            vals.append(struct.unpack(">d", local[p : p + 8])[0])
+            p += 8
+        elif s == 8:
+            vals.append(0)
+        elif s == 9:
+            vals.append(1)
+        elif s >= 12:
+            n = (s - 12) // 2 if s % 2 == 0 else (s - 13) // 2
+            if p + n > len(local):
+                return None
+            raw = local[p : p + n]
+            vals.append(raw if s % 2 == 0
+                        else raw.decode("utf-8", "replace"))
             p += n
         else:
             raise GpkgError(f"reserved SQLite serial type {s}")
@@ -238,12 +374,9 @@ class _GpkgTileReader:
     width: int
     tile_h: int
     tile_w: int
-    # (tile_row, tile_col) -> (leaf payload locator) — materialized as
-    # raw blob bytes lazily via the rows generator is O(table); instead
-    # the index stores the decoded-blob CACHE KEY + raw blob bytes
-    # offsets aren't addressable, so the map stores the raw blob itself
-    # only until first decode (then the LRU owns the decoded array).
-    tiles: dict[tuple[int, int], bytes] = None
+    # (tile_row, tile_col) -> (rootpage, rowid, blob_col): blobs fetch
+    # lazily by rowid (one B-tree descent), never materialized at open
+    tiles: dict[tuple[int, int], tuple] = None
     scales: dict[tuple[int, int], tuple[float, float]] = None
     g_scale: float = 1.0
     g_offset: float = 0.0
@@ -252,12 +385,24 @@ class _GpkgTileReader:
     fill: float = float("nan")
 
     def _decode(self, key: tuple[int, int]) -> np.ndarray:
-        blob = self.tiles.get(key)
+        loc = self.tiles.get(key)
         native = self.dtype.newbyteorder("=")
-        if blob is None:
+        if loc is None:
             return np.full((self.tile_h, self.tile_w),
                            native.type(self.fill) if self.dtype.kind == "f"
                            else 0, dtype=native)
+        root, rowid, blob_col = loc
+        row = self.db.row_by_rowid(root, rowid)
+        blob = row[blob_col] if row is not None else None
+        if not isinstance(blob, (bytes, bytearray)):
+            raise GpkgError(
+                f"'{self.source.path}': tile rowid {rowid} vanished or"
+                " is not a blob")
+        blob = bytes(blob)
+        if not _png.is_png(blob[:16]):
+            raise GpkgError(
+                f"'{self.source.path}': non-PNG tile payload (JPEG/WebP"
+                " tiles are not supported — re-encode with PNG)")
         arr = _png.decode_png(blob)
         if arr.shape[2] != 1:
             arr = arr[:, :, :1]  # gray profile; extra channels dropped
@@ -369,21 +514,28 @@ def open_gpkg(path: str, source: _ByteSource | None = None) -> Raster:
     mw, mh = int(tm["matrix_width"]), int(tm["matrix_height"])
     px, py = float(tm["pixel_x_size"]), float(tm["pixel_y_size"])
 
-    tiles: dict[tuple[int, int], bytes] = {}
+    # index the tile table by PREFIX scan (zoom/row/col + rowid) — the
+    # blobs themselves fetch lazily by rowid at decode time, so opening
+    # a multi-GB coverage never materializes its payloads
+    t_root, t_sql = tables[tname]
+    t_cols = _columns(t_sql)
+    try:
+        iz = t_cols.index("zoom_level")
+        ir = t_cols.index("tile_row")
+        ic = t_cols.index("tile_column")
+        ib = t_cols.index("tile_data")
+    except ValueError:
+        raise GpkgError(f"'{path}': '{tname}' lacks tile columns"
+                        f" ({t_cols})")
+    tiles: dict[tuple[int, int], tuple] = {}
     rowid_of: dict[int, tuple[int, int]] = {}
-    for rowid, d in _table_dicts(db, tables, tname):
-        if int(d["zoom_level"]) != zoom:
+    for rowid, vals in db.rows_prefix(t_root, max(iz, ir, ic) + 1):
+        if vals[iz] is None or int(vals[iz]) != zoom:
             continue
-        blob = d["tile_data"]
-        if not isinstance(blob, (bytes, bytearray)):
+        if vals[ir] is None or vals[ic] is None:
             continue
-        if not _png.is_png(bytes(blob[:16])):
-            raise GpkgError(
-                f"'{path}': non-PNG tile payload (JPEG/WebP tiles are"
-                " not supported — re-encode with PNG)"
-            )
-        key = (int(d["tile_row"]), int(d["tile_column"]))
-        tiles[key] = bytes(blob)
+        key = (int(vals[ir]), int(vals[ic]))
+        tiles[key] = (t_root, rowid, ib)
         rowid_of[rowid] = key
     if not tiles:
         raise GpkgError(f"'{path}': no tiles at zoom {zoom}")

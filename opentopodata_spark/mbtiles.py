@@ -61,23 +61,46 @@ def _decode_elevation(rgb: np.ndarray, encoding: str) -> np.ndarray:
 
 class _MbtilesTileReader:
     """Windowed reads over the tile grid; duck-types
-    geotiff._BlockReader.read (same shape as gpkg._GpkgTileReader)."""
+    geotiff._BlockReader.read (same shape as gpkg._GpkgTileReader).
 
-    def __init__(self, source, tiles, tile_px, n_rows, n_cols, encoding,
-                 zoom):
+    ``tiles`` maps (grid_row, grid_col) -> (rootpage, rowid, blob_col):
+    blobs are fetched LAZILY by rowid (one B-tree descent through the
+    byte-source chunk LRU), so opening a planet-scale pyramid indexes
+    the tile table without ever materializing its payloads."""
+
+    def __init__(self, source, db, tiles, tile_px, n_rows, n_cols,
+                 encoding, zoom):
         self.source = source
-        self.tiles = tiles          # (grid_row, grid_col) -> PNG bytes
+        self.db = db
+        self.tiles = tiles
         self.tile_h = self.tile_w = tile_px
         self.height = n_rows * tile_px
         self.width = n_cols * tile_px
         self.encoding = encoding
         self.zoom = zoom
 
+    def _fetch(self, key) -> bytes | None:
+        loc = self.tiles.get(key)
+        if loc is None:
+            return None
+        root, rowid, blob_col = loc
+        row = self.db.row_by_rowid(root, rowid)
+        if row is None or not isinstance(row[blob_col],
+                                         (bytes, bytearray)):
+            raise MbtilesError(
+                f"'{self.source.path}': tile rowid {rowid} vanished or"
+                " is not a blob")
+        return bytes(row[blob_col])
+
     def _decode(self, key) -> np.ndarray:
-        blob = self.tiles.get(key)
+        blob = self._fetch(key)
         if blob is None:
             return np.full((self.tile_h, self.tile_w), np.nan,
                            dtype=np.float32)
+        if not _png.is_png(blob[:16]):
+            raise MbtilesError(
+                f"'{self.source.path}': non-PNG tile payload (JPEG/WebP"
+                " terrain tiles are not a thing — re-encode)")
         arr = _png.decode_png(blob)
         if arr.dtype != np.uint8 or arr.shape[2] < 3:
             raise MbtilesError(
@@ -115,22 +138,58 @@ class _MbtilesTileReader:
         return out
 
 
-def _tile_rows(db: _SQLite, tables):
-    """Yield (zoom, col, tms_row, blob) from either layout."""
+def _tile_index(db: _SQLite, tables):
+    """Yield (zoom, col, tms_row, (rootpage, rowid, blob_col)) from
+    either layout WITHOUT reading any tile payload: the key columns
+    come from prefix scans (gpkg._SQLite.rows_prefix), the blob is
+    fetched later by rowid."""
+    from .gpkg import _columns
+
     if "tiles" in tables:
-        for _r, d in _table_dicts(db, tables, "tiles"):
-            yield (int(d["zoom_level"]), int(d["tile_column"]),
-                   int(d["tile_row"]), d["tile_data"])
+        root, sql = tables["tiles"]
+        cols = _columns(sql)
+        try:
+            iz = cols.index("zoom_level")
+            ic = cols.index("tile_column")
+            ir = cols.index("tile_row")
+            ib = cols.index("tile_data")
+        except ValueError:
+            raise MbtilesError(f"tiles table lacks spec columns ({cols})")
+        need = max(iz, ic, ir) + 1
+        for rowid, vals in db.rows_prefix(root, need):
+            if any(vals[i] is None for i in (iz, ic, ir)):
+                continue
+            yield (int(vals[iz]), int(vals[ic]), int(vals[ir]),
+                   (root, rowid, ib))
         return
     if "map" in tables and "images" in tables:
-        blobs = {}
-        for _r, d in _table_dicts(db, tables, "images"):
-            blobs[d["tile_id"]] = d["tile_data"]
-        for _r, d in _table_dicts(db, tables, "map"):
-            blob = blobs.get(d["tile_id"])
-            if blob is not None:
-                yield (int(d["zoom_level"]), int(d["tile_column"]),
-                       int(d["tile_row"]), blob)
+        img_root, img_sql = tables["images"]
+        icols = _columns(img_sql)
+        try:
+            iid = icols.index("tile_id")
+            idata = icols.index("tile_data")
+        except ValueError:
+            raise MbtilesError(f"images table lacks spec columns ({icols})")
+        by_id = {}
+        for rowid, vals in db.rows_prefix(img_root, iid + 1):
+            if vals[iid] is not None:
+                by_id[vals[iid]] = rowid
+        map_root, map_sql = tables["map"]
+        mcols = _columns(map_sql)
+        try:
+            mz = mcols.index("zoom_level")
+            mc = mcols.index("tile_column")
+            mr = mcols.index("tile_row")
+            mi = mcols.index("tile_id")
+        except ValueError:
+            raise MbtilesError(f"map table lacks spec columns ({mcols})")
+        need = max(mz, mc, mr, mi) + 1
+        for _rowid, vals in db.rows_prefix(map_root, need):
+            rid = by_id.get(vals[mi])
+            if rid is not None and None not in (
+                    vals[mz], vals[mc], vals[mr]):
+                yield (int(vals[mz]), int(vals[mc]), int(vals[mr]),
+                       (img_root, rid, idata))
         return
     raise MbtilesError("no 'tiles' table and no 'map'+'images' pair")
 
@@ -172,39 +231,42 @@ def open_mbtiles(path: str, zoom: int | None = None,
             f" format={fmt!r}")
 
     try:
-        rows = list(_tile_rows(db, tables))
+        index = list(_tile_index(db, tables))
     except GpkgError as e:
         raise MbtilesError(str(e))
-    if not rows:
+    if not index:
         raise MbtilesError(f"'{path}': no tiles")
-    z = zoom if zoom is not None else max(r[0] for r in rows)
-    level = [(c, tr, blob) for (zz, c, tr, blob) in rows
-             if zz == z and isinstance(blob, (bytes, bytearray))]
+    z = zoom if zoom is not None else max(r[0] for r in index)
+    level = [(c, tr, loc) for (zz, c, tr, loc) in index if zz == z]
     if not level:
         raise MbtilesError(f"'{path}': no tiles at zoom {z}")
-    for _c, _tr, blob in level:
-        if not _png.is_png(bytes(blob[:16])):
-            raise MbtilesError(
-                f"'{path}': non-PNG tile payload at zoom {z} (JPEG/WebP"
-                " terrain tiles are not a thing — re-encode)")
 
     n = 1 << z
-    cols = [c for c, _t, _b in level]
-    xyz_rows = [n - 1 - tr for _c, tr, _b in level]
+    cols = [c for c, _t, _l in level]
+    xyz_rows = [n - 1 - tr for _c, tr, _l in level]
     c_min, c_max = min(cols), max(cols)
     r_min, r_max = min(xyz_rows), max(xyz_rows)
-    first = _png.decode_png(bytes(level[0][2]))
-    tile_px = first.shape[0]
-    if first.shape[0] != first.shape[1]:
-        raise MbtilesError(f"'{path}': non-square {first.shape[:2]} tiles")
 
     tiles = {}
-    for c, tr, blob in level:
-        tiles[(n - 1 - tr - r_min, c - c_min)] = bytes(blob)
-
+    for c, tr, loc in level:
+        tiles[(n - 1 - tr - r_min, c - c_min)] = loc
     span = 2.0 * _ORIGIN / n
     reader = _MbtilesTileReader(
-        src, tiles, tile_px, r_max - r_min + 1, c_max - c_min + 1, enc, z)
+        src, db, tiles, 0, r_max - r_min + 1, c_max - c_min + 1, enc, z)
+    # the tile size comes from ONE decoded tile (the spec says 256 but
+    # 512 exists); every later decode asserts consistency
+    first = reader._fetch(next(iter(tiles)))
+    if not _png.is_png(first[:16]):
+        raise MbtilesError(
+            f"'{path}': non-PNG tile payload at zoom {z} (JPEG/WebP"
+            " terrain tiles are not a thing — re-encode)")
+    shape = _png.decode_png(first).shape
+    if shape[0] != shape[1]:
+        raise MbtilesError(f"'{path}': non-square {shape[:2]} tiles")
+    tile_px = shape[0]
+    reader.tile_h = reader.tile_w = tile_px
+    reader.height = (r_max - r_min + 1) * tile_px
+    reader.width = (c_max - c_min + 1) * tile_px
     return Raster(
         path=path, width=reader.width, height=reader.height,
         dtype=np.dtype("<f4"),

@@ -271,3 +271,35 @@ def test_mbtiles_elevation_pipeline_and_remote(tmp_path, spark):
         assert all(rng_ for _p, rng_ in srv.requests), "full GET happened"
     finally:
         srv.shutdown()
+
+
+def test_open_is_lazy_no_blob_materialization(tmp_path, monkeypatch):
+    """Opening indexes tile keys via payload-PREFIX scans and fetches
+    blobs lazily by rowid: open performs exactly ONE row fetch (the
+    tile-size probe), a single-tile window exactly one more, and the
+    prefix scan never follows an overflow chain. A full-blob scan at
+    open — the planet-pyramid memory bomb — would show 16 fetches."""
+    from opentopodata_spark import gpkg
+    from opentopodata_spark.geotiff import clear_block_cache
+
+    t = _terrain(512, 512, seed=21)
+    p = str(tmp_path / "big.mbtiles")
+    mbtiles.write_mbtiles(p, t, zoom=11, min_col=100, min_row=100,
+                          encoding="terrarium", tile_px=128)
+    clear_block_cache()
+    fetches = []
+    real = gpkg._SQLite.row_by_rowid
+
+    def counting(self, root, rowid):
+        fetches.append(rowid)
+        return real(self, root, rowid)
+
+    monkeypatch.setattr(gpkg._SQLite, "row_by_rowid", counting)
+    r = mbtiles.open_mbtiles(p)
+    assert len(fetches) == 1, fetches  # the tile-size probe only
+    win, _ = r.read_window(200, 210, 200, 210)  # inside one tile
+    assert win.shape == (10, 10) and np.isfinite(win).all()
+    assert len(fetches) <= 2, fetches
+    band = r.band  # full read touches everything, once each
+    assert np.isfinite(band).all()
+    assert len(fetches) <= 1 + 16, fetches
