@@ -1392,16 +1392,20 @@ class Orthographic:
         qb = 2.0 * ((px * ux + py * uy) + pz * uz * r)
         qc = (px * px + py * py) + pz * pz * r - a2
         disc = qb * qb - 4.0 * qa * qc
-        if np.any(disc < -1e-9 * a2):
-            raise CRSError(
-                "orthographic inverse: coordinates fall outside the"
-                " visible hemisphere disk")
+        # off-disk coordinates (no intersection with the ellipsoid)
+        # invert to NaN, PROJ-style — raising for the whole array would
+        # break boundary sampling over full-disk rasters (the derived-
+        # coverage walker probes extent corners that inscribe the disk)
+        off = disc < -1e-9 * a2
         disc = np.maximum(disc, 0.0)
         u = (-qb + np.sqrt(disc)) / (2.0 * qa)  # near-side (viewer) root
         X = px + u * ux
         Y = py + u * uy
         Z = pz + u * uz
         lons, lats = _ecef_to_geodetic(self.a, self.e2, X, Y, Z)
+        if np.any(off):
+            lons = np.where(off, np.nan, lons)
+            lats = np.where(off, np.nan, lats)
         return lons, lats
 
 

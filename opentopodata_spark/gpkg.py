@@ -183,8 +183,11 @@ class _SQLite:
                     local = page[p : p + self._local_len(plen)]
                     vals = _record_prefix(local, ncols)
                     if vals is None:  # header/values spill past prefix
-                        vals = _record(
-                            self._payload(page, p, plen))[:ncols]
+                        # rows physically SHORTER than the declared
+                        # schema (pre-ALTER-TABLE rows) pad with None
+                        # so callers can index positionally
+                        full = _record(self._payload(page, p, plen))
+                        vals = (full + [None] * ncols)[:ncols]
                     yield rowid, vals
             else:
                 raise GpkgError(
@@ -393,11 +396,16 @@ class _GpkgTileReader:
                            else 0, dtype=native)
         root, rowid, blob_col = loc
         row = self.db.row_by_rowid(root, rowid)
-        blob = row[blob_col] if row is not None else None
+        blob = (row[blob_col] if row is not None
+                and blob_col < len(row) else None)
+        if blob is None:
+            # NULL tile_data (legal placeholder rows) == missing tile
+            return np.full((self.tile_h, self.tile_w),
+                           native.type(self.fill) if self.dtype.kind == "f"
+                           else 0, dtype=native)
         if not isinstance(blob, (bytes, bytearray)):
             raise GpkgError(
-                f"'{self.source.path}': tile rowid {rowid} vanished or"
-                " is not a blob")
+                f"'{self.source.path}': tile rowid {rowid} is not a blob")
         blob = bytes(blob)
         if not _png.is_png(blob[:16]):
             raise GpkgError(
@@ -620,8 +628,8 @@ def _enc_record(vals: list) -> bytes:
 class _DbWriter:
     """Emit a SQLite db from (create_sql, rows) table definitions.
     Leaf-only B-trees with a single interior root when rows overflow one
-    page; payloads must fit inline (the writer picks a page size that
-    holds the largest tile)."""
+    page; oversized payloads spill to standard overflow chains (the
+    page-size heuristics upstream merely keep SMALL tiles inline)."""
 
     def __init__(self, page_size: int):
         self.page_size = page_size
@@ -649,19 +657,42 @@ class _DbWriter:
             struct.pack_into(">H", page, arr + 2 * i, o)
         return n
 
+    def _overflow(self, tail: bytes) -> int:
+        """Write ``tail`` to a chain of overflow pages; returns the
+        first page number."""
+        u = self.page_size
+        chunks = [tail[i : i + u - 4] for i in range(0, len(tail), u - 4)]
+        pagenos = [self._new_page() for _ in chunks]
+        for i, (pg, chunk) in enumerate(zip(pagenos, chunks)):
+            page = self.pages[pg - 1]
+            nxt = pagenos[i + 1] if i + 1 < len(pagenos) else 0
+            struct.pack_into(">I", page, 0, nxt)
+            page[4 : 4 + len(chunk)] = chunk
+        return pagenos[0]
+
     def table(self, rows: list[tuple[int, list]], first: bool = False) -> int:
-        """rows: (rowid, values). Returns rootpage number."""
+        """rows: (rowid, values). Returns rootpage number. Payloads
+        larger than the inline limit spill to overflow chains (the
+        standard SQLite split: min_local + remainder mod (usable-4))."""
         base_overhead = 108 if first else 8
+        u = self.page_size
+        max_local = u - 35
+        min_local = ((u - 12) * 32) // 255 - 23
         cells = []
         for rowid, vals in rows:
             payload = _enc_record(vals)
-            if len(payload) > self.page_size - 35 - base_overhead:
-                raise GpkgError(
-                    "writer: payload exceeds page capacity — use a"
-                    " larger page_size or smaller tiles"
-                )
-            cells.append(_enc_varint(len(payload)) + _enc_varint(rowid)
-                         + payload)
+            plen = len(payload)
+            if plen <= max_local:
+                cells.append(_enc_varint(plen) + _enc_varint(rowid)
+                             + payload)
+                continue
+            local = min_local + (plen - min_local) % (u - 4)
+            if local > max_local:
+                local = min_local
+            first_ovfl = self._overflow(payload[local:])
+            cells.append(_enc_varint(plen) + _enc_varint(rowid)
+                         + payload[:local]
+                         + struct.pack(">I", first_ovfl))
         # greedy leaf packing
         leaves: list[tuple[int, int]] = []  # (pageno, max_rowid)
         cur: list[bytes] = []

@@ -85,12 +85,14 @@ class _MbtilesTileReader:
             return None
         root, rowid, blob_col = loc
         row = self.db.row_by_rowid(root, rowid)
-        if row is None or not isinstance(row[blob_col],
-                                         (bytes, bytearray)):
+        blob = (row[blob_col] if row is not None
+                and blob_col < len(row) else None)
+        if blob is None:
+            return None  # NULL tile_data placeholder == absent tile
+        if not isinstance(blob, (bytes, bytearray)):
             raise MbtilesError(
-                f"'{self.source.path}': tile rowid {rowid} vanished or"
-                " is not a blob")
-        return bytes(row[blob_col])
+                f"'{self.source.path}': tile rowid {rowid} is not a blob")
+        return bytes(blob)
 
     def _decode(self, key) -> np.ndarray:
         blob = self._fetch(key)
@@ -254,19 +256,34 @@ def open_mbtiles(path: str, zoom: int | None = None,
     reader = _MbtilesTileReader(
         src, db, tiles, 0, r_max - r_min + 1, c_max - c_min + 1, enc, z)
     # the tile size comes from ONE decoded tile (the spec says 256 but
-    # 512 exists); every later decode asserts consistency
-    first = reader._fetch(next(iter(tiles)))
+    # 512 exists); every later decode asserts consistency. NULL
+    # placeholder rows are skipped when probing.
+    first = None
+    probe_key = None
+    for probe_key in tiles:
+        first = reader._fetch(probe_key)
+        if first is not None:
+            break
+    if first is None:
+        raise MbtilesError(f"'{path}': zoom {z} has only NULL tiles")
     if not _png.is_png(first[:16]):
         raise MbtilesError(
             f"'{path}': non-PNG tile payload at zoom {z} (JPEG/WebP"
             " terrain tiles are not a thing — re-encode)")
-    shape = _png.decode_png(first).shape
-    if shape[0] != shape[1]:
-        raise MbtilesError(f"'{path}': non-square {shape[:2]} tiles")
-    tile_px = shape[0]
+    arr0 = _png.decode_png(first)
+    if arr0.shape[0] != arr0.shape[1]:
+        raise MbtilesError(f"'{path}': non-square {arr0.shape[:2]} tiles")
+    tile_px = arr0.shape[0]
     reader.tile_h = reader.tile_w = tile_px
     reader.height = (r_max - r_min + 1) * tile_px
     reader.width = (c_max - c_min + 1) * tile_px
+    if arr0.dtype == np.uint8 and arr0.shape[2] >= 3:
+        # the probe's decode is paid for — seed the block LRU so the
+        # first window over this tile does not re-fetch and re-inflate
+        from .geotiff import _cache_put
+
+        _cache_put((src.cache_key, "mbt", z, probe_key[0], probe_key[1]),
+                   _decode_elevation(arr0, enc))
     return Raster(
         path=path, width=reader.width, height=reader.height,
         dtype=np.dtype("<f4"),

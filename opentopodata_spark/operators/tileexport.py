@@ -57,7 +57,58 @@ _TILE_SCHEMA = StructType([
     StructField("max_el", DoubleType()),
     StructField("md5", StringType()),
     StructField("tile_data", BinaryType()),
+    # packed np.packbits validity bitmap: terrain encodings have no
+    # alpha, so holes encode as 0 m in the PNG — the sidecar mask is
+    # what lets pyramid rollups EXCLUDE holes instead of averaging
+    # fake sea level into parents
+    StructField("valid_mask", BinaryType()),
 ])
+
+
+def _encode_tile_row(grid: np.ndarray, z: int, x: int, y: int,
+                     encoding: str):
+    """NaN-holed float grid -> one _TILE_SCHEMA row (None if empty).
+    Shared by the distributed encoders AND the sequential twins so the
+    md5-exact contract can never drift between them."""
+    from opentopodata_spark import mbtiles, png
+
+    valid = np.isfinite(grid)
+    n_valid = int(valid.sum())
+    if n_valid == 0:
+        return None  # sparse pyramid: all-NODATA tiles are dropped
+    enc = grid.copy()
+    enc[~valid] = 0.0  # terrain encodings have no alpha nodata
+    blob = png.encode_png(
+        mbtiles._encode_elevation(enc, encoding), filter_type=2)
+    return (z, int(x), int(y), n_valid,
+            float(np.nanmin(grid)), float(np.nanmax(grid)),
+            hashlib.md5(blob).hexdigest(), bytes(blob),
+            np.packbits(valid).tobytes())
+
+
+def _rollup_grid(children, tile_px: int, encoding: str) -> np.ndarray:
+    """2x2 NaN-aware average of up to 4 children (x, y, blob, mask)
+    into the parent grid — mask-invalid pixels are EXCLUDED from the
+    mean (GDAL 'average' overview semantics)."""
+    from opentopodata_spark import mbtiles, png
+
+    mosaic = np.full((2 * tile_px, 2 * tile_px), np.nan)
+    for x, y, blob, mask in children:
+        arr = mbtiles._decode_elevation(
+            png.decode_png(bytes(blob)), encoding).astype(np.float64)
+        if mask is not None:
+            m = np.unpackbits(
+                np.frombuffer(bytes(mask), np.uint8),
+                count=tile_px * tile_px).reshape(tile_px, tile_px)
+            arr[m == 0] = np.nan
+        r0 = (int(y) % 2) * tile_px
+        c0 = (int(x) % 2) * tile_px
+        mosaic[r0:r0 + tile_px, c0:c0 + tile_px] = arr
+    quads = mosaic.reshape(tile_px, 2, tile_px, 2)
+    counts = np.isfinite(quads).sum(axis=(1, 3))
+    sums = np.nansum(quads, axis=(1, 3))
+    with np.errstate(invalid="ignore"):
+        return np.where(counts > 0, sums / np.maximum(counts, 1), np.nan)
 
 
 def tile_rect_for_bounds(bounds, zoom: int, bbox=None):
@@ -142,26 +193,14 @@ def _make_tile_encoder(zoom: int, tile_px: int, encoding: str):
     def encode(pdf):
         import pandas as pd
 
-        from opentopodata_spark import mbtiles, png
-
         out = []
         for (tx, ty), g in pdf.groupby(["tx", "ty"]):
             grid = np.full((tile_px, tile_px), np.nan)
             grid[g["pr"].to_numpy(), g["pc"].to_numpy()] = \
                 g["elevation"].to_numpy(dtype=np.float64)
-            valid = np.isfinite(grid)
-            n_valid = int(valid.sum())
-            if n_valid == 0:
-                continue  # sparse pyramid: all-NODATA tiles are dropped
-            enc = grid.copy()
-            enc[~valid] = 0.0  # terrain encodings have no alpha nodata
-            blob = png.encode_png(
-                mbtiles._encode_elevation(enc, encoding), filter_type=2)
-            out.append((
-                zoom, int(tx), int(ty), n_valid,
-                float(np.nanmin(grid)), float(np.nanmax(grid)),
-                hashlib.md5(blob).hexdigest(), bytearray(blob),
-            ))
+            row = _encode_tile_row(grid, zoom, tx, ty, encoding)
+            if row is not None:
+                out.append(row)
         cols = [f.name for f in _TILE_SCHEMA.fields]
         return pd.DataFrame(out, columns=cols)
 
@@ -249,9 +288,7 @@ def render_terrain_tiles_sequential(datasets, zoom: int, *,
     """Single-process twin of :func:`render_terrain_tiles` (oracle and
     small-export path): same grids through ``oracle.get_elevation``,
     same encode; returns rows in the tile schema's column order."""
-    import hashlib as _hl
-
-    from opentopodata_spark import mbtiles, oracle, png
+    from opentopodata_spark import oracle
 
     keys = _dataset_tile_keys(datasets, zoom, bbox)
     n = 1 << zoom
@@ -270,17 +307,9 @@ def render_terrain_tiles_sequential(datasets, zoom: int, *,
             list(datasets), interpolation)
         grid = np.array([np.nan if v is None else float(v)
                          for v in elev]).reshape(tile_px, tile_px)
-        valid = np.isfinite(grid)
-        n_valid = int(valid.sum())
-        if n_valid == 0:
-            continue
-        enc = grid.copy()
-        enc[~valid] = 0.0
-        blob = png.encode_png(
-            mbtiles._encode_elevation(enc, encoding), filter_type=2)
-        rows.append((zoom, int(tx), int(ty), n_valid,
-                     float(np.nanmin(grid)), float(np.nanmax(grid)),
-                     _hl.md5(blob).hexdigest(), bytes(blob)))
+        row = _encode_tile_row(grid, zoom, tx, ty, encoding)
+        if row is not None:
+            rows.append(row)
     return rows
 
 
@@ -291,39 +320,14 @@ def _make_parent_encoder(parent_zoom: int, tile_px: int, encoding: str):
     def encode(pdf):
         import pandas as pd
 
-        from opentopodata_spark import mbtiles, png
-
         out = []
         for (px_, py_), g in pdf.groupby(["parent_x", "parent_y"]):
-            mosaic = np.full((2 * tile_px, 2 * tile_px), np.nan)
-            for _i, row in g.iterrows():
-                arr = mbtiles._decode_elevation(
-                    png.decode_png(bytes(row["tile_data"])), encoding)
-                # children whose quadrant had no data carry zeros where
-                # their own parents were NaN-holes; n_valid bounds that
-                r0 = (int(row["y"]) % 2) * tile_px
-                c0 = (int(row["x"]) % 2) * tile_px
-                mosaic[r0:r0 + tile_px, c0:c0 + tile_px] = \
-                    arr.astype(np.float64)
-            quads = mosaic.reshape(tile_px, 2, tile_px, 2)
-            counts = np.isfinite(quads).sum(axis=(1, 3))
-            sums = np.nansum(quads, axis=(1, 3))
-            with np.errstate(invalid="ignore"):
-                grid = np.where(counts > 0, sums / np.maximum(counts, 1),
-                                np.nan)
-            valid = np.isfinite(grid)
-            n_valid = int(valid.sum())
-            if n_valid == 0:
-                continue
-            enc = grid.copy()
-            enc[~valid] = 0.0
-            blob = png.encode_png(
-                mbtiles._encode_elevation(enc, encoding), filter_type=2)
-            out.append((
-                parent_zoom, int(px_), int(py_), n_valid,
-                float(np.nanmin(grid)), float(np.nanmax(grid)),
-                hashlib.md5(blob).hexdigest(), bytearray(blob),
-            ))
+            kids = [(row["x"], row["y"], row["tile_data"],
+                     row["valid_mask"]) for _i, row in g.iterrows()]
+            grid = _rollup_grid(kids, tile_px, encoding)
+            row = _encode_tile_row(grid, parent_zoom, px_, py_, encoding)
+            if row is not None:
+                out.append(row)
         cols = [f.name for f in _TILE_SCHEMA.fields]
         return pd.DataFrame(out, columns=cols)
 
@@ -348,7 +352,7 @@ def build_tile_pyramid(base: DataFrame, *, base_zoom: int, min_zoom: int,
         parent = (
             level
             .select(
-                "x", "y", "tile_data",
+                "x", "y", "tile_data", "valid_mask",
                 (F.col("x") / 2).cast("int").alias("parent_x"),
                 (F.col("y") / 2).cast("int").alias("parent_y"),
             )
@@ -370,43 +374,22 @@ def build_tile_pyramid_sequential(rows, *, base_zoom: int, min_zoom: int,
                                   tile_px: int = 256,
                                   encoding: str = "terrarium") -> list:
     """Single-process twin of :func:`build_tile_pyramid` over collected
-    base rows (z, x, y, n_valid, min, max, md5, blob)."""
-    from opentopodata_spark import mbtiles, png
-
+    base rows in _TILE_SCHEMA column order."""
     out = list(rows)
-    level = {(r[1], r[2]): bytes(r[-1]) for r in rows}
+    level = {(r[1], r[2]): (bytes(r[7]), r[8]) for r in rows}
     for z in range(base_zoom, min_zoom, -1):
         parents: dict = {}
-        for (x, y), blob in level.items():
-            parents.setdefault((x // 2, y // 2), []).append((x, y, blob))
+        for (x, y), (blob, mask) in level.items():
+            parents.setdefault((x // 2, y // 2), []).append(
+                (x, y, blob, mask))
         nxt = {}
         for (px_, py_), kids in sorted(parents.items()):
-            mosaic = np.full((2 * tile_px, 2 * tile_px), np.nan)
-            for x, y, blob in kids:
-                arr = mbtiles._decode_elevation(
-                    png.decode_png(blob), encoding)
-                r0 = (y % 2) * tile_px
-                c0 = (x % 2) * tile_px
-                mosaic[r0:r0 + tile_px, c0:c0 + tile_px] = \
-                    arr.astype(np.float64)
-            quads = mosaic.reshape(tile_px, 2, tile_px, 2)
-            counts = np.isfinite(quads).sum(axis=(1, 3))
-            sums = np.nansum(quads, axis=(1, 3))
-            with np.errstate(invalid="ignore"):
-                grid = np.where(counts > 0, sums / np.maximum(counts, 1),
-                                np.nan)
-            valid = np.isfinite(grid)
-            n_valid = int(valid.sum())
-            if n_valid == 0:
+            grid = _rollup_grid(kids, tile_px, encoding)
+            row = _encode_tile_row(grid, z - 1, px_, py_, encoding)
+            if row is None:
                 continue
-            enc = grid.copy()
-            enc[~valid] = 0.0
-            blob = png.encode_png(
-                mbtiles._encode_elevation(enc, encoding), filter_type=2)
-            nxt[(px_, py_)] = blob
-            out.append((z - 1, px_, py_, n_valid,
-                        float(np.nanmin(grid)), float(np.nanmax(grid)),
-                        hashlib.md5(blob).hexdigest(), blob))
+            nxt[(px_, py_)] = (row[7], row[8])
+            out.append(row)
         level = nxt
     return out
 
@@ -420,5 +403,5 @@ def write_tiles_mbtiles(rows, path: str, *, zoom: int,
     from opentopodata_spark import mbtiles
 
     mbtiles.write_mbtiles_tiles(
-        path, [(r[1], r[2], r[-1]) for r in rows],
+        path, [(r[1], r[2], r[7]) for r in rows],
         zoom=zoom, encoding=encoding, name=name)

@@ -1990,8 +1990,12 @@ def test_orthographic_construction_and_roundtrip():
     np.testing.assert_allclose(lon2, lons, atol=1e-9)
     x0, y0 = o.forward(np.array([5.0]), np.array([55.0]))
     assert x0[0] == 0.0 and y0[0] == 0.0
-    with pytest.raises(crs.CRSError, match="visible hemisphere"):
-        o.inverse(np.array([7e6]), np.array([7e6]))
+    # off-disk coordinates invert to NaN (per element, PROJ-style) so
+    # boundary sampling over a full-disk raster keeps working
+    lon_off, lat_off = o.inverse(np.array([7e6, 0.0]),
+                                 np.array([7e6, 0.0]))
+    assert math.isnan(lon_off[0]) and math.isnan(lat_off[0])
+    assert abs(lat_off[1] - 55.0) < 1e-9
     # WKT front door (GDAL spelling)
     wkt = (
         'PROJCS["ortho",GEOGCS["WGS 84",DATUM["WGS_1984",SPHEROID['

@@ -253,3 +253,26 @@ def test_remote_gpkg_range_reads(tmp_path):
         assert all(rng for _p, rng in srv.requests), "full GET happened"
     finally:
         srv.shutdown()
+
+
+def test_null_tile_data_reads_as_fill(tmp_path):
+    """Regression: NULL tile_data rows must read as the fill value, not
+    raise at window time (the pre-lazy reader skipped them)."""
+    import sqlite3
+
+    import numpy as np
+
+    arr = np.full((128, 128), 500.0)
+    p = str(tmp_path / "dem.gpkg")
+    gpkg.write_gpkg(p, arr, x0=10.0, y0=1.0, sx=1 / 128, sy=1 / 128,
+                    epsg=4326, tile_size=64, scale=1.0, offset=0.0)
+    con = sqlite3.connect(p)
+    con.execute("UPDATE dem SET tile_data=NULL WHERE tile_row=1 AND"
+                " tile_column=1")
+    con.commit()
+    con.close()
+    r = open_raster(p)
+    win, _ = r.read_window(64, 128, 64, 128)
+    assert np.isnan(win).all()
+    win2, _ = r.read_window(0, 64, 0, 64)
+    assert (win2 == 500.0).all()

@@ -303,3 +303,31 @@ def test_open_is_lazy_no_blob_materialization(tmp_path, monkeypatch):
     band = r.band  # full read touches everything, once each
     assert np.isfinite(band).all()
     assert len(fetches) <= 1 + 16, fetches
+
+
+def test_null_tile_data_rows_read_as_holes(tmp_path):
+    """NULL tile_data placeholder rows (legal SQLite, written by some
+    tools) read back as NaN holes, including when one is the reader's
+    first size-probe candidate."""
+    p = str(tmp_path / "nulls.mbtiles")
+    con = sqlite3.connect(p)
+    con.execute("CREATE TABLE metadata (name TEXT, value TEXT)")
+    con.execute("CREATE TABLE tiles (zoom_level INTEGER, tile_column"
+                " INTEGER, tile_row INTEGER, tile_data BLOB)")
+    con.executemany("INSERT INTO metadata VALUES (?, ?)",
+                    [("format", "png"), ("encoding", "terrarium")])
+    n = 1 << 5
+    blob = png.encode_png(mbtiles._encode_elevation(
+        np.full((64, 64), 123.0), "terrarium"))
+    # NULL row FIRST so it is a probe candidate
+    con.execute("INSERT INTO tiles VALUES (5, 10, ?, NULL)", (n - 1 - 3,))
+    con.execute("INSERT INTO tiles VALUES (5, 11, ?, ?)",
+                (n - 1 - 3, blob))
+    con.commit()
+    con.close()
+    r = open_raster(p)
+    assert (r.width, r.height) == (128, 64)
+    band = r.band
+    left, right = band[:, :64], band[:, 64:]
+    assert np.isnan(left).all() or np.isnan(right).all()
+    assert np.nansum(band == 123.0) == 64 * 64

@@ -90,7 +90,8 @@ def test_cli_tiles_job(spark, dataset, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == stats["tiles"]
     assert set(back.columns) == {
-        "z", "x", "y", "n_valid", "min_el", "max_el", "md5", "tile_data"}
+        "z", "x", "y", "n_valid", "min_el", "max_el", "md5", "tile_data",
+        "valid_mask"}
     r = mbtiles.open_mbtiles(mbt)
     assert r.crs.epsg == 3857
 
@@ -133,11 +134,13 @@ def test_pyramid_rollup_matches_sequential_twin(spark, dataset, tmp_path):
     assert zs == {7, 8, 9}
     by_z = {z: [r for r in got if r[0] == z] for z in zs}
     assert len(by_z[8]) < len(by_z[9])
-    # averaging can never exceed the children's max; minima CAN drop
-    # toward 0 because encoded hole-pixels (terrain encodings have no
-    # alpha) enter parent averages, as in real terrain-rgb pyramids
+    # with the valid_mask sidecar, parent bounds nest inside their
+    # children's (mask-excluded holes can no longer drag minima to 0);
+    # the small epsilon is the terrarium re-quantization
+    mins = {z: min(r[4] for r in by_z[z]) for z in zs}
     maxs = {z: max(r[5] for r in by_z[z]) for z in zs}
     assert maxs[8] <= maxs[9] + 0.01 and maxs[7] <= maxs[8] + 0.01
+    assert mins[8] >= mins[9] - 0.01 and mins[7] >= mins[8] - 0.01
 
     # multi-zoom MBTiles assembly reads back at every level
     from opentopodata_spark import mbtiles as mbt
@@ -151,3 +154,47 @@ def test_pyramid_rollup_matches_sequential_twin(spark, dataset, tmp_path):
         assert r.width >= 64
     # default open picks the finest level
     assert mbt.open_mbtiles(p).sx == mbt.open_mbtiles(p, zoom=9).sx
+
+
+def test_pyramid_excludes_holes_from_parent_average():
+    """Regression (review finding): holes encode as 0 m in the PNG —
+    without the valid_mask sidecar, a half-void 1000 m tile rolled up
+    to (1000+1000+0+0)/4 = 500 m. With masks, parents average only
+    real pixels."""
+    grid = np.full((64, 64), np.nan)
+    grid[:, ::2] = 1000.0  # alternate columns valid
+    row = tileexport._encode_tile_row(grid, 1, 0, 0, "terrarium")
+    assert row[3] == 64 * 32
+    rolled = tileexport.build_tile_pyramid_sequential(
+        [row], base_zoom=1, min_zoom=0, tile_px=64, encoding="terrarium")
+    parents = [r for r in rolled if r[0] == 0]
+    assert len(parents) == 1
+    z, x, y, n_valid, mn, mx, _md5, _blob, mask = parents[0]
+    assert mn == 1000.0 and mx == 1000.0  # NOT 500 — holes excluded
+    # parent validity: quadrant (0,0) has data only where a valid
+    # column existed; the other three quadrants are all holes
+    m = np.unpackbits(np.frombuffer(mask, np.uint8),
+                      count=64 * 64).reshape(64, 64)
+    assert m[:32, :32].sum() == 32 * 32  # every 2x2 block had a column
+    assert m[32:, :].sum() == 0 and m[:32, 32:].sum() == 0
+
+
+def test_mbtiles_sink_handles_oversized_tiles(tmp_path):
+    """Regression (review finding): noisy 256-px terrarium tiles
+    exceed 64 KiB and must spill to SQLite overflow chains in the
+    writer — the --mbtiles sink previously refused them."""
+    import sqlite3
+
+    rng = np.random.default_rng(17)
+    grid = rng.uniform(-100.0, 4000.0, size=(256, 256))  # fractional m
+    row = tileexport._encode_tile_row(grid, 10, 5, 6, "terrarium")
+    assert len(row[7]) > 65536
+    p = str(tmp_path / "big.mbtiles")
+    tileexport.write_tiles_mbtiles([row], p, zoom=10,
+                                   encoding="terrarium")
+    con = sqlite3.connect(p)
+    blob = con.execute("select tile_data from tiles").fetchone()[0]
+    con.close()
+    assert bytes(blob) == row[7]  # real SQLite follows our chains
+    r = mbtiles.open_mbtiles(p)
+    assert np.abs(r.band - grid).max() <= 1 / 512 + 1e-9
