@@ -56,6 +56,7 @@ from dataclasses import dataclass, field
 import numpy as np
 
 # TIFF tag codes
+_T_NEW_SUBFILE_TYPE = 254  # bit 0: reduced-resolution (overview), bit 2: mask
 _T_WIDTH = 256
 _T_HEIGHT = 257
 _T_BITS = 258
@@ -673,6 +674,10 @@ class _BlockReader:
     # compression 7: abbreviated tables-only stream from the JPEGTables
     # tag, merged ahead of each block's entropy stream before decode
     jpeg_tables: bytes | None = None
+    # distinguishes IFDs of one file in the process-wide block LRU: the
+    # base band and its overview levels share a cache_key (same bytes on
+    # disk) but index disjoint block grids
+    cache_tag: int = 0
 
     def _decompress(self, raw: bytes) -> bytes:
         if self.compression in (_C_DEFLATE_ADOBE, _C_DEFLATE_OLD):
@@ -761,7 +766,7 @@ class _BlockReader:
         missing = []
         blocks: dict[int, np.ndarray] = {}
         for idx in need:
-            arr = _cache_get((self.source.cache_key, idx))
+            arr = _cache_get((self.source.cache_key, self.cache_tag, idx))
             if arr is None:
                 missing.append(idx)
             else:
@@ -776,7 +781,7 @@ class _BlockReader:
                     _value_as_dtype(self.fill, self.dtype.newbyteorder("=")),
                     dtype=self.dtype.newbyteorder("="),
                 )
-                _cache_put((self.source.cache_key, idx), arr)
+                _cache_put((self.source.cache_key, self.cache_tag, idx), arr)
                 blocks[idx] = arr
             missing = [i for i in missing if i not in blocks]
             raws = self.source.read_many(
@@ -784,7 +789,7 @@ class _BlockReader:
             )
             for idx, raw in zip(missing, raws):
                 arr = self._decode(idx, raw)
-                _cache_put((self.source.cache_key, idx), arr)
+                _cache_put((self.source.cache_key, self.cache_tag, idx), arr)
                 blocks[idx] = arr
         tiles_across = -(-self.width // self.block_w) if self.tiled else 1
         for idx in need:
@@ -830,6 +835,9 @@ class Raster:
     sy: float
     _data: np.ndarray = field(repr=False, default=None)
     _blocks: _BlockReader = field(repr=False, default=None)
+    # reduced-resolution levels from the file's IFD chain (COG layout),
+    # finest first; () when the file has none
+    overviews: tuple = field(repr=False, default=())
 
     @property
     def bounds(self) -> BoundingBox:
@@ -879,6 +887,23 @@ class Raster:
             block = np.where(block == float(self.nodata), np.nan, block)
         return block
 
+    def pick_level(self, max_sx: float, max_sy: float | None = None) -> "Raster":
+        """The coarsest level (self or an overview) whose resolution is
+        still at least as fine as (max_sx, max_sy) — GDAL's overview
+        selection for a target sampling density. Levels coarser than the
+        target are never returned, so reads stay exact-or-oversampled;
+        with no overviews this is always the full-resolution band."""
+        max_sy = max_sx if max_sy is None else max_sy
+        eps = 1.0 + 1e-9
+        best = self
+        for ovr in self.overviews:
+            if (
+                ovr.sx <= max_sx * eps and ovr.sy <= max_sy * eps
+                and ovr.sx > best.sx
+            ):
+                best = ovr
+        return best
+
     @property
     def band(self) -> np.ndarray:
         """Whole band (memory-mapped and lazy when uncompressed; assembled
@@ -886,6 +911,45 @@ class Raster:
         if self._data is not None:
             return self._data
         return self._blocks.read(0, self.height, 0, self.width)
+
+
+def build_overview(
+    array: np.ndarray, factor: int, nodata: float | None = None
+) -> np.ndarray:
+    """One GDAL-'average' reduced-resolution level: ``factor``×``factor``
+    block means in the input dtype. NODATA/NaN cells are excluded from
+    each mean (a hole never drags its block toward the hole value);
+    blocks that are ALL holes write the nodata value back (NaN for float
+    arrays without one, 0 for integers without one — the sparse-fill
+    convention). Edge blocks average only the pixels that exist. Integer
+    dtypes round to nearest, matching gdaladdo's average kernel."""
+    factor = int(factor)
+    if factor < 2:
+        raise ValueError("overview factor must be >= 2")
+    h, w = array.shape
+    oh, ow = -(-h // factor), -(-w // factor)
+    a = np.asarray(array, dtype=np.float64)
+    valid = ~np.isnan(a)
+    if nodata is not None and not math.isnan(float(nodata)):
+        valid &= a != float(nodata)
+    pad_h, pad_w = oh * factor - h, ow * factor - w
+    if pad_h or pad_w:
+        a = np.pad(a, ((0, pad_h), (0, pad_w)))
+        valid = np.pad(valid, ((0, pad_h), (0, pad_w)))
+    s = np.where(valid, a, 0.0).reshape(oh, factor, ow, factor).sum(axis=(1, 3))
+    n = valid.reshape(oh, factor, ow, factor).sum(axis=(1, 3))
+    with np.errstate(invalid="ignore", divide="ignore"):
+        avg = s / n
+    if nodata is not None:
+        hole = float(nodata)
+    elif array.dtype.kind == "f":
+        hole = float("nan")
+    else:
+        hole = 0.0
+    avg = np.where(n > 0, avg, hole)
+    if array.dtype.kind in "iu":
+        avg = np.rint(avg)
+    return avg.astype(array.dtype)
 
 
 def write_geotiff(
@@ -905,6 +969,7 @@ def write_geotiff(
     rows_per_strip: int | None = None,
     bigtiff: bool = False,
     sparse_ok: bool = False,
+    overviews=None,
 ) -> None:
     """Write a single-band north-up GeoTIFF.
 
@@ -927,6 +992,11 @@ def write_geotiff(
     every real-world DEM mosaic over 4 GB ships in (GDAL picks it
     automatically via -co BIGTIFF=IF_SAFER); small files are valid BigTIFF
     too, which is how the parity tests exercise the 64-bit reader path.
+    overviews: decimation factors (e.g. (2, 4, 8)) → reduced-resolution
+    IFDs chained after the base band (the cloud-optimized-GeoTIFF
+    layout, gdaladdo's in-file overviews). Each level is the NODATA-aware
+    'average' of the BASE band (build_overview) and shares the base
+    compression/predictor/tiling settings.
     """
     array = np.ascontiguousarray(array)
     if array.ndim != 2:
@@ -999,145 +1069,198 @@ def write_geotiff(
             return bool(np.isnan(blk).all())
         return bool((blk == sparse_value).all())
 
-    # None entries are sparse blocks: no bytes in the file, offset/count 0.
-    blocks: list[bytes | None] = []
-    if tile_size is not None:
-        th, tw = tile_size
-        if th % 16 or tw % 16:
-            raise ValueError("tile_size dims must be multiples of 16")
-        pad_value = _value_as_dtype(nodata, array.dtype) if nodata is not None else array.dtype.type(0)
-        for r0 in range(0, h, th):
-            for c0 in range(0, w, tw):
-                blk = np.full((th, tw), pad_value, dtype=array.dtype)
-                sub = array[r0 : r0 + th, c0 : c0 + tw]
-                blk[: sub.shape[0], : sub.shape[1]] = sub
-                blocks.append(None if is_sparse(blk) else encode_block(blk))
-    else:
-        rsp = rows_per_strip or h
-        for r0 in range(0, h, rsp):
-            blk = array[r0 : r0 + rsp]
-            blocks.append(None if is_sparse(blk) else encode_block(blk))
+    factors: list[int] = []
+    if overviews:
+        factors = sorted(int(f) for f in overviews)
+        if factors[0] < 2 or len(set(factors)) != len(factors):
+            raise ValueError("overview factors must be distinct integers >= 2")
+    levels = [array] + [build_overview(array, f, nodata=nodata) for f in factors]
+
+    def encode_level(arr_l: np.ndarray) -> list[bytes | None]:
+        # None entries are sparse blocks: no bytes in the file, offset/count 0.
+        h_l, w_l = arr_l.shape
+        blks: list[bytes | None] = []
+        if tile_size is not None:
+            th, tw = tile_size
+            pad_value = _value_as_dtype(nodata, array.dtype) if nodata is not None else array.dtype.type(0)
+            for r0 in range(0, h_l, th):
+                for c0 in range(0, w_l, tw):
+                    blk = np.full((th, tw), pad_value, dtype=array.dtype)
+                    sub = arr_l[r0 : r0 + th, c0 : c0 + tw]
+                    blk[: sub.shape[0], : sub.shape[1]] = sub
+                    blks.append(None if is_sparse(blk) else encode_block(blk))
+        else:
+            rsp = min(rows_per_strip or h_l, h_l)
+            for r0 in range(0, h_l, rsp):
+                blk = arr_l[r0 : r0 + rsp]
+                blks.append(None if is_sparse(blk) else encode_block(blk))
+        return blks
 
     inline_sz = 8 if bigtiff else 4
-    entries: list[tuple[int, int, int, bytes]] = []  # (tag, type, count, inline-or-offset)
-    out_of_line: list[tuple[int, int, int, bytes]] = []
-
-    def add(tag: int, ftype: int, values) -> None:
-        if isinstance(values, (bytes, bytearray)):
-            payload = bytes(values)
-            count = len(payload) // _FT_SIZE[ftype]
-        else:
-            vals = list(values)
-            count = len(vals)
-            payload = struct.pack(f"<{count}{_FT_FMT[ftype]}", *vals)
-        if len(payload) <= inline_sz:
-            entries.append((tag, ftype, count, payload))
-        else:
-            out_of_line.append((tag, ftype, count, payload))
-
-    add(_T_WIDTH, _FT_LONG, [w])
-    add(_T_HEIGHT, _FT_LONG, [h])
-    add(_T_BITS, _FT_SHORT, [bits])
-    add(_T_COMPRESSION, _FT_SHORT, [comp])
-    add(_T_PHOTOMETRIC, _FT_SHORT, [1])
-    add(_T_SAMPLES_PER_PIXEL, _FT_SHORT, [1])
-    add(_T_PLANAR_CONFIG, _FT_SHORT, [1])
-    add(_T_SAMPLE_FORMAT, _FT_SHORT, [_SAMPLE_FORMAT_FOR_KIND[kind]])
-    if predictor != 1:
-        add(_T_PREDICTOR, _FT_SHORT, [predictor])
-
-    # geo tags
-    add(_T_MODEL_PIXEL_SCALE, _FT_DOUBLE, [sx, sy, 0.0])
-    add(_T_MODEL_TIEPOINT, _FT_DOUBLE, [0.0, 0.0, 0.0, x0, y0, 0.0])
-
-    geo_keys: list[tuple[int, int, int, int]] = [(_GK_RASTER_TYPE, 0, 1, 1)]
-    ascii_params = b""
-    if wkt is not None:
-        # WKT-only CRS: user-defined projected CS + citation carrying the WKT.
-        geo_keys.append((_GK_MODEL_TYPE, 0, 1, 1))
-        citation = wkt.encode() + b"|"
-        geo_keys.append((_GK_CITATION, _T_GEO_ASCII_PARAMS, len(citation), 0))
-        geo_keys.append((_GK_PROJECTED_TYPE, 0, 1, 32767))
-        ascii_params = citation + b"\x00"
-    elif epsg == 4326:
-        geo_keys.append((_GK_MODEL_TYPE, 0, 1, 2))
-        geo_keys.append((_GK_GEOGRAPHIC_TYPE, 0, 1, 4326))
-    elif epsg is not None:
-        geo_keys.append((_GK_MODEL_TYPE, 0, 1, 1))
-        geo_keys.append((_GK_PROJECTED_TYPE, 0, 1, epsg))
-    geo_keys.sort()
-    gk = struct.pack("<4H", 1, 1, 0, len(geo_keys))
-    for key in geo_keys:
-        gk += struct.pack("<4H", *key)
-    add(_T_GEO_KEY_DIRECTORY, _FT_SHORT, gk)
-    if ascii_params:
-        add(_T_GEO_ASCII_PARAMS, _FT_ASCII, ascii_params)
-    if nodata is not None:
-        nd = (
-            repr(int(nodata)) if float(nodata).is_integer() and abs(nodata) < 2**53
-            else repr(float(nodata))
-        )
-        add(_T_GDAL_NODATA, _FT_ASCII, nd.encode() + b"\x00")
-
-    # block placement
-    data_offset = 16 if bigtiff else 8
     off_ft = _FT_LONG8 if bigtiff else _FT_LONG
-    offsets = []
-    pos = data_offset
-    for b in blocks:
-        if b is None:  # sparse block: GDAL SPARSE_OK convention
-            offsets.append(0)
-            continue
-        offsets.append(pos)
-        pos += len(b) + (len(b) % 2)  # word-align
-    counts = [0 if b is None else len(b) for b in blocks]
-    if tile_size is not None:
-        add(_T_TILE_WIDTH, _FT_LONG, [tile_size[1]])
-        add(_T_TILE_LENGTH, _FT_LONG, [tile_size[0]])
-        add(_T_TILE_OFFSETS, off_ft, offsets)
-        add(_T_TILE_BYTE_COUNTS, off_ft, counts)
-    else:
-        add(_T_ROWS_PER_STRIP, _FT_LONG, [rows_per_strip or h])
-        add(_T_STRIP_OFFSETS, off_ft, offsets)
-        add(_T_STRIP_BYTE_COUNTS, off_ft, counts)
-
-    # out-of-line values follow the block data
     off_pack = "<Q" if bigtiff else "<I"
-    ool_offset = pos
-    ool_bytes = b""
-    for tag, ftype, count, payload in out_of_line:
-        off = ool_offset + len(ool_bytes)
-        entries.append((tag, ftype, count, struct.pack(off_pack, off)))
-        ool_bytes += payload
-        if len(payload) % 2:
-            ool_bytes += b"\x00"
-    ifd_offset = ool_offset + len(ool_bytes)
 
-    entries.sort(key=lambda e: e[0])
-    if bigtiff:
-        ifd = struct.pack("<Q", len(entries))
-        for tag, ftype, count, value in entries:
-            ifd += struct.pack("<HHQ", tag, ftype, count) + value.ljust(8, b"\x00")
-        ifd += struct.pack("<Q", 0)
-        header = struct.pack("<2sHHHQ", b"II", 43, 8, 0, ifd_offset)
-    else:
-        ifd = struct.pack("<H", len(entries))
-        for tag, ftype, count, value in entries:
-            ifd += struct.pack("<HHI", tag, ftype, count) + value.ljust(4, b"\x00")
-        ifd += struct.pack("<I", 0)
-        header = struct.pack("<2sHI", b"II", 42, ifd_offset)
-    tmp = path + ".tmp"
-    with open(tmp, "wb") as f:
-        f.write(header)
+    def assemble_level(
+        arr_l: np.ndarray, blocks: list[bytes | None], data_at: int,
+        is_overview: bool,
+    ) -> tuple[bytes, int, int]:
+        """Lay out one IFD's block data + out-of-line values + IFD record
+        starting at absolute file offset ``data_at``. Returns (payload
+        bytes, absolute IFD offset, absolute position of the next-IFD
+        pointer — written as 0, patched by the caller when another level
+        follows)."""
+        h_l, w_l = arr_l.shape
+        entries: list[tuple[int, int, int, bytes]] = []  # (tag, type, count, inline-or-offset)
+        out_of_line: list[tuple[int, int, int, bytes]] = []
+
+        def add(tag: int, ftype: int, values) -> None:
+            if isinstance(values, (bytes, bytearray)):
+                payload = bytes(values)
+                count = len(payload) // _FT_SIZE[ftype]
+            else:
+                vals = list(values)
+                count = len(vals)
+                payload = struct.pack(f"<{count}{_FT_FMT[ftype]}", *vals)
+            if len(payload) <= inline_sz:
+                entries.append((tag, ftype, count, payload))
+            else:
+                out_of_line.append((tag, ftype, count, payload))
+
+        if is_overview:
+            # reduced-resolution page (TIFF 6.0 §NewSubfileType bit 0) —
+            # what gdaladdo writes for in-file / COG overviews
+            add(_T_NEW_SUBFILE_TYPE, _FT_LONG, [1])
+        add(_T_WIDTH, _FT_LONG, [w_l])
+        add(_T_HEIGHT, _FT_LONG, [h_l])
+        add(_T_BITS, _FT_SHORT, [bits])
+        add(_T_COMPRESSION, _FT_SHORT, [comp])
+        add(_T_PHOTOMETRIC, _FT_SHORT, [1])
+        add(_T_SAMPLES_PER_PIXEL, _FT_SHORT, [1])
+        add(_T_PLANAR_CONFIG, _FT_SHORT, [1])
+        add(_T_SAMPLE_FORMAT, _FT_SHORT, [_SAMPLE_FORMAT_FOR_KIND[kind]])
+        if predictor != 1:
+            add(_T_PREDICTOR, _FT_SHORT, [predictor])
+
+        if not is_overview:
+            # geo tags live on the base IFD only (GDAL's convention);
+            # readers derive overview georeferencing from the dim ratio
+            add(_T_MODEL_PIXEL_SCALE, _FT_DOUBLE, [sx, sy, 0.0])
+            add(_T_MODEL_TIEPOINT, _FT_DOUBLE, [0.0, 0.0, 0.0, x0, y0, 0.0])
+
+            geo_keys: list[tuple[int, int, int, int]] = [(_GK_RASTER_TYPE, 0, 1, 1)]
+            ascii_params = b""
+            if wkt is not None:
+                # WKT-only CRS: user-defined projected CS + citation carrying the WKT.
+                geo_keys.append((_GK_MODEL_TYPE, 0, 1, 1))
+                citation = wkt.encode() + b"|"
+                geo_keys.append((_GK_CITATION, _T_GEO_ASCII_PARAMS, len(citation), 0))
+                geo_keys.append((_GK_PROJECTED_TYPE, 0, 1, 32767))
+                ascii_params = citation + b"\x00"
+            elif epsg == 4326:
+                geo_keys.append((_GK_MODEL_TYPE, 0, 1, 2))
+                geo_keys.append((_GK_GEOGRAPHIC_TYPE, 0, 1, 4326))
+            elif epsg is not None:
+                geo_keys.append((_GK_MODEL_TYPE, 0, 1, 1))
+                geo_keys.append((_GK_PROJECTED_TYPE, 0, 1, epsg))
+            geo_keys.sort()
+            gk = struct.pack("<4H", 1, 1, 0, len(geo_keys))
+            for key in geo_keys:
+                gk += struct.pack("<4H", *key)
+            add(_T_GEO_KEY_DIRECTORY, _FT_SHORT, gk)
+            if ascii_params:
+                add(_T_GEO_ASCII_PARAMS, _FT_ASCII, ascii_params)
+        if nodata is not None:
+            nd = (
+                repr(int(nodata)) if float(nodata).is_integer() and abs(nodata) < 2**53
+                else repr(float(nodata))
+            )
+            add(_T_GDAL_NODATA, _FT_ASCII, nd.encode() + b"\x00")
+
+        # block placement
+        offsets = []
+        pos = data_at
+        for b in blocks:
+            if b is None:  # sparse block: GDAL SPARSE_OK convention
+                offsets.append(0)
+                continue
+            offsets.append(pos)
+            pos += len(b) + (len(b) % 2)  # word-align
+        counts = [0 if b is None else len(b) for b in blocks]
+        if tile_size is not None:
+            add(_T_TILE_WIDTH, _FT_LONG, [tile_size[1]])
+            add(_T_TILE_LENGTH, _FT_LONG, [tile_size[0]])
+            add(_T_TILE_OFFSETS, off_ft, offsets)
+            add(_T_TILE_BYTE_COUNTS, off_ft, counts)
+        else:
+            add(_T_ROWS_PER_STRIP, _FT_LONG, [min(rows_per_strip or h_l, h_l)])
+            add(_T_STRIP_OFFSETS, off_ft, offsets)
+            add(_T_STRIP_BYTE_COUNTS, off_ft, counts)
+
+        # out-of-line values follow the block data
+        ool_offset = pos
+        ool_bytes = b""
+        for tag, ftype, count, payload in out_of_line:
+            off = ool_offset + len(ool_bytes)
+            entries.append((tag, ftype, count, struct.pack(off_pack, off)))
+            ool_bytes += payload
+            if len(payload) % 2:
+                ool_bytes += b"\x00"
+        ifd_offset = ool_offset + len(ool_bytes)
+
+        entries.sort(key=lambda e: e[0])
+        if bigtiff:
+            ifd = struct.pack("<Q", len(entries))
+            for tag, ftype, count, value in entries:
+                ifd += struct.pack("<HHQ", tag, ftype, count) + value.ljust(8, b"\x00")
+            next_ptr_at = ifd_offset + len(ifd)
+            ifd += struct.pack("<Q", 0)
+        else:
+            ifd = struct.pack("<H", len(entries))
+            for tag, ftype, count, value in entries:
+                ifd += struct.pack("<HHI", tag, ftype, count) + value.ljust(4, b"\x00")
+            next_ptr_at = ifd_offset + len(ifd)
+            ifd += struct.pack("<I", 0)
+
+        payload = bytearray()
         for b in blocks:
             if b is None:
                 continue
-            f.write(b)
+            payload += b
             if len(b) % 2:
-                f.write(b"\x00")
-        f.write(ool_bytes)
-        f.write(ifd)
+                payload += b"\x00"
+        payload += ool_bytes
+        payload += ifd
+        return bytes(payload), ifd_offset, next_ptr_at
+
+    data_offset = 16 if bigtiff else 8
+    pos = data_offset
+    segments: list[bytes] = []
+    ifd_offsets: list[int] = []
+    next_ptr_positions: list[int] = []
+    for li, arr_l in enumerate(levels):
+        seg, ifd_off, next_at = assemble_level(
+            arr_l, encode_level(arr_l), pos, li > 0
+        )
+        segments.append(seg)
+        ifd_offsets.append(ifd_off)
+        next_ptr_positions.append(next_at)
+        pos += len(seg)
+
+    if bigtiff:
+        header = struct.pack("<2sHHHQ", b"II", 43, 8, 0, ifd_offsets[0])
+    else:
+        header = struct.pack("<2sHI", b"II", 42, ifd_offsets[0])
+    buf = bytearray(header)
+    for seg in segments:
+        buf += seg
+    # chain the IFDs: level k's next-IFD pointer -> level k+1's IFD
+    for k in range(len(levels) - 1):
+        struct.pack_into(off_pack, buf, next_ptr_positions[k], ifd_offsets[k + 1])
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(buf)
     os.replace(tmp, path)
+
 
 
 _HGT_RE = re.compile(r"([NSns])(\d+)([EWew])(\d+)")
@@ -1423,12 +1546,24 @@ def _hgt_raster(path: str, data: np.ndarray | None, side: int,
 
 
 def _open_tiff(source: _ByteSource) -> Raster:
+    """Open a (Big)TIFF band, following the IFD chain.
+
+    The first IFD is the full-resolution band. Subsequent IFDs whose
+    NewSubfileType marks them reduced-resolution (or whose dimensions
+    are strictly smaller, for writers that omit tag 254) become
+    ``Raster.overviews`` — the cloud-optimized-GeoTIFF layout. Overviews
+    inherit the base georeferencing with per-level pixel scale derived
+    from the dimension ratio (GDAL's convention: overview IFDs carry no
+    geo keys of their own). Mask IFDs (bit 2) and extra full-resolution
+    pages are skipped, as GDAL does.
+    """
     path = source.path
     head = source.read_at(0, 8)
     if len(head) < 8 or head[:2] not in (b"II", b"MM"):
         raise RasterOpenError(f"'{path}' not recognised as a geo raster")
     bo = "<" if head[:2] == b"II" else ">"
     (magic,) = struct.unpack(bo + "H", head[2:4])
+
     def _read_exact(offset: int, size: int, what: str) -> bytes:
         buf = source.read_at(offset, size)
         if len(buf) < size:
@@ -1439,12 +1574,9 @@ def _open_tiff(source: _ByteSource) -> Raster:
 
     if magic == 42:
         # classic TIFF: 4-byte offsets, 12-byte IFD entries, 4-byte inline
-        (ifd_offset,) = struct.unpack(bo + "I", head[4:8])
+        (first_ifd,) = struct.unpack(bo + "I", head[4:8])
         entry_sz, inline_sz, off_fmt = 12, 4, "I"
-        (n_entries,) = struct.unpack(
-            bo + "H", _read_exact(ifd_offset, 2, "IFD count")
-        )
-        entries_at = ifd_offset + 2
+        ifd_count_sz, ifd_count_fmt = 2, "H"
     elif magic == 43:
         # BigTIFF: 8-byte offsets, 20-byte IFD entries, 8-byte inline
         big_head = _read_exact(0, 16, "BigTIFF header")
@@ -1453,179 +1585,243 @@ def _open_tiff(source: _ByteSource) -> Raster:
             raise RasterOpenError(
                 f"'{path}': malformed BigTIFF header (offsetsize={off_sz})"
             )
-        (ifd_offset,) = struct.unpack(bo + "Q", big_head[8:16])
+        (first_ifd,) = struct.unpack(bo + "Q", big_head[8:16])
         entry_sz, inline_sz, off_fmt = 20, 8, "Q"
-        (n_entries,) = struct.unpack(
-            bo + "Q", _read_exact(ifd_offset, 8, "IFD count")
-        )
-        entries_at = ifd_offset + 8
+        ifd_count_sz, ifd_count_fmt = 8, "Q"
     else:
         raise RasterOpenError(f"'{path}' not a TIFF (magic={magic})")
-    raw_entries = _read_exact(entries_at, n_entries * entry_sz, "IFD entries")
-    tags: dict[int, tuple[int, int, bytes]] = {}
     count_fmt = "I" if magic == 42 else "Q"
-    for i in range(n_entries):
-        tag, ftype, count = struct.unpack_from(
-            bo + "HH" + count_fmt, raw_entries, i * entry_sz
+
+    def _parse_ifd(ifd_offset: int, georef, cache_tag: int):
+        """Parse one IFD into a Raster (or None for non-overview pages).
+
+        ``georef`` is None for the base IFD (geo tags + CRS required,
+        exactly the reference's rasterio-open contract) or the base
+        Raster for overview IFDs (georeferencing derived, CRS/nodata
+        inherited). Returns (raster_or_None, next_ifd_offset)."""
+        (n_entries,) = struct.unpack(
+            bo + ifd_count_fmt, _read_exact(ifd_offset, ifd_count_sz, "IFD count")
         )
-        val_at = i * entry_sz + (8 if magic == 42 else 12)
-        tags[tag] = (ftype, count, raw_entries[val_at : val_at + inline_sz])
-
-    def value(tag, default=None):
-        if tag not in tags:
-            return default
-        ftype, count, raw = tags[tag]
-        if ftype not in _FT_SIZE:
-            raise RasterOpenError(f"'{path}': unsupported TIFF field type {ftype}")
-        sz = _FT_SIZE[ftype] * count
-        if sz <= inline_sz:
-            buf = raw[:sz]
-        else:
-            (off,) = struct.unpack(bo + off_fmt, raw)
-            buf = source.read_at(off, sz)
-        if ftype == _FT_ASCII:
-            return buf.rstrip(b"\x00").decode("latin-1")
-        if ftype in (_FT_BYTE, _FT_UNDEFINED):
-            return bytes(buf)
-        vals = struct.unpack(bo + str(count) + _FT_FMT[ftype], buf)
-        return list(vals)
-
-    width = int(value(_T_WIDTH)[0])
-    height = int(value(_T_HEIGHT)[0])
-    bits = int(value(_T_BITS, [8])[0])
-    comp = int(value(_T_COMPRESSION, [1])[0])
-    if comp == _C_JPEG_OLD:
-        raise RasterOpenError(
-            f"'{path}': old-style TIFF JPEG (compression 6) was deprecated"
-            " by TIFF TechNote 2 — re-encode with compression 7"
+        entries_at = ifd_offset + ifd_count_sz
+        raw_entries = _read_exact(entries_at, n_entries * entry_sz, "IFD entries")
+        (next_off,) = struct.unpack(
+            bo + off_fmt,
+            _read_exact(entries_at + n_entries * entry_sz, inline_sz,
+                        "next-IFD pointer"),
         )
-    if comp not in (
-        _C_NONE, _C_LZW, _C_DEFLATE_ADOBE, _C_DEFLATE_OLD, _C_PACKBITS,
-        _C_LZMA, _C_JPEG,
-    ):
-        raise RasterOpenError(
-            f"'{path}': unsupported TIFF compression {comp} (supported: none,"
-            " LZW, DEFLATE, PackBits, LZMA, JPEG)"
-        )
-    predictor = int(value(_T_PREDICTOR, [1])[0])
-    if predictor not in (1, 2, 3):
-        raise RasterOpenError(f"'{path}': unsupported predictor {predictor}")
-    if comp == _C_JPEG and bits not in (8, 12):
-        raise RasterOpenError(
-            f"'{path}': {bits}-bit TIFF JPEG is not supported (8-bit"
-            " baseline and 12-bit extended-sequential are)"
-        )
-    sfmt = int(value(_T_SAMPLE_FORMAT, [1])[0])
-    kind = _KIND_FOR_SAMPLE_FORMAT.get(sfmt)
-    if kind is None:
-        raise RasterOpenError(f"'{path}': unsupported sample format {sfmt}")
-    if comp == _C_JPEG and bits == 12:
-        # 12-bit JPEG samples ride in a uint16 container (GDAL's
-        # JPEG12 convention)
-        dtype = np.dtype(f"{bo}u2")
-    else:
-        dtype = np.dtype(f"{bo}{kind}{bits // 8}")
+        tags: dict[int, tuple[int, int, bytes]] = {}
+        for i in range(n_entries):
+            tag, ftype, count = struct.unpack_from(
+                bo + "HH" + count_fmt, raw_entries, i * entry_sz
+            )
+            val_at = i * entry_sz + (8 if magic == 42 else 12)
+            tags[tag] = (ftype, count, raw_entries[val_at : val_at + inline_sz])
 
-    # Multi-band files: read band 1 only (the reference's rasterio read(1),
-    # backend.py:103). PlanarConfiguration=2 stores each band's blocks
-    # separately (plane 1 first); =1 interleaves samples within each pixel.
-    spp = int(value(_T_SAMPLES_PER_PIXEL, [1])[0])
-    planar = int(value(_T_PLANAR_CONFIG, [1])[0])
-    if spp > 1 and planar == 1 and predictor == 3:
-        raise RasterOpenError(
-            f"'{path}': float predictor on interleaved multi-band TIFF is"
-            " not supported (re-encode band-separate or single-band)"
-        )
-
-    tiled = _T_TILE_OFFSETS in tags
-    if tiled:
-        block_offsets = value(_T_TILE_OFFSETS)
-        block_counts = value(_T_TILE_BYTE_COUNTS)
-        tile_w = int(value(_T_TILE_WIDTH)[0])
-        tile_h = int(value(_T_TILE_LENGTH)[0])
-    else:
-        block_offsets = value(_T_STRIP_OFFSETS)
-        block_counts = value(_T_STRIP_BYTE_COUNTS)
-        rsp = int(value(_T_ROWS_PER_STRIP, [height])[0])
-        tile_w = width
-        tile_h = min(rsp, height)
-    if block_offsets is None:
-        raise RasterOpenError(f"'{path}' has no strip/tile offsets")
-    if spp > 1 and planar == 2:
-        # band-separate layout: all of plane 1's blocks come first
-        per_band = len(block_offsets) // spp
-        block_offsets = block_offsets[:per_band]
-        block_counts = block_counts[:per_band]
-
-    scale = value(_T_MODEL_PIXEL_SCALE)
-    tiepoint = value(_T_MODEL_TIEPOINT)
-    if scale is None or tiepoint is None:
-        raise RasterOpenError(f"'{path}' has no georeferencing")
-    sx, sy = float(scale[0]), float(scale[1])
-    # tiepoint: raster (i,j,k) -> model (X,Y,Z); assume (0,0) anchor
-    x0 = float(tiepoint[3]) - float(tiepoint[0]) * sx
-    y0 = float(tiepoint[4]) + float(tiepoint[1]) * sy
-
-    nodata_s = value(_T_GDAL_NODATA)
-    nodata = float(nodata_s) if nodata_s not in (None, "") else None
-
-    epsg: int | None = None
-    wkt: str | None = None
-    gk = value(_T_GEO_KEY_DIRECTORY)
-    ascii_params = value(_T_GEO_ASCII_PARAMS, "")
-    if gk:
-        n_keys = int(gk[3])
-        for i in range(n_keys):
-            key, loc, cnt, val = gk[4 + 4 * i : 8 + 4 * i]
-            if key == _GK_GEOGRAPHIC_TYPE and loc == 0:
-                epsg = int(val)
-            elif key == _GK_PROJECTED_TYPE and loc == 0 and val != 32767:
-                epsg = int(val)
-            elif key == _GK_CITATION and loc == _T_GEO_ASCII_PARAMS:
-                wkt = ascii_params[val : val + cnt].rstrip("|")
-    if epsg is None and wkt is None:
-        raise RasterOpenError(f"'{path}' has no coordinate reference system")
-
-    data = None
-    blocks = None
-    chunky_multiband = spp > 1 and planar == 1
-    if (
-        comp == _C_NONE and not tiled and predictor == 1
-        and not chunky_multiband and int(block_offsets[0]) != 0
-    ):
-        # fast path: contiguous uncompressed strips -> one zero-copy view
-        # locally (memmap), a windowed row-range reader remotely (never a
-        # whole-band fetch). A zero first offset means a sparse file:
-        # block-reader path.
-        expected = [block_offsets[0]]
-        row_bytes = width * dtype.itemsize
-        for c in block_counts[:-1]:
-            expected.append(expected[-1] + c)
-        if list(map(int, block_offsets)) == list(map(int, expected)) and all(
-            int(c) % row_bytes == 0 for c in block_counts
-        ):
-            if source.remote:
-                blocks = _ContiguousReader(
-                    source=source, dtype=dtype, height=height, width=width,
-                    offset=int(block_offsets[0]),
-                )
+        def value(tag, default=None):
+            if tag not in tags:
+                return default
+            ftype, count, raw = tags[tag]
+            if ftype not in _FT_SIZE:
+                raise RasterOpenError(f"'{path}': unsupported TIFF field type {ftype}")
+            sz = _FT_SIZE[ftype] * count
+            if sz <= inline_sz:
+                buf = raw[:sz]
             else:
-                data = source.as_array(
-                    dtype, int(block_offsets[0]), (height, width))
-    if data is None and blocks is None:
-        blocks = _BlockReader(
-            source=source, dtype=dtype, height=height, width=width,
-            block_h=tile_h, block_w=tile_w, tiled=tiled,
-            offsets=[int(o) for o in block_offsets],
-            counts=[int(c) for c in block_counts],
-            compression=comp, predictor=predictor,
-            spp=spp if chunky_multiband else 1,
-            fill=nodata if nodata is not None else 0.0,
-            jpeg_tables=value(_T_JPEG_TABLES) if comp == _C_JPEG else None,
-        )
+                (off,) = struct.unpack(bo + off_fmt, raw)
+                buf = source.read_at(off, sz)
+            if ftype == _FT_ASCII:
+                return buf.rstrip(b"\x00").decode("latin-1")
+            if ftype in (_FT_BYTE, _FT_UNDEFINED):
+                return bytes(buf)
+            vals = struct.unpack(bo + str(count) + _FT_FMT[ftype], buf)
+            return list(vals)
 
-    return Raster(
-        path=path, width=width, height=height, dtype=dtype, nodata=nodata,
-        crs=CRSInfo(epsg=epsg, wkt=wkt), x0=x0, y0=y0, sx=sx, sy=sy,
-        _data=data, _blocks=blocks,
-    )
+        width = int(value(_T_WIDTH)[0])
+        height = int(value(_T_HEIGHT)[0])
+        if georef is not None:
+            # overview chain: only strictly-reduced-resolution IFDs join
+            # Raster.overviews; masks (bit 2) and extra full-size pages
+            # are skipped silently, matching GDAL
+            subfile = int(value(_T_NEW_SUBFILE_TYPE, [0])[0])
+            if (
+                subfile & 0x4
+                or width >= georef.width
+                or height >= georef.height
+            ):
+                return None, next_off
+        bits = int(value(_T_BITS, [8])[0])
+        comp = int(value(_T_COMPRESSION, [1])[0])
+        if comp == _C_JPEG_OLD:
+            raise RasterOpenError(
+                f"'{path}': old-style TIFF JPEG (compression 6) was deprecated"
+                " by TIFF TechNote 2 — re-encode with compression 7"
+            )
+        if comp not in (
+            _C_NONE, _C_LZW, _C_DEFLATE_ADOBE, _C_DEFLATE_OLD, _C_PACKBITS,
+            _C_LZMA, _C_JPEG,
+        ):
+            raise RasterOpenError(
+                f"'{path}': unsupported TIFF compression {comp} (supported: none,"
+                " LZW, DEFLATE, PackBits, LZMA, JPEG)"
+            )
+        predictor = int(value(_T_PREDICTOR, [1])[0])
+        if predictor not in (1, 2, 3):
+            raise RasterOpenError(f"'{path}': unsupported predictor {predictor}")
+        if comp == _C_JPEG and bits not in (8, 12):
+            raise RasterOpenError(
+                f"'{path}': {bits}-bit TIFF JPEG is not supported (8-bit"
+                " baseline and 12-bit extended-sequential are)"
+            )
+        sfmt = int(value(_T_SAMPLE_FORMAT, [1])[0])
+        kind = _KIND_FOR_SAMPLE_FORMAT.get(sfmt)
+        if kind is None:
+            raise RasterOpenError(f"'{path}': unsupported sample format {sfmt}")
+        if comp == _C_JPEG and bits == 12:
+            # 12-bit JPEG samples ride in a uint16 container (GDAL's
+            # JPEG12 convention)
+            dtype = np.dtype(f"{bo}u2")
+        else:
+            dtype = np.dtype(f"{bo}{kind}{bits // 8}")
+
+        # Multi-band files: read band 1 only (the reference's rasterio read(1),
+        # backend.py:103). PlanarConfiguration=2 stores each band's blocks
+        # separately (plane 1 first); =1 interleaves samples within each pixel.
+        spp = int(value(_T_SAMPLES_PER_PIXEL, [1])[0])
+        planar = int(value(_T_PLANAR_CONFIG, [1])[0])
+        if spp > 1 and planar == 1 and predictor == 3:
+            raise RasterOpenError(
+                f"'{path}': float predictor on interleaved multi-band TIFF is"
+                " not supported (re-encode band-separate or single-band)"
+            )
+
+        tiled = _T_TILE_OFFSETS in tags
+        if tiled:
+            block_offsets = value(_T_TILE_OFFSETS)
+            block_counts = value(_T_TILE_BYTE_COUNTS)
+            tile_w = int(value(_T_TILE_WIDTH)[0])
+            tile_h = int(value(_T_TILE_LENGTH)[0])
+        else:
+            block_offsets = value(_T_STRIP_OFFSETS)
+            block_counts = value(_T_STRIP_BYTE_COUNTS)
+            rsp = int(value(_T_ROWS_PER_STRIP, [height])[0])
+            tile_w = width
+            tile_h = min(rsp, height)
+        if block_offsets is None:
+            raise RasterOpenError(f"'{path}' has no strip/tile offsets")
+        if spp > 1 and planar == 2:
+            # band-separate layout: all of plane 1's blocks come first
+            per_band = len(block_offsets) // spp
+            block_offsets = block_offsets[:per_band]
+            block_counts = block_counts[:per_band]
+
+        if georef is None:
+            scale = value(_T_MODEL_PIXEL_SCALE)
+            tiepoint = value(_T_MODEL_TIEPOINT)
+            if scale is None or tiepoint is None:
+                raise RasterOpenError(f"'{path}' has no georeferencing")
+            sx, sy = float(scale[0]), float(scale[1])
+            # tiepoint: raster (i,j,k) -> model (X,Y,Z); assume (0,0) anchor
+            x0 = float(tiepoint[3]) - float(tiepoint[0]) * sx
+            y0 = float(tiepoint[4]) + float(tiepoint[1]) * sy
+
+            nodata_s = value(_T_GDAL_NODATA)
+            nodata = float(nodata_s) if nodata_s not in (None, "") else None
+
+            epsg: int | None = None
+            wkt: str | None = None
+            gk = value(_T_GEO_KEY_DIRECTORY)
+            ascii_params = value(_T_GEO_ASCII_PARAMS, "")
+            if gk:
+                n_keys = int(gk[3])
+                for i in range(n_keys):
+                    key, loc, cnt, val = gk[4 + 4 * i : 8 + 4 * i]
+                    if key == _GK_GEOGRAPHIC_TYPE and loc == 0:
+                        epsg = int(val)
+                    elif key == _GK_PROJECTED_TYPE and loc == 0 and val != 32767:
+                        epsg = int(val)
+                    elif key == _GK_CITATION and loc == _T_GEO_ASCII_PARAMS:
+                        wkt = ascii_params[val : val + cnt].rstrip("|")
+            if epsg is None and wkt is None:
+                raise RasterOpenError(f"'{path}' has no coordinate reference system")
+            crs = CRSInfo(epsg=epsg, wkt=wkt)
+        else:
+            # GDAL's overview convention: same outer extent as the base
+            # band, pixel scale grown by the dimension ratio, no geo keys
+            # on the overview IFD itself
+            sx = georef.sx * georef.width / width
+            sy = georef.sy * georef.height / height
+            x0, y0 = georef.x0, georef.y0
+            crs = georef.crs
+            nodata_s = value(_T_GDAL_NODATA)
+            nodata = (
+                float(nodata_s) if nodata_s not in (None, "")
+                else georef.nodata
+            )
+
+        data = None
+        blocks = None
+        chunky_multiband = spp > 1 and planar == 1
+        if (
+            comp == _C_NONE and not tiled and predictor == 1
+            and not chunky_multiband and int(block_offsets[0]) != 0
+        ):
+            # fast path: contiguous uncompressed strips -> one zero-copy view
+            # locally (memmap), a windowed row-range reader remotely (never a
+            # whole-band fetch). A zero first offset means a sparse file:
+            # block-reader path.
+            expected = [block_offsets[0]]
+            row_bytes = width * dtype.itemsize
+            for c in block_counts[:-1]:
+                expected.append(expected[-1] + c)
+            if list(map(int, block_offsets)) == list(map(int, expected)) and all(
+                int(c) % row_bytes == 0 for c in block_counts
+            ):
+                if source.remote:
+                    blocks = _ContiguousReader(
+                        source=source, dtype=dtype, height=height, width=width,
+                        offset=int(block_offsets[0]),
+                    )
+                else:
+                    data = source.as_array(
+                        dtype, int(block_offsets[0]), (height, width))
+        if data is None and blocks is None:
+            blocks = _BlockReader(
+                source=source, dtype=dtype, height=height, width=width,
+                block_h=tile_h, block_w=tile_w, tiled=tiled,
+                offsets=[int(o) for o in block_offsets],
+                counts=[int(c) for c in block_counts],
+                compression=comp, predictor=predictor,
+                spp=spp if chunky_multiband else 1,
+                fill=nodata if nodata is not None else 0.0,
+                jpeg_tables=value(_T_JPEG_TABLES) if comp == _C_JPEG else None,
+                cache_tag=cache_tag,
+            )
+
+        return Raster(
+            path=path, width=width, height=height, dtype=dtype, nodata=nodata,
+            crs=crs, x0=x0, y0=y0, sx=sx, sy=sy,
+            _data=data, _blocks=blocks,
+        ), next_off
+
+    base, next_off = _parse_ifd(first_ifd, None, 0)
+    overviews: list[Raster] = []
+    seen = {first_ifd}
+    tag = 0
+    while next_off and next_off not in seen and len(seen) < 64:
+        seen.add(next_off)
+        tag += 1
+        try:
+            ovr, next_off = _parse_ifd(next_off, base, tag)
+        except RasterOpenError:
+            # overviews are an optional acceleration structure: a
+            # malformed/unsupported overview IFD degrades to "this level
+            # doesn't exist" (the base band already parsed), it never
+            # fails the open — rasterio/GDAL behave the same way
+            break
+        if ovr is not None:
+            overviews.append(ovr)
+    if overviews:
+        # coarsest-last, GDAL's ordering contract for overview lists
+        overviews.sort(key=lambda r: r.width, reverse=True)
+        base.overviews = tuple(overviews)
+    return base

@@ -69,11 +69,20 @@ def resample_tiles(
     nodata: float = -9999.0,
     num_partitions: int | None = None,
     skip_existing: bool = False,
+    use_overviews: bool = False,
 ) -> DataFrame:
     """Build factor-``factor`` overview tiles for a tile set. ``tiles``:
     (iy, ix, path) rows. Per-tile map, zero shuffles; outputs publish via
     atomic rename with lineage checksums (same resume contract as
-    :func:`opentopodata_spark.operators.terrain.terrain_tiles`)."""
+    :func:`opentopodata_spark.operators.terrain.terrain_tiles`).
+
+    use_overviews: serve ``method='average'`` tiles straight from an
+    embedded reduced-resolution IFD (COG overview) when the source file
+    carries a float-typed level at exactly ``factor`` — the level was
+    built with the same NODATA-aware average kernel, so the output is
+    bit-identical while reading 1/factor² of the bytes (on remote
+    sources, 1/factor² of the byte-range traffic). Files without a
+    matching level fall back to the full-resolution reduce."""
     block_reduce(np.zeros((2, 2)), factor, method)  # validate args
     os.makedirs(out_dir, exist_ok=True)
 
@@ -101,10 +110,26 @@ def resample_tiles(
                         ))
                         continue
                     src = _open_cached(t.path)
-                    res = block_reduce(
-                        src.read_block(0, src.height, 0, src.width),
-                        factor, method,
-                    )
+                    lvl = None
+                    if use_overviews and method == "average":
+                        for o in src.overviews:
+                            f_o = o.sx / src.sx
+                            if (
+                                abs(f_o - factor) < 1e-6
+                                and o.dtype.kind == "f"
+                            ):
+                                # float levels store the exact block mean;
+                                # integer levels are rounded and would
+                                # drift from the full-res reduce
+                                lvl = o
+                                break
+                    if lvl is not None:
+                        res = lvl.read_block(0, lvl.height, 0, lvl.width)
+                    else:
+                        res = block_reduce(
+                            src.read_block(0, src.height, 0, src.width),
+                            factor, method,
+                        )
                     finite = np.isfinite(res)
                     arr = np.where(finite, res, nodata).astype(np.dtype(dtype))
                     ci = src.crs
