@@ -3325,6 +3325,96 @@ def _build_overview_oracle(sf_dir: str):
     )
 
 
+def _cog_tile_rows() -> list[tuple[int, int, str]]:
+    """COG twins of the SRTM fixture tiles: float32 copies carrying an
+    embedded factor-8 'average' overview IFD (tiled, deflate), written
+    once under the fixture root with a .complete marker."""
+    import numpy as np
+
+    from opentopodata_spark import geotiff
+
+    d = os.path.join(_fixture_root(), "cog_tiles_r4")
+    marker = os.path.join(d, ".complete")
+    srcs = _srtm_tile_rows()
+    if not os.path.exists(marker):
+        os.makedirs(d, exist_ok=True)
+        for _iy, _ix, p in srcs:
+            r = geotiff.open_raster(p)
+            band = r.read_block(0, r.height, 0, r.width)  # NaN holes
+            arr = np.where(
+                np.isfinite(band), band, -9999.0
+            ).astype(np.float32)
+            geotiff.write_geotiff(
+                os.path.join(d, os.path.basename(p)), arr,
+                x0=r.x0, y0=r.y0, sx=r.sx, sy=r.sy, epsg=4326,
+                nodata=-9999.0, compression="deflate", predictor=3,
+                tile_size=(256, 256), overviews=(8,),
+            )
+        with open(marker, "w") as f:
+            f.write("ok")
+    return [
+        (iy, ix, os.path.join(d, os.path.basename(p)))
+        for iy, ix, p in srcs
+    ]
+
+
+def q_cog_overviews(spark, sf_dir):
+    """Cloud-optimized GeoTIFF as a CONTRACT query: resample_tiles(
+    use_overviews=True) serves the factor-8 level straight from each
+    tile's embedded overview IFD — 1/64 of the pixel bytes read, and
+    the manifest's from_overview flag pins that NO tile silently fell
+    back to the full-resolution path — while the values must equal the
+    single-process full-resolution block reduce bit-for-bit (the
+    embedded level is the same NODATA-aware float64 average kernel).
+    Reference note: the reference's own performance docs tell users to
+    pre-build overviews with gdaladdo before serving
+    (/root/reference/docs/notes/performance-optimisation.md); this is
+    that tool distributed, plus the COG read path it implies."""
+    from opentopodata_spark.operators import resample
+
+    _ship_package(spark)
+    out_dir = os.path.join(_fixture_root(), "cog_overview_out")
+    m = resample.resample_tiles(
+        spark, _cog_tile_rows(), out_dir, factor=8, use_overviews=True
+    )
+    return m.select(
+        "tile_iy", "tile_ix", "width", "height", "n_valid", "checksum",
+        "from_overview",
+    )
+
+
+def _build_cog_overview_oracle(sf_dir: str):
+    """Independent path: full-resolution single-process block reduce of
+    the SAME COG tiles (never touches the embedded levels)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from opentopodata_spark import geotiff
+    from opentopodata_spark.operators import resample
+
+    rows = []
+    for iy, ix, p in _cog_tile_rows():
+        r = geotiff.open_raster(p)
+        res = resample.block_reduce(
+            r.read_block(0, r.height, 0, r.width), 8, "average"
+        )
+        finite = np.isfinite(res)
+        arr = np.where(finite, res, -9999.0).astype(np.float32)
+        rows.append((
+            iy, ix, res.shape[1], res.shape[0], int(finite.sum()),
+            round(float(arr[finite].astype(np.float64).sum()), 3),
+        ))
+    return pa.table({
+        "tile_iy": pa.array([r[0] for r in rows], type=pa.int64()),
+        "tile_ix": pa.array([r[1] for r in rows], type=pa.int64()),
+        "width": pa.array([r[2] for r in rows], type=pa.int32()),
+        "height": pa.array([r[3] for r in rows], type=pa.int32()),
+        "n_valid": pa.array([r[4] for r in rows], type=pa.int64()),
+        "checksum": pa.array([r[5] for r in rows], type=pa.float64()),
+        "from_overview": pa.array([True] * len(rows), type=pa.bool_()),
+    })
+
+
 def _delta_grid(side: int = 1201):
     import numpy as np
 
@@ -4549,6 +4639,7 @@ _PRECOMPUTED_BUILDERS = {
     "flow_accumulation": _build_flow_acc_oracle,
     "overview_tiles": _build_overview_oracle,
     "streaming_overview": _build_overview_oracle,
+    "cog_overviews": _build_cog_overview_oracle,
     "contour_lines": _build_contour_oracle,
     "raster_diff": _build_raster_diff_oracle,
     "streaming_near_dup": _build_near_dup_stream_oracle,
@@ -4580,6 +4671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   3. then the most recently re-verified ones, which rotate out.
     return {
         # -- new in r4 --
+        "cog_overviews": q_cog_overviews,
         "terrain_tiles_export": q_terrain_tiles_export,
         "terrain_pyramid_export": q_terrain_pyramid_export,
         "raster_formats": q_raster_formats,

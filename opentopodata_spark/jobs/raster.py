@@ -146,6 +146,10 @@ def build_parser() -> argparse.ArgumentParser:
     o.add_argument("--factor", type=int, default=2)
     o.add_argument("--method", default="average", choices=["average", "nearest"])
     o.add_argument("--skip-existing", action="store_true")
+    o.add_argument("--use-overviews", action="store_true",
+                   help="serve 'average' from an embedded COG overview "
+                        "IFD at exactly --factor when one exists "
+                        "(bit-identical, 1/factor^2 of the bytes read)")
 
     c = sub.add_parser("contours", help="iso-elevation line segments")
     c.add_argument("--config")
@@ -330,12 +334,14 @@ def run(argv: list[str] | None = None) -> dict:
         manifest = _resample.resample_tiles(
             spark, tiles, ns.out, factor=ns.factor, method=ns.method,
             skip_existing=ns.skip_existing,
+            use_overviews=ns.use_overviews,
         )
         manifest.write.mode("overwrite").parquet(f"{ns.out}/_manifest")
         m = spark.read.parquet(f"{ns.out}/_manifest")
         stats.update(
             tiles=m.count(),
             errors=m.where(m.error.isNotNull()).count(),
+            from_overview=m.where(m.from_overview).count(),
             out=ns.out,
         )
 

@@ -33,7 +33,7 @@ __all__ = ["block_reduce", "resample_tiles"]
 
 MANIFEST_SCHEMA = (
     "tile_iy long, tile_ix long, path string, width int, height int, "
-    "n_valid long, checksum double, error string"
+    "n_valid long, checksum double, error string, from_overview boolean"
 )
 
 
@@ -82,7 +82,9 @@ def resample_tiles(
     built with the same NODATA-aware average kernel, so the output is
     bit-identical while reading 1/factor² of the bytes (on remote
     sources, 1/factor² of the byte-range traffic). Files without a
-    matching level fall back to the full-resolution reduce."""
+    matching level fall back to the full-resolution reduce; the
+    manifest's ``from_overview`` column records which path served each
+    tile (null for skip_existing/error rows)."""
     block_reduce(np.zeros((2, 2)), factor, method)  # validate args
     os.makedirs(out_dir, exist_ok=True)
 
@@ -106,16 +108,25 @@ def resample_tiles(
                         rows.append((
                             key[0], key[1], out, done.width, done.height,
                             int(valid.sum()),
-                            round(float(band[valid].sum()), 3), None,
+                            round(float(band[valid].sum()), 3), None, None,
                         ))
                         continue
                     src = _open_cached(t.path)
                     lvl = None
                     if use_overviews and method == "average":
+                        want_h = -(-src.height // factor)
+                        want_w = -(-src.width // factor)
                         for o in src.overviews:
-                            f_o = o.sx / src.sx
+                            # match by output dims, not scale ratio: on
+                            # ragged-edge tiles (1201 % 8 != 0) the
+                            # same-extent GDAL convention makes the
+                            # level's derived sx 1201/151 = 7.95x, never
+                            # exactly `factor`x. The loose ratio bound
+                            # only disambiguates stacked levels.
                             if (
-                                abs(f_o - factor) < 1e-6
+                                o.height == want_h
+                                and o.width == want_w
+                                and abs(o.sx / src.sx - factor) < 0.2 * factor
                                 and o.dtype.kind == "f"
                             ):
                                 # float levels store the exact block mean;
@@ -146,16 +157,16 @@ def resample_tiles(
                         key[0], key[1], out, arr.shape[1], arr.shape[0],
                         int(finite.sum()),
                         round(float(arr[finite].astype(np.float64).sum()), 3),
-                        None,
+                        None, lvl is not None,
                     ))
                 except Exception as e:  # noqa: BLE001 — per-tile isolation
                     rows.append(
-                        (key[0], key[1], None, 0, 0, 0, None, str(e))
+                        (key[0], key[1], None, 0, 0, 0, None, str(e), None)
                     )
             yield pd.DataFrame(
                 rows,
                 columns=["tile_iy", "tile_ix", "path", "width", "height",
-                         "n_valid", "checksum", "error"],
+                         "n_valid", "checksum", "error", "from_overview"],
             )
 
     pdf = spark.createDataFrame(

@@ -254,8 +254,12 @@ class TestResampleFromOverviews:
             spark, tiles, out_b, factor=2, method="average",
             use_overviews=True,
         ).orderBy("tile_iy", "tile_ix").collect()
-        assert [r.asDict() | {"path": None} for r in man_a] == [
-            r.asDict() | {"path": None} for r in man_b
+        assert all(r.from_overview is False for r in man_a)
+        assert all(r.from_overview is True for r in man_b)
+        assert [r.asDict() | {"path": None, "from_overview": None}
+                for r in man_a] == [
+            r.asDict() | {"path": None, "from_overview": None}
+            for r in man_b
         ]
         for ra, rb in zip(man_a, man_b):
             a = geotiff.open_raster(ra.path)
@@ -275,7 +279,7 @@ class TestResampleFromOverviews:
             spark, [(0, 0, p)], str(tmp_path / "o"), factor=2,
             method="average", use_overviews=True,
         ).collect()
-        assert rows[0].error is None
+        assert rows[0].error is None and rows[0].from_overview is False
         got = geotiff.open_raster(rows[0].path)
         exp = build_overview(arr, 2, nodata=-9999.0)
         np.testing.assert_allclose(
