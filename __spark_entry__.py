@@ -3415,6 +3415,47 @@ def _build_cog_overview_oracle(sf_dir: str):
     })
 
 
+_WARP_KW = dict(dst_epsg=32632, dst_res=(400.0, 400.0), tile_px=192)
+
+
+def q_raster_warp(spark, sf_dir):
+    """Distributed gdalwarp as a CONTRACT query: the SRTM fixture tiles
+    (EPSG:4326) re-gridded onto a 400 m EPSG:32632 grid, one Spark task
+    per output tile (zero shuffles; each task inverse-projects its
+    pixel centers and samples only the source windows its kernels
+    touch). Oracle: the single-process sequential twin. Reference note:
+    the reference prepares served datasets with exactly this step
+    (gdalwarp in /root/reference/docs/datasets/gebco2020.md:104,
+    nzdem.md:69) and ships a gdalwarp-derived UTM fixture its tests
+    sample (tests/data/datasets/test-srtm90m-subset-utm)."""
+    from opentopodata_spark.operators import warp
+
+    _ship_package(spark)
+    out_dir = os.path.join(_fixture_root(), "warp_out")
+    paths = [p for _iy, _ix, p in _srtm_tile_rows()]
+    m = warp.warp_tiles(spark, paths, out_dir, **_WARP_KW)
+    return m.select(
+        "tile_ty", "tile_tx", "width", "height", "n_valid", "checksum"
+    )
+
+
+def _build_raster_warp_oracle(sf_dir: str):
+    import pyarrow as pa
+
+    from opentopodata_spark.operators import warp
+
+    paths = [p for _iy, _ix, p in _srtm_tile_rows()]
+    rows = warp.warp_tiles_sequential(paths, **_WARP_KW)
+    return pa.table({
+        "tile_ty": pa.array([r[0] for r in rows], type=pa.int64()),
+        "tile_tx": pa.array([r[1] for r in rows], type=pa.int64()),
+        "width": pa.array([r[2] for r in rows], type=pa.int32()),
+        "height": pa.array([r[3] for r in rows], type=pa.int32()),
+        "n_valid": pa.array([r[4] for r in rows], type=pa.int64()),
+        "checksum": pa.array([r[5] for r in rows], type=pa.float64()),
+    })
+
+
 def _delta_grid(side: int = 1201):
     import numpy as np
 
@@ -4640,6 +4681,7 @@ _PRECOMPUTED_BUILDERS = {
     "overview_tiles": _build_overview_oracle,
     "streaming_overview": _build_overview_oracle,
     "cog_overviews": _build_cog_overview_oracle,
+    "raster_warp": _build_raster_warp_oracle,
     "contour_lines": _build_contour_oracle,
     "raster_diff": _build_raster_diff_oracle,
     "streaming_near_dup": _build_near_dup_stream_oracle,
@@ -4671,6 +4713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   3. then the most recently re-verified ones, which rotate out.
     return {
         # -- new in r4 --
+        "raster_warp": q_raster_warp,
         "cog_overviews": q_cog_overviews,
         "terrain_tiles_export": q_terrain_tiles_export,
         "terrain_pyramid_export": q_terrain_pyramid_export,

@@ -12,6 +12,7 @@ Subcommands:
   rasterize  points parquet (lat, lon[, value]) -> cell aggregation
              parquet and optional GeoTIFF tile pyramid
   resample   tiled DEM -> factor-k overview tiles (gdaladdo)
+  warp       tiles -> target-CRS grid (gdalwarp -t_srs -tr -te -r)
   contours   tiled DEM -> iso-line segments parquet (gdal_contour)
   calc       two tile sets -> cell-wise expression tiles (gdal_calc)
 
@@ -151,6 +152,25 @@ def build_parser() -> argparse.ArgumentParser:
                         "IFD at exactly --factor when one exists "
                         "(bit-identical, 1/factor^2 of the bytes read)")
 
+    wp = sub.add_parser(
+        "warp", help="reproject tiles onto a target-CRS grid (gdalwarp)")
+    wp.add_argument("--config")
+    wp.add_argument("--dataset")
+    wp.add_argument("--rasters", nargs="*")
+    wp.add_argument("--out", required=True)
+    wp.add_argument("--dst-epsg", type=int)
+    wp.add_argument("--dst-wkt")
+    wp.add_argument("--dst-res", required=True,
+                    help="xres[,yres] in target units (gdalwarp -tr)")
+    wp.add_argument("--dst-bounds",
+                    help="xmin,ymin,xmax,ymax in target units (gdalwarp "
+                         "-te; default: densified source extent)")
+    wp.add_argument("--method", default="bilinear",
+                    choices=["nearest", "bilinear", "cubic"])
+    wp.add_argument("--tile-px", type=int, default=512)
+    wp.add_argument("--nodata", type=float, default=-9999.0)
+    wp.add_argument("--skip-existing", action="store_true")
+
     c = sub.add_parser("contours", help="iso-elevation line segments")
     c.add_argument("--config")
     c.add_argument("--dataset")
@@ -268,6 +288,41 @@ def run(argv: list[str] | None = None) -> dict:
             raise ValueError("flowacc needs --config/--dataset or --rasters")
         manifest = _hydrology.flow_accumulation(
             spark, tiles, ns.out, scale=ns.scale,
+            skip_existing=ns.skip_existing,
+        )
+        manifest.write.mode("overwrite").parquet(f"{ns.out}/_manifest")
+        m = spark.read.parquet(f"{ns.out}/_manifest")
+        stats.update(
+            tiles=m.count(),
+            errors=m.where(m.error.isNotNull()).count(),
+            out=ns.out,
+        )
+
+    elif ns.cmd == "warp":
+        from ..operators import warp as _warp
+
+        if ns.config and ns.dataset:
+            paths = [
+                p for _iy, _ix, p
+                in _tile_rows_from_config(ns.config, ns.dataset)
+            ]
+        elif ns.rasters:
+            paths = sorted(
+                p for pat in ns.rasters for p in _glob.glob(pat)
+            ) or list(ns.rasters)  # keep URLs glob can't expand
+        else:
+            raise ValueError("warp needs --config/--dataset or --rasters")
+        res_parts = [float(v) for v in ns.dst_res.split(",")]
+        dst_res = (res_parts[0], res_parts[-1])
+        dst_bounds = (
+            tuple(float(v) for v in ns.dst_bounds.split(","))
+            if ns.dst_bounds else None
+        )
+        manifest = _warp.warp_tiles(
+            spark, paths, ns.out,
+            dst_epsg=ns.dst_epsg, dst_wkt=ns.dst_wkt,
+            dst_res=dst_res, dst_bounds=dst_bounds,
+            method=ns.method, tile_px=ns.tile_px, nodata=ns.nodata,
             skip_existing=ns.skip_existing,
         )
         manifest.write.mode("overwrite").parquet(f"{ns.out}/_manifest")

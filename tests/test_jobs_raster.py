@@ -107,6 +107,23 @@ def test_resample_cli(spark, srtm_cfg, tmp_path, capsys):
     assert r.width == -(-1201 // 8) and r.height == -(-1201 // 8)
 
 
+def test_warp_cli(spark, srtm_cfg, tmp_path, capsys):
+    out = str(tmp_path / "utm")
+    rc = job.main([
+        "--cores", "4", "warp", "--config", srtm_cfg,
+        "--dataset", "srtm90subset", "--out", out,
+        "--dst-epsg", "32632", "--dst-res", "500", "--tile-px", "256",
+    ])
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["status"] == "OK" and res["errors"] == 0 and res["tiles"] >= 1
+    tifs = sorted(glob.glob(os.path.join(out, "warp_*.tif")))
+    assert len(tifs) == res["tiles"]
+    r = geotiff.open_raster(tifs[0])
+    assert r.crs.epsg == 32632 and r.res == (500.0, 500.0)
+    assert np.isfinite(r.read_block(0, r.height, 0, r.width)).any()
+
+
 def test_contours_cli(spark, srtm_cfg, tmp_path, capsys):
     out = str(tmp_path / "segs")
     rc = job.main([
