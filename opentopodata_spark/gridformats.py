@@ -860,6 +860,108 @@ class _VRTReader:
         return out
 
 
+def build_vrt(out_path: str, paths: list[str]) -> str:
+    """Write a GDAL VRT mosaic over ``paths`` — the gdalbuildvrt twin
+    (the reference's most-used dataset-prep tool: six call sites in
+    /root/reference/docs/datasets/*.md). Driver-side metadata pass only:
+    opens each source header, refuses loudly on anything gdalbuildvrt
+    would mis-mosaic (mixed CRS, mixed resolution, mixed dtype,
+    grid-misaligned origins) instead of warning and guessing. Children
+    inside the VRT's directory are referenced relatively (the mosaic
+    stays valid when the dataset directory moves); URLs and outside
+    paths stay absolute. The result opens through open_raster (and
+    therefore serves the elevation pipeline) like any other raster."""
+    from .geotiff import open_raster
+
+    if not paths:
+        raise ValueError("build_vrt needs at least one source raster")
+    metas = [(p, open_raster(p)) for p in paths]
+    _p0, r0 = metas[0]
+    dt_names = {v: k for k, v in _VRT_DTYPES.items()}
+    key0 = r0.dtype.str.lstrip("<>=|")
+    if key0 not in dt_names:
+        raise ValueError(f"VRT cannot carry dtype {r0.dtype}")
+    for p, r in metas:
+        if r.crs is None:
+            raise ValueError(f"'{p}' has no CRS; cannot mosaic")
+        if (r.crs.epsg, r.crs.wkt) != (r0.crs.epsg, r0.crs.wkt):
+            raise ValueError(
+                f"mixed CRS: '{p}' differs from '{metas[0][0]}'"
+            )
+        if (abs(r.sx / r0.sx - 1.0) > 1e-9
+                or abs(r.sy / r0.sy - 1.0) > 1e-9):
+            raise ValueError(
+                f"mixed resolution: '{p}' ({r.sx}, {r.sy}) vs"
+                f" ({r0.sx}, {r0.sy})"
+            )
+        if r.dtype.str.lstrip("<>=|") != key0:
+            raise ValueError(
+                f"mixed dtype: '{p}' {r.dtype} vs {r0.dtype}"
+            )
+    xmin = min(r.x0 for _p, r in metas)
+    ymax = max(r.y0 for _p, r in metas)
+    width = height = 0
+    rows = []
+    for p, r in metas:
+        fx = (r.x0 - xmin) / r0.sx
+        fy = (ymax - r.y0) / r0.sy
+        xoff, yoff = round(fx), round(fy)
+        if abs(fx - xoff) > 1e-3 or abs(fy - yoff) > 1e-3:
+            raise ValueError(
+                f"'{p}' origin is not aligned to the mosaic grid"
+                f" (offset {fx:.6f}, {fy:.6f} px)"
+            )
+        rows.append((p, r, int(xoff), int(yoff)))
+        width = max(width, int(xoff) + r.width)
+        height = max(height, int(yoff) + r.height)
+
+    ci = r0.crs
+    srs = f"EPSG:{ci.epsg}" if ci.epsg else ci.wkt
+    base = os.path.dirname(os.path.abspath(out_path))
+    xml = [
+        f'<VRTDataset rasterXSize="{width}" rasterYSize="{height}">',
+        f"  <SRS>{srs}</SRS>",
+        "  <GeoTransform>"
+        f"{xmin!r}, {r0.sx!r}, 0.0, {ymax!r}, 0.0, {-r0.sy!r}"
+        "</GeoTransform>",
+        f'  <VRTRasterBand dataType="{dt_names[key0]}" band="1">',
+    ]
+    if r0.nodata is not None:
+        xml.append(f"    <NoDataValue>{float(r0.nodata)!r}</NoDataValue>")
+    for p, r, xoff, yoff in rows:
+        ap = os.path.abspath(p)
+        if p.startswith(("http://", "https://")):
+            fn, rel = p, 0
+        elif os.path.commonpath([base, ap]) == base:
+            fn, rel = os.path.relpath(ap, base), 1
+        else:
+            fn, rel = ap, 0
+        xml.append("    <SimpleSource>")
+        xml.append(
+            f'      <SourceFilename relativeToVRT="{rel}">{fn}'
+            "</SourceFilename>"
+        )
+        xml.append("      <SourceBand>1</SourceBand>")
+        xml.append(
+            f'      <SrcRect xOff="0" yOff="0" xSize="{r.width}"'
+            f' ySize="{r.height}"/>'
+        )
+        xml.append(
+            f'      <DstRect xOff="{xoff}" yOff="{yoff}"'
+            f' xSize="{r.width}" ySize="{r.height}"/>'
+        )
+        if r.nodata is not None:
+            xml.append(f"      <NODATA>{float(r.nodata)!r}</NODATA>")
+        xml.append("    </SimpleSource>")
+    xml.append("  </VRTRasterBand>")
+    xml.append("</VRTDataset>")
+    tmp = out_path + f".tmp{os.getpid()}"
+    with open(tmp, "w") as f:
+        f.write("\n".join(xml) + "\n")
+    os.replace(tmp, out_path)
+    return out_path
+
+
 def open_vrt(path: str) -> Raster:
     """Open a GDAL VRT mosaic (the XML virtual format GDAL builds with
     gdalbuildvrt) as a Raster. Supported: single-band VRTRasterBand with

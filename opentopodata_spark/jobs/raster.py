@@ -171,6 +171,17 @@ def build_parser() -> argparse.ArgumentParser:
     wp.add_argument("--nodata", type=float, default=-9999.0)
     wp.add_argument("--skip-existing", action="store_true")
 
+    bv = sub.add_parser(
+        "buildvrt", help="write a VRT mosaic over tiles (gdalbuildvrt)")
+    bv.add_argument("--config")
+    bv.add_argument("--dataset")
+    bv.add_argument("--rasters", nargs="*")
+    bv.add_argument("--out", required=True, help="output .vrt path")
+
+    gi = sub.add_parser(
+        "info", help="print raster metadata as JSON (gdalinfo)")
+    gi.add_argument("--raster", required=True)
+
     c = sub.add_parser("contours", help="iso-elevation line segments")
     c.add_argument("--config")
     c.add_argument("--dataset")
@@ -246,12 +257,13 @@ def build_parser() -> argparse.ArgumentParser:
 
 def run(argv: list[str] | None = None) -> dict:
     ns = build_parser().parse_args(argv)
-    spark = get_spark(
-        app_name=f"otds-raster-{ns.cmd}",
-        cores=ns.cores,
-        shuffle_partitions=ns.shuffle_partitions,
-        master=ns.master,
-    )
+    if ns.cmd not in ("buildvrt", "info"):  # driver-only subcommands
+        spark = get_spark(
+            app_name=f"otds-raster-{ns.cmd}",
+            cores=ns.cores,
+            shuffle_partitions=ns.shuffle_partitions,
+            master=ns.master,
+        )
     t0 = time.time()
     stats: dict = {"job": f"raster-{ns.cmd}"}
 
@@ -296,6 +308,49 @@ def run(argv: list[str] | None = None) -> dict:
             tiles=m.count(),
             errors=m.where(m.error.isNotNull()).count(),
             out=ns.out,
+        )
+
+    elif ns.cmd == "buildvrt":
+        from .. import gridformats as _gf
+
+        if ns.config and ns.dataset:
+            paths = [
+                p for _iy, _ix, p
+                in _tile_rows_from_config(ns.config, ns.dataset)
+            ]
+        elif ns.rasters:
+            paths = sorted(
+                p for pat in ns.rasters for p in _glob.glob(pat)
+            ) or list(ns.rasters)
+        else:
+            raise ValueError("buildvrt needs --config/--dataset or"
+                             " --rasters")
+        _gf.build_vrt(ns.out, paths)
+        from ..geotiff import open_raster as _open
+
+        r = _open(ns.out)  # validate the mosaic opens
+        stats.update(
+            sources=len(paths), width=r.width, height=r.height,
+            out=ns.out,
+        )
+
+    elif ns.cmd == "info":
+        from ..geotiff import open_raster as _open
+
+        r = _open(ns.raster)
+        ci = r.crs
+        stats.update(
+            path=ns.raster, width=r.width, height=r.height,
+            dtype=str(r.dtype), nodata=r.nodata,
+            epsg=(ci.epsg if ci else None),
+            wkt=(ci.wkt if ci and not ci.epsg else None),
+            origin=[r.x0, r.y0], res=[r.sx, r.sy],
+            bounds=[r.bounds.left, r.bounds.bottom,
+                    r.bounds.right, r.bounds.top],
+            overviews=[
+                {"width": o.width, "height": o.height,
+                 "dtype": str(o.dtype)} for o in r.overviews
+            ],
         )
 
     elif ns.cmd == "warp":

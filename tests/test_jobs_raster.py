@@ -124,6 +124,28 @@ def test_warp_cli(spark, srtm_cfg, tmp_path, capsys):
     assert np.isfinite(r.read_block(0, r.height, 0, r.width)).any()
 
 
+def test_buildvrt_and_info_cli(srtm_cfg, tmp_path, capsys):
+    out = str(tmp_path / "srtm.vrt")
+    rc = job.main([
+        "buildvrt", "--config", srtm_cfg,
+        "--dataset", "srtm90subset", "--out", out,
+    ])
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["status"] == "OK" and res["sources"] == 2
+    assert res["width"] == 2401 and res["height"] == 1201  # 1-px overlap
+
+    rc = job.main(["info", "--raster", out])
+    assert rc == 0
+    info = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert info["status"] == "OK"
+    assert info["epsg"] == 4326 and info["width"] == 2401
+    assert info["dtype"] == "int16"
+    b = info["bounds"]
+    assert b[0] == pytest.approx(10.0 - 1 / 2400) \
+        and b[2] == pytest.approx(12.0 + 1 / 2400)
+
+
 def test_contours_cli(spark, srtm_cfg, tmp_path, capsys):
     out = str(tmp_path / "segs")
     rc = job.main([

@@ -222,3 +222,85 @@ def test_vrt_elevation_differential(tmp_path, spark):
     out_v = {r.point_id: r.elevation for r in elevation.ElevationResolver(
         spark, [ds_vrt], "bilinear").resolve(pts).collect()}
     assert out_v == out_t
+
+
+class TestBuildVrt:
+    """gridformats.build_vrt — the gdalbuildvrt twin (the reference's
+    most-used dataset-prep tool: 6 call sites in
+    /root/reference/docs/datasets/*.md)."""
+
+    def test_roundtrip_matches_sources(self, tmp_path, two_tiles):
+        from opentopodata_spark.gridformats import build_vrt
+
+        a, b = two_tiles
+        out = build_vrt(
+            str(tmp_path / "m.vrt"),
+            [str(tmp_path / "a.tif"), str(tmp_path / "b.tif")],
+        )
+        r = open_raster(out)
+        assert (r.width, r.height) == (160, 60)
+        assert (r.x0, r.y0) == (10.0, 1.0)
+        band = r.read_window(0, 60, 0, 160)[0]
+        np.testing.assert_array_equal(band[:, :80], a)
+        np.testing.assert_array_equal(band[:, 80:], b)
+        # children are referenced relatively: the mosaic survives a move
+        moved = tmp_path / "moved"
+        os.makedirs(moved)
+        for f in ("m.vrt", "a.tif", "b.tif"):
+            os.rename(tmp_path / f, moved / f)
+        r2 = open_raster(str(moved / "m.vrt"))
+        np.testing.assert_array_equal(
+            r2.read_window(0, 60, 0, 160)[0], band
+        )
+
+    def test_overlap_keeps_grid_and_nodata(self, tmp_path):
+        from opentopodata_spark.gridformats import build_vrt
+
+        a = np.full((40, 40), 7.0, dtype=np.float32)
+        a[:5, :5] = -9999.0
+        b = np.full((40, 40), 9.0, dtype=np.float32)
+        geotiff.write_geotiff(str(tmp_path / "a.tif"), a, x0=0.0, y0=1.0,
+                              sx=0.01, sy=0.01, epsg=4326, nodata=-9999)
+        geotiff.write_geotiff(str(tmp_path / "b.tif"), b, x0=0.2, y0=1.0,
+                              sx=0.01, sy=0.01, epsg=4326, nodata=-9999)
+        out = build_vrt(str(tmp_path / "m.vrt"),
+                        [str(tmp_path / "a.tif"), str(tmp_path / "b.tif")])
+        r = open_raster(out)
+        assert (r.width, r.height) == (60, 40)
+        band = r.read_window(0, 40, 0, 60)[0]
+        assert (band[:, :20] == np.where(a[:, :20] == -9999.0, -9999.0,
+                                         7.0)).all()
+        # painter order: b paints over a's overlap columns
+        assert (band[:, 20:40] == 9.0).all()
+        assert band[0, 0] == -9999.0  # NoDataValue carried
+
+    def test_refusals(self, tmp_path):
+        from opentopodata_spark.gridformats import build_vrt
+
+        a = np.zeros((10, 10), dtype=np.float32)
+        geotiff.write_geotiff(str(tmp_path / "a.tif"), a, x0=0, y0=1,
+                              sx=0.01, sy=0.01, epsg=4326)
+        geotiff.write_geotiff(str(tmp_path / "res.tif"), a, x0=0, y0=2,
+                              sx=0.02, sy=0.02, epsg=4326)
+        geotiff.write_geotiff(str(tmp_path / "crs.tif"), a, x0=0, y0=1,
+                              sx=0.01, sy=0.01, epsg=32632)
+        geotiff.write_geotiff(str(tmp_path / "mis.tif"), a, x0=0.005,
+                              y0=1, sx=0.01, sy=0.01, epsg=4326)
+        geotiff.write_geotiff(str(tmp_path / "i16.tif"),
+                              a.astype(np.int16), x0=0.1, y0=1,
+                              sx=0.01, sy=0.01, epsg=4326)
+        base = str(tmp_path / "a.tif")
+        with pytest.raises(ValueError, match="resolution"):
+            build_vrt(str(tmp_path / "m.vrt"),
+                      [base, str(tmp_path / "res.tif")])
+        with pytest.raises(ValueError, match="CRS"):
+            build_vrt(str(tmp_path / "m.vrt"),
+                      [base, str(tmp_path / "crs.tif")])
+        with pytest.raises(ValueError, match="aligned"):
+            build_vrt(str(tmp_path / "m.vrt"),
+                      [base, str(tmp_path / "mis.tif")])
+        with pytest.raises(ValueError, match="dtype"):
+            build_vrt(str(tmp_path / "m.vrt"),
+                      [base, str(tmp_path / "i16.tif")])
+        with pytest.raises(ValueError, match="at least one"):
+            build_vrt(str(tmp_path / "m.vrt"), [])
