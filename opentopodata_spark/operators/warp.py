@@ -110,6 +110,65 @@ def suggest_dst_bounds(
     return float(xs.min()), float(ys.min()), float(xs.max()), float(ys.max())
 
 
+def _source_dst_bboxes(paths, dst_epsg, dst_wkt):
+    """Per-source bbox in TARGET coordinates (densified outline, like
+    suggest_dst_bounds), for pruning output tiles that no source can
+    reach. Conservative: the bbox of a curved outline covers it, so a
+    tile outside every bbox is provably empty."""
+    from .. import crs as _crs
+
+    out = []
+    for p in paths:
+        lons, lats = _wgs84_outline(_open_cached(p))
+        if dst_epsg == 4326:
+            xs, ys = np.asarray(lons), np.asarray(lats)
+        else:
+            xs, ys = _crs.reproject_latlons(
+                lats, lons, epsg=dst_epsg, wkt=dst_wkt
+            )
+        xs = np.asarray(xs, dtype=np.float64)
+        ys = np.asarray(ys, dtype=np.float64)
+        keep = np.isfinite(xs) & np.isfinite(ys)
+        if not keep.any():
+            out.append(None)  # off-projection source: never prunes
+            continue
+        out.append((
+            float(xs[keep].min()), float(ys[keep].min()),
+            float(xs[keep].max()), float(ys[keep].max()),
+        ))
+    return out
+
+
+def _active_keys(keys, src_dst_bboxes, dst_bounds, dst_res, tile_px,
+                 width, height):
+    """Split output tile keys into (active, empty): a tile is EMPTY when
+    its dst-space rectangle (padded by a kernel-reach margin) intersects
+    no source bbox — it writes pure NODATA without a single coordinate
+    transform. At a 10^6-tile target extent with sparse sources this is
+    the difference between O(covered) and O(extent) transform work."""
+    if any(b is None for b in src_dst_bboxes):
+        return list(keys), []
+    xmin, _ymin, _xmax, ymax = (float(v) for v in dst_bounds)
+    xres, yres = float(dst_res[0]), abs(float(dst_res[1]))
+    # generous margin: cubic reaches 2 source pixels; 8 dst pixels
+    # covers any sane src/dst resolution ratio, and a wrongly-active
+    # tile only costs work, never correctness
+    mx, my = 8.0 * xres, 8.0 * yres
+    active, empty = [], []
+    for ty, tx in keys:
+        x0 = xmin + tx * tile_px * xres
+        x1 = xmin + min((tx + 1) * tile_px, width) * xres
+        y1 = ymax - ty * tile_px * yres
+        y0 = ymax - min((ty + 1) * tile_px, height) * yres
+        hit = any(
+            x1 + mx >= bx0 and x0 - mx <= bx1
+            and y1 + my >= by0 and y0 - my <= by1
+            for bx0, by0, bx1, by1 in src_dst_bboxes
+        )
+        (active if hit else empty).append((ty, tx))
+    return active, empty
+
+
 def _dst_grid(dst_bounds, dst_res, tile_px):
     """Target pixel grid: (width, height, tile keys). The grid is
     anchored at (xmin, ymax) and extends to COVER the bounds (partial
@@ -210,6 +269,10 @@ def warp_tiles(
             float(np.nanmin(lons)), float(np.nanmax(lons)),
         ))
     width, height, keys = _dst_grid(dst_bounds, dst_res, tile_px)
+    src_dst = _source_dst_bboxes(paths, dst_epsg, dst_wkt)
+    active, empty = _active_keys(
+        keys, src_dst, dst_bounds, dst_res, tile_px, width, height
+    )
     xmin, _ymin, _xmax, ymax = (float(v) for v in dst_bounds)
     xres, yres = float(dst_res[0]), abs(float(dst_res[1]))
     os.makedirs(out_dir, exist_ok=True)
@@ -241,26 +304,32 @@ def warp_tiles(
                             round(float(band[valid].sum()), 3), None,
                         ))
                         continue
-                    xs = xmin + (c0 + np.arange(w) + 0.5) * xres
-                    ys = ymax - (r0 + np.arange(h) + 0.5) * yres
-                    xx = np.broadcast_to(xs, (h, w)).ravel()
-                    yy = np.repeat(ys, w)
-                    lons, lats = _crs.unproject_xys(
-                        xx, yy, epsg=dst_epsg, wkt=dst_wkt
-                    )
-                    lons = np.asarray(lons, dtype=np.float64)
-                    lats = np.asarray(lats, dtype=np.float64)
-                    ok = np.isfinite(lons) & np.isfinite(lats)
-                    z = np.full(lats.shape, np.nan)
-                    if ok.all():
-                        z = _sample_sources(
-                            lats, lons, s_paths, s_bboxes, method
+                    if bool(t.empty):
+                        # provably outside every source's dst-space
+                        # bbox: constant NODATA, zero transforms
+                        z = np.full((h, w), np.nan)
+                    else:
+                        xs = xmin + (c0 + np.arange(w) + 0.5) * xres
+                        ys = ymax - (r0 + np.arange(h) + 0.5) * yres
+                        xx = np.broadcast_to(xs, (h, w)).ravel()
+                        yy = np.repeat(ys, w)
+                        lons, lats = _crs.unproject_xys(
+                            xx, yy, epsg=dst_epsg, wkt=dst_wkt
                         )
-                    elif ok.any():
-                        z[ok] = _sample_sources(
-                            lats[ok], lons[ok], s_paths, s_bboxes, method
-                        )
-                    z = z.reshape(h, w)
+                        lons = np.asarray(lons, dtype=np.float64)
+                        lats = np.asarray(lats, dtype=np.float64)
+                        ok = np.isfinite(lons) & np.isfinite(lats)
+                        z = np.full(lats.shape, np.nan)
+                        if ok.all():
+                            z = _sample_sources(
+                                lats, lons, s_paths, s_bboxes, method
+                            )
+                        elif ok.any():
+                            z[ok] = _sample_sources(
+                                lats[ok], lons[ok], s_paths, s_bboxes,
+                                method,
+                            )
+                        z = z.reshape(h, w)
                     finite = np.isfinite(z)
                     arr = np.where(finite, z, nodata).astype(np.dtype(dtype))
                     tmp = out + f".tmp{os.getpid()}"
@@ -288,9 +357,11 @@ def warp_tiles(
                          "n_valid", "checksum", "error"],
             )
 
+    rows = [(int(ty), int(tx), False) for ty, tx in active] + [
+        (int(ty), int(tx), True) for ty, tx in empty
+    ]
     pdf = spark.createDataFrame(
-        [(int(ty), int(tx)) for ty, tx in keys],
-        "tile_ty long, tile_tx long",
+        rows, "tile_ty long, tile_tx long, empty boolean"
     )
     n = num_partitions or max(
         1, min(len(keys), spark.sparkContext.defaultParallelism)
@@ -334,6 +405,11 @@ def warp_tiles_sequential(
             float(np.nanmin(lons)), float(np.nanmax(lons)),
         ))
     width, height, keys = _dst_grid(dst_bounds, dst_res, tile_px)
+    src_dst = _source_dst_bboxes(paths, dst_epsg, dst_wkt)
+    active, empty = _active_keys(
+        keys, src_dst, dst_bounds, dst_res, tile_px, width, height
+    )
+    empty_set = set(empty)
     xmin, _ymin, _xmax, ymax = (float(v) for v in dst_bounds)
     xres, yres = float(dst_res[0]), abs(float(dst_res[1]))
     out_rows = []
@@ -341,20 +417,25 @@ def warp_tiles_sequential(
         r0, c0 = ty * tile_px, tx * tile_px
         h = min(tile_px, height - r0)
         w = min(tile_px, width - c0)
-        xs = xmin + (c0 + np.arange(w) + 0.5) * xres
-        ys = ymax - (r0 + np.arange(h) + 0.5) * yres
-        xx = np.broadcast_to(xs, (h, w)).ravel()
-        yy = np.repeat(ys, w)
-        lons, lats = _crs.unproject_xys(xx, yy, epsg=dst_epsg, wkt=dst_wkt)
-        lons = np.asarray(lons, dtype=np.float64)
-        lats = np.asarray(lats, dtype=np.float64)
-        ok = np.isfinite(lons) & np.isfinite(lats)
-        z = np.full(lats.shape, np.nan)
-        if ok.any():
-            z[ok] = _sample_sources(
-                lats[ok], lons[ok], paths, src_bboxes, method
+        if (ty, tx) in empty_set:
+            z = np.full((h, w), np.nan)
+        else:
+            xs = xmin + (c0 + np.arange(w) + 0.5) * xres
+            ys = ymax - (r0 + np.arange(h) + 0.5) * yres
+            xx = np.broadcast_to(xs, (h, w)).ravel()
+            yy = np.repeat(ys, w)
+            lons, lats = _crs.unproject_xys(
+                xx, yy, epsg=dst_epsg, wkt=dst_wkt
             )
-        z = z.reshape(h, w)
+            lons = np.asarray(lons, dtype=np.float64)
+            lats = np.asarray(lats, dtype=np.float64)
+            ok = np.isfinite(lons) & np.isfinite(lats)
+            z = np.full(lats.shape, np.nan)
+            if ok.any():
+                z[ok] = _sample_sources(
+                    lats[ok], lons[ok], paths, src_bboxes, method
+                )
+            z = z.reshape(h, w)
         finite = np.isfinite(z)
         arr = np.where(finite, z, nodata).astype(np.dtype(dtype))
         out_rows.append((

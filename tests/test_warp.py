@@ -153,6 +153,40 @@ class TestCoverage:
         assert np.isfinite(band[:, :20]).all()
         assert np.isnan(band[:, 21:]).all()  # east half: no source
 
+    def test_sparse_extent_prunes_empty_tiles(self, spark, tmp_path):
+        """A tiny source inside a huge target extent: far tiles are
+        provably empty (driver-side dst-bbox prune), write pure NODATA
+        with zero coordinate transforms, and the distributed run still
+        equals the sequential twin exactly."""
+        arr = _rand(20, 20, seed=5)
+        src = _write_src(str(tmp_path / "s.tif"), arr)
+        kw = dict(
+            dst_epsg=4326, dst_res=(0.01, 0.01),
+            dst_bounds=(8.0, -1.0, 13.0, 2.0), tile_px=64,
+        )
+        keys_w, keys_h = -(-500 // 64), -(-300 // 64)
+        src_dst = warp._source_dst_bboxes([src], 4326, None)
+        active, empty = warp._active_keys(
+            [(ty, tx) for ty in range(keys_h) for tx in range(keys_w)],
+            src_dst, kw["dst_bounds"], kw["dst_res"], 64, 500, 300,
+        )
+        assert len(active) < len(active) + len(empty)
+        assert len(empty) >= 30  # most of the 40-tile pane is empty
+        m = {
+            (r.tile_ty, r.tile_tx): r
+            for r in warp.warp_tiles(
+                spark, [src], str(tmp_path / "o"), **kw
+            ).collect()
+        }
+        seq = warp.warp_tiles_sequential([src], **kw)
+        assert len(seq) == len(m) == len(active) + len(empty)
+        for ty, tx, w, h, n_valid, checksum, _band in seq:
+            row = m[(ty, tx)]
+            assert row.error is None
+            assert (row.n_valid, row.checksum) == (n_valid, checksum)
+        covered = sum(r[4] for r in seq)
+        assert covered == 20 * 20  # exactly the source's pixels
+
     def test_suggest_bounds_cover_source_corners(self, srtm_paths):
         xmin, ymin, xmax, ymax = warp.suggest_dst_bounds(
             srtm_paths, dst_epsg=32632
