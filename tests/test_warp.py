@@ -201,6 +201,59 @@ class TestCoverage:
             assert (ys >= ymin - 1e-6).all() and (ys <= ymax + 1e-6).all()
 
 
+def test_plan_shape_one_exchange_no_joins(spark, tmp_path, srtm_paths):
+    """The warp is ONE round-robin exchange of bare tile keys into the
+    per-tile mapInPandas — a join node or second exchange would be a
+    scale regression (pixel data never shuffles at all)."""
+    df = warp.warp_tiles(
+        spark, srtm_paths, str(tmp_path / "o"),
+        dst_epsg=32632, dst_res=(400.0, 400.0), tile_px=192,
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    wide = [ln for ln in plan.splitlines()
+            if "Exchange" in ln and "BroadcastExchange" not in ln]
+    assert len(wide) == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_elevation_through_warped_dataset(spark, tmp_path, srtm_paths):
+    """Cross-operator anchor: resolve elevations from the WARPED (UTM)
+    tiles and from the original 4326 tiles — same analytic terrain, so
+    interior points agree to re-gridding tolerance. This is exactly the
+    reference's own use of gdalwarp output (its UTM fixture is served
+    by the same backend as the original)."""
+    from opentopodata_spark.config import SingleFileDataset, dataset_from_config
+    from opentopodata_spark.operators import elevation
+
+    out = str(tmp_path / "utm_ds")
+    m = warp.warp_tiles(
+        spark, srtm_paths, out, dst_epsg=32632,
+        dst_res=(120.0, 120.0), tile_px=4096,  # one output tile
+    ).collect()
+    assert len(m) == 1 and m[0].error is None
+    ds_utm = SingleFileDataset("utm", tile_path=m[0].path)
+    ds_src = dataset_from_config(
+        name="src", path=os.path.dirname(srtm_paths[0])
+    )
+    pts = spark.createDataFrame(
+        [(i, 0.2 + 0.06 * i, 10.3 + 0.12 * i) for i in range(10)],
+        "point_id long, lat double, lon double",
+    )
+    res_u = {
+        r.point_id: r.elevation
+        for r in elevation.ElevationResolver(spark, [ds_utm], "bilinear")
+        .resolve(pts).collect()
+    }
+    res_s = {
+        r.point_id: r.elevation
+        for r in elevation.ElevationResolver(spark, [ds_src], "bilinear")
+        .resolve(pts).collect()
+    }
+    assert set(res_u) == set(res_s) == set(range(10))
+    for i in range(10):
+        assert res_u[i] == pytest.approx(res_s[i], abs=1.5)
+
+
 class TestValidation:
     def test_bad_method_raises(self, spark, tmp_path):
         with pytest.raises(ValueError, match="interpolation"):
