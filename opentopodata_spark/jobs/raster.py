@@ -13,6 +13,11 @@ Subcommands:
              parquet and optional GeoTIFF tile pyramid
   resample   tiled DEM -> factor-k overview tiles (gdaladdo)
   warp       tiles -> target-CRS grid (gdalwarp -t_srs -tr -te -r)
+  prep       warp + corner-named servable tiles + embedded COG
+             overviews + serving config (the reference's documented
+             gdalbuildvrt/gdalwarp/gdaladdo dataset recipe, distributed)
+  buildvrt   VRT mosaic over tiles (gdalbuildvrt; driver-only)
+  info       raster metadata JSON (gdalinfo; driver-only)
   contours   tiled DEM -> iso-line segments parquet (gdal_contour)
   calc       two tile sets -> cell-wise expression tiles (gdal_calc)
 
@@ -171,6 +176,35 @@ def build_parser() -> argparse.ArgumentParser:
     wp.add_argument("--nodata", type=float, default=-9999.0)
     wp.add_argument("--skip-existing", action="store_true")
 
+    pp = sub.add_parser(
+        "prep",
+        help="one-command dataset preparation: warp onto an aligned "
+             "grid with corner-named servable tiles + embedded COG "
+             "overviews, then emit the serving config (the reference's "
+             "documented gdalbuildvrt/gdalwarp/gdaladdo recipe, "
+             "distributed)")
+    pp.add_argument("--config")
+    pp.add_argument("--dataset")
+    pp.add_argument("--rasters", nargs="*")
+    pp.add_argument("--out", required=True)
+    pp.add_argument("--name", default="prepared",
+                    help="dataset name in the emitted config")
+    pp.add_argument("--dst-epsg", type=int, default=4326)
+    pp.add_argument("--dst-res", required=True,
+                    help="square pixel size in target units")
+    pp.add_argument("--dst-bounds",
+                    help="xmin,ymin,xmax,ymax (snapped outward to tile "
+                         "multiples; default: source extent)")
+    pp.add_argument("--method", default="bilinear",
+                    choices=["nearest", "bilinear", "cubic"])
+    pp.add_argument("--tile-px", type=int, default=1024)
+    pp.add_argument("--overviews", default="2,4,8",
+                    help="comma-separated COG levels ('' = none)")
+    pp.add_argument("--nodata", type=float, default=-9999.0)
+    pp.add_argument("--vrt", action="store_true",
+                    help="also write <out>/<name>.vrt over the tiles")
+    pp.add_argument("--skip-existing", action="store_true")
+
     bv = sub.add_parser(
         "buildvrt", help="write a VRT mosaic over tiles (gdalbuildvrt)")
     bv.add_argument("--config")
@@ -309,6 +343,64 @@ def run(argv: list[str] | None = None) -> dict:
             errors=m.where(m.error.isNotNull()).count(),
             out=ns.out,
         )
+
+    elif ns.cmd == "prep":
+        from ..operators import warp as _warp
+
+        if ns.config and ns.dataset:
+            paths = [
+                p for _iy, _ix, p
+                in _tile_rows_from_config(ns.config, ns.dataset)
+            ]
+        elif ns.rasters:
+            paths = sorted(
+                p for pat in ns.rasters for p in _glob.glob(pat)
+            ) or list(ns.rasters)
+        else:
+            raise ValueError("prep needs --config/--dataset or --rasters")
+        res = float(ns.dst_res)
+        dst_bounds = (
+            tuple(float(v) for v in ns.dst_bounds.split(","))
+            if ns.dst_bounds else None
+        )
+        ovr = tuple(
+            int(v) for v in ns.overviews.split(",") if v.strip()
+        ) or None
+        tiles_dir = os.path.join(ns.out, "tiles")
+        manifest = _warp.warp_tiles(
+            spark, paths, tiles_dir,
+            dst_epsg=ns.dst_epsg, dst_res=(res, res),
+            dst_bounds=dst_bounds, method=ns.method,
+            tile_px=ns.tile_px, nodata=ns.nodata,
+            corner_names=True, overviews=ovr,
+            skip_existing=ns.skip_existing,
+        )
+        manifest.write.mode("overwrite").parquet(f"{ns.out}/_manifest")
+        m = spark.read.parquet(f"{ns.out}/_manifest")
+        n_err = m.where(m.error.isNotNull()).count()
+        tile_span = ns.tile_px * res
+        span_s = f"{tile_span:.6f}".rstrip("0").rstrip(".")
+        cfg_path = os.path.join(ns.out, "dataset-config.yaml")
+        with open(cfg_path, "w") as f:
+            f.write(
+                "datasets:\n"
+                f"- name: {ns.name}\n"
+                f"  path: {os.path.abspath(tiles_dir)}/\n"
+                f"  filename_epsg: {ns.dst_epsg}\n"
+                f"  filename_tile_size: {span_s}\n"
+            )
+        stats.update(
+            tiles=m.count(), errors=n_err, out=ns.out, config=cfg_path,
+            dataset_name=ns.name, filename_epsg=ns.dst_epsg,
+            filename_tile_size=float(span_s),
+        )
+        if ns.vrt:
+            from .. import gridformats as _gf
+
+            tifs = sorted(_glob.glob(os.path.join(tiles_dir, "*.tif")))
+            vrt_path = os.path.join(ns.out, f"{ns.name}.vrt")
+            _gf.build_vrt(vrt_path, tifs)
+            stats["vrt"] = vrt_path
 
     elif ns.cmd == "buildvrt":
         from .. import gridformats as _gf
@@ -497,9 +589,11 @@ def run(argv: list[str] | None = None) -> dict:
             dsets = _config.resolve_dataset_names(ns.dataset, all_ds)
         elif ns.rasters:
             import os as _os
-            from glob import glob as _glob
 
-            files = sorted({p for g in ns.rasters for p in _glob(g)})
+            # NB: no local `glob` import here — rebinding _glob inside
+            # run() would make it function-local and break every other
+            # branch's --rasters globbing (UnboundLocalError)
+            files = sorted({p for g in ns.rasters for p in _glob.glob(g)})
             if not files:
                 raise ValueError(f"no files match {ns.rasters}")
             dirs = {_os.path.dirname(_os.path.abspath(p)) for p in files}

@@ -169,6 +169,45 @@ def _active_keys(keys, src_dst_bboxes, dst_bounds, dst_res, tile_px,
     return active, empty
 
 
+def _corner_token(v: float, pos: str, neg: str, pad: int) -> str:
+    """One SRTM-style filename coordinate token: N00x5 / W120x25 — the
+    reference's 'x'-as-decimal-point convention
+    (/root/reference/opentopodata/config.py:375-409), round-trippable
+    through config.filename_to_tile_corner."""
+    from decimal import Decimal
+
+    d = Decimal(str(round(abs(float(v)), 6)))
+    s = format(d, "f")
+    if "." in s:
+        s = s.rstrip("0").rstrip(".")
+    ip, _, fp = s.partition(".")
+    tok = ip.zfill(pad) + (f"x{fp}" if fp else "")
+    return (pos if v >= 0 else neg) + tok
+
+
+def corner_tile_name(south: float, west: float) -> str:
+    """SW corner -> servable tile stem (``N00x5E010``): the name the
+    engine's own TiledDataset lookup (and the reference's) floors query
+    coordinates onto."""
+    return (_corner_token(south, "N", "S", 2)
+            + _corner_token(west, "E", "W", 3))
+
+
+def _tap_bounds(dst_bounds, tile_span):
+    """Expand bounds outward to tile-span multiples (gdalwarp -tap):
+    every output tile is then full-size with its SW corner an exact
+    multiple of the span — the precondition for corner-named, directly
+    servable tiles."""
+    xmin, ymin, xmax, ymax = (float(v) for v in dst_bounds)
+    t = float(tile_span)
+    return (
+        math.floor(xmin / t + 1e-9) * t,
+        math.floor(ymin / t + 1e-9) * t,
+        math.ceil(xmax / t - 1e-9) * t,
+        math.ceil(ymax / t - 1e-9) * t,
+    )
+
+
 def _dst_grid(dst_bounds, dst_res, tile_px):
     """Target pixel grid: (width, height, tile keys). The grid is
     anchored at (xmin, ymax) and extends to COVER the bounds (partial
@@ -229,6 +268,8 @@ def warp_tiles(
     nodata: float = -9999.0,
     num_partitions: int | None = None,
     skip_existing: bool = False,
+    corner_names: bool = False,
+    overviews: tuple | None = None,
 ) -> DataFrame:
     """Reproject a source tile set onto a target-CRS grid (gdalwarp).
 
@@ -239,6 +280,14 @@ def warp_tiles(
     extents when omitted (densified-edge transform). ``method``:
     nearest | bilinear | cubic — gdalwarp's -r near/bilinear/cubic, with
     this engine's reference-parity kernel semantics.
+
+    ``corner_names=True`` makes the output a directly SERVABLE tiled
+    dataset: bounds snap outward to tile-span multiples (gdalwarp -tap),
+    every tile is full-size, and files are named by their SW corner in
+    target units (``N00x5E010.tif``) — exactly what the engine's (and
+    the reference's) tile lookup floors query coordinates onto. Requires
+    square pixels. ``overviews``: embed COG reduced-resolution levels in
+    each output tile (write_geotiff overview IFDs).
 
     Returns the lineage manifest (one row per output tile); tiles publish
     via atomic rename, resumable with ``skip_existing``.
@@ -254,9 +303,16 @@ def warp_tiles(
     paths = list(paths)
     if dst_epsg is None and dst_wkt is None:
         dst_epsg = 4326
+    if corner_names and abs(float(dst_res[0])) != abs(float(dst_res[1])):
+        raise ValueError("corner_names requires square pixels"
+                         " (xres == yres)")
     if dst_bounds is None:
         dst_bounds = suggest_dst_bounds(
             paths, dst_epsg=dst_epsg, dst_wkt=dst_wkt
+        )
+    if corner_names:
+        dst_bounds = _tap_bounds(
+            dst_bounds, tile_px * abs(float(dst_res[0]))
         )
 
     # Driver-side metadata pass: WGS84 bbox per source (header reads
@@ -287,7 +343,14 @@ def warp_tiles(
             rows = []
             for t in b.itertuples(index=False):
                 ty, tx = int(t.tile_ty), int(t.tile_tx)
-                out = os.path.join(out_dir, f"warp_{ty}_{tx}.tif")
+                if corner_names:
+                    stem = corner_tile_name(
+                        ymax - (ty + 1) * tile_px * yres,
+                        xmin + tx * tile_px * xres,
+                    )
+                else:
+                    stem = f"warp_{ty}_{tx}"
+                out = os.path.join(out_dir, f"{stem}.tif")
                 try:
                     r0, c0 = ty * tile_px, tx * tile_px
                     h = min(tile_px, height - r0)
@@ -340,6 +403,7 @@ def warp_tiles(
                         epsg=(dst_epsg if dst_wkt is None else None),
                         wkt=dst_wkt,
                         nodata=nodata,
+                        overviews=overviews,
                     )
                     os.replace(tmp, out)
                     rows.append((

@@ -124,6 +124,58 @@ def test_warp_cli(spark, srtm_cfg, tmp_path, capsys):
     assert np.isfinite(r.read_block(0, r.height, 0, r.width)).any()
 
 
+def test_prep_cli_produces_servable_dataset(spark, srtm_cfg, tmp_path,
+                                            capsys):
+    """prep = the reference's documented dataset recipe in one command:
+    warp onto a tap-aligned grid, corner-named tiles with embedded COG
+    overviews, emitted serving config. The emitted config must LOAD and
+    resolve elevations that match the original dataset."""
+    from opentopodata_spark import config as cfg_mod
+    from opentopodata_spark import geotiff as gt
+    from opentopodata_spark.operators import elevation
+
+    out = str(tmp_path / "prep")
+    rc = job.main([
+        "--cores", "4", "prep", "--config", srtm_cfg,
+        "--dataset", "srtm90subset", "--out", out,
+        "--dst-res", str(1 / 1200), "--tile-px", "1200",
+        "--overviews", "8", "--vrt", "--name", "warped",
+    ])
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["status"] == "OK" and res["errors"] == 0
+    assert res["filename_tile_size"] == 1.0
+    # corner-named, servable, with embedded overviews
+    tile = os.path.join(out, "tiles", "N00E010.tif")
+    assert os.path.exists(tile)
+    r = gt.open_raster(tile)
+    assert len(r.overviews) == 1 and r.overviews[0].width == 150
+    assert cfg_mod.filename_to_tile_corner(tile) == (0, 10)
+    # the VRT mosaic opens
+    assert gt.open_raster(res["vrt"]).width >= 1200
+    # the emitted config serves elevations matching the source dataset
+    dsets = cfg_mod.load_datasets(res["config"])
+    ds_w = cfg_mod.resolve_dataset_names("warped", dsets)
+    ds_s = cfg_mod.resolve_dataset_names(
+        "srtm90subset", cfg_mod.load_datasets(srtm_cfg))
+    pts = spark.createDataFrame(
+        [(i, 0.15 + 0.07 * i, 10.2 + 0.15 * i) for i in range(10)],
+        "point_id long, lat double, lon double",
+    )
+    got = {
+        r_.point_id: r_.elevation
+        for r_ in elevation.ElevationResolver(spark, ds_w, "bilinear")
+        .resolve(pts).collect()
+    }
+    exp = {
+        r_.point_id: r_.elevation
+        for r_ in elevation.ElevationResolver(spark, ds_s, "bilinear")
+        .resolve(pts).collect()
+    }
+    for i in range(10):
+        assert got[i] == pytest.approx(exp[i], abs=2.0)
+
+
 def test_buildvrt_and_info_cli(srtm_cfg, tmp_path, capsys):
     out = str(tmp_path / "srtm.vrt")
     rc = job.main([
