@@ -254,6 +254,41 @@ def test_elevation_through_warped_dataset(spark, tmp_path, srtm_paths):
         assert res_u[i] == pytest.approx(res_s[i], abs=1.5)
 
 
+def test_remote_sources_match_local(spark, tmp_path, srtm_paths):
+    """Warp from http:// sources (byte-range windowed reads on the
+    executors) must equal the local-file warp bit-for-bit — the 100 TB
+    deployment shape, where source tiles live on object storage."""
+    import sys as _sys
+
+    _sys.path.insert(0, os.path.dirname(__file__))
+    from test_remote_raster import _serve
+
+    kw = dict(dst_epsg=32632, dst_res=(1500.0, 1500.0), tile_px=128)
+    root = os.path.dirname(srtm_paths[0])
+    srv, base = _serve(root)
+    try:
+        urls = [f"{base}/{os.path.basename(p)}" for p in srtm_paths]
+        m_r = {
+            (r.tile_ty, r.tile_tx): r
+            for r in warp.warp_tiles(
+                spark, urls, str(tmp_path / "r"), **kw
+            ).collect()
+        }
+    finally:
+        srv.shutdown()
+    m_l = {
+        (r.tile_ty, r.tile_tx): r
+        for r in warp.warp_tiles(
+            spark, srtm_paths, str(tmp_path / "l"), **kw
+        ).collect()
+    }
+    assert set(m_r) == set(m_l) and len(m_r) >= 1
+    for k, rl in m_l.items():
+        rr = m_r[k]
+        assert rr.error is None and rl.error is None
+        assert (rr.n_valid, rr.checksum) == (rl.n_valid, rl.checksum)
+
+
 class TestValidation:
     def test_bad_method_raises(self, spark, tmp_path):
         with pytest.raises(ValueError, match="interpolation"):
