@@ -1011,6 +1011,10 @@ def write_geotiff(
     comp = _COMPRESSION_CODES[compression]
     if predictor not in (1, 2, 3):
         raise ValueError("predictor must be 1, 2 or 3")
+    if tile_size is not None:
+        th_v, tw_v = tile_size
+        if th_v <= 0 or tw_v <= 0 or th_v % 16 or tw_v % 16:
+            raise ValueError("tile_size dims must be multiples of 16")
     if predictor == 2 and kind == "f":
         raise ValueError("predictor 2 requires an integer dtype (use 3 for floats)")
     if predictor == 3 and kind != "f":
@@ -1250,15 +1254,18 @@ def write_geotiff(
         header = struct.pack("<2sHHHQ", b"II", 43, 8, 0, ifd_offsets[0])
     else:
         header = struct.pack("<2sHI", b"II", 42, ifd_offsets[0])
-    buf = bytearray(header)
-    for seg in segments:
-        buf += seg
-    # chain the IFDs: level k's next-IFD pointer -> level k+1's IFD
-    for k in range(len(levels) - 1):
-        struct.pack_into(off_pack, buf, next_ptr_positions[k], ifd_offsets[k + 1])
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
-        f.write(buf)
+        # stream segments out (freeing each as it lands) instead of
+        # concatenating a second whole-file buffer — multi-GB BigTIFF
+        # mosaics would otherwise peak at ~2x file size in RAM
+        f.write(header)
+        while segments:
+            f.write(segments.pop(0))
+        # chain the IFDs: level k's next-IFD pointer -> level k+1's IFD
+        for k in range(len(levels) - 1):
+            f.seek(next_ptr_positions[k])
+            f.write(struct.pack(off_pack, ifd_offsets[k + 1]))
     os.replace(tmp, path)
 
 

@@ -915,8 +915,10 @@ def build_vrt(out_path: str, paths: list[str]) -> str:
         width = max(width, int(xoff) + r.width)
         height = max(height, int(yoff) + r.height)
 
+    from xml.sax.saxutils import escape as _xesc
+
     ci = r0.crs
-    srs = f"EPSG:{ci.epsg}" if ci.epsg else ci.wkt
+    srs = _xesc(f"EPSG:{ci.epsg}" if ci.epsg else ci.wkt)
     base = os.path.dirname(os.path.abspath(out_path))
     xml = [
         f'<VRTDataset rasterXSize="{width}" rasterYSize="{height}">',
@@ -938,7 +940,7 @@ def build_vrt(out_path: str, paths: list[str]) -> str:
             fn, rel = ap, 0
         xml.append("    <SimpleSource>")
         xml.append(
-            f'      <SourceFilename relativeToVRT="{rel}">{fn}'
+            f'      <SourceFilename relativeToVRT="{rel}">{_xesc(fn)}'
             "</SourceFilename>"
         )
         xml.append("      <SourceBand>1</SourceBand>")

@@ -88,6 +88,17 @@ def _raster_paths(ns) -> list[str]:
     return [p for _iy, _ix, p in _tile_rows_from_config(ns.config, ns.dataset)]
 
 
+def _paths_from_globs(globs) -> list[str]:
+    """Flat raster paths from glob patterns. A pattern that matches
+    nothing passes through VERBATIM (http(s) URLs and literal remote
+    object names can't be globbed) — per pattern, not all-or-nothing,
+    so mixing a local glob with a URL never silently drops the URL."""
+    out: list[str] = []
+    for pat in globs:
+        out.extend(sorted(_glob.glob(pat)) or [pat])
+    return out
+
+
 def _load_polygons(path: str) -> list[dict]:
     with open(path) as f:
         polys = json.load(f)
@@ -353,9 +364,7 @@ def run(argv: list[str] | None = None) -> dict:
                 in _tile_rows_from_config(ns.config, ns.dataset)
             ]
         elif ns.rasters:
-            paths = sorted(
-                p for pat in ns.rasters for p in _glob.glob(pat)
-            ) or list(ns.rasters)
+            paths = _paths_from_globs(ns.rasters)
         else:
             raise ValueError("prep needs --config/--dataset or --rasters")
         res = float(ns.dst_res)
@@ -411,9 +420,7 @@ def run(argv: list[str] | None = None) -> dict:
                 in _tile_rows_from_config(ns.config, ns.dataset)
             ]
         elif ns.rasters:
-            paths = sorted(
-                p for pat in ns.rasters for p in _glob.glob(pat)
-            ) or list(ns.rasters)
+            paths = _paths_from_globs(ns.rasters)
         else:
             raise ValueError("buildvrt needs --config/--dataset or"
                              " --rasters")
@@ -454,9 +461,7 @@ def run(argv: list[str] | None = None) -> dict:
                 in _tile_rows_from_config(ns.config, ns.dataset)
             ]
         elif ns.rasters:
-            paths = sorted(
-                p for pat in ns.rasters for p in _glob.glob(pat)
-            ) or list(ns.rasters)  # keep URLs glob can't expand
+            paths = _paths_from_globs(ns.rasters)
         else:
             raise ValueError("warp needs --config/--dataset or --rasters")
         res_parts = [float(v) for v in ns.dst_res.split(",")]
@@ -550,9 +555,10 @@ def run(argv: list[str] | None = None) -> dict:
     elif ns.cmd == "transcode":
         from ..operators import transcode as _transcode
 
-        if ns.rasters and any(
-                p.startswith(("http://", "https://")) for p in ns.rasters):
-            paths = list(ns.rasters)  # URLs pass through unglobbed
+        if ns.rasters:
+            # per-pattern: globs expand, URLs pass through verbatim —
+            # a mixed glob+URL list keeps both
+            paths = _paths_from_globs(ns.rasters)
         else:
             paths = _raster_paths(ns)
         manifest = _transcode.transcode_tiles(

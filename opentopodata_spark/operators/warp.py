@@ -78,20 +78,23 @@ def _wgs84_outline(raster):
     return _crs.unproject_xys(xs, ys, wkt=ci.wkt)
 
 
-def suggest_dst_bounds(
-    paths: list[str],
-    *,
-    dst_epsg: int | None = None,
-    dst_wkt: str | None = None,
-) -> tuple[float, float, float, float]:
-    """(xmin, ymin, xmax, ymax) in the target CRS covering every source
-    tile — gdalwarp's suggested output extent (densified edges, so
-    curved projection boundaries don't get clipped)."""
+def _source_metadata(paths, dst_epsg, dst_wkt):
+    """ONE driver metadata pass per source (header read + one densified
+    outline transform), yielding both pruning indexes:
+    (wgs84 bboxes [(lat0, lat1, lon0, lon1)],
+     dst-space bboxes [(x0, y0, x1, y1) or None when the source has no
+     finite image in the target CRS])."""
     from .. import crs as _crs
 
-    xs_all, ys_all = [], []
+    wgs, dst = [], []
     for p in paths:
         lons, lats = _wgs84_outline(_open_cached(p))
+        lons = np.asarray(lons, dtype=np.float64)
+        lats = np.asarray(lats, dtype=np.float64)
+        wgs.append((
+            float(np.nanmin(lats)), float(np.nanmax(lats)),
+            float(np.nanmin(lons)), float(np.nanmax(lons)),
+        ))
         if dst_epsg == 4326 or (dst_epsg is None and dst_wkt is None):
             xs, ys = lons, lats
         else:
@@ -101,42 +104,37 @@ def suggest_dst_bounds(
         xs = np.asarray(xs, dtype=np.float64)
         ys = np.asarray(ys, dtype=np.float64)
         keep = np.isfinite(xs) & np.isfinite(ys)
-        xs_all.append(xs[keep])
-        ys_all.append(ys[keep])
-    xs = np.concatenate(xs_all)
-    ys = np.concatenate(ys_all)
-    if not xs.size:
-        raise ValueError("no finite source extent in the target CRS")
-    return float(xs.min()), float(ys.min()), float(xs.max()), float(ys.max())
-
-
-def _source_dst_bboxes(paths, dst_epsg, dst_wkt):
-    """Per-source bbox in TARGET coordinates (densified outline, like
-    suggest_dst_bounds), for pruning output tiles that no source can
-    reach. Conservative: the bbox of a curved outline covers it, so a
-    tile outside every bbox is provably empty."""
-    from .. import crs as _crs
-
-    out = []
-    for p in paths:
-        lons, lats = _wgs84_outline(_open_cached(p))
-        if dst_epsg == 4326:
-            xs, ys = np.asarray(lons), np.asarray(lats)
+        if keep.any():
+            dst.append((
+                float(xs[keep].min()), float(ys[keep].min()),
+                float(xs[keep].max()), float(ys[keep].max()),
+            ))
         else:
-            xs, ys = _crs.reproject_latlons(
-                lats, lons, epsg=dst_epsg, wkt=dst_wkt
-            )
-        xs = np.asarray(xs, dtype=np.float64)
-        ys = np.asarray(ys, dtype=np.float64)
-        keep = np.isfinite(xs) & np.isfinite(ys)
-        if not keep.any():
-            out.append(None)  # off-projection source: never prunes
-            continue
-        out.append((
-            float(xs[keep].min()), float(ys[keep].min()),
-            float(xs[keep].max()), float(ys[keep].max()),
-        ))
-    return out
+            dst.append(None)
+    return wgs, dst
+
+
+def _union_dst_bounds(src_dst_bboxes):
+    boxes = [b for b in src_dst_bboxes if b is not None]
+    if not boxes:
+        raise ValueError("no finite source extent in the target CRS")
+    return (
+        min(b[0] for b in boxes), min(b[1] for b in boxes),
+        max(b[2] for b in boxes), max(b[3] for b in boxes),
+    )
+
+
+def suggest_dst_bounds(
+    paths: list[str],
+    *,
+    dst_epsg: int | None = None,
+    dst_wkt: str | None = None,
+) -> tuple[float, float, float, float]:
+    """(xmin, ymin, xmax, ymax) in the target CRS covering every source
+    tile — gdalwarp's suggested output extent (densified edges, so
+    curved projection boundaries don't get clipped)."""
+    _wgs, dst = _source_metadata(list(paths), dst_epsg, dst_wkt)
+    return _union_dst_bounds(dst)
 
 
 def _active_keys(keys, src_dst_bboxes, dst_bounds, dst_res, tile_px,
@@ -176,13 +174,15 @@ def _corner_token(v: float, pos: str, neg: str, pad: int) -> str:
     through config.filename_to_tile_corner."""
     from decimal import Decimal
 
-    d = Decimal(str(round(abs(float(v)), 6)))
+    r = round(float(v), 6)  # sign decided AFTER rounding: a corner at
+    # -9e-16 is the equator, named N00 not S00
+    d = Decimal(str(abs(r)))
     s = format(d, "f")
     if "." in s:
         s = s.rstrip("0").rstrip(".")
     ip, _, fp = s.partition(".")
     tok = ip.zfill(pad) + (f"x{fp}" if fp else "")
-    return (pos if v >= 0 else neg) + tok
+    return (pos if r >= 0 else neg) + tok
 
 
 def corner_tile_name(south: float, west: float) -> str:
@@ -306,26 +306,18 @@ def warp_tiles(
     if corner_names and abs(float(dst_res[0])) != abs(float(dst_res[1])):
         raise ValueError("corner_names requires square pixels"
                          " (xres == yres)")
+    # ONE driver-side metadata pass per source (header read + one
+    # densified-outline transform) feeds the executor WGS84 prune, the
+    # dst-space empty-tile prune, AND the derived bounds. Broadcast so
+    # a large catalog doesn't ride every task.
+    src_bboxes, src_dst = _source_metadata(paths, dst_epsg, dst_wkt)
     if dst_bounds is None:
-        dst_bounds = suggest_dst_bounds(
-            paths, dst_epsg=dst_epsg, dst_wkt=dst_wkt
-        )
+        dst_bounds = _union_dst_bounds(src_dst)
     if corner_names:
         dst_bounds = _tap_bounds(
             dst_bounds, tile_px * abs(float(dst_res[0]))
         )
-
-    # Driver-side metadata pass: WGS84 bbox per source (header reads
-    # only). Broadcast so a large catalog doesn't ride every task.
-    src_bboxes = []
-    for p in paths:
-        lons, lats = _wgs84_outline(_open_cached(p))
-        src_bboxes.append((
-            float(np.nanmin(lats)), float(np.nanmax(lats)),
-            float(np.nanmin(lons)), float(np.nanmax(lons)),
-        ))
     width, height, keys = _dst_grid(dst_bounds, dst_res, tile_px)
-    src_dst = _source_dst_bboxes(paths, dst_epsg, dst_wkt)
     active, empty = _active_keys(
         keys, src_dst, dst_bounds, dst_res, tile_px, width, height
     )
@@ -457,19 +449,10 @@ def warp_tiles_sequential(
     paths = list(paths)
     if dst_epsg is None and dst_wkt is None:
         dst_epsg = 4326
+    src_bboxes, src_dst = _source_metadata(paths, dst_epsg, dst_wkt)
     if dst_bounds is None:
-        dst_bounds = suggest_dst_bounds(
-            paths, dst_epsg=dst_epsg, dst_wkt=dst_wkt
-        )
-    src_bboxes = []
-    for p in paths:
-        lons, lats = _wgs84_outline(_open_cached(p))
-        src_bboxes.append((
-            float(np.nanmin(lats)), float(np.nanmax(lats)),
-            float(np.nanmin(lons)), float(np.nanmax(lons)),
-        ))
+        dst_bounds = _union_dst_bounds(src_dst)
     width, height, keys = _dst_grid(dst_bounds, dst_res, tile_px)
-    src_dst = _source_dst_bboxes(paths, dst_epsg, dst_wkt)
     active, empty = _active_keys(
         keys, src_dst, dst_bounds, dst_res, tile_px, width, height
     )

@@ -211,7 +211,13 @@ class TestRemoteCOG:
         srv, url, arr = cog_server
         r = geotiff.open_raster(url)
         open_bytes = _fetched_bytes(srv)
-        assert open_bytes >= 0, "open must use range requests only"
+        full_size_ = os.path.getsize(os.path.join(srv.root, "big.tif"))
+        # open = header walk + IFD chain + one probe-tile decode, each
+        # amplified to LRU-chunk granularity — substantial against this
+        # ~900 KB fixture but CONSTANT in file size; what open must
+        # never do is degrade to a full-object GET
+        assert 0 < open_bytes < full_size_ * 0.6, \
+            "open must range-read, not fetch the whole object"
         ovr = r.overviews[-1]  # 32x32 level
         np.testing.assert_array_equal(
             ovr.band, build_overview(arr, 16, nodata=-9999.0)

@@ -165,7 +165,7 @@ class TestCoverage:
             dst_bounds=(8.0, -1.0, 13.0, 2.0), tile_px=64,
         )
         keys_w, keys_h = -(-500 // 64), -(-300 // 64)
-        src_dst = warp._source_dst_bboxes([src], 4326, None)
+        _wgs, src_dst = warp._source_metadata([src], 4326, None)
         active, empty = warp._active_keys(
             [(ty, tx) for ty in range(keys_h) for tx in range(keys_w)],
             src_dst, kw["dst_bounds"], kw["dst_res"], 64, 500, 300,
