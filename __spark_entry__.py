@@ -3456,6 +3456,80 @@ def _build_raster_warp_oracle(sf_dir: str):
     })
 
 
+_POLYGONIZE_BANDS = [float(b) for b in range(-700, 800, 200)]
+
+
+def _polygonize_tile_rows() -> list[tuple[int, int, str]]:
+    """Deterministic 3x2 banded-terrain mosaic for the polygonize
+    contract: sin/cos hills + seeded noise + a NODATA lake, quantized
+    to 8 bands -> hundreds of regions, many crossing tile seams (the
+    smooth SRTM fixture quantizes into only ~5 giant regions — weak
+    evidence for the seam-merge path)."""
+    import numpy as np
+
+    from opentopodata_spark import geotiff
+
+    out_dir = os.path.join(_fixture_root(), "polygonize_mosaic")
+    os.makedirs(out_dir, exist_ok=True)
+    th, tw, n_ty, n_tx = 400, 400, 2, 3
+    H, W = n_ty * th, n_tx * tw
+    rng = np.random.default_rng(47)
+    z = (
+        400 * np.sin(np.linspace(0, 9, W))[None, :]
+        + 300 * np.cos(np.linspace(0, 7, H))[:, None]
+        + rng.normal(0, 25, (H, W))
+    )
+    z[300:500, 500:760] = np.nan  # nodata lake straddling two seams
+    rows = []
+    for iy in range(n_ty):
+        for ix in range(n_tx):
+            p = os.path.join(out_dir, f"poly_{iy}_{ix}.tif")
+            if not os.path.exists(p):
+                sub = z[iy * th:(iy + 1) * th, ix * tw:(ix + 1) * tw]
+                geotiff.write_geotiff(
+                    p, np.where(np.isnan(sub), -32768.0, sub)
+                    .astype(np.float32),
+                    x0=ix * tw * 0.001, y0=50.0 - iy * th * 0.001,
+                    sx=0.001, sy=0.001, epsg=4326, nodata=-32768,
+                )
+            rows.append((iy, ix, p))
+    return rows
+
+
+def q_raster_polygonize(spark, sf_dir):
+    """Distributed region labeling (gdal_polygonize core): connected
+    components of equal-elevation-band cells across a tiled mosaic.
+    Spark plan: per-tile run-length union-find (mapInPandas, interior
+    cells never leave the task) -> one groupBy over the O(perimeter)
+    seam-pair rows -> alternating-star CC over the region graph.
+    Oracle: the single-process run-batched min-propagation twin
+    (different algorithm). Reference note: the reference delegates
+    vectorization to GDAL (gdal_polygonize in its dataset prep docs);
+    this is the beyond-reference distributed equivalent."""
+    from opentopodata_spark.operators import polygonize
+
+    _ship_package(spark)
+    return polygonize.label_regions(
+        spark, _polygonize_tile_rows(), bands=_POLYGONIZE_BANDS
+    )
+
+
+def _build_raster_polygonize_oracle(sf_dir: str):
+    import pyarrow as pa
+
+    from opentopodata_spark.operators import polygonize
+
+    rows = polygonize.label_regions_sequential(
+        _polygonize_tile_rows(), bands=_POLYGONIZE_BANDS
+    )
+    return pa.table({
+        "region_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "value": pa.array([r[1] for r in rows], type=pa.int64()),
+        "n_cells": pa.array([r[2] for r in rows], type=pa.int64()),
+        "n_tiles": pa.array([r[3] for r in rows], type=pa.int64()),
+    })
+
+
 def _delta_grid(side: int = 1201):
     import numpy as np
 
@@ -4682,6 +4756,7 @@ _PRECOMPUTED_BUILDERS = {
     "streaming_overview": _build_overview_oracle,
     "cog_overviews": _build_cog_overview_oracle,
     "raster_warp": _build_raster_warp_oracle,
+    "raster_polygonize": _build_raster_polygonize_oracle,
     "contour_lines": _build_contour_oracle,
     "raster_diff": _build_raster_diff_oracle,
     "streaming_near_dup": _build_near_dup_stream_oracle,
@@ -4713,6 +4788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   3. then the most recently re-verified ones, which rotate out.
     return {
         # -- new in r4 --
+        "raster_polygonize": q_raster_polygonize,
         "raster_warp": q_raster_warp,
         "cog_overviews": q_cog_overviews,
         "terrain_tiles_export": q_terrain_tiles_export,
