@@ -210,6 +210,9 @@ def main() -> None:
         "overview_tiles": lambda: contract.q_overview_tiles(spark, SF_DIR),
         "cog_overviews": lambda: contract.q_cog_overviews(spark, SF_DIR),
         "raster_warp": lambda: contract.q_raster_warp(spark, SF_DIR),
+        "raster_polygonize": lambda: contract.q_raster_polygonize(
+            spark, SF_DIR
+        ),
         "contour_lines": lambda: contract.q_contour_lines(spark, SF_DIR),
         "raster_diff": lambda: contract.q_raster_diff(spark, SF_DIR),
         "raster_formats": lambda: contract.q_raster_formats(spark, SF_DIR),
