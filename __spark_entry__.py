@@ -3530,6 +3530,44 @@ def _build_raster_polygonize_oracle(sf_dir: str):
     })
 
 
+_SIEVE_THRESHOLD = 30
+
+
+def q_raster_sieve(spark, sf_dir):
+    """Distributed gdal_sieve: regions below 30 cells merge into their
+    largest neighbour (deterministic simultaneous-round semantics, see
+    operators/sieve.py) over the same seeded banded mosaic as
+    raster_polygonize. The merge loop runs on the REGION GRAPH (orders
+    smaller than the cell grid); cells never shuffle. Oracle: the
+    sequential twin — different labeling algorithm (run-batched
+    min-propagation vs run-length union-find) AND different merge
+    executor (rebuild-from-originals vs incremental contraction)."""
+    from opentopodata_spark.operators import sieve
+
+    _ship_package(spark)
+    return sieve.sieve_regions(
+        spark, _polygonize_tile_rows(), _SIEVE_THRESHOLD,
+        bands=_POLYGONIZE_BANDS,
+    )
+
+
+def _build_raster_sieve_oracle(sf_dir: str):
+    import pyarrow as pa
+
+    from opentopodata_spark.operators import sieve
+
+    rows = sieve.sieve_sequential(
+        _polygonize_tile_rows(), _SIEVE_THRESHOLD,
+        bands=_POLYGONIZE_BANDS,
+    )
+    return pa.table({
+        "region_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "value": pa.array([r[1] for r in rows], type=pa.int64()),
+        "n_cells": pa.array([r[2] for r in rows], type=pa.int64()),
+        "n_tiles": pa.array([r[3] for r in rows], type=pa.int64()),
+    })
+
+
 def _delta_grid(side: int = 1201):
     import numpy as np
 
@@ -4757,6 +4795,7 @@ _PRECOMPUTED_BUILDERS = {
     "cog_overviews": _build_cog_overview_oracle,
     "raster_warp": _build_raster_warp_oracle,
     "raster_polygonize": _build_raster_polygonize_oracle,
+    "raster_sieve": _build_raster_sieve_oracle,
     "contour_lines": _build_contour_oracle,
     "raster_diff": _build_raster_diff_oracle,
     "streaming_near_dup": _build_near_dup_stream_oracle,
@@ -4789,6 +4828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- new in r4 --
         "raster_polygonize": q_raster_polygonize,
+        "raster_sieve": q_raster_sieve,
         "raster_warp": q_raster_warp,
         "cog_overviews": q_cog_overviews,
         "terrain_tiles_export": q_terrain_tiles_export,

@@ -213,6 +213,7 @@ def main() -> None:
         "raster_polygonize": lambda: contract.q_raster_polygonize(
             spark, SF_DIR
         ),
+        "raster_sieve": lambda: contract.q_raster_sieve(spark, SF_DIR),
         "contour_lines": lambda: contract.q_contour_lines(spark, SF_DIR),
         "raster_diff": lambda: contract.q_raster_diff(spark, SF_DIR),
         "raster_formats": lambda: contract.q_raster_formats(spark, SF_DIR),

@@ -147,6 +147,20 @@ def build_parser() -> argparse.ArgumentParser:
     fa.add_argument("--scale", type=float, default=1.0)
     fa.add_argument("--skip-existing", action="store_true")
 
+    sv = sub.add_parser(
+        "sieve", help="remove small regions (gdal_sieve): merge regions"
+        " below --threshold cells into their largest neighbour"
+    )
+    sv.add_argument("--config")
+    sv.add_argument("--dataset")
+    sv.add_argument("--rasters", nargs="*")
+    sv.add_argument("--out", required=True)
+    sv.add_argument("--threshold", type=int, required=True,
+                    help="minimum region size in cells (strict <)")
+    sv.add_argument("--bands", type=float, nargs="*",
+                    help="quantization edges for float rasters"
+                    " (class k = count of edges <= value)")
+
     z = sub.add_parser("zonal", help="per-polygon raster statistics")
     z.add_argument("--config")
     z.add_argument("--dataset")
@@ -354,6 +368,22 @@ def run(argv: list[str] | None = None) -> dict:
             errors=m.where(m.error.isNotNull()).count(),
             out=ns.out,
         )
+
+    elif ns.cmd == "sieve":
+        from ..operators import sieve as _sieve
+
+        if ns.config and ns.dataset:
+            tiles = _tile_rows_from_config(ns.config, ns.dataset)
+        elif ns.rasters:
+            tiles = _tiles_from_globs(ns.rasters)
+        else:
+            raise ValueError("sieve needs --config/--dataset or --rasters")
+        manifest = _sieve.sieve_tiles(
+            spark, tiles, ns.out, ns.threshold, bands=ns.bands,
+        )
+        manifest.write.mode("overwrite").parquet(f"{ns.out}/_manifest")
+        m = spark.read.parquet(f"{ns.out}/_manifest")
+        stats.update(tiles=m.count(), out=ns.out)
 
     elif ns.cmd == "prep":
         from ..operators import warp as _warp

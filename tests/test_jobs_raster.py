@@ -367,3 +367,40 @@ def test_transcode_jp2_to_geotiff(spark, tmp_path, capsys):
     ej, _ = oracle.get_elevation(lats, lons, [ds_j], "bilinear")
     et, _ = oracle.get_elevation(lats, lons, [ds_t], "bilinear")
     assert ej == et
+
+
+def test_sieve_cli(spark, tmp_path, capsys):
+    rng = np.random.default_rng(13)
+    k = rng.integers(0, 3, (40, 40)).astype(np.int16)
+    res = 0.01
+    for ty in range(2):
+        for tx in range(2):
+            geotiff.write_geotiff(
+                str(tmp_path / f"sv_{ty}_{tx}.tif"),
+                k[ty * 20:(ty + 1) * 20, tx * 20:(tx + 1) * 20],
+                x0=5.0 + tx * 20 * res, y0=1.0 - ty * 20 * res,
+                sx=res, sy=res, epsg=4326, nodata=-9999,
+            )
+    out = str(tmp_path / "sieved")
+    rc = job.main([
+        "--cores", "4", "sieve",
+        "--rasters", str(tmp_path / "sv_*.tif"), "--out", out,
+        "--threshold", "8",
+    ])
+    assert rc == 0
+    resj = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert resj["status"] == "OK" and resj["tiles"] == 4
+    tifs = sorted(glob.glob(os.path.join(out, "sieve_*.tif")))
+    assert len(tifs) == 4
+    # every surviving region in the rewritten mosaic is >= threshold
+    # (salt-noise input: everything merges into a few big regions)
+    from opentopodata_spark.operators import polygonize
+
+    rows = polygonize.label_regions_sequential(
+        [(int(p.split("_")[-2]), int(p.split("_")[-1][:-4]), p)
+         for p in tifs]
+    )
+    sizes = [n for _i, _v, n, _t in rows]
+    assert sum(sizes) == 1600
+    # no nodata in this fixture, so nothing can hide below threshold
+    assert min(sizes) >= 8
