@@ -3530,6 +3530,83 @@ def _build_raster_polygonize_oracle(sf_dir: str):
     })
 
 
+def _fillnodata_tile_rows() -> list[tuple[int, int, str]]:
+    """Deterministic 2x3 mosaic with voids for the fillnodata contract:
+    smooth terrain + speckle holes + an irregular lake straddling two
+    tile seams + one void wider than max_distance (exercises the
+    unfilled path)."""
+    import numpy as np
+
+    from opentopodata_spark import geotiff
+
+    out_dir = os.path.join(_fixture_root(), "fillnodata_mosaic")
+    os.makedirs(out_dir, exist_ok=True)
+    th, tw, n_ty, n_tx = 200, 200, 2, 3
+    H, W = n_ty * th, n_tx * tw
+    rng = np.random.default_rng(61)
+    z = (
+        300 * np.sin(np.linspace(0, 8, W))[None, :]
+        + 200 * np.cos(np.linspace(0, 6, H))[:, None]
+        + rng.normal(0, 10, (H, W))
+    )
+    z[rng.random((H, W)) < 0.01] = np.nan          # speckle voids
+    z[180:215, 150:450] = np.nan                   # seam-straddling lake
+    z[60:140, 480:560] = np.nan                    # > max_distance void
+    rows = []
+    for iy in range(n_ty):
+        for ix in range(n_tx):
+            p = os.path.join(out_dir, f"fill_{iy}_{ix}.tif")
+            if not os.path.exists(p):
+                sub = z[iy * th:(iy + 1) * th, ix * tw:(ix + 1) * tw]
+                geotiff.write_geotiff(
+                    p, np.where(np.isfinite(sub), sub, -9999.0)
+                    .astype(np.float32),
+                    x0=ix * tw * 0.001, y0=40.0 - iy * th * 0.001,
+                    sx=0.001, sy=0.001, epsg=4326, nodata=-9999,
+                )
+            rows.append((iy, ix, p))
+    return rows
+
+
+_FILLNODATA_KW = dict(max_distance=12.0, smoothing_iterations=1)
+
+
+def q_raster_fillnodata(spark, sf_dir):
+    """Distributed gdal_fillnodata: 8-ray IDW void filling with one
+    smoothing pass over a seeded 2x3 mosaic (speckle voids, a
+    seam-straddling lake, one void wider than max_distance). Zero
+    shuffles — each task reads a (max_distance + smoothing) halo from
+    its grid neighbours. Oracle: the naive per-cell sequential twin
+    (walks rays cell-by-cell; no accumulate scans or skewed arrays)."""
+    from opentopodata_spark.operators import fillnodata
+
+    _ship_package(spark)
+    out_dir = os.path.join(_fixture_root(), "fillnodata_out")
+    m = fillnodata.fillnodata_tiles(
+        spark, _fillnodata_tile_rows(), out_dir, **_FILLNODATA_KW
+    )
+    return m.select(
+        "tile_iy", "tile_ix", "n_filled", "n_unfilled", "checksum"
+    )
+
+
+def _build_raster_fillnodata_oracle(sf_dir: str):
+    import pyarrow as pa
+
+    from opentopodata_spark.operators import fillnodata
+
+    rows = fillnodata.fillnodata_sequential(
+        _fillnodata_tile_rows(), **_FILLNODATA_KW
+    )
+    return pa.table({
+        "tile_iy": pa.array([r[0] for r in rows], type=pa.int64()),
+        "tile_ix": pa.array([r[1] for r in rows], type=pa.int64()),
+        "n_filled": pa.array([r[2] for r in rows], type=pa.int64()),
+        "n_unfilled": pa.array([r[3] for r in rows], type=pa.int64()),
+        "checksum": pa.array([r[4] for r in rows], type=pa.float64()),
+    })
+
+
 _SIEVE_THRESHOLD = 30
 
 
@@ -4796,6 +4873,7 @@ _PRECOMPUTED_BUILDERS = {
     "raster_warp": _build_raster_warp_oracle,
     "raster_polygonize": _build_raster_polygonize_oracle,
     "raster_sieve": _build_raster_sieve_oracle,
+    "raster_fillnodata": _build_raster_fillnodata_oracle,
     "contour_lines": _build_contour_oracle,
     "raster_diff": _build_raster_diff_oracle,
     "streaming_near_dup": _build_near_dup_stream_oracle,
@@ -4829,6 +4907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new in r4 --
         "raster_polygonize": q_raster_polygonize,
         "raster_sieve": q_raster_sieve,
+        "raster_fillnodata": q_raster_fillnodata,
         "raster_warp": q_raster_warp,
         "cog_overviews": q_cog_overviews,
         "terrain_tiles_export": q_terrain_tiles_export,

@@ -214,6 +214,9 @@ def main() -> None:
             spark, SF_DIR
         ),
         "raster_sieve": lambda: contract.q_raster_sieve(spark, SF_DIR),
+        "raster_fillnodata": lambda: contract.q_raster_fillnodata(
+            spark, SF_DIR
+        ),
         "contour_lines": lambda: contract.q_contour_lines(spark, SF_DIR),
         "raster_diff": lambda: contract.q_raster_diff(spark, SF_DIR),
         "raster_formats": lambda: contract.q_raster_formats(spark, SF_DIR),

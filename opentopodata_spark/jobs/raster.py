@@ -161,6 +161,17 @@ def build_parser() -> argparse.ArgumentParser:
                     help="quantization edges for float rasters"
                     " (class k = count of edges <= value)")
 
+    fnd = sub.add_parser(
+        "fillnodata", help="fill NODATA voids (gdal_fillnodata): 8-ray"
+        " IDW up to --max-distance px, optional --smoothing passes"
+    )
+    fnd.add_argument("--config")
+    fnd.add_argument("--dataset")
+    fnd.add_argument("--rasters", nargs="*")
+    fnd.add_argument("--out", required=True)
+    fnd.add_argument("--max-distance", type=float, default=16.0)
+    fnd.add_argument("--smoothing", type=int, default=0)
+
     z = sub.add_parser("zonal", help="per-polygon raster statistics")
     z.add_argument("--config")
     z.add_argument("--dataset")
@@ -384,6 +395,29 @@ def run(argv: list[str] | None = None) -> dict:
         manifest.write.mode("overwrite").parquet(f"{ns.out}/_manifest")
         m = spark.read.parquet(f"{ns.out}/_manifest")
         stats.update(tiles=m.count(), out=ns.out)
+
+    elif ns.cmd == "fillnodata":
+        from ..operators import fillnodata as _fillnodata
+
+        if ns.config and ns.dataset:
+            tiles = _tile_rows_from_config(ns.config, ns.dataset)
+        elif ns.rasters:
+            tiles = _tiles_from_globs(ns.rasters)
+        else:
+            raise ValueError(
+                "fillnodata needs --config/--dataset or --rasters"
+            )
+        manifest = _fillnodata.fillnodata_tiles(
+            spark, tiles, ns.out, max_distance=ns.max_distance,
+            smoothing_iterations=ns.smoothing,
+        )
+        manifest.write.mode("overwrite").parquet(f"{ns.out}/_manifest")
+        m = spark.read.parquet(f"{ns.out}/_manifest")
+        stats.update(
+            tiles=m.count(),
+            filled=m.agg({"n_filled": "sum"}).collect()[0][0],
+            out=ns.out,
+        )
 
     elif ns.cmd == "prep":
         from ..operators import warp as _warp

@@ -404,3 +404,32 @@ def test_sieve_cli(spark, tmp_path, capsys):
     assert sum(sizes) == 1600
     # no nodata in this fixture, so nothing can hide below threshold
     assert min(sizes) >= 8
+
+
+def test_fillnodata_cli(spark, tmp_path, capsys):
+    z = np.full((40, 40), 5.0)
+    z[18:22, 18:22] = np.nan
+    for ty in range(2):
+        for tx in range(2):
+            sub = z[ty * 20:(ty + 1) * 20, tx * 20:(tx + 1) * 20]
+            geotiff.write_geotiff(
+                str(tmp_path / f"fn_{ty}_{tx}.tif"),
+                np.where(np.isfinite(sub), sub, -9999.0)
+                .astype(np.float32),
+                x0=5.0 + tx * 0.2, y0=1.0 - ty * 0.2,
+                sx=0.01, sy=0.01, epsg=4326, nodata=-9999.0,
+            )
+    out = str(tmp_path / "filled")
+    rc = job.main([
+        "--cores", "4", "fillnodata",
+        "--rasters", str(tmp_path / "fn_*.tif"), "--out", out,
+        "--max-distance", "6",
+    ])
+    assert rc == 0
+    resj = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert resj["status"] == "OK" and resj["tiles"] == 4
+    assert resj["filled"] == 16
+    for p in sorted(glob.glob(os.path.join(out, "fill_*.tif"))):
+        r = geotiff.open_raster(p)
+        arr = r.read_block(0, r.height, 0, r.width)
+        assert np.allclose(arr, 5.0)  # constant field fills exactly
