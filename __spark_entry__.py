@@ -3607,6 +3607,81 @@ def _build_raster_fillnodata_oracle(sf_dir: str):
     })
 
 
+_PROXIMITY_KW = dict(
+    target_values=[7.0], max_distance=25.0, dist_units="pixel"
+)
+
+
+def _proximity_tile_rows() -> list[tuple[int, int, str]]:
+    """Deterministic 2x3 mosaic for the proximity contract: sparse
+    target cells (value 7) scattered over a zero field with NODATA
+    speckle, several targets hugging tile seams so cross-tile windows
+    matter."""
+    import numpy as np
+
+    from opentopodata_spark import geotiff
+
+    out_dir = os.path.join(_fixture_root(), "proximity_mosaic")
+    os.makedirs(out_dir, exist_ok=True)
+    th, tw, n_ty, n_tx = 200, 200, 2, 3
+    H, W = n_ty * th, n_tx * tw
+    rng = np.random.default_rng(83)
+    k = np.zeros((H, W))
+    tgt = rng.random((H, W)) < 0.002
+    k[tgt] = 7.0
+    k[198:202, 100:110] = 7.0   # seam-hugging block
+    k[rng.random((H, W)) < 0.01] = np.nan
+    rows = []
+    for iy in range(n_ty):
+        for ix in range(n_tx):
+            p = os.path.join(out_dir, f"prox_{iy}_{ix}.tif")
+            if not os.path.exists(p):
+                sub = k[iy * th:(iy + 1) * th, ix * tw:(ix + 1) * tw]
+                geotiff.write_geotiff(
+                    p, np.where(np.isfinite(sub), sub, -9999.0)
+                    .astype(np.float32),
+                    x0=ix * tw * 0.001, y0=30.0 - iy * th * 0.001,
+                    sx=0.001, sy=0.001, epsg=4326, nodata=-9999,
+                )
+            rows.append((iy, ix, p))
+    return rows
+
+
+def q_raster_proximity(spark, sf_dir):
+    """Distributed gdal_proximity: exact euclidean distance-to-target
+    within 25 px over a seeded 2x3 mosaic with seam-hugging targets.
+    Zero shuffles — per-tile map with a max_distance halo; the kernel
+    is the row-decomposition identity (nearest target in row r' is the
+    horizontally nearest), a (2R+1)-step whole-array min. Oracle: the
+    brute window-scan sequential twin."""
+    from opentopodata_spark.operators import proximity
+
+    _ship_package(spark)
+    out_dir = os.path.join(_fixture_root(), "proximity_out")
+    m = proximity.proximity_tiles(
+        spark, _proximity_tile_rows(), out_dir, **_PROXIMITY_KW
+    )
+    return m.select("tile_iy", "tile_ix", "n_within", "checksum")
+
+
+def _build_raster_proximity_oracle(sf_dir: str):
+    import pyarrow as pa
+
+    from opentopodata_spark.operators import proximity
+
+    rows = proximity.proximity_sequential(
+        _proximity_tile_rows(), _PROXIMITY_KW["target_values"],
+        _PROXIMITY_KW["max_distance"],
+        dist_units=_PROXIMITY_KW["dist_units"],
+    )
+    return pa.table({
+        "tile_iy": pa.array([r[0] for r in rows], type=pa.int64()),
+        "tile_ix": pa.array([r[1] for r in rows], type=pa.int64()),
+        "n_within": pa.array([r[2] for r in rows], type=pa.int64()),
+        "checksum": pa.array([r[3] for r in rows], type=pa.float64()),
+    })
+
+
 _SIEVE_THRESHOLD = 30
 
 
@@ -4874,6 +4949,7 @@ _PRECOMPUTED_BUILDERS = {
     "raster_polygonize": _build_raster_polygonize_oracle,
     "raster_sieve": _build_raster_sieve_oracle,
     "raster_fillnodata": _build_raster_fillnodata_oracle,
+    "raster_proximity": _build_raster_proximity_oracle,
     "contour_lines": _build_contour_oracle,
     "raster_diff": _build_raster_diff_oracle,
     "streaming_near_dup": _build_near_dup_stream_oracle,
@@ -4908,6 +4984,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_polygonize": q_raster_polygonize,
         "raster_sieve": q_raster_sieve,
         "raster_fillnodata": q_raster_fillnodata,
+        "raster_proximity": q_raster_proximity,
         "raster_warp": q_raster_warp,
         "cog_overviews": q_cog_overviews,
         "terrain_tiles_export": q_terrain_tiles_export,

@@ -217,6 +217,9 @@ def main() -> None:
         "raster_fillnodata": lambda: contract.q_raster_fillnodata(
             spark, SF_DIR
         ),
+        "raster_proximity": lambda: contract.q_raster_proximity(
+            spark, SF_DIR
+        ),
         "contour_lines": lambda: contract.q_contour_lines(spark, SF_DIR),
         "raster_diff": lambda: contract.q_raster_diff(spark, SF_DIR),
         "raster_formats": lambda: contract.q_raster_formats(spark, SF_DIR),

@@ -172,6 +172,20 @@ def build_parser() -> argparse.ArgumentParser:
     fnd.add_argument("--max-distance", type=float, default=16.0)
     fnd.add_argument("--smoothing", type=int, default=0)
 
+    px = sub.add_parser(
+        "proximity", help="distance-to-target raster (gdal_proximity):"
+        " exact euclidean within --max-distance"
+    )
+    px.add_argument("--config")
+    px.add_argument("--dataset")
+    px.add_argument("--rasters", nargs="*")
+    px.add_argument("--out", required=True)
+    px.add_argument("--target-values", type=float, nargs="+",
+                    required=True)
+    px.add_argument("--max-distance", type=float, required=True)
+    px.add_argument("--dist-units", choices=["pixel", "geo"],
+                    default="pixel")
+
     z = sub.add_parser("zonal", help="per-polygon raster statistics")
     z.add_argument("--config")
     z.add_argument("--dataset")
@@ -391,6 +405,25 @@ def run(argv: list[str] | None = None) -> dict:
             raise ValueError("sieve needs --config/--dataset or --rasters")
         manifest = _sieve.sieve_tiles(
             spark, tiles, ns.out, ns.threshold, bands=ns.bands,
+        )
+        manifest.write.mode("overwrite").parquet(f"{ns.out}/_manifest")
+        m = spark.read.parquet(f"{ns.out}/_manifest")
+        stats.update(tiles=m.count(), out=ns.out)
+
+    elif ns.cmd == "proximity":
+        from ..operators import proximity as _proximity
+
+        if ns.config and ns.dataset:
+            tiles = _tile_rows_from_config(ns.config, ns.dataset)
+        elif ns.rasters:
+            tiles = _tiles_from_globs(ns.rasters)
+        else:
+            raise ValueError(
+                "proximity needs --config/--dataset or --rasters"
+            )
+        manifest = _proximity.proximity_tiles(
+            spark, tiles, ns.out, ns.target_values, ns.max_distance,
+            dist_units=ns.dist_units,
         )
         manifest.write.mode("overwrite").parquet(f"{ns.out}/_manifest")
         m = spark.read.parquet(f"{ns.out}/_manifest")

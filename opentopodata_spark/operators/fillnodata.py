@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F  # noqa: F401 (plan helpers)
 
 from ..oracle import _open_cached
-from .polygonize import _grid_geometry
+from .polygonize import _grid_geometry, _normalize_grid
 
 __all__ = ["fill_kernel", "fillnodata_tiles", "fillnodata_sequential"]
 
@@ -215,7 +215,7 @@ def fillnodata_tiles(
 
     if not tiles:
         raise ValueError("fillnodata_tiles needs at least one tile")
-    tiles = [(int(iy), int(ix), p) for iy, ix, p in tiles]
+    tiles, orig_of = _normalize_grid(tiles)
     th, tw, _gw = _grid_geometry(tiles)
     pad = int(np.ceil(max_distance)) + int(smoothing_iterations)
     if pad >= min(th, tw):
@@ -228,6 +228,7 @@ def fillnodata_tiles(
     n_tx = max(ix for _iy, ix, _p in tiles) + 1
     os.makedirs(out_dir, exist_ok=True)
     bkey = spark.sparkContext.broadcast(by_key)
+    borig = spark.sparkContext.broadcast(orig_of)
 
     def process(batches):
         for b in batches:
@@ -258,8 +259,9 @@ def fillnodata_tiles(
                     np.isfinite(filled), filled, nodata
                 ).astype(np.float32)
                 ci = own.crs
+                oiy, oix = borig.value[key]  # caller's keys on outputs
                 dst = os.path.join(
-                    out_dir, f"fill_{key[0]}_{key[1]}.tif"
+                    out_dir, f"fill_{oiy}_{oix}.tif"
                 )
                 tmp = dst + f".tmp{os.getpid()}"
                 geotiff.write_geotiff(
@@ -274,7 +276,7 @@ def fillnodata_tiles(
                     float(arr[fin].astype(np.float64).sum()), 3
                 )
                 rows.append((
-                    key[0], key[1], dst, n_filled, n_unfilled, checksum
+                    oiy, oix, dst, n_filled, n_unfilled, checksum
                 ))
             yield pd.DataFrame(rows, columns=[
                 "tile_iy", "tile_ix", "path", "n_filled", "n_unfilled",
@@ -304,8 +306,9 @@ def fillnodata_sequential(
     hole by a naive per-cell walk along the 8 rays (no accumulate
     scans, no skewing — a different implementation shape), then the
     same documented IDW + smoothing rule. Returns sorted (tile_iy,
-    tile_ix, n_filled, n_unfilled, checksum) rows."""
-    tiles = [(int(iy), int(ix), p) for iy, ix, p in tiles]
+    tile_ix, n_filled, n_unfilled, checksum) rows in the CALLER's
+    keys."""
+    tiles, orig_of = _normalize_grid(tiles)
     th, tw, _gw = _grid_geometry(tiles)
     n_ty = max(iy for iy, _ix, _p in tiles) + 1
     n_tx = max(ix for _iy, ix, _p in tiles) + 1
@@ -361,8 +364,9 @@ def fillnodata_sequential(
         was = ~np.isfinite(core_a)
         fin = np.isfinite(core_o)
         stored = core_o[fin].astype(np.float32).astype(np.float64)
+        oiy, oix = orig_of[(iy, ix)]
         rows.append((
-            iy, ix,
+            oiy, oix,
             int((was & fin).sum()), int((was & ~fin).sum()),
             round(float(stored.sum()), 3),
         ))

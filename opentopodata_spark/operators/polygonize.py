@@ -234,6 +234,70 @@ def _label_tile(klass: np.ndarray, gy0: int, gx0: int, gw: int,
     return out_regions, border, adj
 
 
+def _normalize_grid(tiles):
+    """[(iy, ix, path)] under ANY affine-consistent integer keying ->
+    ([(row, col, path)], orig_of): row 0 = the NORTHERNMOST tile row,
+    growing southward — the orientation this family's gid / halo-slice
+    arithmetic assumes — and col 0 = westmost; ``orig_of`` maps
+    (row, col) back to the caller's (iy, ix) for output labeling.
+
+    Keys are authoritative for ADJACENCY (key ± 1 = neighbouring
+    tile); tile corners decide only the DIRECTION of each axis. This
+    makes the operators accept both the engine's canonical iy-up keys
+    (tiles.tile_index_rows: iy = northing / tile_size, and
+    jobs/raster._tiles_from_globs) and plain row-down keying, instead
+    of silently joining the wrong tile edges for one of them."""
+    metas = [
+        (int(iy), int(ix), p, _open_cached(p).y0, _open_cached(p).x0)
+        for iy, ix, p in tiles
+    ]
+    iys = sorted({m[0] for m in metas})
+    ixs = sorted({m[1] for m in metas})
+    # iy direction from any column with two rows
+    by_ix: dict[int, list] = {}
+    for iy, ix, _p, y0, _x0 in metas:
+        by_ix.setdefault(ix, []).append((iy, y0))
+    iy_up = None
+    for col in by_ix.values():
+        col.sort()
+        for (a_iy, a_y0), (b_iy, b_y0) in zip(col, col[1:]):
+            up = b_y0 > a_y0
+            if iy_up is None:
+                iy_up = up
+            elif iy_up != up:
+                raise ValueError(
+                    "inconsistent tile grid: iy is not monotone in"
+                    " northing across the tile list"
+                )
+    # ix direction (canonical keys go east; validate, flip if mirrored)
+    by_iy: dict[int, list] = {}
+    for iy, ix, _p, _y0, x0 in metas:
+        by_iy.setdefault(iy, []).append((ix, x0))
+    ix_east = None
+    for row in by_iy.values():
+        row.sort()
+        for (a_ix, a_x0), (b_ix, b_x0) in zip(row, row[1:]):
+            east = b_x0 > a_x0
+            if ix_east is None:
+                ix_east = east
+            elif ix_east != east:
+                raise ValueError(
+                    "inconsistent tile grid: ix is not monotone in"
+                    " easting across the tile list"
+                )
+    out, orig_of = [], {}
+    for iy, ix, p, _y0, _x0 in metas:
+        row = (iys[-1] - iy) if iy_up else (iy - iys[0])
+        col = (ixs[-1] - ix) if ix_east is False else (ix - ixs[0])
+        if (row, col) in orig_of:
+            raise ValueError(
+                f"duplicate tile grid key for row {row}, col {col}"
+            )
+        out.append((row, col, p))
+        orig_of[(row, col)] = (iy, ix)
+    return out, orig_of
+
+
 def _grid_geometry(tiles):
     """(tile_h, tile_w, grid_w_cells) from the tile list; refuses mixed
     tile sizes (adjacency math needs a uniform grid, like hydrology)."""
@@ -260,12 +324,13 @@ def label_regions(
 ) -> DataFrame:
     """(region_id, value, n_cells, n_tiles) for every 4-connected region
     of equal-class cells across the tile grid. ``tiles``: (iy, ix, path)
-    rows of a uniform NON-overlapping grid (iy down, ix right — the
-    terrain/hydrology convention). ``bands``: quantization edges for
-    float rasters (class = count of edges <= value)."""
+    rows of a uniform NON-overlapping grid under either key
+    orientation (canonical iy-up northing keys or row-down keys — the
+    corners disambiguate, see _normalize_grid). ``bands``: quantization
+    edges for float rasters (class = count of edges <= value)."""
     if not tiles:
         raise ValueError("label_regions needs at least one tile")
-    tiles = [(int(iy), int(ix), p) for iy, ix, p in tiles]
+    tiles, _orig_of = _normalize_grid(tiles)
     th, tw, gw = _grid_geometry(tiles)
 
     def phase_a(batches):
@@ -417,7 +482,7 @@ def label_regions_sequential(
     equal-class 4-neighbors until fixpoint) — a different algorithm from
     the distributed run-length union-find, so a shared bug can't pass
     both. Returns sorted (region_id, value, n_cells, n_tiles)."""
-    tiles = [(int(iy), int(ix), p) for iy, ix, p in tiles]
+    tiles, _orig_of = _normalize_grid(tiles)
     th, tw, gw = _grid_geometry(tiles)
     n_ty = max(iy for iy, _ix, _p in tiles) + 1
     n_tx = max(ix for _iy, ix, _p in tiles) + 1

@@ -46,7 +46,12 @@ from pyspark.sql import functions as F
 
 from ..oracle import _open_cached
 from . import dedup as _dedup
-from .polygonize import _grid_geometry, _label_tile, classify_array
+from .polygonize import (
+    _grid_geometry,
+    _label_tile,
+    _normalize_grid,
+    classify_array,
+)
 
 __all__ = ["sieve_regions", "sieve_tiles", "sieve_sequential"]
 
@@ -113,9 +118,11 @@ def _region_graph(spark, tiles, bands, num_partitions):
     """(members M, regions R, edges E) after the same-class seam merge.
 
     M: (tile_iy, tile_ix, local_region, n_cells, rid) — one row per
-       per-tile local region, rid = merged global region id (min gid).
+       per-tile local region (CANONICAL row-down keys), rid = merged
+       global region id (min gid).
     R: (rid, klass, size)
     E: (a, b) distinct undirected different-class adjacency, a < b.
+    Tiles must already be canonical (callers run _normalize_grid).
     """
     th, tw, gw = _grid_geometry(tiles)
     raw = _phase_a(tiles, th, tw, gw, bands, spark, num_partitions)
@@ -364,7 +371,7 @@ def sieve_regions(
         raise ValueError("sieve_regions needs at least one tile")
     if threshold < 1:
         raise ValueError("threshold must be >= 1 cell")
-    tiles = [(int(iy), int(ix), p) for iy, ix, p in tiles]
+    tiles, _orig_of = _normalize_grid(tiles)
     members, regions, edges, raw = _region_graph(
         spark, tiles, bands, num_partitions
     )
@@ -406,7 +413,7 @@ def sieve_tiles(
 
     if not tiles:
         raise ValueError("sieve_tiles needs at least one tile")
-    tiles = [(int(iy), int(ix), p) for iy, ix, p in tiles]
+    tiles, orig_of = _normalize_grid(tiles)
     th, tw, gw = _grid_geometry(tiles)
     members, regions, edges, raw = _region_graph(
         spark, tiles, bands, num_partitions
@@ -424,6 +431,7 @@ def sieve_tiles(
     os.makedirs(out_dir, exist_ok=True)
     path_of = {(iy, ix): p for iy, ix, p in tiles}
     bpath = spark.sparkContext.broadcast(path_of)
+    borig = spark.sparkContext.broadcast(orig_of)
     NODATA = np.int32(np.iinfo(np.int32).min)
 
     def rewrite(key, pdf):
@@ -448,8 +456,10 @@ def sieve_tiles(
                 [lut[int(v)] for v in uniq], dtype=np.int64
             )
             out[valid] = mapped[np.searchsorted(uniq, flat)]
+        # outputs carry the CALLER's keys, not the canonical rows
+        oiy, oix = borig.value[(iy, ix)]
         dst = os.path.join(
-            out_dir, f"sieve_{iy}_{ix}.tif"
+            out_dir, f"sieve_{oiy}_{oix}.tif"
         )
         geotiff.write_geotiff(
             dst, out.astype(np.int32), x0=r.x0, y0=r.y0, sx=r.sx,
@@ -459,7 +469,7 @@ def sieve_tiles(
         n_valid = int(valid.sum())
         checksum = float(out[valid].sum()) if n_valid else 0.0
         return pd.DataFrame({
-            "tile_iy": [iy], "tile_ix": [ix], "path": [dst],
+            "tile_iy": [oiy], "tile_ix": [oix], "path": [dst],
             "n_valid": [n_valid], "checksum": [checksum],
         })
 
@@ -561,10 +571,8 @@ def sieve_sequential(
     graph by whole-array neighbour shifts (not run adjacency), then
     apply the module-level round semantics with plain dicts. Returns
     sorted (region_id, value, n_cells, n_tiles)."""
-    from .polygonize import _grid_geometry as _gg
-
-    tiles = [(int(iy), int(ix), p) for iy, ix, p in tiles]
-    th, tw, gw = _gg(tiles)
+    tiles, _orig_of = _normalize_grid(tiles)
+    th, tw, gw = _grid_geometry(tiles)
     n_ty = max(iy for iy, _ix, _p in tiles) + 1
     n_tx = max(ix for _iy, ix, _p in tiles) + 1
     H, W = n_ty * th, n_tx * tw

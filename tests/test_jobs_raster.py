@@ -433,3 +433,37 @@ def test_fillnodata_cli(spark, tmp_path, capsys):
         r = geotiff.open_raster(p)
         arr = r.read_block(0, r.height, 0, r.width)
         assert np.allclose(arr, 5.0)  # constant field fills exactly
+
+
+def test_proximity_cli(spark, tmp_path, capsys):
+    k = np.zeros((40, 40), dtype=np.float32)
+    k[20, 20] = 1.0
+    for ty in range(2):
+        for tx in range(2):
+            geotiff.write_geotiff(
+                str(tmp_path / f"px_{ty}_{tx}.tif"),
+                k[ty * 20:(ty + 1) * 20, tx * 20:(tx + 1) * 20],
+                x0=5.0 + tx * 0.2, y0=1.0 - ty * 0.2,
+                sx=0.01, sy=0.01, epsg=4326, nodata=-9999.0,
+            )
+    out = str(tmp_path / "prox")
+    rc = job.main([
+        "--cores", "4", "proximity",
+        "--rasters", str(tmp_path / "px_*.tif"), "--out", out,
+        "--target-values", "1", "--max-distance", "5",
+    ])
+    assert rc == 0
+    resj = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert resj["status"] == "OK" and resj["tiles"] == 4
+    # the target sits at geographic row 20 col 20 = the SOUTH-west
+    # tile's local (0, 0). Outputs carry the CALLER's keys, and
+    # _tiles_from_globs keys are iy-UP (northing order), so the
+    # NORTH-west tile is prox_1_0; its bottom-right corner (19,19)
+    # is sqrt(2) away from the target across the seam.
+    r = geotiff.open_raster(os.path.join(out, "prox_1_0.tif"))
+    d = r.read_block(0, 20, 0, 20)
+    assert np.isclose(d[19, 19], np.sqrt(2.0), atol=1e-6)
+    assert not np.isfinite(d[0, 0])
+    # the target itself lives in the SOUTH-east tile (caller key 0,1)
+    r0 = geotiff.open_raster(os.path.join(out, "prox_0_1.tif"))
+    assert r0.read_block(0, 20, 0, 20)[0, 0] == 0.0

@@ -132,3 +132,24 @@ class TestValidation:
     def test_empty_tiles_refused(self, spark):
         with pytest.raises(ValueError, match="at least one"):
             polygonize.label_regions(spark, [])
+
+
+class TestKeyOrientation:
+    def test_iy_up_and_iy_down_keys_agree(self, spark, tmp_path):
+        """The engine's canonical keys are iy-UP (northing/tile_size,
+        tiles.tile_index_rows) while plain row keying is iy-DOWN; the
+        corners disambiguate, so both keyings of the same mosaic must
+        label identically."""
+        rng = np.random.default_rng(41)
+        k = rng.integers(0, 3, (16, 8)).astype(np.int64)
+        down, up = [], []
+        for iy in range(2):
+            sub = k[iy * 8:(iy + 1) * 8]
+            p = str(tmp_path / f"o_{iy}.tif")
+            _write(p, sub, x0=0.0, y0=10.0 - iy * 8 * 0.01)
+            down.append((iy, 0, p))
+            up.append((1 - iy, 0, p))  # northing-derived keys
+        got_down = _collect(spark, down)
+        got_up = _collect(spark, up)
+        assert got_down == got_up
+        assert got_down == polygonize.label_regions_sequential(up)
