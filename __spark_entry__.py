@@ -3682,6 +3682,49 @@ def _build_raster_proximity_oracle(sf_dir: str):
     })
 
 
+_COLORRELIEF_RAMP = """\
+-400 40 60 120 255
+-50 60 110 180
+0 70 140 60
+150 150 170 80
+350 170 140 90
+600 200 200 200 230
+nv 0 0 0 0
+"""
+
+
+def q_raster_colorrelief(spark, sf_dir):
+    """Distributed gdaldem color-relief: elevations through a 6-entry
+    ramp (incl. an nv transparency entry over real NODATA voids) to
+    RGBA PNG tiles over the fillnodata mosaic. Pointwise map, zero
+    shuffles. Oracle: the sequential twin evaluates the ramp PER PIXEL
+    in pure Python and must reproduce every tile md5."""
+    from opentopodata_spark.operators import colorrelief
+
+    _ship_package(spark)
+    out_dir = os.path.join(_fixture_root(), "colorrelief_out")
+    m = colorrelief.colorrelief_tiles(
+        spark, _fillnodata_tile_rows(), out_dir, _COLORRELIEF_RAMP
+    )
+    return m.select("tile_iy", "tile_ix", "n_valid", "md5")
+
+
+def _build_raster_colorrelief_oracle(sf_dir: str):
+    import pyarrow as pa
+
+    from opentopodata_spark.operators import colorrelief
+
+    rows = colorrelief.colorrelief_sequential(
+        _fillnodata_tile_rows(), _COLORRELIEF_RAMP
+    )
+    return pa.table({
+        "tile_iy": pa.array([r[0] for r in rows], type=pa.int64()),
+        "tile_ix": pa.array([r[1] for r in rows], type=pa.int64()),
+        "n_valid": pa.array([r[2] for r in rows], type=pa.int64()),
+        "md5": pa.array([r[3] for r in rows], type=pa.string()),
+    })
+
+
 _SIEVE_THRESHOLD = 30
 
 
@@ -4950,6 +4993,7 @@ _PRECOMPUTED_BUILDERS = {
     "raster_sieve": _build_raster_sieve_oracle,
     "raster_fillnodata": _build_raster_fillnodata_oracle,
     "raster_proximity": _build_raster_proximity_oracle,
+    "raster_colorrelief": _build_raster_colorrelief_oracle,
     "contour_lines": _build_contour_oracle,
     "raster_diff": _build_raster_diff_oracle,
     "streaming_near_dup": _build_near_dup_stream_oracle,
@@ -4985,6 +5029,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_sieve": q_raster_sieve,
         "raster_fillnodata": q_raster_fillnodata,
         "raster_proximity": q_raster_proximity,
+        "raster_colorrelief": q_raster_colorrelief,
         "raster_warp": q_raster_warp,
         "cog_overviews": q_cog_overviews,
         "terrain_tiles_export": q_terrain_tiles_export,

@@ -220,6 +220,9 @@ def main() -> None:
         "raster_proximity": lambda: contract.q_raster_proximity(
             spark, SF_DIR
         ),
+        "raster_colorrelief": lambda: contract.q_raster_colorrelief(
+            spark, SF_DIR
+        ),
         "contour_lines": lambda: contract.q_contour_lines(spark, SF_DIR),
         "raster_diff": lambda: contract.q_raster_diff(spark, SF_DIR),
         "raster_formats": lambda: contract.q_raster_formats(spark, SF_DIR),

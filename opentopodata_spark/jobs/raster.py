@@ -186,6 +186,21 @@ def build_parser() -> argparse.ArgumentParser:
     px.add_argument("--dist-units", choices=["pixel", "geo"],
                     default="pixel")
 
+    crp = sub.add_parser(
+        "colorrelief", help="RGBA relief tiles through a color ramp"
+        " (gdaldem color-relief)"
+    )
+    crp.add_argument("--config")
+    crp.add_argument("--dataset")
+    crp.add_argument("--rasters", nargs="*")
+    crp.add_argument("--out", required=True)
+    crp.add_argument("--ramp", required=True,
+                     help="GDAL color-relief text file:"
+                     " 'elevation r g b [a]' per line, 'nv ...' for"
+                     " NODATA")
+    crp.add_argument("--mode", default="interpolate",
+                     choices=["interpolate", "nearest", "exact"])
+
     z = sub.add_parser("zonal", help="per-polygon raster statistics")
     z.add_argument("--config")
     z.add_argument("--dataset")
@@ -405,6 +420,26 @@ def run(argv: list[str] | None = None) -> dict:
             raise ValueError("sieve needs --config/--dataset or --rasters")
         manifest = _sieve.sieve_tiles(
             spark, tiles, ns.out, ns.threshold, bands=ns.bands,
+        )
+        manifest.write.mode("overwrite").parquet(f"{ns.out}/_manifest")
+        m = spark.read.parquet(f"{ns.out}/_manifest")
+        stats.update(tiles=m.count(), out=ns.out)
+
+    elif ns.cmd == "colorrelief":
+        from ..operators import colorrelief as _colorrelief
+
+        if ns.config and ns.dataset:
+            tiles = _tile_rows_from_config(ns.config, ns.dataset)
+        elif ns.rasters:
+            tiles = _tiles_from_globs(ns.rasters)
+        else:
+            raise ValueError(
+                "colorrelief needs --config/--dataset or --rasters"
+            )
+        with open(ns.ramp) as f:
+            ramp_text = f.read()
+        manifest = _colorrelief.colorrelief_tiles(
+            spark, tiles, ns.out, ramp_text, mode=ns.mode,
         )
         manifest.write.mode("overwrite").parquet(f"{ns.out}/_manifest")
         m = spark.read.parquet(f"{ns.out}/_manifest")

@@ -467,3 +467,31 @@ def test_proximity_cli(spark, tmp_path, capsys):
     # the target itself lives in the SOUTH-east tile (caller key 0,1)
     r0 = geotiff.open_raster(os.path.join(out, "prox_0_1.tif"))
     assert r0.read_block(0, 20, 0, 20)[0, 0] == 0.0
+
+
+def test_colorrelief_cli(spark, tmp_path, capsys):
+    geotiff.write_geotiff(
+        str(tmp_path / "cr.tif"),
+        np.linspace(0, 900, 64, dtype=np.float32).reshape(8, 8),
+        x0=5.0, y0=1.0, sx=0.01, sy=0.01, epsg=4326, nodata=-9999.0,
+    )
+    ramp = str(tmp_path / "ramp.txt")
+    with open(ramp, "w") as f:
+        f.write("0 0 100 0\n1000 255 255 255\nnv 0 0 0 0\n")
+    out = str(tmp_path / "relief")
+    rc = job.main([
+        "--cores", "4", "colorrelief",
+        "--rasters", str(tmp_path / "cr.tif"), "--out", out,
+        "--ramp", ramp,
+    ])
+    assert rc == 0
+    resj = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert resj["status"] == "OK" and resj["tiles"] == 1
+    from opentopodata_spark import png as _png
+
+    rgba = _png.decode_png(
+        open(os.path.join(out, "relief_0_0.png"), "rb").read()
+    )
+    assert rgba.shape == (8, 8, 4)
+    assert tuple(rgba[0, 0]) == (0, 100, 0, 255)   # elevation 0
+    assert rgba[7, 7][0] > 200                      # near-white at top
