@@ -3725,6 +3725,74 @@ def _build_raster_colorrelief_oracle(sf_dir: str):
     })
 
 
+def _polyvec_tile_rows() -> list[tuple[int, int, str]]:
+    """Deterministic 2x3 mosaic for the vector-polygonize contract:
+    smooth banded terrain (low noise -> a few hundred regions, many
+    crossing seams) + a NODATA lake, so ring assembly cost stays
+    bounded while every seam path is exercised."""
+    import numpy as np
+
+    from opentopodata_spark import geotiff
+
+    out_dir = os.path.join(_fixture_root(), "polyvec_mosaic")
+    os.makedirs(out_dir, exist_ok=True)
+    th, tw, n_ty, n_tx = 200, 200, 2, 3
+    H, W = n_ty * th, n_tx * tw
+    rng = np.random.default_rng(97)
+    z = (
+        400 * np.sin(np.linspace(0, 9, W))[None, :]
+        + 300 * np.cos(np.linspace(0, 7, H))[:, None]
+        + rng.normal(0, 6, (H, W))
+    )
+    z[150:240, 330:430] = np.nan
+    rows = []
+    for iy in range(n_ty):
+        for ix in range(n_tx):
+            p = os.path.join(out_dir, f"pv_{iy}_{ix}.tif")
+            if not os.path.exists(p):
+                sub = z[iy * th:(iy + 1) * th, ix * tw:(ix + 1) * tw]
+                geotiff.write_geotiff(
+                    p, np.where(np.isnan(sub), -32768.0, sub)
+                    .astype(np.float32),
+                    x0=ix * tw * 0.001, y0=20.0 - iy * th * 0.001,
+                    sx=0.001, sy=0.001, epsg=4326, nodata=-32768,
+                )
+            rows.append((iy, ix, p))
+    return rows
+
+
+def q_region_polygons(spark, sf_dir):
+    """Vector polygonize: region boundary rings assembled from
+    O(perimeter) directed segments (interior cells never leave their
+    task) with the shoelace == n_cells identity ASSERTED per region
+    inside the job. Oracle: the checkable columns (n_cells + boundary
+    edge counts) vs an array-shift sequential twin that never builds
+    segments or walks rings."""
+    from opentopodata_spark.operators import polyvec
+
+    _ship_package(spark)
+    df = polyvec.region_polygons(
+        spark, _polyvec_tile_rows(), bands=_POLYGONIZE_BANDS
+    )
+    return df.select("region_id", "value", "n_cells", "perim_edges")
+
+
+def _build_region_polygons_oracle(sf_dir: str):
+    import pyarrow as pa
+
+    from opentopodata_spark.operators import polyvec
+
+    rows = polyvec.region_boundary_stats_sequential(
+        _polyvec_tile_rows(), bands=_POLYGONIZE_BANDS
+    )
+    return pa.table({
+        "region_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "value": pa.array([r[1] for r in rows], type=pa.int64()),
+        "n_cells": pa.array([r[2] for r in rows], type=pa.int64()),
+        "perim_edges": pa.array([r[3] for r in rows], type=pa.int64()),
+    })
+
+
 _SIEVE_THRESHOLD = 30
 
 
@@ -4994,6 +5062,7 @@ _PRECOMPUTED_BUILDERS = {
     "raster_fillnodata": _build_raster_fillnodata_oracle,
     "raster_proximity": _build_raster_proximity_oracle,
     "raster_colorrelief": _build_raster_colorrelief_oracle,
+    "region_polygons": _build_region_polygons_oracle,
     "contour_lines": _build_contour_oracle,
     "raster_diff": _build_raster_diff_oracle,
     "streaming_near_dup": _build_near_dup_stream_oracle,
@@ -5030,6 +5099,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_fillnodata": q_raster_fillnodata,
         "raster_proximity": q_raster_proximity,
         "raster_colorrelief": q_raster_colorrelief,
+        "region_polygons": q_region_polygons,
         "raster_warp": q_raster_warp,
         "cog_overviews": q_cog_overviews,
         "terrain_tiles_export": q_terrain_tiles_export,

@@ -1,0 +1,507 @@
+"""Vector output for distributed polygonize: region boundary rings.
+
+Completes gdal_polygonize parity: operators/polygonize.py labels the
+regions; this module extracts each region's boundary as closed rings
+(exterior + holes) and emits GeoJSON geometries with georeferenced
+coordinates.
+
+Scale shape:
+  A. per-tile map emits DIRECTED boundary SEGMENTS — one per cell edge
+     whose two sides belong to different regions / NODATA / the mosaic
+     exterior — oriented with the region's interior on the LEFT
+     (math convention on (x=col, y=row)). Interior edges are decided
+     in-tile; tile-seam edges are emitted as CANDIDATES keyed by the
+     seam pair and dropped later when the pair merges (same class on
+     both sides). Segments are O(region perimeter), never O(cells).
+  B. the same seam groupBy as polygonize yields both the merge edges
+     (connected components -> final region ids) and the candidate
+     verdicts (one anti-join).
+  C. one groupBy region assembles rings in applyInPandas: leftmost-
+     turn traversal decomposes the segment set into non-crossing
+     closed loops; with interior-left orientation the exterior ring
+     has POSITIVE shoelace area and holes NEGATIVE, so
+     sum(signed areas) == n_cells is asserted per region — a built-in
+     oracle no twin can share. Per-region work is O(perimeter); a
+     mosaic-wide region costs ~sqrt(area) in one task (documented
+     skew bound, same as gdal_polygonize's per-feature cost).
+
+Reference note: the reference delegates vectorization to GDAL
+(gdal_polygonize); this is the beyond-reference distributed
+equivalent.
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..oracle import _open_cached
+from . import dedup as _dedup
+from .polygonize import (
+    _grid_geometry,
+    _label_tile,
+    _normalize_grid,
+    classify_array,
+)
+
+__all__ = ["region_polygons", "region_boundary_stats_sequential"]
+
+
+def _tile_segments(klass, labels, gy0, gx0, gw):
+    """Directed boundary segments for one tile, interior on the left.
+
+    Returns (interior, seam): interior = int64 array (n, 5) of
+    (region, x0, y0, x1, y1) in GLOBAL grid vertex coordinates
+    (x = col, y = row); seam = (m, 7) of (pair_lo, pair_hi, region,
+    x0, y0, x1, y1) candidates whose fate the seam groupBy decides.
+    NODATA cells own no segments."""
+    h, w = klass.shape
+    rows_i = []
+    rows_s = []
+    gx = gx0 + np.arange(w + 1, dtype=np.int64)
+    gy = gy0 + np.arange(h + 1, dtype=np.int64)
+
+    def seg_block(mask, region, x0, y0, x1, y1):
+        sel = np.nonzero(mask)
+        for k in range(len(sel[0])):
+            r, c = int(sel[0][k]), int(sel[1][k])
+            rows_i.append((
+                int(region[r, c]),
+                int(x0[r, c]), int(y0[r, c]),
+                int(x1[r, c]), int(y1[r, c]),
+            ))
+
+    X, Y = np.meshgrid(gx[:-1], gy[:-1])  # cell top-left vertex
+    # EAST-facing inner edges: cell (r,c) vs (r,c+1)
+    a, b = klass[:, :-1], klass[:, 1:]
+    la, lb = labels[:, :-1], labels[:, 1:]
+    diff = (a != b)
+    # A side (west cell): walk DOWN x=c+1 from y=r to y=r+1
+    m = diff & (a != -1)
+    seg_block(
+        m, la,
+        X[:, :-1] + 1, Y[:, :-1], X[:, :-1] + 1, Y[:, :-1] + 1,
+    )
+    # B side (east cell): walk UP
+    m = diff & (b != -1)
+    seg_block(
+        m, lb,
+        X[:, :-1] + 1, Y[:, :-1] + 1, X[:, :-1] + 1, Y[:, :-1],
+    )
+    # SOUTH-facing inner edges: cell (r,c) vs (r+1,c)
+    a, b = klass[:-1, :], klass[1:, :]
+    la, lb = labels[:-1, :], labels[1:, :]
+    diff = (a != b)
+    # A side (north cell): walk WEST along y=r+1
+    m = diff & (a != -1)
+    seg_block(
+        m, la,
+        X[:-1] + 1, Y[:-1] + 1, X[:-1], Y[:-1] + 1,
+    )
+    # B side (south cell): walk EAST
+    m = diff & (b != -1)
+    seg_block(
+        m, lb,
+        X[:-1], Y[:-1] + 1, X[:-1] + 1, Y[:-1] + 1,
+    )
+
+    def seam_block(rr, cc, regs, x0, y0, x1, y1, ngids, gids):
+        lo = np.minimum(gids, ngids)
+        hi = np.maximum(gids, ngids)
+        for k in range(len(rr)):
+            rows_s.append((
+                int(lo[k]), int(hi[k]), int(regs[k]),
+                int(x0[k]), int(y0[k]), int(x1[k]), int(y1[k]),
+            ))
+
+    rr = np.arange(h, dtype=np.int64)
+    cc = np.arange(w, dtype=np.int64)
+    gid = (gy0 + rr[:, None]) * gw + gx0 + cc[None, :]
+    # tile-edge candidates. Interior-on-the-LEFT directions, derived
+    # from math-left of (dx, dy) = (-dy, dx) on (x=col, y=row):
+    #  N edge: we are the SOUTH cell -> walk EAST  (left = +y = us)
+    #  S edge: we are the NORTH cell -> walk WEST  (left = -y = us)
+    #  W edge: we are the EAST cell  -> walk UP    (left = +x = us)
+    #  E edge: we are the WEST cell  -> walk DOWN  (left = -x = us)
+    for side, sel_r, sel_c, ngid_off, seg in (
+        ("N", 0, None, -gw,
+         lambda c: (gx0 + c, gy0, gx0 + c + 1, gy0)),
+        ("S", h - 1, None, +gw,
+         lambda c: (gx0 + c + 1, gy0 + h, gx0 + c, gy0 + h)),
+        ("W", None, 0, -1,
+         lambda r: (gx0, gy0 + r + 1, gx0, gy0 + r)),
+        ("E", None, w - 1, +1,
+         lambda r: (gx0 + w, gy0 + r, gx0 + w, gy0 + r + 1)),
+    ):
+        if sel_r is not None:
+            ks = klass[sel_r]
+            ls = labels[sel_r]
+            idx = np.nonzero(ks != -1)[0]
+            gids = gid[sel_r, idx]
+        else:
+            ks = klass[:, sel_c]
+            ls = labels[:, sel_c]
+            idx = np.nonzero(ks != -1)[0]
+            gids = gid[idx, sel_c]
+        if len(idx) == 0:
+            continue
+        ngids = gids + ngid_off
+        # wrap guards: west/east edges of the whole grid have no
+        # neighbour (gid-1 wraps rows) — those are UNCONDITIONAL
+        # boundary, emitted as interior rows
+        wrap = None
+        if side == "W" and gx0 == 0:
+            wrap = True
+        if side == "E" and gx0 + w == gw:
+            wrap = True
+        segs = [seg(int(i)) for i in idx]
+        if wrap:
+            for k, i in enumerate(idx):
+                x0, y0, x1, y1 = segs[k]
+                rows_i.append((int(ls[i]), x0, y0, x1, y1))
+        else:
+            lo = np.minimum(gids, ngids)
+            hi = np.maximum(gids, ngids)
+            for k, i in enumerate(idx):
+                x0, y0, x1, y1 = segs[k]
+                rows_s.append((
+                    int(lo[k]), int(hi[k]), int(ls[i]),
+                    x0, y0, x1, y1,
+                ))
+    return rows_i, rows_s
+
+
+def _assemble_rings(segments: np.ndarray):
+    """Leftmost-turn decomposition of directed segments into closed
+    loops. segments: (n, 4) int64 (x0, y0, x1, y1), interior-left.
+    Returns list of rings, each a list of (x, y) vertices (closed:
+    first == last), collinear runs merged."""
+    n = len(segments)
+    order = np.lexsort((
+        segments[:, 3], segments[:, 2], segments[:, 1], segments[:, 0]
+    ))
+    segs = segments[order]
+    out_of: dict[tuple, list[int]] = {}
+    for i in range(n):
+        out_of.setdefault((int(segs[i, 0]), int(segs[i, 1])), []).append(i)
+    used = np.zeros(n, dtype=bool)
+    # turn priority: leftmost relative to incoming direction.
+    # directions are unit axis vectors; cross(d_in, d_out) = +1 left,
+    # 0 straight, -1 right; u-turn last.
+    rings = []
+    for start in range(n):
+        if used[start]:
+            continue
+        ring = [(int(segs[start, 0]), int(segs[start, 1]))]
+        cur = start
+        used[start] = True
+        while True:
+            x1, y1 = int(segs[cur, 2]), int(segs[cur, 3])
+            ring.append((x1, y1))
+            if (x1, y1) == ring[0]:
+                break
+            dx_in = x1 - int(segs[cur, 0])
+            dy_in = y1 - int(segs[cur, 1])
+            cands = [i for i in out_of.get((x1, y1), []) if not used[i]]
+            if not cands:
+                raise AssertionError(
+                    "open boundary chain — segment bookkeeping bug"
+                )
+
+            def turn_rank(i):
+                dx_o = int(segs[i, 2]) - int(segs[i, 0])
+                dy_o = int(segs[i, 3]) - int(segs[i, 1])
+                cross = dx_in * dy_o - dy_in * dx_o
+                dot = dx_in * dx_o + dy_in * dy_o
+                if cross > 0:
+                    return 0  # left turn
+                if cross == 0 and dot > 0:
+                    return 1  # straight
+                if cross < 0:
+                    return 2  # right turn
+                return 3      # u-turn
+            cur = min(cands, key=turn_rank)
+            used[cur] = True
+        # merge collinear runs: all steps are unit axis moves, so a
+        # vertex is redundant iff its incoming and outgoing steps are
+        # the SAME direction (works modularly even when the walk
+        # started mid-run)
+        m = len(ring) - 1  # last == first
+        merged = []
+        for k in range(m):
+            px, py = ring[(k - 1) % m]
+            cx, cy = ring[k]
+            nx, ny = ring[(k + 1) % m]
+            if (cx - px, cy - py) != (nx - cx, ny - cy):
+                merged.append((cx, cy))
+        rings.append(merged + [merged[0]])
+    return rings
+
+
+def _ring_area2(ring) -> int:
+    """Twice the signed shoelace area of a closed integer ring."""
+    s = 0
+    for (x0, y0), (x1, y1) in zip(ring, ring[1:]):
+        s += x0 * y1 - x1 * y0
+    return s
+
+
+def region_polygons(
+    spark: SparkSession,
+    tiles: list[tuple[int, int, str]],
+    *,
+    bands=None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """(region_id, value, n_cells, n_rings, perim_edges, area_cells,
+    geometry) — geometry is a GeoJSON Polygon/MultiPolygon string in
+    the tiles' georeferenced coordinates (RFC 7946 ring orientation).
+    ``area_cells`` is computed FROM THE ASSEMBLED RINGS (shoelace) and
+    must equal ``n_cells`` from the cell counts — asserted per region,
+    so any stitching bug fails loudly rather than returning geometry
+    silently missing a seam."""
+    if not tiles:
+        raise ValueError("region_polygons needs at least one tile")
+    tiles, _orig_of = _normalize_grid(tiles)
+    th, tw, gw = _grid_geometry(tiles)
+    first = _open_cached(tiles[0][2])
+    r0, c0 = tiles[0][0], tiles[0][1]
+    # global affine: grid vertex (x, y) -> geo
+    geo_x0 = first.x0 - c0 * tw * first.sx
+    geo_y0 = first.y0 + r0 * th * first.sy
+    sx, sy = first.sx, first.sy
+
+    def phase_a(batches):
+        for b in batches:
+            rows = []
+            for t in b.itertuples(index=False):
+                iy, ix = int(t.tile_iy), int(t.tile_ix)
+                r = _open_cached(t.path)
+                arr = r.read_block(0, r.height, 0, r.width)
+                klass = classify_array(arr, bands=bands)
+                gy0, gx0 = iy * th, ix * tw
+                regions, border = _label_tile(klass, gy0, gx0, gw)
+                labels = _cell_labels(klass, gy0, gx0, gw)
+                for region, k, n in regions:
+                    rows.append(("r", region, k, n, 0, 0, 0, 0))
+                for side, (gids, ks, rgs) in border.items():
+                    if side == "N":
+                        ngids = gids - gw
+                    elif side == "S":
+                        ngids = gids + gw
+                    elif side == "W":
+                        if gx0 == 0:
+                            continue
+                        ngids = gids - 1
+                    else:
+                        if gx0 + tw == gw:
+                            continue
+                        ngids = gids + 1
+                    lo = np.minimum(gids, ngids)
+                    hi = np.maximum(gids, ngids)
+                    for k in range(len(gids)):
+                        rows.append((
+                            "b", int(lo[k]), int(hi[k]), int(ks[k]),
+                            int(rgs[k]), 0, 0, 0,
+                        ))
+                seg_i, seg_s = _tile_segments(
+                    klass, labels, gy0, gx0, gw
+                )
+                for region, x0, y0, x1, y1 in seg_i:
+                    rows.append(("s", region, x0, y0, x1, y1, 0, 0))
+                for lo, hi, region, x0, y0, x1, y1 in seg_s:
+                    rows.append(("t", lo, hi, region, x0, y0, x1, y1))
+            yield pd.DataFrame(rows, columns=list("kabcdefg")).astype(
+                {c: "int64" for c in "abcdefg"}
+            )
+
+    pdf = spark.createDataFrame(
+        tiles, "tile_iy long, tile_ix long, path string"
+    )
+    n = num_partitions or max(
+        1, min(len(tiles), spark.sparkContext.defaultParallelism)
+    )
+    raw = pdf.repartition(n).mapInPandas(
+        phase_a,
+        "k string, a long, b long, c long, d long, e long, f long,"
+        " g long",
+    ).persist()
+    try:
+        regions = raw.where(F.col("k") == "r").select(
+            F.col("a").alias("region"), F.col("b").alias("klass"),
+            F.col("c").alias("n_cells"),
+        )
+        border = raw.where(F.col("k") == "b").select(
+            F.col("a").alias("pair_lo"), F.col("b").alias("pair_hi"),
+            F.col("c").alias("klass"), F.col("d").alias("region"),
+        )
+        seam = border.groupBy("pair_lo", "pair_hi").agg(
+            F.count("*").alias("n"),
+            F.min("klass").alias("k_min"), F.max("klass").alias("k_max"),
+            F.min("region").alias("ra"), F.max("region").alias("rb"),
+        ).where(F.col("n") == 2)
+        same = seam.where(
+            (F.col("k_min") == F.col("k_max"))
+            & (F.col("ra") != F.col("rb"))
+        ).select("ra", "rb").dropDuplicates()
+        # ALSO same-region across the seam (same class, same local
+        # region can't happen across tiles, but n==2 same class always
+        # merges): drop those candidates
+        drop_pairs = seam.where(
+            F.col("k_min") == F.col("k_max")
+        ).select("pair_lo", "pair_hi")
+        comp = _dedup.connected_components(same, src="ra", dst="rb")
+        mapping = comp.withColumnRenamed("node", "region")
+        cand = raw.where(F.col("k") == "t").select(
+            F.col("a").alias("pair_lo"), F.col("b").alias("pair_hi"),
+            F.col("c").alias("region"), F.col("d").alias("x0"),
+            F.col("e").alias("y0"), F.col("f").alias("x1"),
+            F.col("g").alias("y1"),
+        ).join(drop_pairs, ["pair_lo", "pair_hi"], "left_anti").select(
+            "region", "x0", "y0", "x1", "y1"
+        )
+        segs = raw.where(F.col("k") == "s").select(
+            F.col("a").alias("region"), F.col("b").alias("x0"),
+            F.col("c").alias("y0"), F.col("d").alias("x1"),
+            F.col("e").alias("y1"),
+        ).unionByName(cand)
+        segs_m = segs.join(mapping, "region", "left").withColumn(
+            "region_id", F.coalesce(F.col("component"), F.col("region"))
+        ).select("region_id", "x0", "y0", "x1", "y1")
+        # component = the MIN member id (connected_components contract),
+        # so region_id is already the canonical min-gid
+        meta = regions.join(mapping, "region", "left").withColumn(
+            "region_id", F.coalesce(F.col("component"), F.col("region"))
+        ).groupBy("region_id").agg(
+            F.min("klass").alias("value"),
+            F.sum("n_cells").alias("n_cells"),
+        )
+        joined = segs_m.join(meta, "region_id")
+
+        def assemble(key, pdf2):
+            rid = int(key[0])
+            value = int(pdf2["value"].iloc[0])
+            n_cells = int(pdf2["n_cells"].iloc[0])
+            seg_arr = pdf2[["x0", "y0", "x1", "y1"]].to_numpy(
+                dtype=np.int64
+            )
+            rings = _assemble_rings(seg_arr)
+            area2 = sum(_ring_area2(r_) for r_ in rings)
+            if area2 != 2 * n_cells:
+                raise AssertionError(
+                    f"region {rid}: ring area {area2 / 2} != n_cells"
+                    f" {n_cells} — boundary stitching bug"
+                )
+            exterior = [r_ for r_ in rings if _ring_area2(r_) > 0]
+            holes = [r_ for r_ in rings if _ring_area2(r_) < 0]
+
+            def to_geo(ring):
+                # the geo y-flip reverses orientation, so grid-CCW
+                # exteriors land geo-CW and grid-CW holes land
+                # geo-CCW — REVERSING both restores RFC 7946
+                # (exterior CCW, holes CW)
+                return [
+                    [geo_x0 + x * sx, geo_y0 - y * sy]
+                    for x, y in reversed(ring)
+                ]
+            polys = []
+            for ext in exterior:
+                hole_rings = holes if len(exterior) == 1 else [
+                    h for h in holes if _point_in_ring(h[0], ext)
+                ]
+                polys.append(
+                    [to_geo(ext)] + [to_geo(h) for h in hole_rings]
+                )
+            if len(polys) == 1:
+                geom = {"type": "Polygon", "coordinates": polys[0]}
+            else:
+                geom = {"type": "MultiPolygon", "coordinates": polys}
+            return pd.DataFrame({
+                "region_id": [rid], "value": [value],
+                "n_cells": [n_cells], "n_rings": [len(rings)],
+                "perim_edges": [int(
+                    np.abs(seg_arr[:, 2] - seg_arr[:, 0]).sum()
+                    + np.abs(seg_arr[:, 3] - seg_arr[:, 1]).sum()
+                )],
+                "area_cells": [area2 // 2],
+                "geometry": [json.dumps(geom)],
+            })
+
+        out = joined.groupBy("region_id").applyInPandas(
+            assemble,
+            "region_id long, value long, n_cells long, n_rings long,"
+            " perim_edges long, area_cells long, geometry string",
+        ).localCheckpoint()
+    finally:
+        raw.unpersist()
+    return out
+
+
+def _point_in_ring(pt, ring) -> bool:
+    """Ray-cast a grid vertex against an integer ring (boundary counts
+    as inside — good enough for hole->exterior assignment where the
+    hole is strictly interior)."""
+    x, y = pt
+    inside = False
+    for (x0, y0), (x1, y1) in zip(ring, ring[1:]):
+        if (y0 > y) != (y1 > y):
+            t = (y - y0) / (y1 - y0)
+            xi = x0 + t * (x1 - x0)
+            if xi > x:
+                inside = not inside
+    return inside
+
+
+def _cell_labels(klass, gy0, gx0, gw):
+    from .sieve import _local_cell_labels
+
+    return _local_cell_labels(klass, gy0, gx0, gw)
+
+
+def region_boundary_stats_sequential(
+    tiles: list[tuple[int, int, str]],
+    *,
+    bands=None,
+) -> list[tuple[int, int, int, int]]:
+    """INDEPENDENT twin for the contract's checkable columns: stitch
+    the mosaic, label by run-batched min-propagation, and count each
+    region's boundary edges by whole-array neighbour shifts (no
+    segment assembly, no ring walking). Returns sorted
+    (region_id, value, n_cells, perim_edges)."""
+    from .polygonize import label_regions_sequential
+
+    # labeling + counts from the existing twin
+    base = {r[0]: r for r in label_regions_sequential(tiles, bands=bands)}
+    tiles2, _orig = _normalize_grid(tiles)
+    th, tw, gw = _grid_geometry(tiles2)
+    n_ty = max(iy for iy, _ix, _p in tiles2) + 1
+    n_tx = max(ix for _iy, ix, _p in tiles2) + 1
+    H, W = n_ty * th, n_tx * tw
+    klass = np.full((H, W), -1, dtype=np.int64)
+    for iy, ix, p in tiles2:
+        r = _open_cached(p)
+        arr = r.read_block(0, th, 0, tw)
+        klass[iy * th:(iy + 1) * th, ix * tw:(ix + 1) * tw] = (
+            classify_array(arr, bands=bands)
+        )
+    from .sieve import _local_cell_labels
+
+    labels = _local_cell_labels(klass, 0, 0, gw)
+    perim: dict[int, int] = {}
+    pad_k = np.pad(klass, 1, constant_values=-1)
+    pad_l = np.pad(labels, 1, constant_values=-1)
+    for dy, dx in ((0, 1), (0, -1), (1, 0), (-1, 0)):
+        nb = pad_k[1 + dy:H + 1 + dy, 1 + dx:W + 1 + dx]
+        m = (klass != -1) & (nb != klass)
+        ls, cnt = np.unique(labels[m], return_counts=True)
+        for l_, c_ in zip(ls, cnt):
+            perim[int(l_)] = perim.get(int(l_), 0) + int(c_)
+    del pad_l
+    return sorted(
+        (rid, base[rid][1], base[rid][2], perim.get(rid, 0))
+        for rid in base
+    )
