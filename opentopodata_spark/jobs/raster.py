@@ -186,6 +186,21 @@ def build_parser() -> argparse.ArgumentParser:
     px.add_argument("--dist-units", choices=["pixel", "geo"],
                     default="pixel")
 
+    pg = sub.add_parser(
+        "polygonize", help="regions -> polygons (gdal_polygonize):"
+        " region stats parquet + optional GeoJSON FeatureCollection"
+    )
+    pg.add_argument("--config")
+    pg.add_argument("--dataset")
+    pg.add_argument("--rasters", nargs="*")
+    pg.add_argument("--out", required=True,
+                    help="parquet output (region stats + geometry)")
+    pg.add_argument("--geojson",
+                    help="optional FeatureCollection file (driver-side"
+                    " assembly — bounded by the region count)")
+    pg.add_argument("--bands", type=float, nargs="*",
+                    help="quantization edges for float rasters")
+
     crp = sub.add_parser(
         "colorrelief", help="RGBA relief tiles through a color ramp"
         " (gdaldem color-relief)"
@@ -424,6 +439,44 @@ def run(argv: list[str] | None = None) -> dict:
         manifest.write.mode("overwrite").parquet(f"{ns.out}/_manifest")
         m = spark.read.parquet(f"{ns.out}/_manifest")
         stats.update(tiles=m.count(), out=ns.out)
+
+    elif ns.cmd == "polygonize":
+        import json as _json
+
+        from ..operators import polyvec as _polyvec
+
+        if ns.config and ns.dataset:
+            tiles = _tile_rows_from_config(ns.config, ns.dataset)
+        elif ns.rasters:
+            tiles = _tiles_from_globs(ns.rasters)
+        else:
+            raise ValueError(
+                "polygonize needs --config/--dataset or --rasters"
+            )
+        df = _polyvec.region_polygons(spark, tiles, bands=ns.bands)
+        df.write.mode("overwrite").parquet(ns.out)
+        back = spark.read.parquet(ns.out)
+        stats.update(regions=back.count(), out=ns.out)
+        if ns.geojson:
+            feats = [
+                {
+                    "type": "Feature",
+                    "properties": {
+                        "region_id": int(r.region_id),
+                        "value": int(r.value),
+                        "n_cells": int(r.n_cells),
+                    },
+                    "geometry": _json.loads(r.geometry),
+                }
+                for r in back.orderBy("region_id").collect()
+            ]
+            tmp = ns.geojson + f".tmp{os.getpid()}"
+            with open(tmp, "w") as f:
+                _json.dump(
+                    {"type": "FeatureCollection", "features": feats}, f
+                )
+            os.replace(tmp, ns.geojson)
+            stats.update(geojson=ns.geojson)
 
     elif ns.cmd == "colorrelief":
         from ..operators import colorrelief as _colorrelief

@@ -495,3 +495,31 @@ def test_colorrelief_cli(spark, tmp_path, capsys):
     assert rgba.shape == (8, 8, 4)
     assert tuple(rgba[0, 0]) == (0, 100, 0, 255)   # elevation 0
     assert rgba[7, 7][0] > 200                      # near-white at top
+
+
+def test_polygonize_cli(spark, tmp_path, capsys):
+    k = np.zeros((8, 8), dtype=np.int16)
+    k[2:5, 2:5] = 7
+    geotiff.write_geotiff(
+        str(tmp_path / "pg.tif"), k, x0=5.0, y0=1.0,
+        sx=0.01, sy=0.01, epsg=4326, nodata=-9999,
+    )
+    out = str(tmp_path / "regions.parquet")
+    gj = str(tmp_path / "regions.geojson")
+    rc = job.main([
+        "--cores", "4", "polygonize",
+        "--rasters", str(tmp_path / "pg.tif"), "--out", out,
+        "--geojson", gj,
+    ])
+    assert rc == 0
+    resj = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert resj["status"] == "OK" and resj["regions"] == 2
+    fc = json.load(open(gj))
+    assert fc["type"] == "FeatureCollection" and len(fc["features"]) == 2
+    by_val = {f["properties"]["value"]: f for f in fc["features"]}
+    assert by_val[7]["properties"]["n_cells"] == 9
+    ring = by_val[7]["geometry"]["coordinates"][0]
+    assert ring[0] == ring[-1] and len(ring) == 5  # a clean square
+    assert by_val[0]["properties"]["n_cells"] == 55
+    # the background polygon carries the island as a hole
+    assert len(by_val[0]["geometry"]["coordinates"]) == 2
