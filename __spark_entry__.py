@@ -3725,6 +3725,74 @@ def _build_raster_colorrelief_oracle(sf_dir: str):
     })
 
 
+_GRIDDING_KW = dict(
+    algorithm="invdist", power=2.0, smoothing=0.002,
+    radius1=0.05, radius2=0.05, min_points=1, tile_px=128,
+)
+
+
+def _gridding_fixture():
+    """Deterministic scattered points + target grid for the gdal_grid
+    contract: 2,500 points over a 384x256-node 0.01-degree grid
+    (2x3 tiles of 128px), cluster + uniform mix so some nodes see
+    dozens of candidates and swaths of the grid see none."""
+    import numpy as np
+
+    from opentopodata_spark.operators.rasterize import GridSpec
+
+    rng = np.random.default_rng(29)
+    grid = GridSpec(x0=5.0, y0=47.0, sx=0.01, sy=0.01,
+                    width=384, height=256)
+    n_u, n_c = 1500, 1000
+    la = np.concatenate([
+        rng.uniform(44.3, 47.1, n_u),
+        rng.normal(45.8, 0.15, n_c),
+    ])
+    lo = np.concatenate([
+        rng.uniform(4.9, 8.9, n_u),
+        rng.normal(6.9, 0.2, n_c),
+    ])
+    v = np.round(rng.uniform(-100.0, 2500.0, n_u + n_c), 3)
+    pts = list(zip(la.tolist(), lo.tolist(), v.tolist()))
+    return pts, grid
+
+
+def q_raster_grid(spark, sf_dir):
+    """Distributed gdal_grid: 2,500 scattered points IDW-interpolated
+    (power 2, smoothing, 5-cell search radius) onto a 384x256 grid of
+    2x3 GeoTIFF tiles. Points are exploded to the tiles they can
+    influence (narrow exprs), the single shuffle groups them per tile,
+    and every node evaluates its pid-ordered compact candidate set —
+    the order contract that makes the brute-force per-node sequential
+    twin reproduce every float32 cell bit-exactly."""
+    from opentopodata_spark.operators import gridding
+
+    _ship_package(spark)
+    pts, grid = _gridding_fixture()
+    df = spark.createDataFrame(
+        [(float(a), float(b), float(c)) for a, b, c in pts],
+        "lat double, lon double, value double",
+    )
+    out_dir = os.path.join(_fixture_root(), "gridding_out")
+    m = gridding.grid_points(spark, df, grid, out_dir, **_GRIDDING_KW)
+    return m.select("tile_iy", "tile_ix", "n_valid", "checksum")
+
+
+def _build_raster_grid_oracle(sf_dir: str):
+    import pyarrow as pa
+
+    from opentopodata_spark.operators import gridding
+
+    pts, grid = _gridding_fixture()
+    rows = gridding.grid_sequential(pts, grid, **_GRIDDING_KW)
+    return pa.table({
+        "tile_iy": pa.array([r[0] for r in rows], type=pa.int64()),
+        "tile_ix": pa.array([r[1] for r in rows], type=pa.int64()),
+        "n_valid": pa.array([r[2] for r in rows], type=pa.int64()),
+        "checksum": pa.array([r[3] for r in rows], type=pa.float64()),
+    })
+
+
 def _polyvec_tile_rows() -> list[tuple[int, int, str]]:
     """Deterministic 2x3 mosaic for the vector-polygonize contract:
     smooth banded terrain (low noise -> a few hundred regions, many
@@ -5062,6 +5130,7 @@ _PRECOMPUTED_BUILDERS = {
     "raster_fillnodata": _build_raster_fillnodata_oracle,
     "raster_proximity": _build_raster_proximity_oracle,
     "raster_colorrelief": _build_raster_colorrelief_oracle,
+    "raster_grid": _build_raster_grid_oracle,
     "region_polygons": _build_region_polygons_oracle,
     "contour_lines": _build_contour_oracle,
     "raster_diff": _build_raster_diff_oracle,
@@ -5094,6 +5163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   3. then the most recently re-verified ones, which rotate out.
     return {
         # -- new in r4 --
+        "raster_grid": q_raster_grid,
         "raster_polygonize": q_raster_polygonize,
         "raster_sieve": q_raster_sieve,
         "raster_fillnodata": q_raster_fillnodata,

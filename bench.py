@@ -226,6 +226,7 @@ def main() -> None:
         "region_polygons": lambda: contract.q_region_polygons(
             spark, SF_DIR
         ),
+        "raster_grid": lambda: contract.q_raster_grid(spark, SF_DIR),
         "contour_lines": lambda: contract.q_contour_lines(spark, SF_DIR),
         "raster_diff": lambda: contract.q_raster_diff(spark, SF_DIR),
         "raster_formats": lambda: contract.q_raster_formats(spark, SF_DIR),

@@ -20,6 +20,8 @@ Subcommands:
   info       raster metadata JSON (gdalinfo; driver-only)
   contours   tiled DEM -> iso-line segments parquet (gdal_contour)
   calc       two tile sets -> cell-wise expression tiles (gdal_calc)
+  grid       scattered points parquet -> interpolated raster tiles
+             (gdal_grid: invdist/invdistnn/average/nearest + metrics)
 
 Polygons file format (``--polygons``): JSON list of
 {"polygon_id": str, "lats": [...], "lons": [...]} — the engine's
@@ -36,6 +38,7 @@ import sys
 import time
 
 from .. import config as _config
+from ..operators.gridding import GRID_ALGORITHMS as _GRID_ALGORITHMS
 from ..session import get_spark
 
 
@@ -366,6 +369,30 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--tiles-out", default=None, help="also write GeoTIFF tiles here")
     r.add_argument("--tile-px", type=int, default=1024)
     r.add_argument("--agg-col", default="n_points", help="cell column to rasterize into --tiles-out")
+
+    gg = sub.add_parser(
+        "grid", help="scattered points -> interpolated raster (gdal_grid)"
+    )
+    gg.add_argument("--points", required=True,
+                    help="parquet with lat, lon, value columns")
+    gg.add_argument("--value-col", default="value")
+    gg.add_argument("--out", required=True, help="GeoTIFF tile directory")
+    gg.add_argument("--grid", required=True, help="x0,y0,sx,sy,width,height")
+    gg.add_argument("--algorithm", default="invdist",
+                    choices=list(_GRID_ALGORITHMS))
+    gg.add_argument("--power", type=float, default=2.0)
+    gg.add_argument("--smoothing", type=float, default=0.0)
+    gg.add_argument("--radius", type=float, default=0.0,
+                    help="circular search radius (0 = all points,"
+                         " broadcast-bounded)")
+    gg.add_argument("--radius2", type=float, default=None,
+                    help="second ellipse semi-axis (defaults to --radius)")
+    gg.add_argument("--angle", type=float, default=0.0,
+                    help="ellipse rotation, degrees CCW")
+    gg.add_argument("--min-points", type=int, default=0)
+    gg.add_argument("--max-points", type=int, default=0)
+    gg.add_argument("--nodata", type=float, default=-9999.0)
+    gg.add_argument("--tile-px", type=int, default=256)
     return p
 
 
@@ -849,6 +876,34 @@ def run(argv: list[str] | None = None) -> dict:
             stats["tiles"] = spark.read.parquet(
                 f"{ns.tiles_out}/_manifest"
             ).count()
+
+    elif ns.cmd == "grid":
+        from ..operators import gridding as _gridding
+        from ..operators import rasterize as _rz
+
+        parts = [float(v) for v in ns.grid.split(",")]
+        if len(parts) != 6:
+            raise ValueError("--grid must be x0,y0,sx,sy,width,height")
+        grid = _rz.GridSpec(
+            parts[0], parts[1], parts[2], parts[3],
+            int(parts[4]), int(parts[5]),
+        )
+        r2 = ns.radius if ns.radius2 is None else ns.radius2
+        manifest = _gridding.grid_points(
+            spark, spark.read.parquet(ns.points), grid, ns.out,
+            algorithm=ns.algorithm, value_col=ns.value_col,
+            power=ns.power, smoothing=ns.smoothing,
+            radius1=ns.radius, radius2=r2, angle=ns.angle,
+            min_points=ns.min_points, max_points=ns.max_points,
+            nodata=ns.nodata, tile_px=ns.tile_px,
+        )
+        manifest.write.mode("overwrite").parquet(f"{ns.out}/_manifest")
+        m = spark.read.parquet(f"{ns.out}/_manifest")
+        stats.update(
+            tiles=m.count(),
+            valid_cells=m.agg({"n_valid": "sum"}).collect()[0][0],
+            out=ns.out,
+        )
 
     stats["seconds"] = round(time.time() - t0, 3)
     return stats

@@ -523,3 +523,29 @@ def test_polygonize_cli(spark, tmp_path, capsys):
     assert by_val[0]["properties"]["n_cells"] == 55
     # the background polygon carries the island as a hole
     assert len(by_val[0]["geometry"]["coordinates"]) == 2
+
+
+def test_grid_cli(spark, tmp_path, capsys):
+    pts = str(tmp_path / "gpts.parquet")
+    rows = [
+        (0.55 + 0.11 * (i % 7), 0.45 + 0.13 * (i % 9),
+         float(10 * (i % 4))) for i in range(120)
+    ]
+    spark.createDataFrame(
+        rows, "lat double, lon double, value double"
+    ).write.parquet(pts)
+    out = str(tmp_path / "gridded")
+    rc = job.main([
+        "--cores", "4", "grid", "--points", pts,
+        "--grid", "0,2,0.1,0.1,20,20", "--out", out,
+        "--algorithm", "invdist", "--radius", "0.3",
+        "--tile-px", "10",
+    ])
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["status"] == "OK" and res["tiles"] == 4
+    assert res["valid_cells"] > 0
+    m = spark.read.parquet(f"{out}/_manifest").collect()
+    p = [r.path for r in m if r.n_valid > 0][0]
+    a = geotiff.open_raster(p).read_block(0, 10, 0, 10)
+    assert np.isfinite(a).any()
