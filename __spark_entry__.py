@@ -3793,6 +3793,80 @@ def _build_raster_grid_oracle(sf_dir: str):
     })
 
 
+_BURN_KW = dict(mode="paint", all_touched=True, tile_px=128)
+
+
+def _burn_fixture():
+    """Deterministic feature soup for the gdal_rasterize contract: 600
+    star-convex polygons (half with a hole) over a 384x256-node
+    0.01-degree grid (2x3 tiles of 128px) — overlaps exercise paint
+    order, holes the even-odd rule, all_touched the closed-square edge
+    test, and the soup crosses every tile seam."""
+    import numpy as np
+
+    from opentopodata_spark.operators.rasterize import GridSpec
+
+    rng = np.random.default_rng(41)
+    grid = GridSpec(x0=5.0, y0=47.0, sx=0.01, sy=0.01,
+                    width=384, height=256)
+    feats = []
+    for _i in range(600):
+        cy = rng.uniform(44.4, 47.0)
+        cx = rng.uniform(5.05, 8.8)
+        nv = int(rng.integers(3, 9))
+        ang = np.sort(rng.uniform(0, 2 * np.pi, nv))
+        rad = rng.uniform(0.02, 0.2, nv)
+        rings = [{
+            "lats": (cy + rad * np.sin(ang)).tolist(),
+            "lons": (cx + rad * np.cos(ang)).tolist(),
+        }]
+        if rng.random() < 0.5:
+            hr = float(rad.min()) * rng.uniform(0.2, 0.6)
+            ha = np.sort(rng.uniform(0, 2 * np.pi, 4))
+            rings.append({
+                "lats": (cy + hr * np.sin(ha)).tolist(),
+                "lons": (cx + hr * np.cos(ha)).tolist(),
+            })
+        feats.append({"rings": rings,
+                      "burn": float(np.round(rng.uniform(1, 99), 2))})
+    return feats, grid
+
+
+def q_polygon_burn(spark, sf_dir):
+    """Distributed gdal_rasterize: 600 overlapping holed polygons
+    painted in global feature order (all_touched) onto a 384x256 grid
+    of 2x3 GeoTIFF tiles. Features explode to the tiles their bbox can
+    touch (narrow exprs), ONE groupBy(tile) shuffle, per-tile paint
+    with pinned IEEE center/edge predicates — the sequential twin
+    paints the whole unstitched grid per-pixel with the same
+    expressions and must reproduce every float32 cell."""
+    from opentopodata_spark.operators import rasterize as rz
+
+    _ship_package(spark)
+    feats, grid = _burn_fixture()
+    out_dir = os.path.join(_fixture_root(), "burn_out")
+    m = rz.burn_features(
+        spark, rz.features_to_df(spark, feats), grid, out_dir,
+        **_BURN_KW,
+    )
+    return m.select("tile_iy", "tile_ix", "n_burned", "checksum")
+
+
+def _build_polygon_burn_oracle(sf_dir: str):
+    import pyarrow as pa
+
+    from opentopodata_spark.operators import rasterize as rz
+
+    feats, grid = _burn_fixture()
+    rows = rz.burn_sequential(feats, grid, **_BURN_KW)
+    return pa.table({
+        "tile_iy": pa.array([r[0] for r in rows], type=pa.int64()),
+        "tile_ix": pa.array([r[1] for r in rows], type=pa.int64()),
+        "n_burned": pa.array([r[2] for r in rows], type=pa.int64()),
+        "checksum": pa.array([r[3] for r in rows], type=pa.float64()),
+    })
+
+
 def _polyvec_tile_rows() -> list[tuple[int, int, str]]:
     """Deterministic 2x3 mosaic for the vector-polygonize contract:
     smooth banded terrain (low noise -> a few hundred regions, many
@@ -5131,6 +5205,7 @@ _PRECOMPUTED_BUILDERS = {
     "raster_proximity": _build_raster_proximity_oracle,
     "raster_colorrelief": _build_raster_colorrelief_oracle,
     "raster_grid": _build_raster_grid_oracle,
+    "polygon_burn": _build_polygon_burn_oracle,
     "region_polygons": _build_region_polygons_oracle,
     "contour_lines": _build_contour_oracle,
     "raster_diff": _build_raster_diff_oracle,
@@ -5164,6 +5239,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- new in r4 --
         "raster_grid": q_raster_grid,
+        "polygon_burn": q_polygon_burn,
         "raster_polygonize": q_raster_polygonize,
         "raster_sieve": q_raster_sieve,
         "raster_fillnodata": q_raster_fillnodata,

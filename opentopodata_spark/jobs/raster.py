@@ -393,6 +393,31 @@ def build_parser() -> argparse.ArgumentParser:
     gg.add_argument("--max-points", type=int, default=0)
     gg.add_argument("--nodata", type=float, default=-9999.0)
     gg.add_argument("--tile-px", type=int, default=256)
+
+    bn = sub.add_parser(
+        "burn", help="vector features -> raster (gdal_rasterize)"
+    )
+    bn.add_argument("--features", required=True,
+                    help="GeoJSON (FeatureCollection of Polygon/"
+                         "MultiPolygon/LineString) or parquet with"
+                         " (order_idx, rings, burn) columns")
+    bn.add_argument("--grid", required=True,
+                    help="x0,y0,sx,sy,width,height")
+    bn.add_argument("--out", required=True, help="GeoTIFF tile dir")
+    bn.add_argument("--burn", type=float, default=1.0,
+                    help="fixed burn value (-burn)")
+    bn.add_argument("--attr", default=None,
+                    help="feature property to burn (-a; GeoJSON only)")
+    bn.add_argument("--geometry", choices=("polygon", "line"),
+                    default="polygon")
+    bn.add_argument("--add", action="store_true",
+                    help="accumulate instead of paint-over (-add)")
+    bn.add_argument("--invert", action="store_true",
+                    help="burn where NO feature covers (-i)")
+    bn.add_argument("--all-touched", action="store_true",
+                    help="burn every cell the boundary touches (-at)")
+    bn.add_argument("--init", type=float, default=0.0)
+    bn.add_argument("--tile-px", type=int, default=1024)
     return p
 
 
@@ -876,6 +901,46 @@ def run(argv: list[str] | None = None) -> dict:
             stats["tiles"] = spark.read.parquet(
                 f"{ns.tiles_out}/_manifest"
             ).count()
+
+    elif ns.cmd == "burn":
+        from ..operators import rasterize as _rz
+
+        parts = [float(v) for v in ns.grid.split(",")]
+        if len(parts) != 6:
+            raise ValueError("--grid must be x0,y0,sx,sy,width,height")
+        grid = _rz.GridSpec(
+            parts[0], parts[1], parts[2], parts[3],
+            int(parts[4]), int(parts[5]),
+        )
+        if ns.features.endswith((".json", ".geojson")):
+            feats = _rz.features_from_geojson(
+                ns.features, burn_attr=ns.attr, burn_value=ns.burn
+            )
+            geoms = {ft["geometry"] for ft in feats}
+            if len(geoms) > 1:
+                raise ValueError(
+                    "mixed polygon and line features — burn them in"
+                    " separate runs (paint-order across geometry kinds"
+                    " is ambiguous)"
+                )
+            geometry = geoms.pop() if geoms else ns.geometry
+            fdf = _rz.features_to_df(spark, feats)
+        else:
+            fdf = spark.read.parquet(ns.features)
+            geometry = ns.geometry
+        manifest = _rz.burn_features(
+            spark, fdf, grid, ns.out, geometry=geometry,
+            mode="add" if ns.add else "paint",
+            all_touched=ns.all_touched, invert=ns.invert,
+            invert_value=ns.burn, init=ns.init, tile_px=ns.tile_px,
+        )
+        manifest.write.mode("overwrite").parquet(f"{ns.out}/_manifest")
+        m = spark.read.parquet(f"{ns.out}/_manifest")
+        stats.update(
+            tiles=m.count(),
+            burned_cells=m.agg({"n_burned": "sum"}).collect()[0][0],
+            out=ns.out,
+        )
 
     elif ns.cmd == "grid":
         from ..operators import gridding as _gridding

@@ -549,3 +549,62 @@ def test_grid_cli(spark, tmp_path, capsys):
     p = [r.path for r in m if r.n_valid > 0][0]
     a = geotiff.open_raster(p).read_block(0, 10, 0, 10)
     assert np.isfinite(a).any()
+
+
+def test_burn_cli_geojson(spark, tmp_path, capsys):
+    gj = tmp_path / "feats.geojson"
+    gj.write_text(json.dumps({
+        "type": "FeatureCollection",
+        "features": [
+            {"type": "Feature", "properties": {"z": 4.0},
+             "geometry": {"type": "Polygon", "coordinates": [
+                 [[0.2, 1.2], [1.4, 1.2], [1.4, 1.8], [0.2, 1.8],
+                  [0.2, 1.2]],
+                 [[0.6, 1.4], [0.9, 1.4], [0.9, 1.6], [0.6, 1.6],
+                  [0.6, 1.4]],
+             ]}},
+            {"type": "Feature", "properties": {"z": 9.0},
+             "geometry": {"type": "Polygon", "coordinates": [
+                 [[1.0, 0.2], [1.9, 0.2], [1.9, 0.9], [1.0, 0.9],
+                  [1.0, 0.2]]]}},
+        ],
+    }))
+    out = str(tmp_path / "burned")
+    rc = job.main([
+        "--cores", "4", "burn", "--features", str(gj),
+        "--grid", "0,2,0.1,0.1,20,20", "--out", out,
+        "--attr", "z", "--tile-px", "10",
+    ])
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["status"] == "OK" and res["tiles"] == 4
+    assert res["burned_cells"] > 0
+    m = {(r.tile_iy, r.tile_ix): r.path
+         for r in spark.read.parquet(f"{out}/_manifest").collect()}
+    a = geotiff.open_raster(m[(0, 0)]).read_block(0, 10, 0, 10)
+    # (lat 1.45, lon 0.45) inside outer ring, outside hole -> 4
+    assert a[5, 4] == np.float32(4.0)
+    # (lat 1.45, lon 0.75) inside the hole -> init 0
+    assert a[5, 7] == 0.0
+
+
+def test_burn_cli_mixed_geometry_refused(tmp_path, capsys):
+    gj = tmp_path / "mixed.geojson"
+    gj.write_text(json.dumps({
+        "type": "FeatureCollection",
+        "features": [
+            {"type": "Feature", "properties": {},
+             "geometry": {"type": "Polygon", "coordinates": [
+                 [[0, 0], [1, 0], [1, 1], [0, 1], [0, 0]]]}},
+            {"type": "Feature", "properties": {},
+             "geometry": {"type": "LineString",
+                          "coordinates": [[0, 0], [1, 1]]}},
+        ],
+    }))
+    rc = job.main([
+        "burn", "--features", str(gj),
+        "--grid", "0,2,0.1,0.1,20,20", "--out", str(tmp_path / "o"),
+    ])
+    assert rc == 2
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["status"] == "INVALID_REQUEST"
