@@ -3867,6 +3867,104 @@ def _build_polygon_burn_oracle(sf_dir: str):
     })
 
 
+_SEMDEDUP_EPS = 0.10
+# exact-rational perturbation — identical doubles in Spark SQL and numpy
+_SEMDEDUP_FACTOR_SQL = (
+    "1.0D + 0.001D * (CAST((vec_id + i) % 7 AS DOUBLE) - 3.0D) / 3.0D"
+)
+
+
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup (arXiv:2303.09540) over the embeddings table plus
+    synthesized near-duplicates (every 4th vector perturbed by an
+    exact-rational factor and re-id'd +100000): max-cosine assignment
+    to 20 fixed centroids (vec_id %% 25 == 0), then a farthest-from-
+    centroid-first greedy sweep per cluster dropping items within
+    cos > 1-eps of a kept member. One narrow assignment pass + ONE
+    groupBy(cell_id) shuffle; every cosine rounded to 6dp before any
+    comparison, so the independent per-pair numpy twin reproduces all
+    625 rows exactly."""
+    from opentopodata_spark.operators import embeddings as emb
+
+    _ship_package(spark)
+    base = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    pert = base.where(F.col("vec_id") % 4 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.expr(
+            "transform(embedding, (x, i) -> CAST(CAST(x AS DOUBLE) * "
+            f"({_SEMDEDUP_FACTOR_SQL}) AS FLOAT))"
+        ).alias("embedding"),
+    )
+    cents = base.where(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") / 25).cast("long").alias("cell_id"),
+        F.col("embedding").cast("array<double>").alias("centroid"),
+    )
+    return emb.semantic_dedup(
+        base.unionByName(pert), cents, eps=_SEMDEDUP_EPS
+    )
+
+
+def _build_semantic_dedup_oracle(sf_dir: str):
+    import numpy as np
+    import pyarrow as pa
+
+    t = _read_pq(sf_dir, "embeddings")
+    vid = t.column("vec_id").to_numpy()
+    V32 = np.asarray(t.column("embedding").to_pylist(),
+                     dtype=np.float32)
+    order = np.argsort(vid, kind="stable")
+    vid, V32 = vid[order], V32[order]
+    ids = [int(v) for v in vid]
+    vecs = [V32[i] for i in range(len(ids))]
+    for i, v in enumerate(vid):
+        if v % 4 == 0:
+            idx = np.arange(V32.shape[1], dtype=np.float64)
+            fac = 1.0 + 0.001 * ((float(v) + idx) % 7 - 3.0) / 3.0
+            ids.append(int(v) + 100000)
+            vecs.append(
+                (V32[i].astype(np.float64) * fac).astype(np.float32)
+            )
+    cmask = vid % 25 == 0
+    C = V32[cmask].astype(np.float64)
+    U = C / np.linalg.norm(C, axis=1, keepdims=True)
+    cent_ids = (vid[cmask] // 25).astype(np.int64)
+
+    items = []
+    for i, v_id in enumerate(ids):
+        v = vecs[i].astype(np.float64)
+        nv = float(np.sqrt(np.dot(v, v)))
+        cos = np.round(
+            np.array([float(np.dot(v, U[j])) for j in range(len(U))])
+            / max(nv, 1e-300), 6,
+        )
+        best = int(np.argmax(cos))
+        items.append((v_id, int(cent_ids[best]), float(cos[best]),
+                      v, nv))
+    thr = 1.0 - _SEMDEDUP_EPS
+    out = []
+    for cell in sorted({it[1] for it in items}):
+        mem = sorted((it for it in items if it[1] == cell),
+                     key=lambda it: (it[2], it[0]))
+        kept = []
+        for v_id, c, ccos, v, nv in mem:
+            dup = any(
+                float(np.round(np.dot(v, kv)
+                               / max(nv * knv, 1e-300), 6)) > thr
+                for kv, knv in kept
+            )
+            if not dup:
+                kept.append((v, nv))
+            out.append((v_id, c, ccos, not dup))
+    out.sort()
+    return pa.table({
+        "vec_id": pa.array([r[0] for r in out], type=pa.int64()),
+        "cell_id": pa.array([r[1] for r in out], type=pa.int64()),
+        "centroid_cos": pa.array([r[2] for r in out],
+                                 type=pa.float64()),
+        "keep": pa.array([r[3] for r in out], type=pa.bool_()),
+    })
+
+
 def _polyvec_tile_rows() -> list[tuple[int, int, str]]:
     """Deterministic 2x3 mosaic for the vector-polygonize contract:
     smooth banded terrain (low noise -> a few hundred regions, many
@@ -5206,6 +5304,7 @@ _PRECOMPUTED_BUILDERS = {
     "raster_colorrelief": _build_raster_colorrelief_oracle,
     "raster_grid": _build_raster_grid_oracle,
     "polygon_burn": _build_polygon_burn_oracle,
+    "semantic_dedup": _build_semantic_dedup_oracle,
     "region_polygons": _build_region_polygons_oracle,
     "contour_lines": _build_contour_oracle,
     "raster_diff": _build_raster_diff_oracle,
@@ -5240,6 +5339,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new in r4 --
         "raster_grid": q_raster_grid,
         "polygon_burn": q_polygon_burn,
+        "semantic_dedup": q_semantic_dedup,
         "raster_polygonize": q_raster_polygonize,
         "raster_sieve": q_raster_sieve,
         "raster_fillnodata": q_raster_fillnodata,

@@ -228,6 +228,9 @@ def main() -> None:
         ),
         "raster_grid": lambda: contract.q_raster_grid(spark, SF_DIR),
         "polygon_burn": lambda: contract.q_polygon_burn(spark, SF_DIR),
+        "semantic_dedup": lambda: contract.q_semantic_dedup(
+            spark, SF_DIR
+        ),
         "contour_lines": lambda: contract.q_contour_lines(spark, SF_DIR),
         "raster_diff": lambda: contract.q_raster_diff(spark, SF_DIR),
         "raster_formats": lambda: contract.q_raster_formats(spark, SF_DIR),

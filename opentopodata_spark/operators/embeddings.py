@@ -42,6 +42,7 @@ __all__ = [
     "encode_ivfpq",
     "ivfpq_topk",
     "ivfpq_search",
+    "semantic_dedup",
 ]
 
 
@@ -737,4 +738,104 @@ def _ivfpq_search(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "approx_sim")
+    )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    *,
+    eps: float = 0.05,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+    max_cluster: int = 100_000,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    near-duplicate pruning via cluster-then-compare.
+
+    Every vector is assigned to its max-cosine centroid (one NARROW
+    mapInPandas pass, centroids broadcast by closure — k x dim is small
+    by definition); within each cluster, items are visited from the
+    FARTHEST-from-centroid inward (the paper's keep-the-low-
+    centroid-similarity rule, ties by id) and an item is dropped when
+    its cosine to any already-kept cluster member exceeds ``1 - eps``.
+    Returns (vec_id, cell_id, centroid_cos, keep).
+
+    Scale shape: the ONE shuffle is groupBy(cell_id) — O(corpus) rows
+    carrying (id, vec); the within-cluster sweep is vectorized
+    (kept-matrix dot per item) and bounded by ``max_cluster`` with a
+    LOUD refusal, the LSH-bucket discipline — a degenerate centroid set
+    must not silently become an all-pairs task. Raw pairwise work never
+    crosses clusters, which is the paper's own scalability argument.
+
+    Determinism: every cosine is rounded to ``round_to`` dp BEFORE any
+    comparison (assignment argmax, first-occurrence tie -> lowest
+    cell_id; greedy threshold; sort keys), so results are
+    layout-independent and an independent per-pair twin reproduces them
+    exactly.
+    """
+    if not (0 < eps < 1):
+        raise ValueError("eps must be in (0, 1)")
+    cent_ids, unitC = _centroid_arrays(centroids)  # already unit rows
+    spark = corpus.sparkSession
+    bc = spark.sparkContext.broadcast((cent_ids, unitC))
+
+    def assign(batches):
+        ids_c, U = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+            nv = np.sqrt((V * V).sum(axis=1))
+            cos = np.round(
+                (V @ U.T) / np.maximum(nv, 1e-300)[:, None], round_to
+            )
+            best = np.argmax(cos, axis=1)  # first max -> lowest cell
+            yield pd.DataFrame({
+                "vec_id": pdf[id_col].to_numpy(np.int64),
+                "vec": list(pdf[vec_col]),
+                "cell_id": ids_c[best].astype(np.int64),
+                "centroid_cos": cos[np.arange(len(V)), best],
+            })
+
+    assigned = corpus.select(id_col, vec_col).mapInPandas(
+        assign,
+        "vec_id long, vec array<float>, cell_id long,"
+        " centroid_cos double",
+    )
+    thr = 1.0 - eps
+
+    def sweep(key, pdf):
+        if len(pdf) > max_cluster:
+            raise ValueError(
+                f"cluster {int(key[0])} has {len(pdf)} > max_cluster="
+                f"{max_cluster} vectors — the within-cluster sweep is "
+                "O(n^2); train more centroids or raise max_cluster"
+            )
+        pdf = pdf.sort_values(["centroid_cos", "vec_id"],
+                              kind="stable")
+        V = np.asarray(list(pdf["vec"]), dtype=np.float64)
+        nv = np.sqrt((V * V).sum(axis=1))
+        keep = np.zeros(len(pdf), dtype=bool)
+        kept_rows: list[int] = []
+        for i in range(len(pdf)):
+            if kept_rows:
+                K = V[kept_rows]
+                kn = nv[kept_rows]
+                sims = np.round(
+                    (K @ V[i]) / np.maximum(kn * nv[i], 1e-300),
+                    round_to,
+                )
+                if (sims > thr).any():
+                    continue
+            keep[i] = True
+            kept_rows.append(i)
+        out = pdf[["vec_id", "cell_id", "centroid_cos"]].copy()
+        out["keep"] = keep
+        return out
+
+    return assigned.groupBy("cell_id").applyInPandas(
+        sweep,
+        "vec_id long, cell_id long, centroid_cos double, keep boolean",
     )
