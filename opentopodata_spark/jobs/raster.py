@@ -134,8 +134,14 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--rasters", nargs="*", help="glob(s) of a regular tile grid (alternative to --config; grid keys derived from filenames is NOT attempted — files must share one grid and are keyed by sorted order per row/col of their corners)")
     t.add_argument("--out", required=True)
     t.add_argument("--kind", default="slope",
-                   choices=["slope", "aspect", "hillshade", "tpi", "tri",
+                   choices=["slope", "aspect", "hillshade",
+                            "hillshade_multidirectional",
+                            "hillshade_combined", "tpi", "tri",
                             "tri_wilson", "roughness"])
+    t.add_argument("--alg", default="horn",
+                   choices=["horn", "zevenbergen_thorne"],
+                   help="gradient stencil for slope/aspect/hillshade"
+                        " (gdaldem -alg)")
     t.add_argument("--scale", type=float, default=1.0, help="xy->z unit factor (111120 for degree grids with meter elevations)")
     t.add_argument("--z-factor", type=float, default=1.0)
     t.add_argument("--azimuth", type=float, default=315.0)
@@ -443,7 +449,8 @@ def run(argv: list[str] | None = None) -> dict:
         else:
             raise ValueError("terrain needs --config/--dataset or --rasters")
         manifest = _terrain.terrain_tiles(
-            spark, tiles, ns.out, kind=ns.kind, scale=ns.scale,
+            spark, tiles, ns.out, kind=ns.kind, alg=ns.alg,
+            scale=ns.scale,
             z_factor=ns.z_factor, azimuth=ns.azimuth, altitude=ns.altitude,
             skip_existing=ns.skip_existing,
         )

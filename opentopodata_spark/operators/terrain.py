@@ -73,12 +73,45 @@ def horn_derivatives(padded: np.ndarray, sx: float, sy: float, scale: float):
     return dzdx + center_nan, -dzdy_south + center_nan
 
 
+def zevenbergen_thorne_derivatives(padded: np.ndarray, sx: float,
+                                   sy: float, scale: float):
+    """(dz/dx_east, dz/dy_north) by the Zevenbergen-Thorne (1987)
+    4-neighbor central difference — gdaldem's ``-alg
+    ZevenbergenThorne``. Sharper than Horn on smooth terrain (exact for
+    any surface linear in the cross direction, e.g. x*y^2 along x,
+    where Horn's row-averaged stencil biases by t^2/2), noisier on
+    rough terrain. Same NODATA discipline: NaN anywhere the stencil
+    touches (center included) -> NaN out."""
+    z = padded
+    b = z[:-2, 1:-1]
+    d = z[1:-1, :-2]; f = z[1:-1, 2:]
+    h = z[2:, 1:-1]
+    dzdx = (f - d) / (2.0 * sx * scale)
+    dzdy_south = (h - b) / (2.0 * sy * scale)
+    center_nan = 0.0 * z[1:-1, 1:-1]
+    # corners must still poison (gdaldem masks on the full 3x3 window)
+    corner_nan = 0.0 * (z[:-2, :-2] + z[:-2, 2:] + z[2:, :-2]
+                        + z[2:, 2:])
+    return (dzdx + center_nan + corner_nan,
+            -dzdy_south + center_nan + corner_nan)
+
+
 def terrain_kernel(
     padded: np.ndarray, sx: float, sy: float, kind: str, *,
     scale: float = 1.0, z_factor: float = 1.0,
     azimuth: float = 315.0, altitude: float = 45.0,
+    alg: str = "horn",
 ) -> np.ndarray:
-    """Padded (h+2, w+2) float64 -> (h, w) derivative of ``kind``."""
+    """Padded (h+2, w+2) float64 -> (h, w) derivative of ``kind``.
+
+    ``alg`` selects the gradient stencil for the slope/aspect/hillshade
+    family: ``'horn'`` (gdaldem default) or ``'zevenbergen_thorne'``
+    (gdaldem -alg ZevenbergenThorne); ignored by the neighborhood-
+    statistics and flow_dir kinds, which have no gradient."""
+    if alg not in ("horn", "zevenbergen_thorne"):
+        raise ValueError(
+            "alg must be 'horn' or 'zevenbergen_thorne'"
+        )
     if kind == "flow_dir":
         # D8 steepest-descent direction, ESRI encoding (E=1 SE=2 S=4 SW=8
         # W=16 NW=32 N=64 NE=128; pit/flat=0). Drop RATE per unit distance
@@ -129,7 +162,11 @@ def terrain_kernel(
         # roughness: max minus min over the full 9-cell window
         allv = np.concatenate([nb, c0[None]], axis=0)
         return allv.max(axis=0) - allv.min(axis=0)
-    dzdx, dzdy = horn_derivatives(padded, sx, sy, scale)
+    if alg == "zevenbergen_thorne":
+        dzdx, dzdy = zevenbergen_thorne_derivatives(padded, sx, sy,
+                                                    scale)
+    else:
+        dzdx, dzdy = horn_derivatives(padded, sx, sy, scale)
     slope_rad = np.arctan(z_factor * np.hypot(dzdx, dzdy))
     if kind == "slope":
         return np.degrees(slope_rad)
@@ -139,15 +176,45 @@ def terrain_kernel(
         flat = (dzdx == 0.0) & (dzdy == 0.0)
         asp[flat] = np.nan
         return asp
+    zen = np.radians(90.0 - altitude)
+    # uphill aspect (gradient direction), compass from north
+    with np.errstate(invalid="ignore"):
+        up = np.arctan2(dzdx, dzdy)
+
+    def _hs_cos(az_rad):
+        return (np.cos(zen) * np.cos(slope_rad)
+                + np.sin(zen) * np.sin(slope_rad)
+                * np.cos(az_rad - up))
+
     if kind == "hillshade":
-        az = np.radians(azimuth)
-        zen = np.radians(90.0 - altitude)
-        # uphill aspect (gradient direction), compass from north
-        with np.errstate(invalid="ignore"):
-            up = np.arctan2(dzdx, dzdy)
-        hs = (np.cos(zen) * np.cos(slope_rad)
-              + np.sin(zen) * np.sin(slope_rad) * np.cos(az - up))
+        hs = _hs_cos(np.radians(azimuth))
         return np.round(255.0 * np.clip(hs, 0.0, 1.0))
+    if kind == "hillshade_multidirectional":
+        # gdaldem -multidirectional (USGS OFR 92-422): hillshades from
+        # 225/270/315/360 deg blended by w_k = sin^2(up - az_k); the
+        # four weights of azimuths 45 deg apart always sum to 2, so the
+        # blend divides by 2. Flat cells (up undefined via gradient 0)
+        # reduce to the standard cos(zenith) shade exactly.
+        acc = np.zeros_like(slope_rad)
+        for az_deg in (225.0, 270.0, 315.0, 360.0):
+            az = np.radians(az_deg)
+            w = np.sin(up - az) ** 2
+            acc = acc + w * _hs_cos(az)
+        flat = (dzdx == 0.0) & (dzdy == 0.0)
+        hs = np.where(flat, np.cos(zen), acc / 2.0)
+        hs = hs + 0.0 * slope_rad  # re-poison NODATA through the where
+        return np.round(255.0 * np.clip(hs, 0.0, 1.0))
+    if kind == "hillshade_combined":
+        # gdaldem's combined mode (oblique + slope shading): the
+        # standard shade attenuated by steepness. PINNED contract:
+        # round(255 * clip(hs_cos, 0, 1) * (1 - slope_rad/(pi/2))) —
+        # flat ground equals the standard hillshade, a vertical wall
+        # goes black. (The MODE mirrors gdaldem; the exact curve is
+        # this engine's pinned formula, not asserted bit-equal to
+        # GDAL's.)
+        hs = np.clip(_hs_cos(np.radians(azimuth)), 0.0, 1.0)
+        att = 1.0 - slope_rad / (np.pi / 2.0)
+        return np.round(255.0 * hs * att)
     raise ValueError(f"Unknown terrain derivative '{kind}'.")
 
 
@@ -201,6 +268,7 @@ def terrain_tiles(
     z_factor: float = 1.0,
     azimuth: float = 315.0,
     altitude: float = 45.0,
+    alg: str = "horn",
     dtype: str = "float32",
     nodata: float = -9999.0,
     num_partitions: int | None = None,
@@ -221,7 +289,8 @@ def terrain_tiles(
     (n_valid, checksum) are re-derived from the stored file, so the
     returned manifest is always complete and verifiable.
     """
-    terrain_kernel(np.full((3, 3), np.nan), 1.0, 1.0, kind)  # validate kind
+    terrain_kernel(np.full((3, 3), np.nan), 1.0, 1.0, kind,
+                   alg=alg)  # validate kind + alg
     by_key = {(int(iy), int(ix)): p for iy, ix, p in tiles}
     os.makedirs(out_dir, exist_ok=True)
 
@@ -266,7 +335,8 @@ def terrain_tiles(
                     _fill_halo(padded, own, nbrs)
                     res = terrain_kernel(
                         padded, own.sx, own.sy, kind, scale=scale,
-                        z_factor=z_factor, azimuth=azimuth, altitude=altitude,
+                        z_factor=z_factor, azimuth=azimuth,
+                        altitude=altitude, alg=alg,
                     )
                     finite = np.isfinite(res)
                     n_valid = int(finite.sum())

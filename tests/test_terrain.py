@@ -193,3 +193,132 @@ def test_kernel_neighborhood_stats_goldens():
     for kind in ("tpi", "tri", "tri_wilson", "roughness"):
         out = terrain.terrain_kernel(zn, 1.0, 1.0, kind)
         assert np.isnan(out[0:3, 0:3]).all() and np.isfinite(out[3, 3])
+
+
+class TestGradientAlgsAndHillshadeModes:
+    """Zevenbergen-Thorne stencil + multidirectional/combined shading."""
+
+    def test_zt_exact_where_horn_biases(self):
+        # z = x*y^2: ZT central differences are exact (dz/dx = y^2,
+        # dz/dy = 2xy); Horn's row-averaged dz/dx biases by sy^2/2
+        s = 0.5
+        xs = np.arange(7) * s
+        ys = np.arange(7) * s
+        z = xs[None, :] * (ys[::-1][:, None] ** 2)  # row 0 = north
+        dzdx, dzdy = terrain.zevenbergen_thorne_derivatives(
+            z, s, s, 1.0
+        )
+        hx, _hy = terrain.horn_derivatives(z, s, s, 1.0)
+        yy = ys[::-1][1:-1][:, None] ** 2
+        assert np.allclose(dzdx, np.broadcast_to(yy, dzdx.shape),
+                           atol=1e-12)
+        xx = xs[1:-1][None, :]
+        yv = ys[::-1][1:-1][:, None]
+        assert np.allclose(dzdy, 2.0 * xx * yv, atol=1e-12)
+        assert np.allclose(hx - dzdx, s * s / 2.0, atol=1e-12)
+
+    def test_zt_plane_matches_horn(self):
+        z = (np.arange(6)[None, :] * 2.0
+             + np.arange(6)[:, None] * -3.0) * 1.0
+        for kind in ("slope", "aspect", "hillshade"):
+            a = terrain.terrain_kernel(z, 1.0, 1.0, kind, alg="horn")
+            b = terrain.terrain_kernel(z, 1.0, 1.0, kind,
+                                       alg="zevenbergen_thorne")
+            assert np.allclose(a, b, atol=1e-9), kind
+
+    def test_zt_nan_discipline_includes_corners(self):
+        z = np.ones((5, 5))
+        z[0, 0] = np.nan  # corner of the 3x3 window of cell (1,1)
+        out = terrain.terrain_kernel(z, 1.0, 1.0, "slope",
+                                     alg="zevenbergen_thorne")
+        assert np.isnan(out[0, 0])
+        assert np.isfinite(out[2, 2])
+
+    def test_multidirectional_flat_equals_standard(self):
+        z = np.full((6, 6), 100.0)
+        std = terrain.terrain_kernel(z, 1.0, 1.0, "hillshade",
+                                     altitude=37.0)
+        multi = terrain.terrain_kernel(
+            z, 1.0, 1.0, "hillshade_multidirectional", altitude=37.0
+        )
+        assert np.array_equal(std, multi)
+        assert std[2, 2] == np.round(
+            255.0 * np.cos(np.radians(90.0 - 37.0))
+        )
+
+    def test_multidirectional_blend_identity(self):
+        # scalar replay of the 4-azimuth sin^2 blend for one cell
+        rng = np.random.default_rng(5)
+        z = rng.uniform(0, 50, (5, 5))
+        out = terrain.terrain_kernel(
+            z, 1.0, 1.0, "hillshade_multidirectional",
+            altitude=45.0,
+        )
+        dzdx, dzdy = terrain.horn_derivatives(z, 1.0, 1.0, 1.0)
+        i, j = 1, 2
+        slope = np.arctan(np.hypot(dzdx[i, j], dzdy[i, j]))
+        up = np.arctan2(dzdx[i, j], dzdy[i, j])
+        zen = np.radians(45.0)
+        acc = 0.0
+        for az_deg in (225.0, 270.0, 315.0, 360.0):
+            az = np.radians(az_deg)
+            w = np.sin(up - az) ** 2
+            acc += w * (np.cos(zen) * np.cos(slope)
+                        + np.sin(zen) * np.sin(slope)
+                        * np.cos(az - up))
+        assert out[i, j] == np.round(
+            255.0 * np.clip(acc / 2.0, 0.0, 1.0)
+        )
+
+    def test_combined_attenuates_steep(self):
+        # flat: combined == standard; steep wall: darker
+        flat = np.full((5, 5), 10.0)
+        assert np.array_equal(
+            terrain.terrain_kernel(flat, 1.0, 1.0, "hillshade"),
+            terrain.terrain_kernel(flat, 1.0, 1.0,
+                                   "hillshade_combined"),
+        )
+        wall = np.arange(5, dtype=np.float64)[None, :] * 50.0
+        wall = np.broadcast_to(wall, (5, 5)).copy()
+        std = terrain.terrain_kernel(wall, 1.0, 1.0, "hillshade",
+                                     azimuth=90.0)
+        comb = terrain.terrain_kernel(wall, 1.0, 1.0,
+                                      "hillshade_combined",
+                                      azimuth=90.0)
+        assert (comb[1:-1, 1:-1] < std[1:-1, 1:-1]).all()
+
+    def test_bad_alg_refused(self):
+        with pytest.raises(ValueError, match="alg"):
+            terrain.terrain_kernel(np.ones((3, 3)), 1.0, 1.0, "slope",
+                                   alg="evans")
+
+
+@pytest.mark.parametrize("kind,alg", [
+    ("hillshade_multidirectional", "horn"),
+    ("hillshade_combined", "horn"),
+    ("slope", "zevenbergen_thorne"),
+    ("hillshade", "zevenbergen_thorne"),
+])
+def test_seamless_vs_mosaic_new_modes(spark, tmp_path, kind, alg):
+    tiles, mosaic = _make_tile_grid(tmp_path)
+    out_dir = str(tmp_path / f"out_{kind}_{alg}")
+    manifest = terrain.terrain_tiles(
+        spark, tiles, out_dir, kind=kind, alg=alg, scale=111120.0,
+        dtype="float64",
+    ).collect()
+    assert all(m["error"] is None for m in manifest)
+    H, W = mosaic.shape
+    padded = np.full((H + 2, W + 2), np.nan)
+    padded[1:-1, 1:-1] = mosaic
+    expected = terrain.terrain_kernel(
+        padded, 0.025, 0.025, kind, scale=111120.0, alg=alg
+    )
+    side = 40
+    for m in manifest:
+        r = geotiff.open_raster(m["path"])
+        ty = 1 - m["tile_iy"]
+        tx = m["tile_ix"]
+        exp = expected[ty * side:(ty + 1) * side,
+                       tx * side:(tx + 1) * side]
+        got = r.read_block(0, side, 0, side)
+        assert np.array_equal(got, exp, equal_nan=True), (kind, ty, tx)
