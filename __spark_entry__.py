@@ -1305,6 +1305,103 @@ ORDER BY pmi DESC, w1, w2 LIMIT 100
 """
 
 
+_DSIR_KW = dict(n_buckets=4096, smoothing=1.0, seed="dsir")
+_DSIR_K = 60
+
+
+def q_dsir_select(spark, sf_dir):
+    """DSIR importance resampling (arXiv:2302.03169): the documents
+    table md5-split into a ~1/16 'target' slice and the raw rest;
+    hashed unigram+bigram bucket log-ratios (integer micro-units, so
+    the per-doc reduction is an exact order-independent sum) score
+    every raw doc, and Gumbel-top-k (md5 uniforms) selects 60. Two
+    corpus scans + one broadcast-join shuffle; oracle is full ANSI SQL
+    over the same parquet."""
+    from opentopodata_spark.operators import dsir
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    split = F.substring(F.md5(F.col("doc_id")), 1, 1)
+    return dsir.dsir_sample(
+        docs.where(split >= F.lit("1")),
+        docs.where(split < F.lit("1")),
+        _DSIR_K, **_DSIR_KW,
+    )
+
+
+def _dsir_sql() -> str:
+    B = _DSIR_KW["n_buckets"]
+    s = _DSIR_KW["smoothing"]
+    seed = _DSIR_KW["seed"]
+    from opentopodata_spark.operators.dsir import HASH_MOD
+
+    grams = """
+  SELECT doc_id, unnest(toks || CASE WHEN len(toks) >= 2 THEN
+           [toks[i] || ' ' || toks[i+1] FOR i IN range(1, len(toks))]
+         ELSE [] END) AS gram
+  FROM (SELECT doc_id, list_filter(string_split(trim(regexp_replace(
+          regexp_replace(lower(coalesce(text, '')), '[^a-z0-9 ]', ' ',
+          'g'), ' +', ' ', 'g')), ' '), x -> x <> '') AS toks
+        FROM {src})
+"""
+    return f"""
+WITH raw_docs AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents
+  WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) >= '1'
+), tgt_docs AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents
+  WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '1'
+), raw_grams0 AS ({grams.format(src='raw_docs')}),
+tgt_grams0 AS ({grams.format(src='tgt_docs')}),
+raw_grams AS (
+  SELECT doc_id, list_reduce(
+    [CAST(0 AS BIGINT)] || list_transform(
+      range(1, length(gram) + 1),
+      i -> CAST(ord(substring(gram, i::INT, 1)) AS BIGINT)),
+    (a, b) -> (a * 31 + b) % {HASH_MOD}) % {B} AS bucket
+  FROM raw_grams0 WHERE gram <> ''
+), tgt_grams AS (
+  SELECT doc_id, list_reduce(
+    [CAST(0 AS BIGINT)] || list_transform(
+      range(1, length(gram) + 1),
+      i -> CAST(ord(substring(gram, i::INT, 1)) AS BIGINT)),
+    (a, b) -> (a * 31 + b) % {HASH_MOD}) % {B} AS bucket
+  FROM tgt_grams0 WHERE gram <> ''
+), rc AS (SELECT bucket, count(*) AS n FROM raw_grams GROUP BY bucket),
+tc AS (SELECT bucket, count(*) AS n FROM tgt_grams GROUP BY bucket),
+tot AS (SELECT (SELECT coalesce(sum(n), 0) FROM rc) AS tr,
+               (SELECT coalesce(sum(n), 0) FROM tc) AS tt),
+lr AS (
+  SELECT b.range AS bucket,
+    CAST(round((ln((coalesce(tc.n, 0) + {s}) / (tot.tt + {s} * {B}))
+              - ln((coalesce(rc.n, 0) + {s}) / (tot.tr + {s} * {B})))
+             * 1e6) AS BIGINT) AS lr_micro
+  FROM range({B}) b
+  CROSS JOIN tot
+  LEFT JOIN rc ON rc.bucket = b.range
+  LEFT JOIN tc ON tc.bucket = b.range
+), scored AS (
+  SELECT g.doc_id, count(*) AS n_grams, sum(lr.lr_micro) AS w_micro
+  FROM raw_grams g JOIN lr ON lr.bucket = g.bucket
+  GROUP BY g.doc_id
+), keyed AS (
+  SELECT d.doc_id,
+    CAST(coalesce(s.n_grams, 0) AS BIGINT) AS n_grams,
+    coalesce(s.w_micro, 0) / 1000000.0 AS log_weight,
+    round(coalesce(s.w_micro, 0) / 1000000.0
+      - ln(-ln((('0x' || substring(md5('{seed}#' || d.doc_id), 1, 6))
+                ::BIGINT + 0.5) / 16777216.0)), 6) AS gumbel_key
+  FROM (SELECT DISTINCT doc_id FROM raw_docs) d
+  LEFT JOIN scored s ON s.doc_id = d.doc_id
+)
+SELECT doc_id, n_grams, log_weight, gumbel_key,
+  (row_number() OVER (ORDER BY gumbel_key DESC, doc_id))
+    <= {_DSIR_K} AS selected
+FROM keyed
+"""
+
+
 def q_token_stats(spark, sf_dir):
     return textops.token_stats(_t(spark, sf_dir, "documents"))
 
@@ -5340,6 +5437,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_grid": q_raster_grid,
         "polygon_burn": q_polygon_burn,
         "semantic_dedup": q_semantic_dedup,
+        "dsir_select": q_dsir_select,
         "raster_polygonize": q_raster_polygonize,
         "raster_sieve": q_raster_sieve,
         "raster_fillnodata": q_raster_fillnodata,
@@ -5465,6 +5563,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": _Q_PACK_SQL,
         "simhash": _simhash_sql(),
         "token_stats": _Q_TOKEN_SQL,
+        "dsir_select": _dsir_sql(),
         "ngram_lm_ppl": _Q_LM_SQL,
         "collocations": _Q_COLLOC_SQL,
         "url_normalize": _Q_URL_NORM_SQL,

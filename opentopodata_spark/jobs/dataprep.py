@@ -127,6 +127,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "docs scoring >= --min-quality-prob (GPT-3-style "
                         "learned filter; operators/classifier)")
     p.add_argument("--min-quality-prob", type=float, default=0.5)
+    p.add_argument("--dsir-target", default=None,
+                   help="parquet of target-domain docs (doc_id, text):"
+                        " keep the --dsir-k docs DSIR importance"
+                        " resampling picks (hashed-ngram log ratios +"
+                        " Gumbel-top-k; arXiv:2302.03169)")
+    p.add_argument("--dsir-k", type=int, default=None,
+                   help="number of docs DSIR keeps (required with"
+                        " --dsir-target)")
+    p.add_argument("--dsir-buckets", type=int, default=8192)
     p.add_argument("--quality-dim", type=int, default=64,
                    help="hashing-trick feature width for the classifier")
     p.add_argument("--quality-iters", type=int, default=20)
@@ -162,6 +171,8 @@ def run(ns: argparse.Namespace, spark=None) -> dict:
             shuffle_partitions=ns.shuffle_partitions,
             master=ns.master,
         )
+    if getattr(ns, "dsir_target", None) and ns.dsir_k is None:
+        raise ValueError("--dsir-target requires --dsir-k")
     t0 = time.time()
     out_corpus = f"{ns.out}/corpus"
 
@@ -299,6 +310,31 @@ def run(ns: argparse.Namespace, spark=None) -> dict:
         )
         filtered = filtered.join(keep_ids, "doc_id", "left_semi")
         stats["after_quality_classifier"] = filtered.count()
+
+    if getattr(ns, "dsir_target", None):
+        from ..operators import dsir as _dsir
+
+        keep_ids = (
+            _dsir.dsir_sample(
+                filtered.select(
+                    F.col("doc_id").cast("string").alias("doc_id"),
+                    "text",
+                ),
+                spark.read.parquet(ns.dsir_target).select(
+                    F.col("doc_id").cast("string").alias("doc_id"),
+                    "text",
+                ),
+                int(ns.dsir_k), n_buckets=int(ns.dsir_buckets),
+            )
+            .where(F.col("selected"))
+            .select(F.col("doc_id"))
+        )
+        filtered = filtered.join(
+            keep_ids,
+            filtered["doc_id"].cast("string") == keep_ids["doc_id"],
+            "left_semi",
+        )
+        stats["after_dsir"] = filtered.count()
 
     survivors = filtered
     if not ns.no_exact_dedup:

@@ -433,3 +433,47 @@ def test_dataprep_mix_token_budget_requires_mix_alpha(tmp_path, corpus_path):
             "--documents", corpus_path, "--out", str(tmp_path / "x"),
             "--mix-token-budget", "10000",
         ])
+
+
+def test_dataprep_dsir_stage(tmp_path, spark, capsys):
+    # raw: 12 terrain-ish + 12 finance-ish docs; target: terrain —
+    # DSIR's top-8 must be all terrain docs
+    raw = []
+    for i in range(12):
+        raw.append((i, f"elevation raster tile slope aspect dem {i}"))
+        raw.append((100 + i, f"stock market bond yield report {i}"))
+    rp = str(tmp_path / "raw.parquet")
+    spark.createDataFrame(raw, "doc_id long, text string").write.parquet(rp)
+    tp = str(tmp_path / "target.parquet")
+    spark.createDataFrame(
+        [(1000 + i, f"dem elevation slope raster contour {i}")
+         for i in range(6)],
+        "doc_id long, text string",
+    ).write.parquet(tp)
+    out = str(tmp_path / "sel")
+    argv = [
+        "--documents", rp, "--out", out, "--no-exact-dedup",
+        "--dsir-target", tp, "--dsir-k", "8",
+        "--dsir-buckets", "512", "--cores", "4",
+    ]
+    assert job.main(argv) == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["after_dsir"] == 8
+    kept = {r.doc_id for r in spark.read.parquet(f"{out}/corpus").collect()}
+    # Gumbel-top-k is a weighted SAMPLE, not argmax-by-weight: with a
+    # ~2.5-nat gap a lucky finance doc can win a slot. The md5 seed is
+    # fixed, so the outcome is deterministic — a strong terrain
+    # majority is the invariant, not purity.
+    assert len(kept) == 8 and sum(1 for d in kept if d < 100) >= 6
+
+
+def test_dataprep_dsir_requires_k(tmp_path, spark):
+    rp = str(tmp_path / "r2.parquet")
+    spark.createDataFrame(
+        [(1, "a b c")], "doc_id long, text string"
+    ).write.parquet(rp)
+    with pytest.raises(ValueError, match="dsir-k"):
+        job.run(job.build_parser().parse_args([
+            "--documents", rp, "--out", str(tmp_path / "o2"),
+            "--dsir-target", rp,
+        ]), spark=spark)
