@@ -1402,6 +1402,95 @@ FROM keyed
 """
 
 
+_PAGERANK_M = 101  # host universe (prime, so the affine edge maps mix)
+_PAGERANK_T = 4  # power-iteration rounds
+_PAGERANK_D = 85  # damping percentage (integer contract)
+
+
+def _synth_host_edges(spark, sf_dir):
+    """Deterministic host link graph from doc_id: host u = doc_id % M;
+    hosts with u % 11 == 0 publish no links (dangling-mass path); the
+    rest link via three affine maps gated on doc parity/mod-3 so
+    out-degrees vary 1..3 and duplicates exercise the DISTINCT."""
+    m = _PAGERANK_M
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    u = F.col("doc_id") % m
+    live = (u % 11) != 0
+    e1 = d.where(live).select(u.alias("src"), ((u * 7 + 1) % m).alias("dst"))
+    e2 = d.where(live & (F.col("doc_id") % 2 == 0)).select(
+        u.alias("src"), ((u * 13 + 5) % m).alias("dst")
+    )
+    e3 = d.where(live & (F.col("doc_id") % 3 == 0)).select(
+        u.alias("src"), ((u * 29 + 17) % m).alias("dst")
+    )
+    return e1.union(e2).union(e3)
+
+
+def q_host_pagerank(spark, sf_dir):
+    """operators/graph: damped PageRank power iteration in exact BIGINT
+    micro-units (rank // outdeg shares, dangling mass // n, integer
+    damping) — order-independent integer sums make Spark, DuckDB, and
+    the pure-Python twin bit-identical. Edges dedupe + hash-partition
+    by src ONCE; each of the 4 rounds ships only the 1-row-per-node
+    rank table (one join shuffle + one groupBy(dst) partial-agg), with
+    localCheckpoint lineage truncation per round."""
+    from opentopodata_spark.operators import graph
+
+    edges = _synth_host_edges(spark, sf_dir)
+    nodes = spark.range(_PAGERANK_M).select(F.col("id").alias("node"))
+    r = graph.pagerank(
+        edges, nodes=nodes, iterations=_PAGERANK_T, damping_pct=_PAGERANK_D
+    )
+    return r.select(
+        F.concat(F.lit("h"), F.col("node").cast("string")).alias("host"),
+        F.col("rank_units"),
+    )
+
+
+def _pagerank_sql() -> str:
+    from opentopodata_spark.operators.graph import UNIT
+
+    m, d, t = _PAGERANK_M, _PAGERANK_D, _PAGERANK_T
+    base = UNIT // m
+    hold = (100 - d) * base // 100
+    iter_tpl = """
+d{t} AS (SELECT coalesce(sum(r.rank), 0) AS dang
+         FROM r{p} r JOIN deg g ON r.node = g.node WHERE g.outdeg = 0),
+c{t} AS (SELECT e.v AS node, sum(r.rank // g.outdeg) AS c
+         FROM edges e JOIN r{p} r ON e.u = r.node
+                      JOIN deg g ON e.u = g.node
+         GROUP BY e.v),
+r{t} AS (SELECT n.node,
+                {hold} + {d} * (coalesce(c.c, 0)
+                                + (SELECT dang FROM d{t}) // {m}) // 100 AS rank
+         FROM nodes n LEFT JOIN c{t} c ON n.node = c.node)"""
+    iters = ",".join(
+        iter_tpl.format(t=i, p=i - 1, hold=hold, d=d, m=m)
+        for i in range(1, t + 1)
+    )
+    return f"""
+WITH raw AS (
+  SELECT doc_id % {m} AS u, ((doc_id % {m}) * 7 + 1) % {m} AS v
+  FROM documents WHERE (doc_id % {m}) % 11 <> 0
+  UNION ALL
+  SELECT doc_id % {m}, ((doc_id % {m}) * 13 + 5) % {m}
+  FROM documents WHERE (doc_id % {m}) % 11 <> 0 AND doc_id % 2 = 0
+  UNION ALL
+  SELECT doc_id % {m}, ((doc_id % {m}) * 29 + 17) % {m}
+  FROM documents WHERE (doc_id % {m}) % 11 <> 0 AND doc_id % 3 = 0
+),
+edges AS (SELECT DISTINCT u, v FROM raw WHERE u <> v),
+nodes AS (SELECT node FROM range({m}) t(node)),
+deg AS (SELECT n.node, coalesce(dd.c, 0) AS outdeg
+        FROM nodes n LEFT JOIN (SELECT u, count(*) AS c FROM edges
+                                GROUP BY u) dd ON n.node = dd.u),
+r0 AS (SELECT node, {base} AS rank FROM nodes),
+{iters}
+SELECT 'h' || CAST(node AS VARCHAR) AS host, CAST(rank AS BIGINT) AS rank_units
+FROM r{t}
+"""
+
+
 def q_token_stats(spark, sf_dir):
     return textops.token_stats(_t(spark, sf_dir, "documents"))
 
@@ -5434,6 +5523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   3. then the most recently re-verified ones, which rotate out.
     return {
         # -- new in r4 --
+        "host_pagerank": q_host_pagerank,
         "raster_grid": q_raster_grid,
         "polygon_burn": q_polygon_burn,
         "semantic_dedup": q_semantic_dedup,
@@ -5564,6 +5654,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash": _simhash_sql(),
         "token_stats": _Q_TOKEN_SQL,
         "dsir_select": _dsir_sql(),
+        "host_pagerank": _pagerank_sql(),
         "ngram_lm_ppl": _Q_LM_SQL,
         "collocations": _Q_COLLOC_SQL,
         "url_normalize": _Q_URL_NORM_SQL,

@@ -130,7 +130,7 @@ class TestCrsRegistry:
         # zero shift + Helmert stripped: result equals the PURE Airy TM
         # projection of the unshifted coordinates -> differs from the
         # Helmert path by the (real, ~100 m) OSGB36 datum offset
-        d = float(np.hypot(x_g - x_h, y_g - y_h))
+        d = float(np.hypot(x_g - x_h, y_g - y_h)[0])
         assert 50.0 < d < 500.0
         # after unregister the Helmert path is back (cache invalidated)
         x_b, y_b = crs.reproject_latlons(lats, lons, epsg=27700)
