@@ -2077,6 +2077,63 @@ FROM grid g LEFT JOIN hits h
 """
 
 
+def q_interval_join(spark, sf_dir):
+    """operators/intervals.interval_join: half-open [start, end)
+    overlap pairs via the bin-bucketing rewrite — explode to 1 h time
+    bins, co-partitioned equi-join on (user_id, bin), canonical-bin
+    dedupe (no distinct), overlap verified at exact microseconds. The
+    naive plan Spark gives the same predicate is a nested-loop join;
+    this one is a hash join (plan pinned in tests). Oracle: DuckDB's
+    plain inequality join."""
+    from opentopodata_spark.operators import intervals
+
+    e = _t(spark, sf_dir, "events")
+    l = e.where(F.col("event_id") % 3 == 0).selectExpr(
+        "event_id AS l_id",
+        "user_id",
+        "ts AS l_start",
+        "ts + make_interval(0, 0, 0, 0, CAST(event_id % 7 + 1 AS INT), 0, 0)"
+        " AS l_end",
+    )
+    r = e.where(F.col("event_id") % 10 == 0).selectExpr(
+        "event_id AS r_id",
+        "user_id",
+        "ts + make_interval(0, 0, 0, 0, CAST(event_id % 5 AS INT), 0, 0)"
+        " AS r_start",
+        "ts + make_interval(0, 0, 0, 0,"
+        " CAST(event_id % 5 + event_id % 13 + 2 AS INT), 0, 0) AS r_end",
+    )
+    out = intervals.interval_join(
+        l, r, "l_start", "l_end", "r_start", "r_end",
+        on=["user_id"], bin_width_s=3600,
+    )
+    return out.select(
+        "user_id", "l_id", "r_id",
+        (
+            F.unix_micros(F.least("l_end", "r_end").cast("timestamp"))
+            - F.unix_micros(F.greatest("l_start", "r_start").cast("timestamp"))
+        ).alias("overlap_us"),
+    )
+
+
+_Q_INTERVAL_SQL = """
+WITH l AS (SELECT event_id AS l_id, user_id,
+                  ts AS l_start,
+                  ts + to_hours(CAST(event_id % 7 + 1 AS BIGINT)) AS l_end
+           FROM events WHERE event_id % 3 = 0),
+r AS (SELECT event_id AS r_id, user_id,
+             ts + to_hours(CAST(event_id % 5 AS BIGINT)) AS r_start,
+             ts + to_hours(CAST(event_id % 5 + event_id % 13 + 2 AS BIGINT))
+               AS r_end
+      FROM events WHERE event_id % 10 = 0)
+SELECT l.user_id, l_id, r_id,
+       date_diff('microsecond', greatest(l_start, r_start),
+                 least(l_end, r_end)) AS overlap_us
+FROM l JOIN r ON l.user_id = r.user_id
+             AND l_start < r_end AND r_start < l_end
+"""
+
+
 def q_asof_join(spark, sf_dir):
     """operators/asof.asof_join: every event annotated with the most
     recent at-or-before 'error' event per user — the union + running-
@@ -5523,6 +5580,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   3. then the most recently re-verified ones, which rotate out.
     return {
         # -- new in r4 --
+        "interval_join": q_interval_join,
         "host_pagerank": q_host_pagerank,
         "raster_grid": q_raster_grid,
         "polygon_burn": q_polygon_burn,
@@ -5655,6 +5713,7 @@ def oracle_sql() -> dict[str, str]:
         "token_stats": _Q_TOKEN_SQL,
         "dsir_select": _dsir_sql(),
         "host_pagerank": _pagerank_sql(),
+        "interval_join": _Q_INTERVAL_SQL,
         "ngram_lm_ppl": _Q_LM_SQL,
         "collocations": _Q_COLLOC_SQL,
         "url_normalize": _Q_URL_NORM_SQL,

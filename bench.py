@@ -188,6 +188,7 @@ def main() -> None:
         "line_of_sight": lambda: contract.q_line_of_sight(spark, SF_DIR),
         "viewshed": lambda: contract.q_viewshed(spark, SF_DIR),
         "asof_join": lambda: contract.q_asof_join(spark, SF_DIR),
+        "interval_join": lambda: contract.q_interval_join(spark, SF_DIR),
         "funnel": lambda: contract.q_funnel(spark, SF_DIR),
         "retention": lambda: contract.q_retention(spark, SF_DIR),
         "geofence_transitions": lambda: contract.q_geofence_transitions(
