@@ -892,6 +892,15 @@ def write_gpkg(
             tables.append(("gpkg_2d_gridded_tile_ancillary",
                            _TILE_ANC_SQL, anc_rows))
 
+    _assemble_sqlite(path, dbw, tables)
+
+
+def _assemble_sqlite(path: str, dbw: _DbWriter,
+                     tables: list[tuple[str, str, list]]) -> None:
+    """Build the user tables into ``dbw``, write sqlite_master on page 1,
+    and atomically emit the finished database file. Shared by the raster
+    tile writer above and the vector feature writer (vector.py)."""
+    page_size = dbw.page_size
     # page 1 must be sqlite_master; write a placeholder first, build the
     # user tables, then rebuild page 1 with the real rootpages
     dbw.pages.append(bytearray(page_size))  # reserve page 1

@@ -608,13 +608,14 @@ def features_from_geojson(path_or_obj, *, burn_attr: str | None = None,
     only), holes are KEPT — even-odd punches them out. Polygon /
     MultiPolygon / LineString / MultiLineString; the burn value comes
     from feature property ``burn_attr`` (-a) or the fixed
-    ``burn_value`` (-burn)."""
-    import json as _json
+    ``burn_value`` (-burn). Accepts a path (GeoJSON, ESRI Shapefile
+    ``.shp``, or GeoPackage ``.gpkg``) or a parsed mapping."""
     import os as _os
 
     if isinstance(path_or_obj, (str, bytes, _os.PathLike)):
-        with open(path_or_obj) as f:
-            obj = _json.load(f)
+        from .. import vector as _vector
+
+        obj = _vector.load_features(path_or_obj)
     else:
         obj = path_or_obj
     t = obj.get("type")

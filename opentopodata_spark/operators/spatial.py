@@ -44,13 +44,15 @@ def polygons_from_geojson(path_or_obj) -> list[dict]:
     Feature / Polygon) -> the engine's [{"polygon_id", "lats", "lons"}]
     shape. Outer rings only (holes are rejected loudly rather than
     silently mis-joined); MultiPolygon parts become ``id#k`` entries.
-    Accepts a path or an already-parsed mapping."""
-    import json as _json
+    Accepts a path (GeoJSON, ESRI Shapefile ``.shp``, or GeoPackage
+    ``.gpkg`` — see vector.load_features) or an already-parsed
+    mapping."""
     import os as _os
 
     if isinstance(path_or_obj, (str, bytes, _os.PathLike)):
-        with open(path_or_obj) as f:
-            obj = _json.load(f)
+        from .. import vector as _vector
+
+        obj = _vector.load_features(path_or_obj)
     else:
         obj = path_or_obj
 
