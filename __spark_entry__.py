@@ -5567,6 +5567,203 @@ def _precomputed_oracles() -> dict[str, str]:
     return out
 
 
+# ---------------------------------------------------------------------------
+# vector ingestion contract (shapefile / geopackage feature readers)
+# ---------------------------------------------------------------------------
+
+
+def _vector_fixture_dir() -> str:
+    """Deterministic polygon layer written as BOTH ESRI Shapefile and
+    GeoPackage (vector.py writers), plus a format-independent
+    vertex-definition parquet that the DuckDB oracle reads — the oracle
+    never touches the .shp/.gpkg bytes, so any reader/writer defect
+    shows up as a hash mismatch. All coordinates are exact multiples of
+    1/1024, making every shoelace term an exact binary double: sums are
+    order-independent and the compare is exact, not tolerance-based."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from opentopodata_spark import vector
+
+    root = os.path.join(_fixture_root(), "vector_r4h")
+    marker = os.path.join(root, ".complete")
+    if os.path.exists(marker):
+        return root
+    os.makedirs(root, exist_ok=True)
+    Q = 1024.0
+
+    def snap(v: float) -> float:
+        return round(v * Q) / Q
+
+    def signed2(ring):
+        s = 0.0
+        for i in range(len(ring)):
+            x1, y1 = ring[i]
+            x2, y2 = ring[(i + 1) % len(ring)]
+            s += x1 * y2 - x2 * y1
+        return s
+
+    def ccw(ring):
+        return ring if signed2(ring) > 0 else ring[::-1]
+
+    def cw(ring):
+        return ccw(ring)[::-1]
+
+    feats = []
+    d_fid, d_ring, d_vi, d_lon, d_lat = [], [], [], [], []
+    fid = 1
+    for gy in range(5):
+        for gx in range(8):
+            cx = snap(-20.0 + gx * 5.25)
+            cy = snap(10.0 + gy * 4.5)
+            k = (gx * 7 + gy * 13) % 5
+            w = snap(1.5 + 0.25 * k)
+            h = snap(1.0 + 0.125 * ((gx + gy) % 4))
+            outer = ccw([[cx - w, cy - h], [cx + w, cy - h],
+                         [snap(cx + w + 0.5), cy], [cx + w, cy + h],
+                         [cx - w, cy + h]])
+            rings = [outer]
+            if fid % 4 == 1:
+                hw, hh = snap(w / 2), snap(h / 2)
+                rings.append(cw([[cx - hw, cy - hh], [cx + hw, cy - hh],
+                                 [cx + hw, cy + hh], [cx - hw, cy + hh]]))
+            parts = [rings]
+            if fid % 20 == 14:  # disjoint second part (never holed fids)
+                dx = snap(2.0 * w + 1.0)
+                parts.append([ccw([[x + dx, y] for x, y in outer])])
+            closed_parts = [
+                [r + [r[0]] for r in rs] for rs in parts
+            ]
+            if len(parts) == 1:
+                geom = {"type": "Polygon", "coordinates": closed_parts[0]}
+            else:
+                geom = {"type": "MultiPolygon",
+                        "coordinates": closed_parts}
+            feats.append({
+                "type": "Feature", "id": fid, "geometry": geom,
+                "properties": {"zone_id": fid,
+                               "name": f"zone_{fid:03d}"},
+            })
+            ring_no = 0
+            for rs in parts:
+                for r in rs:  # definition keeps rings OPEN (no closing)
+                    for vi, (x, y) in enumerate(r):
+                        d_fid.append(fid)
+                        d_ring.append(ring_no)
+                        d_vi.append(vi)
+                        d_lon.append(x)
+                        d_lat.append(y)
+                    ring_no += 1
+            fid += 1
+    fc = {"type": "FeatureCollection", "features": feats}
+    vector.write_shapefile(os.path.join(root, "zones.shp"), fc)
+    vector.write_gpkg_features(os.path.join(root, "zones.gpkg"), fc,
+                               layer="zones")
+    pq.write_table(pa.table({
+        "zone_id": pa.array(d_fid, type=pa.int64()),
+        "ring": pa.array(d_ring, type=pa.int32()),
+        "vi": pa.array(d_vi, type=pa.int32()),
+        "lon": pa.array(d_lon, type=pa.float64()),
+        "lat": pa.array(d_lat, type=pa.float64()),
+    }), os.path.join(root, "vertices.parquet"))
+    with open(marker, "w") as f:
+        f.write("ok")
+    return root
+
+
+def q_vector_ingest(spark, sf_dir):
+    """CONTRACT: the Shapefile and GeoPackage feature readers
+    (opentopodata_spark/vector.py — the OGR slice the reference gets
+    from GDAL) against a format-independent vertex definition. Each
+    format's features decode on the driver (vector layers are the
+    broadcast-small side by design), explode to one row per ring, and
+    Spark column expressions compute per-zone ring counts, vertex
+    counts, exact shoelace areas (net + absolute) and coordinate sums —
+    every number is ring-order / vertex-rotation / orientation
+    invariant, so shapefile hole regrouping and part reordering cannot
+    alias a real decode bug. The DuckDB oracle computes the same
+    aggregates from the definition parquet alone."""
+    from opentopodata_spark import vector
+
+    root = _vector_fixture_dir()
+    rows = []
+    for fmt, path in (("shp", os.path.join(root, "zones.shp")),
+                      ("gpkg", os.path.join(root, "zones.gpkg"))):
+        fc = vector.load_features(path)
+        for f in fc["features"]:
+            zid = int(f["properties"]["zone_id"])
+            name = str(f["properties"]["name"])
+            g = f["geometry"]
+            polys = ([g["coordinates"]] if g["type"] == "Polygon"
+                     else g["coordinates"])
+            for rings in polys:
+                for ring in rings:
+                    r = ring[:-1] if ring[0] == ring[-1] else ring
+                    rows.append((fmt, zid, name,
+                                 [float(p[0]) for p in r],
+                                 [float(p[1]) for p in r]))
+    df = spark.createDataFrame(
+        rows, "fmt string, zone_id long, name string, "
+              "lons array<double>, lats array<double>")
+
+    def _rot(c):
+        return F.concat(F.slice(c, F.lit(2), F.size(c) - F.lit(1)),
+                        F.slice(c, 1, 1))
+
+    def _asum(c):
+        return F.aggregate(c, F.lit(0.0), lambda a, x: a + x)
+
+    cross = _asum(F.zip_with("lons", _rot("lats"), lambda x, y: x * y)) \
+        - _asum(F.zip_with(_rot("lons"), F.col("lats"),
+                           lambda x, y: x * y))
+    ringed = df.select(
+        "fmt", "zone_id", "name",
+        (cross / F.lit(2.0)).alias("ring_area"),
+        F.size("lons").cast("long").alias("ring_verts"),
+        _asum("lons").alias("ring_sum_lon"),
+        _asum("lats").alias("ring_sum_lat"),
+    )
+    return (
+        ringed.groupBy("fmt", "zone_id", "name")
+        .agg(F.count(F.lit(1)).alias("n_rings"),
+             F.sum("ring_verts").alias("n_vertices"),
+             F.sum("ring_area").alias("area_net"),
+             F.sum(F.abs(F.col("ring_area"))).alias("area_abs"),
+             F.sum("ring_sum_lon").alias("sum_lon"),
+             F.sum("ring_sum_lat").alias("sum_lat"))
+    )
+
+
+def _vector_ingest_sql() -> str:
+    path = os.path.join(_vector_fixture_dir(), "vertices.parquet")
+    return f"""
+WITH v AS (SELECT * FROM read_parquet('{path}')),
+cnt AS (SELECT zone_id, ring, COUNT(*) AS n
+        FROM v GROUP BY zone_id, ring),
+e AS (
+  SELECT a.zone_id, a.ring, a.lon * b.lat - b.lon * a.lat AS cr
+  FROM v a
+  JOIN cnt c ON c.zone_id = a.zone_id AND c.ring = a.ring
+  JOIN v b ON b.zone_id = a.zone_id AND b.ring = a.ring
+          AND b.vi = (a.vi + 1) % c.n
+),
+r AS (SELECT zone_id, ring, SUM(cr) / 2 AS area
+      FROM e GROUP BY zone_id, ring),
+f AS (SELECT zone_id, COUNT(DISTINCT ring) AS n_rings,
+             COUNT(*) AS n_vertices,
+             SUM(lon) AS sum_lon, SUM(lat) AS sum_lat
+      FROM v GROUP BY zone_id),
+a AS (SELECT zone_id, SUM(area) AS area_net, SUM(ABS(area)) AS area_abs
+      FROM r GROUP BY zone_id)
+SELECT fm.fmt, f.zone_id,
+       'zone_' || LPAD(CAST(f.zone_id AS VARCHAR), 3, '0') AS name,
+       f.n_rings, f.n_vertices, a.area_net, a.area_abs,
+       f.sum_lon, f.sum_lat
+FROM f JOIN a USING (zone_id)
+CROSS JOIN (VALUES ('shp'), ('gpkg')) AS fm(fmt)
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query at sf0.001 scale; driver checks rows > 0."""
     return _run_elevation(spark, n_docs=300)
@@ -5580,6 +5777,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   3. then the most recently re-verified ones, which rotate out.
     return {
         # -- new in r4 --
+        "vector_ingest": q_vector_ingest,
         "interval_join": q_interval_join,
         "host_pagerank": q_host_pagerank,
         "raster_grid": q_raster_grid,
@@ -5712,6 +5910,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash": _simhash_sql(),
         "token_stats": _Q_TOKEN_SQL,
         "dsir_select": _dsir_sql(),
+        "vector_ingest": _vector_ingest_sql(),
         "host_pagerank": _pagerank_sql(),
         "interval_join": _Q_INTERVAL_SQL,
         "ngram_lm_ppl": _Q_LM_SQL,
