@@ -103,6 +103,10 @@ def _paths_from_globs(globs) -> list[str]:
 
 
 def _load_polygons(path: str) -> list[dict]:
+    if path.lower().endswith((".shp", ".gpkg")):
+        from ..operators.spatial import polygons_from_geojson
+
+        return polygons_from_geojson(path)
     with open(path) as f:
         polys = json.load(f)
     if isinstance(polys, dict):  # real GeoJSON (FeatureCollection etc.)
@@ -919,7 +923,8 @@ def run(argv: list[str] | None = None) -> dict:
             parts[0], parts[1], parts[2], parts[3],
             int(parts[4]), int(parts[5]),
         )
-        if ns.features.endswith((".json", ".geojson")):
+        if ns.features.lower().endswith(
+                (".json", ".geojson", ".shp", ".gpkg")):
             feats = _rz.features_from_geojson(
                 ns.features, burn_attr=ns.attr, burn_value=ns.burn
             )

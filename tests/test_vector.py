@@ -676,3 +676,39 @@ def test_vectorio_convert_and_info(tmp_path):
     with pytest.raises(VectorError):
         vectorio.run(["convert", "--in", str(gj),
                       "--out", str(tmp_path / "c.xyz")])
+
+
+def test_zonal_cli_accepts_gpkg_polygons(tmp_path):
+    """jobs/raster zonal --polygons zones.gpkg == the same polygon as
+    engine JSON (CLI front-door differential over a real raster)."""
+    import json as _json
+
+    from opentopodata_spark.jobs import raster as rjob
+
+    lats = [0.3, 0.7, 0.7, 0.3]
+    lons = [10.8, 10.8, 11.2, 11.2]
+    eng = str(tmp_path / "p.json")
+    with open(eng, "w") as f:
+        _json.dump([{"polygon_id": "B", "lats": lats, "lons": lons}], f)
+    fc = {"type": "FeatureCollection", "features": [
+        {"type": "Feature",
+         "geometry": {"type": "Polygon", "coordinates": [
+             [[lo, la] for lo, la in zip(lons, lats)]
+             + [[lons[0], lats[0]]]]},
+         "properties": {"polygon_id": "B"}},
+    ]}
+    gpk = str(tmp_path / "p.gpkg")
+    write_gpkg_features(gpk, fc, layer="p")
+    shp = str(tmp_path / "p.shp")
+    write_shapefile(shp, fc)
+    def canon(polys):
+        # ring DIRECTION may legitimately flip through the shapefile
+        # orientation round trip; the polygon itself is unchanged
+        return sorted(
+            (p["polygon_id"], tuple(sorted(zip(p["lons"], p["lats"]))))
+            for p in polys)
+
+    assert canon(rjob._load_polygons(eng)) == canon(
+        rjob._load_polygons(gpk))
+    assert canon(rjob._load_polygons(eng)) == canon(
+        rjob._load_polygons(shp))
