@@ -139,6 +139,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--quality-dim", type=int, default=64,
                    help="hashing-trick feature width for the classifier")
     p.add_argument("--quality-iters", type=int, default=20)
+    p.add_argument("--geo-filter", default=None,
+                   help="polygon layer (GeoJSON/.shp/.gpkg): keep or "
+                        "drop documents by whether any coordinate "
+                        "extracted from their text falls inside a "
+                        "polygon (region-scoped corpora)")
+    p.add_argument("--geo-mode", choices=("keep", "drop"),
+                   default="keep",
+                   help="keep = only docs with >=1 coordinate inside; "
+                        "drop = remove those docs (coordinate-less "
+                        "docs survive drop, are removed by keep)")
     p.add_argument("--no-exact-dedup", action="store_true", help="skip exact text dedup (kept on by default)")
     p.add_argument("--near-dup-threshold", type=float, default=None,
                    help="also drop LSH-verified near-duplicates at this Jaccard threshold")
@@ -335,6 +345,34 @@ def run(ns: argparse.Namespace, spark=None) -> dict:
             "left_semi",
         )
         stats["after_dsir"] = filtered.count()
+
+    if getattr(ns, "geo_filter", None):
+        from ..operators import extract as _extract
+        from ..operators import spatial as _spatial
+
+        polys = _spatial.polygons_from_geojson(ns.geo_filter)
+        if "spans" in raw.columns:
+            spans_src = raw.select("doc_id", "spans").join(
+                filtered.select("doc_id"), "doc_id", "left_semi")
+        else:
+            # plain (doc_id, text) corpus: wrap the text as one span so
+            # the standard extraction front door parses coordinates
+            spans_src = filtered.select(
+                "doc_id",
+                F.array(F.struct(
+                    F.lit("text").alias("kind"),
+                    F.col("text").alias("text"),
+                    F.lit(None).cast("string").alias("media_ref"),
+                    F.lit(0).alias("offset"),
+                )).alias("spans"),
+            )
+        pts = _extract.extract_points(spans_src).where(
+            F.col("loc_error").isNull())
+        hit_docs = _spatial.point_in_polygon_join(pts, polys).select(
+            "doc_id")
+        how = "left_semi" if ns.geo_mode == "keep" else "left_anti"
+        filtered = filtered.join(hit_docs, "doc_id", how)
+        stats["after_geo_filter"] = filtered.count()
 
     survivors = filtered
     if not ns.no_exact_dedup:

@@ -477,3 +477,47 @@ def test_dataprep_dsir_requires_k(tmp_path, spark):
             "--documents", rp, "--out", str(tmp_path / "o2"),
             "--dsir-target", rp,
         ]), spark=spark)
+
+
+def test_dataprep_geo_filter(tmp_path, spark, capsys):
+    """--geo-filter keeps/drops documents by extracted-coordinate PIP
+    against a polygon layer — exercised with a .gpkg layer end to end
+    (round-4 vector front door)."""
+    from opentopodata_spark import vector
+
+    rows = [
+        (1, "report from berlin at 52.52,13.40 about the weather today"),
+        (2, "notes from sydney at -33.86,151.20 and nothing else here"),
+        (3, "plain document with no coordinates mentioned anywhere at all"),
+        (4, "two points 52.40,13.10 and -33.90,151.10 in one document"),
+    ]
+    docs = str(tmp_path / "geo_docs.parquet")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(docs)
+    # box around Berlin only
+    fc = {"type": "FeatureCollection", "features": [
+        {"type": "Feature", "geometry": {"type": "Polygon", "coordinates": [
+            [[12.0, 52.0], [14.0, 52.0], [14.0, 53.0], [12.0, 53.0],
+             [12.0, 52.0]]]},
+         "properties": {"polygon_id": "berlin_box"}},
+    ]}
+    gpk = str(tmp_path / "box.gpkg")
+    vector.write_gpkg_features(gpk, fc, layer="box")
+
+    out_keep = str(tmp_path / "keep")
+    assert job.main([
+        "--documents", docs, "--out", out_keep, "--no-exact-dedup",
+        "--geo-filter", gpk, "--geo-mode", "keep", "--cores", "4",
+    ]) == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    kept = {r.doc_id for r in spark.read.parquet(f"{out_keep}/corpus").collect()}
+    assert kept == {1, 4}            # berlin hit (4 has one inside point)
+    assert stats["after_geo_filter"] == 2
+
+    out_drop = str(tmp_path / "drop")
+    assert job.main([
+        "--documents", docs, "--out", out_drop, "--no-exact-dedup",
+        "--geo-filter", gpk, "--geo-mode", "drop", "--cores", "4",
+    ]) == 0
+    capsys.readouterr()
+    kept = {r.doc_id for r in spark.read.parquet(f"{out_drop}/corpus").collect()}
+    assert kept == {2, 3}            # coordinate-less doc 3 survives drop
