@@ -386,3 +386,67 @@ def test_terrain_encoding_quantization_property(block, encoding):
     dec_i = mbtiles._decode_elevation(
         mbtiles._encode_elevation(ints, "terrarium"), "terrarium")
     assert np.array_equal(dec_i, ints.astype(np.float32))
+
+
+# ---------------------------------------------------------------------------
+# Vector codecs (WKB / shapefile record bytes)
+# ---------------------------------------------------------------------------
+
+_coord = st.floats(min_value=-180.0, max_value=180.0,
+                   allow_nan=False, allow_infinity=False, width=64)
+
+
+def _ring_strategy(min_pts=3, max_pts=8):
+    return st.lists(st.tuples(_coord, _coord), min_size=min_pts,
+                    max_size=max_pts).map(
+        lambda pts: [[x, y] for x, y in pts])
+
+
+@settings(max_examples=60, deadline=None)
+@given(kind=st.sampled_from(["Point", "LineString", "MultiPoint"]),
+       pts=_ring_strategy(1, 10))
+def test_wkb_roundtrip_simple(kind, pts):
+    from opentopodata_spark import vector
+
+    if kind == "Point":
+        geom = {"type": "Point", "coordinates": pts[0]}
+    else:
+        geom = {"type": kind, "coordinates": pts}
+    out = vector.geometry_from_wkb(vector.geometry_to_wkb(geom))
+    assert out == geom  # doubles survive bit-exactly
+
+
+@settings(max_examples=40, deadline=None)
+@given(rings=st.lists(_ring_strategy(3, 8), min_size=1, max_size=4),
+       z=st.booleans())
+def test_wkb_roundtrip_polygon(rings, z):
+    from opentopodata_spark import vector
+
+    if z:
+        rings = [[[x, y, float(i)] for i, (x, y) in enumerate(
+            (p[0], p[1]) for p in ring)] for ring in rings]
+    geom = {"type": "Polygon", "coordinates": rings}
+    out = vector.geometry_from_wkb(vector.geometry_to_wkb(geom))
+    assert out == geom
+
+
+@settings(max_examples=30, deadline=None)
+@given(parts=st.lists(_ring_strategy(2, 6), min_size=1, max_size=4))
+def test_shp_record_roundtrip_polyline(parts, tmp_path_factory):
+    """write_shapefile -> read_shapefile preserves every PolyLine
+    vertex bit-exactly (lines are never reoriented or regrouped)."""
+    from opentopodata_spark import vector
+
+    tmp = tmp_path_factory.mktemp("shp_prop")
+    geom = ({"type": "LineString", "coordinates": parts[0]}
+            if len(parts) == 1 else
+            {"type": "MultiLineString", "coordinates": parts})
+    fc = {"type": "FeatureCollection", "features": [
+        {"type": "Feature", "geometry": geom, "properties": {"k": 1}}]}
+    path = str(tmp / "l.shp")
+    vector.write_shapefile(path, fc)
+    got = vector.read_shapefile(path)["features"][0]["geometry"]
+    want_parts = parts if len(parts) > 1 else [parts[0]]
+    got_parts = (got["coordinates"] if got["type"] == "MultiLineString"
+                 else [got["coordinates"]])
+    assert got_parts == want_parts
