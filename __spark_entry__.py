@@ -5671,6 +5671,270 @@ def _vector_fixture_dir() -> str:
     return root
 
 
+# ---------------------------------------------------------------------------
+# vector overlay analytics (operators/overlay.py)
+# ---------------------------------------------------------------------------
+
+
+def _overlay_left(spark, sf_dir):
+    """Concave L-hexagons on an integer grid, derived from part keys —
+    the identical modular arithmetic the SQL oracle replays."""
+    p = _t(spark, sf_dir, "part").where(F.col("p_partkey") % 7 == 0)
+    p = p.selectExpr(
+        "p_partkey AS l_id",
+        "CAST(p_partkey*131 % 2001 AS DOUBLE) AS cx",
+        "CAST(p_partkey*197 % 2001 AS DOUBLE) AS cy",
+        "CAST(p_partkey%13+6 AS DOUBLE) AS a",
+        "CAST(p_partkey%19+6 AS DOUBLE) AS b",
+    )
+    return p.selectExpr(
+        "l_id",
+        "array(array("
+        " array(cx, cy), array(cx+2*a, cy), array(cx+2*a, cy+b),"
+        " array(cx+a, cy+b), array(cx+a, cy+2*b), array(cx, cy+2*b)"
+        ")) AS rings",
+    )
+
+
+def _overlay_right(spark, sf_dir):
+    """Squares from customer keys; every third carries a centered
+    square hole (even-odd interior)."""
+    c = _t(spark, sf_dir, "customer").where(F.col("c_custkey") % 5 == 0)
+    c = c.selectExpr(
+        "c_custkey AS r_id",
+        "CAST(c_custkey*241 % 2001 AS DOUBLE) AS dx",
+        "CAST(c_custkey*311 % 2001 AS DOUBLE) AS dy",
+        "CAST(c_custkey%29+10 AS DOUBLE) AS r",
+        "CAST((c_custkey%29+10) DIV 3 AS DOUBLE) AS h",
+        "c_custkey % 3 = 0 AS holed",
+    )
+    outer = ("array(array(dx-r,dy-r), array(dx+r,dy-r),"
+             " array(dx+r,dy+r), array(dx-r,dy+r))")
+    hole = ("array(array(dx-h,dy-h), array(dx+h,dy-h),"
+            " array(dx+h,dy+h), array(dx-h,dy+h))")
+    return c.selectExpr(
+        "r_id",
+        f"CASE WHEN holed THEN array({outer}, {hole})"
+        f" ELSE array({outer}) END AS rings",
+    )
+
+
+def q_overlay_join(spark, sf_dir):
+    """operators/overlay.polygon_join: polygon×polygon closed-set
+    'intersects' spatial join via the 2-D grid-bucketing rewrite — cell
+    explode (pure exprs) → equi-join on the cell key → canonical-cell
+    dedupe (no distinct) → exact sign-of-cross CLRS predicate on the
+    surviving candidates only (Arrow-batched; never a nested-loop or
+    cartesian plan — pinned in tests/test_overlay.py). The reference
+    has only the point→tile equi-join
+    (/root/reference/opentopodata/config.py:432-451); this is the
+    polygon side of the overlay algebra at corpus scale. Full ANSI-SQL
+    oracle: same closed segment test + even-odd ray casts over
+    UNNESTed edges, all integer arithmetic."""
+    _ship_package(spark)
+    from opentopodata_spark.operators import overlay
+
+    return overlay.polygon_join(
+        _overlay_left(spark, sf_dir), _overlay_right(spark, sf_dir),
+        cell_size=64.0, max_cells=64,
+    )
+
+
+_Q_OVERLAY_SQL = """
+WITH lp AS (
+  SELECT p_partkey AS l_id,
+         (p_partkey*131) % 2001 AS cx, (p_partkey*197) % 2001 AS cy,
+         p_partkey % 13 + 6 AS a, p_partkey % 19 + 6 AS b
+  FROM part WHERE p_partkey % 7 = 0),
+rp AS (
+  SELECT c_custkey AS r_id,
+         (c_custkey*241) % 2001 AS dx, (c_custkey*311) % 2001 AS dy,
+         c_custkey % 29 + 10 AS r, (c_custkey % 29 + 10) // 3 AS h,
+         c_custkey % 3 = 0 AS holed
+  FROM customer WHERE c_custkey % 5 = 0),
+lv AS (
+  SELECT l_id, u.vi,
+    CASE u.vi WHEN 0 THEN cx WHEN 1 THEN cx+2*a WHEN 2 THEN cx+2*a
+              WHEN 3 THEN cx+a WHEN 4 THEN cx+a ELSE cx END AS x,
+    CASE u.vi WHEN 0 THEN cy WHEN 1 THEN cy WHEN 2 THEN cy+b
+              WHEN 3 THEN cy+b WHEN 4 THEN cy+2*b ELSE cy+2*b END AS y
+  FROM lp, UNNEST([0,1,2,3,4,5]) AS u(vi)),
+le AS (
+  SELECT v1.l_id, v1.x AS x1, v1.y AS y1, v2.x AS x2, v2.y AS y2
+  FROM lv v1 JOIN lv v2 ON v1.l_id = v2.l_id AND v2.vi = (v1.vi+1) % 6),
+rv AS (
+  SELECT r_id, 0 AS ring, u.vi,
+    CASE u.vi WHEN 0 THEN dx-r WHEN 1 THEN dx+r WHEN 2 THEN dx+r
+              ELSE dx-r END AS x,
+    CASE u.vi WHEN 0 THEN dy-r WHEN 1 THEN dy-r WHEN 2 THEN dy+r
+              ELSE dy+r END AS y
+  FROM rp, UNNEST([0,1,2,3]) AS u(vi)
+  UNION ALL
+  SELECT r_id, 1, u.vi,
+    CASE u.vi WHEN 0 THEN dx-h WHEN 1 THEN dx+h WHEN 2 THEN dx+h
+              ELSE dx-h END,
+    CASE u.vi WHEN 0 THEN dy-h WHEN 1 THEN dy-h WHEN 2 THEN dy+h
+              ELSE dy+h END
+  FROM rp, UNNEST([0,1,2,3]) AS u(vi) WHERE holed),
+re AS (
+  SELECT v1.r_id, v1.x AS x1, v1.y AS y1, v2.x AS x2, v2.y AS y2
+  FROM rv v1 JOIN rv v2 ON v1.r_id = v2.r_id AND v1.ring = v2.ring
+                       AND v2.vi = (v1.vi+1) % 4),
+lb AS (SELECT l_id, min(x) xmin, max(x) xmax, min(y) ymin, max(y) ymax
+       FROM lv GROUP BY l_id),
+rb AS (SELECT r_id, min(x) xmin, max(x) xmax, min(y) ymin, max(y) ymax
+       FROM rv GROUP BY r_id),
+cand AS (
+  SELECT l.l_id, r.r_id FROM lb l, rb r
+  WHERE l.xmin <= r.xmax AND r.xmin <= l.xmax
+    AND l.ymin <= r.ymax AND r.ymin <= l.ymax),
+seghit AS (
+  SELECT DISTINCT l_id, r_id FROM (
+    SELECT c.l_id, c.r_id,
+      sign((re.x2-re.x1)*(le.y1-re.y1)-(re.y2-re.y1)*(le.x1-re.x1)) d1,
+      sign((re.x2-re.x1)*(le.y2-re.y1)-(re.y2-re.y1)*(le.x2-re.x1)) d2,
+      sign((le.x2-le.x1)*(re.y1-le.y1)-(le.y2-le.y1)*(re.x1-le.x1)) d3,
+      sign((le.x2-le.x1)*(re.y2-le.y1)-(le.y2-le.y1)*(re.x2-le.x1)) d4,
+      le.x1 px1, le.y1 py1, le.x2 px2, le.y2 py2,
+      re.x1 qx1, re.y1 qy1, re.x2 qx2, re.y2 qy2
+    FROM cand c JOIN le ON le.l_id = c.l_id JOIN re ON re.r_id = c.r_id)
+  WHERE (d1 <> d2 AND d1 <> 0 AND d2 <> 0
+         AND d3 <> d4 AND d3 <> 0 AND d4 <> 0)
+     OR (d1 = 0 AND px1 BETWEEN least(qx1,qx2) AND greatest(qx1,qx2)
+                AND py1 BETWEEN least(qy1,qy2) AND greatest(qy1,qy2))
+     OR (d2 = 0 AND px2 BETWEEN least(qx1,qx2) AND greatest(qx1,qx2)
+                AND py2 BETWEEN least(qy1,qy2) AND greatest(qy1,qy2))
+     OR (d3 = 0 AND qx1 BETWEEN least(px1,px2) AND greatest(px1,px2)
+                AND qy1 BETWEEN least(py1,py2) AND greatest(py1,py2))
+     OR (d4 = 0 AND qx2 BETWEEN least(px1,px2) AND greatest(px1,px2)
+                AND qy2 BETWEEN least(py1,py2) AND greatest(py1,py2))),
+la AS (SELECT l_id, x AS px, y AS py FROM lv WHERE vi = 0),
+ra AS (SELECT r_id, x AS px, y AS py FROM rv WHERE ring = 0 AND vi = 0),
+lin AS (
+  SELECT c.l_id, c.r_id
+  FROM cand c JOIN la ON la.l_id = c.l_id JOIN re ON re.r_id = c.r_id
+  GROUP BY c.l_id, c.r_id, la.px, la.py
+  HAVING SUM(CASE WHEN (re.y1 > la.py) <> (re.y2 > la.py)
+    AND la.px < (re.x2-re.x1)*CAST(la.py-re.y1 AS DOUBLE)/(re.y2-re.y1)+re.x1
+    THEN 1 ELSE 0 END) % 2 = 1),
+rin AS (
+  SELECT c.l_id, c.r_id
+  FROM cand c JOIN ra ON ra.r_id = c.r_id JOIN le ON le.l_id = c.l_id
+  GROUP BY c.l_id, c.r_id, ra.px, ra.py
+  HAVING SUM(CASE WHEN (le.y1 > ra.py) <> (le.y2 > ra.py)
+    AND ra.px < (le.x2-le.x1)*CAST(ra.py-le.y1 AS DOUBLE)/(le.y2-le.y1)+le.x1
+    THEN 1 ELSE 0 END) % 2 = 1)
+SELECT l_id, r_id FROM seghit
+UNION SELECT l_id, r_id FROM lin
+UNION SELECT l_id, r_id FROM rin
+"""
+
+
+def q_convex_hull(spark, sf_dir):
+    """operators/overlay.convex_hull: distributed per-group hull —
+    per-partition keep-collinear monotone chains (mapInPandas, no
+    shuffle) shrink the input to local-hull candidates, ONE groupBy
+    gathers them for the final chain; layout-independent because a
+    global-boundary point is on every containing subset's hull
+    boundary. Emits vertex rows + hull_n + doubled-shoelace area
+    (exact on the integer grid). Full ANSI-SQL oracle: directed hull
+    edges by the O(n³) all-points-left predicate, area from the
+    order-independent edge-cross sum."""
+    _ship_package(spark)
+    from opentopodata_spark.operators import overlay
+
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") % 20 == 0)
+    pts = o.selectExpr(
+        "o_orderkey % 23 AS grp",
+        "CAST(o_orderkey*7919 % 20011 AS DOUBLE) AS x",
+        "CAST(o_orderkey*104729 % 20011 AS DOUBLE) AS y",
+    )
+    return overlay.convex_hull(pts, by=["grp"])
+
+
+_Q_HULL_SQL = """
+WITH pts AS (
+  SELECT DISTINCT o_orderkey % 23 AS grp,
+         (o_orderkey*7919) % 20011 AS x,
+         (o_orderkey*104729) % 20011 AS y
+  FROM orders WHERE o_orderkey % 20 = 0),
+ed AS (
+  SELECT a.grp, a.x AS ax, a.y AS ay, b.x AS bx, b.y AS byy
+  FROM pts a JOIN pts b
+    ON a.grp = b.grp AND (a.x <> b.x OR a.y <> b.y)
+  WHERE NOT EXISTS (
+    SELECT 1 FROM pts p
+    WHERE p.grp = a.grp
+      AND (p.x <> a.x OR p.y <> a.y) AND (p.x <> b.x OR p.y <> b.y)
+      AND NOT (
+        (b.x-a.x)*(p.y-a.y)-(b.y-a.y)*(p.x-a.x) > 0
+        OR ((b.x-a.x)*(p.y-a.y)-(b.y-a.y)*(p.x-a.x) = 0
+            AND NOT (p.x BETWEEN least(a.x,b.x) AND greatest(a.x,b.x)
+                 AND p.y BETWEEN least(a.y,b.y) AND greatest(a.y,b.y)))))),
+agg AS (SELECT grp, count(*) AS hull_n, SUM(ax*byy - bx*ay) AS area2
+        FROM ed GROUP BY grp)
+SELECT e.grp, CAST(e.ax AS DOUBLE) AS x, CAST(e.ay AS DOUBLE) AS y,
+       CAST(g.hull_n AS INT) AS hull_n, CAST(g.area2 AS DOUBLE) AS hull_area2
+FROM (SELECT DISTINCT grp, ax, ay FROM ed) e JOIN agg g USING (grp)
+"""
+
+
+def q_line_simplify(spark, sf_dir):
+    """operators/overlay.simplify_lines: Douglas–Peucker per line (one
+    shuffle on line id, vectorized int64 stack loop; retain decision
+    cross² > eps²·len² is exact on the grid, farthest-wins with
+    smallest-index tiebreak). Oracle: a DuckDB RECURSIVE CTE replays
+    the identical split recursion independently."""
+    _ship_package(spark)
+    from opentopodata_spark.operators import overlay
+
+    e = _t(spark, sf_dir, "events").where(F.col("event_id") % 2 == 0)
+    lines = e.selectExpr(
+        "event_id % 37 AS line_id",
+        "event_id AS seq",
+        "CAST(event_id*7919 % 20011 - 10000 AS DOUBLE) AS x",
+        "CAST(event_id*104729 % 20011 - 10000 AS DOUBLE) AS y",
+    )
+    return overlay.simplify_lines(lines, eps=500.0)
+
+
+_Q_SIMPLIFY_SQL = """
+WITH RECURSIVE
+pts AS (
+  SELECT event_id % 37 AS line_id, event_id AS seq,
+         (event_id*7919) % 20011 - 10000 AS x,
+         (event_id*104729) % 20011 - 10000 AS y
+  FROM events WHERE event_id % 2 = 0),
+bounds AS (SELECT line_id, min(seq) AS lo, max(seq) AS hi
+           FROM pts GROUP BY line_id),
+seg(line_id, lo, hi) AS (
+  SELECT line_id, lo, hi FROM bounds
+  UNION ALL
+  SELECT s.line_id,
+         CASE u.side WHEN 0 THEN s.lo ELSE s.k END,
+         CASE u.side WHEN 0 THEN s.k ELSE s.hi END
+  FROM (
+    SELECT sg.line_id, sg.lo, sg.hi,
+      (SELECT p.seq FROM pts p
+        JOIN pts a ON a.line_id = sg.line_id AND a.seq = sg.lo
+        JOIN pts b ON b.line_id = sg.line_id AND b.seq = sg.hi
+       WHERE p.line_id = sg.line_id AND p.seq > sg.lo AND p.seq < sg.hi
+         AND ((b.x-a.x)*(p.y-a.y)-(b.y-a.y)*(p.x-a.x))
+           * ((b.x-a.x)*(p.y-a.y)-(b.y-a.y)*(p.x-a.x))
+           > 250000 * ((b.x-a.x)*(b.x-a.x)+(b.y-a.y)*(b.y-a.y))
+       ORDER BY ((b.x-a.x)*(p.y-a.y)-(b.y-a.y)*(p.x-a.x))
+              * ((b.x-a.x)*(p.y-a.y)-(b.y-a.y)*(p.x-a.x)) DESC,
+                p.seq ASC
+       LIMIT 1) AS k
+    FROM seg sg) s, UNNEST([0,1]) AS u(side)
+  WHERE s.k IS NOT NULL)
+SELECT p.line_id, p.seq, CAST(p.x AS DOUBLE) AS x, CAST(p.y AS DOUBLE) AS y
+FROM (SELECT line_id, lo AS seq FROM seg
+      UNION SELECT line_id, hi FROM seg) k
+JOIN pts p ON p.line_id = k.line_id AND p.seq = k.seq
+"""
+
+
 def q_vector_ingest(spark, sf_dir):
     """CONTRACT: the Shapefile and GeoPackage feature readers
     (opentopodata_spark/vector.py — the OGR slice the reference gets
@@ -5777,6 +6041,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   3. then the most recently re-verified ones, which rotate out.
     return {
         # -- new in r4 --
+        "overlay_join": q_overlay_join,
+        "convex_hull": q_convex_hull,
+        "line_simplify": q_line_simplify,
         "vector_ingest": q_vector_ingest,
         "interval_join": q_interval_join,
         "host_pagerank": q_host_pagerank,
@@ -5910,6 +6177,9 @@ def oracle_sql() -> dict[str, str]:
         "simhash": _simhash_sql(),
         "token_stats": _Q_TOKEN_SQL,
         "dsir_select": _dsir_sql(),
+        "overlay_join": _Q_OVERLAY_SQL,
+        "convex_hull": _Q_HULL_SQL,
+        "line_simplify": _Q_SIMPLIFY_SQL,
         "vector_ingest": _vector_ingest_sql(),
         "host_pagerank": _pagerank_sql(),
         "interval_join": _Q_INTERVAL_SQL,

@@ -1,0 +1,328 @@
+"""Vector overlay analytics (operators/overlay.py).
+
+Independence discipline: every Spark result is checked against a
+DIFFERENT algorithm, not a replay of the operator's own code —
+polygon intersection against the separating-axis theorem (exact
+integer arithmetic, closed sets), convex hull against the O(n³)
+all-points-left edge predicate (the same definition the DuckDB oracle
+states), Douglas–Peucker against an independent recursive (not
+stack-based) implementation in exact Python ints.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from opentopodata_spark.operators import overlay
+
+
+def sq(cx, cy, r):
+    return [[[cx - r, cy - r], [cx + r, cy - r],
+             [cx + r, cy + r], [cx - r, cy + r]]]
+
+
+def tri(a, b, c):
+    return [[list(a), list(b), list(c)]]
+
+
+def flat(rings):
+    vx = [v[0] for r in rings for v in r]
+    vy = [v[1] for r in rings for v in r]
+    rs = [len(r) for r in rings]
+    return vx, vy, rs
+
+
+def inter(a, b):
+    return overlay.polygons_intersect(*flat(a), *flat(b))
+
+
+class TestPredicate:
+    def test_disjoint(self):
+        assert not inter(sq(0, 0, 1), sq(10, 10, 1))
+
+    def test_overlap(self):
+        assert inter(sq(0, 0, 2), sq(1, 1, 2))
+
+    def test_corner_touch(self):
+        # closed sets: a single shared point counts
+        assert inter(sq(0, 0, 1), sq(2, 2, 1))
+
+    def test_edge_touch_collinear(self):
+        assert inter(sq(0, 0, 1), sq(2, 0, 1))
+
+    def test_containment_both_ways(self):
+        assert inter(sq(0, 0, 10), sq(1, 1, 2))
+        assert inter(sq(1, 1, 2), sq(0, 0, 10))
+
+    def test_hole_excludes(self):
+        donut = [sq(0, 0, 10)[0], sq(0, 0, 4)[0]]
+        assert not inter(donut, sq(0, 0, 2))       # inside the hole
+        assert inter(donut, sq(0, 0, 5))           # crosses the hole ring
+        assert inter(donut, sq(7, 0, 1))           # in the annulus
+        assert inter(sq(0, 0, 2), [donut[0]])      # same outer, no hole
+
+    def test_hole_boundary_touch(self):
+        donut = [sq(0, 0, 10)[0], sq(0, 0, 4)[0]]
+        # square touching the hole ring from inside the hole: boundary
+        # contact with the hole ring IS contact with the polygon
+        assert inter(donut, sq(0, 0, 4))
+
+    def test_symmetry(self):
+        a, b = tri((0, 0), (8, 0), (0, 8)), sq(3, 3, 1)
+        assert inter(a, b) == inter(b, a)
+
+    def test_degenerate_ring_raises(self):
+        with pytest.raises(overlay.OverlayError):
+            inter([[[0, 0], [1, 1]]], sq(0, 0, 1))
+
+
+# --- independent oracle: separating-axis theorem for convex polygons ----
+
+
+def _sat_intersects(pa, pb) -> bool:
+    """Closed-set intersection of two CONVEX integer polygons (CCW):
+    they are disjoint iff some edge normal strictly separates them."""
+    def axes(poly):
+        n = len(poly)
+        for i in range(n):
+            (x1, y1), (x2, y2) = poly[i], poly[(i + 1) % n]
+            yield (y1 - y2, x2 - x1)  # outward-facing normal (CCW)
+
+    for poly, other in ((pa, pb), (pb, pa)):
+        for ax, ay in axes(poly):
+            pr_a = [ax * x + ay * y for x, y in poly]
+            pr_b = [ax * x + ay * y for x, y in other]
+            if max(pr_a) < min(pr_b) or max(pr_b) < min(pr_a):
+                return False
+    return True
+
+
+def _rand_convex(rng, cx, cy, spread):
+    pts = {(int(rng.integers(cx - spread, cx + spread + 1)),
+            int(rng.integers(cy - spread, cy + spread + 1)))
+           for _ in range(8)}
+    pts = sorted(pts)
+    if len(pts) < 3:
+        return None
+    arr = np.array(pts, dtype=float)
+    idx = overlay._chain(arr[:, 0], arr[:, 1])
+    hull = [pts[i] for i in idx]
+    if len(hull) < 3:
+        return None
+    return hull
+
+
+def test_predicate_vs_sat_random():
+    rng = np.random.default_rng(42)
+    n_checked = 0
+    for _ in range(400):
+        a = _rand_convex(rng, 0, 0, int(rng.integers(2, 12)))
+        b = _rand_convex(rng, int(rng.integers(-14, 15)),
+                         int(rng.integers(-14, 15)), int(rng.integers(2, 12)))
+        if a is None or b is None:
+            continue
+        got = inter([ [list(v) for v in a] ], [ [list(v) for v in b] ])
+        want = _sat_intersects(a, b)
+        assert got == want, (a, b)
+        n_checked += 1
+    assert n_checked > 300
+
+
+# --- Spark-side tests ---------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def polys(spark):
+    hole_poly = [sq(20.0, 20.0, 10.0)[0], sq(20.0, 20.0, 2.0)[0]]
+    left = spark.createDataFrame(
+        [(1, sq(5.0, 5.0, 1.0)), (2, sq(50.0, 50.0, 1.0)),
+         (3, sq(20.0, 20.0, 4.0)), (4, sq(20.0, 20.0, 1.0)),
+         (5, sq(13.0, 20.0, 3.0))],
+        "l_id int, rings array<array<array<double>>>")
+    right = spark.createDataFrame(
+        [(100, sq(5.5, 5.5, 1.0)), (200, hole_poly)],
+        "r_id int, rings array<array<array<double>>>")
+    return left, right
+
+
+class TestPolygonJoin:
+    def test_pairs(self, spark, polys):
+        left, right = polys
+        out = overlay.polygon_join(left, right, cell_size=8.0)
+        got = sorted((r.l_id, r.r_id) for r in out.collect())
+        # 3 crosses the hole ring; 4 sits inside the hole (no hit);
+        # 5 lies in the annulus interior; 2 is far away
+        assert got == [(1, 100), (3, 200), (5, 200)]
+
+    def test_layout_independence(self, spark, polys):
+        left, right = polys
+        a = overlay.polygon_join(left.repartition(7), right, cell_size=4.0)
+        b = overlay.polygon_join(left.coalesce(1), right.coalesce(1),
+                                 cell_size=32.0)
+        assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+    def test_plan_shape(self, spark, polys):
+        left, right = polys
+        plan = overlay.polygon_join(left, right, cell_size=8.0) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_max_cells_refusal(self, spark, polys):
+        left, right = polys
+        with pytest.raises(Exception, match="max_cells"):
+            overlay.polygon_join(left, right, cell_size=0.25,
+                                 max_cells=2).collect()
+
+
+def _brute_hull_edges(pts):
+    """Directed minimal hull edges by the all-points-left predicate —
+    the DuckDB oracle's definition, reimplemented independently."""
+    edges = []
+    for a in pts:
+        for b in pts:
+            if a == b:
+                continue
+            ok = True
+            for p in pts:
+                if p in (a, b):
+                    continue
+                cr = ((b[0] - a[0]) * (p[1] - a[1])
+                      - (b[1] - a[1]) * (p[0] - a[0]))
+                if cr > 0:
+                    continue
+                if cr == 0 and not (
+                        min(a[0], b[0]) <= p[0] <= max(a[0], b[0])
+                        and min(a[1], b[1]) <= p[1] <= max(a[1], b[1])):
+                    continue
+                ok = False
+                break
+            if ok:
+                edges.append((a, b))
+    return edges
+
+
+class TestConvexHull:
+    def test_vs_brute(self, spark):
+        rng = np.random.default_rng(7)
+        rows = [(int(g), float(rng.integers(0, 50)), float(rng.integers(0, 50)))
+                for g in range(4) for _ in range(40)]
+        df = spark.createDataFrame(rows, "grp int, x double, y double")
+        out = overlay.convex_hull(df, by=["grp"]).collect()
+        for g in range(4):
+            pts = {(int(x), int(y)) for gg, x, y in rows if gg == g}
+            edges = _brute_hull_edges(sorted(pts))
+            want_v = sorted({e[0] for e in edges})
+            want_area2 = sum(a[0] * b[1] - b[0] * a[1] for a, b in edges)
+            got = [r for r in out if r.grp == g]
+            assert sorted((int(r.x), int(r.y)) for r in got) == want_v
+            assert all(r.hull_n == len(want_v) for r in got)
+            assert all(int(r.hull_area2) == want_area2 for r in got)
+
+    def test_collinear_points_are_vertices(self, spark):
+        df = spark.createDataFrame(
+            [(0, 0.0, 0.0), (0, 2.0, 0.0), (0, 4.0, 0.0),
+             (0, 4.0, 4.0), (0, 0.0, 4.0)],
+            "grp int, x double, y double")
+        got = sorted((r.x, r.y) for r in
+                     overlay.convex_hull(df, by=["grp"]).collect())
+        assert (2.0, 0.0) in got and len(got) == 5
+
+    def test_layout_independence(self, spark):
+        rng = np.random.default_rng(3)
+        rows = [(0, float(rng.integers(0, 100)), float(rng.integers(0, 100)))
+                for _ in range(300)]
+        df = spark.createDataFrame(rows, "grp int, x double, y double")
+        a = overlay.convex_hull(df.repartition(13), by=["grp"]).collect()
+        b = overlay.convex_hull(df.coalesce(1), by=["grp"]).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+    def test_global_hull_no_groups(self, spark):
+        df = spark.createDataFrame(
+            [(0.0, 0.0), (9.0, 0.0), (9.0, 9.0), (0.0, 9.0), (4.0, 4.0)],
+            "x double, y double")
+        got = overlay.convex_hull(df).collect()
+        assert len(got) == 4 and got[0].hull_area2 == 162.0
+
+    def test_duplicates_collapse(self, spark):
+        df = spark.createDataFrame(
+            [(0, 0.0, 0.0)] * 5 + [(0, 3.0, 0.0)] * 3 + [(0, 0.0, 3.0)],
+            "grp int, x double, y double")
+        got = overlay.convex_hull(df, by=["grp"]).collect()
+        assert len(got) == 3
+
+
+def _dp_recursive(pts, eps2_num):
+    """Independent recursive DP in exact Python ints."""
+    def rec(lo, hi, keep):
+        if hi - lo < 2:
+            return
+        ax, ay = pts[lo]
+        bx, by = pts[hi]
+        dx, dy = bx - ax, by - ay
+        len2 = dx * dx + dy * dy
+        best, best_d2 = None, None
+        for i in range(lo + 1, hi):
+            px, py = pts[i]
+            cr = dx * (py - ay) - dy * (px - ax)
+            d2 = cr * cr
+            if len2 == 0:
+                d2 = (px - ax) ** 2 + (py - ay) ** 2
+                far = d2 > eps2_num
+            else:
+                far = d2 > eps2_num * len2
+            if far and (best_d2 is None or d2 > best_d2):
+                best, best_d2 = i, d2
+        if best is not None:
+            keep.add(best)
+            rec(lo, best, keep)
+            rec(best, hi, keep)
+
+    keep = {0, len(pts) - 1}
+    rec(0, len(pts) - 1, keep)
+    return sorted(keep)
+
+
+class TestSimplify:
+    def test_vs_recursive_twin(self, spark):
+        rng = np.random.default_rng(11)
+        rows = []
+        for line in range(6):
+            for i in range(80):
+                rows.append((line, i, float(rng.integers(-500, 501)),
+                             float(rng.integers(-500, 501))))
+        df = spark.createDataFrame(rows, "line_id int, seq int, x double, y double")
+        out = overlay.simplify_lines(df, eps=40.0)
+        got = {(r.line_id, r.seq) for r in out.collect()}
+        for line in range(6):
+            pts = [(int(x), int(y)) for l, i, x, y in rows if l == line]
+            want = _dp_recursive(pts, 1600)
+            assert {s for l, s in got if l == line} == set(want)
+
+    def test_tiebreak_smallest_seq(self, spark):
+        # two symmetric spikes of identical distance: the SMALLER seq
+        # must be chosen first (then the other survives recursion)
+        rows = [(0, 0, 0.0, 0.0), (0, 1, 2.0, 10.0), (0, 2, 4.0, 0.0),
+                (0, 3, 6.0, -10.0), (0, 4, 8.0, 0.0)]
+        df = spark.createDataFrame(rows, "line_id int, seq int, x double, y double")
+        got = sorted(r.seq for r in overlay.simplify_lines(df, eps=3.0).collect())
+        assert got == [0, 1, 2, 3, 4] or got == [0, 1, 3, 4]
+        # exact expectation from the twin
+        want = _dp_recursive([(0, 0), (2, 10), (4, 0), (6, -10), (8, 0)], 9)
+        assert got == want
+
+    def test_endpoints_only_at_large_eps(self, spark):
+        rows = [(0, i, float(i), float((i % 3) - 1)) for i in range(50)]
+        df = spark.createDataFrame(rows, "line_id int, seq int, x double, y double")
+        got = sorted(r.seq for r in overlay.simplify_lines(df, eps=100.0).collect())
+        assert got == [0, 49]
+
+    def test_eps_contract(self, spark):
+        df = spark.createDataFrame([(0, 0, 0.0, 0.0)],
+                                   "line_id int, seq int, x double, y double")
+        with pytest.raises(overlay.OverlayError):
+            overlay.simplify_lines(df, eps=2.5)
+        # integral eps² passes (sqrt(2) grid diagonals are fine too)
+        overlay.simplify_lines(df, eps=2.0).collect()
