@@ -5830,6 +5830,108 @@ UNION SELECT l_id, r_id FROM rin
 """
 
 
+def q_overlay_join_broadcast(spark, sf_dir):
+    """operators/overlay.polygon_join_broadcast: the shuffle-FREE twin
+    of overlay_join for a dimension-sized right side — right polygons
+    collect to a driver grid index that ships in the mapInPandas
+    closure, every left partition resolves locally, ZERO exchanges
+    (plan pinned in tests). Same fixture and the same full SQL oracle
+    as overlay_join: the two physical strategies must agree row-for-
+    row, which is itself the strongest cross-check of both."""
+    _ship_package(spark)
+    from opentopodata_spark.operators import overlay
+
+    return overlay.polygon_join_broadcast(
+        _overlay_left(spark, sf_dir), _overlay_right(spark, sf_dir),
+        cell_size=64.0,
+    )
+
+
+def q_polygon_metrics(spark, sf_dir):
+    """operators/overlay.polygon_metrics: per-polygon area / perimeter
+    / centroid over rings-with-holes as PURE column expressions
+    (aggregate/transform HOFs — zero UDF, zero exchange, whole-stage
+    codegen; the 10^12-row path is a scan). Fixture: concave
+    L-hexagons (part) ∪ squares-with-holes (customer). Oracle:
+    closed-form metrics from the same integer derivations — area
+    3ab / 4r²−4h², perimeter 4a+4b / 8r+8h, centroid (cx+5a/6,
+    cy+5b/6) / (dx, dy) — never touching the ring arrays, so any
+    construction or HOF defect shows as a mismatch."""
+    _ship_package(spark)
+    from opentopodata_spark.operators import overlay
+
+    lhex = _overlay_left(spark, sf_dir).selectExpr(
+        "concat('P', l_id) AS poly_id", "rings")
+    holed = _overlay_right(spark, sf_dir).selectExpr(
+        "concat('C', r_id) AS poly_id", "rings")
+    return overlay.polygon_metrics(lhex.unionByName(holed))
+
+
+_Q_POLYGON_METRICS_SQL = """
+WITH lp AS (
+  SELECT p_partkey AS id,
+         (p_partkey*131) % 2001 AS cx, (p_partkey*197) % 2001 AS cy,
+         p_partkey % 13 + 6 AS a, p_partkey % 19 + 6 AS b
+  FROM part WHERE p_partkey % 7 = 0),
+rp AS (
+  SELECT c_custkey AS id,
+         (c_custkey*241) % 2001 AS dx, (c_custkey*311) % 2001 AS dy,
+         c_custkey % 29 + 10 AS r, (c_custkey % 29 + 10) // 3 AS h,
+         c_custkey % 3 = 0 AS holed
+  FROM customer WHERE c_custkey % 5 = 0)
+SELECT concat('P', id) AS poly_id,
+       CAST(3*a*b AS DOUBLE) AS area,
+       CAST(4*a + 4*b AS DOUBLE) AS perimeter,
+       round(cx + 5*a/6.0, 6) AS cx,
+       round(cy + 5*b/6.0, 6) AS cy
+FROM lp
+UNION ALL
+SELECT concat('C', id) AS poly_id,
+       CAST(4*r*r - CASE WHEN holed THEN 4*h*h ELSE 0 END AS DOUBLE) AS area,
+       CAST(8*r + CASE WHEN holed THEN 8*h ELSE 0 END AS DOUBLE) AS perimeter,
+       CAST(dx AS DOUBLE) AS cx, CAST(dy AS DOUBLE) AS cy
+FROM rp
+"""
+
+
+def q_polygon_clip(spark, sf_dir):
+    """operators/overlay.clip_polygons: Sutherland–Hodgman clip of the
+    concave L-hexagons against a fixed convex window (per-ring S-H in
+    a mapInPandas batch, holes subtract; zero joins). Oracle: the
+    L-hexagon is the disjoint union of two axis-aligned rectangles, so
+    the clipped area is two exact interval-overlap products — computed
+    in SQL straight from the integer derivation, independent of the
+    S-H sweep. Only clip_area is contracted (the clipped ring's bbox
+    is sensitive to S-H's zero-area bridge slivers by design)."""
+    _ship_package(spark)
+    from opentopodata_spark.operators import overlay
+
+    window = [[200.0, 150.0], [1800.0, 150.0], [1800.0, 1850.0],
+              [200.0, 1850.0]]
+    out = overlay.clip_polygons(
+        _overlay_left(spark, sf_dir), window, poly_id="l_id")
+    return out.select("l_id", "clip_area")
+
+
+_Q_POLYGON_CLIP_SQL = """
+WITH lp AS (
+  SELECT p_partkey AS l_id,
+         (p_partkey*131) % 2001 AS cx, (p_partkey*197) % 2001 AS cy,
+         p_partkey % 13 + 6 AS a, p_partkey % 19 + 6 AS b
+  FROM part WHERE p_partkey % 7 = 0),
+ov AS (
+  SELECT l_id,
+    greatest(0, least(cx + 2*a, 1800) - greatest(cx, 200))
+      * greatest(0, least(cy + b, 1850) - greatest(cy, 150))
+    + greatest(0, least(cx + a, 1800) - greatest(cx, 200))
+      * greatest(0, least(cy + 2*b, 1850) - greatest(cy + b, 150))
+    AS clip_area
+  FROM lp)
+SELECT l_id, CAST(clip_area AS DOUBLE) AS clip_area
+FROM ov WHERE clip_area > 0
+"""
+
+
 def q_convex_hull(spark, sf_dir):
     """operators/overlay.convex_hull: distributed per-group hull —
     per-partition keep-collinear monotone chains (mapInPandas, no
@@ -6042,6 +6144,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- new in r4 --
         "overlay_join": q_overlay_join,
+        "overlay_join_broadcast": q_overlay_join_broadcast,
+        "polygon_metrics": q_polygon_metrics,
+        "polygon_clip": q_polygon_clip,
         "convex_hull": q_convex_hull,
         "line_simplify": q_line_simplify,
         "vector_ingest": q_vector_ingest,
@@ -6178,6 +6283,9 @@ def oracle_sql() -> dict[str, str]:
         "token_stats": _Q_TOKEN_SQL,
         "dsir_select": _dsir_sql(),
         "overlay_join": _Q_OVERLAY_SQL,
+        "overlay_join_broadcast": _Q_OVERLAY_SQL,
+        "polygon_metrics": _Q_POLYGON_METRICS_SQL,
+        "polygon_clip": _Q_POLYGON_CLIP_SQL,
         "convex_hull": _Q_HULL_SQL,
         "line_simplify": _Q_SIMPLIFY_SQL,
         "vector_ingest": _vector_ingest_sql(),

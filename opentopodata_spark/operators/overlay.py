@@ -264,6 +264,257 @@ def polygon_join(
     return out
 
 
+def polygon_join_broadcast(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str = "l_id",
+    right_id: str = "r_id",
+    rings: str = "rings",
+    *,
+    cell_size: float = 256.0,
+    max_broadcast_rows: int = 100_000,
+) -> DataFrame:
+    """Shuffle-free twin of :func:`polygon_join` for a dimension-sized
+    right side (admin regions, country borders — the common overlay
+    shape at corpus scale): the right polygons collect to the driver
+    (loud ``max_broadcast_rows`` refusal), a cell→candidates grid index
+    ships inside the mapInPandas closure, and every left partition
+    resolves its pairs locally — ZERO exchanges in the plan (pinned in
+    tests).  Same closed-set semantics as polygon_join; equality with
+    the shuffle path is a test invariant."""
+    rrows = right.select(F.col(right_id).alias("_rid"), rings).collect()
+    if len(rrows) > max_broadcast_rows:
+        raise OverlayError(
+            f"polygon_join_broadcast: right side has {len(rrows)} rows "
+            f"(> max_broadcast_rows={max_broadcast_rows}); use polygon_join")
+    r_ids, r_flat, r_bbox = [], [], []
+    grid: dict[tuple[int, int], list[int]] = {}
+    w = float(cell_size)
+    for i, row in enumerate(rrows):
+        rr = row[1]
+        vx = np.array([v[0] for ring in rr for v in ring], dtype=float)
+        vy = np.array([v[1] for ring in rr for v in ring], dtype=float)
+        rs = [len(ring) for ring in rr]
+        r_ids.append(row[0])
+        r_flat.append((vx, vy, rs))
+        bb = (vx.min(), vx.max(), vy.min(), vy.max())
+        r_bbox.append(bb)
+        for cx in range(int(np.floor(bb[0] / w)), int(np.floor(bb[1] / w)) + 1):
+            for cy in range(int(np.floor(bb[2] / w)),
+                            int(np.floor(bb[3] / w)) + 1):
+                grid.setdefault((cx, cy), []).append(i)
+
+    id_t = dict(left.dtypes)[left_id]
+    rid_t = dict(right.dtypes)[right_id]
+    schema = f"`{left_id}` {id_t}, `{right_id}` {rid_t}"
+    lf = _flatten_rings(
+        left.select(F.col(left_id).alias("_lid"), rings), rings, "_l")
+
+    def resolve(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out_l, out_r = [], []
+            for row in pdf.itertuples(index=False):
+                lvx = np.asarray(row[1], dtype=float)
+                lvy = np.asarray(row[2], dtype=float)
+                lrs = list(row[3])
+                bb = (lvx.min(), lvx.max(), lvy.min(), lvy.max())
+                cands: set[int] = set()
+                for cx in range(int(np.floor(bb[0] / w)),
+                                int(np.floor(bb[1] / w)) + 1):
+                    for cy in range(int(np.floor(bb[2] / w)),
+                                    int(np.floor(bb[3] / w)) + 1):
+                        cands.update(grid.get((cx, cy), ()))
+                for i in sorted(cands):
+                    rb = r_bbox[i]
+                    if bb[0] > rb[1] or rb[0] > bb[1] \
+                            or bb[2] > rb[3] or rb[2] > bb[3]:
+                        continue
+                    rvx, rvy, rrs = r_flat[i]
+                    if polygons_intersect(lvx, lvy, lrs, rvx, rvy, rrs):
+                        out_l.append(row[0])
+                        out_r.append(r_ids[i])
+            yield pd.DataFrame({left_id: out_l, right_id: out_r})
+
+    sel = lf.select(F.col("_lid").alias("_0"), F.col("_lvx").alias("_1"),
+                    F.col("_lvy").alias("_2"), F.col("_lrs").alias("_3"))
+    return sel.mapInPandas(resolve, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# polygon metrics — pure column expressions, zero Python, zero shuffle
+# ---------------------------------------------------------------------------
+
+
+def polygon_metrics(df: DataFrame, poly_id: str = "poly_id",
+                    rings: str = "rings", decimals: int = 6) -> DataFrame:
+    """(poly_id, area, perimeter, cx, cy) per polygon-with-holes —
+    entirely whole-stage-codegen column expressions (aggregate/transform
+    HOFs): no UDF, no exchange, scan-wide throughput at 10^12 rows.
+
+    area: |shoelace(outer)| − Σ|shoelace(hole)| (orientation-free);
+    perimeter: all rings (holes included, the OGC convention);
+    centroid: ring-area-weighted, holes subtract.  Results rounded to
+    ``decimals`` so the cross-engine compare is ULP-robust."""
+    ring_cross = (
+        "transform({r}, (v, i) -> v[0] * element_at({r}, "
+        "CAST((i+1) % size({r}) AS INT) + 1)[1] - element_at({r}, "
+        "CAST((i+1) % size({r}) AS INT) + 1)[0] * v[1])"
+    )
+    ring_a2 = ("aggregate(" + ring_cross + ", CAST(0.0 AS DOUBLE),"
+               " (acc, c) -> acc + c)")
+
+    def per_ring(expr: str) -> str:
+        # expr uses {r} for the ring; evaluates it per ring
+        return "transform(" + "{rings}" + ", r0 -> " + \
+            expr.replace("{r}", "r0") + ")"
+
+    a2s = per_ring(ring_a2).format(rings=rings)
+    # ring centroid numerators Σ(x_i+x_j)·cross_i and Σ(y_i+y_j)·cross_i
+    _nxt = "element_at({r}, CAST((i+1) % size({r}) AS INT) + 1)"
+    _cross_i = f"(v[0] * {_nxt}[1] - {_nxt}[0] * v[1])"
+    ring_cx_num = (
+        "aggregate(transform({r}, (v, i) -> "
+        f"(v[0] + {_nxt}[0]) * {_cross_i}), "
+        "CAST(0.0 AS DOUBLE), (acc, c) -> acc + c)")
+    ring_cy_num = (
+        "aggregate(transform({r}, (v, i) -> "
+        f"(v[1] + {_nxt}[1]) * {_cross_i}), "
+        "CAST(0.0 AS DOUBLE), (acc, c) -> acc + c)")
+    cxs = per_ring(ring_cx_num).format(rings=rings)
+    cys = per_ring(ring_cy_num).format(rings=rings)
+    ring_per = (
+        "aggregate(transform({r}, (v, i) -> sqrt("
+        "pow(v[0] - element_at({r}, CAST((i+1) % size({r}) AS INT) + 1)[0], 2)"
+        " + pow(v[1] - element_at({r}, CAST((i+1) % size({r}) AS INT) + 1)[1],"
+        " 2))), CAST(0.0 AS DOUBLE), (acc, c) -> acc + c)")
+    pers = per_ring(ring_per).format(rings=rings)
+
+    out = df.select(
+        F.col(poly_id),
+        F.expr(a2s).alias("_a2"),
+        F.expr(cxs).alias("_cxn"),
+        F.expr(cys).alias("_cyn"),
+        F.expr(pers).alias("_per"),
+    )
+    # signed weight per ring: +|a2| for ring 0, −|a2| for holes; ring
+    # centroid = num / (3·a2) (orientation cancels)
+    out = out.selectExpr(
+        poly_id,
+        "aggregate(transform(_a2, (a, i) -> CASE WHEN i = 0 THEN abs(a) "
+        "ELSE -abs(a) END), CAST(0.0 AS DOUBLE), (acc, a) -> acc + a) / 2 "
+        "AS _area",
+        "aggregate(_per, CAST(0.0 AS DOUBLE), (acc, p) -> acc + p) "
+        "AS _perimeter",
+        # Σ_r ±|a2_r| · (num_r / (3·a2_r))  /  Σ_r ±|a2_r|
+        "aggregate(transform(_a2, (a, i) -> (CASE WHEN i = 0 THEN abs(a) "
+        "ELSE -abs(a) END) * (_cxn[i] / (3 * a))), CAST(0.0 AS DOUBLE), "
+        "(acc, v) -> acc + v) AS _cxw",
+        "aggregate(transform(_a2, (a, i) -> (CASE WHEN i = 0 THEN abs(a) "
+        "ELSE -abs(a) END) * (_cyn[i] / (3 * a))), CAST(0.0 AS DOUBLE), "
+        "(acc, v) -> acc + v) AS _cyw",
+        "aggregate(transform(_a2, (a, i) -> CASE WHEN i = 0 THEN abs(a) "
+        "ELSE -abs(a) END), CAST(0.0 AS DOUBLE), (acc, a) -> acc + a) "
+        "AS _w2",
+    )
+    d = decimals
+    return out.select(
+        F.col(poly_id),
+        F.round("_area", d).alias("area"),
+        F.round("_perimeter", d).alias("perimeter"),
+        F.round(F.col("_cxw") / F.col("_w2"), d).alias("cx"),
+        F.round(F.col("_cyw") / F.col("_w2"), d).alias("cy"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sutherland–Hodgman clip against a convex window
+# ---------------------------------------------------------------------------
+
+
+def _clip_ring(rx: np.ndarray, ry: np.ndarray, clip: list) -> tuple:
+    """Clip one ring against a convex CCW clip polygon; returns
+    (xs, ys) arrays of the clipped ring (possibly empty)."""
+    n = len(clip)
+    for i in range(n):
+        if not len(rx):
+            break
+        ax, ay = clip[i]
+        bx, by = clip[(i + 1) % n]
+        ex, ey = bx - ax, by - ay
+        d = ex * (ry - ay) - ey * (rx - ax)   # >=0: inside half-plane
+        nx, ny = [], []
+        m = len(rx)
+        for j in range(m):
+            k = (j + 1) % m
+            cur_in, nxt_in = d[j] >= 0, d[k] >= 0
+            if cur_in:
+                nx.append(rx[j])
+                ny.append(ry[j])
+            if cur_in != nxt_in:
+                t = d[j] / (d[j] - d[k])
+                nx.append(rx[j] + t * (rx[k] - rx[j]))
+                ny.append(ry[j] + t * (ry[k] - ry[j]))
+        rx = np.asarray(nx, dtype=float)
+        ry = np.asarray(ny, dtype=float)
+        d = None
+    return rx, ry
+
+
+def _shoelace2(xs: np.ndarray, ys: np.ndarray) -> float:
+    if len(xs) < 3:
+        return 0.0
+    return float(np.sum(xs * np.roll(ys, -1) - np.roll(xs, -1) * ys))
+
+
+def clip_polygons(df: DataFrame, clip: list, poly_id: str = "poly_id",
+                  rings: str = "rings", decimals: int = 6) -> DataFrame:
+    """Clip every polygon to a convex window (Sutherland–Hodgman per
+    ring; holes clip independently and subtract — valid because a hole
+    stays inside its outer, so area(clip∩poly) = area(clip∩outer) −
+    Σ area(clip∩hole)).  Emits only polygons with positive clipped
+    area: (poly_id, clip_area, xmin, xmax, ymin, ymax of the clipped
+    outer).  ``clip``: [[x, y], …] convex, CCW, driver-side (a clip
+    window is O(1) — it ships in the UDF closure, no join)."""
+    cl = [(float(x), float(y)) for x, y in clip]
+    if len(cl) < 3:
+        raise OverlayError("clip window needs >= 3 vertices")
+    if _shoelace2(np.array([p[0] for p in cl]),
+                  np.array([p[1] for p in cl])) <= 0:
+        raise OverlayError("clip window must be convex CCW (got area <= 0)")
+    id_t = dict(df.dtypes)[poly_id]
+    schema = (f"`{poly_id}` {id_t}, clip_area double, xmin double, "
+              "xmax double, ymin double, ymax double")
+    d = decimals
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, areas, x0s, x1s, y0s, y1s = [], [], [], [], [], []
+            for row in pdf.itertuples(index=False):
+                rr = row[1]
+                area2 = 0.0
+                outer = None
+                for ri, ring in enumerate(rr):
+                    rx = np.array([v[0] for v in ring], dtype=float)
+                    ry = np.array([v[1] for v in ring], dtype=float)
+                    cx, cy = _clip_ring(rx, ry, cl)
+                    a2 = abs(_shoelace2(cx, cy))
+                    area2 += a2 if ri == 0 else -a2
+                    if ri == 0:
+                        outer = (cx, cy)
+                if area2 > 0 and outer is not None and len(outer[0]):
+                    ids.append(row[0])
+                    areas.append(round(area2 / 2.0, d))
+                    x0s.append(round(float(outer[0].min()), d))
+                    x1s.append(round(float(outer[0].max()), d))
+                    y0s.append(round(float(outer[1].min()), d))
+                    y1s.append(round(float(outer[1].max()), d))
+            yield pd.DataFrame({poly_id: ids, "clip_area": areas,
+                                "xmin": x0s, "xmax": x1s,
+                                "ymin": y0s, "ymax": y1s})
+
+    return df.select(poly_id, rings).mapInPandas(run, schema=schema)
+
+
 # ---------------------------------------------------------------------------
 # convex hull (distributed, keep-collinear — boundary points are vertices)
 # ---------------------------------------------------------------------------

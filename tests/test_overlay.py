@@ -177,6 +177,178 @@ class TestPolygonJoin:
                                  max_cells=2).collect()
 
 
+class TestBroadcastJoin:
+    def test_equals_shuffle_path(self, spark):
+        rng = np.random.default_rng(5)
+        lrows, rrows = [], []
+        for i in range(60):
+            h = _rand_convex(rng, int(rng.integers(0, 200)),
+                             int(rng.integers(0, 200)), int(rng.integers(2, 20)))
+            if h is None:
+                continue
+            lrows.append((i, [[[float(x), float(y)] for x, y in h]]))
+        for i in range(25):
+            h = _rand_convex(rng, int(rng.integers(0, 200)),
+                             int(rng.integers(0, 200)), int(rng.integers(2, 25)))
+            if h is None:
+                continue
+            rrows.append((i, [[[float(x), float(y)] for x, y in h]]))
+        schema = "l_id int, rings array<array<array<double>>>"
+        left = spark.createDataFrame(lrows, schema)
+        right = spark.createDataFrame(
+            rrows, "r_id int, rings array<array<array<double>>>")
+        a = sorted(map(tuple,
+                       overlay.polygon_join(left, right, cell_size=32.0).collect()))
+        b = sorted(map(tuple, overlay.polygon_join_broadcast(
+            left.repartition(5), right, cell_size=48.0).collect()))
+        assert a == b and len(a) > 0
+
+    def test_no_exchange_in_plan(self, spark, polys):
+        left, right = polys
+        plan = overlay.polygon_join_broadcast(left, right, cell_size=8.0) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+
+    def test_broadcast_cap_refusal(self, spark, polys):
+        left, right = polys
+        with pytest.raises(overlay.OverlayError, match="max_broadcast_rows"):
+            overlay.polygon_join_broadcast(left, right, max_broadcast_rows=1)
+
+
+class TestPolygonMetrics:
+    def test_l_shape_and_holes(self, spark):
+        Lhex = [[[0.0, 0.0], [12.0, 0.0], [12.0, 5.0],
+                 [6.0, 5.0], [6.0, 10.0], [0.0, 10.0]]]
+        holed = [sq(10.0, 10.0, 6.0)[0], sq(10.0, 10.0, 2.0)[0]]
+        df = spark.createDataFrame(
+            [("L", Lhex), ("H", holed)],
+            "poly_id string, rings array<array<array<double>>>")
+        got = {r.poly_id: r for r in overlay.polygon_metrics(df).collect()}
+        assert (got["L"].area, got["L"].perimeter) == (90.0, 44.0)
+        assert (got["L"].cx, got["L"].cy) == (5.0, round(25 / 6, 6))
+        assert (got["H"].area, got["H"].perimeter) == (128.0, 64.0)
+        assert (got["H"].cx, got["H"].cy) == (10.0, 10.0)
+
+    def test_orientation_independent(self, spark):
+        cw = [[[0.0, 0.0], [0.0, 4.0], [4.0, 4.0], [4.0, 0.0]]]
+        ccw = [[[0.0, 0.0], [4.0, 0.0], [4.0, 4.0], [0.0, 4.0]]]
+        df = spark.createDataFrame(
+            [("cw", cw), ("ccw", ccw)],
+            "poly_id string, rings array<array<array<double>>>")
+        got = {r.poly_id: r for r in overlay.polygon_metrics(df).collect()}
+        for k in ("cw", "ccw"):
+            r = got[k]
+            assert (r.area, r.perimeter, r.cx, r.cy) == (16.0, 16.0, 2.0, 2.0)
+
+    def test_no_exchange_no_udf(self, spark):
+        df = spark.createDataFrame(
+            [("a", sq(0.0, 0.0, 1.0))],
+            "poly_id string, rings array<array<array<double>>>")
+        plan = overlay.polygon_metrics(df) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def _convex_clip_area_independent(subject, window):
+    """Intersection area of two convex polygons by the candidate-vertex
+    method (vertices-inside + pairwise edge intersections -> hull ->
+    shoelace) — a different algorithm from Sutherland–Hodgman."""
+    def inside(pt, poly):
+        n = len(poly)
+        for i in range(n):
+            ax, ay = poly[i]
+            bx, by = poly[(i + 1) % n]
+            if (bx - ax) * (pt[1] - ay) - (by - ay) * (pt[0] - ax) < -1e-12:
+                return False
+        return True
+
+    cands = [p for p in subject if inside(p, window)]
+    cands += [p for p in window if inside(p, subject)]
+    ns, nw = len(subject), len(window)
+    for i in range(ns):
+        p1, p2 = subject[i], subject[(i + 1) % ns]
+        for j in range(nw):
+            q1, q2 = window[j], window[(j + 1) % nw]
+            d = ((p2[0] - p1[0]) * (q2[1] - q1[1])
+                 - (p2[1] - p1[1]) * (q2[0] - q1[0]))
+            if d == 0:
+                continue
+            t = ((q1[0] - p1[0]) * (q2[1] - q1[1])
+                 - (q1[1] - p1[1]) * (q2[0] - q1[0])) / d
+            u = ((q1[0] - p1[0]) * (p2[1] - p1[1])
+                 - (q1[1] - p1[1]) * (p2[0] - p1[0])) / d
+            if -1e-12 <= t <= 1 + 1e-12 and -1e-12 <= u <= 1 + 1e-12:
+                cands.append((p1[0] + t * (p2[0] - p1[0]),
+                              p1[1] + t * (p2[1] - p1[1])))
+    if len(cands) < 3:
+        return 0.0
+    arr = np.array(sorted(set((round(x, 9), round(y, 9)) for x, y in cands)),
+                   dtype=float)
+    if len(arr) < 3:
+        return 0.0
+    idx = overlay._chain(arr[:, 0], arr[:, 1])
+    hull = arr[idx]
+    return abs(overlay._shoelace2(hull[:, 0], hull[:, 1])) / 2.0
+
+
+class TestClip:
+    WINDOW = [[2.0, 1.0], [9.0, 2.0], [10.0, 8.0], [3.0, 9.0]]
+
+    def test_convex_vs_independent(self, spark):
+        rng = np.random.default_rng(19)
+        rows, want = [], {}
+        for i in range(40):
+            h = _rand_convex(rng, int(rng.integers(0, 14)),
+                             int(rng.integers(0, 12)), int(rng.integers(2, 8)))
+            if h is None:
+                continue
+            rows.append((i, [[[float(x), float(y)] for x, y in h]]))
+            want[i] = _convex_clip_area_independent(
+                [(float(x), float(y)) for x, y in h],
+                [tuple(p) for p in self.WINDOW])
+        df = spark.createDataFrame(
+            rows, "poly_id int, rings array<array<array<double>>>")
+        got = {r.poly_id: r.clip_area for r in
+               overlay.clip_polygons(df, self.WINDOW).collect()}
+        for i, area in want.items():
+            if area > 1e-9:
+                assert i in got and abs(got[i] - area) < 1e-6, i
+            else:
+                assert i not in got, i
+
+    def test_concave_rectilinear(self, spark):
+        Lhex = [[[0.0, 0.0], [12.0, 0.0], [12.0, 5.0],
+                 [6.0, 5.0], [6.0, 10.0], [0.0, 10.0]]]
+        window = [[3.0, 2.0], [20.0, 2.0], [20.0, 20.0], [3.0, 20.0]]
+        df = spark.createDataFrame(
+            [("L", Lhex)], "poly_id string, rings array<array<array<double>>>")
+        got = overlay.clip_polygons(df, window).collect()[0]
+        # [3,12]x[2,5] = 27  plus  [3,6]x[5,10] = 15
+        assert got.clip_area == 42.0
+
+    def test_hole_subtracts(self, spark):
+        holed = [sq(5.0, 5.0, 4.0)[0], sq(5.0, 5.0, 1.0)[0]]
+        window = [[0.0, 0.0], [5.0, 0.0], [5.0, 12.0], [0.0, 12.0]]
+        df = spark.createDataFrame(
+            [("H", holed)], "poly_id string, rings array<array<array<double>>>")
+        got = overlay.clip_polygons(df, window).collect()[0]
+        # left half of the donut: outer 4x8=32 minus half the hole 2
+        assert got.clip_area == 30.0
+
+    def test_outside_dropped_and_refusals(self, spark):
+        df = spark.createDataFrame(
+            [("far", sq(100.0, 100.0, 2.0))],
+            "poly_id string, rings array<array<array<double>>>")
+        window = [[0.0, 0.0], [10.0, 0.0], [10.0, 10.0], [0.0, 10.0]]
+        assert overlay.clip_polygons(df, window).count() == 0
+        with pytest.raises(overlay.OverlayError):
+            overlay.clip_polygons(df, [[0, 0], [1, 0]])
+        with pytest.raises(overlay.OverlayError, match="CCW"):
+            overlay.clip_polygons(df, [[0.0, 0.0], [0.0, 10.0],
+                                       [10.0, 10.0], [10.0, 0.0]])
+
+
 def _brute_hull_edges(pts):
     """Directed minimal hull edges by the all-points-left predicate —
     the DuckDB oracle's definition, reimplemented independently."""
