@@ -9,11 +9,21 @@ of every join in the engine, so there is no Spark session to spin up.
 
   convert   any supported input -> .geojson / .shp / .gpkg
   info      layer summary JSON (feature/geometry counts, bbox, fields)
+  overlay   polygon×polygon 'intersects' join of two layers (Spark —
+            operators/overlay.polygon_join; --broadcast for the
+            shuffle-free path when the right layer is dimension-sized)
+  metrics   per-feature area/perimeter/centroid (Spark, pure codegen
+            expressions — operators/overlay.polygon_metrics)
 
 Usage:
   python -m opentopodata_spark.jobs.vectorio convert \
       --in zones.gpkg [--layer zones] --out zones.shp
   python -m opentopodata_spark.jobs.vectorio info --in zones.shp
+  python -m opentopodata_spark.jobs.vectorio overlay \
+      --left parcels.shp --right admin.gpkg --out pairs.parquet \
+      [--cell-size 256] [--broadcast] [--cores 4]
+  python -m opentopodata_spark.jobs.vectorio metrics \
+      --in zones.gpkg --out metrics.parquet [--cores 4]
 """
 
 from __future__ import annotations
@@ -41,6 +51,27 @@ def build_parser() -> argparse.ArgumentParser:
                    help="output path; format from extension")
     c.add_argument("--out-layer", default="features",
                    help="layer name for .gpkg output")
+
+    o = sub.add_parser("overlay",
+                       help="polygon×polygon intersects join (Spark)")
+    o.add_argument("--left", required=True,
+                   help="left layer .geojson/.json/.shp/.gpkg")
+    o.add_argument("--right", required=True, help="right layer")
+    o.add_argument("--left-layer", default=None)
+    o.add_argument("--right-layer", default=None)
+    o.add_argument("--out", required=True, help="output pairs parquet")
+    o.add_argument("--cell-size", type=float, default=None,
+                   help="bucketing grid width (default: median bbox edge)")
+    o.add_argument("--broadcast", action="store_true",
+                   help="shuffle-free path (right side must be small)")
+    o.add_argument("--cores", type=int, default=4)
+
+    m = sub.add_parser("metrics",
+                       help="per-feature area/perimeter/centroid (Spark)")
+    m.add_argument("--in", dest="src", required=True)
+    m.add_argument("--layer", default=None)
+    m.add_argument("--out", required=True, help="output parquet")
+    m.add_argument("--cores", type=int, default=4)
 
     i = sub.add_parser("info", help="print layer summary JSON")
     i.add_argument("--in", dest="src", required=True)
@@ -88,8 +119,102 @@ def _info(fc: dict) -> dict:
     return out
 
 
+def _polygon_rows(fc: dict, tag: str) -> list[tuple]:
+    """FeatureCollection -> (fid, rings) rows for operators/overlay.
+    GeoJSON rings arrive CLOSED (first == last); overlay wants open
+    rings, so the closing vertex is stripped.  MultiPolygon parts
+    become separate rows (``fid#part``)."""
+    def open_rings(rings):
+        out = []
+        for ring in rings:
+            r = [[float(x), float(y)] for x, y in ring]
+            if len(r) >= 2 and r[0] == r[-1]:
+                r = r[:-1]
+            if len(r) < 3:
+                raise vector.VectorError(
+                    f"{tag}: degenerate ring with < 3 distinct vertices")
+            out.append(r)
+        return out
+
+    rows = []
+    for i, ft in enumerate(fc.get("features", [])):
+        g = ft.get("geometry") or {}
+        fid = str(ft.get("id", i))
+        if g.get("type") == "Polygon":
+            rows.append((fid, open_rings(g["coordinates"])))
+        elif g.get("type") == "MultiPolygon":
+            for pi, part in enumerate(g["coordinates"]):
+                rows.append((f"{fid}#{pi}", open_rings(part)))
+    if not rows:
+        raise vector.VectorError(
+            f"{tag}: no Polygon/MultiPolygon features in the layer")
+    return rows
+
+
+def _default_cell(*rowsets) -> float:
+    """Median bbox long-edge across all features — the replication-
+    minimizing grid width for polygon_join."""
+    edges = []
+    for rows in rowsets:
+        for _, rings in rows:
+            xs = [v[0] for r in rings for v in r]
+            ys = [v[1] for r in rings for v in r]
+            edges.append(max(max(xs) - min(xs), max(ys) - min(ys)))
+    edges.sort()
+    med = edges[len(edges) // 2]
+    return float(med) if med > 0 else 1.0
+
+
+_RINGS_SCHEMA = "fid string, rings array<array<array<double>>>"
+
+
 def run(argv: list[str] | None = None) -> dict:
     ns = build_parser().parse_args(argv)
+
+    if ns.cmd == "overlay":
+        from ..operators import overlay as ov
+        from ..session import get_spark
+
+        lrows = _polygon_rows(
+            vector.load_features(ns.left, layer=ns.left_layer), "left")
+        rrows = _polygon_rows(
+            vector.load_features(ns.right, layer=ns.right_layer), "right")
+        w = ns.cell_size if ns.cell_size else _default_cell(lrows, rrows)
+        spark = get_spark(cores=ns.cores)
+        ldf = spark.createDataFrame(lrows, _RINGS_SCHEMA) \
+            .withColumnRenamed("fid", "left_id")
+        rdf = spark.createDataFrame(rrows, _RINGS_SCHEMA) \
+            .withColumnRenamed("fid", "right_id")
+        if ns.broadcast:
+            out = ov.polygon_join_broadcast(
+                ldf, rdf, "left_id", "right_id", cell_size=w)
+        else:
+            out = ov.polygon_join(ldf, rdf, "left_id", "right_id",
+                                  cell_size=w)
+        out.write.mode("overwrite").parquet(ns.out)
+        n = spark.read.parquet(ns.out).count()
+        stats = {"job": "vectorio-overlay", "left": ns.left,
+                 "right": ns.right, "out": ns.out, "n_pairs": n,
+                 "cell_size": w, "broadcast": bool(ns.broadcast)}
+        print(json.dumps(stats, sort_keys=True))
+        return stats
+
+    if ns.cmd == "metrics":
+        from ..operators import overlay as ov
+        from ..session import get_spark
+
+        rows = _polygon_rows(
+            vector.load_features(ns.src, layer=ns.layer), "in")
+        spark = get_spark(cores=ns.cores)
+        df = spark.createDataFrame(rows, _RINGS_SCHEMA) \
+            .withColumnRenamed("fid", "poly_id")
+        ov.polygon_metrics(df).write.mode("overwrite").parquet(ns.out)
+        n = spark.read.parquet(ns.out).count()
+        stats = {"job": "vectorio-metrics", "src": ns.src, "out": ns.out,
+                 "n_features": n}
+        print(json.dumps(stats, sort_keys=True))
+        return stats
+
     fc = vector.load_features(ns.src, layer=ns.layer)
     if ns.cmd == "info":
         stats = {"job": "vectorio-info", "src": ns.src, **_info(fc)}

@@ -207,6 +207,7 @@ def polygon_join(
     cell_size: float = 256.0,
     on: list[str] | None = None,
     max_cells: int = 4096,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Pairs (left_id, right_id) of polygons whose closed point sets
     intersect (boundary touch counts; holes are even-odd interior).
@@ -222,6 +223,14 @@ def polygon_join(
     then the exact predicate only on surviving candidates.  No
     cartesian, no nested loop, no distinct (plan-shape pinned in
     tests/test_overlay.py).
+
+    ``max_bucket`` (opt-in, one extra aggregate per side): refuse a hot
+    grid cell holding more than this many polygons on EITHER side
+    before the per-cell candidate product goes quadratic — the same
+    loud-refusal discipline as interval_join's ``max_bucket`` and the
+    LSH cap in operators/dedup.py.  A refused cell means cell_size is
+    too coarse for that region's polygon density; shrink it (or salt
+    the dense region upstream).
     """
     on = list(on or [])
     lf = _flatten_rings(
@@ -230,6 +239,19 @@ def polygon_join(
         right.select(F.col(right_id).alias("_rid"), *on, rings), rings, "_r")
     lf = _explode_cells(lf, "_l", cell_size, max_cells)
     rf = _explode_cells(rf, "_r", cell_size, max_cells)
+    if max_bucket is not None:
+        for side in (lf, rf):
+            hot = (
+                side.groupBy(*on, "_cx", "_cy").count()
+                .where(F.col("count") > max_bucket)
+                .select("_cx", "_cy", "count").limit(1).collect()
+            )
+            if hot:
+                r = hot[0]
+                raise OverlayError(
+                    f"polygon_join: grid cell ({r['_cx']}, {r['_cy']}) holds "
+                    f"{r['count']} polygons (> max_bucket={max_bucket}); "
+                    "shrink cell_size or salt the dense region")
 
     cand = lf.join(rf, on + ["_cx", "_cy"])
     # canonical cell: the one containing the top-left (min-x, min-y)

@@ -176,6 +176,17 @@ class TestPolygonJoin:
             overlay.polygon_join(left, right, cell_size=0.25,
                                  max_cells=2).collect()
 
+    def test_max_bucket_refusal_and_pass(self, spark, polys):
+        left, right = polys
+        # one giant cell: all 5 left polygons share it -> refused at 4
+        with pytest.raises(overlay.OverlayError, match="max_bucket"):
+            overlay.polygon_join(left, right, cell_size=1024.0,
+                                 max_bucket=4)
+        ok = overlay.polygon_join(left, right, cell_size=1024.0,
+                                  max_bucket=100)
+        assert sorted((r.l_id, r.r_id) for r in ok.collect()) == \
+            [(1, 100), (3, 200), (5, 200)]
+
 
 class TestBroadcastJoin:
     def test_equals_shuffle_path(self, spark):

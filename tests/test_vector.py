@@ -678,6 +678,62 @@ def test_vectorio_convert_and_info(tmp_path):
                       "--out", str(tmp_path / "c.xyz")])
 
 
+def test_vectorio_overlay_and_metrics(tmp_path, spark):
+    """overlay/metrics subcommands: .shp × .gpkg front door, closed
+    GeoJSON rings opened, MultiPolygon parts exploded, broadcast and
+    shuffle paths agree."""
+    from opentopodata_spark.jobs import vectorio
+    from opentopodata_spark.vector import write_gpkg_features, write_shapefile
+
+    def ring(cx, cy, r):
+        return [[cx - r, cy - r], [cx + r, cy - r], [cx + r, cy + r],
+                [cx - r, cy + r], [cx - r, cy - r]]
+
+    left_fc = {"type": "FeatureCollection", "features": [
+        {"type": "Feature", "id": "a", "properties": {"name": "a"},
+         "geometry": {"type": "Polygon", "coordinates": [ring(0, 0, 2)]}},
+        {"type": "Feature", "id": "b", "properties": {"name": "b"},
+         "geometry": {"type": "MultiPolygon",
+                      "coordinates": [[ring(10, 10, 1)], [ring(50, 50, 1)]]}},
+    ]}
+    right_fc = {"type": "FeatureCollection", "features": [
+        {"type": "Feature", "id": "r1", "properties": {"name": "r1"},
+         "geometry": {"type": "Polygon", "coordinates": [ring(1, 1, 2)]}},
+        {"type": "Feature", "id": "r2", "properties": {"name": "r2"},
+         "geometry": {"type": "Polygon", "coordinates": [ring(49, 49, 2)]}},
+    ]}
+    shp = str(tmp_path / "left.shp")
+    gpk = str(tmp_path / "right.gpkg")
+    write_shapefile(shp, left_fc)
+    write_gpkg_features(gpk, right_fc, layer="zones")
+
+    out = str(tmp_path / "pairs.parquet")
+    stats = vectorio.run(["overlay", "--left", shp, "--right", gpk,
+                          "--right-layer", "zones", "--out", out,
+                          "--cores", "2"])
+    got = sorted(map(tuple, spark.read.parquet(out)
+                     .select("left_id", "right_id").collect()))
+    # square@origin × r1, multipolygon part #1 (50,50) × r2
+    assert stats["n_pairs"] == 2 == len(got)
+    assert sum(1 for l, _ in got if l.endswith("#1")) == 1
+    assert len({r for _, r in got}) == 2
+    bout = str(tmp_path / "pairs_b.parquet")
+    vectorio.run(["overlay", "--left", shp, "--right", gpk,
+                  "--right-layer", "zones", "--out", bout,
+                  "--broadcast", "--cores", "2"])
+    bgot = sorted(map(tuple, spark.read.parquet(bout)
+                      .select("left_id", "right_id").collect()))
+    assert bgot == got
+
+    mout = str(tmp_path / "metrics.parquet")
+    mstats = vectorio.run(["metrics", "--in", shp, "--out", mout,
+                           "--cores", "2"])
+    assert mstats["n_features"] == 3  # 1 polygon + 2 multipolygon parts
+    rows = {r.poly_id: r for r in spark.read.parquet(mout).collect()}
+    assert any(v.area == 16.0 for v in rows.values())  # the 4x4 square
+    assert all(v.perimeter > 0 for v in rows.values())
+
+
 def test_zonal_cli_accepts_gpkg_polygons(tmp_path):
     """jobs/raster zonal --polygons zones.gpkg == the same polygon as
     engine JSON (CLI front-door differential over a real raster)."""
