@@ -5932,6 +5932,123 @@ FROM ov WHERE clip_area > 0
 """
 
 
+def q_line_overlay_join(spark, sf_dir):
+    """operators/overlay.polygon_join with left_kind='line': polyline ×
+    polygon 'intersects' spatial join (the roads-per-region shape) —
+    open paths contribute non-wrapping segments, containment is tested
+    only against the polygon side. Fixture: 5-vertex event squiggles
+    (local 40×40 walks anchored per line — a line feature with a
+    space-spanning bbox would defeat cell bucketing, the same reason
+    road networks ship pre-segmented) × the concave L-hexagons. Full
+    ANSI-SQL oracle: LEAD-windowed line edges + the same CLRS closed
+    segment test + one even-odd ray cast."""
+    _ship_package(spark)
+    from opentopodata_spark.operators import overlay
+
+    e = _t(spark, sf_dir, "events")
+    pts = e.selectExpr(
+        "event_id DIV 5 AS line_id",
+        "event_id AS seq",
+        "CAST((event_id DIV 5)*131 % 2001 + (event_id*7) % 40 AS DOUBLE)"
+        " AS x",
+        "CAST((event_id DIV 5)*197 % 2001 + (event_id*11) % 40 AS DOUBLE)"
+        " AS y",
+    )
+    lines = (
+        pts.groupBy("line_id")
+        .agg(F.array_sort(F.collect_list(F.struct("seq", "x", "y")))
+             .alias("_pts"))
+        .where(F.size("_pts") >= 2)
+        .select(
+            "line_id",
+            F.array(F.transform(
+                F.col("_pts"), lambda s: F.array(s["x"], s["y"]))
+            ).alias("rings"),
+        )
+    )
+    out = overlay.polygon_join(
+        lines, _overlay_left(spark, sf_dir), "line_id", "l_id",
+        cell_size=64.0, left_kind="line",
+    )
+    return out
+
+
+_Q_LINE_OVERLAY_SQL = """
+WITH pts AS (
+  SELECT event_id // 5 AS line_id, event_id AS seq,
+         (event_id // 5)*131 % 2001 + (event_id*7) % 40 AS x,
+         (event_id // 5)*197 % 2001 + (event_id*11) % 40 AS y
+  FROM events),
+nlines AS (SELECT line_id FROM pts GROUP BY line_id HAVING count(*) >= 2),
+ledge AS (
+  SELECT line_id, x AS x1, y AS y1,
+         lead(x) OVER (PARTITION BY line_id ORDER BY seq) AS x2,
+         lead(y) OVER (PARTITION BY line_id ORDER BY seq) AS y2
+  FROM pts QUALIFY x2 IS NOT NULL),
+lbox AS (SELECT line_id, min(x) xmin, max(x) xmax, min(y) ymin, max(y) ymax
+         FROM pts GROUP BY line_id),
+lanchor AS (
+  SELECT p.line_id, p.x AS px, p.y AS py
+  FROM pts p JOIN (SELECT line_id, min(seq) AS s0 FROM pts
+                   GROUP BY line_id) m
+    ON p.line_id = m.line_id AND p.seq = m.s0),
+lp AS (
+  SELECT p_partkey AS l_id,
+         (p_partkey*131) % 2001 AS cx, (p_partkey*197) % 2001 AS cy,
+         p_partkey % 13 + 6 AS a, p_partkey % 19 + 6 AS b
+  FROM part WHERE p_partkey % 7 = 0),
+pv AS (
+  SELECT l_id, u.vi,
+    CASE u.vi WHEN 0 THEN cx WHEN 1 THEN cx+2*a WHEN 2 THEN cx+2*a
+              WHEN 3 THEN cx+a WHEN 4 THEN cx+a ELSE cx END AS x,
+    CASE u.vi WHEN 0 THEN cy WHEN 1 THEN cy WHEN 2 THEN cy+b
+              WHEN 3 THEN cy+b WHEN 4 THEN cy+2*b ELSE cy+2*b END AS y
+  FROM lp, UNNEST([0,1,2,3,4,5]) AS u(vi)),
+pe AS (
+  SELECT v1.l_id, v1.x AS x1, v1.y AS y1, v2.x AS x2, v2.y AS y2
+  FROM pv v1 JOIN pv v2 ON v1.l_id = v2.l_id AND v2.vi = (v1.vi+1) % 6),
+pbox AS (SELECT l_id, min(x) xmin, max(x) xmax, min(y) ymin, max(y) ymax
+         FROM pv GROUP BY l_id),
+cand AS (
+  SELECT lb.line_id, pb.l_id
+  FROM lbox lb JOIN nlines USING (line_id), pbox pb
+  WHERE lb.xmin <= pb.xmax AND pb.xmin <= lb.xmax
+    AND lb.ymin <= pb.ymax AND pb.ymin <= lb.ymax),
+seghit AS (
+  SELECT DISTINCT line_id, l_id FROM (
+    SELECT c.line_id, c.l_id,
+      sign((pe.x2-pe.x1)*(le.y1-pe.y1)-(pe.y2-pe.y1)*(le.x1-pe.x1)) d1,
+      sign((pe.x2-pe.x1)*(le.y2-pe.y1)-(pe.y2-pe.y1)*(le.x2-pe.x1)) d2,
+      sign((le.x2-le.x1)*(pe.y1-le.y1)-(le.y2-le.y1)*(pe.x1-le.x1)) d3,
+      sign((le.x2-le.x1)*(pe.y2-le.y1)-(le.y2-le.y1)*(pe.x2-le.x1)) d4,
+      le.x1 px1, le.y1 py1, le.x2 px2, le.y2 py2,
+      pe.x1 qx1, pe.y1 qy1, pe.x2 qx2, pe.y2 qy2
+    FROM cand c
+    JOIN ledge le ON le.line_id = c.line_id
+    JOIN pe ON pe.l_id = c.l_id)
+  WHERE (d1 <> d2 AND d1 <> 0 AND d2 <> 0
+         AND d3 <> d4 AND d3 <> 0 AND d4 <> 0)
+     OR (d1 = 0 AND px1 BETWEEN least(qx1,qx2) AND greatest(qx1,qx2)
+                AND py1 BETWEEN least(qy1,qy2) AND greatest(qy1,qy2))
+     OR (d2 = 0 AND px2 BETWEEN least(qx1,qx2) AND greatest(qx1,qx2)
+                AND py2 BETWEEN least(qy1,qy2) AND greatest(qy1,qy2))
+     OR (d3 = 0 AND qx1 BETWEEN least(px1,px2) AND greatest(px1,px2)
+                AND qy1 BETWEEN least(py1,py2) AND greatest(py1,py2))
+     OR (d4 = 0 AND qx2 BETWEEN least(px1,px2) AND greatest(px1,px2)
+                AND qy2 BETWEEN least(py1,py2) AND greatest(py1,py2))),
+lin AS (
+  SELECT c.line_id, c.l_id
+  FROM cand c JOIN lanchor a ON a.line_id = c.line_id
+  JOIN pe ON pe.l_id = c.l_id
+  GROUP BY c.line_id, c.l_id, a.px, a.py
+  HAVING SUM(CASE WHEN (pe.y1 > a.py) <> (pe.y2 > a.py)
+    AND a.px < (pe.x2-pe.x1)*CAST(a.py-pe.y1 AS DOUBLE)/(pe.y2-pe.y1)+pe.x1
+    THEN 1 ELSE 0 END) % 2 = 1)
+SELECT line_id, l_id FROM seghit
+UNION SELECT line_id, l_id FROM lin
+"""
+
+
 def q_convex_hull(spark, sf_dir):
     """operators/overlay.convex_hull: distributed per-group hull —
     per-partition keep-collinear monotone chains (mapInPandas, no
@@ -6144,6 +6261,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- new in r4 --
         "overlay_join": q_overlay_join,
+        "line_overlay_join": q_line_overlay_join,
         "overlay_join_broadcast": q_overlay_join_broadcast,
         "polygon_metrics": q_polygon_metrics,
         "polygon_clip": q_polygon_clip,
@@ -6283,6 +6401,7 @@ def oracle_sql() -> dict[str, str]:
         "token_stats": _Q_TOKEN_SQL,
         "dsir_select": _dsir_sql(),
         "overlay_join": _Q_OVERLAY_SQL,
+        "line_overlay_join": _Q_LINE_OVERLAY_SQL,
         "overlay_join_broadcast": _Q_OVERLAY_SQL,
         "polygon_metrics": _Q_POLYGON_METRICS_SQL,
         "polygon_clip": _Q_POLYGON_CLIP_SQL,

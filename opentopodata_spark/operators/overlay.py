@@ -116,20 +116,29 @@ def _explode_cells(df: DataFrame, prefix: str, width: float,
 # ---------------------------------------------------------------------------
 
 
-def _ring_edges(vx, vy, ring_sizes):
-    """(n_edges, 4) array [x1 y1 x2 y2]; edges wrap within each ring and
-    never connect consecutive rings."""
+def _ring_edges(vx, vy, ring_sizes, closed: bool = True):
+    """(x1, y1, x2, y2) edge arrays; closed rings wrap, open paths
+    (polylines) connect consecutive vertices only.  Edges never connect
+    consecutive rings/paths."""
     x1s, y1s, x2s, y2s = [], [], [], []
     off = 0
     for n in ring_sizes:
         n = int(n)
-        if n < 3:
-            raise OverlayError("polygon ring with < 3 vertices")
+        if n < (3 if closed else 2):
+            raise OverlayError(
+                "polygon ring with < 3 vertices" if closed
+                else "polyline path with < 2 vertices")
         rx, ry = vx[off:off + n], vy[off:off + n]
-        x1s.append(rx)
-        y1s.append(ry)
-        x2s.append(np.roll(rx, -1))
-        y2s.append(np.roll(ry, -1))
+        if closed:
+            x1s.append(rx)
+            y1s.append(ry)
+            x2s.append(np.roll(rx, -1))
+            y2s.append(np.roll(ry, -1))
+        else:
+            x1s.append(rx[:-1])
+            y1s.append(ry[:-1])
+            x2s.append(rx[1:])
+            y2s.append(ry[1:])
         off += n
     return (np.concatenate(x1s), np.concatenate(y1s),
             np.concatenate(x2s), np.concatenate(y2s))
@@ -179,17 +188,28 @@ def _point_in_polygon(px: float, py: float, edges) -> bool:
     return bool(np.count_nonzero(px < xint) % 2 == 1)
 
 
+def geoms_intersect(a_vx, a_vy, a_rs, b_vx, b_vy, b_rs,
+                    a_closed: bool = True, b_closed: bool = True) -> bool:
+    """Closed-set intersects for polygon/polyline pairs.  Polygons are
+    rings-with-holes (even-odd interiors); polylines are open vertex
+    chains.  Crossing/touch of any segment pair counts; containment is
+    tested only against a CLOSED side (a polyline has no interior)."""
+    ea = _ring_edges(np.asarray(a_vx, float), np.asarray(a_vy, float),
+                     a_rs, a_closed)
+    eb = _ring_edges(np.asarray(b_vx, float), np.asarray(b_vy, float),
+                     b_rs, b_closed)
+    if _segments_intersect_any(ea, eb):
+        return True
+    if b_closed and _point_in_polygon(float(a_vx[0]), float(a_vy[0]), eb):
+        return True
+    return a_closed and _point_in_polygon(float(b_vx[0]), float(b_vy[0]), ea)
+
+
 def polygons_intersect(a_vx, a_vy, a_rs, b_vx, b_vy, b_rs) -> bool:
     """Closed-set intersects for two polygons-with-holes (even-odd
     interiors): boundary crossing/touch, or either's outer-ring anchor
     vertex interior to the other."""
-    ea = _ring_edges(np.asarray(a_vx, float), np.asarray(a_vy, float), a_rs)
-    eb = _ring_edges(np.asarray(b_vx, float), np.asarray(b_vy, float), b_rs)
-    if _segments_intersect_any(ea, eb):
-        return True
-    if _point_in_polygon(float(a_vx[0]), float(a_vy[0]), eb):
-        return True
-    return _point_in_polygon(float(b_vx[0]), float(b_vy[0]), ea)
+    return geoms_intersect(a_vx, a_vy, a_rs, b_vx, b_vy, b_rs, True, True)
 
 
 # ---------------------------------------------------------------------------
@@ -208,8 +228,10 @@ def polygon_join(
     on: list[str] | None = None,
     max_cells: int = 4096,
     max_bucket: int | None = None,
+    left_kind: str = "polygon",
+    right_kind: str = "polygon",
 ) -> DataFrame:
-    """Pairs (left_id, right_id) of polygons whose closed point sets
+    """Pairs (left_id, right_id) of geometries whose closed point sets
     intersect (boundary touch counts; holes are even-odd interior).
 
     ``rings`` column on BOTH inputs: array<array<array<double>>> —
@@ -217,6 +239,12 @@ def polygon_join(
     rings holes, vertices NOT closed (first != last).  ``cell_size``
     is the bucketing grid width in coordinate units — pick it near the
     median polygon bbox edge so replication stays O(1) per polygon.
+
+    ``left_kind`` / ``right_kind``: 'polygon' (default) or 'line' —
+    a 'line' side's rings are OPEN polyline paths (roads, GPS traces):
+    segments don't wrap, and containment is only tested against a
+    polygon side (a polyline has no interior).  line×polygon is the
+    roads-per-region shape; line×line the network-crossing shape.
 
     Scale shape: one cell-explode + shuffle per side, one equi-join on
     (``on``…, cell), pure-expression canonical-cell + bbox filters,
@@ -232,6 +260,10 @@ def polygon_join(
     too coarse for that region's polygon density; shrink it (or salt
     the dense region upstream).
     """
+    for k in (left_kind, right_kind):
+        if k not in ("polygon", "line"):
+            raise OverlayError(f"unknown geometry kind {k!r}")
+    a_closed, b_closed = left_kind == "polygon", right_kind == "polygon"
     on = list(on or [])
     lf = _flatten_rings(
         left.select(F.col(left_id).alias("_lid"), *on, rings), rings, "_l")
@@ -273,8 +305,9 @@ def polygon_join(
             lvx, lvy, lrs = pdf["_lvx"].values, pdf["_lvy"].values, pdf["_lrs"].values
             rvx, rvy, rrs = pdf["_rvx"].values, pdf["_rvy"].values, pdf["_rrs"].values
             for i in range(len(pdf)):
-                out[i] = polygons_intersect(
-                    lvx[i], lvy[i], lrs[i], rvx[i], rvy[i], rrs[i])
+                out[i] = geoms_intersect(
+                    lvx[i], lvy[i], lrs[i], rvx[i], rvy[i], rrs[i],
+                    a_closed, b_closed)
             yield pd.Series(out)
 
     struct_cols = F.struct("_lvx", "_lvy", "_lrs", "_rvx", "_rvy", "_rrs")
@@ -295,6 +328,8 @@ def polygon_join_broadcast(
     *,
     cell_size: float = 256.0,
     max_broadcast_rows: int = 100_000,
+    left_kind: str = "polygon",
+    right_kind: str = "polygon",
 ) -> DataFrame:
     """Shuffle-free twin of :func:`polygon_join` for a dimension-sized
     right side (admin regions, country borders — the common overlay
@@ -304,6 +339,10 @@ def polygon_join_broadcast(
     resolves its pairs locally — ZERO exchanges in the plan (pinned in
     tests).  Same closed-set semantics as polygon_join; equality with
     the shuffle path is a test invariant."""
+    for k in (left_kind, right_kind):
+        if k not in ("polygon", "line"):
+            raise OverlayError(f"unknown geometry kind {k!r}")
+    a_closed, b_closed = left_kind == "polygon", right_kind == "polygon"
     rrows = right.select(F.col(right_id).alias("_rid"), rings).collect()
     if len(rrows) > max_broadcast_rows:
         raise OverlayError(
@@ -352,7 +391,8 @@ def polygon_join_broadcast(
                             or bb[2] > rb[3] or rb[2] > bb[3]:
                         continue
                     rvx, rvy, rrs = r_flat[i]
-                    if polygons_intersect(lvx, lvy, lrs, rvx, rvy, rrs):
+                    if geoms_intersect(lvx, lvy, lrs, rvx, rvy, rrs,
+                                       a_closed, b_closed):
                         out_l.append(row[0])
                         out_r.append(r_ids[i])
             yield pd.DataFrame({left_id: out_l, right_id: out_r})

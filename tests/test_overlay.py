@@ -188,6 +188,69 @@ class TestPolygonJoin:
             [(1, 100), (3, 200), (5, 200)]
 
 
+class TestLineKinds:
+    def line(self, *pts):
+        return [[list(map(float, p)) for p in pts]]
+
+    def test_line_polygon(self, spark):
+        lines = spark.createDataFrame(
+            [(1, self.line((0, 0), (10, 10))),      # crosses the square
+             (2, self.line((40, 40), (50, 50))),    # far away
+             (3, self.line((4, 4), (6, 6))),        # fully inside
+             (4, self.line((21, 19), (21, 21)))],   # inside the hole
+            "line_id int, rings array<array<array<double>>>")
+        donut = [sq(5.0, 5.0, 4.0)[0]]
+        holed = [sq(21.0, 21.0, 5.0)[0], sq(21.0, 21.0, 3.0)[0]]
+        polys = spark.createDataFrame(
+            [(100, donut), (200, holed)],
+            "r_id int, rings array<array<array<double>>>")
+        got = sorted((r.line_id, r.r_id) for r in overlay.polygon_join(
+            lines, polys, "line_id", "r_id", cell_size=16.0,
+            left_kind="line").collect())
+        assert got == [(1, 100), (3, 100)]
+        bgot = sorted((r.line_id, r.r_id) for r in
+                      overlay.polygon_join_broadcast(
+                          lines, polys, "line_id", "r_id", cell_size=16.0,
+                          left_kind="line").collect())
+        assert bgot == got
+
+    def test_line_line(self, spark):
+        a = spark.createDataFrame(
+            [(1, self.line((0, 0), (10, 10))),
+             (2, self.line((0, 20), (10, 20)))],
+            "a_id int, rings array<array<array<double>>>")
+        b = spark.createDataFrame(
+            [(7, self.line((0, 10), (10, 0))),      # crosses line 1
+             (8, self.line((5, 20), (5, 30)))],     # touches line 2 endpoint-on-segment
+            "b_id int, rings array<array<array<double>>>")
+        got = sorted((r.a_id, r.b_id) for r in overlay.polygon_join(
+            a, b, "a_id", "b_id", cell_size=16.0,
+            left_kind="line", right_kind="line").collect())
+        assert got == [(1, 7), (2, 8)]
+
+    def test_open_path_does_not_wrap(self, spark):
+        # 3-vertex L path: the implicit closing edge of a POLYGON would
+        # cross the probe segment; the open LINE must not
+        path = self.line((0, 0), (10, 0), (10, 10))
+        probe = spark.createDataFrame(
+            [(1, self.line((4, 2), (4, 12)))],
+            "p_id int, rings array<array<array<double>>>")
+        df = spark.createDataFrame(
+            [(9, path)], "g_id int, rings array<array<array<double>>>")
+        as_line = overlay.polygon_join(
+            probe, df, "p_id", "g_id", cell_size=32.0,
+            left_kind="line", right_kind="line").count()
+        as_poly = overlay.polygon_join(
+            probe, df, "p_id", "g_id", cell_size=32.0,
+            left_kind="line", right_kind="polygon").count()
+        assert (as_line, as_poly) == (0, 1)
+
+    def test_kind_validation(self, spark, polys):
+        left, right = polys
+        with pytest.raises(overlay.OverlayError, match="kind"):
+            overlay.polygon_join(left, right, left_kind="wkb")
+
+
 class TestBroadcastJoin:
     def test_equals_shuffle_path(self, spark):
         rng = np.random.default_rng(5)
