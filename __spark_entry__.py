@@ -5932,6 +5932,86 @@ FROM ov WHERE clip_area > 0
 """
 
 
+def q_sphere_metrics(spark, sf_dir):
+    """operators/overlay.sphere_polygon_metrics: spherical polygon
+    area + great-circle perimeter for lat/lon rings-with-holes — the
+    geodesy twin of polygon_metrics, pure trig column expressions
+    (van Oosterom–Strackee pole-fan excess per edge; zero UDF, zero
+    exchange; plan pinned). Fixture: degree-scale quads from customer
+    keys, every third with a half-size hole, all inside |lat|<62 and
+    |lon|<152 (the documented no-pole/no-antimeridian contract).
+    Oracle: DuckDB replays the identical unit-vector trig; round(3)
+    absorbs JVM-vs-C libm ULP spread."""
+    _ship_package(spark)
+    from opentopodata_spark.operators import overlay
+
+    c = _t(spark, sf_dir, "customer").where(F.col("c_custkey") % 2 == 0)
+    c = c.selectExpr(
+        "c_custkey AS poly_id",
+        "CAST(c_custkey*37 % 120 - 60 + 0.5 AS DOUBLE) AS clat",
+        "CAST(c_custkey*53 % 300 - 150 + 0.5 AS DOUBLE) AS clon",
+        "CAST((c_custkey % 17 + 4) * 0.1 AS DOUBLE) AS p",
+        "CAST((c_custkey % 23 + 4) * 0.1 AS DOUBLE) AS q",
+        "c_custkey % 3 = 0 AS holed",
+    )
+    outer = ("array(array(clon-p, clat-q), array(clon+p, clat-q),"
+             " array(clon+p, clat+q), array(clon-p, clat+q))")
+    hole = ("array(array(clon-p*0.5, clat-q*0.5),"
+            " array(clon+p*0.5, clat-q*0.5),"
+            " array(clon+p*0.5, clat+q*0.5),"
+            " array(clon-p*0.5, clat+q*0.5))")
+    rings = c.selectExpr(
+        "poly_id",
+        f"CASE WHEN holed THEN array({outer}, {hole})"
+        f" ELSE array({outer}) END AS rings",
+    )
+    return overlay.sphere_polygon_metrics(rings)
+
+
+_Q_SPHERE_METRICS_SQL = """
+WITH cp AS (
+  SELECT c_custkey AS id,
+         c_custkey*37 % 120 - 60 + 0.5 AS clat,
+         c_custkey*53 % 300 - 150 + 0.5 AS clon,
+         (c_custkey % 17 + 4) * 0.1 AS p,
+         (c_custkey % 23 + 4) * 0.1 AS q,
+         c_custkey % 3 = 0 AS holed
+  FROM customer WHERE c_custkey % 2 = 0),
+verts AS (
+  SELECT id, 0 AS ring, u.vi,
+    clon + CASE WHEN u.vi IN (1,2) THEN p ELSE -p END AS lon,
+    clat + CASE WHEN u.vi IN (2,3) THEN q ELSE -q END AS lat
+  FROM cp, UNNEST([0,1,2,3]) AS u(vi)
+  UNION ALL
+  SELECT id, 1, u.vi,
+    clon + CASE WHEN u.vi IN (1,2) THEN p*0.5 ELSE -p*0.5 END,
+    clat + CASE WHEN u.vi IN (2,3) THEN q*0.5 ELSE -q*0.5 END
+  FROM cp, UNNEST([0,1,2,3]) AS u(vi) WHERE holed),
+uv AS (
+  SELECT id, ring, vi,
+    cos(radians(lat))*cos(radians(lon)) AS x,
+    cos(radians(lat))*sin(radians(lon)) AS y,
+    sin(radians(lat)) AS z
+  FROM verts),
+terms AS (
+  SELECT a.id, a.ring,
+    2*atan2(a.x*b.y - a.y*b.x,
+            1 + a.x*b.x + a.y*b.y + a.z*b.z + a.z + b.z) AS exc,
+    atan2(sqrt(pow(a.y*b.z - a.z*b.y, 2) + pow(a.z*b.x - a.x*b.z, 2)
+               + pow(a.x*b.y - a.y*b.x, 2)),
+          a.x*b.x + a.y*b.y + a.z*b.z) AS arc
+  FROM uv a JOIN uv b
+    ON a.id = b.id AND a.ring = b.ring AND b.vi = (a.vi+1) % 4),
+rs AS (SELECT id, ring, SUM(exc) AS exc, SUM(arc) AS arc
+       FROM terms GROUP BY id, ring)
+SELECT id AS poly_id,
+  round(SUM(CASE WHEN ring = 0 THEN abs(exc) ELSE -abs(exc) END)
+        * 40589753.12967744, 3) AS area_km2,
+  round(SUM(arc) * 6371.0088, 3) AS perimeter_km
+FROM rs GROUP BY id
+"""
+
+
 def q_line_overlay_join(spark, sf_dir):
     """operators/overlay.polygon_join with left_kind='line': polyline ×
     polygon 'intersects' spatial join (the roads-per-region shape) —
@@ -6262,6 +6342,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new in r4 --
         "overlay_join": q_overlay_join,
         "line_overlay_join": q_line_overlay_join,
+        "sphere_metrics": q_sphere_metrics,
         "overlay_join_broadcast": q_overlay_join_broadcast,
         "polygon_metrics": q_polygon_metrics,
         "polygon_clip": q_polygon_clip,
@@ -6402,6 +6483,7 @@ def oracle_sql() -> dict[str, str]:
         "dsir_select": _dsir_sql(),
         "overlay_join": _Q_OVERLAY_SQL,
         "line_overlay_join": _Q_LINE_OVERLAY_SQL,
+        "sphere_metrics": _Q_SPHERE_METRICS_SQL,
         "overlay_join_broadcast": _Q_OVERLAY_SQL,
         "polygon_metrics": _Q_POLYGON_METRICS_SQL,
         "polygon_clip": _Q_POLYGON_CLIP_SQL,

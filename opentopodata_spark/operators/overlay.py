@@ -488,6 +488,76 @@ def polygon_metrics(df: DataFrame, poly_id: str = "poly_id",
     )
 
 
+_SPHERE_R_KM = 6371.0088  # IUGG mean Earth radius
+
+
+def sphere_polygon_metrics(df: DataFrame, poly_id: str = "poly_id",
+                           rings: str = "rings",
+                           decimals: int = 3) -> DataFrame:
+    """(poly_id, area_km2, perimeter_km) for lat/lon polygons on the
+    sphere — the geodesy-side twin of :func:`polygon_metrics`.
+
+    ``rings``: array<array<array<double>>> of [lon, lat] DEGREE pairs
+    (GeoJSON axis order), first ring outer, later rings holes, edges
+    follow great circles.  Implementation is again PURE column
+    expressions (trig + aggregate/transform HOFs — zero UDF, zero
+    exchange):
+
+    * ring area: the polygon's spherical excess summed as signed
+      north-pole fan triangles, each by the van Oosterom–Strackee
+      formula tan(E/2) = det(A,B,N) / (1 + A·B + B·N + N·A) on unit
+      vectors (exact, no l'Huilier triangulation order issues);
+      |outer| − Σ|holes|, × R².  Polygons must not ENCLOSE a pole
+      (fan winding around N shifts the sum by 4π) nor cross the
+      antimeridian — split such geometries upstream (the same contract
+      the S2 cover front door documents).
+    * perimeter: Σ great-circle arcs atan2(|A×B|, A·B) · R over all
+      rings.
+
+    Sphere, not ellipsoid: results match the S2/turf spherical model
+    (R = 6371.0088 km); the reference's pyproj-backed geod areas are
+    ellipsoidal and differ by ≤0.5%.  Rounded to ``decimals`` so the
+    JVM-vs-C libm trig ULP spread can never flip a compare."""
+    vecs = (
+        "transform({rings}, r0 -> transform(r0, v -> array("
+        "cos(radians(v[1])) * cos(radians(v[0])), "
+        "cos(radians(v[1])) * sin(radians(v[0])), "
+        "sin(radians(v[1])))))"
+    ).format(rings=rings)
+    nxt = "element_at(rv, CAST((i+1) % size(rv) AS INT) + 1)"
+    exc_term = (
+        f"2 * atan2(v[0] * {nxt}[1] - v[1] * {nxt}[0], "
+        f"1.0D + v[0]*{nxt}[0] + v[1]*{nxt}[1] + v[2]*{nxt}[2] "
+        f"+ v[2] + {nxt}[2])"
+    )
+    arc_term = (
+        f"atan2(sqrt(pow(v[1]*{nxt}[2] - v[2]*{nxt}[1], 2) "
+        f"+ pow(v[2]*{nxt}[0] - v[0]*{nxt}[2], 2) "
+        f"+ pow(v[0]*{nxt}[1] - v[1]*{nxt}[0], 2)), "
+        f"v[0]*{nxt}[0] + v[1]*{nxt}[1] + v[2]*{nxt}[2])"
+    )
+
+    def per_ring_sum(term: str) -> str:
+        return ("transform(_vecs, rv -> aggregate(transform(rv, (v, i) -> "
+                + term + "), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x))")
+
+    out = df.select(F.col(poly_id), F.expr(vecs).alias("_vecs"))
+    out = out.select(
+        poly_id,
+        F.expr(per_ring_sum(exc_term)).alias("_exc"),
+        F.expr(per_ring_sum(arc_term)).alias("_arc"),
+    )
+    r2 = _SPHERE_R_KM * _SPHERE_R_KM
+    return out.selectExpr(
+        poly_id,
+        f"round(aggregate(transform(_exc, (e, i) -> CASE WHEN i = 0 "
+        f"THEN abs(e) ELSE -abs(e) END), CAST(0.0 AS DOUBLE), "
+        f"(acc, e) -> acc + e) * {r2!r}, {decimals}) AS area_km2",
+        f"round(aggregate(_arc, CAST(0.0 AS DOUBLE), (acc, a) -> acc + a)"
+        f" * {_SPHERE_R_KM!r}, {decimals}) AS perimeter_km",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Sutherland–Hodgman clip against a convex window
 # ---------------------------------------------------------------------------

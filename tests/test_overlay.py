@@ -324,6 +324,86 @@ class TestPolygonMetrics:
         assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
 
 
+def _lhuilier_area(ring_lonlat):
+    """Independent spherical polygon area: fan triangulation from
+    vertex 0 with l'Huilier's theorem per triangle (haversine sides) —
+    a different algorithm from the pole-fan excess formula.  Valid for
+    convex CCW rings."""
+    def vec(lon, lat):
+        la, lo = np.radians(lat), np.radians(lon)
+        return np.array([np.cos(la) * np.cos(lo),
+                         np.cos(la) * np.sin(lo), np.sin(la)])
+
+    def side(u, v):
+        return float(np.arctan2(np.linalg.norm(np.cross(u, v)),
+                                float(np.dot(u, v))))
+
+    v0 = vec(*ring_lonlat[0])
+    total = 0.0
+    for i in range(1, len(ring_lonlat) - 1):
+        v1 = vec(*ring_lonlat[i])
+        v2 = vec(*ring_lonlat[i + 1])
+        a, b, c = side(v1, v2), side(v0, v2), side(v0, v1)
+        s = (a + b + c) / 2
+        t = np.tan(s / 2) * np.tan((s - a) / 2) \
+            * np.tan((s - b) / 2) * np.tan((s - c) / 2)
+        total += 4 * np.arctan(np.sqrt(max(t, 0.0)))
+    return total
+
+
+class TestSphereMetrics:
+    R = 6371.0088
+
+    def test_octant_golden(self, spark):
+        octant = [[[0.0, 0.0], [90.0, 0.0], [0.0, 90.0]]]
+        df = spark.createDataFrame(
+            [("o", octant)], "poly_id string, rings array<array<array<double>>>")
+        r = overlay.sphere_polygon_metrics(df).collect()[0]
+        assert r.area_km2 == round(np.pi / 2 * self.R ** 2, 3)
+        assert r.perimeter_km == round(3 * (np.pi / 2) * self.R, 3)
+
+    def test_vs_lhuilier(self, spark):
+        rng = np.random.default_rng(23)
+        rows, want = [], {}
+        for i in range(25):
+            clon = float(rng.uniform(-150, 150))
+            clat = float(rng.uniform(-55, 55))
+            p, q = float(rng.uniform(0.5, 4)), float(rng.uniform(0.5, 4))
+            ring = [[clon - p, clat - q], [clon + p, clat - q],
+                    [clon + p, clat + q], [clon - p, clat + q]]
+            rows.append((i, [ring]))
+            want[i] = _lhuilier_area([tuple(v) for v in ring]) * self.R ** 2
+        df = spark.createDataFrame(
+            rows, "poly_id int, rings array<array<array<double>>>")
+        got = {r.poly_id: r.area_km2 for r in
+               overlay.sphere_polygon_metrics(df).collect()}
+        for i, area in want.items():
+            assert abs(got[i] - area) < max(1e-6 * area, 1e-3), i
+
+    def test_hole_subtracts_and_orientation_free(self, spark):
+        outer = [[0.0, 0.0], [4.0, 0.0], [4.0, 4.0], [0.0, 4.0]]
+        hole_ccw = [[1.0, 1.0], [3.0, 1.0], [3.0, 3.0], [1.0, 3.0]]
+        hole_cw = list(reversed(hole_ccw))
+        df = spark.createDataFrame(
+            [("a", [outer, hole_ccw]), ("b", [outer, hole_cw]),
+             ("full", [outer])],
+            "poly_id string, rings array<array<array<double>>>")
+        got = {r.poly_id: r for r in
+               overlay.sphere_polygon_metrics(df).collect()}
+        assert got["a"].area_km2 == got["b"].area_km2 < got["full"].area_km2
+        assert got["a"].perimeter_km == got["b"].perimeter_km \
+            > got["full"].perimeter_km
+
+    def test_plan_pure_expressions(self, spark):
+        df = spark.createDataFrame(
+            [("x", [[[0.0, 0.0], [1.0, 0.0], [0.0, 1.0]]])],
+            "poly_id string, rings array<array<array<double>>>")
+        plan = overlay.sphere_polygon_metrics(df) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
 def _convex_clip_area_independent(subject, window):
     """Intersection area of two convex polygons by the candidate-vertex
     method (vertices-inside + pairwise edge intersections -> hull ->
