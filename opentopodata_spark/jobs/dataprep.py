@@ -144,6 +144,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "drop documents by whether any coordinate "
                         "extracted from their text falls inside a "
                         "polygon (region-scoped corpora)")
+    p.add_argument("--geo-tag", default=None,
+                   help="polygon layer (GeoJSON/.shp/.gpkg): annotate "
+                        "surviving docs with region_id = the most-"
+                        "frequent polygon containing their extracted "
+                        "coordinates (ties: smallest id; coordinate-"
+                        "less docs carry null) — the substrate for "
+                        "region-stratified sampling/mixing")
     p.add_argument("--geo-mode", choices=("keep", "drop"),
                    default="keep",
                    help="keep = only docs with >=1 coordinate inside; "
@@ -346,18 +353,17 @@ def run(ns: argparse.Namespace, spark=None) -> dict:
         )
         stats["after_dsir"] = filtered.count()
 
-    if getattr(ns, "geo_filter", None):
+    def _geo_points(current):
+        """Coordinates extracted from the current survivors through the
+        standard span front door (plain-text corpora wrap the text as
+        one span) — shared by --geo-filter and --geo-tag."""
         from ..operators import extract as _extract
-        from ..operators import spatial as _spatial
 
-        polys = _spatial.polygons_from_geojson(ns.geo_filter)
         if "spans" in raw.columns:
             spans_src = raw.select("doc_id", "spans").join(
-                filtered.select("doc_id"), "doc_id", "left_semi")
+                current.select("doc_id"), "doc_id", "left_semi")
         else:
-            # plain (doc_id, text) corpus: wrap the text as one span so
-            # the standard extraction front door parses coordinates
-            spans_src = filtered.select(
+            spans_src = current.select(
                 "doc_id",
                 F.array(F.struct(
                     F.lit("text").alias("kind"),
@@ -366,13 +372,40 @@ def run(ns: argparse.Namespace, spark=None) -> dict:
                     F.lit(0).alias("offset"),
                 )).alias("spans"),
             )
-        pts = _extract.extract_points(spans_src).where(
+        return _extract.extract_points(spans_src).where(
             F.col("loc_error").isNull())
-        hit_docs = _spatial.point_in_polygon_join(pts, polys).select(
-            "doc_id")
+
+    if getattr(ns, "geo_filter", None):
+        from ..operators import spatial as _spatial
+
+        polys = _spatial.polygons_from_geojson(ns.geo_filter)
+        hit_docs = _spatial.point_in_polygon_join(
+            _geo_points(filtered), polys).select("doc_id")
         how = "left_semi" if ns.geo_mode == "keep" else "left_anti"
         filtered = filtered.join(hit_docs, "doc_id", how)
         stats["after_geo_filter"] = filtered.count()
+
+    if getattr(ns, "geo_tag", None):
+        from pyspark.sql import Window as _W
+
+        from ..operators import spatial as _spatial
+
+        polys = _spatial.polygons_from_geojson(ns.geo_tag)
+        hits = _spatial.point_in_polygon_join(_geo_points(filtered), polys)
+        # one region per doc: the most frequently hit polygon, ties to
+        # the smallest polygon_id (deterministic); one narrow shuffle
+        # on doc_id, then a broadcast-sized left join back
+        tag = (
+            hits.groupBy("doc_id", "polygon_id").count()
+            .withColumn("_rk", F.row_number().over(
+                _W.partitionBy("doc_id")
+                .orderBy(F.desc("count"), F.asc("polygon_id"))))
+            .where(F.col("_rk") == 1)
+            .select("doc_id", F.col("polygon_id").alias("region_id"))
+        )
+        filtered = filtered.join(tag, "doc_id", "left")
+        stats["geo_tagged_docs"] = filtered.where(
+            F.col("region_id").isNotNull()).count()
 
     survivors = filtered
     if not ns.no_exact_dedup:

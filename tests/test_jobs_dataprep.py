@@ -521,3 +521,27 @@ def test_dataprep_geo_filter(tmp_path, spark, capsys):
     capsys.readouterr()
     kept = {r.doc_id for r in spark.read.parquet(f"{out_drop}/corpus").collect()}
     assert kept == {2, 3}            # coordinate-less doc 3 survives drop
+
+    # --geo-tag: two-region layer, most-frequent region wins, nulls kept
+    fc2 = {"type": "FeatureCollection", "features": [
+        fc["features"][0],
+        {"type": "Feature", "geometry": {"type": "Polygon", "coordinates": [
+            [[150.0, -34.5], [152.0, -34.5], [152.0, -33.0], [150.0, -33.0],
+             [150.0, -34.5]]]},
+         "properties": {"polygon_id": "sydney_box"}},
+    ]}
+    gpk2 = str(tmp_path / "boxes.gpkg")
+    vector.write_gpkg_features(gpk2, fc2, layer="boxes")
+    out_tag = str(tmp_path / "tagged")
+    assert job.main([
+        "--documents", docs, "--out", out_tag, "--no-exact-dedup",
+        "--geo-tag", gpk2, "--cores", "4",
+    ]) == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    rows_t = {r.doc_id: r.region_id
+              for r in spark.read.parquet(f"{out_tag}/corpus").collect()}
+    assert stats["geo_tagged_docs"] == 3
+    assert rows_t[1] == "berlin_box"
+    assert rows_t[2] == "sydney_box"
+    assert rows_t[3] is None          # no coordinates -> null region
+    assert rows_t[4] == "berlin_box"  # one hit in each box: tie -> min id
