@@ -14,6 +14,10 @@ of every join in the engine, so there is no Spark session to spin up.
             shuffle-free path when the right layer is dimension-sized)
   metrics   per-feature area/perimeter/centroid (Spark, pure codegen
             expressions — operators/overlay.polygon_metrics)
+  clip      clip polygons to a rectangular window, geometry out
+            (ogr2ogr -clipsrc twin — operators/overlay.clip_polygons)
+  simplify  Douglas–Peucker polyline simplification
+            (ogr2ogr -simplify twin — operators/overlay.simplify_lines)
 
 Usage:
   python -m opentopodata_spark.jobs.vectorio convert \
@@ -72,6 +76,29 @@ def build_parser() -> argparse.ArgumentParser:
     m.add_argument("--layer", default=None)
     m.add_argument("--out", required=True, help="output parquet")
     m.add_argument("--cores", type=int, default=4)
+
+    cl = sub.add_parser("clip",
+                        help="clip polygons to a rectangular window "
+                             "(ogr2ogr -clipsrc twin, Spark)")
+    cl.add_argument("--in", dest="src", required=True)
+    cl.add_argument("--layer", default=None)
+    cl.add_argument("--window", nargs=4, type=float, required=True,
+                    metavar=("XMIN", "YMIN", "XMAX", "YMAX"))
+    cl.add_argument("--out", required=True,
+                    help="output layer .geojson/.json/.shp/.gpkg")
+    cl.add_argument("--out-layer", default="clipped")
+    cl.add_argument("--cores", type=int, default=4)
+
+    sp = sub.add_parser("simplify",
+                        help="Douglas–Peucker line simplification "
+                             "(ogr2ogr -simplify twin, Spark)")
+    sp.add_argument("--in", dest="src", required=True)
+    sp.add_argument("--layer", default=None)
+    sp.add_argument("--eps", type=float, required=True,
+                    help="tolerance in layer coordinate units")
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--out-layer", default="simplified")
+    sp.add_argument("--cores", type=int, default=4)
 
     i = sub.add_parser("info", help="print layer summary JSON")
     i.add_argument("--in", dest="src", required=True)
@@ -168,6 +195,21 @@ def _default_cell(*rowsets) -> float:
 _RINGS_SCHEMA = "fid string, rings array<array<array<double>>>"
 
 
+def _write_layer(out: str, fc: dict, layer: str) -> None:
+    low = out.lower()
+    if low.endswith(".shp"):
+        vector.write_shapefile(out, fc)
+    elif low.endswith(".gpkg"):
+        vector.write_gpkg_features(out, fc, layer=layer)
+    elif low.endswith((".geojson", ".json")):
+        with open(out, "w", encoding="utf-8") as f:
+            json.dump(fc, f)
+    else:
+        raise vector.VectorError(
+            f"unknown output format for '{out}' "
+            "(use .geojson/.json/.shp/.gpkg)")
+
+
 def run(argv: list[str] | None = None) -> dict:
     ns = build_parser().parse_args(argv)
 
@@ -215,24 +257,89 @@ def run(argv: list[str] | None = None) -> dict:
         print(json.dumps(stats, sort_keys=True))
         return stats
 
+    if ns.cmd == "clip":
+        from ..operators import overlay as ov
+        from ..session import get_spark
+
+        rows = _polygon_rows(
+            vector.load_features(ns.src, layer=ns.layer), "in")
+        x0, y0, x1, y1 = ns.window
+        if not (x1 > x0 and y1 > y0):
+            raise vector.VectorError("clip: window must have XMAX > XMIN "
+                                     "and YMAX > YMIN")
+        window = [[x0, y0], [x1, y0], [x1, y1], [x0, y1]]
+        spark = get_spark(cores=ns.cores)
+        df = spark.createDataFrame(rows, _RINGS_SCHEMA) \
+            .withColumnRenamed("fid", "poly_id")
+        clipped = ov.clip_polygons(df, window, emit_rings=True,
+                                   decimals=9).collect()
+        feats = []
+        for r in clipped:
+            coords = [ring + [ring[0]] for ring in r.rings]
+            feats.append({"type": "Feature", "id": r.poly_id,
+                          "properties": {"src_fid": r.poly_id,
+                                         "clip_area": r.clip_area},
+                          "geometry": {"type": "Polygon",
+                                       "coordinates": coords}})
+        out_fc = {"type": "FeatureCollection", "features": feats}
+        _write_layer(ns.out, out_fc, ns.out_layer)
+        stats = {"job": "vectorio-clip", "src": ns.src, "out": ns.out,
+                 "n_in": len(rows), "n_out": len(feats)}
+        print(json.dumps(stats, sort_keys=True))
+        return stats
+
+    if ns.cmd == "simplify":
+        from ..operators import overlay as ov
+        from ..session import get_spark
+
+        fc = vector.load_features(ns.src, layer=ns.layer)
+        rows, keep_props = [], {}
+        for i, ft in enumerate(fc.get("features", [])):
+            g = ft.get("geometry") or {}
+            fid = str(ft.get("id", i))
+            keep_props[fid] = ft.get("properties", {})
+            if g.get("type") == "LineString":
+                for si, v in enumerate(g["coordinates"]):
+                    rows.append((fid, si, float(v[0]), float(v[1])))
+            elif g.get("type") == "MultiLineString":
+                for pi, part in enumerate(g["coordinates"]):
+                    keep_props[f"{fid}#{pi}"] = ft.get("properties", {})
+                    for si, v in enumerate(part):
+                        rows.append((f"{fid}#{pi}", si,
+                                     float(v[0]), float(v[1])))
+        if not rows:
+            raise vector.VectorError(
+                "simplify: no LineString/MultiLineString features")
+        spark = get_spark(cores=ns.cores)
+        df = spark.createDataFrame(
+            rows, "line_id string, seq long, x double, y double")
+        kept = ov.simplify_lines(df, ns.eps, exact=False).collect()
+        by_line: dict[str, list] = {}
+        for r in kept:
+            by_line.setdefault(r.line_id, []).append((r.seq, r.x, r.y))
+        feats = []
+        for fid in sorted(by_line):
+            pts = [[x, y] for _, x, y in sorted(by_line[fid])]
+            feats.append({"type": "Feature", "id": fid,
+                          "properties": keep_props.get(fid, {}),
+                          "geometry": {"type": "LineString",
+                                       "coordinates": pts}})
+        out_fc = {"type": "FeatureCollection", "features": feats}
+        _write_layer(ns.out, out_fc, ns.out_layer)
+        n_in = len(rows)
+        n_out = sum(len(f["geometry"]["coordinates"]) for f in feats)
+        stats = {"job": "vectorio-simplify", "src": ns.src,
+                 "out": ns.out, "vertices_in": n_in, "vertices_out": n_out}
+        print(json.dumps(stats, sort_keys=True))
+        return stats
+
     fc = vector.load_features(ns.src, layer=ns.layer)
     if ns.cmd == "info":
         stats = {"job": "vectorio-info", "src": ns.src, **_info(fc)}
         print(json.dumps(stats, sort_keys=True))
         return stats
 
-    low = ns.out.lower()
-    if low.endswith(".shp"):
-        vector.write_shapefile(ns.out, fc)
-    elif low.endswith(".gpkg"):
-        vector.write_gpkg_features(ns.out, fc, layer=ns.out_layer)
-    elif low.endswith((".geojson", ".json")):
-        with open(ns.out, "w", encoding="utf-8") as f:
-            json.dump(fc, f)
-    else:
-        raise vector.VectorError(
-            f"unknown output format for '{ns.out}' "
-            "(use .geojson/.json/.shp/.gpkg)")
+    _write_layer(ns.out, fc, ns.out_layer)
     stats = {"job": "vectorio-convert", "src": ns.src, "out": ns.out,
              "n_features": len(fc["features"])}
     print(json.dumps(stats, sort_keys=True))

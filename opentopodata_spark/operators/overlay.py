@@ -599,14 +599,20 @@ def _shoelace2(xs: np.ndarray, ys: np.ndarray) -> float:
 
 
 def clip_polygons(df: DataFrame, clip: list, poly_id: str = "poly_id",
-                  rings: str = "rings", decimals: int = 6) -> DataFrame:
+                  rings: str = "rings", decimals: int = 6,
+                  emit_rings: bool = False) -> DataFrame:
     """Clip every polygon to a convex window (Sutherland–Hodgman per
     ring; holes clip independently and subtract — valid because a hole
     stays inside its outer, so area(clip∩poly) = area(clip∩outer) −
     Σ area(clip∩hole)).  Emits only polygons with positive clipped
     area: (poly_id, clip_area, xmin, xmax, ymin, ymax of the clipped
     outer).  ``clip``: [[x, y], …] convex, CCW, driver-side (a clip
-    window is O(1) — it ships in the UDF closure, no join)."""
+    window is O(1) — it ships in the UDF closure, no join).
+
+    ``emit_rings=True`` adds the clipped geometry itself as a
+    ``rings`` column (outer first, surviving holes after, open rings —
+    the ogr2ogr -clipsrc shape; S-H bridge slivers on concave
+    subjects stay in the ring, which is the standard S-H contract)."""
     cl = [(float(x), float(y)) for x, y in clip]
     if len(cl) < 3:
         raise OverlayError("clip window needs >= 3 vertices")
@@ -616,15 +622,22 @@ def clip_polygons(df: DataFrame, clip: list, poly_id: str = "poly_id",
     id_t = dict(df.dtypes)[poly_id]
     schema = (f"`{poly_id}` {id_t}, clip_area double, xmin double, "
               "xmax double, ymin double, ymax double")
+    if emit_rings:
+        schema += ", rings array<array<array<double>>>"
     d = decimals
 
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            ids, areas, x0s, x1s, y0s, y1s = [], [], [], [], [], []
+            out_rows: dict[str, list] = {
+                poly_id: [], "clip_area": [], "xmin": [], "xmax": [],
+                "ymin": [], "ymax": []}
+            if emit_rings:
+                out_rows["rings"] = []
             for row in pdf.itertuples(index=False):
                 rr = row[1]
                 area2 = 0.0
                 outer = None
+                kept_rings = []
                 for ri, ring in enumerate(rr):
                     rx = np.array([v[0] for v in ring], dtype=float)
                     ry = np.array([v[1] for v in ring], dtype=float)
@@ -633,16 +646,26 @@ def clip_polygons(df: DataFrame, clip: list, poly_id: str = "poly_id",
                     area2 += a2 if ri == 0 else -a2
                     if ri == 0:
                         outer = (cx, cy)
+                    if emit_rings and len(cx) >= 3 and (ri == 0 or a2 > 0):
+                        kept_rings.append(
+                            [[float(x), float(y)] for x, y in zip(cx, cy)])
                 if area2 > 0 and outer is not None and len(outer[0]):
-                    ids.append(row[0])
-                    areas.append(round(area2 / 2.0, d))
-                    x0s.append(round(float(outer[0].min()), d))
-                    x1s.append(round(float(outer[0].max()), d))
-                    y0s.append(round(float(outer[1].min()), d))
-                    y1s.append(round(float(outer[1].max()), d))
-            yield pd.DataFrame({poly_id: ids, "clip_area": areas,
-                                "xmin": x0s, "xmax": x1s,
-                                "ymin": y0s, "ymax": y1s})
+                    out_rows[poly_id].append(row[0])
+                    out_rows["clip_area"].append(round(area2 / 2.0, d))
+                    out_rows["xmin"].append(round(float(outer[0].min()), d))
+                    out_rows["xmax"].append(round(float(outer[0].max()), d))
+                    out_rows["ymin"].append(round(float(outer[1].min()), d))
+                    out_rows["ymax"].append(round(float(outer[1].max()), d))
+                    if emit_rings:
+                        out_rows["rings"].append(kept_rings)
+            pdf_out = pd.DataFrame(
+                {k: v for k, v in out_rows.items() if k != "rings"})
+            if emit_rings:
+                # nested lists must ride an object Series — a numpy-
+                # inferred column trips Arrow's NumPyConverter
+                pdf_out["rings"] = pd.Series(out_rows["rings"],
+                                             dtype=object)
+            yield pdf_out
 
     return df.select(poly_id, rings).mapInPandas(run, schema=schema)
 
@@ -759,16 +782,20 @@ def convex_hull(points: DataFrame, x: str = "x", y: str = "y",
 # ---------------------------------------------------------------------------
 
 
-def _dp_keep(xs: np.ndarray, ys: np.ndarray, eps2_num: int) -> np.ndarray:
-    """Kept-index boolean mask.  Exact int64 arithmetic: a point is far
-    when cross((b-a),(p-a))² > eps²·|b-a|² — both sides integral for
-    grid coordinates.  Farthest point wins; ties break to the smallest
-    index (the pinned rule the recursive-CTE oracle replays)."""
+def _dp_keep(xs: np.ndarray, ys: np.ndarray, eps2_num,
+             exact: bool = True) -> np.ndarray:
+    """Kept-index boolean mask.  A point is far when
+    cross((b-a),(p-a))² > eps²·|b-a|²; with ``exact`` (int64 on grid
+    coordinates) both sides are integral and the decision is
+    bit-stable across engines.  Farthest point wins; ties break to the
+    smallest index (the pinned rule the recursive-CTE oracle
+    replays)."""
     n = len(xs)
     keep = np.zeros(n, dtype=bool)
     keep[0] = keep[-1] = True
-    xs = xs.astype(np.int64)
-    ys = ys.astype(np.int64)
+    dt = np.int64 if exact else np.float64
+    xs = xs.astype(dt)
+    ys = ys.astype(dt)
     stack = [(0, n - 1)]
     while stack:
         lo, hi = stack.pop()
@@ -792,7 +819,9 @@ def _dp_keep(xs: np.ndarray, ys: np.ndarray, eps2_num: int) -> np.ndarray:
         del thresh
         if not far.any():
             continue
-        k = int(np.argmax(np.where(far, d2num, np.iinfo(np.int64).min)))
+        k = int(np.argmax(np.where(far, d2num,
+                                   np.iinfo(np.int64).min if exact
+                                   else -np.inf)))
         # np.argmax returns the FIRST max — the smallest-index tiebreak
         k += lo + 1
         keep[k] = True
@@ -803,30 +832,40 @@ def _dp_keep(xs: np.ndarray, ys: np.ndarray, eps2_num: int) -> np.ndarray:
 
 def simplify_lines(lines: DataFrame, eps: float, *,
                    line_id: str = "line_id", seq: str = "seq",
-                   x: str = "x", y: str = "y") -> DataFrame:
+                   x: str = "x", y: str = "y",
+                   exact: bool = True) -> DataFrame:
     """Douglas–Peucker per line: keep endpoints plus, recursively, the
     farthest point whose perpendicular distance to the current chord
     exceeds ``eps``.  One shuffle on the line id (applyInPandas); the
     per-line pass is a vectorized stack loop, exact in int64 for
     grid-snapped coordinates (eps² must be integral after scaling —
-    callers pass integer eps for integer grids)."""
+    callers pass integer eps for integer grids).  ``exact=False``
+    switches to float64 for ungridded coordinates (lon/lat layers):
+    same algorithm, no integrality contract, deterministic for a given
+    input but not engine-exact."""
     eps2 = eps * eps
-    eps2_num = int(round(eps2))
-    if abs(eps2 - eps2_num) > 1e-12:
-        raise OverlayError(
-            "simplify_lines: eps² must be integral in grid units for the "
-            "exact-arithmetic contract (got eps=%r)" % (eps,))
+    if exact:
+        eps2_num = int(round(eps2))
+        if abs(eps2 - eps2_num) > 1e-12:
+            raise OverlayError(
+                "simplify_lines: eps² must be integral in grid units for "
+                "the exact-arithmetic contract (got eps=%r); pass "
+                "exact=False for ungridded coordinates" % (eps,))
+    else:
+        eps2_num = float(eps2)
     id_t = dict(lines.dtypes)[line_id]
     schema = f"`{line_id}` {id_t}, `{seq}` long, x double, y double"
 
+    dt = np.int64 if exact else np.float64
+
     def one(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(seq, kind="mergesort").reset_index(drop=True)
-        xs = pdf[x].values.astype(np.int64)
-        ys = pdf[y].values.astype(np.int64)
+        xs = pdf[x].values.astype(dt)
+        ys = pdf[y].values.astype(dt)
         if len(pdf) <= 2:
             mask = np.ones(len(pdf), dtype=bool)
         else:
-            mask = _dp_keep(xs, ys, eps2_num)
+            mask = _dp_keep(xs, ys, eps2_num, exact=exact)
         return pd.DataFrame({
             line_id: pdf[line_id][mask].values,
             seq: pdf[seq][mask].values.astype("int64"),

@@ -734,6 +734,56 @@ def test_vectorio_overlay_and_metrics(tmp_path, spark):
     assert all(v.perimeter > 0 for v in rows.values())
 
 
+def test_vectorio_clip_and_simplify(tmp_path, spark):
+    from opentopodata_spark.jobs import vectorio
+
+    fc = {"type": "FeatureCollection", "features": [
+        {"type": "Feature", "id": "sq", "properties": {"name": "sq"},
+         "geometry": {"type": "Polygon", "coordinates": [
+             [[0.0, 0.0], [10.0, 0.0], [10.0, 10.0], [0.0, 10.0],
+              [0.0, 0.0]]]}},
+        {"type": "Feature", "id": "far", "properties": {"name": "far"},
+         "geometry": {"type": "Polygon", "coordinates": [
+             [[100.0, 100.0], [104.0, 100.0], [104.0, 104.0],
+              [100.0, 104.0], [100.0, 100.0]]]}},
+    ]}
+    src = tmp_path / "polys.geojson"
+    src.write_text(json.dumps(fc))
+    out = str(tmp_path / "clipped.geojson")
+    stats = vectorio.run(["clip", "--in", str(src), "--window",
+                          "5", "5", "20", "20", "--out", out,
+                          "--cores", "2"])
+    assert (stats["n_in"], stats["n_out"]) == (2, 1)
+    got = json.loads(open(out).read())
+    ring = got["features"][0]["geometry"]["coordinates"][0]
+    assert ring[0] == ring[-1]                       # closed GeoJSON ring
+    assert got["features"][0]["properties"]["clip_area"] == 25.0
+    assert got["features"][0]["properties"]["src_fid"] == "sq"
+    xs = [v[0] for v in ring]
+    ys = [v[1] for v in ring]
+    assert (min(xs), max(xs), min(ys), max(ys)) == (5.0, 10.0, 5.0, 10.0)
+
+    # simplify: spike survives, collinear midpoints drop; shp round trip
+    line_fc = {"type": "FeatureCollection", "features": [
+        {"type": "Feature", "id": "t", "properties": {"name": "t"},
+         "geometry": {"type": "LineString", "coordinates": [
+             [0.0, 0.0], [1.0, 0.05], [2.0, 0.0], [3.0, 5.0],
+             [4.0, 0.0], [5.0, 0.02], [6.0, 0.0]]}},
+    ]}
+    lsrc = tmp_path / "lines.geojson"
+    lsrc.write_text(json.dumps(line_fc))
+    lout = str(tmp_path / "simplified.geojson")
+    sstats = vectorio.run(["simplify", "--in", str(lsrc), "--eps", "0.5",
+                           "--out", lout, "--cores", "2"])
+    assert sstats["vertices_in"] == 7
+    got = json.loads(open(lout).read())
+    coords = got["features"][0]["geometry"]["coordinates"]
+    assert [0.0, 0.0] == coords[0] and [6.0, 0.0] == coords[-1]
+    assert [3.0, 5.0] in coords          # the spike
+    assert [1.0, 0.05] not in coords     # sub-eps wiggle dropped
+    assert sstats["vertices_out"] == len(coords)
+
+
 def test_zonal_cli_accepts_gpkg_polygons(tmp_path):
     """jobs/raster zonal --polygons zones.gpkg == the same polygon as
     engine JSON (CLI front-door differential over a real raster)."""
