@@ -212,6 +212,111 @@ def polygons_intersect(a_vx, a_vy, a_rs, b_vx, b_vy, b_rs) -> bool:
     return geoms_intersect(a_vx, a_vy, a_rs, b_vx, b_vy, b_rs, True, True)
 
 
+def _edge_stack(vxs, vys, rss, closed: bool):
+    """Per-row edge arrays concatenated into one flat (x1,y1,x2,y2)
+    stack plus per-row counts — the substrate for whole-batch
+    vectorization."""
+    parts = []
+    counts = np.empty(len(vxs), dtype=np.int64)
+    for i in range(len(vxs)):
+        e = _ring_edges(np.asarray(vxs[i], float), np.asarray(vys[i], float),
+                        rss[i], closed)
+        parts.append(np.stack(e, axis=1))
+        counts[i] = len(e[0])
+    stack = np.concatenate(parts, axis=0) if parts else np.empty((0, 4))
+    return stack, counts
+
+
+def _pairs_intersect_batch(lvx, lvy, lrs, rvx, rvy, rrs,
+                           a_closed: bool, b_closed: bool) -> np.ndarray:
+    """Vectorized closed-set 'intersects' for a whole candidate batch.
+
+    Instead of a per-pair Python loop (8+ tiny numpy calls per pair —
+    measured ~4 ms/pair, the UDF bottleneck at sf0.1), the batch's
+    edge×edge products flatten into ONE index-arithmetic construction:
+    global product row k belongs to pair pair_of[k], with its left and
+    right edge picked by // and % on per-pair right-edge counts.  The
+    CLRS sign tests then run once over the flat arrays, pair verdicts
+    come back via np.bincount, and the even-odd containment fallback
+    runs the same way on the still-undecided subset.  Semantics are
+    IDENTICAL to geoms_intersect (the broadcast path still uses the
+    scalar form, and the shuffle-vs-broadcast equality test pins the
+    two implementations against each other)."""
+    P = len(lvx)
+    if P == 0:
+        return np.empty(0, dtype=bool)
+    ea, a_cnt = _edge_stack(lvx, lvy, lrs, a_closed)
+    eb, b_cnt = _edge_stack(rvx, rvy, rrs, b_closed)
+    a_off = np.concatenate(([0], np.cumsum(a_cnt)[:-1]))
+    b_off = np.concatenate(([0], np.cumsum(b_cnt)[:-1]))
+
+    prod = a_cnt * b_cnt
+    total = int(prod.sum())
+    pair_of = np.repeat(np.arange(P), prod)
+    l = np.arange(total) - np.repeat(np.concatenate(([0], np.cumsum(prod)[:-1])), prod)
+    b_rep = np.repeat(b_cnt, prod)
+    ia = np.repeat(a_off, prod) + l // b_rep
+    jb = np.repeat(b_off, prod) + l % b_rep
+
+    p1x, p1y, p2x, p2y = (ea[ia, c] for c in range(4))
+    q1x, q1y, q2x, q2y = (eb[jb, c] for c in range(4))
+
+    def cross(ox, oy, ax, ay, bx, by):
+        return (ax - ox) * (by - oy) - (ay - oy) * (bx - ox)
+
+    d1 = np.sign(cross(q1x, q1y, q2x, q2y, p1x, p1y))
+    d2 = np.sign(cross(q1x, q1y, q2x, q2y, p2x, p2y))
+    d3 = np.sign(cross(p1x, p1y, p2x, p2y, q1x, q1y))
+    d4 = np.sign(cross(p1x, p1y, p2x, p2y, q2x, q2y))
+    hit = (d1 != d2) & (d1 != 0) & (d2 != 0) \
+        & (d3 != d4) & (d3 != 0) & (d4 != 0)
+
+    def on_seg(ax, ay, bx, by, cx, cy):
+        return (np.minimum(ax, bx) <= cx) & (cx <= np.maximum(ax, bx)) \
+            & (np.minimum(ay, by) <= cy) & (cy <= np.maximum(ay, by))
+
+    hit |= (d1 == 0) & on_seg(q1x, q1y, q2x, q2y, p1x, p1y)
+    hit |= (d2 == 0) & on_seg(q1x, q1y, q2x, q2y, p2x, p2y)
+    hit |= (d3 == 0) & on_seg(p1x, p1y, p2x, p2y, q1x, q1y)
+    hit |= (d4 == 0) & on_seg(p1x, p1y, p2x, p2y, q2x, q2y)
+    out = np.bincount(pair_of, weights=hit, minlength=P) > 0
+
+    def pip_batch(idx, px, py, estack, ecnt, eoff):
+        """Even-odd containment of per-pair anchor points against the
+        other side's edge stacks, for the undecided pair subset."""
+        cnt = ecnt[idx]
+        tot = int(cnt.sum())
+        if tot == 0:
+            return np.zeros(len(idx), dtype=bool)
+        sub_of = np.repeat(np.arange(len(idx)), cnt)
+        ll = np.arange(tot) - np.repeat(
+            np.concatenate(([0], np.cumsum(cnt)[:-1])), cnt)
+        je = np.repeat(eoff[idx], cnt) + ll
+        x1, y1, x2, y2 = (estack[je, c] for c in range(4))
+        ppx = px[sub_of]
+        ppy = py[sub_of]
+        crossing = (y1 > ppy) != (y2 > ppy)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xint = (x2 - x1) * (ppy - y1) / (y2 - y1) + x1
+        c = crossing & (ppx < xint)
+        return (np.bincount(sub_of, weights=c,
+                            minlength=len(idx)).astype(np.int64) % 2) == 1
+
+    undecided = np.nonzero(~out)[0]
+    if len(undecided) and b_closed:
+        ax0 = np.array([lvx[i][0] for i in undecided], dtype=float)
+        ay0 = np.array([lvy[i][0] for i in undecided], dtype=float)
+        inside = pip_batch(undecided, ax0, ay0, eb, b_cnt, b_off)
+        out[undecided[inside]] = True
+        undecided = undecided[~inside]
+    if len(undecided) and a_closed:
+        bx0 = np.array([rvx[i][0] for i in undecided], dtype=float)
+        by0 = np.array([rvy[i][0] for i in undecided], dtype=float)
+        inside = pip_batch(undecided, bx0, by0, ea, a_cnt, a_off)
+        out[undecided[inside]] = True
+    return out
+
+
 # ---------------------------------------------------------------------------
 # polygon_join
 # ---------------------------------------------------------------------------
@@ -301,14 +406,10 @@ def polygon_join(
     @F.pandas_udf(BooleanType())
     def hit(it: Iterator[pd.DataFrame]) -> Iterator[pd.Series]:
         for pdf in it:
-            out = np.empty(len(pdf), dtype=bool)
-            lvx, lvy, lrs = pdf["_lvx"].values, pdf["_lvy"].values, pdf["_lrs"].values
-            rvx, rvy, rrs = pdf["_rvx"].values, pdf["_rvy"].values, pdf["_rrs"].values
-            for i in range(len(pdf)):
-                out[i] = geoms_intersect(
-                    lvx[i], lvy[i], lrs[i], rvx[i], rvy[i], rrs[i],
-                    a_closed, b_closed)
-            yield pd.Series(out)
+            yield pd.Series(_pairs_intersect_batch(
+                pdf["_lvx"].values, pdf["_lvy"].values, pdf["_lrs"].values,
+                pdf["_rvx"].values, pdf["_rvy"].values, pdf["_rrs"].values,
+                a_closed, b_closed))
 
     struct_cols = F.struct("_lvx", "_lvy", "_lrs", "_rvx", "_rvy", "_rrs")
     # pandas_udf over multiple array columns: pass via struct iterator

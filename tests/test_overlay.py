@@ -114,6 +114,32 @@ def _rand_convex(rng, cx, cy, spread):
     return hull
 
 
+def test_batch_predicate_equals_scalar():
+    """The whole-batch vectorized predicate must agree with the scalar
+    geoms_intersect on every pair, for all four kind combinations."""
+    rng = np.random.default_rng(77)
+    for a_closed in (True, False):
+        for b_closed in (True, False):
+            lvx, lvy, lrs, rvx, rvy, rrs = [], [], [], [], [], []
+            want = []
+            for _ in range(120):
+                def geom(closed):
+                    n = int(rng.integers(3 if closed else 2, 8))
+                    cx, cy = rng.integers(-20, 21, size=2)
+                    xs = (cx + rng.integers(-6, 7, size=n)).astype(float)
+                    ys = (cy + rng.integers(-6, 7, size=n)).astype(float)
+                    return xs, ys, [n]
+                ax, ay, ars = geom(a_closed)
+                bx, by, brs = geom(b_closed)
+                lvx.append(ax); lvy.append(ay); lrs.append(ars)
+                rvx.append(bx); rvy.append(by); rrs.append(brs)
+                want.append(overlay.geoms_intersect(
+                    ax, ay, ars, bx, by, brs, a_closed, b_closed))
+            got = overlay._pairs_intersect_batch(
+                lvx, lvy, lrs, rvx, rvy, rrs, a_closed, b_closed)
+            assert got.tolist() == want
+
+
 def test_predicate_vs_sat_random():
     rng = np.random.default_rng(42)
     n_checked = 0
