@@ -1733,6 +1733,132 @@ FROM cnts ORDER BY cnt DESC, key ASC LIMIT {_HH_K}
 """
 
 
+_HLL_PS = (8, 12)
+
+
+def q_hll_distinct(spark, sf_dir):
+    """Mergeable HyperLogLog distinct-order estimate per return flag
+    (operators/sketch.hll_distinct over lineitem.l_orderkey — ~14.7k
+    distinct orders at sf0.01) at p=8 and p=12. The register math is
+    md5 -> 60-bit integer -> shift/bitlength — pure codegen column
+    expressions both engines replay bit-for-bit — and the harmonic sums
+    are INTEGER-exact (s_num = sum 2^(61-p-rho) as BIGINT), so every
+    output column including the rounded estimate is deterministic. The
+    two p values exercise both estimator branches on this corpus: p=8
+    (m=256, thousands of distincts per flag) takes the raw-HLL path,
+    p=12 (m=4096) the linear-counting path.
+    """
+    from opentopodata_spark.operators import sketch
+
+    li = _t(spark, sf_dir, "lineitem")
+    src = li.select(
+        F.col("l_returnflag").alias("bucket"),
+        F.col("l_orderkey").alias("val"),
+    )
+    out = None
+    for p in _HLL_PS:
+        est = sketch.hll_distinct(src, "val", p=p, group_cols=("bucket",))
+        out = est if out is None else out.unionByName(est)
+    return out
+
+
+_Q_HLL_SQL = f"""
+WITH h AS (
+  SELECT l_returnflag AS bucket,
+         ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15))::BIGINT
+           AS h
+  FROM lineitem),
+pr AS (
+  SELECT p.p, bucket,
+         h >> (60 - p.p) AS register,
+         h & ((1::BIGINT << (60 - p.p)) - 1) AS w
+  FROM h, (SELECT unnest([{", ".join(str(p) for p in _HLL_PS)}]) AS p) p),
+regs AS (
+  SELECT p, bucket, register,
+         max(CASE WHEN w = 0 THEN 60 - p + 1
+                  ELSE 60 - p + 1 - length(bin(w)) END) AS rho
+  FROM pr GROUP BY p, bucket, register),
+agg AS (
+  SELECT p, bucket,
+         CAST(count(*) AS BIGINT) AS n_registers,
+         CAST(max(rho) AS INTEGER) AS r_max,
+         CAST(sum(1::BIGINT << (61 - p - rho)) AS BIGINT) AS s_num
+  FROM regs GROUP BY p, bucket),
+est AS (
+  SELECT bucket, CAST(p AS INTEGER) AS hll_p,
+         (1::BIGINT << p) AS m, n_registers,
+         (1::BIGINT << p) - n_registers AS v_zero, r_max, s_num,
+         (0.7213 / (1.0 + 1.079 / CAST(1::BIGINT << p AS DOUBLE)))
+           * CAST(1::BIGINT << p AS DOUBLE)
+           * CAST(1::BIGINT << p AS DOUBLE)
+           * CAST(1::BIGINT << (61 - p) AS DOUBLE)
+           / CAST(s_num + ((1::BIGINT << p) - n_registers)
+                          * (1::BIGINT << (61 - p)) AS DOUBLE) AS est_raw
+  FROM agg)
+SELECT bucket, hll_p, m, n_registers, v_zero, r_max, s_num,
+       CAST(round(CASE WHEN est_raw <= 2.5 * CAST(m AS DOUBLE)
+                        AND v_zero > 0
+                       THEN CAST(m AS DOUBLE)
+                            * ln(CAST(m AS DOUBLE) / CAST(v_zero AS DOUBLE))
+                       ELSE est_raw END) AS BIGINT) AS est_distinct
+FROM est
+"""
+
+
+def q_streaming_hll(spark, sf_dir):
+    """Streaming twin (streaming.run_hll_stream): the same lineitem rows
+    arrive in three l_linenumber%3 waves; each micro-batch's registers
+    max-merge into the latest state partition only. HLL merge is
+    LOSSLESS, so the streamed state is register-identical to the
+    one-shot batch sketch — the oracle is the identical SQL replay as
+    `hll_distinct` restricted to p=12 (the streamed p)."""
+    import shutil
+    import tempfile
+
+    from opentopodata_spark import streaming as stx
+
+    work = tempfile.mkdtemp(prefix="otds_hll_stream_q_")
+    try:
+        li = _t(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_linenumber", "l_returnflag"
+        )
+        for wave in range(3):
+            li.where(F.pmod(F.col("l_linenumber"), F.lit(3)) == wave).coalesce(
+                1
+            ).write.mode("overwrite").parquet(f"{work}/in/wave{wave}")
+            stream = (
+                spark.readStream.schema(
+                    "l_orderkey long, l_linenumber long, l_returnflag string"
+                )
+                .parquet(f"{work}/in/*")
+                .select(
+                    F.col("l_returnflag").alias("bucket"),
+                    F.col("l_orderkey").alias("value"),
+                )
+            )
+            q = stx.run_hll_stream(
+                stream, f"{work}/state", f"{work}/ckpt",
+                p=12, group_cols=("bucket",),
+            )
+            q.awaitTermination()
+        out = stx.hll_state_estimate(
+            spark, f"{work}/state", group_cols=("bucket",)
+        )
+        # materialize before the temp state dir disappears
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+_Q_STREAMING_HLL_SQL = _Q_HLL_SQL.replace(
+    "(SELECT unnest([{}]) AS p) p".format(
+        ", ".join(str(p) for p in _HLL_PS)
+    ),
+    "(SELECT unnest([12]) AS p) p",
+)
+
+
 def q_streaming_heavy_hitters(spark, sf_dir):
     """Streaming heavy hitters (streaming.run_heavy_hitters_stream):
     document tokens arrive in three waves; each micro-batch is counted
@@ -6340,6 +6466,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   3. then the most recently re-verified ones, which rotate out.
     return {
         # -- new in r4 --
+        "hll_distinct": q_hll_distinct,
+        "streaming_hll": q_streaming_hll,
         "overlay_join": q_overlay_join,
         "line_overlay_join": q_line_overlay_join,
         "sphere_metrics": q_sphere_metrics,
@@ -6509,6 +6637,8 @@ def oracle_sql() -> dict[str, str]:
         "tile_pyramid": _tile_pyramid_sql(),
         "heavy_hitters": _Q_HEAVY_HITTERS_SQL,
         "streaming_heavy_hitters": _Q_STREAMING_HH_SQL,
+        "hll_distinct": _Q_HLL_SQL,
+        "streaming_hll": _Q_STREAMING_HLL_SQL,
         "text_embed": _Q_TEXT_EMBED_SQL,
         "embedding_topk": _Q_EMB_TOPK_SQL,
         "embedding_lsh_buckets": _emb_lsh_sql(),

@@ -770,6 +770,67 @@ def run_heavy_hitters_stream(
     return writer.start()
 
 
+def run_hll_stream(
+    stream_df: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    value_col: str = "value",
+    p: int = 12,
+    group_cols: tuple = (),
+    available_now: bool = True,
+):
+    """Streaming distinct-count: the continuous twin of
+    operators/sketch.hll_sketch for feeds that cannot be rescanned.
+
+    Each micro-batch is sketched with the same pure-expression register
+    math as the batch operator, merged (max per register) against the
+    LATEST persisted state partition only (the heavy-hitters discipline:
+    each batch OVERWRITES its own ingest_batch=<id> partition, reads
+    strictly earlier ones, and prunes everything older than its merge
+    input after a successful write — retry-idempotent, O(2^p) state per
+    group regardless of stream age). Unlike the MG summary, HLL merge is
+    LOSSLESS: the streamed sketch is register-identical to a one-shot
+    batch sketch over the full history, which the tests pin.
+
+    Read the running estimate with :func:`hll_state_estimate`.
+    """
+    from .operators.sketch import hll_merge, hll_sketch
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark_l = batch_df.sparkSession
+        cur = hll_sketch(batch_df, value_col, p=p, group_cols=group_cols)
+        eligible = [b for b in _list_hh_batches(spark_l, state_dir)
+                    if b < batch_id]
+        if eligible:
+            prev = spark_l.read.parquet(
+                f"{state_dir}/ingest_batch={eligible[-1]}"
+            ).select(*cur.columns)
+            cur = hll_merge(prev, cur, group_cols=group_cols)
+        cur.coalesce(1).write.mode("overwrite").parquet(
+            f"{state_dir}/ingest_batch={batch_id}"
+        )
+        _prune_hh_state(spark_l, state_dir, batch_id)
+
+    writer = stream_df.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def hll_state_estimate(spark, state_dir: str, group_cols: tuple = ()) -> DataFrame:
+    """Cardinality estimates over the latest streamed sketch state (one
+    partition read, never a historical scan)."""
+    from .operators.sketch import hll_estimate
+
+    batches = _list_hh_batches(spark, state_dir)
+    if not batches:
+        raise FileNotFoundError(f"no HLL state under {state_dir}")
+    regs = spark.read.parquet(f"{state_dir}/ingest_batch={batches[-1]}")
+    return hll_estimate(regs, group_cols=group_cols)
+
+
 def heavy_hitters_state_topk(spark, state_dir: str, k: int) -> DataFrame:
     """Top-k view over the final streaming summary: (key, est, est_hi,
     n_total) with est <= true <= est_hi, deterministic (est desc, key
