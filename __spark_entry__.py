@@ -2352,6 +2352,122 @@ GROUP BY 1, 2
 """
 
 
+_BUFFER_ANCHORS = [
+    ("den", 40.05, -100.05),
+    ("syd", -33.95, 151.05),
+    ("lonx", 51.55, -0.05),
+    ("tok", 35.05, 139.05),
+    ("nbo", -1.05, 36.95),
+]
+_BUFFER_R_M = 500_000.0
+_BUFFER_K = 16
+
+
+def q_buffer_pip(spark, sf_dir):
+    """Geodesic buffer geofences (operators/buffer.buffer_points): five
+    anchor sites become 16-gon rings of exact Karney direct solutions
+    at 500 km (vertices quantized to 2^-20 deg, CCW), then the event
+    stream (deterministic event_id-derived coordinates — the geofence
+    fixture) PIP-joins against them through the broadcast S2-cover
+    front door. Returns per-fence event/user counts PLUS the exact ring
+    coordinate sums — the oracle rebuilds the rings with the SEQUENTIAL
+    twin (buffer_rings_sequential) and runs its OWN ray cast in SQL, so
+    a green row pins both the distributed ring construction (quantized
+    vertices sum exactly, left-fold order on both sides) and the
+    within-distance join semantics."""
+    from opentopodata_spark.operators import buffer as buf
+    from opentopodata_spark.operators import spatial
+
+    _ship_package(spark)
+    anchors = spark.createDataFrame(
+        _BUFFER_ANCHORS, "point_id string, lat double, lon double"
+    )
+    rings = buf.buffer_points(anchors, _BUFFER_R_M, n_vertices=_BUFFER_K)
+    polys = spatial.polygons_from_df(rings)
+    e = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        ((F.col("event_id") % 1700) / 10.0 - 85.0 + 0.05).alias("lat"),
+        ((F.col("event_id") * 7 % 3500) / 10.0 - 175.0 + 0.05).alias("lon"),
+    )
+    joined = spatial.point_in_polygon_join(e, polys, level=7)
+    counts = joined.groupBy("polygon_id").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+    sums = spark.createDataFrame(
+        [
+            (r.polygon_id, list(r.lats), list(r.lons))
+            for r in rings.collect()
+        ],
+        "polygon_id string, lats array<double>, lons array<double>",
+    ).select(
+        "polygon_id",
+        F.aggregate("lats", F.lit(0.0), lambda a, x: a + x).alias("lat_sum"),
+        F.aggregate("lons", F.lit(0.0), lambda a, x: a + x).alias("lon_sum"),
+    )
+    return sums.join(counts, "polygon_id", "left").select(
+        "polygon_id",
+        F.coalesce("n_events", F.lit(0).cast("long")).alias("n_events"),
+        F.coalesce("n_users", F.lit(0).cast("long")).alias("n_users"),
+        "lat_sum",
+        "lon_sum",
+    )
+
+
+def _buffer_pip_sql() -> str:
+    from opentopodata_spark.operators import buffer as buf
+
+    seq = buf.buffer_rings_sequential(
+        _BUFFER_ANCHORS, _BUFFER_R_M, n_vertices=_BUFFER_K
+    )
+    edge_rows, sums_rows = [], []
+    for pid, la, lo in seq:
+        n = len(la)
+        for k in range(n):
+            y1, x1 = la[k], lo[k]
+            y2, x2 = la[(k + 1) % n], lo[(k + 1) % n]
+            if y1 == y2:
+                continue
+            edge_rows.append(f"('{pid}', {y1!r}, {x1!r}, {y2!r}, {x2!r})")
+        lat_sum = 0.0
+        for v in la:
+            lat_sum += v
+        lon_sum = 0.0
+        for v in lo:
+            lon_sum += v
+        sums_rows.append(f"('{pid}', {lat_sum!r}, {lon_sum!r})")
+    edges = ",\n    ".join(edge_rows)
+    sums = ",\n    ".join(sums_rows)
+    return f"""
+WITH pts AS (
+  SELECT event_id AS pid, user_id,
+         (event_id % 1700) / 10.0 - 85.0 + 0.05 AS lat,
+         (event_id * 7 % 3500) / 10.0 - 175.0 + 0.05 AS lon
+  FROM events),
+edges(polygon_id, y1, x1, y2, x2) AS (VALUES
+    {edges}),
+sums(polygon_id, lat_sum, lon_sum) AS (VALUES
+    {sums}),
+crossings AS (
+  SELECT p.pid AS point_id, e.polygon_id,
+         CASE WHEN ((e.y1 > p.lat) <> (e.y2 > p.lat))
+               AND (p.lon < (e.x2 - e.x1) * (p.lat - e.y1) / (e.y2 - e.y1) + e.x1)
+              THEN 1 ELSE 0 END AS c
+  FROM pts p CROSS JOIN edges e),
+inside AS (
+  SELECT point_id, polygon_id FROM crossings
+  GROUP BY point_id, polygon_id HAVING SUM(c) % 2 = 1),
+counts AS (
+  SELECT i.polygon_id, count(*) AS n_events,
+         count(DISTINCT p.user_id) AS n_users
+  FROM inside i JOIN pts p ON i.point_id = p.pid GROUP BY 1)
+SELECT s.polygon_id, coalesce(c.n_events, 0) AS n_events,
+       coalesce(c.n_users, 0) AS n_users, s.lat_sum, s.lon_sum
+FROM sums s LEFT JOIN counts c USING (polygon_id)
+"""
+
+
 def q_geofence_transitions(spark, sf_dir):
     """operators/events.geofence_transitions: per-user fence enter/exit
     changes (PIP membership sets diffed against the previous event via
@@ -6468,6 +6584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new in r4 --
         "hll_distinct": q_hll_distinct,
         "streaming_hll": q_streaming_hll,
+        "buffer_pip": q_buffer_pip,
         "overlay_join": q_overlay_join,
         "line_overlay_join": q_line_overlay_join,
         "sphere_metrics": q_sphere_metrics,
@@ -6639,6 +6756,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_heavy_hitters": _Q_STREAMING_HH_SQL,
         "hll_distinct": _Q_HLL_SQL,
         "streaming_hll": _Q_STREAMING_HLL_SQL,
+        "buffer_pip": _buffer_pip_sql(),
         "text_embed": _Q_TEXT_EMBED_SQL,
         "embedding_topk": _Q_EMB_TOPK_SQL,
         "embedding_lsh_buckets": _emb_lsh_sql(),
