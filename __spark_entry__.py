@@ -2352,6 +2352,108 @@ GROUP BY 1, 2
 """
 
 
+# dissolve fixture: a vertex-matched unit-cell tiling with five region
+# keys — block, ring-with-hole + island, disconnected blobs, and
+# corner-touching cells (two shells, no hole)
+_DISSOLVE_CELLS = (
+    [("A", x, y) for x in range(3) for y in range(4)]
+    + [("B", x, y) for x in range(10, 13) for y in range(3)
+       if (x, y) != (11, 1)]
+    + [("C", 11, 1)]
+    + [("D", 20, 0), ("D", 21, 0), ("D", 21, 1), ("D", 24, 3), ("D", 25, 3)]
+    + [("E", 30, 0), ("E", 31, 1), ("E", 32, 2)]
+)
+
+
+def q_dissolve_regions(spark, sf_dir):
+    """Polygon dissolve (operators/dissolve.dissolve_polygons): a
+    vertex-matched unit-cell tiling merges to one (multi)polygon per
+    region key — interior edges cancel in one map-side-combined
+    integer aggregation, only the dissolved boundary reaches the
+    per-key stitcher. Contract columns are the full integer algebra:
+    n_parts, surviving perim_edges, exact area2_q (union identity is
+    enforced inside the job), and a DIRECTION-SENSITIVE edge checksum
+    recomputed from the OUTPUT rings — so the oracle (its own SQL
+    cancellation replay over the same cell list) pins both which edges
+    survive and the direction the stitcher walked them. Shell/hole
+    counts are not SQL-expressible; they are pinned by the sequential
+    twin in tests/test_dissolve.py."""
+    from opentopodata_spark.operators import dissolve
+
+    _ship_package(spark)
+    rows = [
+        (k, [[[float(x), float(y)], [float(x + 1), float(y)],
+              [float(x + 1), float(y + 1)], [float(x), float(y + 1)]]])
+        for k, x, y in _DISSOLVE_CELLS
+    ]
+    df = spark.createDataFrame(
+        rows, "key string, rings array<array<array<double>>>"
+    )
+    out = dissolve.dissolve_polygons(df, "key")
+    checksum = F.expr("""
+      aggregate(
+        flatten(transform(rings, r ->
+          transform(sequence(0, size(r) - 1), i ->
+            CAST(round(r[i][0] * 1048576.0) AS BIGINT)
+            + 3 * CAST(round(r[i][1] * 1048576.0) AS BIGINT)
+            + 5 * CAST(round(r[(i + 1) % size(r)][0] * 1048576.0) AS BIGINT)
+            + 7 * CAST(round(r[(i + 1) % size(r)][1] * 1048576.0) AS BIGINT)
+          ))),
+        0L, (a, x) -> a + x)
+    """)
+    return out.select(
+        "key", "n_parts", "perim_edges", "area2_q",
+        checksum.alias("edge_checksum"),
+    )
+
+
+def _dissolve_sql() -> str:
+    cells = ",\n    ".join(
+        f"('{k}', {x}, {y})" for k, x, y in _DISSOLVE_CELLS
+    )
+    return f"""
+WITH cells(key, cx, cy) AS (VALUES
+    {cells}),
+e(key, ax, ay, bx, by) AS (
+  SELECT key, cx, cy, cx + 1, cy FROM cells UNION ALL
+  SELECT key, cx + 1, cy, cx + 1, cy + 1 FROM cells UNION ALL
+  SELECT key, cx + 1, cy + 1, cx, cy + 1 FROM cells UNION ALL
+  SELECT key, cx, cy + 1, cx, cy FROM cells),
+eq AS (
+  SELECT key,
+         ax * 1048576::BIGINT AS ax, ay * 1048576::BIGINT AS ay,
+         bx * 1048576::BIGINT AS bx, by * 1048576::BIGINT AS by,
+         ((ax < bx) OR (ax = bx AND ay < by)) AS fwd
+  FROM e),
+und AS (
+  SELECT key,
+         CASE WHEN fwd THEN ax ELSE bx END AS uax,
+         CASE WHEN fwd THEN ay ELSE by END AS uay,
+         CASE WHEN fwd THEN bx ELSE ax END AS ubx,
+         CASE WHEN fwd THEN by ELSE ay END AS uby,
+         SUM(CASE WHEN fwd THEN 1 ELSE -1 END) AS net
+  FROM eq GROUP BY 1, 2, 3, 4, 5),
+surv AS (
+  SELECT key,
+         CASE WHEN net > 0 THEN uax ELSE ubx END AS sax,
+         CASE WHEN net > 0 THEN uay ELSE uby END AS say,
+         CASE WHEN net > 0 THEN ubx ELSE uax END AS sbx,
+         CASE WHEN net > 0 THEN uby ELSE uay END AS sby
+  FROM und WHERE net <> 0),
+agg AS (
+  SELECT key, CAST(count(*) AS BIGINT) AS perim_edges,
+         CAST(sum(sax + 3 * say + 5 * sbx + 7 * sby) AS BIGINT)
+           AS edge_checksum
+  FROM surv GROUP BY key),
+parts AS (
+  SELECT key, CAST(count(*) AS BIGINT) AS n_parts,
+         CAST(count(*) AS BIGINT) * 2 * (1::BIGINT << 40) AS area2_q
+  FROM cells GROUP BY key)
+SELECT p.key, p.n_parts, a.perim_edges, p.area2_q, a.edge_checksum
+FROM parts p JOIN agg a USING (key)
+"""
+
+
 _BUFFER_ANCHORS = [
     ("den", 40.05, -100.05),
     ("syd", -33.95, 151.05),
@@ -6585,6 +6687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct": q_hll_distinct,
         "streaming_hll": q_streaming_hll,
         "buffer_pip": q_buffer_pip,
+        "dissolve_regions": q_dissolve_regions,
         "overlay_join": q_overlay_join,
         "line_overlay_join": q_line_overlay_join,
         "sphere_metrics": q_sphere_metrics,
@@ -6757,6 +6860,7 @@ def oracle_sql() -> dict[str, str]:
         "hll_distinct": _Q_HLL_SQL,
         "streaming_hll": _Q_STREAMING_HLL_SQL,
         "buffer_pip": _buffer_pip_sql(),
+        "dissolve_regions": _dissolve_sql(),
         "text_embed": _Q_TEXT_EMBED_SQL,
         "embedding_topk": _Q_EMB_TOPK_SQL,
         "embedding_lsh_buckets": _emb_lsh_sql(),

@@ -100,6 +100,22 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--out-layer", default="simplified")
     sp.add_argument("--cores", type=int, default=4)
 
+    dz = sub.add_parser("dissolve",
+                        help="merge edge-sharing polygons by attribute "
+                             "(ogr2ogr dissolve twin, Spark)")
+    dz.add_argument("--in", dest="src", required=True)
+    dz.add_argument("--layer", default=None)
+    dz.add_argument("--by", default=None,
+                    help="property name holding the dissolve key "
+                         "(default: everything merges into one key)")
+    dz.add_argument("--quantize", type=float, default=2.0 ** -20,
+                    help="vertex snap grid in layer units (edges must "
+                         "match exactly after snapping)")
+    dz.add_argument("--out", required=True,
+                    help="output layer .geojson/.json/.shp/.gpkg")
+    dz.add_argument("--out-layer", default="dissolved")
+    dz.add_argument("--cores", type=int, default=4)
+
     i = sub.add_parser("info", help="print layer summary JSON")
     i.add_argument("--in", dest="src", required=True)
     i.add_argument("--layer", default=None)
@@ -193,6 +209,51 @@ def _default_cell(*rowsets) -> float:
 
 
 _RINGS_SCHEMA = "fid string, rings array<array<array<double>>>"
+_DISSOLVE_SCHEMA = "key string, rings array<array<array<double>>>"
+
+
+def _ring_area2(ring) -> float:
+    s = 0.0
+    n = len(ring)
+    for k in range(n):
+        x0, y0 = ring[k][0], ring[k][1]
+        x1, y1 = ring[(k + 1) % n][0], ring[(k + 1) % n][1]
+        s += x0 * y1 - x1 * y0
+    return s
+
+
+def _even_odd(px: float, py: float, ring) -> bool:
+    inside = False
+    n = len(ring)
+    for k in range(n):
+        x0, y0 = ring[k][0], ring[k][1]
+        x1, y1 = ring[(k + 1) % n][0], ring[(k + 1) % n][1]
+        if (y0 > py) != (y1 > py):
+            if px < (x1 - x0) * (py - y0) / (y1 - y0) + x0:
+                inside = not inside
+    return inside
+
+
+def _multipolygon_coords(rings) -> list:
+    """Dissolve output rings (shells CCW, holes CW, open) -> GeoJSON
+    MultiPolygon coordinates: each hole attached to the SMALLEST shell
+    containing its first vertex (handles islands-in-holes), rings
+    closed. A hole touching its shell at a vertex is assigned by the
+    same first-vertex ray cast (documented best-effort for the CLI)."""
+    shells = [(abs(_ring_area2(r)), r) for r in rings if _ring_area2(r) > 0]
+    holes = [r for r in rings if _ring_area2(r) < 0]
+    shells.sort(key=lambda t: t[0])
+    polys = [[list(r) + [list(r[0])]] for _, r in shells]
+    for h in holes:
+        px, py = h[0][0], h[0][1]
+        for i, (_, shell) in enumerate(shells):
+            if _even_odd(px, py, shell):
+                polys[i].append(list(h) + [list(h[0])])
+                break
+        else:
+            raise vector.VectorError(
+                "dissolve: hole ring not contained in any shell")
+    return polys
 
 
 def _write_layer(out: str, fc: dict, layer: str) -> None:
@@ -330,6 +391,55 @@ def run(argv: list[str] | None = None) -> dict:
         n_out = sum(len(f["geometry"]["coordinates"]) for f in feats)
         stats = {"job": "vectorio-simplify", "src": ns.src,
                  "out": ns.out, "vertices_in": n_in, "vertices_out": n_out}
+        print(json.dumps(stats, sort_keys=True))
+        return stats
+
+    if ns.cmd == "dissolve":
+        from ..operators import dissolve as dz
+        from ..session import get_spark
+
+        fc = vector.load_features(ns.src, layer=ns.layer)
+        rows = []
+        for i, ft in enumerate(fc.get("features", [])):
+            g = ft.get("geometry") or {}
+            props = ft.get("properties") or {}
+            key = str(props.get(ns.by)) if ns.by else "ALL"
+            if g.get("type") == "Polygon":
+                parts = [g["coordinates"]]
+            elif g.get("type") == "MultiPolygon":
+                parts = list(g["coordinates"])
+            else:
+                continue
+            for part in parts:
+                rows.append((key, [
+                    [[float(x), float(y)] for x, y in ring]
+                    for ring in part
+                ]))
+        if not rows:
+            raise vector.VectorError(
+                "dissolve: no Polygon/MultiPolygon features in the layer")
+        spark = get_spark(cores=ns.cores)
+        df = spark.createDataFrame(rows, _DISSOLVE_SCHEMA)
+        res = dz.dissolve_polygons(df, "key", quantize=ns.quantize).collect()
+        feats = []
+        for r in sorted(res, key=lambda row: row.key):
+            coords = _multipolygon_coords(
+                [[list(v) for v in ring] for ring in r.rings]
+            )
+            gtype = "Polygon" if len(coords) == 1 else "MultiPolygon"
+            feats.append({
+                "type": "Feature", "id": r.key,
+                "properties": {(ns.by or "key"): r.key,
+                               "n_parts": int(r.n_parts)},
+                "geometry": {
+                    "type": gtype,
+                    "coordinates": coords[0] if gtype == "Polygon" else coords,
+                },
+            })
+        out_fc = {"type": "FeatureCollection", "features": feats}
+        _write_layer(ns.out, out_fc, ns.out_layer)
+        stats = {"job": "vectorio-dissolve", "src": ns.src, "out": ns.out,
+                 "n_in": len(rows), "n_out": len(feats)}
         print(json.dumps(stats, sort_keys=True))
         return stats
 
