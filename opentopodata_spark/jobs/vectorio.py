@@ -116,6 +116,22 @@ def build_parser() -> argparse.ArgumentParser:
     dz.add_argument("--out-layer", default="dissolved")
     dz.add_argument("--cores", type=int, default=4)
 
+    b = sub.add_parser("buffer",
+                       help="geodesic point buffers: Point features -> "
+                            "polygon geofences (Spark)")
+    b.add_argument("--in", dest="src", required=True,
+                   help="point layer .geojson/.json/.shp/.gpkg")
+    b.add_argument("--layer", default=None)
+    b.add_argument("--radius-m", type=float, required=True)
+    b.add_argument("--segments", type=int, default=32,
+                   help="vertices per ring (default 32)")
+    b.add_argument("--circumscribe", action="store_true",
+                   help="scale radius by 1/cos(pi/segments) so the "
+                        "polygon CONTAINS the true circle")
+    b.add_argument("--out", required=True)
+    b.add_argument("--out-layer", default="buffered")
+    b.add_argument("--cores", type=int, default=4)
+
     i = sub.add_parser("info", help="print layer summary JSON")
     i.add_argument("--in", dest="src", required=True)
     i.add_argument("--layer", default=None)
@@ -391,6 +407,56 @@ def run(argv: list[str] | None = None) -> dict:
         n_out = sum(len(f["geometry"]["coordinates"]) for f in feats)
         stats = {"job": "vectorio-simplify", "src": ns.src,
                  "out": ns.out, "vertices_in": n_in, "vertices_out": n_out}
+        print(json.dumps(stats, sort_keys=True))
+        return stats
+
+    if ns.cmd == "buffer":
+        import math
+
+        from ..operators import buffer as bf
+        from ..session import get_spark
+
+        fc = vector.load_features(ns.src, layer=ns.layer)
+        rows, props = [], {}
+        for i, ft in enumerate(fc.get("features", [])):
+            g = ft.get("geometry") or {}
+            fid = str(ft.get("id", i))
+            if g.get("type") == "Point":
+                pts = [g["coordinates"]]
+            elif g.get("type") == "MultiPoint":
+                pts = list(g["coordinates"])
+            else:
+                continue
+            for pi, (x, y) in enumerate(pts):
+                pid = fid if len(pts) == 1 else f"{fid}#{pi}"
+                rows.append((pid, float(y), float(x)))
+                props[pid] = ft.get("properties", {})
+        if not rows:
+            raise vector.VectorError(
+                "buffer: no Point/MultiPoint features in the layer")
+        r = ns.radius_m
+        if ns.circumscribe:
+            r = r / math.cos(math.pi / ns.segments)
+        spark = get_spark(cores=ns.cores)
+        df = spark.createDataFrame(
+            rows, "point_id string, lat double, lon double")
+        rings = bf.buffer_points(df, r, n_vertices=ns.segments).collect()
+        feats = []
+        for row in sorted(rings, key=lambda rr: rr.polygon_id):
+            ring = [[x, y] for y, x in zip(row.lats, row.lons)]
+            feats.append({
+                "type": "Feature", "id": row.polygon_id,
+                "properties": {**props.get(row.polygon_id, {}),
+                               "buffer_radius_m": ns.radius_m},
+                "geometry": {"type": "Polygon",
+                             "coordinates": [ring + [ring[0]]]},
+            })
+        out_fc = {"type": "FeatureCollection", "features": feats}
+        _write_layer(ns.out, out_fc, ns.out_layer)
+        stats = {"job": "vectorio-buffer", "src": ns.src, "out": ns.out,
+                 "n_points": len(rows), "n_polygons": len(feats),
+                 "radius_m": ns.radius_m,
+                 "circumscribed": bool(ns.circumscribe)}
         print(json.dumps(stats, sort_keys=True))
         return stats
 

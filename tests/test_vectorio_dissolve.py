@@ -89,3 +89,47 @@ def test_cli_dissolve_all_one_key(layer, tmp_path, spark):
     assert g["type"] == "MultiPolygon"
     assert len(g["coordinates"]) == 2
     assert all(len(poly) == 1 for poly in g["coordinates"])  # no holes
+
+
+def test_cli_buffer_points(tmp_path, spark):
+    import math
+
+    from opentopodata_spark import geodesic
+
+    fc = {"type": "FeatureCollection", "features": [
+        {"type": "Feature", "id": "site1", "properties": {"name": "s1"},
+         "geometry": {"type": "Point", "coordinates": [8.0, 47.0]}},
+        {"type": "Feature", "id": "m", "properties": {},
+         "geometry": {"type": "MultiPoint",
+                      "coordinates": [[0.0, 10.0], [1.0, 11.0]]}},
+    ]}
+    src = tmp_path / "pts.geojson"
+    src.write_text(json.dumps(fc))
+    out = str(tmp_path / "buf.geojson")
+    stats = vectorio.run([
+        "buffer", "--in", str(src), "--radius-m", "50000",
+        "--segments", "16", "--out", out, "--cores", "4",
+    ])
+    assert stats["n_points"] == 3 and stats["n_polygons"] == 3
+    got = json.loads(open(out).read())
+    by_id = {f["id"]: f for f in got["features"]}
+    assert set(by_id) == {"site1", "m#0", "m#1"}
+    ring = by_id["site1"]["geometry"]["coordinates"][0]
+    assert ring[0] == ring[-1] and len(ring) == 17
+    for x, y in ring[:-1]:
+        d = geodesic.inverse(47.0, 8.0, y, x)["s12"]
+        assert abs(d - 50000.0) < 0.5
+    assert by_id["site1"]["properties"]["name"] == "s1"
+    # circumscribed variant pushes every vertex to R/cos(pi/16)
+    out2 = str(tmp_path / "buf2.geojson")
+    vectorio.run([
+        "buffer", "--in", str(src), "--radius-m", "50000",
+        "--segments", "16", "--circumscribe", "--out", out2,
+    ])
+    got2 = json.loads(open(out2).read())
+    ring2 = {f["id"]: f for f in got2["features"]}["site1"][
+        "geometry"]["coordinates"][0]
+    want = 50000.0 / math.cos(math.pi / 16)
+    for x, y in ring2[:-1]:
+        d = geodesic.inverse(47.0, 8.0, y, x)["s12"]
+        assert abs(d - want) < 0.5
