@@ -2352,6 +2352,45 @@ GROUP BY 1, 2
 """
 
 
+_QUANT_QS = [0.0, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0]
+
+
+def q_exact_quantiles(spark, sf_dir):
+    """Exact distributed quantiles (operators/quantiles.exact_quantiles)
+    of l_extendedprice per return flag — distributed selection via
+    iterative observed-bound histograms instead of a global sort or
+    Spark's state-buffering `percentile`. local_threshold=2000 forces
+    at least one histogram round on this data (~20k rows/flag) before
+    the bounded final collect, so the driver row checks the narrowing
+    logic, not just the numpy fast path. Oracle: the literal ANSI
+    definition — ORDER BY value OFFSET floor(q*(n-1)) via row_number."""
+    from opentopodata_spark.operators.quantiles import exact_quantiles
+
+    _ship_package(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    return exact_quantiles(
+        li, "l_extendedprice", _QUANT_QS, group_cols=("l_returnflag",),
+        buckets=64, local_threshold=2000,
+    )
+
+
+def _quantiles_sql() -> str:
+    qvals = ", ".join(f"({q!r})" for q in _QUANT_QS)
+    return f"""
+WITH qs(q) AS (VALUES {qvals}),
+s AS (
+  SELECT l_returnflag AS g, l_extendedprice AS v,
+         row_number() OVER (PARTITION BY l_returnflag
+                            ORDER BY l_extendedprice) AS rn,
+         count(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM lineitem)
+SELECT s.g AS l_returnflag, q.q, CAST(s.n AS BIGINT) AS n,
+       CAST(s.v AS DOUBLE) AS value
+FROM s JOIN qs q
+  ON s.rn = CAST(floor(q.q * (s.n - 1)) AS BIGINT) + 1
+"""
+
+
 # dissolve fixture: a vertex-matched unit-cell tiling with five region
 # keys — block, ring-with-hole + island, disconnected blobs, and
 # corner-touching cells (two shells, no hole)
@@ -6688,6 +6727,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_hll": q_streaming_hll,
         "buffer_pip": q_buffer_pip,
         "dissolve_regions": q_dissolve_regions,
+        "exact_quantiles": q_exact_quantiles,
         "overlay_join": q_overlay_join,
         "line_overlay_join": q_line_overlay_join,
         "sphere_metrics": q_sphere_metrics,
@@ -6861,6 +6901,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_hll": _Q_STREAMING_HLL_SQL,
         "buffer_pip": _buffer_pip_sql(),
         "dissolve_regions": _dissolve_sql(),
+        "exact_quantiles": _quantiles_sql(),
         "text_embed": _Q_TEXT_EMBED_SQL,
         "embedding_topk": _Q_EMB_TOPK_SQL,
         "embedding_lsh_buckets": _emb_lsh_sql(),
