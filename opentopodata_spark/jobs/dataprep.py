@@ -168,6 +168,18 @@ def build_parser() -> argparse.ArgumentParser:
                         "(the standard union-find corpus dedup — treats "
                         "near-duplication as transitive)")
     p.add_argument("--shingle-n", type=int, default=2)
+    p.add_argument("--stats-distinct-tokens", type=int, default=None,
+                   metavar="P",
+                   help="report an HLL distinct-token estimate of the "
+                        "OUTPUT corpus in stats.json (P = register "
+                        "precision bits, e.g. 12; sketch.hll_distinct)")
+    p.add_argument("--stats-token-quantiles", default=None,
+                   metavar="QS",
+                   help="comma list of quantiles (e.g. 0.5,0.9,0.99): "
+                        "report EXACT per-doc whitespace-token-count "
+                        "order statistics of the output corpus "
+                        "(quantiles.exact_quantiles — distributed "
+                        "selection, no global sort)")
     p.add_argument("--resume", action="store_true",
                    help="skip stages whose output already exists complete "
                         "(_SUCCESS marker): a crash between corpus, chunks "
@@ -514,6 +526,29 @@ def _derived_stages(spark, ns, stats, out_corpus, t0, filtered):
             .agg(F.countDistinct("seq_id"))
             .collect()[0][0]
         )
+    if getattr(ns, "stats_distinct_tokens", None) is not None:
+        from ..operators.exprutil import tokens as _tokens
+        from ..operators.sketch import hll_distinct as _hll
+
+        p_bits = int(ns.stats_distinct_tokens)
+        toks = spark.read.parquet(out_corpus).select(
+            F.explode(_tokens("text")).alias("tok")
+        )
+        row = _hll(toks, "tok", p=p_bits).collect()[0]
+        stats["distinct_tokens_est"] = int(row.est_distinct)
+        stats["distinct_tokens_p"] = p_bits
+    if getattr(ns, "stats_token_quantiles", None):
+        from ..operators.exprutil import tokens as _tokens
+        from ..operators.quantiles import exact_quantiles as _xq
+
+        qs = [float(s) for s in ns.stats_token_quantiles.split(",") if s]
+        counts = spark.read.parquet(out_corpus).select(
+            F.size(_tokens("text")).alias("n_toks")
+        )
+        rows = _xq(counts, "n_toks", qs).collect()
+        stats["token_quantiles"] = {
+            repr(r.q): int(r.value) for r in rows
+        }
     stats["seconds"] = round(time.time() - t0, 3)
     if filtered is not None:
         filtered.unpersist()

@@ -545,3 +545,47 @@ def test_dataprep_geo_filter(tmp_path, spark, capsys):
     assert rows_t[2] == "sydney_box"
     assert rows_t[3] is None          # no coordinates -> null region
     assert rows_t[4] == "berlin_box"  # one hit in each box: tie -> min id
+
+
+def test_dataprep_telemetry_stats(tmp_path, spark, capsys):
+    """--stats-distinct-tokens / --stats-token-quantiles: HLL estimate
+    and EXACT token-count order statistics of the written corpus,
+    verified against direct python computation over the output."""
+    import hashlib
+    import math
+
+    rows = [(i, " ".join(f"tok{(i * 17 + j) % 97}" for j in range(5 + i % 7)))
+            for i in range(40)]
+    p = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(p)
+    out = str(tmp_path / "tele")
+    argv = ["--documents", p, "--out", out, "--min-tokens", "0",
+            "--no-exact-dedup", "--cores", "4",
+            "--stats-distinct-tokens", "10",
+            "--stats-token-quantiles", "0.5,0.9"]
+    assert job.main(argv) == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    docs = {r.doc_id: r.text for r in
+            spark.read.parquet(f"{out}/corpus").collect()}
+    toks = [t for txt in docs.values() for t in txt.split(" ") if t]
+    # HLL replay (same md5/register math as operators/sketch)
+    q = 60 - 10
+    regs: dict = {}
+    for t in set(toks):
+        h = int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+        idx, w = h >> q, h & ((1 << q) - 1)
+        regs[idx] = max(regs.get(idx, 0),
+                        q + 1 if w == 0 else q + 1 - w.bit_length())
+    m, vz = 1 << 10, (1 << 10) - len(regs)
+    s = sum(1 << (61 - 10 - r) for r in regs.values())
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    er = alpha * m * m * (1 << 51) / (s + vz * (1 << 51))
+    want = round(m * math.log(m / vz)) if (er <= 2.5 * m and vz > 0) \
+        else round(er)
+    assert stats["distinct_tokens_est"] == want
+    assert stats["distinct_tokens_p"] == 10
+    counts = sorted(len([t for t in txt.split(" ") if t])
+                    for txt in docs.values())
+    for qq in (0.5, 0.9):
+        k = int(math.floor(qq * (len(counts) - 1)))
+        assert stats["token_quantiles"][repr(qq)] == counts[k]
