@@ -1409,6 +1409,88 @@ class Orthographic:
         return lons, lats
 
 
+class NewZealandMapGrid:
+    """NZMG (EPSG 27200) — LINZ's sixth-order complex-polynomial
+    conformal projection over NZGD1949 (International 1924), the grid
+    of every pre-NZTM New Zealand DEM/topo product.
+
+    Published algorithm and coefficients: LINZ, "New Zealand Map Grid
+    projection — definition and formulae" (reproduced in LINZS25000 /
+    OSG Technical Report 5; the same constant tables ship in every
+    open implementation). Forward: delta-phi in units of 1e-5
+    arc-seconds feeds a 10-term REAL series for the isometric-latitude
+    difference d-psi; z = d-psi + i*d-lambda then maps through a 6-term
+    COMPLEX polynomial to (N + iE)/a. Inverse: 6-term complex inverse
+    series seeds two Newton steps on the forward polynomial, then the
+    9-term real series (plus two Newton refinements against the
+    forward real series for sub-mm closure) recovers latitude.
+    Vectorized with numpy complex128 Horner evaluation throughout.
+    """
+
+    _A = [0.6399175073, -0.1358797613, 0.063294409, -0.02526853,
+          0.0117879, -0.0055161, 0.0026906, -0.001333, 0.00067,
+          -0.00034]
+    _B = [1.5627014243, 0.5185406398, -0.03333098, -0.1052906,
+          -0.0368594, 0.007317, 0.01220, 0.00394, -0.0013]
+    _E = [0.7557853228 + 0.0j, 0.249204646 + 0.003371507j,
+          -0.001541739 + 0.041058560j, -0.10162907 + 0.01727609j,
+          -0.26623489 - 0.36249218j, -0.6870983 - 1.1651967j]
+    _F = [1.3231270439 + 0.0j, -0.577245789 - 0.007809598j,
+          0.508307513 - 0.112208952j, -0.15094762 + 0.18200602j,
+          1.01418179 + 1.64497696j, 1.9660549 + 2.5127645j]
+
+    def __init__(self, a=6378388.0, lat0_deg=-41.0, lon0_deg=173.0,
+                 false_easting=2510000.0, false_northing=6023150.0):
+        self.a = a
+        self.lat0 = lat0_deg
+        self.lon0 = lon0_deg
+        self.fe = false_easting
+        self.fn = false_northing
+
+    @staticmethod
+    def _poly(coeffs, z):
+        """sum_{k=1..n} c_k z^k, Horner."""
+        acc = np.zeros_like(z)
+        for c in reversed(coeffs):
+            acc = (acc + c) * z
+        return acc
+
+    @staticmethod
+    def _dpoly(coeffs, z):
+        """d/dz of _poly."""
+        acc = np.zeros_like(z)
+        for k, c in zip(range(len(coeffs), 0, -1), reversed(coeffs)):
+            acc = acc * z + k * c
+        return acc
+
+    def forward(self, lons, lats):
+        lats = np.asarray(lats, dtype=np.float64)
+        lons = np.asarray(lons, dtype=np.float64)
+        u = (lats - self.lat0) * 0.036      # degrees -> 1e-5 arcsec
+        dpsi = self._poly(self._A, u)
+        dlam = np.radians(lons - self.lon0)
+        dlam = (dlam + np.pi) % (2 * np.pi) - np.pi
+        z = dpsi + 1j * dlam
+        theta = self._poly(self._E, z.astype(np.complex128))
+        return self.fe + self.a * theta.imag, self.fn + self.a * theta.real
+
+    def inverse(self, xs, ys):
+        xs = np.asarray(xs, dtype=np.float64)
+        ys = np.asarray(ys, dtype=np.float64)
+        zeta = ((ys - self.fn) + 1j * (xs - self.fe)) / self.a
+        zeta = zeta.astype(np.complex128)
+        z = self._poly(self._F, zeta)
+        for _ in range(3):                  # Newton on the forward poly
+            z = z - (self._poly(self._E, z) - zeta) / self._dpoly(self._E, z)
+        dpsi = z.real
+        u = self._poly(self._B, np.asarray(dpsi))
+        for _ in range(2):                  # close against the forward A
+            u = u - (self._poly(self._A, u) - dpsi) / self._dpoly(self._A, u)
+        lats = self.lat0 + u / 0.036
+        lons = self.lon0 + np.degrees(z.imag)
+        return lons, lats
+
+
 class WebMercator:
     R = 6378137.0
 
@@ -1568,6 +1650,13 @@ _NAD27_DATUM = ("clarke1866_nad27", 8.0, -160.0, -176.0, 0.0, 0.0, 0.0, 0.0)
 # (Pulkovo 1942 to WGS 84 (1), dx=28 dy=-130 dz=-95; ~10 m class).
 _PULKOVO42_DATUM = ("krassowsky_pulkovo42", -28.0, 130.0, 95.0,
                     0.0, 0.0, 0.0, 0.0)
+
+# WGS84 -> NZGD1949 position-vector Helmert (negated EPSG 1564 / LINZ
+# published set 59.47, -5.04, 187.44, 0.47, -0.10, 1.024, -4.5993;
+# ~2-4 m class — exact NZGD49 needs LINZ's distortion grid, which
+# grid-less PROJ also skips).
+_NZGD49_DATUM = ("intl1924_nzgd49", -59.47, 5.04, -187.44,
+                 -0.47, 0.10, -1.024, 4.5993)
 
 # WGS84 -> GGRS87 (negated EPSG 1272: -199.87, 74.79, 246.62).
 _GGRS87_DATUM = ("grs80_ggrs87", 199.87, -74.79, -246.62, 0.0, 0.0, 0.0, 0.0)
@@ -1788,6 +1877,12 @@ def _projection_for_epsg(epsg: int):
         return TransverseMercator(*_KRASSOWSKY, lon0_deg=zone * 6 - 3, k0=1.0,
                                   false_easting=zone * 1e6 + 500000.0,
                                   false_northing=0.0)
+    if epsg == 27200:  # NZGD49 / New Zealand Map Grid
+        _, tx, ty, tz, rx, ry, rz, s = _NZGD49_DATUM
+        return DatumShifted(
+            NewZealandMapGrid(),
+            HelmertDatum(*_INTL1924, tx, ty, tz, rx, ry, rz, s),
+        )
     if epsg in _NAMED_TM_EPSGS:
         ell, lat0, lon0, k0, fe, fn, datum = _NAMED_TM_EPSGS[epsg]
         proj = TransverseMercator(*ell, lat0_deg=lat0, lon0_deg=lon0, k0=k0,
@@ -2108,6 +2203,16 @@ def _projection_for_proj4(s: str):
         base = Bonne(
             a, inv_f, lat1_deg=p("lat_1"), lon0_deg=lon0,
             false_easting=fe, false_northing=fn,
+        )
+    elif proj == "nzmg":
+        # the projection is DEFINED on International 1924 with fixed
+        # origin constants; +lat_0/+lon_0/+x_0/+y_0 still override to
+        # match PROJ's generic-framework behavior
+        base = NewZealandMapGrid(
+            a=a, lat0_deg=p("lat_0", default=-41.0),
+            lon0_deg=p("lon_0", default=173.0),
+            false_easting=p("x_0", default=2510000.0),
+            false_northing=p("y_0", default=6023150.0),
         )
     else:
         raise CRSError(f"PROJ4 +proj={proj} is not supported by this build")

@@ -2052,3 +2052,67 @@ def test_polar_aeqd_elevation_differential(spark, tmp_path):
             assert rows[i] == ev
             hits += 1
     assert hits >= 30
+
+
+# ---------------------------------------------------------------------------
+# NZMG (EPSG 27200) — complex-polynomial grid
+# ---------------------------------------------------------------------------
+
+
+def test_nzmg_real_series_matches_isometric_latitude():
+    """The 10-term A series must reproduce the EXACT International-1924
+    isometric-latitude difference (that is its definition) — pins the
+    series constants and the 1e-5-arcsec scaling independently of any
+    worked example."""
+    import math
+
+    e = math.sqrt((1 / 297.0) * (2 - 1 / 297.0))
+
+    def iso(lat):
+        phi = math.radians(lat)
+        return math.asinh(math.tan(phi)) - e * math.atanh(e * math.sin(phi))
+
+    p = crs.NewZealandMapGrid()
+    for lat in (-34.1, -38.0, -41.0, -44.4440, -47.5):
+        u = (lat + 41.0) * 0.036
+        dpsi = float(p._poly(p._A, np.array(u)))
+        assert abs(dpsi - (iso(lat) - iso(-41.0))) < 5e-11, lat
+
+
+def test_nzmg_linz_worked_example():
+    """LINZ's published NZMG example (NZGD1949 geographic in, grid out):
+    (-34.444066, 172.739194) -> E 2487100.64 N 6751049.72. Agreement is
+    asserted at 5 cm: the complex-table digits here are transcribed
+    from the public LINZ/OSG tables and the residual vs the published
+    2-dp values is ~3 cm — orders of magnitude below any DEM pixel.
+    The inverse is exact against THIS forward (round-trip 1e-9 deg)."""
+    p = crs.NewZealandMapGrid()
+    x, y = p.forward(np.array([172.739194]), np.array([-34.444066]))
+    assert abs(x[0] - 2487100.64) < 0.05
+    assert abs(y[0] - 6751049.72) < 0.05
+    lon, lat = p.inverse(x, y)
+    assert abs(lon[0] - 172.739194) < 1e-9
+    assert abs(lat[0] - (-34.444066)) < 1e-9
+
+
+def test_nzmg_epsg_and_proj4_roundtrip():
+    rng = np.random.default_rng(27)
+    lats = rng.uniform(-47.5, -34.1, 200)
+    lons = rng.uniform(166.0, 178.5, 200)
+    # full EPSG path (includes the NZGD49 Helmert)
+    x, y = crs.reproject_latlons(lats, lons, epsg=27200)
+    lon2, lat2 = crs.unproject_xys(x, y, epsg=27200)
+    np.testing.assert_allclose(lat2, lats, atol=1e-6)
+    np.testing.assert_allclose(lon2, lons, atol=1e-6)
+    # datum shift is real: bare projection differs by the ~190 m NZGD49
+    # offset
+    bare = crs.NewZealandMapGrid()
+    xb, yb = bare.forward(lons, lats)
+    d = np.hypot(np.asarray(x) - xb, np.asarray(y) - yb)
+    assert (d > 50).all() and (d < 500).all()
+    # PROJ.4 string path, explicit towgs84 == EPSG path bit-for-bit
+    p4 = ("+proj=nzmg +lat_0=-41 +lon_0=173 +x_0=2510000 +y_0=6023150"
+          " +ellps=intl +towgs84=59.47,-5.04,187.44,0.47,-0.10,1.024,-4.5993")
+    x4, y4 = crs.reproject_latlons(lats, lons, wkt=p4)
+    np.testing.assert_allclose(x4, x, atol=1e-6)
+    np.testing.assert_allclose(y4, y, atol=1e-6)
