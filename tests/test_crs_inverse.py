@@ -2116,3 +2116,62 @@ def test_nzmg_epsg_and_proj4_roundtrip():
     x4, y4 = crs.reproject_latlons(lats, lons, wkt=p4)
     np.testing.assert_allclose(x4, x, atol=1e-6)
     np.testing.assert_allclose(y4, y, atol=1e-6)
+
+
+def test_nzmg_elevation_differential(spark, tmp_path):
+    """End-to-end differential on an NZMG (EPSG:27200) raster over the
+    lower North Island: Spark resolver vs the single-process oracle,
+    bit-identical — pins the full chain (WGS84 -> NZGD49 Helmert ->
+    complex-polynomial grid -> pixel) through the tile join."""
+    import os
+
+    from opentopodata_spark import config, geotiff, oracle
+    from opentopodata_spark.operators import elevation
+
+    d = os.path.join(str(tmp_path), "nz-dem")
+    os.makedirs(d)
+    cx, cy = crs.reproject_latlons(np.array([-41.3]), np.array([174.8]),
+                                   epsg=27200)
+    px = 500.0
+    x0 = float(cx[0]) - 60 * px
+    y0 = float(cy[0]) + 60 * px
+    xs = x0 + (np.arange(120) + 0.5) * px
+    ys = y0 - (np.arange(120) + 0.5) * px
+    X, Y = np.meshgrid(xs, ys)
+    grid = (300.0 + 250.0 * np.sin(X / 9.3e3) + 180.0 * np.cos(Y / 7.1e3)
+            ).astype(np.float32)
+    geotiff.write_geotiff(os.path.join(d, "nz.tif"), grid, x0=x0, y0=y0,
+                          sx=px, sy=px, epsg=27200, nodata=-9999)
+    cfg = os.path.join(str(tmp_path), "cfg.yaml")
+    with open(cfg, "w") as f:
+        f.write(f"datasets:\n- name: nzmg\n  path: {d}/\n")
+    ds = config.load_datasets(cfg)["nzmg"]
+
+    rng = np.random.default_rng(72)
+    lats = np.concatenate([
+        rng.uniform(-41.55, -41.05, 80),  # inside the grid
+        rng.uniform(20.0, 60.0, 20),      # far outside -> null
+    ])
+    lons = np.concatenate([
+        rng.uniform(174.45, 175.15, 80),
+        rng.uniform(-60.0, 60.0, 20),
+    ])
+    pts = spark.createDataFrame(
+        [(int(i), float(la), float(lo))
+         for i, (la, lo) in enumerate(zip(lats, lons))],
+        "point_id long, lat double, lon double",
+    )
+    res = elevation.ElevationResolver(spark, [ds], "bilinear").resolve(pts)
+    rows = {r.point_id: r for r in res.collect()}
+    e, names = oracle.get_elevation(lats, lons, [ds], "bilinear")
+    assert len(rows) == len(lats)
+    resolved = 0
+    for i in range(len(lats)):
+        r, eo = rows[i], e[i]
+        if eo is None:
+            assert r.elevation is None, (i, r.elevation, eo)
+        else:
+            assert r.elevation == eo, (i, r.elevation, eo)
+            resolved += 1
+        assert r.dataset == names[i]
+    assert resolved >= 60
