@@ -157,6 +157,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "drop = remove those docs (coordinate-less "
                         "docs survive drop, are removed by keep)")
     p.add_argument("--no-exact-dedup", action="store_true", help="skip exact text dedup (kept on by default)")
+    p.add_argument("--exact-dedup-index", default=None, metavar="DIR",
+                   help="cross-run incremental dedup: drop docs whose "
+                        "md5(text) is already in this persisted hash "
+                        "index (earlier corpora are never rescanned), "
+                        "then commit this run's admitted hashes as an "
+                        "idempotent run_id partition")
     p.add_argument("--near-dup-threshold", type=float, default=None,
                    help="also drop LSH-verified near-duplicates at this Jaccard threshold")
     p.add_argument("--near-dup-mode", choices=("pairs", "clusters"),
@@ -420,6 +426,28 @@ def run(ns: argparse.Namespace, spark=None) -> dict:
             F.col("region_id").isNotNull()).count()
 
     survivors = filtered
+    if getattr(ns, "exact_dedup_index", None):
+        # cross-RUN incremental dedup: drop docs whose text hash is in
+        # the persisted index (yesterday's corpus is never rescanned —
+        # only its hashes live there); this run's ADMITTED hashes are
+        # committed after the corpus write as an idempotent run_id
+        # partition keyed by the output path — the streaming-dedup
+        # retry discipline in batch form (a retried run overwrites its
+        # own partition and never anti-joins against itself).
+        run_id = _dedup_index_run_id(ns.out)
+        try:
+            prev = spark.read.parquet(ns.exact_dedup_index).where(
+                F.col("run_id") != run_id
+            ).select("text_hash")
+        except Exception:
+            prev = None  # first run: no index yet
+        if prev is not None:
+            stats["before_index_dedup"] = filtered.count()
+            h = filtered.withColumn("_th", F.md5("text"))
+            filtered = h.join(
+                prev, h["_th"] == prev["text_hash"], "left_anti"
+            ).drop("_th")
+            stats["after_index_dedup"] = filtered.count()
     if not ns.no_exact_dedup:
         canon = _dedup.exact_duplicates(filtered).select(
             F.col("canonical_id").alias("doc_id")
@@ -488,7 +516,26 @@ def run(ns: argparse.Namespace, spark=None) -> dict:
 
     survivors.write.mode("overwrite").parquet(out_corpus)
     stats["output_docs"] = spark.read.parquet(out_corpus).count()
+    if getattr(ns, "exact_dedup_index", None):
+        run_id = _dedup_index_run_id(ns.out)
+        hashes = (
+            spark.read.parquet(out_corpus)
+            .select(F.md5("text").alias("text_hash"))
+            .distinct()
+        )
+        hashes.write.mode("overwrite").parquet(
+            f"{ns.exact_dedup_index}/run_id={run_id}"
+        )
+        stats["index_hashes_added"] = spark.read.parquet(
+            f"{ns.exact_dedup_index}/run_id={run_id}"
+        ).count()
     return _derived_stages(spark, ns, stats, out_corpus, t0, filtered)
+
+
+def _dedup_index_run_id(out_dir: str) -> str:
+    import hashlib as _hashlib
+
+    return _hashlib.md5(out_dir.encode()).hexdigest()[:16]
 
 
 def _derived_stages(spark, ns, stats, out_corpus, t0, filtered):

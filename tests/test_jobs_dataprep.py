@@ -589,3 +589,41 @@ def test_dataprep_telemetry_stats(tmp_path, spark, capsys):
     for qq in (0.5, 0.9):
         k = int(math.floor(qq * (len(counts) - 1)))
         assert stats["token_quantiles"][repr(qq)] == counts[k]
+
+
+def test_dataprep_cross_run_index_dedup(tmp_path, spark, capsys):
+    """--exact-dedup-index: run 1 admits docs and commits their hashes;
+    run 2 (different out dir) drops exact repeats of run 1's texts and
+    adds only its new hashes; re-running run 2 (retry) is idempotent —
+    it never anti-joins against its own partition, so output is
+    unchanged."""
+    idx = str(tmp_path / "hash_index")
+    day1 = [(1, "alpha bravo charlie"), (2, "delta echo foxtrot")]
+    day2 = [(10, "alpha bravo charlie"),   # repeat of day1 -> dropped
+            (11, "golf hotel india")]      # new -> kept
+    p1 = str(tmp_path / "d1.parquet")
+    p2 = str(tmp_path / "d2.parquet")
+    spark.createDataFrame(day1, "doc_id long, text string").write.parquet(p1)
+    spark.createDataFrame(day2, "doc_id long, text string").write.parquet(p2)
+    base = ["--min-tokens", "0", "--cores", "4",
+            "--exact-dedup-index", idx]
+    out1 = str(tmp_path / "run1")
+    assert job.main(["--documents", p1, "--out", out1] + base) == 0
+    s1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s1["output_docs"] == 2 and s1["index_hashes_added"] == 2
+    assert "before_index_dedup" not in s1  # first run: no prior index
+
+    out2 = str(tmp_path / "run2")
+    assert job.main(["--documents", p2, "--out", out2] + base) == 0
+    s2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s2["before_index_dedup"] == 2 and s2["after_index_dedup"] == 1
+    kept = {r.doc_id for r in spark.read.parquet(f"{out2}/corpus").collect()}
+    assert kept == {11}
+    # index now holds 3 distinct hashes across two run partitions
+    assert spark.read.parquet(idx).select("text_hash").distinct().count() == 3
+
+    # retry of run 2: identical result, index unchanged
+    assert job.main(["--documents", p2, "--out", out2] + base) == 0
+    s3 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s3["after_index_dedup"] == 1 and s3["output_docs"] == 1
+    assert spark.read.parquet(idx).select("text_hash").distinct().count() == 3
