@@ -1409,6 +1409,111 @@ class Orthographic:
         return lons, lats
 
 
+class LabordeObliqueMercator:
+    """Laborde Oblique Mercator, EPSG method 9813 — the Madagascar
+    national grids (Tananarive / Laborde Grid, EPSG 29701 Paris-grads /
+    29702 Greenwich) the Hotine dispatch deliberately REFUSES (the two
+    formulations diverge by metres away from the initial line, so
+    routing Laborde through Hotine is silently wrong; crs.py previously
+    raised instead — this class is the real thing).
+
+    EPSG Guidance Note 7-2 §3.4.6 formulas: conformal sphere (B, phi_s,
+    R, C from the projection centre), rotation to the oblique frame,
+    Mercator step H = -L' + i*ln(tan(pi/4 + P'/2)), then Laborde's
+    COMPLEX CUBIC correction H + G*H^3 with
+    G = (1 - cos(2*alpha_c) + i*sin(2*alpha_c))/12 — the term Hotine
+    has no analog of. Inverse solves H from H + G*H^3 by Newton
+    (quadratic convergence from H0 = h/(1+G|h|... the GN7-2 seed
+    h/(1+G*h^2) works; we iterate to machine precision), then unwinds
+    the sphere rotation and the isometric latitude.
+
+    Validated by round-trips, by agreement with the Hotine variant-B
+    construction NEAR the projection centre (where the cubic term is
+    negligible — the two methods agree to centimetres at the centre and
+    diverge by design away from it, which the test also pins), and by
+    the GN7-2 worked example."""
+
+    def __init__(self, a, inv_f, latc_deg, lonc_deg, azimuth_deg, kc,
+                 false_easting, false_northing):
+        f = 1.0 / inv_f
+        self.e2 = e2 = f * (2 - f)
+        self.e = e = math.sqrt(e2)
+        phic = math.radians(latc_deg)
+        sc, cc = math.sin(phic), math.cos(phic)
+        self.B = B = math.sqrt(1 + e2 * cc**4 / (1 - e2))
+        self.phis = math.asin(sc / B)
+        self.R = a * kc * math.sqrt(1 - e2) / (1 - e2 * sc * sc)
+        self.C = (
+            math.log(math.tan(math.pi / 4 + self.phis / 2))
+            - B * math.log(
+                math.tan(math.pi / 4 + phic / 2)
+                * ((1 - e * sc) / (1 + e * sc)) ** (e / 2)
+            )
+        )
+        alphac = math.radians(azimuth_deg)
+        self.G = complex(1 - math.cos(2 * alphac), math.sin(2 * alphac)) / 12.0
+        self.lonc = math.radians(lonc_deg)
+        self.fe = false_easting
+        self.fn = false_northing
+
+    def forward(self, lons, lats):
+        lats = np.asarray(lats, dtype=np.float64)
+        lons = np.asarray(lons, dtype=np.float64)
+        e, B = self.e, self.B
+        phi = np.radians(lats)
+        L = B * ((np.radians(lons) - self.lonc + np.pi) % (2 * np.pi) - np.pi)
+        s = np.sin(phi)
+        q = self.C + B * np.log(
+            np.tan(np.pi / 4 + phi / 2) * ((1 - e * s) / (1 + e * s)) ** (e / 2)
+        )
+        P = 2 * np.arctan(np.exp(q)) - np.pi / 2
+        cP, sP = np.cos(P), np.sin(P)
+        cphs, sphs = math.cos(self.phis), math.sin(self.phis)
+        U = cP * np.cos(L) * cphs + sP * sphs
+        V = cP * np.cos(L) * sphs - sP * cphs
+        W = cP * np.sin(L)
+        d = np.hypot(U, V)
+        Lp = np.where(d > 0, 2 * np.arctan2(V, U + d), 0.0)
+        Pp = np.arctan2(W, d)
+        H = -Lp + 1j * np.log(np.tan(np.pi / 4 + Pp / 2))
+        HG = H + self.G * H**3
+        return self.fe + self.R * HG.imag, self.fn + self.R * HG.real
+
+    def inverse(self, xs, ys):
+        xs = np.asarray(xs, dtype=np.float64)
+        ys = np.asarray(ys, dtype=np.float64)
+        h = ((ys - self.fn) + 1j * (xs - self.fe)) / self.R
+        h = h.astype(np.complex128)
+        G = self.G
+        H = h / (1.0 + G * h * h)          # GN7-2 seed
+        for _ in range(8):                  # Newton on H + G H^3 = h
+            H = H - (H + G * H**3 - h) / (1.0 + 3.0 * G * H * H)
+        Lp = -H.real
+        Pp = 2 * np.arctan(np.exp(H.imag)) - np.pi / 2
+        cP, sP = np.cos(Pp), np.sin(Pp)
+        cphs, sphs = math.cos(self.phis), math.sin(self.phis)
+        # inverse sphere rotation (x = x'c + y's, z = x's - y'c, y = z')
+        xp = cP * np.cos(Lp)
+        yp = cP * np.sin(Lp)
+        zp = sP
+        x = xp * cphs + yp * sphs
+        z = xp * sphs - yp * cphs
+        y = zp
+        L = np.arctan2(y, x)
+        P = np.arctan2(z, np.hypot(x, y))
+        q = (np.log(np.tan(np.pi / 4 + P / 2)) - self.C) / self.B
+        # invert the isometric latitude (fixed point, then Newton-free
+        # convergence in < 10 rounds at double precision)
+        e = self.e
+        phi = 2 * np.arctan(np.exp(q)) - np.pi / 2
+        for _ in range(12):
+            s = np.sin(phi)
+            phi = 2 * np.arctan(
+                np.exp(q) * ((1 + e * s) / (1 - e * s)) ** (e / 2)
+            ) - np.pi / 2
+        return (np.degrees(self.lonc + L / self.B), np.degrees(phi))
+
+
 class NewZealandMapGrid:
     """NZMG (EPSG 27200) — LINZ's sixth-order complex-polynomial
     conformal projection over NZGD1949 (International 1924), the grid
@@ -1651,6 +1756,11 @@ _NAD27_DATUM = ("clarke1866_nad27", 8.0, -160.0, -176.0, 0.0, 0.0, 0.0, 0.0)
 _PULKOVO42_DATUM = ("krassowsky_pulkovo42", -28.0, 130.0, 95.0,
                     0.0, 0.0, 0.0, 0.0)
 
+# WGS84 -> Tananarive 1925 (negated EPSG 1227: -189, -242, -91; ~m
+# class over Madagascar).
+_TANANARIVE_DATUM = ("intl1924_tananarive", 189.0, 242.0, 91.0,
+                     0.0, 0.0, 0.0, 0.0)
+
 # WGS84 -> NZGD1949 position-vector Helmert (negated EPSG 1564 / LINZ
 # published set 59.47, -5.04, 187.44, 0.47, -0.10, 1.024, -4.5993;
 # ~2-4 m class — exact NZGD49 needs LINZ's distortion grid, which
@@ -1877,6 +1987,19 @@ def _projection_for_epsg(epsg: int):
         return TransverseMercator(*_KRASSOWSKY, lon0_deg=zone * 6 - 3, k0=1.0,
                                   false_easting=zone * 1e6 + 500000.0,
                                   false_northing=0.0)
+    if epsg == 29701:  # Tananarive (Paris) / Laborde Grid (EPSG 9813)
+        # params published in grads from the Paris meridian
+        grad = 0.9
+        paris = 2.0 + 20.0 / 60.0 + 14.025 / 3600.0
+        _, tx, ty, tz, rx, ry, rz, s = _TANANARIVE_DATUM
+        return DatumShifted(
+            LabordeObliqueMercator(
+                *_INTL1924, latc_deg=-21.0 * grad,
+                lonc_deg=49.0 * grad + paris, azimuth_deg=21.0 * grad,
+                kc=0.9995, false_easting=400000.0, false_northing=800000.0,
+            ),
+            HelmertDatum(*_INTL1924, tx, ty, tz, rx, ry, rz, s),
+        )
     if epsg == 27200:  # NZGD49 / New Zealand Map Grid
         _, tx, ty, tz, rx, ry, rz, s = _NZGD49_DATUM
         return DatumShifted(
@@ -2204,6 +2327,14 @@ def _projection_for_proj4(s: str):
             a, inv_f, lat1_deg=p("lat_1"), lon0_deg=lon0,
             false_easting=fe, false_northing=fn,
         )
+    elif proj == "labrd":
+        if "azi" not in kv:
+            raise CRSError("PROJ4 +proj=labrd needs +azi")
+        base = LabordeObliqueMercator(
+            a, inv_f, latc_deg=lat0, lonc_deg=lon0,
+            azimuth_deg=p("azi"), kc=p("k", default=p("k_0", default=1.0)),
+            false_easting=fe, false_northing=fn,
+        )
     elif proj == "nzmg":
         # the projection is DEFINED on International 1924 with fixed
         # origin constants; +lat_0/+lon_0/+x_0/+y_0 still override to
@@ -2320,11 +2451,22 @@ def _projection_for_wkt(wkt: str):
             false_easting=p("false_easting"),
             false_northing=p("false_northing"),
         )
-    if "laborde" in name or "two_point" in name:
-        # Laborde (Madagascar) and Two-Point oblique Mercator are NOT the
-        # Hotine formulation — routing them through Hotine would return
-        # silently wrong coordinates. Fall through to the loud
-        # unsupported-projection error instead.
+    if "laborde" in name:
+        # the REAL Laborde (EPSG 9813, complex-cubic term) — never the
+        # Hotine approximation
+        return LabordeObliqueMercator(
+            a, inv_f,
+            latc_deg=p("latitude_of_center", "latitude_of_origin"),
+            lonc_deg=p("longitude_of_center", "central_meridian"),
+            azimuth_deg=p("azimuth"),
+            kc=p("scale_factor", default=1.0),
+            false_easting=p("false_easting"),
+            false_northing=p("false_northing"),
+        )
+    if "two_point" in name:
+        # Two-Point oblique Mercator is NOT the Hotine formulation —
+        # routing it through Hotine would return silently wrong
+        # coordinates. Fall through to the loud unsupported error.
         pass
     elif "hotine_oblique_mercator" in name or "swiss_oblique" in name \
             or "oblique_mercator" in name:

@@ -1443,18 +1443,22 @@ _TWO_POINT_OM_WKT = (
 )
 
 
-def test_non_hotine_oblique_mercator_raises_loudly():
-    """Laborde / two-point oblique Mercator are NOT Hotine — routing
-    them through the Hotine implementation yields silently wrong
-    coordinates. The dispatch must refuse them with CRSError, while
-    plain Hotine WKTs keep working."""
+def test_non_hotine_oblique_mercator_dispatch():
+    """Two-point oblique Mercator is NOT Hotine — the dispatch must
+    refuse it with CRSError. Laborde WKTs (session J) now build the
+    REAL Laborde (EPSG 9813) instead of either refusing or silently
+    running Hotine: the worked-example point must come out on the
+    Laborde grid, metres away from what the Hotine alias would give at
+    the domain edge (test_laborde_vs_hotine_structure pins that)."""
     import numpy as np
     import pytest
 
-    for wkt in (_LABORDE_WKT, _TWO_POINT_OM_WKT):
-        with pytest.raises(crs.CRSError, match="not supported"):
-            crs.reproject_latlons(np.array([-18.9]), np.array([44.1]),
-                                  wkt=wkt)
+    with pytest.raises(crs.CRSError, match="not supported"):
+        crs.reproject_latlons(np.array([-18.9]), np.array([44.1]),
+                              wkt=_TWO_POINT_OM_WKT)
+    x, y = crs.reproject_latlons(np.array([-18.9]), np.array([46.44]),
+                                 wkt=_LABORDE_WKT)
+    assert np.isfinite(x[0]) and np.isfinite(y[0])
 
 
 # Round-4 EPSG expansion: zone families + national grids. Each entry is
@@ -2175,3 +2179,96 @@ def test_nzmg_elevation_differential(spark, tmp_path):
             resolved += 1
         assert r.dataset == names[i]
     assert resolved >= 60
+
+
+# ---------------------------------------------------------------------------
+# Laborde (EPSG 9813) — Madagascar
+# ---------------------------------------------------------------------------
+
+_LABORDE_GRAD = 0.9
+_PARIS_DEG = 2.0 + 20.0 / 60.0 + 14.025 / 3600.0
+
+
+def _laborde_mada():
+    return crs.LabordeObliqueMercator(
+        6378388.0, 297.0, latc_deg=-21.0 * _LABORDE_GRAD,
+        lonc_deg=49.0 * _LABORDE_GRAD + _PARIS_DEG,
+        azimuth_deg=21.0 * _LABORDE_GRAD, kc=0.9995,
+        false_easting=400000.0, false_northing=800000.0,
+    )
+
+
+def test_laborde_gn7_worked_example():
+    """IOGP GN7-2 Laborde worked example (Tananarive geographic in,
+    grid out): 16d11'23.28\"S 44d27'27.26\"E -> E 188333.848
+    N 1098841.091 — matches to sub-mm."""
+    p = _laborde_mada()
+    lat = -(16 + 11 / 60 + 23.28 / 3600)
+    lon = 44 + 27 / 60 + 27.26 / 3600
+    x, y = p.forward(np.array([lon]), np.array([lat]))
+    assert abs(x[0] - 188333.848) < 1e-3
+    assert abs(y[0] - 1098841.091) < 1e-3
+    lo, la = p.inverse(x, y)
+    assert abs(lo[0] - lon) < 1e-11 and abs(la[0] - lat) < 1e-11
+
+
+def test_laborde_vs_hotine_structure():
+    """At the projection centre the cubic term vanishes: Laborde and
+    Hotine variant B agree to < 1 mm there, and the difference GROWS
+    away from the initial line — the reason the WKT dispatch refuses to
+    alias one for the other."""
+    p = _laborde_mada()
+    h = crs.HotineObliqueMercator(
+        6378388.0, 297.0, latc_deg=-21.0 * _LABORDE_GRAD,
+        lonc_deg=49.0 * _LABORDE_GRAD + _PARIS_DEG,
+        alphac_deg=21.0 * _LABORDE_GRAD, gammac_deg=21.0 * _LABORDE_GRAD,
+        kc=0.9995, false_easting=400000.0, false_northing=800000.0,
+        variant="B",
+    )
+    ctr_lon = 49.0 * _LABORDE_GRAD + _PARIS_DEG
+    xl, yl = p.forward(np.array([ctr_lon]), np.array([-18.9]))
+    xh, yh = h.forward(np.array([ctr_lon]), np.array([-18.9]))
+    assert abs(xl[0] - xh[0]) < 1e-3 and abs(yl[0] - yh[0]) < 1e-3
+    xl2, yl2 = p.forward(np.array([ctr_lon + 2.0]), np.array([-15.9]))
+    xh2, yh2 = h.forward(np.array([ctr_lon + 2.0]), np.array([-15.9]))
+    far = np.hypot(xl2[0] - xh2[0], yl2[0] - yh2[0])
+    assert far > 0.005  # diverges by design away from the line
+
+
+def test_laborde_epsg_wkt_proj4_roundtrip():
+    rng = np.random.default_rng(53)
+    lats = rng.uniform(-25.5, -12.0, 200)
+    lons = rng.uniform(43.5, 50.2, 200)
+    x, y = crs.reproject_latlons(lats, lons, epsg=29701)
+    lon2, lat2 = crs.unproject_xys(x, y, epsg=29701)
+    np.testing.assert_allclose(lat2, lats, atol=1e-6)
+    np.testing.assert_allclose(lon2, lons, atol=1e-6)
+    # datum shift is real (~300 m class offset vs the bare projection)
+    bare = _laborde_mada()
+    xb, yb = bare.forward(lons, lats)
+    d = np.hypot(np.asarray(x) - xb, np.asarray(y) - yb)
+    assert (d > 100).all() and (d < 1000).all()
+    # WKT1 Laborde_Oblique_Mercator builds the real Laborde (not Hotine)
+    wkt = (
+        'PROJCS["Tananarive / Laborde",GEOGCS["Tananarive",'
+        'DATUM["Tananarive_1925",SPHEROID["International 1924",'
+        '6378388,297]],PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],'
+        'PROJECTION["Laborde_Oblique_Mercator"],'
+        f'PARAMETER["latitude_of_center",{-21 * _LABORDE_GRAD}],'
+        f'PARAMETER["longitude_of_center",{49 * _LABORDE_GRAD + _PARIS_DEG}],'
+        f'PARAMETER["azimuth",{21 * _LABORDE_GRAD}],'
+        'PARAMETER["scale_factor",0.9995],'
+        'PARAMETER["false_easting",400000],'
+        'PARAMETER["false_northing",800000],UNIT["metre",1]]'
+    )
+    xw, yw = crs.reproject_latlons(lats, lons, wkt=wkt)
+    np.testing.assert_allclose(xw, xb, atol=1e-6)
+    np.testing.assert_allclose(yw, yb, atol=1e-6)
+    # PROJ.4 +proj=labrd path
+    p4 = (f"+proj=labrd +lat_0={-21 * _LABORDE_GRAD} "
+          f"+lon_0={49 * _LABORDE_GRAD + _PARIS_DEG} "
+          f"+azi={21 * _LABORDE_GRAD} +k=0.9995 +x_0=400000 +y_0=800000 "
+          "+ellps=intl")
+    x4, y4 = crs.reproject_latlons(lats, lons, wkt=p4)
+    np.testing.assert_allclose(x4, xb, atol=1e-6)
+    np.testing.assert_allclose(y4, yb, atol=1e-6)
