@@ -3668,6 +3668,83 @@ def q_zonal_stats(spark, sf_dir):
     )
 
 
+_RSTATS_NB = 16
+
+
+def q_raster_stats(spark, sf_dir):
+    """Whole-catalog raster statistics + histogram (operators/rstats —
+    the gdalinfo -stats/-hist twin): exact fsum partials per tile
+    combined in pinned path order, then a second tile map bins cells
+    into left-closed equal-width buckets. Output: one row per bucket
+    carrying the (identical) summary columns — every column is either
+    an exact integer/extremum, an exact sum (int16 source values, so
+    double sums are exact at any order), or a round(6) of an
+    identically-structured expression, so the DuckDB oracle (its own
+    SQL aggregation over the SAME precomputed pixel table the
+    zonal_stats oracle uses) matches bit-for-bit."""
+    from opentopodata_spark.operators import rstats
+
+    _ship_package(spark)
+    paths = _zonal_raster_paths()
+    s = rstats.raster_stats(spark, paths)
+    hist = rstats.raster_histogram(
+        spark, paths, n_buckets=_RSTATS_NB, vmin=s["vmin"], vmax=s["vmax"]
+    )
+    n = s["n_valid"]
+    mean_raw = s["vsum"] / n
+    std_raw = __import__("math").sqrt(
+        s["vsumsq"] / n - (s["vsum"] / n) * (s["vsum"] / n)
+    )
+    return hist.select(
+        "bucket", "count",
+        F.lit(int(n)).cast("long").alias("n_valid"),
+        F.lit(int(s["n_nodata"])).cast("long").alias("n_nodata"),
+        F.lit(float(s["vmin"])).alias("vmin"),
+        F.lit(float(s["vmax"])).alias("vmax"),
+        F.lit(float(s["vsum"])).alias("vsum"),
+        F.lit(float(s["vsumsq"])).alias("vsumsq"),
+        F.round(F.lit(float(mean_raw)), 6).alias("mean_r"),
+        F.round(F.lit(float(std_raw)), 6).alias("stddev_r"),
+    )
+
+
+def _raster_stats_sql() -> str:
+    path = _oracle_parquet("zonal_pixels", _build_zonal_pixels)
+    nb = _RSTATS_NB
+    return f"""
+WITH px AS (SELECT value, is_nodata FROM read_parquet('{path}')),
+v AS (SELECT value FROM px WHERE NOT is_nodata),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_valid,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM px WHERE is_nodata)
+           AS n_nodata,
+         MIN(value) AS vmin, MAX(value) AS vmax,
+         SUM(value) AS vsum, SUM(value * value) AS vsumsq
+  FROM v),
+b AS (
+  SELECT CAST(LEAST(FLOOR((value - s.vmin) * {nb} / (s.vmax - s.vmin)),
+                    {nb - 1}) AS BIGINT) AS bucket
+  FROM v, s),
+h AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS cnt FROM b GROUP BY bucket),
+buckets AS (SELECT unnest(generate_series(0, {nb - 1})) AS bucket)
+SELECT CAST(bk.bucket AS BIGINT) AS bucket,
+       COALESCE(h.cnt, 0) AS count,
+       s.n_valid, s.n_nodata, s.vmin, s.vmax, s.vsum, s.vsumsq,
+       ROUND(s.vsum / s.n_valid, 6) AS mean_r,
+       ROUND(SQRT(s.vsumsq / s.n_valid
+                  - (s.vsum / s.n_valid) * (s.vsum / s.n_valid)), 6)
+         AS stddev_r
+FROM buckets bk LEFT JOIN h ON bk.bucket = h.bucket CROSS JOIN s
+"""
+
+
+def _raster_stats_oracle_entry() -> dict[str, str]:
+    try:
+        return {"raster_stats": _raster_stats_sql()}
+    except Exception:
+        return {}
+
+
 def q_rasterize_grid(spark, sf_dir):
     """Vector->raster: point stream aggregated onto a 1-degree global
     grid — cell floor keys in pure column exprs, ONE wide shuffle with
@@ -6728,6 +6805,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "buffer_pip": q_buffer_pip,
         "dissolve_regions": q_dissolve_regions,
         "exact_quantiles": q_exact_quantiles,
+        "raster_stats": q_raster_stats,
         "overlay_join": q_overlay_join,
         "line_overlay_join": q_line_overlay_join,
         "sphere_metrics": q_sphere_metrics,
@@ -6902,6 +6980,9 @@ def oracle_sql() -> dict[str, str]:
         "buffer_pip": _buffer_pip_sql(),
         "dissolve_regions": _dissolve_sql(),
         "exact_quantiles": _quantiles_sql(),
+        # raster_stats shares the zonal pixel-table build; degrade to the
+        # rows-only check rather than failing the whole registry
+        **_raster_stats_oracle_entry(),
         "text_embed": _Q_TEXT_EMBED_SQL,
         "embedding_topk": _Q_EMB_TOPK_SQL,
         "embedding_lsh_buckets": _emb_lsh_sql(),

@@ -309,6 +309,14 @@ def build_parser() -> argparse.ArgumentParser:
         "info", help="print raster metadata as JSON (gdalinfo)")
     gi.add_argument("--raster", required=True)
 
+    gs = sub.add_parser(
+        "stats", help="exact whole-catalog statistics + histogram "
+                      "(gdalinfo -stats/-hist, distributed over tiles)")
+    gs.add_argument("--rasters", nargs="+", required=True,
+                    help="raster path globs")
+    gs.add_argument("--buckets", type=int, default=0,
+                    help="histogram buckets (0 = stats only)")
+
     c = sub.add_parser("contours", help="iso-elevation line segments")
     c.add_argument("--config")
     c.add_argument("--dataset")
@@ -680,6 +688,26 @@ def run(argv: list[str] | None = None) -> dict:
             sources=len(paths), width=r.width, height=r.height,
             out=ns.out,
         )
+
+    elif ns.cmd == "stats":
+        import glob as _glob
+
+        from ..operators import rstats as _rstats
+
+        paths = sorted(
+            p for g in ns.rasters for p in _glob.glob(g)
+        )
+        s = _rstats.raster_stats(spark, paths)
+        stats.update(n_rasters=len(paths), **s)
+        if ns.buckets:
+            hist = _rstats.raster_histogram(
+                spark, paths, n_buckets=ns.buckets,
+                vmin=s["vmin"], vmax=s["vmax"],
+            )
+            stats["histogram"] = [
+                int(r["count"])
+                for r in hist.orderBy("bucket").collect()
+            ]
 
     elif ns.cmd == "info":
         from ..geotiff import open_raster as _open

@@ -608,3 +608,24 @@ def test_burn_cli_mixed_geometry_refused(tmp_path, capsys):
     assert rc == 2
     res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert res["status"] == "INVALID_REQUEST"
+
+
+def test_raster_stats_cli(tmp_path, spark, capsys):
+    import numpy as np
+
+    from opentopodata_spark import geotiff
+    from opentopodata_spark.jobs import raster as rjob
+
+    rng = np.random.RandomState(4)
+    arr = rng.randint(0, 500, size=(40, 50)).astype(np.int16)
+    arr[:5, :5] = -9999
+    p = str(tmp_path / "s.tif")
+    geotiff.write_geotiff(p, arr, x0=0.0, y0=10.0, sx=0.01, sy=0.01,
+                          epsg=4326, nodata=-9999)
+    stats = rjob.run(["--cores", "4", "stats", "--rasters", p,
+                      "--buckets", "8"])
+    v = arr[arr != -9999].astype(np.float64)
+    assert stats["n_valid"] == v.size and stats["n_nodata"] == 25
+    assert stats["vmin"] == v.min() and stats["vmax"] == v.max()
+    assert abs(stats["mean"] - v.mean()) < 1e-9
+    assert sum(stats["histogram"]) == v.size and len(stats["histogram"]) == 8
