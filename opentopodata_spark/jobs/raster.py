@@ -690,8 +690,6 @@ def run(argv: list[str] | None = None) -> dict:
         )
 
     elif ns.cmd == "stats":
-        import glob as _glob
-
         from ..operators import rstats as _rstats
 
         paths = sorted(
