@@ -3668,6 +3668,89 @@ def q_zonal_stats(spark, sf_dir):
     )
 
 
+def q_interval_coverage(spark, sf_dir):
+    """Gaps-and-islands union length (operators/intervals.
+    interval_coverage): deterministic event-derived intervals
+    [ts, ts + (1 + event_id%7) minutes) per user_id%16 group — one
+    partition+sort serves both window passes, then a map-side-combined
+    two-level aggregation; all arithmetic int64 microseconds, exact.
+    Full SQL oracle: the identical window construction in DuckDB."""
+    from opentopodata_spark.operators.intervals import interval_coverage
+
+    _ship_package(spark)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    e = _t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 16).cast("int").alias("g"),
+        us.alias("start"),
+        (us + (F.lit(1) + F.col("event_id") % 7) * 60_000_000).alias("end"),
+    )
+    return interval_coverage(e, group_cols=("g",))
+
+
+_Q_INTERVAL_COVERAGE_SQL = """
+WITH iv AS (
+  SELECT CAST(user_id % 16 AS INTEGER) AS g,
+         epoch_us(ts) AS s,
+         epoch_us(ts) + (1 + event_id % 7) * 60000000 AS e
+  FROM events),
+o AS (
+  SELECT g, s, e,
+         CASE WHEN max(e) OVER w IS NULL OR s > max(e) OVER w
+              THEN 1 ELSE 0 END AS new
+  FROM iv WHERE e > s
+  WINDOW w AS (PARTITION BY g ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+isl AS (
+  SELECT g, s, e,
+         SUM(new) OVER (PARTITION BY g ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS island
+  FROM o),
+agg AS (
+  SELECT g, island, min(s) AS i_s, max(e) AS i_e, count(*) AS n
+  FROM isl GROUP BY 1, 2)
+SELECT g, CAST(sum(n) AS BIGINT) AS n_intervals,
+       CAST(count(*) AS BIGINT) AS n_islands,
+       CAST(sum(i_e - i_s) AS BIGINT) AS covered_us
+FROM agg GROUP BY g
+"""
+
+
+_TOPK_K = 3
+
+
+def q_topk_per_group(spark, sf_dir):
+    """Bounded top-k per group (operators/topk.topk_per_group): the
+    candidate/finalize rewrite of the window-rank idiom — per-batch
+    vectorized prune keeps <= k rows per group before the shuffle, so
+    the exact window rank runs on a candidate set instead of the whole
+    table. Deterministic total order via required tie columns. Oracle:
+    the plain row_number() window over everything."""
+    from opentopodata_spark.operators.topk import topk_per_group
+
+    _ship_package(spark)
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    return topk_per_group(
+        li, ("l_returnflag",), "l_extendedprice", _TOPK_K,
+        ("l_orderkey", "l_linenumber"),
+    )
+
+
+_Q_TOPK_SQL = f"""
+SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+       CAST(rank AS INTEGER) AS rank
+FROM (
+  SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+         row_number() OVER (PARTITION BY l_returnflag
+                            ORDER BY l_extendedprice DESC,
+                                     l_orderkey, l_linenumber) AS rank
+  FROM lineitem)
+WHERE rank <= {_TOPK_K}
+"""
+
+
 _RSTATS_NB = 16
 
 
@@ -6806,6 +6889,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dissolve_regions": q_dissolve_regions,
         "exact_quantiles": q_exact_quantiles,
         "raster_stats": q_raster_stats,
+        "interval_coverage": q_interval_coverage,
+        "topk_per_group": q_topk_per_group,
         "overlay_join": q_overlay_join,
         "line_overlay_join": q_line_overlay_join,
         "sphere_metrics": q_sphere_metrics,
@@ -6983,6 +7068,8 @@ def oracle_sql() -> dict[str, str]:
         # raster_stats shares the zonal pixel-table build; degrade to the
         # rows-only check rather than failing the whole registry
         **_raster_stats_oracle_entry(),
+        "interval_coverage": _Q_INTERVAL_COVERAGE_SQL,
+        "topk_per_group": _Q_TOPK_SQL,
         "text_embed": _Q_TEXT_EMBED_SQL,
         "embedding_topk": _Q_EMB_TOPK_SQL,
         "embedding_lsh_buckets": _emb_lsh_sql(),

@@ -142,3 +142,78 @@ def interval_join(
     )
     drop = [_BIN, _LS, _LE, _RS, _RE]
     return pairs.drop(*drop)
+
+
+def interval_coverage(
+    df: DataFrame,
+    start_col: str = "start",
+    end_col: str = "end",
+    group_cols: tuple = (),
+) -> DataFrame:
+    """Per-group UNION length of half-open ``[start, end)`` intervals —
+    the gaps-and-islands primitive ("how much wall time was each user
+    actually connected", "total covered acquisition window per tile").
+
+    Output: (group..., n_intervals, n_islands, covered_us) where
+    covered_us is the exact length of the union in integer microseconds
+    (timestamps compared at exact microsecond resolution; numeric
+    columns treated as microseconds) and n_islands the number of
+    maximal contiguous runs — TOUCHING intervals (next.start ==
+    running max end) merge, per half-open adjacency.
+
+    Shape: one hash partition + ONE sort per group key serves both
+    window passes (running max of prior ends -> island flag -> running
+    island id; Catalyst reuses the exchange and the sort), then a
+    map-side-combined two-level aggregation. All arithmetic is int64
+    microseconds — results are exact and layout-independent, so a SQL
+    engine replays them verbatim. Negative-length intervals raise
+    executor-side (through the start column — not prunable); empty
+    intervals (end == start) are dropped, documented.
+    """
+    from pyspark.sql import Window
+
+    groups = list(group_cols)
+
+    def us(col):
+        t = df.schema[col].dataType.typeName()
+        if t.startswith("timestamp"):
+            return F.unix_micros(F.col(col).cast("timestamp"))
+        return F.col(col).cast("long")
+
+    s0, e0 = us(start_col), us(end_col)
+    data = df.select(
+        *groups,
+        F.when(
+            e0 < s0,
+            F.raise_error(
+                "interval_coverage: end < start (negative interval)"
+            ).cast("long"),
+        ).otherwise(s0).alias("_s"),
+        e0.alias("_e"),
+    ).where(F.col("_e") > F.col("_s"))
+    w_prev = (
+        Window.partitionBy(*groups).orderBy("_s", "_e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy(*groups).orderBy("_s", "_e")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    flagged = data.withColumn(
+        "_new",
+        F.when(
+            F.max("_e").over(w_prev).isNull()
+            | (F.col("_s") > F.max("_e").over(w_prev)),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn("_island", F.sum("_new").over(w_run))
+    islands = flagged.groupBy(*groups, "_island").agg(
+        F.min("_s").alias("_is"),
+        F.max("_e").alias("_ie"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    return islands.groupBy(*groups).agg(
+        F.sum("_n").alias("n_intervals"),
+        F.count(F.lit(1)).alias("n_islands"),
+        F.sum(F.col("_ie") - F.col("_is")).alias("covered_us"),
+    )
