@@ -3821,6 +3821,71 @@ FROM buckets bk LEFT JOIN h ON bk.bucket = h.bucket CROSS JOIN s
 """
 
 
+def q_zonal_majority(spark, sf_dir):
+    """Categorical zonal statistic (operators/zonal.zonal_majority):
+    per-polygon dominant value over the same fixture rasters/polygons
+    as zonal_stats — partials carry one row per distinct class per
+    strip (never pixels), the winner picked by one max(struct(count,
+    -value)) aggregate (highest count, smallest value on ties — no
+    window). Oracle: DuckDB's own ray-cast over the shared pixel table
+    + ORDER BY cnt DESC, value ASC LIMIT 1 per polygon."""
+    from opentopodata_spark.operators import zonal
+
+    _ship_package(spark)
+    meta = zonal.raster_metadata(spark, _zonal_raster_paths())
+    return zonal.zonal_majority(meta, _ZONAL_POLYGONS, strip_rows=256)
+
+
+def _zonal_majority_sql() -> str:
+    path = _oracle_parquet("zonal_pixels", _build_zonal_pixels)
+    parts = []
+    for poly in _ZONAL_POLYGONS:
+        pid = poly["polygon_id"]
+        la, lo = poly["lats"], poly["lons"]
+        edge_rows = []
+        for k in range(len(la)):
+            y1, x1 = la[k], lo[k]
+            y2, x2 = la[(k + 1) % len(la)], lo[(k + 1) % len(la)]
+            if y1 == y2:
+                continue
+            edge_rows.append(f"({y1!r}, {x1!r}, {y2!r}, {x2!r})")
+        edges = ", ".join(edge_rows)
+        parts.append(f"""
+SELECT '{pid}' AS polygon_id,
+       (SELECT value FROM counts ORDER BY cnt DESC, value ASC LIMIT 1)
+         AS majority_value,
+       (SELECT cnt FROM counts ORDER BY cnt DESC, value ASC LIMIT 1)
+         AS majority_count,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM counts)
+         AS n_distinct_values
+FROM (SELECT 1) one
+WHERE EXISTS (SELECT 1 FROM counts)""".replace(
+            "counts",
+            f"""(
+  SELECT value, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+    SELECT p.pixel_id, p.value
+    FROM read_parquet('{path}') p
+    CROSS JOIN (VALUES {edges}) AS e(y1, x1, y2, x2)
+    WHERE NOT p.is_nodata
+      AND p.lat BETWEEN {min(la)!r} AND {max(la)!r}
+      AND p.lon BETWEEN {min(lo)!r} AND {max(lo)!r}
+    GROUP BY p.pixel_id, p.value
+    HAVING SUM(CASE WHEN ((e.y1 > p.lat) <> (e.y2 > p.lat))
+                     AND (p.lon < (e.x2 - e.x1) * (p.lat - e.y1)
+                                  / (e.y2 - e.y1) + e.x1)
+                    THEN 1 ELSE 0 END) % 2 = 1
+  ) GROUP BY value)""",
+        ))
+    return "\nUNION ALL\n".join(parts)
+
+
+def _zonal_majority_oracle_entry() -> dict[str, str]:
+    try:
+        return {"zonal_majority": _zonal_majority_sql()}
+    except Exception:
+        return {}
+
+
 def _raster_stats_oracle_entry() -> dict[str, str]:
     try:
         return {"raster_stats": _raster_stats_sql()}
@@ -6891,6 +6956,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_stats": q_raster_stats,
         "interval_coverage": q_interval_coverage,
         "topk_per_group": q_topk_per_group,
+        "zonal_majority": q_zonal_majority,
         "overlay_join": q_overlay_join,
         "line_overlay_join": q_line_overlay_join,
         "sphere_metrics": q_sphere_metrics,
@@ -7070,6 +7136,7 @@ def oracle_sql() -> dict[str, str]:
         **_raster_stats_oracle_entry(),
         "interval_coverage": _Q_INTERVAL_COVERAGE_SQL,
         "topk_per_group": _Q_TOPK_SQL,
+        **_zonal_majority_oracle_entry(),
         "text_embed": _Q_TEXT_EMBED_SQL,
         "embedding_topk": _Q_EMB_TOPK_SQL,
         "embedding_lsh_buckets": _emb_lsh_sql(),

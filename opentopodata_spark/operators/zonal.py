@@ -44,7 +44,7 @@ from ..oracle import _open_cached
 
 from .spatial import points_in_polygon_mask
 
-__all__ = ["raster_metadata", "zonal_stats"]
+__all__ = ["raster_metadata", "zonal_stats", "zonal_majority"]
 
 META_SCHEMA = (
     "path string, width int, height int, "
@@ -174,43 +174,18 @@ def zonal_stats(
         raise ValueError("strip_rows must be >= 1")
 
     def make_units(batches):
-        """meta row -> (polygon, row-strip) work units, bbox-pruned.
-
-        Narrow (no shuffle): each metadata row fans out independently.
-        For geographic rasters both row AND column ranges prune to the
-        polygon bbox; projected rasters prune via a conservative
-        forward-projected bbox (falling back to the full raster only
-        when the CRS has no usable forward projection)."""
+        """meta row -> (polygon, row-strip) work units, bbox-pruned
+        (_unit_rows). Narrow (no shuffle): each metadata row fans out
+        independently. For geographic rasters both row AND column
+        ranges prune to the polygon bbox; projected rasters prune via a
+        conservative forward-projected bbox (falling back to the full
+        raster only when the CRS has no usable forward projection)."""
         for b in batches:
             rows = []
             for t in b.itertuples(index=False):
                 if t.error is not None or not t.width or not t.height:
                     continue
-                geographic = _is_geographic(t.epsg, t.wkt)
-                for pid, (lat0, lat1, lon0, lon1) in bboxes.items():
-                    if geographic:
-                        x_lo, x_hi, y_lo, y_hi = lon0, lon1, lat0, lat1
-                    else:
-                        pb = _projected_poly_bbox(
-                            (lat0, lat1, lon0, lon1), t.epsg, t.wkt
-                        )
-                        if pb is None:
-                            x_lo, x_hi = t.x0, t.x0 + t.width * t.sx
-                            y_lo, y_hi = t.y0 - t.height * t.sy, t.y0
-                        else:
-                            x_lo, x_hi, y_lo, y_hi = pb
-                    # pixel-center row/col ranges covering [lo, hi]
-                    r0 = int(np.floor((t.y0 - y_hi) / t.sy - 0.5))
-                    r1 = int(np.ceil((t.y0 - y_lo) / t.sy + 0.5))
-                    c0 = int(np.floor((x_lo - t.x0) / t.sx - 0.5))
-                    c1 = int(np.ceil((x_hi - t.x0) / t.sx + 0.5))
-                    r0, r1 = max(r0, 0), min(r1, t.height)
-                    c0, c1 = max(c0, 0), min(c1, t.width)
-                    if r1 <= r0 or c1 <= c0:
-                        continue
-                    for s0 in range(r0, r1, strip):
-                        rows.append((pid, t.path, s0, min(s0 + strip, r1),
-                                     c0, c1))
+                rows.extend(_unit_rows(t, bboxes, strip))
             yield pd.DataFrame(
                 rows, columns=["polygon_id", "path", "r0", "r1", "c0", "c1"]
             )
@@ -222,38 +197,14 @@ def zonal_stats(
     units = units.repartition(n_part)
 
     def partials(batches):
-        from .. import crs as _crs
-
         for b in batches:
             out = []
             for t in b.itertuples(index=False):
-                r = _open_cached(t.path)
-                win, (wr0, wc0) = r.read_window(t.r0, t.r1, t.c0, t.c1)
-                if win.size == 0:
+                got = _unit_inside(t, polys)
+                if got is None:
                     continue
-                h, w = win.shape
-                xs = r.x0 + (wc0 + np.arange(w) + 0.5) * r.sx
-                ys = r.y0 - (wr0 + np.arange(h) + 0.5) * r.sy
-                ci = r.crs
-                if _is_geographic(ci.epsg if ci else None,
-                                  ci.wkt if ci else None):
-                    lons = np.broadcast_to(xs, (h, w)).ravel()
-                    lats = np.broadcast_to(ys[:, None], (h, w)).ravel()
-                else:
-                    gx, gy = np.meshgrid(xs, ys)
-                    lons, lats = _crs.unproject_xys(
-                        gx.ravel(), gy.ravel(),
-                        epsg=ci.epsg if ci else None,
-                        wkt=ci.wkt if ci and not ci.epsg else None,
-                    )
-                pla, plo = polys[t.polygon_id]
-                inside = points_in_polygon_mask(lats, lons, pla, plo)
-                n_px = int(inside.sum())
-                if n_px == 0:
-                    continue
-                vals = np.asarray(win.ravel()[inside], dtype=np.float64)
-                nodata_mask = _nodata_mask(vals, r.nodata)
-                valid = vals[~nodata_mask]
+                n_px, vals, nodata = got
+                valid = vals[~_nodata_mask(vals, nodata)]
                 n_valid = int(valid.size)
                 out.append((
                     t.polygon_id, n_px, n_px - n_valid, n_valid,
@@ -282,6 +233,149 @@ def zonal_stats(
         F.when(F.col("n_valid") > 0,
                F.round(F.col("vsum") / F.col("n_valid"), 6)),
     )
+
+
+def zonal_majority(
+    meta: DataFrame,
+    polygons: list[dict],
+    *,
+    strip_rows: int = 512,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Per-polygon MAJORITY value (the categorical zonal statistic —
+    dominant landcover class, most common region label): one row per
+    polygon with >=1 valid inside pixel — (polygon_id, majority_value,
+    majority_count, n_distinct_values).
+
+    Same work-unit scaffolding and exact even-odd containment as
+    :func:`zonal_stats`; partials emit per-(polygon, value) COUNTS
+    (vectorized np.unique per strip), so the shuffle carries one row
+    per distinct class per strip — never pixels. Deterministic
+    tie-break: highest count, then SMALLEST value (expressed as one
+    max(struct(count, -value)) aggregate — no window, no second
+    shuffle). Intended for categorical (integer-valued) rasters;
+    values are compared exactly in float64. NODATA pixels are ignored.
+    """
+    spark = meta.sparkSession
+    bboxes = _polygon_bboxes(polygons)
+    polys = {p["polygon_id"]: (list(map(float, p["lats"])),
+                               list(map(float, p["lons"]))) for p in polygons}
+    strip = int(strip_rows)
+    if strip < 1:
+        raise ValueError("strip_rows must be >= 1")
+
+    def make_units(batches):
+        for b in batches:
+            rows = []
+            for t in b.itertuples(index=False):
+                if t.error is not None or not t.width or not t.height:
+                    continue
+                rows.extend(_unit_rows(t, bboxes, strip))
+            yield pd.DataFrame(
+                rows, columns=["polygon_id", "path", "r0", "r1", "c0", "c1"]
+            )
+
+    units = meta.mapInPandas(make_units, _UNIT_SCHEMA)
+    n_part = num_partitions or spark.sparkContext.defaultParallelism
+    units = units.repartition(n_part)
+
+    def partials(batches):
+        for b in batches:
+            out = []
+            for t in b.itertuples(index=False):
+                got = _unit_inside(t, polys)
+                if got is None:
+                    continue
+                _n_px, vals, nodata = got
+                valid = vals[~_nodata_mask(vals, nodata)]
+                if valid.size == 0:
+                    continue
+                uv, cnts = np.unique(valid, return_counts=True)
+                for v, c in zip(uv, cnts):
+                    out.append((t.polygon_id, float(v), int(c)))
+            yield pd.DataFrame(
+                out, columns=["polygon_id", "value", "cnt"]
+            )
+
+    part = units.mapInPandas(
+        partials, "polygon_id string, value double, cnt long"
+    )
+    counts = part.groupBy("polygon_id", "value").agg(
+        F.sum("cnt").alias("cnt")
+    )
+    best = counts.groupBy("polygon_id").agg(
+        F.max(
+            F.struct(F.col("cnt"), (-F.col("value")).alias("nv"))
+        ).alias("_b"),
+        F.count(F.lit(1)).alias("n_distinct_values"),
+    )
+    return best.select(
+        "polygon_id",
+        (-F.col("_b.nv")).alias("majority_value"),
+        F.col("_b.cnt").alias("majority_count"),
+        "n_distinct_values",
+    )
+
+
+def _unit_rows(t, bboxes: dict, strip: int) -> list[tuple]:
+    """(polygon, row-strip) work units for one metadata row — the
+    bbox-pruning shared by zonal_stats and zonal_majority."""
+    rows = []
+    geographic = _is_geographic(t.epsg, t.wkt)
+    for pid, (lat0, lat1, lon0, lon1) in bboxes.items():
+        if geographic:
+            x_lo, x_hi, y_lo, y_hi = lon0, lon1, lat0, lat1
+        else:
+            pb = _projected_poly_bbox((lat0, lat1, lon0, lon1), t.epsg, t.wkt)
+            if pb is None:
+                x_lo, x_hi = t.x0, t.x0 + t.width * t.sx
+                y_lo, y_hi = t.y0 - t.height * t.sy, t.y0
+            else:
+                x_lo, x_hi, y_lo, y_hi = pb
+        r0 = int(np.floor((t.y0 - y_hi) / t.sy - 0.5))
+        r1 = int(np.ceil((t.y0 - y_lo) / t.sy + 0.5))
+        c0 = int(np.floor((x_lo - t.x0) / t.sx - 0.5))
+        c1 = int(np.ceil((x_hi - t.x0) / t.sx + 0.5))
+        r0, r1 = max(r0, 0), min(r1, t.height)
+        c0, c1 = max(c0, 0), min(c1, t.width)
+        if r1 <= r0 or c1 <= c0:
+            continue
+        for s0 in range(r0, r1, strip):
+            rows.append((pid, t.path, s0, min(s0 + strip, r1), c0, c1))
+    return rows
+
+
+def _unit_inside(t, polys: dict):
+    """(n_px, inside_vals_float64, nodata_tag) for one work unit — the
+    windowed-read + exact even-odd containment path shared by
+    zonal_stats and zonal_majority; None when the window is empty or no
+    pixel center falls inside."""
+    from .. import crs as _crs
+
+    r = _open_cached(t.path)
+    win, (wr0, wc0) = r.read_window(t.r0, t.r1, t.c0, t.c1)
+    if win.size == 0:
+        return None
+    h, w = win.shape
+    xs = r.x0 + (wc0 + np.arange(w) + 0.5) * r.sx
+    ys = r.y0 - (wr0 + np.arange(h) + 0.5) * r.sy
+    ci = r.crs
+    if _is_geographic(ci.epsg if ci else None, ci.wkt if ci else None):
+        lons = np.broadcast_to(xs, (h, w)).ravel()
+        lats = np.broadcast_to(ys[:, None], (h, w)).ravel()
+    else:
+        gx, gy = np.meshgrid(xs, ys)
+        lons, lats = _crs.unproject_xys(
+            gx.ravel(), gy.ravel(),
+            epsg=ci.epsg if ci else None,
+            wkt=ci.wkt if ci and not ci.epsg else None,
+        )
+    pla, plo = polys[t.polygon_id]
+    inside = points_in_polygon_mask(lats, lons, pla, plo)
+    if not inside.any():
+        return None
+    vals = np.asarray(win.ravel()[inside], dtype=np.float64)
+    return int(inside.sum()), vals, r.nodata
 
 
 def _nodata_mask(vals64: np.ndarray, nodata) -> np.ndarray:

@@ -229,3 +229,38 @@ def test_nodata_semantics_float64(spark, tmp_path):
     outf = _collect(zonal.zonal_stats(zonal.raster_metadata(spark, [pf]), [box]))
     assert outf["B"]["n_nodata"] == 1 and outf["B"]["n_valid"] == 3
     assert outf["B"]["vsum"] == 8.0 and outf["B"]["vmax"] == 4.0
+
+
+def test_zonal_majority(spark, tmp_path):
+    """Categorical majority per polygon: dominant class wins; ties cut
+    to the SMALLEST value; nodata ignored; strip-size invariant."""
+    # 10x10 class raster: left half class 3, right half class 7, one
+    # nodata stripe, a 2x2 patch of class 1
+    arr = np.full((10, 10), 3, dtype=np.int16)
+    arr[:, 5:] = 7
+    arr[0, :] = -9999
+    arr[5:7, 5:7] = 1
+    p = _write(tmp_path, "classes.tif", arr, x0=0.0, y0=10.0,
+               sx=1.0, sy=1.0, epsg=4326, nodata=-9999)
+    polys = [
+        # whole raster: 45 threes vs 41 sevens vs 4 ones
+        {"polygon_id": "all", "lats": [-1.0, -1.0, 11.0, 11.0],
+         "lons": [-1.0, 11.0, 11.0, -1.0]},
+        # right half only: class 7 dominates
+        {"polygon_id": "right", "lats": [-1.0, -1.0, 11.0, 11.0],
+         "lons": [5.0, 11.0, 11.0, 5.0]},
+        # a 2x2 window holding one 3 and one 7 on each row -> tie 2:2,
+        # smallest value (3) wins deterministically
+        {"polygon_id": "tie", "lats": [7.0, 7.0, 9.0, 9.0],
+         "lons": [4.0, 6.0, 6.0, 4.0]},
+    ]
+    meta = zonal.raster_metadata(spark, [p])
+    for strips in (512, 1):
+        got = {r.polygon_id: r for r in zonal.zonal_majority(
+            meta, polys, strip_rows=strips).collect()}
+        assert got["all"].majority_value == 3.0
+        assert got["all"].majority_count == 45
+        assert got["all"].n_distinct_values == 3
+        assert got["right"].majority_value == 7.0
+        t = got["tie"]
+        assert (t.majority_value, t.majority_count) == (3.0, 2)
