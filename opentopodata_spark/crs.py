@@ -734,6 +734,94 @@ class HotineObliqueMercator:
         return np.degrees(lam), np.degrees(phi)
 
 
+class TwoPointObliqueMercator:
+    """Oblique Mercator with the central line DEFINED BY TWO POINTS
+    (ESRI ``Hotine_Oblique_Mercator_Two_Point_Natural_Origin``, Snyder
+    Working Manual eqs. 9-16..9-24) — the last oblique-Mercator
+    spelling this build refused.
+
+    The two-point form is not a new projection: Snyder's equations
+    derive (gamma0, lambda0, alpha_c) of the geodesic through the two
+    points at latitude-of-center phi0, after which the mapping IS
+    Hotine. This class runs the derivation and delegates to
+    :class:`HotineObliqueMercator` variant A (FE/FN at the natural
+    origin, rectification angle = gamma0), feeding it the
+    longitude-of-center that reproduces the derived lambda0 through
+    GN7-2's own lam0 formula — so the delegate's internals and this
+    construction can never drift.
+
+    Defining invariant (tested): both input points map onto the
+    projection's central line, i.e. their rotated v coordinate is 0 to
+    sub-mm."""
+
+    def __init__(self, a, inv_f, lat1_deg, lon1_deg, lat2_deg, lon2_deg,
+                 lat0_deg, k0, false_easting, false_northing):
+        f = 1.0 / inv_f
+        e2 = f * (2 - f)
+        e = math.sqrt(e2)
+        phi0 = math.radians(lat0_deg)
+        lam1 = math.radians(lon1_deg)
+        lam2 = math.radians(lon2_deg)
+        c0 = math.cos(phi0)
+        s0 = math.sin(phi0)
+        B = math.sqrt(1 + e2 * c0**4 / (1 - e2))
+
+        def tfn(lat_deg):
+            phi = math.radians(lat_deg)
+            s = math.sin(phi)
+            return math.tan(math.pi / 4 - phi / 2) / (
+                (1 - e * s) / (1 + e * s)
+            ) ** (e / 2)
+
+        t0, t1, t2 = tfn(lat0_deg), tfn(lat1_deg), tfn(lat2_deg)
+        D = B * math.sqrt(1 - e2) / (c0 * math.sqrt(1 - e2 * s0 * s0))
+        sign = 1.0 if phi0 >= 0 else -1.0
+        Fgn = D + math.sqrt(max(D * D - 1.0, 0.0)) * sign
+        E = Fgn * t0**B
+        H = t1**B
+        L = t2**B
+        Fq = E / H
+        G = (Fq - 1 / Fq) / 2
+        J = (E * E - L * H) / (E * E + L * H)
+        P = (L - H) / (L + H)
+        if P == 0 or G == 0:
+            raise CRSError(
+                "two-point oblique Mercator: degenerate point pair "
+                "(equal latitudes symmetric about the center, or "
+                "coincident points)"
+            )
+        d12 = (lam1 - lam2 + math.pi) % (2 * math.pi) - math.pi
+        lam0 = (lam1 + lam2) / 2 - math.atan(
+            J * math.tan(B * d12 / 2) / P
+        ) / B
+        d10 = (lam1 - lam0 + math.pi) % (2 * math.pi) - math.pi
+        # Snyder 9-20 is the PRINCIPAL arctan: with the southern-aspect
+        # F = D - sqrt(D^2-1), G goes negative and atan2 would land in
+        # the wrong quadrant (tested: the central line misses the
+        # defining points by ~10^5 m)
+        gamma0 = math.atan(math.sin(B * d10) / G)
+        sa = max(-1.0, min(1.0, D * math.sin(gamma0)))
+        alphac = math.asin(sa)
+        # longitude-of-center that makes the delegate's GN7-2 lam0
+        # formula land exactly on our lambda0
+        Ggn = (Fgn - 1 / Fgn) / 2
+        gt = max(-1.0, min(1.0, Ggn * math.tan(gamma0)))
+        lonc = lam0 + math.asin(gt) / B
+        self._hotine = HotineObliqueMercator(
+            a, inv_f, latc_deg=lat0_deg, lonc_deg=math.degrees(lonc),
+            alphac_deg=math.degrees(alphac),
+            gammac_deg=math.degrees(gamma0), kc=k0,
+            false_easting=false_easting, false_northing=false_northing,
+            variant="A",
+        )
+
+    def forward(self, lons, lats):
+        return self._hotine.forward(lons, lats)
+
+    def inverse(self, xs, ys):
+        return self._hotine.inverse(xs, ys)
+
+
 class Krovak:
     """Krovak oblique conformal conic (EPSG method 9819), EPSG GN7-2
     formulas — S-JTSK / Krovak East North (EPSG:5514), the grid Czech and
@@ -2464,10 +2552,26 @@ def _projection_for_wkt(wkt: str):
             false_northing=p("false_northing"),
         )
     if "two_point" in name:
-        # Two-Point oblique Mercator is NOT the Hotine formulation —
-        # routing it through Hotine would return silently wrong
-        # coordinates. Fall through to the loud unsupported error.
-        pass
+        # ESRI Hotine_Oblique_Mercator_Two_Point_Natural_Origin: the
+        # central line is DEFINED by two points (Snyder 9-16..9-24
+        # derivation onto Hotine) — never aliased to plain Hotine
+        for req in ("latitude_of_1st_point", "longitude_of_1st_point",
+                    "latitude_of_2nd_point", "longitude_of_2nd_point"):
+            if req not in params:
+                raise CRSError(
+                    f"two-point oblique Mercator WKT needs {req}"
+                )
+        return TwoPointObliqueMercator(
+            a, inv_f,
+            lat1_deg=p("latitude_of_1st_point"),
+            lon1_deg=p("longitude_of_1st_point"),
+            lat2_deg=p("latitude_of_2nd_point"),
+            lon2_deg=p("longitude_of_2nd_point"),
+            lat0_deg=p("latitude_of_center", "latitude_of_origin"),
+            k0=p("scale_factor", default=1.0),
+            false_easting=p("false_easting"),
+            false_northing=p("false_northing"),
+        )
     elif "hotine_oblique_mercator" in name or "swiss_oblique" in name \
             or "oblique_mercator" in name:
         # GDAL WKT1: ..._Azimuth_Center (variant B, FE/FN at the projection

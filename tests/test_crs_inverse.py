@@ -1444,21 +1444,79 @@ _TWO_POINT_OM_WKT = (
 
 
 def test_non_hotine_oblique_mercator_dispatch():
-    """Two-point oblique Mercator is NOT Hotine — the dispatch must
-    refuse it with CRSError. Laborde WKTs (session J) now build the
-    REAL Laborde (EPSG 9813) instead of either refusing or silently
-    running Hotine: the worked-example point must come out on the
-    Laborde grid, metres away from what the Hotine alias would give at
-    the domain edge (test_laborde_vs_hotine_structure pins that)."""
+    """Both former refusals now build their REAL projections: Laborde
+    WKTs run EPSG 9813 (the worked-example pin lives in
+    test_laborde_gn7_worked_example), and two-point WKTs run the
+    Snyder 9-16..9-24 derivation — but a two-point WKT MISSING its
+    defining points still refuses loudly instead of defaulting them
+    to (0, 0)."""
     import numpy as np
     import pytest
 
-    with pytest.raises(crs.CRSError, match="not supported"):
+    with pytest.raises(crs.CRSError, match="two-point.*needs"):
         crs.reproject_latlons(np.array([-18.9]), np.array([44.1]),
                               wkt=_TWO_POINT_OM_WKT)
     x, y = crs.reproject_latlons(np.array([-18.9]), np.array([46.44]),
                                  wkt=_LABORDE_WKT)
     assert np.isfinite(x[0]) and np.isfinite(y[0])
+
+
+def test_two_point_oblique_mercator_invariant():
+    """The central line is DEFINED by the two points: each must land on
+    v = 0 (sub-mm), in northern, southern (the G<0 principal-arctan
+    branch), and cross-equator aspects; round-trips machine-exact; the
+    WKT spelling builds the identical transform."""
+    import math
+
+    import numpy as np
+
+    cases = [
+        ((48.0, -120.0), (55.0, -95.0), 51.0, 0.0, 0.0),
+        ((-30.0, 18.0), (-22.0, 31.0), -26.0, 100000.0, 200000.0),
+        ((5.0, 100.0), (25.0, 121.0), 15.0, 500000.0, 0.0),
+    ]
+    for p1, p2, lat0, fe, fn in cases:
+        p = crs.TwoPointObliqueMercator(
+            6378137.0, 298.257222101, p1[0], p1[1], p2[0], p2[1],
+            lat0, 0.9996, fe, fn,
+        )
+        h = p._hotine
+        cg, sg = math.cos(h.gammac), math.sin(h.gammac)
+        for la, lo in (p1, p2):
+            x, y = p.forward(np.array([lo]), np.array([la]))
+            v = (x[0] - fe) * cg - (y[0] - fn) * sg
+            assert abs(v) < 1e-3, (lat0, la, lo, v)
+        rng = np.random.default_rng(4)
+        lats = rng.uniform(min(p1[0], p2[0]) - 3, max(p1[0], p2[0]) + 3, 200)
+        lons = rng.uniform(min(p1[1], p2[1]) - 3, max(p1[1], p2[1]) + 3, 200)
+        X, Y = p.forward(lons, lats)
+        lo2, la2 = p.inverse(X, Y)
+        np.testing.assert_allclose(la2, lats, atol=1e-9)
+        np.testing.assert_allclose(lo2, lons, atol=1e-9)
+    wkt = (
+        'PROJCS["tp",GEOGCS["g",DATUM["d",SPHEROID["GRS 1980",'
+        '6378137,298.257222101]],PRIMEM["Greenwich",0],'
+        'UNIT["degree",0.0174532925199433]],'
+        'PROJECTION["Hotine_Oblique_Mercator_Two_Point_Natural_Origin"],'
+        'PARAMETER["latitude_of_1st_point",48],'
+        'PARAMETER["longitude_of_1st_point",-120],'
+        'PARAMETER["latitude_of_2nd_point",55],'
+        'PARAMETER["longitude_of_2nd_point",-95],'
+        'PARAMETER["latitude_of_center",51],'
+        'PARAMETER["scale_factor",0.9996],'
+        'PARAMETER["false_easting",0],'
+        'PARAMETER["false_northing",0],UNIT["metre",1]]'
+    )
+    direct = crs.TwoPointObliqueMercator(
+        6378137.0, 298.257222101, 48.0, -120.0, 55.0, -95.0, 51.0,
+        0.9996, 0.0, 0.0,
+    )
+    lats = np.array([50.0, 53.5])
+    lons = np.array([-110.0, -101.0])
+    xw, yw = crs.reproject_latlons(lats, lons, wkt=wkt)
+    xd, yd = direct.forward(lons, lats)
+    np.testing.assert_array_equal(np.asarray(xw), xd)
+    np.testing.assert_array_equal(np.asarray(yw), yd)
 
 
 # Round-4 EPSG expansion: zone families + national grids. Each entry is
