@@ -6947,15 +6947,89 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   2. then queries whose last green row is a round old (stale),
     #   3. then the most recently re-verified ones, which rotate out.
     return {
-        # -- new in r4 --
+        # -- new in r5 (inserted here as they land) --
+        # -- modules CHANGED in r5 (ADVICE fixes: topk null groups/ties,
+        #    quantiles null-safe probe, dissolve cancelled-key row, knn
+        #    broadcast cap) — re-verify even though green in r4 --
+        "topk_per_group": q_topk_per_group,
+        "exact_quantiles": q_exact_quantiles,
+        "dissolve_regions": q_dissolve_regions,
+        "knn_topk": q_knn_topk,
+        "range_join": q_range_join,
+        # -- last green in r2 (VERDICT r4 Next #1): the 14 stale rows,
+        #    streaming_* first (streaming.py changed in r4 after their
+        #    last driver check) --
+        "streaming_rollup": q_streaming_rollup,
+        "streaming_sessionize": q_streaming_sessionize,
+        "streaming_dedup": q_streaming_dedup,
+        "streaming_near_dup": q_streaming_near_dup,
+        "streaming_overview": q_streaming_overview,
+        "terrain_slope": q_terrain_slope,
+        "zonal_stats": q_zonal_stats,
+        "rasterize_grid": q_rasterize_grid,
+        "contour_lines": q_contour_lines,
+        "overview_tiles": q_overview_tiles,
+        "raster_diff": q_raster_diff,
+        "sessionize": q_sessionize,
+        "pip_coverage": q_pip_coverage,
+        "s2_cells": q_s2_cells,
+        # -- last green in r3; oldest cohort next, headline ones first --
+        "coord_extract": q_coord_extract,
+        "tile_floor_keys": q_tile_floor_keys,
+        "bbox_coverage": q_bbox_coverage,
+        "priority_coalesce": q_priority_coalesce,
+        "exact_dedup": q_exact_dedup,
+        "minhash_signatures": q_minhash,
+        "lsh_candidate_pairs": q_lsh_pairs,
+        "ngram_jaccard": q_jaccard,
+        "near_dup_verified": q_near_dup_verified,
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_corpus": q_dedup_corpus,
+        "bm25_search": q_bm25_search,
+        "contamination_check": q_contamination_check,
+        "pii_scrub": q_pii_scrub,
+        "html_extract": q_html_extract,
+        "crawl_pipeline": q_crawl_pipeline,
+        "text_normalize": q_text_normalize,
+        "corpus_stats": q_corpus_stats,
+        "corpus_stats_approx": q_corpus_stats_approx,
+        "chunk_documents": q_chunk_documents,
+        "chunk_documents_bpe": q_chunk_documents_bpe,
+        "pack_sequences": q_pack_sequences,
+        "simhash": q_simhash,
+        "token_stats": q_token_stats,
+        "ngram_lm_ppl": q_ngram_lm_ppl,
+        "collocations": q_collocations,
+        "url_normalize": q_url_normalize,
+        "domain_stats": q_domain_stats,
+        "quality_score": q_quality,
+        "lang_id": q_lang_id,
+        "fingerprint": q_fingerprint,
+        "repetition_stats": q_repetition_stats,
+        "repeated_ngrams": q_repeated_ngrams,
+        "span_dedup": q_span_dedup,
+        # -- ~here the ~50-query driver window runs out; r3 cohort
+        #    continues (these rotate to the head next round) --
+        "corpus_sample": q_corpus_sample,
+        "mixture_sample": q_mixture_sample,
+        "stratified_take": q_stratified_take,
+        "slippy_tiles": q_slippy_tiles,
+        "tile_pyramid": q_tile_pyramid,
+        "heavy_hitters": q_heavy_hitters,
+        "streaming_heavy_hitters": q_streaming_heavy_hitters,
+        "text_embed": q_text_embed,
+        "quality_classifier": q_quality_classifier,
+        "embedding_topk": q_embedding_topk,
+        "embedding_lsh_buckets": q_emb_lsh_buckets,
+        "embedding_near_dups": q_emb_near_dups,
+        "events_rollup": q_events_rollup,
+        "asof_join": q_asof_join,
+        # -- green in CORRECTNESS_r04; rotated out of the window --
         "hll_distinct": q_hll_distinct,
         "streaming_hll": q_streaming_hll,
         "buffer_pip": q_buffer_pip,
-        "dissolve_regions": q_dissolve_regions,
-        "exact_quantiles": q_exact_quantiles,
         "raster_stats": q_raster_stats,
         "interval_coverage": q_interval_coverage,
-        "topk_per_group": q_topk_per_group,
         "zonal_majority": q_zonal_majority,
         "overlay_join": q_overlay_join,
         "line_overlay_join": q_line_overlay_join,
@@ -6985,7 +7059,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_formats": q_raster_formats,
         "remote_elevation": q_remote_elevation,
         "proj4_elevation": q_proj4_elevation,
-        # -- never driver-checked before r4 / changed in r4 --
         "funnel": q_funnel,
         "retention": q_retention,
         "geofence_counts": q_geofence_counts,
@@ -6994,78 +7067,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_of_sight": q_line_of_sight,
         "viewshed": q_viewshed,
         "flow_accumulation": q_flow_accumulation,
-        # -- last green in r2; rotated back into the checked window --
         "elevation_e2e": q_elevation_e2e,
         "multimodal_features": q_multimodal_features,
         "geodesic_paths": q_geodesic_paths,
         "ivf_topk": q_ivf_topk,
         "ivfpq_topk": q_ivfpq_topk,
-        "pip_coverage": q_pip_coverage,
-        "s2_cells": q_s2_cells,
-        "zonal_stats": q_zonal_stats,
-        "rasterize_grid": q_rasterize_grid,
-        "terrain_slope": q_terrain_slope,
-        "overview_tiles": q_overview_tiles,
-        "contour_lines": q_contour_lines,
-        "raster_diff": q_raster_diff,
-        "sessionize": q_sessionize,
-        "streaming_rollup": q_streaming_rollup,
-        "streaming_sessionize": q_streaming_sessionize,
-        "streaming_dedup": q_streaming_dedup,
-        "streaming_near_dup": q_streaming_near_dup,
-        "streaming_overview": q_streaming_overview,
-        # -- green in CORRECTNESS_r03; keep the headline ones in-window --
-        "tile_floor_keys": q_tile_floor_keys,
-        "bbox_coverage": q_bbox_coverage,
-        "priority_coalesce": q_priority_coalesce,
-        "knn_topk": q_knn_topk,
-        "range_join": q_range_join,
-        "coord_extract": q_coord_extract,
-        "exact_dedup": q_exact_dedup,
-        "minhash_signatures": q_minhash,
-        "lsh_candidate_pairs": q_lsh_pairs,
-        "ngram_jaccard": q_jaccard,
-        "near_dup_verified": q_near_dup_verified,
-        "dedup_clusters": q_dedup_clusters,
-        "dedup_corpus": q_dedup_corpus,
-        "bm25_search": q_bm25_search,
-        "contamination_check": q_contamination_check,
-        "pii_scrub": q_pii_scrub,
-        "html_extract": q_html_extract,
-        "crawl_pipeline": q_crawl_pipeline,
-        "text_normalize": q_text_normalize,
-        "corpus_stats": q_corpus_stats,
-        "corpus_stats_approx": q_corpus_stats_approx,
-        "chunk_documents": q_chunk_documents,
-        "chunk_documents_bpe": q_chunk_documents_bpe,
-        # -- below here is outside the ~50-query driver window this round --
-        "pack_sequences": q_pack_sequences,
-        "simhash": q_simhash,
-        "token_stats": q_token_stats,
-        "ngram_lm_ppl": q_ngram_lm_ppl,
-        "collocations": q_collocations,
-        "url_normalize": q_url_normalize,
-        "domain_stats": q_domain_stats,
-        "quality_score": q_quality,
-        "lang_id": q_lang_id,
-        "fingerprint": q_fingerprint,
-        "repetition_stats": q_repetition_stats,
-        "repeated_ngrams": q_repeated_ngrams,
-        "span_dedup": q_span_dedup,
-        "corpus_sample": q_corpus_sample,
-        "mixture_sample": q_mixture_sample,
-        "stratified_take": q_stratified_take,
-        "slippy_tiles": q_slippy_tiles,
-        "tile_pyramid": q_tile_pyramid,
-        "heavy_hitters": q_heavy_hitters,
-        "streaming_heavy_hitters": q_streaming_heavy_hitters,
-        "text_embed": q_text_embed,
-        "quality_classifier": q_quality_classifier,
-        "embedding_topk": q_embedding_topk,
-        "embedding_lsh_buckets": q_emb_lsh_buckets,
-        "embedding_near_dups": q_emb_near_dups,
-        "events_rollup": q_events_rollup,
-        "asof_join": q_asof_join,
     }
 
 

@@ -435,11 +435,19 @@ def run(ns: argparse.Namespace, spark=None) -> dict:
         # retry discipline in batch form (a retried run overwrites its
         # own partition and never anti-joins against itself).
         run_id = _dedup_index_run_id(ns.out)
-        try:
+        # Only a MISSING index means "first run".  Any other failure
+        # (corrupt files, permissions, transient FS fault) must propagate:
+        # silently skipping cross-run dedup would admit duplicates with no
+        # signal, which is worse than failing the job.
+        jvm_path = spark._jvm.org.apache.hadoop.fs.Path(ns.exact_dedup_index)
+        fs = jvm_path.getFileSystem(
+            spark._jsc.hadoopConfiguration()
+        )
+        if fs.exists(jvm_path):
             prev = spark.read.parquet(ns.exact_dedup_index).where(
                 F.col("run_id") != run_id
             ).select("text_hash")
-        except Exception:
+        else:
             prev = None  # first run: no index yet
         if prev is not None:
             stats["before_index_dedup"] = filtered.count()

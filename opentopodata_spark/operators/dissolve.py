@@ -284,17 +284,31 @@ def dissolve_polygons(
         })
 
     stitched = net.groupBy("key").applyInPandas(assemble, out_schema)
-    # union-identity check rides on the key column (never pruned)
-    return areas.join(stitched, "key", "inner").select(
+    # union-identity check rides on the key column (never pruned).
+    # LEFT join from areas: a key whose directed edges fully cancel (a
+    # zero-area sliver at this quantize) produces no stitched row, and an
+    # inner join would silently drop it — counter to the module's loud
+    # discipline.  Such a key is legal exactly when its summed input area
+    # is also zero; it gets an explicit empty-geometry row.  A cancelled
+    # boundary with NONZERO input area is a real violation and raises.
+    return areas.join(stitched, "key", "left").select(
         F.when(
-            F.col("stitched_area2") != F.col("area2_q"),
+            F.coalesce(F.col("stitched_area2"), F.lit(0))
+            != F.col("area2_q"),
             F.raise_error(
                 "dissolve: stitched boundary area != summed input area "
                 "— union identity violated"
             ),
         ).otherwise(F.col("key")).alias("key"),
-        "n_parts", "n_shells", "n_holes", "perim_edges", "area2_q",
-        "rings",
+        "n_parts",
+        F.coalesce(F.col("n_shells"), F.lit(0)).alias("n_shells"),
+        F.coalesce(F.col("n_holes"), F.lit(0)).alias("n_holes"),
+        F.coalesce(F.col("perim_edges"), F.lit(0)).alias("perim_edges"),
+        "area2_q",
+        F.coalesce(
+            F.col("rings"),
+            F.expr("cast(array() as array<array<array<double>>>)"),
+        ).alias("rings"),
     )
 
 

@@ -62,13 +62,28 @@ def knn_join(
     anchor_id: str = "anchor_id",
     metric: str = "sqdeg",
     round_to: int = 6,
+    max_broadcast_anchors: int = 2_000_000,
 ) -> DataFrame:
     """(point_id, anchor_id, rank, dist) — k nearest anchors per point.
 
     points: (point_id, lat, lon); anchors: (anchor_id, lat, lon),
     broadcast. Ties break on anchor_id.
+
+    The anchor side is broadcast AND cross-joined against every point, so
+    it must be genuinely small; above ``max_broadcast_anchors`` rows this
+    refuses loudly (one bounded count on the small side) and points the
+    caller at :func:`knn_join_gridded`, the scale path — a silent 10^8-row
+    broadcast would OOM every executor before the first task finished.
     """
     dist_fn = sq_degree_dist if metric == "sqdeg" else haversine_m
+    n_anchors = anchors.limit(max_broadcast_anchors + 1).count()
+    if n_anchors > max_broadcast_anchors:
+        raise ValueError(
+            f"knn_join: anchor side has > {max_broadcast_anchors} rows — "
+            "too large to broadcast+cross-join; use knn_join_gridded "
+            "(grid-blocked, no broadcast) or raise max_broadcast_anchors "
+            "only if the executors genuinely have the memory"
+        )
     a = F.broadcast(
         anchors.select(
             F.col(anchor_id).alias("anchor_id"),

@@ -117,7 +117,11 @@ def exact_quantiles(
         pdf = spark.createDataFrame(rows, schema)
         cond = (F.col("_v") >= F.col("plo")) & (F.col("_v") <= F.col("phi"))
         for gc, pc in zip(gcols, pcols):
-            cond = cond & (F.col(gc) == F.col(pc))
+            # eqNullSafe: a NULL group key is a real group (the base agg
+            # groups it), so its probe row must match — plain == would
+            # never join it and the run would die with a misleading
+            # "empty probe" error instead of computing its quantiles.
+            cond = cond & (F.col(gc).eqNullSafe(F.col(pc)))
         return src.join(F.broadcast(pdf), cond), back
 
     rounds = 0
@@ -186,7 +190,13 @@ def exact_quantiles(
 
     out_rows = [
         gkey + (float(q), n_of[gkey], float(v))
-        for (gkey, q), v in sorted(done.items())
+        # None group keys sort first (they can't compare against str)
+        for (gkey, q), v in sorted(
+            done.items(),
+            key=lambda kv: tuple(
+                (g is not None, g) for g in kv[0][0]
+            ) + (kv[0][1],),
+        )
     ]
     out_schema = "".join(
         f"{c} string, " for c in gcols

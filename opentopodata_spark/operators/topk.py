@@ -56,12 +56,22 @@ def topk_per_group(
     asc_flags = [ascending] + [True] * len(ties)
 
     def prune(batches):
+        # dropna=False: a null group key is a group like any other in the
+        # finalize window (Spark partitionBy groups nulls together), so the
+        # prune must keep its candidates too.  na_position='first' matches
+        # the finalize order exactly: order_col carries no nulls (filtered
+        # above) and the tie columns sort asc NULLS FIRST in Spark.
         for b in batches:
             if not len(b):
                 continue
             yield (
-                b.sort_values(sort_cols, ascending=asc_flags, kind="mergesort")
-                .groupby(groups, sort=False)
+                b.sort_values(
+                    sort_cols,
+                    ascending=asc_flags,
+                    kind="mergesort",
+                    na_position="first",
+                )
+                .groupby(groups, sort=False, dropna=False)
                 .head(k)
             )
 

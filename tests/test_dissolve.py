@@ -152,3 +152,31 @@ def test_plan_shape(spark):
     assert plan.count("FlatMapGroupsInPandas") == 1
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_zero_area_cancelled_key_emits_empty_row(spark):
+    # ADVICE r4: a key whose directed edges fully cancel (zero-area input
+    # at the quantize — here a CCW cell plus the same cell CW) produced no
+    # stitched row and the inner join silently DROPPED the key. It must
+    # surface as an explicit empty-geometry row instead.
+    ccw = cell(0, 0)
+    cw = [[list(p) for p in reversed(ccw[0])]]
+    rows = [("GONE", ccw), ("GONE", cw), ("KEEP", cell(5, 5))]
+    got = _collect(spark, rows)
+    assert set(got) == {"GONE", "KEEP"}
+    g = got["GONE"]
+    assert (g["n_parts"], g["n_shells"], g["n_holes"]) == (2, 0, 0)
+    assert g["perim_edges"] == 0
+    assert g["area2_q"] == 0
+    assert g["rings"] == []
+    k = got["KEEP"]
+    assert (k["n_shells"], k["area2_q"]) == (1, 2 * (2 ** 40))
+
+
+def test_back_and_forth_sliver_emits_empty_row(spark):
+    # degenerate 2-point ring: one forward + one reverse edge cancel
+    rows = [("S", [[[0.0, 0.0], [1.0, 0.0]]])]
+    got = _collect(spark, rows)
+    s = got["S"]
+    assert (s["n_parts"], s["n_shells"], s["perim_edges"]) == (1, 0, 0)
+    assert s["area2_q"] == 0 and s["rings"] == []

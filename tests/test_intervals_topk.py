@@ -101,3 +101,45 @@ def test_topk_validation_and_null_order(spark):
         topk_per_group(df, ("g",), "v", 0, ("id",))
     with pytest.raises(ValueError):
         topk_per_group(df, (), "v", 1, ("id",))
+
+
+def test_topk_null_group_key_is_a_group(spark):
+    # ADVICE r4: the pandas prune's default groupby(dropna=True) silently
+    # discarded null-keyed rows while the finalize window ranks them as a
+    # regular group — the null group vanished from the output entirely.
+    rows = [(None, float(v), v) for v in range(40)]
+    rows += [(1, float(v), v) for v in range(40)]
+    df = spark.createDataFrame(rows, "g int, v double, id long").repartition(8)
+    got = topk_per_group(df, ("g",), "v", 3, ("id",)).collect()
+    null_rows = sorted((r.rank, r.v) for r in got if r.g is None)
+    assert null_rows == [(1, 39.0), (2, 38.0), (3, 37.0)]
+    one_rows = sorted((r.rank, r.v) for r in got if r.g == 1)
+    assert one_rows == [(1, 39.0), (2, 38.0), (3, 37.0)]
+
+
+def test_topk_null_tie_col_prune_matches_window(spark):
+    # ADVICE r4: pandas sort_values put null ties LAST while the Spark
+    # finalize window orders asc NULLS FIRST — with more candidates tied
+    # on order_col than k in one batch, the prune could evict the row the
+    # exact window ranks inside top-k. Many single-row-ish batches + heavy
+    # ties on v force the prune to make the cut on the tie column alone.
+    rows = []
+    for g in range(3):
+        rows += [(g, 1.0, None, 1000 + g * 100 + j) for j in range(4)]
+        rows += [(g, 1.0, f"t{j:02d}", g * 100 + j) for j in range(20)]
+    df = spark.createDataFrame(
+        rows, "g int, v double, tie string, id long"
+    ).repartition(24)
+    got = topk_per_group(df, ("g",), "v", 3, ("tie", "id"))
+    from pyspark.sql import Window
+    w = Window.partitionBy("g").orderBy(
+        F.col("v").desc(), F.col("tie").asc(), F.col("id").asc()
+    )
+    want = (
+        df.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    # nulls-first: every group's top-3 is entirely the null-tie rows
+    for r in got.collect():
+        assert r.tie is None, r

@@ -86,3 +86,20 @@ def test_ungrouped_and_validation(spark):
         exact_quantiles(df, "v", [1.5])
     with pytest.raises(ValueError):
         exact_quantiles(df, "v", [0.5], buckets=1)
+
+
+def test_null_group_key_gets_quantiles(spark):
+    # ADVICE r4: the probe join matched group columns with == (not
+    # null-safe), so a NULL-keyed group never matched its probe row and
+    # the run died with a misleading RuntimeError instead of computing it.
+    rows = [(None, float(v)) for v in range(101)]
+    rows += [("a", float(v) * 2) for v in range(101)]
+    df = spark.createDataFrame(rows, "g string, v double").repartition(8)
+    out = exact_quantiles(
+        df, "v", [0.0, 0.5, 1.0], group_cols=("g",), local_threshold=10
+    )
+    got = {(r.g, r.q): r.value for r in out.collect()}
+    assert got[(None, 0.0)] == 0.0
+    assert got[(None, 0.5)] == 50.0
+    assert got[(None, 1.0)] == 100.0
+    assert got[("a", 0.5)] == 100.0
