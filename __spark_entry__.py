@@ -6126,12 +6126,120 @@ def _build_proj4_elevation_oracle(sf_dir: str):
     })
 
 
+# UTM 33N spelled as WKT2 (ISO 19162) — the fourth CRS spelling the
+# reference accepts (pyproj.CRS.from_user_input at
+# /root/reference/opentopodata/utils.py:39-46 takes WKT2 the same as
+# WKT1/PROJ.4); tests/test_wkt2.py pins that this string lands on the
+# bit-identical projection object as EPSG:32633 and _PROJ4_CRS.
+_WKT2_CRS = (
+    'PROJCRS["WGS 84 / UTM zone 33N",'
+    'BASEGEOGCRS["WGS 84",DATUM["World Geodetic System 1984",'
+    'ELLIPSOID["WGS 84",6378137,298.257223563,LENGTHUNIT["metre",1]]],'
+    'PRIMEM["Greenwich",0,ANGLEUNIT["degree",0.0174532925199433]],'
+    'ID["EPSG",4326]],'
+    'CONVERSION["UTM zone 33N",'
+    'METHOD["Transverse Mercator",ID["EPSG",9807]],'
+    'PARAMETER["Latitude of natural origin",0,'
+    'ANGLEUNIT["degree",0.0174532925199433],ID["EPSG",8801]],'
+    'PARAMETER["Longitude of natural origin",15,'
+    'ANGLEUNIT["degree",0.0174532925199433],ID["EPSG",8802]],'
+    'PARAMETER["Scale factor at natural origin",0.9996,'
+    'SCALEUNIT["unity",1],ID["EPSG",8805]],'
+    'PARAMETER["False easting",500000,LENGTHUNIT["metre",1],'
+    'ID["EPSG",8806]],'
+    'PARAMETER["False northing",0,LENGTHUNIT["metre",1],'
+    'ID["EPSG",8807]]],'
+    'CS[Cartesian,2],'
+    'AXIS["(E)",east,ORDER[1],LENGTHUNIT["metre",1]],'
+    'AXIS["(N)",north,ORDER[2],LENGTHUNIT["metre",1]],'
+    'ID["EPSG",32633]]'
+)
+
+
+def _wkt2_fixture_dir() -> str:
+    """The proj4_r4 tile regenerated with its CRS carried as WKT2 —
+    same grid, same georeferencing, different CRS spelling."""
+    import numpy as np
+
+    from opentopodata_spark import crs as _crs
+    from opentopodata_spark import geotiff
+
+    root = os.path.join(_fixture_root(), "wkt2_r5")
+    marker = os.path.join(root, ".complete")
+    if os.path.exists(marker):
+        return root
+    os.makedirs(root, exist_ok=True)
+    cx, cy = _crs.reproject_latlons([47.5], [15.0], epsg=32633)
+    px = 500.0
+    x0 = float(cx[0]) - 60 * px
+    y0 = float(cy[0]) + 60 * px
+    xs = x0 + (np.arange(120) + 0.5) * px
+    ys = y0 - (np.arange(120) + 0.5) * px
+    X, Y = np.meshgrid(xs, ys)
+    grid = (900.0 + 300.0 * np.sin(X / 1.1e4)
+            + 250.0 * np.cos(Y / 0.9e4)).astype(np.float32)
+    geotiff.write_geotiff(os.path.join(root, "utm33.tif"), grid, x0=x0,
+                          y0=y0, sx=px, sy=px, epsg=None, wkt=_WKT2_CRS,
+                          nodata=-9999)
+    with open(marker, "w") as f:
+        f.write("ok")
+    return root
+
+
+def _wkt2_dataset():
+    from opentopodata_spark import config
+
+    return config.dataset_from_config(
+        "wkt2_utm", path=_wkt2_fixture_dir() + "/")
+
+
+def q_wkt2_elevation(spark, sf_dir):
+    """WKT2-CRS raster as a CONTRACT query: a UTM tile whose CRS rides
+    as an ISO 19162 PROJCRS string (the spelling modern EPSG/GDAL
+    exports emit) must resolve through the distributed pipeline exactly
+    like the single-process sampler — and, because the same grid/points
+    ride in proj4_elevation, exactly like its PROJ.4-spelled twin."""
+    from opentopodata_spark.operators import elevation
+
+    _ship_package(spark)
+    ids, lats, lons = _proj4_point_set()
+    pts = spark.createDataFrame(
+        [(int(i), float(la), float(lo))
+         for i, la, lo in zip(ids, lats, lons)],
+        "point_id long, lat double, lon double",
+    )
+    return (
+        elevation.ElevationResolver(spark, [_wkt2_dataset()], "bilinear")
+        .resolve(pts)
+        .select("point_id", "lat", "lon", "elevation")
+    )
+
+
+def _build_wkt2_elevation_oracle(sf_dir: str):
+    import pyarrow as pa
+
+    from opentopodata_spark import oracle
+
+    ids, lats, lons = _proj4_point_set()
+    elev, _names = oracle.get_elevation(
+        lats, lons, [_wkt2_dataset()], "bilinear")
+    return pa.table({
+        "point_id": pa.array(ids, type=pa.int64()),
+        "lat": pa.array([float(v) for v in lats], type=pa.float64()),
+        "lon": pa.array([float(v) for v in lons], type=pa.float64()),
+        "elevation": pa.array(
+            [None if v is None else float(v) for v in elev],
+            type=pa.float64()),
+    })
+
+
 _PRECOMPUTED_BUILDERS = {
     "terrain_tiles_export": _build_terrain_tiles_oracle,
     "terrain_pyramid_export": _build_terrain_pyramid_oracle,
     "raster_formats": _build_raster_formats_oracle,
     "remote_elevation": _build_remote_elevation_oracle,
     "proj4_elevation": _build_proj4_elevation_oracle,
+    "wkt2_elevation": _build_wkt2_elevation_oracle,
     "quality_classifier": _build_quality_classifier_oracle,
     "s2_cells": _build_s2_oracle,
     "geodesic_paths": _build_geodesic_oracle,
@@ -6948,6 +7056,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   3. then the most recently re-verified ones, which rotate out.
     return {
         # -- new in r5 (inserted here as they land) --
+        "wkt2_elevation": q_wkt2_elevation,
         # -- modules CHANGED in r5 (ADVICE fixes: topk null groups/ties,
         #    quantiles null-safe probe, dissolve cancelled-key row, knn
         #    broadcast cap) — re-verify even though green in r4 --

@@ -2457,6 +2457,13 @@ def _projection_for_wkt(wkt: str):
         # pyproj.CRS.from_user_input accepts PROJ.4 strings through the
         # same argument the reference passes WKT in — mirror that
         return _projection_for_proj4(wkt)
+    head = re.match(r"\s*([A-Za-z_0-9]+)\s*[\[\(]", wkt)
+    if head and head.group(1).upper() in _WKT2_ROOT_KEYWORDS:
+        # WKT2 (ISO 19162): PROJCRS/GEOGCRS/BOUNDCRS — the spelling
+        # modern EPSG registry and GDAL exports emit; the reference
+        # accepts it via pyproj.CRS.from_user_input
+        # (/root/reference/opentopodata/utils.py:39-46)
+        return _projection_for_wkt2(wkt)
     mproj = _WKT_PROJ_RE.search(wkt)
     msph = _WKT_SPHEROID_RE.search(wkt)
     if not mproj or not msph:
@@ -2464,6 +2471,13 @@ def _projection_for_wkt(wkt: str):
     a = float(msph.group(1))
     inv_f = float(msph.group(2))
     params = {k.lower(): float(v) for k, v in _WKT_PARAM_RE.findall(wkt)}
+    return _dispatch_wkt_projection(mproj.group(1), params, a, inv_f)
+
+
+def _dispatch_wkt_projection(raw_name: str, params: dict,
+                             a: float, inv_f: float):
+    """Shared WKT1/WKT2 projection dispatch: GDAL-WKT1-style method
+    name + flattened parameter dict (degrees / metres) -> projection."""
 
     def p(*names, default=0.0):
         for n in names:
@@ -2471,7 +2485,7 @@ def _projection_for_wkt(wkt: str):
                 return params[n]
         return default
 
-    name = mproj.group(1).lower()
+    name = raw_name.lower()
     if "transverse_mercator" in name:
         return TransverseMercator(
             a, inv_f,
@@ -2685,7 +2699,604 @@ def _projection_for_wkt(wkt: str):
             false_northing=p("false_northing"),
             lat_ts_deg=lat0,
         )
-    raise CRSError(f"WKT projection '{mproj.group(1)}' not supported")
+    if "polyconic" in name:
+        return AmericanPolyconic(
+            a, inv_f,
+            lat0_deg=p("latitude_of_origin", "latitude_of_center"),
+            lon0_deg=p("central_meridian", "longitude_of_center"),
+            false_easting=p("false_easting"),
+            false_northing=p("false_northing"),
+        )
+    if "new_zealand" in name:
+        # NZMG (EPSG method 9811) — the complex-polynomial grid; the
+        # ellipsoid is baked into LINZ's published coefficients, so only
+        # `a` rides through (International 1924 in every real NZMG CRS)
+        return NewZealandMapGrid(
+            a=a,
+            lat0_deg=p("latitude_of_origin", default=-41.0),
+            lon0_deg=p("central_meridian", default=173.0),
+            false_easting=p("false_easting", default=2510000.0),
+            false_northing=p("false_northing", default=6023150.0),
+        )
+    raise CRSError(f"WKT projection '{raw_name}' not supported")
+
+
+# ---------------------------------------------------------------------------
+# WKT2 (ISO 19162:2015/2019) — the CRS spelling modern EPSG registry
+# dumps, GDAL >= 3 exports, and fresh .prj / PAM sidecars carry. The
+# reference accepts any of WKT1/WKT2/PROJ.4 through one argument
+# (pyproj.CRS.from_user_input, /root/reference/opentopodata/utils.py:
+# 17-52); this parser maps the WKT2 grammar onto the same projection
+# classes as the WKT1/PROJ.4 paths, with the same loud-refusal
+# discipline for unsupported methods, units, meridians and axes.
+# ---------------------------------------------------------------------------
+
+_WKT2_ROOT_KEYWORDS = {
+    "PROJCRS", "PROJECTEDCRS", "GEOGCRS", "GEOGRAPHICCRS", "GEODCRS",
+    "GEODETICCRS", "BOUNDCRS",
+}
+
+
+class _WKT2Node:
+    """One bracketed WKT2 element: KEYWORD[v1, v2, ...] where each value
+    is a quoted string, a number, a bare enum word, or a child node."""
+
+    __slots__ = ("kw", "vals")
+
+    def __init__(self, kw, vals):
+        self.kw = kw
+        self.vals = vals
+
+    def find(self, *keywords):
+        for v in self.vals:
+            if isinstance(v, _WKT2Node) and v.kw in keywords:
+                return v
+        return None
+
+    def findall(self, *keywords):
+        return [v for v in self.vals
+                if isinstance(v, _WKT2Node) and v.kw in keywords]
+
+    def find_deep(self, *keywords):
+        """First matching node anywhere in the subtree (pre-order)."""
+        for v in self.vals:
+            if isinstance(v, _WKT2Node):
+                if v.kw in keywords:
+                    return v
+                got = v.find_deep(*keywords)
+                if got is not None:
+                    return got
+        return None
+
+
+_WKT2_WORD_RE = re.compile(r"[A-Za-z_][A-Za-z_0-9]*")
+_WKT2_NUM_RE = re.compile(r"[-+]?(?:\d+\.?\d*|\.\d+)(?:[eE][-+]?\d+)?")
+
+
+def _parse_wkt2_tree(s: str) -> _WKT2Node:
+    """Recursive-descent parse of a WKT2 string into a node tree.
+    Accepts [] or () delimiters and doubled-quote escapes, per the
+    ISO 19162 grammar."""
+    pos = 0
+    n = len(s)
+
+    def err(msg):
+        return CRSError(f"WKT2 parse error at offset {pos}: {msg}")
+
+    def skip_ws():
+        nonlocal pos
+        while pos < n and s[pos].isspace():
+            pos += 1
+
+    def parse_node(kw):
+        nonlocal pos
+        skip_ws()
+        if pos >= n or s[pos] not in "[(":
+            raise err(f"expected '[' after {kw}")
+        closer = "]" if s[pos] == "[" else ")"
+        pos += 1
+        vals = []
+        while True:
+            skip_ws()
+            if pos >= n:
+                raise err(f"unterminated {kw}")
+            if s[pos] == closer:
+                pos += 1
+                return _WKT2Node(kw.upper(), vals)
+            vals.append(parse_value())
+            skip_ws()
+            if pos < n and s[pos] == ",":
+                pos += 1
+            elif pos < n and s[pos] == closer:
+                pos += 1
+                return _WKT2Node(kw.upper(), vals)
+            else:
+                raise err(f"expected ',' or '{closer}' in {kw}")
+
+    def parse_value():
+        nonlocal pos
+        skip_ws()
+        if pos >= n:
+            raise err("expected a value")
+        c = s[pos]
+        if c == '"':
+            pos += 1
+            out = []
+            while pos < n:
+                if s[pos] == '"':
+                    if pos + 1 < n and s[pos + 1] == '"':  # "" escape
+                        out.append('"')
+                        pos += 2
+                        continue
+                    pos += 1
+                    return "".join(out)
+                out.append(s[pos])
+                pos += 1
+            raise err("unterminated quoted string")
+        m = _WKT2_NUM_RE.match(s, pos)
+        if m and (c.isdigit() or c in "+-."):
+            pos = m.end()
+            return float(m.group(0))
+        m = _WKT2_WORD_RE.match(s, pos)
+        if not m:
+            raise err(f"unexpected character {c!r}")
+        word = m.group(0)
+        pos = m.end()
+        save = pos
+        skip_ws()
+        if pos < n and s[pos] in "[(":
+            return parse_node(word)
+        pos = save
+        return word  # bare enum (east, north, Cartesian, ...)
+
+    skip_ws()
+    m = _WKT2_WORD_RE.match(s, pos)
+    if not m:
+        raise CRSError("WKT2: no root keyword")
+    pos = m.end()
+    root = parse_node(m.group(0))
+    skip_ws()
+    if pos != n:
+        raise CRSError("WKT2: trailing content after root element")
+    return root
+
+
+def _wkt2_norm(name: str) -> str:
+    """'Lambert Conic Conformal (2SP)' -> 'lambert_conic_conformal_2sp'."""
+    return re.sub(r"_+", "_", re.sub(r"[^a-z0-9]+", "_", name.lower())).strip("_")
+
+
+# Normalized EPSG method name -> GDAL-WKT1-style dispatch name (the
+# names _dispatch_wkt_projection keys off). Spellings from the EPSG
+# Guidance Note 7-2 method table.
+_WKT2_METHOD_TO_WKT1 = {
+    "transverse_mercator": "Transverse_Mercator",
+    "gauss_kruger": "Transverse_Mercator",
+    "lambert_conic_conformal_1sp": "Lambert_Conformal_Conic",
+    "lambert_conic_conformal_2sp": "Lambert_Conformal_Conic",
+    "lambert_azimuthal_equal_area": "Lambert_Azimuthal_Equal_Area",
+    "albers_equal_area": "Albers_Conic_Equal_Area",
+    "mercator_variant_a": "Mercator_1SP",
+    "mercator_variant_b": "Mercator_2SP",
+    "oblique_stereographic": "Oblique_Stereographic",
+    "polar_stereographic_variant_a": "Polar_Stereographic",
+    "polar_stereographic_variant_b": "Polar_Stereographic",
+    "hotine_oblique_mercator_variant_a": "Hotine_Oblique_Mercator",
+    "hotine_oblique_mercator_variant_b":
+        "Hotine_Oblique_Mercator_Azimuth_Center",
+    "hotine_oblique_mercator_two_point_natural_origin":
+        "Hotine_Oblique_Mercator_Two_Point_Natural_Origin",
+    "laborde_oblique_mercator": "Laborde_Oblique_Mercator",
+    "swiss_oblique_cylindrical": "Swiss_Oblique_Cylindrical",
+    "krovak": "Krovak",
+    "krovak_north_orientated": "Krovak",
+    "cassini_soldner": "Cassini_Soldner",
+    "bonne": "Bonne",
+    "mollweide": "Mollweide",
+    "sinusoidal": "Sinusoidal",
+    "orthographic": "Orthographic",
+    "orthographic_spherical": "Orthographic",
+    "azimuthal_equidistant": "Azimuthal_Equidistant",
+    "equidistant_cylindrical": "Equidistant_Cylindrical",
+    "equidistant_cylindrical_spherical": "Equidistant_Cylindrical",
+    "american_polyconic": "Polyconic",
+    "new_zealand_map_grid": "New_Zealand_Map_Grid",
+}
+
+# EPSG method code -> normalized method name, for WKT2 whose METHOD
+# carries a nonstandard display name but a proper ID["EPSG", code].
+_WKT2_METHOD_CODES = {
+    9807: "transverse_mercator",
+    9801: "lambert_conic_conformal_1sp",
+    9802: "lambert_conic_conformal_2sp",
+    9820: "lambert_azimuthal_equal_area",
+    9822: "albers_equal_area",
+    9804: "mercator_variant_a",
+    9805: "mercator_variant_b",
+    1024: "popular_visualisation_pseudo_mercator",
+    9809: "oblique_stereographic",
+    9810: "polar_stereographic_variant_a",
+    9829: "polar_stereographic_variant_b",
+    9812: "hotine_oblique_mercator_variant_a",
+    9815: "hotine_oblique_mercator_variant_b",
+    9813: "laborde_oblique_mercator",
+    9819: "krovak",
+    1041: "krovak_north_orientated",
+    9806: "cassini_soldner",
+    9827: "bonne",
+    9840: "orthographic",
+    1125: "azimuthal_equidistant",
+    1028: "equidistant_cylindrical",
+    1029: "equidistant_cylindrical_spherical",
+    9818: "american_polyconic",
+    9811: "new_zealand_map_grid",
+}
+
+# Methods that EXIST in the EPSG registry but whose formulas differ from
+# anything implemented — refuse by name rather than falling through to a
+# near-miss (e.g. Belgium LCC shifts both longitudes by 29.2985").
+_WKT2_REFUSED_METHODS = {
+    "lambert_conic_conformal_2sp_belgium",
+    "lambert_conic_conformal_2sp_michigan",
+    "lambert_conic_conformal_west_orientated",
+    "transverse_mercator_south_orientated",
+    "polar_stereographic_variant_c",
+    "modified_azimuthal_equidistant",
+    "guam_projection",
+    "bonne_south_orientated",
+    "mercator_variant_c",
+    "lambert_cylindrical_equal_area",
+    "hyperbolic_cassini_soldner",
+}
+
+# Normalized EPSG parameter name -> GDAL-WKT1 parameter key. Per GN7-2
+# §3 the same parameter name means the same quantity across methods,
+# EXCEPT where a method-specific override below says otherwise.
+_WKT2_PARAM_TO_WKT1 = {
+    "latitude_of_natural_origin": "latitude_of_origin",
+    "longitude_of_natural_origin": "central_meridian",
+    "scale_factor_at_natural_origin": "scale_factor",
+    "false_easting": "false_easting",
+    "false_northing": "false_northing",
+    "latitude_of_false_origin": "latitude_of_origin",
+    "longitude_of_false_origin": "central_meridian",
+    "easting_at_false_origin": "false_easting",
+    "northing_at_false_origin": "false_northing",
+    "latitude_of_1st_standard_parallel": "standard_parallel_1",
+    "latitude_of_2nd_standard_parallel": "standard_parallel_2",
+    "latitude_of_standard_parallel": "latitude_of_origin",  # polar B
+    "longitude_of_origin": "central_meridian",              # polar B
+    "latitude_of_projection_centre": "latitude_of_center",
+    "latitude_of_projection_center": "latitude_of_center",
+    "longitude_of_projection_centre": "longitude_of_center",
+    "longitude_of_projection_center": "longitude_of_center",
+    "azimuth_at_projection_centre": "azimuth",
+    "azimuth_at_projection_center": "azimuth",
+    "azimuth_of_initial_line": "azimuth",
+    "angle_from_rectified_to_skew_grid": "rectified_grid_angle",
+    "scale_factor_at_projection_centre": "scale_factor",
+    "scale_factor_at_projection_center": "scale_factor",
+    "scale_factor_on_initial_line": "scale_factor",
+    "easting_at_projection_centre": "false_easting",
+    "easting_at_projection_center": "false_easting",
+    "northing_at_projection_centre": "false_northing",
+    "northing_at_projection_center": "false_northing",
+    "latitude_of_pseudo_standard_parallel": "pseudo_standard_parallel_1",
+    "scale_factor_on_pseudo_standard_parallel": "scale_factor",
+    "co_latitude_of_cone_axis": "azimuth",
+    "latitude_of_1st_point": "latitude_of_1st_point",
+    "longitude_of_1st_point": "longitude_of_1st_point",
+    "latitude_of_2nd_point": "latitude_of_2nd_point",
+    "longitude_of_2nd_point": "longitude_of_2nd_point",
+    # WKT1-style spellings sometimes leak into WKT2 PARAMETERs
+    "latitude_of_origin": "latitude_of_origin",
+    "central_meridian": "central_meridian",
+    "scale_factor": "scale_factor",
+    "standard_parallel_1": "standard_parallel_1",
+    "standard_parallel_2": "standard_parallel_2",
+    "latitude_of_center": "latitude_of_center",
+    "longitude_of_center": "longitude_of_center",
+    "azimuth": "azimuth",
+    "rectified_grid_angle": "rectified_grid_angle",
+    "pseudo_standard_parallel_1": "pseudo_standard_parallel_1",
+}
+
+# Method-specific parameter redirections (applied AFTER the common map).
+_WKT2_PARAM_OVERRIDES = {
+    "krovak": {
+        # GN7-2 Krovak: "Longitude of origin" is the Greenwich longitude
+        # of the projection origin (24d50'E), what the WKT1 branch reads
+        # as longitude_of_center — NOT a central meridian
+        "longitude_of_origin": "longitude_of_center",
+    },
+    "krovak_north_orientated": {
+        "longitude_of_origin": "longitude_of_center",
+    },
+}
+
+_WKT2_UNIT_KWS = ("ANGLEUNIT", "LENGTHUNIT", "SCALEUNIT", "UNIT")
+
+# WKT1 keys that hold angles (everything else is length or scale)
+_WKT1_ANGLE_KEYS = {
+    "latitude_of_origin", "central_meridian", "standard_parallel_1",
+    "standard_parallel_2", "latitude_of_center", "longitude_of_center",
+    "azimuth", "rectified_grid_angle", "pseudo_standard_parallel_1",
+    "latitude_of_1st_point", "longitude_of_1st_point",
+    "latitude_of_2nd_point", "longitude_of_2nd_point",
+}
+
+
+def _wkt2_unit_factor(node: _WKT2Node):
+    """(kind, factor) for a node's attached unit, or (None, None)."""
+    u = node.find(*_WKT2_UNIT_KWS)
+    if u is None:
+        return None, None
+    if len(u.vals) < 2 or not isinstance(u.vals[1], float):
+        raise CRSError(f"WKT2 {u.kw} lacks a conversion factor")
+    return u.kw, float(u.vals[1])
+
+
+def _wkt2_param_value(pnode: _WKT2Node, wkt1_key: str) -> float:
+    """PARAMETER node -> value in the units the dispatch expects
+    (degrees for angles, metres for lengths, unity for scales)."""
+    if len(pnode.vals) < 2 or not isinstance(pnode.vals[1], float):
+        raise CRSError(
+            f"WKT2 PARAMETER {pnode.vals[:1]} lacks a numeric value")
+    value = float(pnode.vals[1])
+    kind, factor = _wkt2_unit_factor(pnode)
+    if kind is None:
+        return value  # spec default: degree / metre / unity
+    if kind == "ANGLEUNIT" or (
+            kind == "UNIT" and wkt1_key in _WKT1_ANGLE_KEYS):
+        return _wkt2_angle_to_deg(value, factor)
+    # LENGTHUNIT factors are to metres, SCALEUNIT to unity — multiply
+    return value * factor
+
+
+def _wkt2_angle_to_deg(value: float, rad_factor: float) -> float:
+    """Angle value + to-radian factor -> degrees, with the common
+    factors recognised EXACTLY so a degree-valued parameter survives
+    bit-for-bit (3 * 0.0174532925199433 * 180/pi != 3.0 in binary —
+    the naive round-trip would break bit-equality with the EPSG path)."""
+    def near(x):
+        return abs(rad_factor - x) <= 1e-10 * x
+    if near(math.pi / 180.0):
+        return value                    # degree
+    if near(math.pi / 200.0):
+        return value * 0.9              # grad (exact decimal ratio)
+    if near(math.pi / 648000.0):
+        return value / 3600.0           # arc-second
+    if near(math.pi / 10800.0):
+        return value / 60.0             # arc-minute
+    return value * rad_factor * 180.0 / math.pi
+
+
+def _wkt2_ellipsoid(crs_node: _WKT2Node):
+    """(a_metres, inv_f) from the ELLIPSOID/SPHEROID under a CRS node
+    (reaches through DATUM / ENSEMBLE / BASEGEOGCRS wrappers)."""
+    ell = crs_node.find_deep("ELLIPSOID", "SPHEROID")
+    if ell is None:
+        raise CRSError("WKT2: no ELLIPSOID found")
+    if len(ell.vals) < 3 or not isinstance(ell.vals[1], float) \
+            or not isinstance(ell.vals[2], float):
+        raise CRSError("WKT2 ELLIPSOID needs (name, a, 1/f)")
+    a = float(ell.vals[1])
+    kind, factor = _wkt2_unit_factor(ell)
+    if kind is not None:
+        if kind not in ("LENGTHUNIT", "UNIT"):
+            raise CRSError("WKT2 ELLIPSOID unit must be a length unit")
+        a *= factor
+    inv_f = float(ell.vals[2])
+    if inv_f == 0.0:
+        inv_f = math.inf  # inverse flattening 0 declares a sphere
+    return a, inv_f
+
+
+def _wkt2_check_primem(crs_node: _WKT2Node):
+    pm = crs_node.find_deep("PRIMEM", "PRIMEMERIDIAN")
+    if pm is None:
+        return
+    if len(pm.vals) < 2 or not isinstance(pm.vals[1], float):
+        raise CRSError("WKT2 PRIMEM lacks a longitude")
+    lon = float(pm.vals[1])
+    kind, factor = _wkt2_unit_factor(pm)
+    if kind is not None:
+        lon = lon * factor * 180.0 / math.pi
+    if lon != 0.0:
+        raise CRSError(
+            f"WKT2 non-Greenwich prime meridian ({pm.vals[0]!r}) is not "
+            "supported")
+
+
+def _wkt2_axis_directions(projcrs: _WKT2Node) -> list:
+    """Axis direction enums in ORDER[] order (GDAL puts AXIS nodes as
+    siblings of CS inside the PROJCRS; older emitters nest them)."""
+    axes = projcrs.findall("AXIS")
+    cs = projcrs.find("CS")
+    if cs is not None:
+        axes += cs.findall("AXIS")
+    out = []
+    for ax in axes:
+        order = ax.find("ORDER")
+        rank = int(order.vals[0]) if order and order.vals else len(out) + 1
+        direction = next(
+            (v for v in ax.vals if isinstance(v, str) and v != ax.vals[0]),
+            None,
+        )
+        # vals[0] is the axis name string; direction is the bare enum
+        if isinstance(ax.vals[0], str) and len(ax.vals) > 1 \
+                and isinstance(ax.vals[1], str):
+            direction = ax.vals[1]
+        if direction is None:
+            raise CRSError("WKT2 AXIS lacks a direction")
+        out.append((rank, direction.lower()))
+    return [d for _, d in sorted(out)]
+
+
+def _wkt2_check_cs_unit(projcrs: _WKT2Node):
+    """Projected CS must be in metres (mirror of the PROJ.4 +units=m
+    refusal) — factor-1 length units under CS or each AXIS."""
+    nodes = []
+    cs = projcrs.find("CS")
+    if cs is not None:
+        nodes += cs.findall(*_WKT2_UNIT_KWS)
+    nodes += [u for u in projcrs.findall(*_WKT2_UNIT_KWS)]
+    for ax in projcrs.findall("AXIS") + (
+            cs.findall("AXIS") if cs is not None else []):
+        nodes += ax.findall(*_WKT2_UNIT_KWS)
+    for u in nodes:
+        if u.kw not in ("LENGTHUNIT", "UNIT"):
+            continue
+        if len(u.vals) >= 2 and isinstance(u.vals[1], float) \
+                and abs(float(u.vals[1]) - 1.0) > 1e-12:
+            raise CRSError(
+                f"WKT2 projected CS unit {u.vals[0]!r} is not supported "
+                "(metres only)")
+
+
+def _wkt2_method_key(conv: _WKT2Node) -> str:
+    method = conv.find("METHOD", "PROJECTION")
+    if method is None or not method.vals or \
+            not isinstance(method.vals[0], str):
+        raise CRSError("WKT2 CONVERSION lacks a METHOD")
+    key = _wkt2_norm(method.vals[0])
+    if key in _WKT2_METHOD_TO_WKT1 or key in _WKT2_REFUSED_METHODS \
+            or key == "popular_visualisation_pseudo_mercator":
+        return key
+    mid = method.find("ID", "AUTHORITY")
+    if mid is not None and len(mid.vals) >= 2:
+        code = mid.vals[1]
+        code = int(code) if isinstance(code, float) else None
+        if code in _WKT2_METHOD_CODES:
+            return _WKT2_METHOD_CODES[code]
+    return key  # unknown; refused below with the raw spelling
+
+
+def _projection_for_wkt2_node(root: _WKT2Node):
+    if root.kw == "BOUNDCRS":
+        return _projection_for_boundcrs(root)
+    if root.kw in ("GEOGCRS", "GEOGRAPHICCRS", "GEODCRS", "GEODETICCRS"):
+        # geographic CRS: lon/lat pass-through (the always_xy contract
+        # the reference pins makes axis order moot)
+        _wkt2_check_primem(root)
+        return Identity()
+    if root.kw not in ("PROJCRS", "PROJECTEDCRS"):
+        raise CRSError(f"WKT2 root {root.kw} is not a CRS")
+    base = root.find("BASEGEOGCRS", "BASEGEODCRS")
+    if base is None:
+        raise CRSError("WKT2 PROJCRS lacks BASEGEOGCRS")
+    a, inv_f = _wkt2_ellipsoid(base)
+    _wkt2_check_primem(base)
+    conv = root.find("CONVERSION")
+    if conv is None:
+        raise CRSError("WKT2 PROJCRS lacks CONVERSION")
+    key = _wkt2_method_key(conv)
+    if key in _WKT2_REFUSED_METHODS:
+        raise CRSError(
+            f"WKT2 method '{key}' is a distinct EPSG formula this build "
+            "does not implement")
+    if key == "popular_visualisation_pseudo_mercator":
+        if abs(a - 6378137.0) > 1e-6:
+            raise CRSError(
+                "Pseudo-Mercator is defined on the WGS84 sphere "
+                "(a=6378137)")
+        return WebMercator()
+    if key not in _WKT2_METHOD_TO_WKT1:
+        raise CRSError(f"WKT2 method '{key}' not supported")
+    overrides = _WKT2_PARAM_OVERRIDES.get(key, {})
+    params: dict = {}
+    for pnode in conv.findall("PARAMETER"):
+        if not pnode.vals or not isinstance(pnode.vals[0], str):
+            raise CRSError("WKT2 PARAMETER lacks a name")
+        pkey = _wkt2_norm(pnode.vals[0])
+        pkey = overrides.get(pkey, _WKT2_PARAM_TO_WKT1.get(pkey))
+        if pkey is None:
+            raise CRSError(
+                f"WKT2 parameter '{pnode.vals[0]}' is not understood — "
+                "refusing rather than ignoring a quantity that changes "
+                "the mapping")
+        params[pkey] = _wkt2_param_value(pnode, pkey)
+    _wkt2_check_cs_unit(root)
+    dirs = _wkt2_axis_directions(root)
+    if key in ("krovak", "krovak_north_orientated"):
+        # plain Krovak (9819) is southing/westing-positive; the North
+        # Orientated variant (1041) and GIS-style exports are east/north
+        east_north = not (dirs and set(dirs) == {"south", "west"})
+        if key == "krovak_north_orientated":
+            east_north = True
+        pr = _dispatch_wkt_projection(
+            "Krovak", params, a, inv_f)
+        pr.sign = -1.0 if east_north else 1.0
+        return pr
+    if dirs and not set(dirs) <= {"east", "north"}:
+        raise CRSError(
+            f"WKT2 axis directions {dirs} are not supported "
+            "(east/north only)")
+    return _dispatch_wkt_projection(_WKT2_METHOD_TO_WKT1[key], params,
+                                    a, inv_f)
+
+
+def _projection_for_boundcrs(root: _WKT2Node):
+    """BOUNDCRS[SOURCECRS[...], TARGETCRS[...], ABRIDGEDTRANSFORMATION]
+    — WKT2's carrier for the WKT1 TOWGS84 datum shift."""
+    src = root.find("SOURCECRS")
+    if src is None:
+        raise CRSError("WKT2 BOUNDCRS lacks SOURCECRS")
+    inner = next((v for v in src.vals if isinstance(v, _WKT2Node)), None)
+    if inner is None:
+        raise CRSError("WKT2 SOURCECRS is empty")
+    proj = _projection_for_wkt2_node(inner)
+    base = inner if inner.kw not in ("PROJCRS", "PROJECTEDCRS") else \
+        inner.find("BASEGEOGCRS", "BASEGEODCRS")
+    a, inv_f = _wkt2_ellipsoid(base if base is not None else inner)
+    xf = root.find("ABRIDGEDTRANSFORMATION", "COORDINATEOPERATION")
+    if xf is None:
+        return proj  # no transformation: treat like WKT1 sans TOWGS84
+    method = xf.find("METHOD")
+    mname = _wkt2_norm(method.vals[0]) if method is not None and \
+        method.vals and isinstance(method.vals[0], str) else ""
+    pv = "position_vector" in mname
+    cf = "coordinate_frame" in mname
+    gt = "geocentric_translation" in mname
+    if not (pv or cf or gt):
+        raise CRSError(
+            f"WKT2 BOUNDCRS transformation method '{mname}' is not "
+            "supported (Geocentric translations / Position Vector / "
+            "Coordinate Frame only)")
+    vals = {}
+    for pnode in xf.findall("PARAMETER"):
+        if pnode.vals and isinstance(pnode.vals[0], str) and \
+                len(pnode.vals) >= 2 and isinstance(pnode.vals[1], float):
+            vals[_wkt2_norm(pnode.vals[0])] = float(pnode.vals[1])
+    # ABRIDGEDTRANSFORMATION parameter units are fixed by ISO 19162:
+    # metres, arc-seconds, ppm — the same convention HelmertDatum takes.
+    tx = vals.get("x_axis_translation", 0.0)
+    ty = vals.get("y_axis_translation", 0.0)
+    tz = vals.get("z_axis_translation", 0.0)
+    rx = vals.get("x_axis_rotation", 0.0)
+    ry = vals.get("y_axis_rotation", 0.0)
+    rz = vals.get("z_axis_rotation", 0.0)
+    ds = vals.get("scale_difference", 0.0)
+    if xf.kw == "ABRIDGEDTRANSFORMATION":
+        # abridged scale difference rides as (1 + ds), not ppm
+        ds = (ds - 1.0) * 1e6 if ds not in (0.0,) else 0.0
+    if gt and (rx or ry or rz):
+        raise CRSError("Geocentric translations carry no rotations")
+    # The transformation is source->WGS84 in the TOWGS84 (position
+    # vector) convention; HelmertDatum wants the WGS84->source set,
+    # i.e. every parameter negated. Coordinate Frame rotations are
+    # already the negation of Position Vector ones, so they pass
+    # through unnegated.
+    datum = HelmertDatum(
+        a, inv_f, -tx, -ty, -tz,
+        rx if cf else -rx, ry if cf else -ry, rz if cf else -rz,
+        -ds,
+    )
+    return DatumShifted(proj, datum)
+
+
+def _projection_for_wkt2(wkt: str):
+    return _projection_for_wkt2_node(_parse_wkt2_tree(wkt))
 
 
 # EPSG -> (NTv2Grid, direction, replace_helmert): datum-grid corrections
