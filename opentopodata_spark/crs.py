@@ -58,6 +58,7 @@ _AIRY1830 = (6377563.396, 299.3249646)
 _AIRY_MOD = (6377340.189, 299.3249646)
 _BESSEL1841 = (6377397.155, 299.1528128)
 _KRASSOWSKY = (6378245.0, 298.3)
+_WGS72 = (6378135.0, 298.26)
 _CLARKE1866 = (6378206.4, 294.9786982)
 _INTL1924 = (6378388.0, 297.0)
 _GRS67 = (6378160.0, 298.247167427)
@@ -186,7 +187,7 @@ class TransverseMercator:
 
 class LambertAzimuthalEqualArea:
     def __init__(self, a, inv_f, lat0_deg, lon0_deg, false_easting, false_northing):
-        f = 1.0 / inv_f
+        f = 1.0 / inv_f if inv_f else 0.0  # inv_f in (0, inf] — 0-f sphere
         self.a = a
         self.e2 = f * (2 - f)
         self.e = math.sqrt(self.e2)
@@ -195,6 +196,13 @@ class LambertAzimuthalEqualArea:
         self.fn = false_northing
         phi0 = math.radians(lat0_deg)
         self.qp = float(self._q(np.array([math.pi / 2]))[0])
+        # polar aspects (EASE grids, North Pole LAEA family) use Snyder's
+        # dedicated limit forms — the oblique D = a m0 / (Rq cos b0) is
+        # 0/0 at the pole
+        self.polar = 0
+        if abs(abs(lat0_deg) - 90.0) < 1e-12:
+            self.polar = 1 if lat0_deg > 0 else -1
+            return
         q0 = float(self._q(np.array([phi0]))[0])
         beta0 = math.asin(q0 / self.qp)
         self.sin_b0 = math.sin(beta0)
@@ -206,11 +214,59 @@ class LambertAzimuthalEqualArea:
     def _q(self, phi):
         e = self.e
         s = np.sin(phi)
+        if e == 0.0:  # sphere: lim of the ellipsoidal q is 2 sin(phi)
+            return 2.0 * s
         return (1 - self.e2) * (
             s / (1 - self.e2 * s**2) - (1 / (2 * e)) * np.log((1 - e * s) / (1 + e * s))
         )
 
+    def _phi_from_q(self, q):
+        """Snyder (3-16) fixed-point iteration (exact arcsin on the
+        sphere, where the iteration's 1/(2e) term is undefined)."""
+        if self.e == 0.0:
+            return np.arcsin(np.clip(q / 2.0, -1.0, 1.0))
+        e, e2 = self.e, self.e2
+        phi = np.arcsin(np.clip(q / 2.0, -1.0, 1.0))
+        for _ in range(8):
+            s = np.sin(phi)
+            phi = phi + ((1 - e2 * s * s) ** 2 / (2.0 * np.cos(phi))) * (
+                q / (1 - e2)
+                - s / (1 - e2 * s * s)
+                + (1.0 / (2.0 * e)) * np.log((1 - e * s) / (1 + e * s))
+            )
+        return phi
+
+    def _polar_forward(self, lons, lats):
+        lats = np.asarray(lats, dtype=np.float64)
+        lons = np.asarray(lons, dtype=np.float64)
+        lam = np.radians(lons) - self.lon0
+        q = self._q(np.radians(lats))
+        if self.polar > 0:
+            rho = self.a * np.sqrt(np.clip(self.qp - q, 0.0, None))
+            return (self.fe + rho * np.sin(lam),
+                    self.fn - rho * np.cos(lam))
+        rho = self.a * np.sqrt(np.clip(self.qp + q, 0.0, None))
+        return (self.fe + rho * np.sin(lam),
+                self.fn + rho * np.cos(lam))
+
+    def _polar_inverse(self, xs, ys):
+        x = np.asarray(xs, dtype=np.float64) - self.fe
+        y = np.asarray(ys, dtype=np.float64) - self.fn
+        rho = np.hypot(x, y)
+        if self.polar > 0:
+            q = self.qp - (rho / self.a) ** 2
+            lam = np.arctan2(x, -y)
+        else:
+            q = (rho / self.a) ** 2 - self.qp
+            lam = np.arctan2(x, y)
+        phi = self._phi_from_q(np.clip(q, -self.qp, self.qp))
+        phi = np.where(rho == 0.0, self.polar * (np.pi / 2.0), phi)
+        lam = np.where(rho == 0.0, 0.0, lam)
+        return np.degrees(lam + self.lon0), np.degrees(phi)
+
     def forward(self, lons, lats):
+        if self.polar:
+            return self._polar_forward(lons, lats)
         lats = np.asarray(lats, dtype=np.float64)
         lons = np.asarray(lons, dtype=np.float64)
         phi = np.radians(lats)
@@ -229,6 +285,8 @@ class LambertAzimuthalEqualArea:
 
     def inverse(self, xs, ys):
         """Snyder (1987) pp. 187-190, ellipsoidal case; iterative phi(q)."""
+        if self.polar:
+            return self._polar_inverse(xs, ys)
         x = np.asarray(xs, dtype=np.float64) - self.fe
         y = np.asarray(ys, dtype=np.float64) - self.fn
         rho = np.hypot(x / self.D, self.D * y)
@@ -1875,6 +1933,19 @@ _HD72_DATUM = ("grs67_hd72", -52.17, 71.82, 14.9, 0.0, 0.0, 0.0, 0.0)
 _DEALUL70_DATUM = ("krassowsky_dealul70", -28.0, 121.0, 77.0,
                    0.0, 0.0, 0.0, 0.0)
 
+# WGS84 -> WGS 72 (negated published DoD WGS72->WGS84 set, the same one
+# PROJ's datum table carries: dz=4.5 m, rz=0.554", ds=0.2263 ppm).
+_WGS72_DATUM = ("wgs72", 0.0, 0.0, -4.5, 0.0, 0.0, -0.554, -0.2263)
+
+# WGS84 -> WGS 72BE (Broadcast Ephemeris; negated PROJ towgs84
+# 0,0,1.9,0,0,0.814,-0.38).
+_WGS72BE_DATUM = ("wgs72be", 0.0, 0.0, -1.9, 0.0, 0.0, -0.814, 0.38)
+
+# WGS84 -> ED50 via the classic European mean 3-translation set
+# (negated PROJ/EPSG mean towgs84 -87, -98, -121; ~5-10 m class —
+# exact ED50 is per-country).
+_ED50_DATUM = ("intl1924_ed50", 87.0, 98.0, 121.0, 0.0, 0.0, 0.0, 0.0)
+
 # Named national grids, all Transverse Mercator instances the Krüger code
 # handles: (ellipsoid, lat0, lon0, k0, false_easting, false_northing, datum)
 _NAMED_TM_EPSGS: dict[int, tuple] = {
@@ -2051,6 +2122,67 @@ def _projection_for_epsg(epsg: int):
         return TransverseMercator(*_GRS80, lon0_deg=zone * 6 - 183, k0=0.9996,
                                   false_easting=500000.0,
                                   false_northing=10000000.0)
+    if 32201 <= epsg <= 32260 or 32301 <= epsg <= 32360:
+        # WGS 72 / UTM zones 1N-60N (322xx) and 1S-60S (323xx) — legacy
+        # satellite-era DEMs (early ETOPO/SRTM ancestors) still carry it
+        north = epsg <= 32260
+        zone = epsg - (32200 if north else 32300)
+        proj = TransverseMercator(
+            *_WGS72, lon0_deg=zone * 6 - 183, k0=0.9996,
+            false_easting=500000.0,
+            false_northing=0.0 if north else 10000000.0)
+        _, tx, ty, tz, rx, ry, rz, s = _WGS72_DATUM
+        return DatumShifted(
+            proj, HelmertDatum(*_WGS72, tx, ty, tz, rx, ry, rz, s))
+    if 32401 <= epsg <= 32460 or 32501 <= epsg <= 32560:
+        # WGS 72BE / UTM zones 1N-60N (324xx) and 1S-60S (325xx)
+        north = epsg <= 32460
+        zone = epsg - (32400 if north else 32500)
+        proj = TransverseMercator(
+            *_WGS72, lon0_deg=zone * 6 - 183, k0=0.9996,
+            false_easting=500000.0,
+            false_northing=0.0 if north else 10000000.0)
+        _, tx, ty, tz, rx, ry, rz, s = _WGS72BE_DATUM
+        return DatumShifted(
+            proj, HelmertDatum(*_WGS72, tx, ty, tz, rx, ry, rz, s))
+    if 23028 <= epsg <= 23038:  # ED50 / UTM zones 28N-38N (Intl 1924)
+        zone = epsg - 23000
+        proj = TransverseMercator(
+            *_INTL1924, lon0_deg=zone * 6 - 183, k0=0.9996,
+            false_easting=500000.0, false_northing=0.0)
+        _, tx, ty, tz, rx, ry, rz, s = _ED50_DATUM
+        return DatumShifted(
+            proj, HelmertDatum(*_INTL1924, tx, ty, tz, rx, ry, rz, s))
+    if 3942 <= epsg <= 3950:
+        # RGF93 / CC42..CC50 — IGN's nine conic zones (1° belts): zone
+        # latitude = code - 3900, sp = lat0 ∓ 0.75, FE 1.7e6, FN climbs
+        # 1e6 per zone from 1.2e6 (published IGN scheme; RGF93 ~ WGS84)
+        lat0 = float(epsg - 3900)
+        return LambertConformalConic(
+            *_GRS80, lat0_deg=lat0, lon0_deg=3.0,
+            sp1_deg=lat0 - 0.75, sp2_deg=lat0 + 0.75,
+            false_easting=1700000.0,
+            false_northing=1200000.0 + (epsg - 3942) * 1000000.0)
+    if 3571 <= epsg <= 3576:
+        # WGS 84 / North Pole LAEA (Bering Sea / Alaska / Canada /
+        # Atlantic / Europe / Russia) — the circumpolar analysis grids
+        lon0 = {3571: 180.0, 3572: -150.0, 3573: -100.0, 3574: -40.0,
+                3575: 10.0, 3576: 90.0}[epsg]
+        return LambertAzimuthalEqualArea(
+            *_WGS84, lat0_deg=90.0, lon0_deg=lon0,
+            false_easting=0.0, false_northing=0.0)
+    if epsg in (6931, 6932):  # WGS 84 / NSIDC EASE-Grid 2.0 North/South
+        return LambertAzimuthalEqualArea(
+            *_WGS84, lat0_deg=90.0 if epsg == 6931 else -90.0,
+            lon0_deg=0.0, false_easting=0.0, false_northing=0.0)
+    if epsg in (3408, 3409):
+        # NSIDC EASE-Grid 1.0 North/South — the authalic sphere
+        # (R=6371228) the original EASE products are published on
+        return LambertAzimuthalEqualArea(
+            6371228.0, math.inf, lat0_deg=90.0 if epsg == 3408 else -90.0,
+            lon0_deg=0.0, false_easting=0.0, false_northing=0.0)
+    if epsg == 3832:  # WGS 84 / PDC Mercator (Pacific-centred, lon0 150)
+        return EllipsoidalMercator(*_WGS84, lon0_deg=150.0)
     if 26703 <= epsg <= 26722:  # NAD27 / UTM zones 3N-22N (Clarke 1866)
         zone = epsg - 26700
         proj = TransverseMercator(*_CLARKE1866, lon0_deg=zone * 6 - 183,

@@ -2330,3 +2330,114 @@ def test_laborde_epsg_wkt_proj4_roundtrip():
     x4, y4 = crs.reproject_latlons(lats, lons, wkt=p4)
     np.testing.assert_allclose(x4, xb, atol=1e-6)
     np.testing.assert_allclose(y4, yb, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# r5 EPSG long-tail: WGS72/WGS72BE UTM (240 codes), ED50 UTM, RGF93 CC
+# zones, polar LAEA family (EASE-Grid 1.0/2.0, North Pole LAEA), PDC
+# Mercator — every code's method was already implemented; only the
+# parameter tables were missing (VERDICT r4 "Next #8").
+# ---------------------------------------------------------------------------
+
+def _roundtrip_codes(codes, lat_fn, lon_fn, tol=1e-6):
+    import numpy as np
+    for epsg in codes:
+        lats = np.asarray(lat_fn(epsg), dtype=float)
+        lons = np.asarray(lon_fn(epsg), dtype=float)
+        x, y = crs.reproject_latlons(lats, lons, epsg=epsg)
+        lon2, lat2 = crs.unproject_xys(x, y, epsg=epsg)
+        assert np.abs(lat2 - lats).max() < tol, epsg
+        dlon = (np.asarray(lon2) - lons + 180.0) % 360.0 - 180.0
+        assert np.abs(dlon).max() < tol, epsg
+
+
+def test_wgs72_utm_sweep_roundtrip():
+    # all 240 codes: 32201-32260 (N), 32301-32360 (S), 324xx/325xx (72BE)
+    codes = (list(range(32201, 32261)) + list(range(32301, 32361))
+             + list(range(32401, 32461)) + list(range(32501, 32561)))
+    def lat(e):
+        north = (e % 1000) <= 260 if e < 32400 else (e % 1000) <= 460
+        base = [5.0, 35.0, 60.0] if north else [-5.0, -35.0, -60.0]
+        return base
+    def lon(e):
+        zone = e % 100
+        lon0 = zone * 6 - 183
+        return [lon0 - 2.0, lon0, lon0 + 2.5]
+    _roundtrip_codes(codes, lat, lon)
+
+
+def test_wgs72_differs_from_wgs84_by_metres():
+    # the datum shift must actually apply: same zone, same point, the
+    # WGS72 easting/northing differ from WGS84's by metres (not 0, not km)
+    import numpy as np
+    x72, y72 = crs.reproject_latlons([47.0], [15.0], epsg=32233)
+    x84, y84 = crs.reproject_latlons([47.0], [15.0], epsg=32633)
+    d = math.hypot(x72[0] - x84[0], y72[0] - y84[0])
+    assert 1.0 < d < 30.0, d
+    xbe, ybe = crs.reproject_latlons([47.0], [15.0], epsg=32433)
+    dbe = math.hypot(xbe[0] - x84[0], ybe[0] - y84[0])
+    assert 0.5 < dbe < 30.0 and abs(dbe - d) > 0.01
+
+
+def test_ed50_utm_sweep():
+    codes = list(range(23028, 23039))
+    _roundtrip_codes(codes, lambda e: [40.0, 50.0, 60.0],
+                     lambda e: [(e - 23000) * 6 - 183] * 3)
+    # ED50 sits ~100-200 m from WGS84 over Europe (mean shift 87/98/121)
+    xe, ye = crs.reproject_latlons([48.0], [9.0], epsg=23032)
+    xw, yw = crs.reproject_latlons([48.0], [9.0], epsg=32632)
+    d = math.hypot(xe[0] - xw[0], ye[0] - yw[0])
+    assert 100.0 < d < 300.0, d
+
+
+def test_rgf93_cc_zones():
+    # CC42..CC50: round-trip + the published FN ladder + Lambert-93
+    # agreement: the conic zones and Lambert-93 are both RGF93, so
+    # unproject(CCzz) == unproject(2154) for the same ground point
+    import numpy as np
+    codes = list(range(3942, 3951))
+    _roundtrip_codes(codes, lambda e: [e - 3900 - 0.4, e - 3900 + 0.4],
+                     lambda e: [2.0, 4.5])
+    for epsg in codes:
+        lat0 = epsg - 3900
+        x, y = crs.reproject_latlons([float(lat0)], [3.0], epsg=epsg)
+        assert abs(x[0] - 1700000.0) < 1e-3, epsg
+        assert abs(y[0] - (1200000.0 + (epsg - 3942) * 1e6)) < 1e-3, epsg
+
+
+def test_polar_laea_family():
+    import numpy as np
+    # EASE-Grid 2.0 North: pole maps to the origin; the equator ring
+    # sits at the published 9,009,964.76 m radius (NSIDC EASE-2 spec)
+    x, y = crs.reproject_latlons([90.0, 0.0, 0.0], [0.0, 0.0, 90.0],
+                                 epsg=6931)
+    assert abs(x[0]) < 1e-6 and abs(y[0]) < 1e-6
+    assert abs(y[1] + 9009964.76) < 0.5      # due south of the pole
+    assert abs(x[2] - 9009964.76) < 0.5      # lon 90E -> +x
+    # south grid mirrors
+    xs, ys = crs.reproject_latlons([-90.0, 0.0], [0.0, 0.0], epsg=6932)
+    # (sub-metre float residual at the exact pole: log((1+e)/(1-e)) is
+    # not the bit-exact negation of log((1-e)/(1+e)))
+    assert abs(xs[0]) < 0.5 and abs(ys[0]) < 0.5
+    assert abs(ys[1] - 9009964.76) < 0.5
+    # EASE 1.0 (authalic sphere): equator radius = R*sqrt(2)
+    x1, y1 = crs.reproject_latlons([0.0], [0.0], epsg=3408)
+    assert abs(y1[0] + 6371228.0 * math.sqrt(2.0)) < 1e-3
+    # round-trips across the family, incl. longitude recovery off-center
+    for epsg in (6931, 6932, 3408, 3409, 3571, 3572, 3573, 3574, 3575, 3576):
+        south = epsg in (6932, 3409)
+        lats = [-80.0, -45.0, -5.0] if south else [80.0, 45.0, 5.0]
+        lons = [-170.0, -30.0, 140.0]
+        x, y = crs.reproject_latlons(lats, lons, epsg=epsg)
+        lon2, lat2 = crs.unproject_xys(x, y, epsg=epsg)
+        assert np.abs(np.asarray(lat2) - lats).max() < 1e-6, epsg
+        dlon = (np.asarray(lon2) - np.asarray(lons) + 180) % 360 - 180
+        assert np.abs(dlon).max() < 1e-6, epsg
+
+
+def test_pdc_mercator():
+    x, y = crs.reproject_latlons([0.0], [150.0], epsg=3832)
+    assert abs(x[0]) < 1e-6 and abs(y[0]) < 1e-6
+    lon2, lat2 = crs.unproject_xys([1000000.0], [5000000.0], epsg=3832)
+    x2, y2 = crs.reproject_latlons(lat2, lon2, epsg=3832)
+    assert abs(x2[0] - 1000000.0) < 1e-3 and abs(y2[0] - 5000000.0) < 1e-3
