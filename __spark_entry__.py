@@ -6233,6 +6233,77 @@ def _build_wkt2_elevation_oracle(sf_dir: str):
     })
 
 
+_ICEBERG_PB = (
+    "CASE WHEN substr(md5(cast(doc_id as string)),1,1) < '4' THEN 0 "
+    "WHEN substr(md5(cast(doc_id as string)),1,1) < '8' THEN 1 "
+    "WHEN substr(md5(cast(doc_id as string)),1,1) < 'c' THEN 2 ELSE 3 END"
+)
+
+
+def _iceberg_documents_table(spark, sf_dir: str) -> str:
+    """Deterministic Iceberg v2 documents table for the contract query:
+    two append snapshots (md5-split halves) + one copy-on-write delete
+    of partition 1 — so the scan the query runs is genuinely planned
+    from snapshots/manifest lists/manifests, not a directory listing."""
+    import shutil
+
+    from opentopodata_spark import iceberg as _ice
+
+    root = os.path.join(
+        _fixture_root(), "iceberg_r5", os.path.basename(sf_dir.rstrip("/")))
+    marker = os.path.join(root, ".complete")
+    loc = os.path.join(root, "documents")
+    if os.path.exists(marker):
+        return loc
+    if os.path.exists(root):
+        shutil.rmtree(root)
+    os.makedirs(root, exist_ok=True)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs = docs.withColumn("_pb", F.expr(_ICEBERG_PB).cast("int"))
+    t = _ice.IcebergTable.create(loc, docs.schema, partition_col="_pb")
+    half = F.substring(F.md5(F.col("doc_id").cast("string")), 2, 1) < F.lit("8")
+    _ice.append_dataframe(t, docs.where(half))
+    _ice.append_dataframe(t, docs.where(~half))
+    t.delete_partition(1)
+    with open(marker, "w") as f:
+        f.write("ok")
+    return loc
+
+
+def q_iceberg_documents(spark, sf_dir):
+    """Documents as a REAL Iceberg v2 table (pure-Python metadata
+    layer, no jars): the query reads the CURRENT snapshot — planned
+    from the manifest chain after two appends and a partition delete —
+    and aggregates per partition. The oracle replays the table
+    definition (append union minus the deleted partition) in SQL, so a
+    hash match proves the metadata-planned scan returns exactly the
+    committed live file set (north rule: Iceberg input tables)."""
+    from opentopodata_spark import iceberg as _ice
+
+    loc = _iceberg_documents_table(spark, sf_dir)
+    df = _ice.read_table(spark, loc)
+    return (
+        df.groupBy(F.col("_pb").alias("pb"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.min("doc_id").alias("first_doc"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+    )
+
+
+_Q_ICEBERG_DOCS_SQL = f"""
+SELECT pb, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       min(doc_id) AS first_doc,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+FROM (SELECT *, {_ICEBERG_PB} AS pb FROM documents)
+WHERE pb <> 1
+GROUP BY pb
+"""
+
+
 _PRECOMPUTED_BUILDERS = {
     "terrain_tiles_export": _build_terrain_tiles_oracle,
     "terrain_pyramid_export": _build_terrain_pyramid_oracle,
@@ -7056,6 +7127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   3. then the most recently re-verified ones, which rotate out.
     return {
         # -- new in r5 (inserted here as they land) --
+        "iceberg_documents": q_iceberg_documents,
         "wkt2_elevation": q_wkt2_elevation,
         # -- modules CHANGED in r5 (ADVICE fixes: topk null groups/ties,
         #    quantiles null-safe probe, dissolve cancelled-key row, knn
@@ -7186,6 +7258,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "iceberg_documents": _Q_ICEBERG_DOCS_SQL,
         "tile_floor_keys": _Q_TILE_FLOOR_SQL,
         "bbox_coverage": _Q_BBOX_SQL,
         "priority_coalesce": _Q_PRIORITY_SQL,

@@ -38,7 +38,8 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["bucket_col", "lineage_stats", "resumable_resolve", "verify_lineage"]
+__all__ = ["bucket_col", "lineage_stats", "resumable_resolve",
+           "verify_lineage", "PyIcebergTables", "tables_for"]
 
 LINEAGE_SCHEMA = "run_id string, stage string, bucket int, n_rows long, checksum long"
 
@@ -66,13 +67,13 @@ def _iceberg_catalogs(spark: SparkSession) -> list[str]:
 
 
 def ensure_table_format(spark: SparkSession, table_format: str) -> None:
-    """The table-format seam. 'parquet' is the sandbox implementation;
-    'iceberg' is the production target (the north rule's wording): the
-    same append-only data-partitions + lineage-log pair as two Iceberg
-    tables. Requires the iceberg-spark-runtime jars and a configured
-    catalog — neither obtainable in this offline sandbox, so the seam
-    fails fast with setup instructions instead of a jar-loading
-    stacktrace deep inside a write."""
+    """The JVM-catalog half of the table-format seam: asserts an
+    Iceberg catalog is configured (jar-backed route). Note that
+    ``tables_for('iceberg')`` no longer requires this — without a
+    catalog it now runs the pure-Python Iceberg v2 metadata layer
+    (PyIcebergTables / opentopodata_spark.iceberg); this check remains
+    the fail-fast gate for code that explicitly wants the
+    catalog-managed route."""
     if table_format == "parquet":
         return
     if table_format != "iceberg":
@@ -238,15 +239,84 @@ class IcebergTables:
         self._delete_bucket(spark, self.data_ident, bucket)
 
 
+class PyIcebergTables:
+    """The table pair as two REAL Iceberg v2 tables written by the
+    pure-Python metadata layer (opentopodata_spark.iceberg): snapshots,
+    Avro manifest lists/manifests, version-hint commits — no jars, no
+    catalog service (HadoopCatalog file layout). This is the route
+    ``table_format='iceberg'`` takes when no JVM Iceberg catalog is
+    configured; with one configured, IcebergTables (catalog
+    identifiers) is used instead.
+
+    Scale notes: ``data_buckets`` and ``drop_bucket`` are METADATA
+    operations — partition values come from manifest entries, never
+    from scanning data (the distinct-scan the parquet layout can't
+    avoid); a bucket drop is a copy-on-write manifest rewrite plus one
+    atomic version-hint swap, crash-safe at any point (an unreferenced
+    manifest is garbage, not corruption)."""
+
+    def __init__(self, out_dir: str):
+        from opentopodata_spark import iceberg as _ice
+
+        self._ice = _ice
+        self.out_dir = out_dir
+        self.data_loc = _data_dir(out_dir)
+        self.lineage_loc = _lineage_dir(out_dir)
+        self.output = self.data_loc
+
+    def _table(self, loc, df=None, partition_col=None):
+        if not self._ice.table_exists(loc):
+            if df is None:
+                return None
+            return self._ice.IcebergTable.create(
+                loc, df.schema, partition_col=partition_col)
+        return self._ice.IcebergTable(loc)
+
+    def append_data(self, df: DataFrame) -> None:
+        t = self._table(self.data_loc, df, partition_col="_bucket")
+        self._ice.append_dataframe(t, df)
+
+    def read_data(self, spark: SparkSession) -> DataFrame:
+        if not self._ice.table_exists(self.data_loc):
+            raise RuntimeError(f"missing Iceberg table {self.data_loc}")
+        return self._ice.read_table(spark, self.data_loc)
+
+    def append_lineage(self, df: DataFrame) -> None:
+        t = self._table(self.lineage_loc, df)
+        self._ice.append_dataframe(t, df)
+
+    def read_lineage(self, spark: SparkSession) -> DataFrame | None:
+        if not self._ice.table_exists(self.lineage_loc):
+            return None
+        df = self._ice.read_table(spark, self.lineage_loc)
+        return None if df.isEmpty() else df
+
+    def data_buckets(self, spark: SparkSession) -> set[int]:
+        t = self._table(self.data_loc)
+        return set() if t is None else {
+            int(v) for v in t.partition_values() if v is not None}
+
+    def drop_bucket(self, spark: SparkSession, bucket: int) -> None:
+        t = self._table(self.data_loc)
+        if t is not None:
+            t.delete_partition(int(bucket))
+
+
 def tables_for(
     spark: SparkSession, out_dir: str, table_format: str
-) -> "ParquetTables | IcebergTables":
-    ensure_table_format(spark, table_format)
+) -> "ParquetTables | IcebergTables | PyIcebergTables":
     if table_format == "parquet":
         return ParquetTables(out_dir)
-    # out_dir doubles as namespace.name for the catalog layout
-    ns, _, name = out_dir.replace("/", ".").strip(".").rpartition(".")
-    return IcebergTables(spark, ns or "default", name or "results")
+    if table_format != "iceberg":
+        raise ValueError(f"Unknown table_format '{table_format}'.")
+    if _iceberg_catalogs(spark):
+        # out_dir doubles as namespace.name for the catalog layout
+        ns, _, name = out_dir.replace("/", ".").strip(".").rpartition(".")
+        return IcebergTables(spark, ns or "default", name or "results")
+    # no JVM catalog: real Iceberg v2 metadata from the pure-Python
+    # layer (HadoopCatalog layout) — snapshots/manifests/time travel
+    # without jars
+    return PyIcebergTables(out_dir)
 
 
 def resumable_resolve(
