@@ -129,3 +129,33 @@ class TestValidation:
     def test_empty_tiles_refused(self, spark):
         with pytest.raises(ValueError, match="at least one"):
             polyvec.region_polygons(spark, [])
+
+
+class TestHotTaskBound:
+    def test_zipf_region_refuses_above_cap(self, spark, tmp_path):
+        # Zipf-shaped mosaic: one region owns almost the whole grid (the
+        # continent case) plus a few tiny islands. The dominant region's
+        # ring walk is one task; above max_region_perimeter it must
+        # refuse loudly instead of silently becoming the straggler.
+        k = np.zeros((16, 16), dtype=np.int64)
+        k[3, 3] = 1
+        k[12, 9] = 1
+        tiles = _tile_grid(tmp_path, k, 8, 8)
+        from py4j.protocol import Py4JJavaError
+        with pytest.raises(Exception, match="max_region_perimeter"):
+            polyvec.region_polygons(
+                spark, tiles, max_region_perimeter=16
+            ).collect()
+        # generous cap: identical output to the default path
+        got = {
+            r.region_id: (r.value, r.n_cells, r.n_rings, r.area_cells)
+            for r in polyvec.region_polygons(
+                spark, tiles, max_region_perimeter=10_000).collect()
+        }
+        want = {
+            r.region_id: (r.value, r.n_cells, r.n_rings, r.area_cells)
+            for r in polyvec.region_polygons(spark, tiles).collect()
+        }
+        assert got == want
+        dom = max(want.values(), key=lambda v: v[1])
+        assert dom[1] == 16 * 16 - 2  # the Zipf head spans the mosaic
