@@ -6126,6 +6126,98 @@ def _build_proj4_elevation_oracle(sf_dir: str):
     })
 
 
+def _imagehash_fixture() -> str:
+    """Planted perceptual near-dup corpus: 18 base images, each with a
+    lightly-perturbed twin (re-encode/edit simulation), plus 24
+    unrelated images — PNG payloads plus SEQUENTIAL-twin pHash values
+    (operators/imagehash.{p,d}hash_sequential: per-coefficient cosine
+    loops, per-cell resize loops — different bookkeeping from the
+    distributed vectorized path on purpose)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from opentopodata_spark import png as _png
+    from opentopodata_spark.operators import imagehash as _ih
+
+    root = os.path.join(_fixture_root(), "imagehash_r5")
+    out = os.path.join(root, "images.parquet")
+    if os.path.exists(out):
+        return out
+    os.makedirs(root, exist_ok=True)
+    rng = np.random.RandomState(29)
+    refs, payloads, pseq, dseq = [], [], [], []
+
+    def add(ref, img):
+        refs.append(ref)
+        payloads.append(_png.encode_png(img))
+        pseq.append(_ih._to_signed(_ih.phash_sequential(img)))
+        dseq.append(_ih._to_signed(_ih.dhash_sequential(img)))
+
+    yy, xx = np.mgrid[0:36, 0:48]
+    for i in range(18):
+        base = (
+            120.0 + 60.0 * np.sin(xx / (3.0 + i) + i)
+            + 40.0 * np.cos(yy / (2.0 + 0.5 * i))
+            + rng.uniform(-6, 6, (36, 48))
+        )
+        img = np.clip(base, 0, 255).astype(np.uint8)
+        add(f"img{i:03d}", img)
+        # re-encode-style twin: +-1 noise on a quarter of the pixels
+        mask = rng.rand(36, 48) < 0.25
+        twin = np.clip(
+            img.astype(np.int32)
+            + mask * rng.choice([-1, 1], (36, 48)), 0, 255
+        ).astype(np.uint8)
+        add(f"img{i:03d}t", twin)
+    for i in range(24):
+        img = np.clip(
+            rng.uniform(0, 255, (36, 48))
+            + 80 * np.sin(xx * (0.1 + 0.05 * i)), 0, 255
+        ).astype(np.uint8)
+        add(f"rnd{i:03d}", img)
+    tmp = out + ".tmp"
+    pq.write_table(pa.table({
+        "media_ref": pa.array(refs),
+        "payload": pa.array(payloads, type=pa.binary()),
+        "phash_seq": pa.array(pseq, type=pa.int64()),
+        "dhash_seq": pa.array(dseq, type=pa.int64()),
+    }), tmp)
+    os.replace(tmp, out)
+    return out
+
+
+def q_image_near_dups(spark, sf_dir):
+    """Perceptual image near-dup as a CONTRACT query: decode the
+    planted PNG corpus with the pure-numpy codecs, compute pHash in
+    the vectorized Arrow path, find all pairs within Hamming 6 via the
+    EXACT pigeonhole band join. The oracle brute-forces the same pairs
+    in SQL from the fixture's sequential-twin hashes — a hash match
+    proves (a) vectorized pHash == loop-built pHash bit-for-bit and
+    (b) the banded join is exact, not approximate."""
+    from opentopodata_spark.operators import imagehash as _ih
+
+    _ship_package(spark)
+    imgs = spark.read.parquet(_imagehash_fixture())
+    hashed = _ih.hash_images(imgs, id_col="media_ref")
+    return _ih.near_dup_pairs(
+        hashed, id_col="media_ref", hash_col="phash",
+        max_distance=7, n_bands=8,
+    )
+
+
+def _image_near_dups_sql() -> str:
+    path = _imagehash_fixture()
+    return f"""
+SELECT a.media_ref AS id_a, b.media_ref AS id_b,
+       CAST(bit_count(xor(a.phash_seq, b.phash_seq)) AS BIGINT)
+         AS distance
+FROM read_parquet('{path}') a
+JOIN read_parquet('{path}') b ON a.media_ref < b.media_ref
+WHERE bit_count(xor(a.phash_seq, b.phash_seq)) <= 7
+"""
+
+
 # UTM 33N spelled as WKT2 (ISO 19162) — the fourth CRS spelling the
 # reference accepts (pyproj.CRS.from_user_input at
 # /root/reference/opentopodata/utils.py:39-46 takes WKT2 the same as
@@ -7128,6 +7220,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- new in r5 (inserted here as they land) --
         "iceberg_documents": q_iceberg_documents,
+        "image_near_dups": q_image_near_dups,
         "wkt2_elevation": q_wkt2_elevation,
         # -- modules CHANGED in r5 (ADVICE fixes: topk null groups/ties,
         #    quantiles null-safe probe, dissolve cancelled-key row, knn
@@ -7259,6 +7352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "iceberg_documents": _Q_ICEBERG_DOCS_SQL,
+        "image_near_dups": _image_near_dups_sql(),
         "tile_floor_keys": _Q_TILE_FLOOR_SQL,
         "bbox_coverage": _Q_BBOX_SQL,
         "priority_coalesce": _Q_PRIORITY_SQL,
