@@ -1633,6 +1633,53 @@ FROM g WHERE gram <> ''
 GROUP BY gram HAVING count(*) >= {_REPEATED_MIN}
 """
 
+_EXACT_SUBSTR_L = 5
+
+_Q_EXACT_SUBSTR_SQL = f"""
+WITH tok AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents),
+pos AS (SELECT doc_id, toks,
+          unnest(generate_series(1, len(toks) - {_EXACT_SUBSTR_L} + 1))
+            AS p
+        FROM tok WHERE len(toks) >= {_EXACT_SUBSTR_L}),
+g AS (SELECT doc_id, p,
+        array_to_string(toks[p:p + {_EXACT_SUBSTR_L - 1}], ' ') AS gram
+      FROM pos),
+rep AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+st AS (SELECT doc_id, p - 1 AS s FROM g
+       WHERE gram IN (SELECT gram FROM rep)),
+m AS (SELECT doc_id, s,
+        CASE WHEN lag(s) OVER (PARTITION BY doc_id ORDER BY s) IS NULL
+               OR s > lag(s) OVER (PARTITION BY doc_id ORDER BY s)
+                    + {_EXACT_SUBSTR_L}
+             THEN 1 ELSE 0 END AS new
+      FROM st),
+i AS (SELECT doc_id, s,
+        sum(new) OVER (PARTITION BY doc_id ORDER BY s
+                       ROWS UNBOUNDED PRECEDING) AS isl
+      FROM m)
+SELECT doc_id, min(s) AS span_start,
+       max(s) + {_EXACT_SUBSTR_L} AS span_end
+FROM i GROUP BY doc_id, isl
+"""
+
+
+def q_exact_substr(spark, sf_dir):
+    """TRUE ExactSubstr (Lee et al. 2021) as a CONTRACT query: maximal
+    token spans covered by a >= L-token substring repeated anywhere in
+    the corpus, found by suffix-array prefix-doubling equivalence
+    classes (dedup.exact_substr_spans — O(log L) distributed rounds,
+    no gram explosion). The oracle replays the DEFINITION in SQL:
+    repeated L-gram starts + a gaps-and-islands merge."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.exact_substr_spans(
+        docs, min_len=_EXACT_SUBSTR_L
+    ).select(
+        "doc_id",
+        F.col("start").cast("long").alias("span_start"),
+        F.col("end").cast("long").alias("span_end"),
+    )
+
+
 def q_span_dedup(spark, sf_dir):
     """The APPLY step of span-level dedup: strip every occurrence of the
     corpus-repeated n-grams repeated_ngrams flags
@@ -7221,6 +7268,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new in r5 (inserted here as they land) --
         "iceberg_documents": q_iceberg_documents,
         "image_near_dups": q_image_near_dups,
+        "exact_substr": q_exact_substr,
         "wkt2_elevation": q_wkt2_elevation,
         # -- modules CHANGED in r5 (ADVICE fixes: topk null groups/ties,
         #    quantiles null-safe probe, dissolve cancelled-key row, knn
@@ -7353,6 +7401,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "iceberg_documents": _Q_ICEBERG_DOCS_SQL,
         "image_near_dups": _image_near_dups_sql(),
+        "exact_substr": _Q_EXACT_SUBSTR_SQL,
         "tile_floor_keys": _Q_TILE_FLOOR_SQL,
         "bbox_coverage": _Q_BBOX_SQL,
         "priority_coalesce": _Q_PRIORITY_SQL,

@@ -77,6 +77,8 @@ __all__ = [
     "word_shingles",
     "repeated_ngrams",
     "remove_repeated_spans",
+    "exact_substr_spans",
+    "remove_exact_substr",
     "exact_duplicates",
     "minhash_signatures",
     "lsh_buckets",
@@ -155,6 +157,162 @@ def repeated_ngrams(
             F.count(F.lit(1)).alias("n_occ"),
         )
         .where(F.col("n_occ") >= min_count)
+    )
+
+
+def _substr_classes_double(r: DataFrame, k: int) -> DataFrame:
+    """One prefix-doubling round: positions sharing a class for token
+    span length k combine with the class at offset +k to form length-2k
+    classes. Class id = the lexicographically smallest (doc_id, pos)
+    holding the key — exact equality semantics with NO global sort
+    (the classic dense-rank assignment needs a total order; equality
+    classes only need a canonical representative, which one map-side
+    combined min() per key provides)."""
+    right = r.select(
+        F.col("doc_id"),
+        (F.col("pos") - k).alias("pos"),
+        F.col("rd").alias("sd"), F.col("rp").alias("sp"),
+    )
+    j = (
+        r.join(right, ["doc_id", "pos"], "left")
+        .withColumn("tail", F.col("sd").isNull())
+        # tail filler must match rd's type (doc ids are caller-typed);
+        # (rd, rp) itself is a safe filler — the tail flag already
+        # separates tail keys from real (rd, rp, sd, sp) combinations
+        .withColumn("sd", F.coalesce(F.col("sd"), F.col("rd")))
+        .withColumn("sp", F.coalesce(F.col("sp"), F.col("rp")))
+    )
+    keys = ["rd", "rp", "tail", "sd", "sp"]
+    cls = j.groupBy(*keys).agg(
+        F.min(F.struct("doc_id", "pos")).alias("c"))
+    return j.join(cls, keys).select(
+        "doc_id", "pos",
+        F.col("c.doc_id").alias("rd"), F.col("c.pos").alias("rp"),
+    )
+
+
+def exact_substr_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = 5,
+) -> DataFrame:
+    """TRUE ExactSubstr span discovery (Lee et al. 2021, public): every
+    maximal token interval covered by SOME substring of >= ``min_len``
+    tokens that occurs at least twice corpus-wide (across or within
+    documents). Output (doc_id, start, end) — 0-based token indices,
+    end exclusive, intervals merged (touching spans coalesce).
+
+    Method — suffix-array prefix doubling, reformulated as equivalence
+    classes (VERDICT r4 Next #4 upgrade of the fixed-n
+    ``repeated_ngrams`` approximation): a position's class at round m
+    identifies its 2^m-token prefix; classes double by combining
+    (class[p], class[p+k]). After ceil(log2 L) rounds (+1 refine join
+    combining offsets L-K1 when L is not a power of two) two
+    full-window positions share a class IFF their next L tokens are
+    identical, so a class with >= 2 members marks repeated-substring
+    starts EXACTLY. The key theorem making the fixed-length classes
+    sufficient: a repeated substring of length M >= L contains a
+    repeated L-window at every offset, and any repeated L-window IS a
+    repeated substring >= L — the covered-position sets coincide, so
+    O(log L) rounds (6 for the canonical L=50) suffice regardless of
+    document or repeat length.
+
+    Scale shape: each round is ONE map-side-combined groupBy(key) +
+    ONE join back — the position table shuffles, never the text; class
+    ids are min-(doc,pos) representatives, so no global sort / dense
+    rank anywhere. The island merge runs per doc (window bounded by a
+    document's flagged starts). Partial windows at document tails are
+    excluded from flagging but participate as lookup operands, which
+    is sound: a full-window position's class recursion never reads
+    past p + L."""
+    if min_len < 1:
+        raise ValueError(f"min_len must be >= 1, got {min_len}")
+    L = int(min_len)
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(_tokens(text_col)).alias("pos", "tok"),
+    )
+    toks = _persist(toks)
+    # round 0: class of the single token = min (doc, pos) holding it
+    cls0 = toks.groupBy("tok").agg(
+        F.min(F.struct("doc_id", "pos")).alias("c"))
+    r = toks.join(cls0, "tok").select(
+        "doc_id", "pos",
+        F.col("c.doc_id").alias("rd"), F.col("c.pos").alias("rp"),
+    )
+    k = 1
+    K1 = 1 << (L.bit_length() - 1)  # largest power of two <= L
+    while k < K1:
+        r = _substr_classes_double(r, k)
+        k *= 2
+    if L > K1:
+        # refine: length-L class = (class_K1[p], class_K1[p + L - K1]);
+        # the two K1-windows overlap and exactly tile [p, p + L)
+        r = _substr_classes_double(r, L - K1)
+
+    lens = toks.groupBy("doc_id").agg((F.max("pos") + 1).alias("n_tok"))
+    full = r.join(lens, "doc_id").where(
+        F.col("pos") + L <= F.col("n_tok")
+    ).select("doc_id", "pos", "rd", "rp")
+    repeated = full.groupBy("rd", "rp").agg(
+        F.count(F.lit(1)).alias("n")).where(F.col("n") >= 2)
+    flagged = full.join(
+        repeated.select("rd", "rp"), ["rd", "rp"], "left_semi")
+
+    # merge [pos, pos+L) intervals to maximal islands per doc
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    prev = F.lag("pos").over(w)
+    new_island = (prev.isNull() | (F.col("pos") > prev + L)).cast("int")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        flagged.withColumn("isl", F.sum(new_island).over(wrun))
+        .groupBy("doc_id", "isl")
+        .agg(
+            F.min("pos").alias("start"),
+            (F.max("pos") + F.lit(L)).alias("end"),
+        )
+        .select("doc_id", "start", "end")
+    )
+
+
+def remove_exact_substr(
+    df: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply step for ``exact_substr_spans``: drop every token inside a
+    flagged [start, end) interval; (doc_id, clean, n_spans_removed).
+    Same rebuild shape as remove_repeated_spans (docs with no spans
+    never pay the rebuild expression)."""
+    agg = spans.groupBy("doc_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct("start", "end"))).alias("spans"))
+    src = df.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text"))
+
+    def _rebuild(t):
+        idx = F.sequence(F.lit(0), F.size(t) - 1)
+        kept = F.filter(
+            idx,
+            lambda i: ~F.exists(
+                F.col("spans"),
+                lambda s: (s["start"] <= i) & (i < s["end"]),
+            ),
+        )
+        return F.concat_ws(
+            " ", F.transform(kept, lambda i: F.element_at(t, i + 1))
+        )
+
+    return src.join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.when(F.col("spans").isNull(), F.col("_text"))
+        .otherwise(bind_once(_tokens("_text"), _rebuild))
+        .alias("clean"),
+        F.coalesce(F.size("spans"), F.lit(0)).alias("n_spans_removed"),
     )
 
 
