@@ -247,6 +247,30 @@ def main() -> None:
         "terrain_pyramid_export": lambda: (
             contract.q_terrain_pyramid_export(spark, SF_DIR)
         ),
+        # session-J family (VERDICT r4 Next #10)
+        "hll_distinct": lambda: contract.q_hll_distinct(spark, SF_DIR),
+        "buffer_pip": lambda: contract.q_buffer_pip(spark, SF_DIR),
+        "dissolve_regions": lambda: contract.q_dissolve_regions(
+            spark, SF_DIR
+        ),
+        "exact_quantiles": lambda: contract.q_exact_quantiles(
+            spark, SF_DIR
+        ),
+        "raster_stats": lambda: contract.q_raster_stats(spark, SF_DIR),
+        "interval_coverage": lambda: contract.q_interval_coverage(
+            spark, SF_DIR
+        ),
+        "topk_per_group": lambda: contract.q_topk_per_group(spark, SF_DIR),
+        "zonal_majority": lambda: contract.q_zonal_majority(spark, SF_DIR),
+        # new in r5
+        "wkt2_elevation": lambda: contract.q_wkt2_elevation(spark, SF_DIR),
+        "iceberg_documents": lambda: contract.q_iceberg_documents(
+            spark, SF_DIR
+        ),
+        "image_near_dups": lambda: contract.q_image_near_dups(
+            spark, SF_DIR
+        ),
+        "exact_substr": lambda: contract.q_exact_substr(spark, SF_DIR),
     }
     for name, make in queries.items():
         timings[name], lo, hi = run(make)
@@ -269,32 +293,15 @@ def main() -> None:
         ),
         file=sys.stderr,
     )
+    # diagnostics that used to ride the stdout line: with 12 more bench
+    # queries the single JSON line must stay under the driver's 2000-byte
+    # tail window, so the derivable/secondary fields move to stderr
     print(
-        json.dumps(
+        "bench aux: "
+        + json.dumps(
             {
-                "metric": "headline_suite_seconds",
-                "value": round(total, 3),
-                "unit": "sec",
-                # 2 decimals: the driver keeps only the LAST 2000 bytes
-                # of stdout and parses the final line as JSON — at 72
-                # queries a 3-decimal line is 1984 bytes, one query from
-                # silently truncating the headline metric (round 3 lost
-                # BENCH to exactly this). Full 3-decimal spreads go to
-                # stderr above.
-                "queries": {k: round(v, 2) for k, v in timings.items()},
                 "runs_per_query": N_RUNS,
-                "sf": sf,
-                "cores": CPUS,
                 "elevation_coords": n_coords,
-                "elevation_coords_per_sec": round(
-                    n_coords / timings["elevation_e2e"], 1
-                ),
-                # day-invariant gate twin: CPU burned per coordinate
-                # (all JVM + Python-worker threads), and the wall split
-                # between the extraction front half and the resolve half
-                "elevation_cpu_us_per_coord": round(
-                    elev_cpu_per_run / n_coords * 1e6, 3
-                ),
                 "elevation_wall_us_per_coord": round(
                     timings["elevation_e2e"] / n_coords * 1e6, 3
                 ),
@@ -306,7 +313,67 @@ def main() -> None:
                 },
             },
             separators=(",", ":"),
-        )
+        ),
+        file=sys.stderr,
+    )
+    # TWO stdout lines, the short headline LAST: the driver keeps only
+    # the last 2000 bytes of combined output and parses the FINAL line
+    # as JSON. At 89 queries one combined line is ~2.1 kB — the headline
+    # would silently truncate off the front (round 3 lost BENCH to
+    # exactly this). Split, the ~1.6 kB per-query line plus the ~0.3 kB
+    # headline both sit inside the tail window, and the parsed final
+    # line can never truncate regardless of how many queries register.
+    # full-precision per-query record for the judge, independent of any
+    # stdout window (the driver commits uncommitted files at round end)
+    try:
+        with open(os.path.join(REPO, "BENCH_DETAIL.json"), "w") as f:
+            json.dump(
+                {
+                    "sf": sf, "cores": CPUS, "runs_per_query": N_RUNS,
+                    "queries_sec": {
+                        k: round(v, 3) for k, v in timings.items()},
+                    "spread_sec": {
+                        k: [round(v[0], 3), round(v[1], 3)]
+                        for k, v in spreads.items()},
+                },
+                f, indent=1,
+            )
+    except OSError:
+        pass  # read-only checkout: the stdout protocol still carries all
+    print(
+        json.dumps(
+            # centisecond INTEGERS: same precision as 2 decimals, ~130
+            # bytes shorter at 89 queries — keeps this line plus the
+            # headline inside the driver's 2000-byte tail window
+            # "qcs" = query centiseconds (documented in docs/BENCH.md;
+            # full-precision twin in BENCH_DETAIL.json)
+            {"qcs": {
+                k: int(round(v * 100)) for k, v in timings.items()}},
+            separators=(",", ":"),
+        ),
+        flush=True,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_seconds",
+                "value": round(total, 3),
+                "unit": "sec",
+                "n_queries": len(timings),
+                "sf": sf,
+                "cores": CPUS,
+                "elevation_coords_per_sec": round(
+                    n_coords / timings["elevation_e2e"], 1
+                ),
+                # day-invariant gate twin: CPU burned per coordinate
+                # (all JVM + Python-worker threads)
+                "elevation_cpu_us_per_coord": round(
+                    elev_cpu_per_run / n_coords * 1e6, 3
+                ),
+            },
+            separators=(",", ":"),
+        ),
+        flush=True,
     )
 
 

@@ -182,10 +182,15 @@ def _substr_classes_double(r: DataFrame, k: int) -> DataFrame:
         .withColumn("sd", F.coalesce(F.col("sd"), F.col("rd")))
         .withColumn("sp", F.coalesce(F.col("sp"), F.col("rp")))
     )
-    keys = ["rd", "rp", "tail", "sd", "sp"]
-    cls = j.groupBy(*keys).agg(
-        F.min(F.struct("doc_id", "pos")).alias("c"))
-    return j.join(cls, keys).select(
+    from pyspark.sql import Window
+
+    # one shuffle per round: the per-key min is a window over the key
+    # partition (no join back); partitions are the key groups — many and
+    # small, so parallelism holds and no task sees unbounded state
+    w = Window.partitionBy("rd", "rp", "tail", "sd", "sp")
+    return j.withColumn(
+        "c", F.min(F.struct("doc_id", "pos")).over(w)
+    ).select(
         "doc_id", "pos",
         F.col("c.doc_id").alias("rd"), F.col("c.pos").alias("rp"),
     )
@@ -241,20 +246,25 @@ def exact_substr_spans(
         "doc_id", "pos",
         F.col("c.doc_id").alias("rd"), F.col("c.pos").alias("rp"),
     )
+    # each round references r TWICE (self-join left/right) and feeds the
+    # next round — without a persist the recompute tree doubles per
+    # round (2^rounds re-executions of round 0); persist makes every
+    # round run exactly once (the connected_components discipline)
+    r = _persist(r)
     k = 1
     K1 = 1 << (L.bit_length() - 1)  # largest power of two <= L
     while k < K1:
-        r = _substr_classes_double(r, k)
+        r = _persist(_substr_classes_double(r, k))
         k *= 2
     if L > K1:
         # refine: length-L class = (class_K1[p], class_K1[p + L - K1]);
         # the two K1-windows overlap and exactly tile [p, p + L)
-        r = _substr_classes_double(r, L - K1)
+        r = _persist(_substr_classes_double(r, L - K1))
 
     lens = toks.groupBy("doc_id").agg((F.max("pos") + 1).alias("n_tok"))
-    full = r.join(lens, "doc_id").where(
+    full = _persist(r.join(lens, "doc_id").where(
         F.col("pos") + L <= F.col("n_tok")
-    ).select("doc_id", "pos", "rd", "rp")
+    ).select("doc_id", "pos", "rd", "rp"))
     repeated = full.groupBy("rd", "rp").agg(
         F.count(F.lit(1)).alias("n")).where(F.col("n") >= 2)
     flagged = full.join(
