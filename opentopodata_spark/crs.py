@@ -2865,7 +2865,7 @@ def _dispatch_wkt_projection(raw_name: str, params: dict,
 
 _WKT2_ROOT_KEYWORDS = {
     "PROJCRS", "PROJECTEDCRS", "GEOGCRS", "GEOGRAPHICCRS", "GEODCRS",
-    "GEODETICCRS", "BOUNDCRS",
+    "GEODETICCRS", "BOUNDCRS", "COMPOUNDCRS",
 }
 
 
@@ -3305,6 +3305,22 @@ def _wkt2_method_key(conv: _WKT2Node) -> str:
 
 
 def _projection_for_wkt2_node(root: _WKT2Node):
+    if root.kw == "COMPOUNDCRS":
+        # DEM sidecars routinely pair the horizontal CRS with a vertical
+        # one (e.g. "NAD83 + NAVD88 height"); elevations here are the
+        # raster's own values, so the horizontal member carries the
+        # mapping and the VERTCRS member is informational
+        horiz = next(
+            (v for v in root.vals if isinstance(v, _WKT2Node)
+             and v.kw in ("PROJCRS", "PROJECTEDCRS", "GEOGCRS",
+                          "GEOGRAPHICCRS", "GEODCRS", "GEODETICCRS",
+                          "BOUNDCRS")),
+            None,
+        )
+        if horiz is None:
+            raise CRSError(
+                "WKT2 COMPOUNDCRS has no horizontal CRS member")
+        return _projection_for_wkt2_node(horiz)
     if root.kw == "BOUNDCRS":
         return _projection_for_boundcrs(root)
     if root.kw in ("GEOGCRS", "GEOGRAPHICCRS", "GEODCRS", "GEODETICCRS"):

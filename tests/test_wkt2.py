@@ -451,3 +451,41 @@ def test_parser_grammar_corners():
     with pytest.raises(crs.CRSError, match="trailing"):
         crs.get_transformer(wkt='GEOGCRS["g",DATUM["d",' + WGS84_ELL +
                             ']] extra')
+
+
+def test_compound_crs_uses_horizontal_member():
+    # WKT2 COMPOUNDCRS (PROJCRS + VERTCRS) — the shape modern DEM
+    # sidecars carry; the horizontal member must drive the mapping
+    utm = _projcrs("UTM31", WGS84_ELL,
+                   'METHOD["Transverse Mercator",ID["EPSG",9807]]', [
+                       ("Latitude of natural origin", 0),
+                       ("Longitude of natural origin", 3),
+                       ("Scale factor at natural origin", 0.9996),
+                       ("False easting", 500000), ("False northing", 0)])
+    comp = (
+        f'COMPOUNDCRS["WGS 84 / UTM 31N + EGM2008 height",{utm},'
+        f'VERTCRS["EGM2008 height",VDATUM["EGM2008 geoid"],'
+        f'CS[vertical,1],AXIS["gravity-related height (H)",up],'
+        f'LENGTHUNIT["metre",1],ID["EPSG",3855]]]'
+    )
+    _eq(comp, dict(epsg=32631))
+    # WKT1 compound spelling too (COMPD_CS wrapping PROJCS + VERT_CS)
+    wkt1 = (
+        'COMPD_CS["UTM + NAVD88",PROJCS["UTM31",GEOGCS["g",DATUM["d",'
+        'SPHEROID["WGS84",6378137,298.257223563]],PRIMEM["Greenwich",0],'
+        'UNIT["degree",0.0174532925199433]],'
+        'PROJECTION["Transverse_Mercator"],'
+        'PARAMETER["latitude_of_origin",0],'
+        'PARAMETER["central_meridian",3],'
+        'PARAMETER["scale_factor",0.9996],'
+        'PARAMETER["false_easting",500000],'
+        'PARAMETER["false_northing",0],UNIT["metre",1]],'
+        'VERT_CS["NAVD88",VERT_DATUM["North American Vertical Datum '
+        '1988",2005],UNIT["metre",1],AXIS["Up",UP]]]'
+    )
+    _eq(wkt1, dict(epsg=32631))
+    # no horizontal member -> loud
+    with pytest.raises(crs.CRSError, match="horizontal"):
+        crs.get_transformer(
+            wkt='COMPOUNDCRS["v only",VERTCRS["h",VDATUM["d"],'
+                'CS[vertical,1],AXIS["up",up]]]')
