@@ -186,6 +186,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "order statistics of the output corpus "
                         "(quantiles.exact_quantiles — distributed "
                         "selection, no global sort)")
+    p.add_argument("--corpus-format", choices=("parquet", "iceberg"),
+                   default="parquet",
+                   help="corpus table format: 'iceberg' commits the "
+                        "cleaned corpus as a real Iceberg v2 table "
+                        "(pure-Python metadata layer — snapshots, Avro "
+                        "manifests, time travel via jobs/iceberg.py) "
+                        "instead of a bare parquet directory")
     p.add_argument("--resume", action="store_true",
                    help="skip stages whose output already exists complete "
                         "(_SUCCESS marker): a crash between corpus, chunks "
@@ -210,19 +217,27 @@ def run(ns: argparse.Namespace, spark=None) -> dict:
         raise ValueError("--dsir-target requires --dsir-k")
     t0 = time.time()
     out_corpus = f"{ns.out}/corpus"
+    corpus_fmt = getattr(ns, "corpus_format", "parquet")
 
     def _stage_done(path: str) -> bool:
         import os as _os
 
-        return getattr(ns, "resume", False) and _os.path.exists(
-            f"{path}/_SUCCESS"
-        )
+        if not getattr(ns, "resume", False):
+            return False
+        if path == out_corpus and corpus_fmt == "iceberg":
+            from .. import iceberg as _ice
+
+            return (_ice.table_exists(path)
+                    and _ice.IcebergTable(path).current_snapshot_id()
+                    is not None)
+        return _os.path.exists(f"{path}/_SUCCESS")
 
     if _stage_done(out_corpus):
         # the whole corpus pipeline completed in a prior run: don't
         # recompute filters/dedup, just finish the derived stages
         stats: dict = {"job": "dataprep", "resumed_corpus": True}
-        stats["output_docs"] = spark.read.parquet(out_corpus).count()
+        stats["output_docs"] = _read_corpus(spark, out_corpus,
+                                            corpus_fmt).count()
         filtered = None
         return _derived_stages(spark, ns, stats, out_corpus, t0, filtered)
 
@@ -522,12 +537,13 @@ def run(ns: argparse.Namespace, spark=None) -> dict:
             default_rate=float(ns.sample_default),
         )
 
-    survivors.write.mode("overwrite").parquet(out_corpus)
-    stats["output_docs"] = spark.read.parquet(out_corpus).count()
+    _write_corpus(survivors, out_corpus, corpus_fmt)
+    stats["output_docs"] = _read_corpus(spark, out_corpus,
+                                        corpus_fmt).count()
     if getattr(ns, "exact_dedup_index", None):
         run_id = _dedup_index_run_id(ns.out)
         hashes = (
-            spark.read.parquet(out_corpus)
+            _read_corpus(spark, out_corpus, corpus_fmt)
             .select(F.md5("text").alias("text_hash"))
             .distinct()
         )
@@ -540,6 +556,28 @@ def run(ns: argparse.Namespace, spark=None) -> dict:
     return _derived_stages(spark, ns, stats, out_corpus, t0, filtered)
 
 
+def _write_corpus(survivors, out_corpus, corpus_fmt):
+    if corpus_fmt == "iceberg":
+        import shutil as _shutil
+
+        from .. import iceberg as _ice
+
+        if _ice.table_exists(out_corpus):
+            _shutil.rmtree(out_corpus)  # overwrite semantics, like parquet
+        t = _ice.IcebergTable.create(out_corpus, survivors.schema)
+        _ice.append_dataframe(t, survivors)
+    else:
+        survivors.write.mode("overwrite").parquet(out_corpus)
+
+
+def _read_corpus(spark, out_corpus, corpus_fmt):
+    if corpus_fmt == "iceberg":
+        from .. import iceberg as _ice
+
+        return _ice.read_table(spark, out_corpus)
+    return spark.read.parquet(out_corpus)
+
+
 def _dedup_index_run_id(out_dir: str) -> str:
     import hashlib as _hashlib
 
@@ -547,6 +585,7 @@ def _dedup_index_run_id(out_dir: str) -> str:
 
 
 def _derived_stages(spark, ns, stats, out_corpus, t0, filtered):
+    corpus_fmt = getattr(ns, "corpus_format", "parquet")
     """Chunking + packing over the WRITTEN corpus (fresh scans of the
     small cleaned output, not extra passes over the raw input); with
     --resume, a stage whose _SUCCESS marker exists is only re-counted."""
@@ -561,7 +600,7 @@ def _derived_stages(spark, ns, stats, out_corpus, t0, filtered):
         chunks_out = f"{ns.out}/chunks"
         if not _stage_done(chunks_out):
             chunks = _textops.chunk_documents(
-                spark.read.parquet(out_corpus),
+                _read_corpus(spark, out_corpus, corpus_fmt),
                 chunk_tokens=ns.chunk_tokens,
                 stride=ns.chunk_stride,
             )
@@ -573,7 +612,7 @@ def _derived_stages(spark, ns, stats, out_corpus, t0, filtered):
         pack_out = f"{ns.out}/packing"
         if not _stage_done(pack_out):
             pk = _packing.pack_sequences(
-                spark.read.parquet(out_corpus), seq_len=ns.pack_seq_len
+                _read_corpus(spark, out_corpus, corpus_fmt), seq_len=ns.pack_seq_len
             )
             pk.write.mode("overwrite").parquet(pack_out)
         stats["output_sequences"] = (
@@ -586,7 +625,7 @@ def _derived_stages(spark, ns, stats, out_corpus, t0, filtered):
         from ..operators.sketch import hll_distinct as _hll
 
         p_bits = int(ns.stats_distinct_tokens)
-        toks = spark.read.parquet(out_corpus).select(
+        toks = _read_corpus(spark, out_corpus, corpus_fmt).select(
             F.explode(_tokens("text")).alias("tok")
         )
         row = _hll(toks, "tok", p=p_bits).collect()[0]
@@ -597,7 +636,7 @@ def _derived_stages(spark, ns, stats, out_corpus, t0, filtered):
         from ..operators.quantiles import exact_quantiles as _xq
 
         qs = [float(s) for s in ns.stats_token_quantiles.split(",") if s]
-        counts = spark.read.parquet(out_corpus).select(
+        counts = _read_corpus(spark, out_corpus, corpus_fmt).select(
             F.size(_tokens("text")).alias("n_toks")
         )
         rows = _xq(counts, "n_toks", qs).collect()

@@ -293,3 +293,81 @@ def test_iceberg_crash_recovery_and_oneshot_equality(
         spark, os.path.join(out, "data"),
         snapshot_id=del_snap["parent-snapshot-id"])
     assert before.count() == points.count()  # orphan rows still visible
+
+
+# ---------------------------------------------------------------------------
+# CLI (jobs/iceberg.py) + dataprep --corpus-format iceberg
+# ---------------------------------------------------------------------------
+
+def test_cli_info_history_files_export(spark, docs_df, tmp_path):
+    from opentopodata_spark.jobs import iceberg as cli
+
+    loc = str(tmp_path / "tbl")
+    t = iceberg.IcebergTable.create(loc, docs_df.schema, partition_col="pb")
+    s1 = iceberg.append_dataframe(t, docs_df)
+    t.delete_partition(2)
+
+    info = cli.run(cli.build_parser().parse_args(["info", "--table", loc]))
+    assert info["live_rows"] == 30 and info["partition_col"] == "pb"
+    assert info["partitions"] == [0, 1, 3]
+    assert info["columns"] == ["doc_id", "text", "pb"]
+    assert info["n_snapshots"] == 2
+
+    hist = cli.run(cli.build_parser().parse_args(
+        ["history", "--table", loc]))
+    assert [h["operation"] for h in hist["history"]] == [
+        "append", "delete"]
+    assert hist["history"][1]["parent"] == s1
+
+    cur = cli.run(cli.build_parser().parse_args(["files", "--table", loc]))
+    old = cli.run(cli.build_parser().parse_args(
+        ["files", "--table", loc, "--snapshot", str(s1)]))
+    assert cur["n_files"] < old["n_files"]
+
+    out = str(tmp_path / "export.parquet")
+    exp = cli.run(cli.build_parser().parse_args(
+        ["export", "--table", loc, "--out", out,
+         "--snapshot", str(s1), "--cores", "4"]))
+    assert exp["rows"] == 40  # time-traveled to before the delete
+    assert spark.read.parquet(out).count() == 40
+
+
+def test_dataprep_iceberg_corpus(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from opentopodata_spark.jobs import dataprep
+
+    docs = str(tmp_path / "docs.parquet")
+    rows = {
+        "doc_id": [f"d{i}" for i in range(30)],
+        "text": [
+            ("the quick brown fox jumps over the lazy dog number %d ok"
+             % (i % 10))
+            for i in range(30)
+        ],
+    }
+    pq.write_table(pa.table(rows), docs)
+    out = str(tmp_path / "clean")
+    ns = dataprep.build_parser().parse_args([
+        "--documents", docs, "--out", out,
+        "--corpus-format", "iceberg", "--chunk-tokens", "6",
+    ])
+    stats = dataprep.run(ns, spark=spark)
+    # exact dedup keeps one per distinct text
+    assert stats["output_docs"] == 10
+    t = iceberg.IcebergTable(os.path.join(out, "corpus"))
+    assert t.record_count() == 10
+    assert t.current_snapshot_id() is not None
+    got = iceberg.read_table(spark, os.path.join(out, "corpus"))
+    assert got.count() == 10
+    # chunks stage read the corpus back through the metadata scan
+    assert stats["output_chunks"] > 0
+    # --resume: the iceberg corpus counts as done, nothing recomputed
+    ns2 = dataprep.build_parser().parse_args([
+        "--documents", docs, "--out", out,
+        "--corpus-format", "iceberg", "--chunk-tokens", "6", "--resume",
+    ])
+    stats2 = dataprep.run(ns2, spark=spark)
+    assert stats2.get("resumed_corpus") is True
+    assert stats2["output_docs"] == 10
