@@ -968,6 +968,51 @@ class Krovak:
         return np.degrees(lam), np.degrees(phi)
 
 
+class LambertCylindricalEqualArea:
+    """Lambert Cylindrical Equal Area (EPSG method 9835; Snyder 1987
+    §10, ellipsoidal) — the EASE-Grid Global family (EPSG 6933 SMAP /
+    EASE-2.0, 3975, and the 3410 authalic-sphere original):
+    x = a k0 (lam - lam0), y = a q / (2 k0), k0 = cos(phi1) /
+    sqrt(1 - e^2 sin^2 phi1); q is the equal-area q-function shared
+    with LAEA, inverted by the same fixed-point iteration (exact arcsin
+    on the sphere, where the iteration's 1/(2e) is undefined)."""
+
+    def __init__(self, a, inv_f, lat_ts_deg=0.0, lon0_deg=0.0,
+                 false_easting=0.0, false_northing=0.0):
+        f = 1.0 / inv_f if inv_f else 0.0
+        self.a = a
+        self.e2 = f * (2 - f)
+        self.e = math.sqrt(self.e2)
+        sts = math.sin(math.radians(lat_ts_deg))
+        self.k0 = math.cos(math.radians(lat_ts_deg)) / math.sqrt(
+            1 - self.e2 * sts * sts)
+        self.lon0 = math.radians(lon0_deg)
+        self.fe = false_easting
+        self.fn = false_northing
+        self._q_helper = LambertAzimuthalEqualArea(
+            a, inv_f, lat0_deg=0.0, lon0_deg=0.0,
+            false_easting=0.0, false_northing=0.0)
+
+    def forward(self, lons, lats):
+        lats = np.asarray(lats, dtype=np.float64)
+        lons = np.asarray(lons, dtype=np.float64)
+        lam = np.radians(lons) - self.lon0
+        lam = (lam + np.pi) % (2 * np.pi) - np.pi
+        q = self._q_helper._q(np.radians(lats))
+        x = self.fe + self.a * self.k0 * lam
+        y = self.fn + self.a * q / (2.0 * self.k0)
+        return x, y
+
+    def inverse(self, xs, ys):
+        x = np.asarray(xs, dtype=np.float64) - self.fe
+        y = np.asarray(ys, dtype=np.float64) - self.fn
+        lam = x / (self.a * self.k0)
+        q = 2.0 * self.k0 * y / self.a
+        qp = self._q_helper.qp
+        phi = self._q_helper._phi_from_q(np.clip(q, -qp, qp))
+        return np.degrees(lam + self.lon0), np.degrees(phi)
+
+
 def _rect_mu_coeffs(n: float) -> np.ndarray:
     """phi -> rectifying latitude series: mu = phi + sum c_j sin(2j phi)."""
     n2, n3, n4, n5 = n**2, n**3, n**4, n**5
@@ -2183,6 +2228,14 @@ def _projection_for_epsg(epsg: int):
             lon0_deg=0.0, false_easting=0.0, false_northing=0.0)
     if epsg == 3832:  # WGS 84 / PDC Mercator (Pacific-centred, lon0 150)
         return EllipsoidalMercator(*_WGS84, lon0_deg=150.0)
+    if epsg in (6933, 3975):
+        # WGS 84 / NSIDC EASE-Grid 2.0 Global (6933, SMAP et al.) and
+        # the ellipsoidal EASE Global (3975): LCEA, lat_ts 30
+        return LambertCylindricalEqualArea(
+            *_WGS84, lat_ts_deg=30.0, lon0_deg=0.0)
+    if epsg == 3410:  # NSIDC EASE-Grid Global (authalic sphere)
+        return LambertCylindricalEqualArea(
+            6371228.0, math.inf, lat_ts_deg=30.0, lon0_deg=0.0)
     if 26703 <= epsg <= 26722:  # NAD27 / UTM zones 3N-22N (Clarke 1866)
         zone = epsg - 26700
         proj = TransverseMercator(*_CLARKE1866, lon0_deg=zone * 6 - 183,
@@ -2831,6 +2884,14 @@ def _dispatch_wkt_projection(raw_name: str, params: dict,
             false_northing=p("false_northing"),
             lat_ts_deg=lat0,
         )
+    if "cylindrical_equal_area" in name:
+        return LambertCylindricalEqualArea(
+            a, inv_f,
+            lat_ts_deg=p("standard_parallel_1", "latitude_of_origin"),
+            lon0_deg=p("central_meridian", "longitude_of_center"),
+            false_easting=p("false_easting"),
+            false_northing=p("false_northing"),
+        )
     if "polyconic" in name:
         return AmericanPolyconic(
             a, inv_f,
@@ -3031,6 +3092,7 @@ _WKT2_METHOD_TO_WKT1 = {
     "azimuthal_equidistant": "Azimuthal_Equidistant",
     "equidistant_cylindrical": "Equidistant_Cylindrical",
     "equidistant_cylindrical_spherical": "Equidistant_Cylindrical",
+    "lambert_cylindrical_equal_area": "Cylindrical_Equal_Area",
     "american_polyconic": "Polyconic",
     "new_zealand_map_grid": "New_Zealand_Map_Grid",
 }
@@ -3060,6 +3122,7 @@ _WKT2_METHOD_CODES = {
     1125: "azimuthal_equidistant",
     1028: "equidistant_cylindrical",
     1029: "equidistant_cylindrical_spherical",
+    9835: "lambert_cylindrical_equal_area",
     9818: "american_polyconic",
     9811: "new_zealand_map_grid",
 }
@@ -3077,7 +3140,7 @@ _WKT2_REFUSED_METHODS = {
     "guam_projection",
     "bonne_south_orientated",
     "mercator_variant_c",
-    "lambert_cylindrical_equal_area",
+    "lambert_cylindrical_equal_area_spherical",
     "hyperbolic_cassini_soldner",
 }
 

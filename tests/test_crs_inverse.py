@@ -2441,3 +2441,37 @@ def test_pdc_mercator():
     lon2, lat2 = crs.unproject_xys([1000000.0], [5000000.0], epsg=3832)
     x2, y2 = crs.reproject_latlons(lat2, lon2, epsg=3832)
     assert abs(x2[0] - 1000000.0) < 1e-3 and abs(y2[0] - 5000000.0) < 1e-3
+
+
+def test_lambert_cylindrical_equal_area_family():
+    import numpy as np
+    # EASE-Grid 2.0 Global (6933): published grid constants — the map
+    # is 34704 km wide => x(180E) = 17367530.45 m (NSIDC EASE-2 spec)
+    x, y = crs.reproject_latlons([0.0, 0.0], [0.0, 180.0], epsg=6933)
+    assert abs(x[0]) < 1e-6 and abs(y[0]) < 1e-6
+    assert abs(abs(x[1]) - 17367530.45) < 1.0  # +-180 wrap sign free
+    # published EASE-2 global grid edge: the 36-km grid spans
+    # +-7,314,540.83 m, reaching latitude 85.0445664 (NSIDC spec)
+    xq, yq = crs.reproject_latlons([85.0445664], [0.0], epsg=6933)
+    assert abs(yq[0] - 7314540.83) < 5.0
+    for epsg in (6933, 3975, 3410):
+        lats = np.array([-70.0, -23.5, 0.0, 23.5, 70.0])
+        lons = np.array([-170.0, -30.0, 0.0, 60.0, 150.0])
+        xx, yy = crs.reproject_latlons(lats, lons, epsg=epsg)
+        lon2, lat2 = crs.unproject_xys(xx, yy, epsg=epsg)
+        assert np.abs(np.asarray(lat2) - lats).max() < 1e-6, epsg
+        dlon = (np.asarray(lon2) - lons + 180) % 360 - 180
+        assert np.abs(dlon).max() < 1e-6, epsg
+    # WKT2 spelling lands on the same projection bit-for-bit
+    w2 = ('PROJCRS["EASE2G",BASEGEOGCRS["WGS 84",DATUM["d",'
+          'ELLIPSOID["WGS 84",6378137,298.257223563]],'
+          'PRIMEM["Greenwich",0]],CONVERSION["c",'
+          'METHOD["Lambert Cylindrical Equal Area",ID["EPSG",9835]],'
+          'PARAMETER["Latitude of 1st standard parallel",30],'
+          'PARAMETER["Longitude of natural origin",0],'
+          'PARAMETER["False easting",0],PARAMETER["False northing",0]],'
+          'CS[Cartesian,2],AXIS["(E)",east],AXIS["(N)",north]]')
+    lats = np.array([10.0, -45.0]); lons = np.array([100.0, -60.0])
+    x1, y1 = crs.reproject_latlons(lats, lons, wkt=w2)
+    x2, y2 = crs.reproject_latlons(lats, lons, epsg=6933)
+    assert np.array_equal(x1, x2) and np.array_equal(y1, y2)
