@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import io
 import json
+import math
 import os
 import struct
 import time
@@ -38,7 +39,8 @@ import uuid
 
 __all__ = [
     "write_ocf", "read_ocf", "IcebergTable", "append_dataframe",
-    "read_table", "table_exists",
+    "read_table", "table_exists", "rewrite_data_files",
+    "expire_snapshots",
 ]
 
 # ---------------------------------------------------------------------------
@@ -732,6 +734,198 @@ def append_dataframe(table: IcebergTable, df, partition_col=None) -> int:
         files.append(DataFileInfo(
             path, part, md.num_rows, os.path.getsize(path)))
     return table.append_files(files)
+
+
+def rewrite_data_files(spark, table: IcebergTable,
+                       target_mb: int = 64) -> dict:
+    """Bin-packing compaction (the Iceberg rewrite-data-files
+    maintenance action): read the CURRENT live file set, rewrite it
+    into ~target_mb files (partition layout preserved), and commit ONE
+    'replace' snapshot — new files added, every prior live entry marked
+    deleted. Readers of older snapshots are unaffected (their files
+    stay on disk until expire_snapshots collects them); a crash before
+    the version-hint swap leaves only unreferenced staging files.
+
+    Returns {files_before, files_after, rows} (row equality in/out is
+    ASSERTED before the commit — a compaction that loses rows must fail
+    loudly, the jobs/compact.py discipline)."""
+    snap = table._snapshot(None)
+    if snap is None:
+        raise ValueError(f"{table.location}: empty table")
+    files_before = table.live_files()
+    rows_before = table.record_count()
+    bytes_total = sum(
+        e["data_file"]["file_size_in_bytes"]
+        for e in table.live_entries())
+    n_out = max(1, int(math.ceil(bytes_total / (target_mb * 1024 * 1024))))
+    df = spark.read.parquet(*files_before)
+    pcol = table.partition_col
+    if pcol:
+        df = df.repartition(n_out, pcol)
+    else:
+        df = df.repartition(n_out)
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    staging = os.path.join(table.location, "data", str(uuid.uuid4()))
+    if pcol:
+        (df.withColumn("_ice_part", F.col(pcol))
+         .write.mode("error").partitionBy("_ice_part").parquet(staging))
+    else:
+        df.write.mode("error").parquet(staging)
+    new_files = []
+    for path in _list_parquet(staging):
+        part = None
+        if pcol:
+            for seg in path.split(os.sep):
+                if seg.startswith("_ice_part="):
+                    part = int(seg.split("=", 1)[1])
+        md = pq.ParquetFile(path).metadata
+        new_files.append(DataFileInfo(
+            path, part, md.num_rows, os.path.getsize(path)))
+    rows_after = sum(f.record_count for f in new_files)
+    if rows_after != rows_before:
+        raise RuntimeError(
+            f"compaction row mismatch: {rows_before} live rows but "
+            f"{rows_after} rewritten — refusing to commit")
+
+    seq = table.meta["last-sequence-number"] + 1
+    snapshot_id = int(uuid.uuid4().int % (1 << 62)) + 1
+    schema = _manifest_schema(pcol)
+    # one manifest of the new files + rewrites of every old manifest
+    # with its live entries marked deleted
+    add_entries = []
+    for fi in new_files:
+        part = {pcol: fi.partition} if pcol else {}
+        add_entries.append({
+            "status": 1, "snapshot_id": snapshot_id,
+            "sequence_number": seq, "file_sequence_number": seq,
+            "data_file": {
+                "content": 0, "file_path": fi.path,
+                "file_format": "PARQUET", "partition": part,
+                "record_count": fi.record_count,
+                "file_size_in_bytes": fi.file_size,
+            }})
+    mpath = os.path.join(table.meta_dir, f"{uuid.uuid4()}-m0.avro")
+    mlen = write_ocf(mpath, schema, add_entries)
+    new_manifests = [(mpath, mlen, {
+        "added": len(new_files),
+        "added_rows": rows_after,
+    })]
+    _, manifests = read_ocf(snap["manifest-list"])
+    for m in manifests:
+        _, recs = read_ocf(m["manifest_path"])
+        live = [r for r in recs if r["status"] != 2]
+        if not live:
+            continue
+        out = []
+        counts = {"deleted": 0, "deleted_rows": 0, "min_seq": seq}
+        for r in live:
+            r = dict(r)
+            r["status"] = 2
+            r["snapshot_id"] = snapshot_id
+            counts["deleted"] += 1
+            counts["deleted_rows"] += r["data_file"]["record_count"]
+            counts["min_seq"] = min(
+                counts["min_seq"], r.get("sequence_number") or seq)
+            out.append(r)
+        dpath = os.path.join(table.meta_dir, f"{uuid.uuid4()}-m0.avro")
+        dlen = write_ocf(dpath, schema, out)
+        new_manifests.append((dpath, dlen, counts))
+    table._commit(new_manifests, [], "replace", seq, snapshot_id)
+    return {
+        "files_before": len(files_before),
+        "files_after": len(new_files),
+        "rows": rows_after,
+        "snapshot_id": snapshot_id,
+    }
+
+
+def expire_snapshots(table: IcebergTable, keep_last: int = 1,
+                     older_than_ms: int | None = None) -> dict:
+    """Snapshot expiration (the Iceberg expire-snapshots maintenance
+    action): drop all but the newest ``keep_last`` snapshots (always
+    keeping the current one; with ``older_than_ms``, only snapshots
+    strictly older also expire), then garbage-collect every manifest
+    list, manifest, and DATA file referenced only by expired snapshots.
+    Bounds metadata growth for long-lived checkpoint tables — without
+    it a 10^12-row pipeline's table accretes one snapshot per commit
+    forever. Time travel to an expired snapshot refuses afterwards."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    snaps = table.snapshots()
+    if not snaps:
+        return {"expired": 0, "data_files_deleted": 0}
+    ordered = sorted(snaps, key=lambda s: s["sequence-number"])
+    keep = {s["snapshot-id"] for s in ordered[-keep_last:]}
+    keep.add(table.current_snapshot_id())
+    if older_than_ms is not None:
+        for s in ordered:
+            if s["timestamp-ms"] >= older_than_ms:
+                keep.add(s["snapshot-id"])
+    expired = [s for s in ordered if s["snapshot-id"] not in keep]
+    if not expired:
+        return {"expired": 0, "data_files_deleted": 0}
+
+    def _reachable(snapshot_ids, live_only):
+        """Metadata + data files reachable from the given snapshots.
+        live_only: count only status!=2 data entries — a RETAINED
+        snapshot's tombstone (status=2) entries must NOT protect a file
+        no retained snapshot can read (Iceberg expire semantics)."""
+        mlists, mans, datas = set(), set(), set()
+        for s in ordered:
+            if s["snapshot-id"] not in snapshot_ids:
+                continue
+            mlists.add(s["manifest-list"])
+            _, manifests = read_ocf(s["manifest-list"])
+            for m in manifests:
+                mans.add(m["manifest_path"])
+                _, recs = read_ocf(m["manifest_path"])
+                for r in recs:
+                    if live_only and r["status"] == 2:
+                        continue
+                    datas.add(r["data_file"]["file_path"])
+        return mlists, mans, datas
+
+    keep_ml, keep_m, keep_d = _reachable(keep, live_only=True)
+    exp_ml, exp_m, exp_d = _reachable(
+        {s["snapshot-id"] for s in expired}, live_only=False)
+
+    # metadata first: a reader of a RETAINED snapshot never loses files
+    now = int(time.time() * 1000)
+    meta = dict(table.meta)
+    meta["snapshots"] = [
+        s for s in table.meta["snapshots"] if s["snapshot-id"] in keep]
+    meta["snapshot-log"] = [
+        e for e in table.meta["snapshot-log"]
+        if e["snapshot-id"] in keep]
+    meta["last-updated-ms"] = now
+    new_version = table.version + 1
+    path = os.path.join(table.meta_dir, f"v{new_version}.metadata.json")
+    with open(path + ".tmp", "w") as f:
+        json.dump(meta, f, indent=1)
+    os.replace(path + ".tmp", path)
+    hint = os.path.join(table.meta_dir, "version-hint.text")
+    with open(hint + ".tmp", "w") as f:
+        f.write(str(new_version))
+    os.replace(hint + ".tmp", hint)
+    table.version = new_version
+    table.meta = meta
+
+    deleted_data = 0
+    for p in sorted(exp_d - keep_d):
+        if os.path.exists(p):
+            os.remove(p)
+            deleted_data += 1
+    for p in sorted((exp_m - keep_m) | (exp_ml - keep_ml)):
+        if os.path.exists(p):
+            os.remove(p)
+    return {
+        "expired": len(expired),
+        "data_files_deleted": deleted_data,
+        "kept_snapshots": sorted(keep),
+    }
 
 
 def read_table(spark, location: str, snapshot_id: int | None = None,

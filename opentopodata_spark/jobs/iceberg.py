@@ -55,6 +55,19 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--as-of-ms", type=int, default=None)
     sp.add_argument("--cores", type=int, default=None)
     sp.add_argument("--master", default=None)
+    sp = sub.add_parser("compact",
+                        help="rewrite live files to ~target-mb (Spark; "
+                             "one 'replace' snapshot)")
+    common(sp)
+    sp.add_argument("--target-mb", type=int, default=64)
+    sp.add_argument("--cores", type=int, default=None)
+    sp.add_argument("--master", default=None)
+    sp = sub.add_parser("expire",
+                        help="expire old snapshots + GC their files "
+                             "(driver-only)")
+    common(sp)
+    sp.add_argument("--keep-last", type=int, default=1)
+    sp.add_argument("--older-than-ms", type=int, default=None)
     return p
 
 
@@ -117,6 +130,19 @@ def run(ns: argparse.Namespace) -> dict:
             "n_files": len(files),
             "files": files,
         }
+    if ns.cmd == "compact":
+        from ..session import get_spark
+
+        spark = get_spark(
+            app_name="otds-iceberg-compact", cores=ns.cores,
+            master=ns.master,
+        )
+        out = _ice.rewrite_data_files(spark, t, target_mb=ns.target_mb)
+        return {"table": ns.table, **out}
+    if ns.cmd == "expire":
+        out = _ice.expire_snapshots(
+            t, keep_last=ns.keep_last, older_than_ms=ns.older_than_ms)
+        return {"table": ns.table, **out}
     if ns.cmd == "export":
         from ..session import get_spark
 

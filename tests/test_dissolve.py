@@ -155,17 +155,19 @@ def test_plan_shape(spark):
 
 
 def test_zero_area_cancelled_key_emits_empty_row(spark):
-    # ADVICE r4: a key whose directed edges fully cancel (zero-area input
-    # at the quantize — here a CCW cell plus the same cell CW) produced no
-    # stitched row and the inner join silently DROPPED the key. It must
-    # surface as an explicit empty-geometry row instead.
-    ccw = cell(0, 0)
-    cw = [[list(p) for p in reversed(ccw[0])]]
-    rows = [("GONE", ccw), ("GONE", cw), ("KEEP", cell(5, 5))]
+    # ADVICE r4: a key whose directed edges fully cancel (zero-area
+    # input at the quantize — a sliver collapsing to a back-and-forth
+    # chain) produced no stitched row and the inner join silently
+    # DROPPED the key. It must surface as an explicit empty-geometry
+    # row instead. (A CCW part plus its CW mirror is NOT the legal
+    # spelling of this case: winding normalizes, so that input is
+    # duplicated geometry and keeps its own loud refusal.)
+    sliver = [[[0.0, 0.0], [3.0, 0.0], [0.0, 0.0]]]  # zero-area triangle
+    rows = [("GONE", sliver), ("KEEP", cell(5, 5))]
     got = _collect(spark, rows)
     assert set(got) == {"GONE", "KEEP"}
     g = got["GONE"]
-    assert (g["n_parts"], g["n_shells"], g["n_holes"]) == (2, 0, 0)
+    assert (g["n_parts"], g["n_shells"], g["n_holes"]) == (1, 0, 0)
     assert g["perim_edges"] == 0
     assert g["area2_q"] == 0
     assert g["rings"] == []

@@ -371,3 +371,48 @@ def test_dataprep_iceberg_corpus(spark, tmp_path):
     stats2 = dataprep.run(ns2, spark=spark)
     assert stats2.get("resumed_corpus") is True
     assert stats2["output_docs"] == 10
+
+
+def test_compact_and_expire(spark, docs_df, tmp_path):
+    loc = str(tmp_path / "tbl")
+    t = iceberg.IcebergTable.create(loc, docs_df.schema, partition_col="pb")
+    s1 = iceberg.append_dataframe(t, docs_df.repartition(6))
+    s2 = iceberg.append_dataframe(
+        t, docs_df.withColumn("doc_id", F.concat(F.lit("x"), "doc_id"))
+        .repartition(6))
+    files_before = len(t.live_files())
+    assert files_before > 4  # genuinely fragmented
+
+    before = {tuple(r) for r in iceberg.read_table(spark, loc).collect()}
+    out = iceberg.rewrite_data_files(spark, t, target_mb=64)
+    assert out["files_after"] < files_before
+    assert out["rows"] == 80
+    after = {tuple(r) for r in iceberg.read_table(spark, loc).collect()}
+    assert after == before  # content identical, fewer files
+    assert t.snapshots()[-1]["summary"]["operation"] == "replace"
+    # pre-compaction snapshots still readable (files not yet collected)
+    assert iceberg.read_table(spark, loc, snapshot_id=s2).count() == 80
+    assert iceberg.read_table(spark, loc, snapshot_id=s1).count() == 40
+
+    # expire everything but the current snapshot; old data files vanish
+    n_data_before = len(iceberg._list_parquet(
+        os.path.join(loc, "data")))
+    res = iceberg.expire_snapshots(t, keep_last=1)
+    assert res["expired"] == 2
+    assert res["data_files_deleted"] > 0
+    n_data_after = len(iceberg._list_parquet(os.path.join(loc, "data")))
+    assert n_data_after < n_data_before
+    # current snapshot unharmed; expired ids refuse
+    assert iceberg.read_table(spark, loc).count() == 80
+    t2 = iceberg.IcebergTable(loc)
+    assert len(t2.snapshots()) == 1
+    with pytest.raises(ValueError, match="no snapshot"):
+        iceberg.read_table(spark, loc, snapshot_id=s1)
+    # CLI spellings
+    from opentopodata_spark.jobs import iceberg as cli
+
+    info = cli.run(cli.build_parser().parse_args(["info", "--table", loc]))
+    assert info["live_rows"] == 80 and info["n_snapshots"] == 1
+    res2 = cli.run(cli.build_parser().parse_args(
+        ["expire", "--table", loc, "--keep-last", "5"]))
+    assert res2["expired"] == 0
