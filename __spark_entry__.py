@@ -6265,6 +6265,85 @@ WHERE bit_count(xor(a.phash_seq, b.phash_seq)) <= 7
 """
 
 
+_IMG_WAVE_SQL = (
+    "CASE WHEN substr(md5(media_ref),1,1) < '6' THEN 0 "
+    "WHEN substr(md5(media_ref),1,1) < 'b' THEN 1 ELSE 2 END"
+)
+
+
+def q_streaming_image_near_dup(spark, sf_dir):
+    """Streaming incremental PERCEPTUAL image dedup
+    (streaming.run_image_near_dup_stream): the planted PNG corpus
+    arrives in three md5-split waves, each decoded + pHashed,
+    deduplicated within itself (band pairs -> components -> keep min),
+    then Hamming-probed against the accumulated admitted band index —
+    verification is pure integer metadata (the index carries the
+    hashes), no payload re-read. The fixture's twin geometry makes
+    every near-dup cluster a PAIR (inter-base distance > 2x the
+    threshold), so the oracle replays the whole admission recursion in
+    layered SQL over the sequential-twin hashes."""
+    import shutil
+    import tempfile
+
+    from opentopodata_spark import streaming as stx
+
+    _ship_package(spark)
+    imgs = spark.read.parquet(_imagehash_fixture()).select(
+        "media_ref", "payload",
+        F.expr(_IMG_WAVE_SQL).cast("int").alias("_w"),
+    )
+    work = tempfile.mkdtemp(prefix="otds_imgstream_q_")
+    try:
+        for wave in range(3):
+            imgs.where(F.col("_w") == wave).drop("_w").coalesce(
+                1
+            ).write.mode("overwrite").parquet(f"{work}/in/wave{wave}")
+            q = stx.run_image_near_dup_stream(
+                stx.stream_media(spark, f"{work}/in/*"),
+                f"{work}/out", f"{work}/ckpt", f"{work}/index",
+                max_distance=7, n_bands=8,
+            )
+            q.awaitTermination()
+        out = spark.read.parquet(f"{work}/out").select(
+            "media_ref", "phash")
+        out = out.cache()
+        out.count()  # materialize before the temp dir goes away
+        return out
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def _streaming_image_near_dup_sql() -> str:
+    path = _imagehash_fixture()
+    d = 7
+    return f"""
+WITH imgs AS (
+  SELECT media_ref, phash_seq AS h, {_IMG_WAVE_SQL} AS w
+  FROM read_parquet('{path}')),
+c0 AS (SELECT * FROM imgs a WHERE a.w = 0 AND NOT EXISTS (
+         SELECT 1 FROM imgs b WHERE b.w = 0
+           AND b.media_ref < a.media_ref
+           AND bit_count(xor(a.h, b.h)) <= {d})),
+a0 AS (SELECT * FROM c0),
+c1 AS (SELECT * FROM imgs a WHERE a.w = 1 AND NOT EXISTS (
+         SELECT 1 FROM imgs b WHERE b.w = 1
+           AND b.media_ref < a.media_ref
+           AND bit_count(xor(a.h, b.h)) <= {d})),
+a1 AS (SELECT * FROM c1 x WHERE NOT EXISTS (
+         SELECT 1 FROM a0 o WHERE bit_count(xor(x.h, o.h)) <= {d})),
+c2 AS (SELECT * FROM imgs a WHERE a.w = 2 AND NOT EXISTS (
+         SELECT 1 FROM imgs b WHERE b.w = 2
+           AND b.media_ref < a.media_ref
+           AND bit_count(xor(a.h, b.h)) <= {d})),
+a2 AS (SELECT * FROM c2 x WHERE NOT EXISTS (
+         SELECT 1 FROM (SELECT h FROM a0 UNION ALL SELECT h FROM a1) o
+         WHERE bit_count(xor(x.h, o.h)) <= {d}))
+SELECT media_ref, h AS phash FROM a0
+UNION ALL SELECT media_ref, h FROM a1
+UNION ALL SELECT media_ref, h FROM a2
+"""
+
+
 # UTM 33N spelled as WKT2 (ISO 19162) — the fourth CRS spelling the
 # reference accepts (pyproj.CRS.from_user_input at
 # /root/reference/opentopodata/utils.py:39-46 takes WKT2 the same as
@@ -7268,6 +7347,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new in r5 (inserted here as they land) --
         "iceberg_documents": q_iceberg_documents,
         "image_near_dups": q_image_near_dups,
+        "streaming_image_near_dup": q_streaming_image_near_dup,
         "exact_substr": q_exact_substr,
         "wkt2_elevation": q_wkt2_elevation,
         # -- modules CHANGED in r5 (ADVICE fixes: topk null groups/ties,
@@ -7401,6 +7481,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "iceberg_documents": _Q_ICEBERG_DOCS_SQL,
         "image_near_dups": _image_near_dups_sql(),
+        "streaming_image_near_dup": _streaming_image_near_dup_sql(),
         "exact_substr": _Q_EXACT_SUBSTR_SQL,
         "tile_floor_keys": _Q_TILE_FLOOR_SQL,
         "bbox_coverage": _Q_BBOX_SQL,

@@ -45,7 +45,8 @@ from pyspark.sql import DataFrame, functions as F
 
 __all__ = [
     "luma", "resize_area", "dhash_bits", "phash_bits", "hash_images",
-    "near_dup_pairs", "dhash_sequential", "phash_sequential",
+    "band_rows", "near_dup_pairs", "dhash_sequential",
+    "phash_sequential",
 ]
 
 
@@ -251,6 +252,34 @@ def hash_images(fetched: DataFrame, id_col: str = "media_ref",
     )
 
 
+def band_rows(
+    hashed: DataFrame,
+    id_col: str = "media_ref",
+    hash_col: str = "phash",
+    n_bands: int = 8,
+) -> DataFrame:
+    """(id, h, band, v): the hash split into ``n_bands`` equal-width
+    band values — the pigeonhole join key (shared by near_dup_pairs and
+    the streaming incremental index)."""
+    if 64 % n_bands:
+        raise ValueError(f"n_bands={n_bands} must divide 64")
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+    src = hashed.where(F.col(hash_col).isNotNull()).select(
+        F.col(id_col).alias("id"), F.col(hash_col).alias("h"))
+    return src.select(
+        "id", "h",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftrightunsigned(F.col("h"), i * width)
+                .bitwiseAND(F.lit(mask)).alias("v"),
+            ) for i in range(n_bands)
+        ])).alias("bv"),
+    ).select("id", "h", F.col("bv.band").alias("band"),
+             F.col("bv.v").alias("v"))
+
+
 def near_dup_pairs(
     hashed: DataFrame,
     id_col: str = "media_ref",
@@ -270,23 +299,7 @@ def near_dup_pairs(
             f"max_distance={max_distance} needs n_bands > max_distance "
             f"(got {n_bands}) for the pigeonhole guarantee — more bands "
             "or a smaller distance")
-    if 64 % n_bands:
-        raise ValueError(f"n_bands={n_bands} must divide 64")
-    width = 64 // n_bands
-    mask = (1 << width) - 1
-    src = hashed.where(F.col(hash_col).isNotNull()).select(
-        F.col(id_col).alias("id"), F.col(hash_col).alias("h"))
-    bands = src.select(
-        "id", "h",
-        F.explode(F.array(*[
-            F.struct(
-                F.lit(i).alias("band"),
-                F.shiftrightunsigned(F.col("h"), i * width)
-                .bitwiseAND(F.lit(mask)).alias("v"),
-            ) for i in range(n_bands)
-        ])).alias("bv"),
-    ).select("id", "h", F.col("bv.band").alias("band"),
-             F.col("bv.v").alias("v"))
+    bands = band_rows(hashed, id_col, hash_col, n_bands)
     counts = bands.groupBy("band", "v").count()
     hot = counts.where(F.col("count") > max_bucket).limit(1).collect()
     if hot:

@@ -477,6 +477,129 @@ def run_near_dup_stream(
     return writer.start()
 
 
+MEDIA_DDL = "media_ref string, payload binary"
+
+
+def stream_media(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Streaming scan of a media-payload directory (parquet files of
+    (media_ref, payload) arriving continuously — a crawl's image side)."""
+    reader = spark.readStream.schema(MEDIA_DDL)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def run_image_near_dup_stream(
+    media_stream: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    index_dir: str,
+    max_distance: int = 7,
+    n_bands: int = 8,
+    available_now: bool = True,
+):
+    """Streaming incremental PERCEPTUAL image dedup — the continuous-
+    crawl twin of ``operators/imagehash.near_dup_pairs``: each
+    micro-batch is
+
+    1. decoded + pHashed (imagehash.hash_images — PNG/JPEG/JP2 via the
+       pure-numpy codecs, Arrow-batched),
+    2. deduplicated WITHIN itself: exact pigeonhole band pairs, then
+       drop the LARGER media_ref of every verified pair (the 'pairs'
+       semantics of dataprep near-dup — kept images are pairwise
+       non-near-dup, and the rule replays directly in SQL), then
+    3. probed against the accumulated ADMITTED band index: a new image
+       sharing a band with an admitted one is Hamming-verified
+       (bit_count(xor) <= max_distance) and rejected on a match.
+
+    Unlike the text twin, verification needs NO re-read of admitted
+    payloads: the index rows carry the 64-bit hash, so the reject test
+    is pure integer metadata — state is ~n_bands tiny rows per admitted
+    image. Undecodable payloads (null hash) are admitted unindexed
+    (they cannot perceptually collide; exact dedup handles byte-equal
+    copies upstream). Because the index holds only ADMITTED images,
+    boilerplate mega-clusters (solid-color thumbnails) collapse to one
+    representative — the streaming analog of the batch max_bucket cap.
+
+    Same idempotency contract as run_near_dup_stream: batch writes
+    overwrite their own ingest_batch=<id> partitions and reads exclude
+    the current batch id, so a retried batch neither duplicates output
+    nor probes its own half-written state."""
+    from pyspark.errors import AnalysisException
+
+    from .operators import imagehash as _ih
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark_l = batch_df.sparkSession
+        hashes = _ih.hash_images(batch_df).persist()
+        try:
+            pairs = _ih.near_dup_pairs(
+                hashes, max_distance=max_distance, n_bands=n_bands)
+            # drop the larger id of every verified pair: kept images
+            # are pairwise non-near-dup (any edge drops its larger
+            # endpoint), deterministic, and exactly SQL-replayable
+            drop = pairs.select(
+                F.col("id_b").alias("media_ref")).distinct()
+            canon = hashes.join(drop, "media_ref", "left_anti")
+            canon = canon.localCheckpoint()
+
+            # ONLY the index read signals "first batch" — any later
+            # failure must raise, never silently admit duplicates
+            try:
+                idx = spark_l.read.parquet(index_dir).where(
+                    F.col("ingest_batch") != batch_id
+                )
+            except AnalysisException:
+                idx = None
+
+            admitted = canon
+            if idx is not None:
+                new_bands = _ih.band_rows(
+                    canon, "media_ref", "phash", n_bands)
+                rejected = (
+                    new_bands.join(
+                        idx.select(
+                            "band", "v",
+                            F.col("phash").alias("old_h")),
+                        ["band", "v"],
+                    )
+                    .where(
+                        F.bit_count(
+                            F.col("h").bitwiseXOR(F.col("old_h"))
+                        ) <= max_distance
+                    )
+                    .select(F.col("id").alias("media_ref"))
+                    .distinct()
+                )
+                admitted = canon.join(rejected, "media_ref", "left_anti")
+            admitted = admitted.persist()
+            try:
+                admitted.write.mode("overwrite").parquet(
+                    f"{out_dir}/ingest_batch={batch_id}"
+                )
+                _ih.band_rows(
+                    admitted, "media_ref", "phash", n_bands
+                ).select(
+                    F.col("id").alias("media_ref"), "band", "v",
+                    F.col("h").alias("phash"),
+                ).write.mode("overwrite").parquet(
+                    f"{index_dir}/ingest_batch={batch_id}"
+                )
+            finally:
+                admitted.unpersist()
+        finally:
+            hashes.unpersist()
+
+    writer = media_stream.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_tile_manifests(
     spark: SparkSession, manifest_dir: str,
     max_files_per_trigger: int | None = None,

@@ -970,3 +970,59 @@ class TestStreamingHeavyHitters:
         assert [(r.key, r.est, r.est_hi) for r in top] == [
             ("a", 7, 7), ("c", 4, 4)]
         assert top[0].n_total == 14
+
+
+def test_image_near_dup_stream(spark, tmp_path):
+    """Incremental perceptual image dedup: wave-1 twin of an admitted
+    wave-0 image is rejected via the hash-carrying band index (no
+    payload re-read), within-wave pairs drop the larger id, undecodable
+    payloads are admitted unindexed."""
+    import numpy as np
+
+    from opentopodata_spark import png as _png
+    from opentopodata_spark import streaming as stx
+    from opentopodata_spark.operators import imagehash as ih
+
+    rng = np.random.RandomState(13)
+    yy, xx = np.mgrid[0:36, 0:48]
+
+    def img(i):
+        base = (110.0 + 70.0 * np.sin(xx / (2.5 + i) + i)
+                + 35.0 * np.cos(yy / (2.0 + 0.3 * i))
+                + rng.uniform(-5, 5, (36, 48)))
+        return np.clip(base, 0, 255).astype(np.uint8)
+
+    def twin(a):
+        mask = rng.rand(36, 48) < 0.25
+        return np.clip(a.astype(np.int32)
+                       + mask * rng.choice([-1, 1], (36, 48)),
+                       0, 255).astype(np.uint8)
+
+    a, b, c = img(0), img(3), img(7)
+    wave0 = [("w0a", _png.encode_png(a)),
+             ("w0a_t", _png.encode_png(twin(a))),   # within-wave pair
+             ("w0b", _png.encode_png(b)),
+             ("w0bad", b"not an image at all")]
+    wave1 = [("w1a_t", _png.encode_png(twin(a))),   # cross-wave twin
+             ("w1c", _png.encode_png(c))]
+    work = str(tmp_path / "imgstream")
+    for i, rows in enumerate((wave0, wave1)):
+        spark.createDataFrame(
+            rows, "media_ref string, payload binary"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{work}/in/w{i}")
+        q = stx.run_image_near_dup_stream(
+            stx.stream_media(spark, f"{work}/in/*"),
+            f"{work}/out", f"{work}/ckpt", f"{work}/index",
+            max_distance=7, n_bands=8,
+        )
+        q.awaitTermination()
+    got = {r.media_ref: r for r in
+           spark.read.parquet(f"{work}/out").collect()}
+    assert set(got) == {"w0a", "w0b", "w0bad", "w1c"}
+    assert got["w0bad"].phash is None        # admitted, undecodable
+    assert got["w0a"].phash == ih._to_signed(ih.phash_bits(a))
+    # index holds hashes for admitted decodable images only
+    idx = spark.read.parquet(f"{work}/index")
+    assert set(r.media_ref for r in idx.collect()) == {
+        "w0a", "w0b", "w1c"}
+    assert idx.where(idx.phash.isNull()).count() == 0
