@@ -115,3 +115,21 @@ def test_edges(spark):
     assert got["a"] == ("o p", 1)
     assert got["b"] == ("z q", 1)
     assert got["c"] == ("solo words", 0)
+
+
+def test_plan_shape(spark):
+    # every doubling round is a window over the key partition + one
+    # self-join on (doc_id, pos): no cartesian, no BNLJ, no Python in
+    # the class rounds, and no PARTITION-LESS window (the global-sort
+    # single-task killer) — the island window partitions by doc_id
+    docs = spark.createDataFrame(
+        [(f"d{i}", "a b c d e f g a b c d e f g") for i in range(6)],
+        "doc_id string, text string")
+    plan = dedup.exact_substr_spans(docs, min_len=5) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    # no partition-less window (the global-sort single-task killer)
+    assert "windowspecdefinition()" not in plan.replace(" ", "")

@@ -116,3 +116,18 @@ def test_refusals(spark):
         [(f"x{i}", 42) for i in range(30)], "media_ref string, phash long")
     with pytest.raises(RuntimeError, match="max_bucket"):
         ih.near_dup_pairs(same, max_distance=3, n_bands=8, max_bucket=10)
+
+
+def test_plan_shape(spark):
+    # the banded join must be an equi-join on (band, v) — never a
+    # cartesian / BNLJ — and the verify predicate must stay codegen
+    # (no Python UDF in the pair path; the only Python is the decode)
+    df = spark.createDataFrame(
+        [(f"m{i}", i * 7919) for i in range(50)],
+        "media_ref string, phash long")
+    plan = ih.near_dup_pairs(df, max_distance=7, n_bands=8) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
