@@ -40,7 +40,7 @@ import uuid
 __all__ = [
     "write_ocf", "read_ocf", "IcebergTable", "append_dataframe",
     "read_table", "table_exists", "rewrite_data_files",
-    "expire_snapshots",
+    "expire_snapshots", "rollback_to_snapshot",
 ]
 
 # ---------------------------------------------------------------------------
@@ -539,6 +539,70 @@ class IcebergTable:
             e["data_file"]["record_count"]
             for e in self.live_entries(snapshot_id))
 
+    # -- schema evolution --------------------------------------------------
+    def evolve_schema(self, spark_schema) -> bool:
+        """Add-column schema evolution: a writer schema that is the
+        current schema PLUS new trailing fields commits a new schema
+        (fresh field ids continuing from last-column-id, new schema-id,
+        current-schema-id updated) alongside the next snapshot. Removed
+        or type-changed columns refuse loudly — silent coercion is how
+        tables corrupt. Returns True when the schema changed."""
+        current = next(
+            sc for sc in self.meta["schemas"]
+            if sc["schema-id"] == self.meta["current-schema-id"])
+        cur_by_name = {f["name"]: f for f in current["fields"]}
+
+        def sig(t):
+            # structural type signature, ids stripped
+            if isinstance(t, str):
+                return t
+            if t["type"] == "list":
+                return ("list", sig(t["element"]), t["element-required"])
+            if t["type"] == "struct":
+                return ("struct", tuple(
+                    (f["name"], f["required"], sig(f["type"]))
+                    for f in t["fields"]))
+            return json.dumps(t, sort_keys=True)
+
+        counter = {"next": self.meta["last-column-id"] + 1}
+        new_fields = []
+        for f in spark_schema.fields:
+            if f.name in cur_by_name:
+                probe = {"next": 10 ** 9}
+                want = _iceberg_type(f.dataType, probe)
+                if sig(want) != sig(cur_by_name[f.name]["type"]):
+                    raise ValueError(
+                        f"schema evolution: column {f.name!r} type "
+                        "changed — only ADDING columns is supported")
+            else:
+                fid = counter["next"]
+                counter["next"] += 1
+                new_fields.append({
+                    "id": fid, "name": f.name,
+                    "required": False,  # added columns must be optional
+                    "type": _iceberg_type(f.dataType, counter),
+                })
+        writer_names = {f.name for f in spark_schema.fields}
+        missing = [n for n in cur_by_name if n not in writer_names]
+        if missing:
+            raise ValueError(
+                f"schema evolution: writer schema lacks columns "
+                f"{missing} — dropping columns is not supported")
+        if not new_fields:
+            return False
+        new_schema = {
+            "type": "struct",
+            "schema-id": max(
+                s["schema-id"] for s in self.meta["schemas"]) + 1,
+            "fields": current["fields"] + new_fields,
+        }
+        self.meta = dict(self.meta)
+        self.meta["schemas"] = self.meta["schemas"] + [new_schema]
+        self.meta["current-schema-id"] = new_schema["schema-id"]
+        self.meta["last-column-id"] = counter["next"] - 1
+        # persisted by the append's _commit (same metadata.json write)
+        return True
+
     # -- commits -----------------------------------------------------------
     def _commit(self, new_manifests: list[tuple[str, int, dict]],
                 carried: list[dict], operation: str, seq: int,
@@ -572,7 +636,7 @@ class IcebergTable:
             "timestamp-ms": now,
             "manifest-list": ml_path,
             "summary": {"operation": operation},
-            "schema-id": 0,
+            "schema-id": self.meta["current-schema-id"],
         }
         meta = dict(self.meta)
         meta["last-sequence-number"] = seq
@@ -709,6 +773,7 @@ def append_dataframe(table: IcebergTable, df, partition_col=None) -> int:
         raise ValueError(
             f"partition_col {partition_col!r} != table spec "
             f"{table.partition_col!r}")
+    table.evolve_schema(df.schema)  # add-column evolution (no-op if same)
     staging = os.path.join(table.location, "data", str(uuid.uuid4()))
     if partition_col:
         # identity-partition source columns stay INSIDE the data files
@@ -842,6 +907,31 @@ def rewrite_data_files(spark, table: IcebergTable,
     }
 
 
+def rollback_to_snapshot(table: IcebergTable, snapshot_id: int) -> None:
+    """Roll the table's CURRENT pointer back to an existing snapshot
+    (the Iceberg rollback maintenance action): metadata-only — later
+    snapshots stay in the log (expire_snapshots collects them), so the
+    operation is itself reversible until they are expired."""
+    target = table._snapshot(snapshot_id)  # raises on unknown id
+    now = int(time.time() * 1000)
+    meta = dict(table.meta)
+    meta["current-snapshot-id"] = target["snapshot-id"]
+    meta["last-updated-ms"] = now
+    meta["snapshot-log"] = table.meta["snapshot-log"] + [
+        {"timestamp-ms": now, "snapshot-id": target["snapshot-id"]}]
+    new_version = table.version + 1
+    path = os.path.join(table.meta_dir, f"v{new_version}.metadata.json")
+    with open(path + ".tmp", "w") as f:
+        json.dump(meta, f, indent=1)
+    os.replace(path + ".tmp", path)
+    hint = os.path.join(table.meta_dir, "version-hint.text")
+    with open(hint + ".tmp", "w") as f:
+        f.write(str(new_version))
+    os.replace(hint + ".tmp", hint)
+    table.version = new_version
+    table.meta = meta
+
+
 def expire_snapshots(table: IcebergTable, keep_last: int = 1,
                      older_than_ms: int | None = None) -> dict:
     """Snapshot expiration (the Iceberg expire-snapshots maintenance
@@ -929,12 +1019,17 @@ def expire_snapshots(table: IcebergTable, keep_last: int = 1,
 
 
 def read_table(spark, location: str, snapshot_id: int | None = None,
-               as_of_ms: int | None = None):
+               as_of_ms: int | None = None, partition_value=None):
     """Metadata-planned scan: resolve the snapshot's live files from
     the manifest chain, then hand Spark exactly those parquet files
     (identity-partition source columns live inside the files, so a
     plain parquet read of the planned list suffices). Returns an empty
-    DataFrame with the table schema for an empty snapshot."""
+    DataFrame with the table schema for an empty snapshot.
+
+    ``partition_value`` prunes BEFORE Spark ever sees a path: the
+    manifest entries' partition tuples select the file subset — the
+    metadata partition pruning that makes a 10^12-row table's
+    single-partition read O(that partition), not O(table)."""
     table = IcebergTable(location)
     if as_of_ms is not None:
         if snapshot_id is not None:
@@ -943,9 +1038,11 @@ def read_table(spark, location: str, snapshot_id: int | None = None,
         if snapshot_id is None:
             files = []
         else:
-            files = table.live_files(snapshot_id)
+            files = table.live_files(
+                snapshot_id, partition_value=partition_value)
     else:
-        files = table.live_files(snapshot_id)
+        files = table.live_files(
+            snapshot_id, partition_value=partition_value)
     if not files:
         # schema-faithful empty frame (flat columns; nested cols are
         # not needed by any empty-table caller here)
@@ -961,4 +1058,9 @@ def read_table(spark, location: str, snapshot_id: int | None = None,
                 continue
             fields.append(f"{f['name']} {spark_t}")
         return spark.createDataFrame([], ", ".join(fields))
-    return spark.read.parquet(*files)
+    reader = spark.read
+    if len(table.meta["schemas"]) > 1:
+        # evolved table: old files lack the added columns — union the
+        # footers so they read as nulls (Iceberg read semantics)
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(*files)

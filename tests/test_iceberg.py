@@ -416,3 +416,70 @@ def test_compact_and_expire(spark, docs_df, tmp_path):
     res2 = cli.run(cli.build_parser().parse_args(
         ["expire", "--table", loc, "--keep-last", "5"]))
     assert res2["expired"] == 0
+
+
+def test_rollback_and_partition_pruned_read(spark, docs_df, tmp_path):
+    loc = str(tmp_path / "tbl")
+    t = iceberg.IcebergTable.create(loc, docs_df.schema, partition_col="pb")
+    s1 = iceberg.append_dataframe(t, docs_df)
+    s2 = iceberg.append_dataframe(
+        t, docs_df.withColumn("doc_id", F.concat(F.lit("x"), "doc_id")))
+
+    # metadata partition pruning: the planned file list shrinks BEFORE
+    # Spark sees a path
+    all_files = t.live_files()
+    pb1_files = t.live_files(partition_value=1)
+    assert 0 < len(pb1_files) < len(all_files)
+    pruned = iceberg.read_table(spark, loc, partition_value=1)
+    assert pruned.count() == 20
+    assert pruned.where(F.col("pb") != 1).count() == 0
+
+    # rollback: current pointer returns to s1; s2 remains readable
+    iceberg.rollback_to_snapshot(t, s1)
+    assert t.current_snapshot_id() == s1
+    assert iceberg.read_table(spark, loc).count() == 40
+    assert iceberg.read_table(spark, loc, snapshot_id=s2).count() == 80
+    # appending after rollback branches from s1
+    s3 = iceberg.append_dataframe(
+        t, docs_df.withColumn("doc_id", F.concat(F.lit("y"), "doc_id")))
+    assert t._snapshot(s3)["parent-snapshot-id"] == s1
+    assert iceberg.read_table(spark, loc).count() == 80
+    with pytest.raises(ValueError, match="no snapshot"):
+        iceberg.rollback_to_snapshot(t, 424242)
+
+
+def test_schema_evolution_add_column(spark, docs_df, tmp_path):
+    loc = str(tmp_path / "tbl")
+    t = iceberg.IcebergTable.create(loc, docs_df.schema, partition_col="pb")
+    iceberg.append_dataframe(t, docs_df)
+    evolved = docs_df.withColumn(
+        "doc_id", F.concat(F.lit("x"), "doc_id")
+    ).withColumn("lang", F.lit("en")).withColumn(
+        "score", (F.length("text") * 1.5))
+    iceberg.append_dataframe(t, evolved)
+
+    # new schema committed: new schema-id, fresh sequential field ids
+    t2 = iceberg.IcebergTable(loc)
+    assert len(t2.meta["schemas"]) == 2
+    cur = next(s for s in t2.meta["schemas"]
+               if s["schema-id"] == t2.meta["current-schema-id"])
+    names = [f["name"] for f in cur["fields"]]
+    assert names == ["doc_id", "text", "pb", "lang", "score"]
+    ids = [f["id"] for f in cur["fields"]]
+    assert ids == sorted(ids) and len(set(ids)) == len(ids)
+    assert t2.meta["last-column-id"] == max(ids)
+    assert t2.snapshots()[-1]["schema-id"] == cur["schema-id"]
+
+    # old files read with nulls for the added columns
+    got = iceberg.read_table(spark, loc)
+    assert got.count() == 80
+    assert set(got.columns) == set(names)
+    assert got.where(F.col("lang").isNull()).count() == 40
+    assert got.where(F.col("score").isNotNull()).count() == 40
+
+    # refusals: dropped column / changed type
+    with pytest.raises(ValueError, match="lacks columns"):
+        iceberg.append_dataframe(t2, evolved.drop("text"))
+    with pytest.raises(ValueError, match="type"):
+        iceberg.append_dataframe(
+            t2, evolved.withColumn("score", F.lit("not a double")))
