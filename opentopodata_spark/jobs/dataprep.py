@@ -186,6 +186,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "order statistics of the output corpus "
                         "(quantiles.exact_quantiles — distributed "
                         "selection, no global sort)")
+    p.add_argument("--exact-substr-len", type=int, default=None,
+                   help="TRUE ExactSubstr span dedup: strip every token "
+                        "interval covered by a substring of >= L tokens "
+                        "repeated anywhere in the corpus (suffix-array "
+                        "prefix-doubling classes, O(log L) rounds); docs "
+                        "emptied by the removal drop")
     p.add_argument("--corpus-format", choices=("parquet", "iceberg"),
                    default="parquet",
                    help="corpus table format: 'iceberg' commits the "
@@ -498,6 +504,26 @@ def run(ns: argparse.Namespace, spark=None) -> dict:
                 F.greatest("doc_a", "doc_b").alias("doc_id")
             ).distinct()
             survivors = survivors.join(losers, "doc_id", "left_anti")
+
+    if getattr(ns, "exact_substr_len", None) is not None:
+        # TRUE ExactSubstr span removal (dedup.exact_substr_spans):
+        # strip every token interval covered by a substring of
+        # >= L tokens repeated anywhere in the SURVIVING corpus; docs
+        # whose text becomes empty drop (they were pure boilerplate)
+        spans = _dedup.exact_substr_spans(
+            survivors.select("doc_id", "text"),
+            min_len=int(ns.exact_substr_len),
+        )
+        cleaned = _dedup.remove_exact_substr(
+            survivors.select("doc_id", "text"), spans)
+        stats["exact_substr_docs_rewritten"] = cleaned.where(
+            F.col("n_spans_removed") > 0).count()
+        survivors = (
+            survivors.drop("text")
+            .join(cleaned.select(
+                "doc_id", F.col("clean").alias("text")), "doc_id")
+            .where(F.col("text") != "")
+        )
 
     if ns.sample_rates and ns.mix_alpha is not None:
         raise ValueError("--sample-rates and --mix-alpha are mutually "

@@ -627,3 +627,36 @@ def test_dataprep_cross_run_index_dedup(tmp_path, spark, capsys):
     s3 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert s3["after_index_dedup"] == 1 and s3["output_docs"] == 1
     assert spark.read.parquet(idx).select("text_hash").distinct().count() == 3
+
+
+def test_dataprep_exact_substr_stage(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from opentopodata_spark.jobs import dataprep
+
+    boiler = "subscribe to our newsletter for daily updates and offers"
+    docs = str(tmp_path / "docs.parquet")
+    rows = {
+        "doc_id": ["a", "b", "c", "d"],
+        "text": [
+            f"unique alpha words here {boiler}",
+            f"{boiler} and some other beta content",
+            "completely independent gamma text with no repeats",
+            boiler,  # pure boilerplate -> emptied -> dropped
+        ],
+    }
+    pq.write_table(pa.table(rows), docs)
+    out = str(tmp_path / "clean")
+    ns = dataprep.build_parser().parse_args([
+        "--documents", docs, "--out", out, "--exact-substr-len", "5",
+    ])
+    stats = dataprep.run(ns, spark=spark)
+    got = {r.doc_id: r.text
+           for r in spark.read.parquet(f"{out}/corpus").collect()}
+    assert got["a"] == "unique alpha words here"
+    assert got["b"] == "and some other beta content"
+    assert got["c"] == "completely independent gamma text with no repeats"
+    assert "d" not in got          # emptied by the removal
+    assert stats["exact_substr_docs_rewritten"] == 3
+    assert stats["output_docs"] == 3
