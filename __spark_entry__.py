@@ -6265,6 +6265,87 @@ WHERE bit_count(xor(a.phash_seq, b.phash_seq)) <= 7
 """
 
 
+def _audiohash_fixture() -> str:
+    """Planted perceptual audio near-dup corpus: 14 base clips, each
+    with a lightly-noised twin (re-encode simulation), plus 12
+    unrelated clips — 16-bit PCM WAV payloads plus SEQUENTIAL-twin
+    fingerprints (audiohash_sequential: DFT-matrix spectra, per-bit
+    loops — different bookkeeping from the distributed rFFT path)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from opentopodata_spark import wav as _wav
+    from opentopodata_spark.operators import audiohash as _ah
+    from opentopodata_spark.operators.imagehash import _to_signed
+
+    root = os.path.join(_fixture_root(), "audiohash_r5")
+    out = os.path.join(root, "clips.parquet")
+    if os.path.exists(out):
+        return out
+    os.makedirs(root, exist_ok=True)
+    rng = np.random.RandomState(41)
+    t = np.arange(8000) / 8000.0
+    refs, payloads, seqs = [], [], []
+
+    def add(ref, clip):
+        payload = _wav.encode_wav(clip, 8000)
+        # fingerprint what the READER will see (16-bit quantization)
+        decoded, _rate = _wav.decode_wav(payload)
+        refs.append(ref)
+        payloads.append(payload)
+        seqs.append(_to_signed(_ah.audiohash_sequential(decoded)))
+
+    for i in range(14):
+        clip = (0.5 * np.sin(2 * np.pi * (180 + 73 * i) * t)
+                + 0.3 * np.sin(2 * np.pi * (850 + 141 * i) * t + i)
+                + 0.05 * rng.randn(8000))
+        add(f"clip{i:02d}", clip)
+        add(f"clip{i:02d}t",
+            (clip + 0.005 * rng.randn(8000)) * 0.7)  # noise + gain
+    for i in range(12):
+        add(f"noise{i:02d}",
+            0.4 * np.sin(2 * np.pi * (150 + 97 * i) * t)
+            + 0.2 * np.sin(2 * np.pi * (1100 + 211 * i) * t)
+            + 0.08 * rng.randn(8000))
+    tmp = out + ".tmp"
+    pq.write_table(pa.table({
+        "media_ref": pa.array(refs),
+        "payload": pa.array(payloads, type=pa.binary()),
+        "ahash_seq": pa.array(seqs, type=pa.int64()),
+    }), tmp)
+    os.replace(tmp, out)
+    return out
+
+
+def q_audio_near_dups(spark, sf_dir):
+    """Perceptual AUDIO near-dup as a CONTRACT query: decode the
+    planted WAV corpus with the pure-numpy PCM reader, compute the
+    spectral-band fingerprint in the vectorized rFFT path, find all
+    pairs within Hamming 7 via the exact pigeonhole band join. The
+    oracle brute-forces the same pairs in SQL from the fixture's
+    DFT-matrix sequential-twin fingerprints — a hash match proves
+    rFFT bits == DFT-matrix bits AND join exactness."""
+    from opentopodata_spark.operators import audiohash as _ah
+
+    _ship_package(spark)
+    clips = spark.read.parquet(_audiohash_fixture())
+    hashed = _ah.hash_audio(clips, id_col="media_ref")
+    return _ah.audio_near_dup_pairs(hashed, max_distance=7, n_bands=8)
+
+
+def _audio_near_dups_sql() -> str:
+    path = _audiohash_fixture()
+    return f"""
+SELECT a.media_ref AS id_a, b.media_ref AS id_b,
+       CAST(bit_count(xor(a.ahash_seq, b.ahash_seq)) AS BIGINT)
+         AS distance
+FROM read_parquet('{path}') a
+JOIN read_parquet('{path}') b ON a.media_ref < b.media_ref
+WHERE bit_count(xor(a.ahash_seq, b.ahash_seq)) <= 7
+"""
+
+
 _IMG_WAVE_SQL = (
     "CASE WHEN substr(md5(media_ref),1,1) < '6' THEN 0 "
     "WHEN substr(md5(media_ref),1,1) < 'b' THEN 1 ELSE 2 END"
@@ -7347,6 +7428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new in r5 (inserted here as they land) --
         "iceberg_documents": q_iceberg_documents,
         "image_near_dups": q_image_near_dups,
+        "audio_near_dups": q_audio_near_dups,
         "streaming_image_near_dup": q_streaming_image_near_dup,
         "exact_substr": q_exact_substr,
         "wkt2_elevation": q_wkt2_elevation,
@@ -7481,6 +7563,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "iceberg_documents": _Q_ICEBERG_DOCS_SQL,
         "image_near_dups": _image_near_dups_sql(),
+        "audio_near_dups": _audio_near_dups_sql(),
         "streaming_image_near_dup": _streaming_image_near_dup_sql(),
         "exact_substr": _Q_EXACT_SUBSTR_SQL,
         "tile_floor_keys": _Q_TILE_FLOOR_SQL,
