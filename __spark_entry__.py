@@ -6346,6 +6346,88 @@ WHERE bit_count(xor(a.ahash_seq, b.ahash_seq)) <= 7
 """
 
 
+def _videohash_fixture() -> str:
+    """Planted perceptual video near-dup corpus: 10 base clips with
+    lightly-noised twins + 10 unrelated clips — Y4M payloads plus
+    SEQUENTIAL-twin fingerprints (videohash_sequential: frame-loop
+    accumulation + loop-built pHash)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from opentopodata_spark import y4m as _y4m
+    from opentopodata_spark.operators import videohash as _vh
+    from opentopodata_spark.operators.imagehash import _to_signed
+
+    root = os.path.join(_fixture_root(), "videohash_r5")
+    out = os.path.join(root, "clips.parquet")
+    if os.path.exists(out):
+        return out
+    os.makedirs(root, exist_ok=True)
+    yy, xx = np.mgrid[0:36, 0:48]
+    refs, payloads, seqs = [], [], []
+
+    def add(ref, frames):
+        refs.append(ref)
+        payloads.append(_y4m.encode_y4m(frames))
+        seqs.append(_to_signed(_vh.videohash_sequential(frames)))
+
+    def clip(i, seed):
+        r = np.random.RandomState(500 + seed)
+        frames = []
+        for f in range(8):
+            img = (120 + 60 * np.sin(xx / (3.0 + i) + i + 0.3 * f)
+                   + 40 * np.cos(yy / (2.0 + 0.5 * i) - 0.2 * f)
+                   + 5.0 * r.randn(36, 48))
+            frames.append(np.clip(img, 0, 255))
+        return np.array(frames).astype(np.uint8)
+
+    rng = np.random.RandomState(77)
+    for i in range(10):
+        c = clip(i, seed=i)
+        add(f"vid{i:02d}", c)
+        tw = np.clip(
+            c.astype(np.int32) + rng.choice([-1, 0, 1], c.shape),
+            0, 255).astype(np.uint8)
+        add(f"vid{i:02d}t", tw)
+    for i in range(10):
+        add(f"other{i:02d}", clip(i + 20, seed=i + 40))
+    tmp = out + ".tmp"
+    pq.write_table(pa.table({
+        "media_ref": pa.array(refs),
+        "payload": pa.array(payloads, type=pa.binary()),
+        "vhash_seq": pa.array(seqs, type=pa.int64()),
+    }), tmp)
+    os.replace(tmp, out)
+    return out
+
+
+def q_video_near_dups(spark, sf_dir):
+    """Perceptual VIDEO near-dup as a CONTRACT query: decode the
+    planted Y4M corpus with the pure-numpy reader, fingerprint the
+    temporal-mean luma frame in the vectorized path, find all pairs
+    within Hamming 7 via the exact pigeonhole band join; the oracle
+    brute-forces the sequential-twin fingerprints in SQL."""
+    from opentopodata_spark.operators import videohash as _vh
+
+    _ship_package(spark)
+    clips = spark.read.parquet(_videohash_fixture())
+    hashed = _vh.hash_video(clips, id_col="media_ref")
+    return _vh.video_near_dup_pairs(hashed, max_distance=7, n_bands=8)
+
+
+def _video_near_dups_sql() -> str:
+    path = _videohash_fixture()
+    return f"""
+SELECT a.media_ref AS id_a, b.media_ref AS id_b,
+       CAST(bit_count(xor(a.vhash_seq, b.vhash_seq)) AS BIGINT)
+         AS distance
+FROM read_parquet('{path}') a
+JOIN read_parquet('{path}') b ON a.media_ref < b.media_ref
+WHERE bit_count(xor(a.vhash_seq, b.vhash_seq)) <= 7
+"""
+
+
 _IMG_WAVE_SQL = (
     "CASE WHEN substr(md5(media_ref),1,1) < '6' THEN 0 "
     "WHEN substr(md5(media_ref),1,1) < 'b' THEN 1 ELSE 2 END"
@@ -7429,6 +7511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_documents": q_iceberg_documents,
         "image_near_dups": q_image_near_dups,
         "audio_near_dups": q_audio_near_dups,
+        "video_near_dups": q_video_near_dups,
         "streaming_image_near_dup": q_streaming_image_near_dup,
         "exact_substr": q_exact_substr,
         "wkt2_elevation": q_wkt2_elevation,
@@ -7564,6 +7647,7 @@ def oracle_sql() -> dict[str, str]:
         "iceberg_documents": _Q_ICEBERG_DOCS_SQL,
         "image_near_dups": _image_near_dups_sql(),
         "audio_near_dups": _audio_near_dups_sql(),
+        "video_near_dups": _video_near_dups_sql(),
         "streaming_image_near_dup": _streaming_image_near_dup_sql(),
         "exact_substr": _Q_EXACT_SUBSTR_SQL,
         "tile_floor_keys": _Q_TILE_FLOOR_SQL,
