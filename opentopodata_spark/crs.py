@@ -185,6 +185,31 @@ class TransverseMercator:
         return np.degrees(self.lon0 + lam), np.degrees(phi)
 
 
+class TransverseMercatorSouth:
+    """Transverse Mercator (South Orientated), EPSG method 9808 — the
+    South African Lo grids (Hartebeesthoek94 / Cape): coordinates are
+    (westing, southing), i.e. the PLAIN TM outputs negated, with the
+    false offsets applied in the south-orientated frame (GN7-2
+    §3.2.2: W = FE - k0·..., S = FN - ...)."""
+
+    def __init__(self, a, inv_f, lon0_deg, k0=1.0, false_easting=0.0,
+                 false_northing=0.0, lat0_deg=0.0):
+        self._tm = TransverseMercator(
+            a, inv_f, lon0_deg=lon0_deg, k0=k0,
+            false_easting=0.0, false_northing=0.0, lat0_deg=lat0_deg)
+        self.fe = false_easting
+        self.fn = false_northing
+
+    def forward(self, lons, lats):
+        x, y = self._tm.forward(lons, lats)
+        return self.fe - x, self.fn - y
+
+    def inverse(self, xs, ys):
+        x = self.fe - np.asarray(xs, dtype=np.float64)
+        y = self.fn - np.asarray(ys, dtype=np.float64)
+        return self._tm.inverse(x, y)
+
+
 class LambertAzimuthalEqualArea:
     def __init__(self, a, inv_f, lat0_deg, lon0_deg, false_easting, false_northing):
         f = 1.0 / inv_f if inv_f else 0.0  # inv_f in (0, inf] — 0-f sphere
@@ -2228,6 +2253,21 @@ def _projection_for_epsg(epsg: int):
             lon0_deg=0.0, false_easting=0.0, false_northing=0.0)
     if epsg == 3832:  # WGS 84 / PDC Mercator (Pacific-centred, lon0 150)
         return EllipsoidalMercator(*_WGS84, lon0_deg=150.0)
+    if 2046 <= epsg <= 2055:
+        # Hartebeesthoek94 / Lo15..Lo33 (EPSG method 9808, TM South
+        # Orientated) — the South African national belts; the datum is
+        # ITRF91-epoch-94.5, coincident with WGS84 at DEM scale
+        lo = 15 + 2 * (epsg - 2046)
+        return TransverseMercatorSouth(
+            *_WGS84, lon0_deg=float(lo), k0=1.0,
+            false_easting=0.0, false_northing=0.0)
+    if epsg in (4647, 5650):
+        # ETRS89 / UTM zone 32N / 33N (zE-N): the zone-prefixed
+        # 32.5e6 / 33.5e6 false easting spelling German state DEMs ship
+        zone = 32 if epsg == 4647 else 33
+        return TransverseMercator(
+            *_GRS80, lon0_deg=zone * 6 - 183, k0=0.9996,
+            false_easting=zone * 1e6 + 500000.0, false_northing=0.0)
     if epsg in (6933, 3975):
         # WGS 84 / NSIDC EASE-Grid 2.0 Global (6933, SMAP et al.) and
         # the ellipsoidal EASE Global (3975): LCEA, lat_ts 30
@@ -2671,6 +2711,15 @@ def _dispatch_wkt_projection(raw_name: str, params: dict,
         return default
 
     name = raw_name.lower()
+    if "transverse_mercator" in name and "south" in name:
+        return TransverseMercatorSouth(
+            a, inv_f,
+            lon0_deg=p("central_meridian", "longitude_of_origin"),
+            k0=p("scale_factor", default=1.0),
+            false_easting=p("false_easting"),
+            false_northing=p("false_northing"),
+            lat0_deg=p("latitude_of_origin"),
+        )
     if "transverse_mercator" in name:
         return TransverseMercator(
             a, inv_f,
@@ -3065,6 +3114,8 @@ def _wkt2_norm(name: str) -> str:
 _WKT2_METHOD_TO_WKT1 = {
     "transverse_mercator": "Transverse_Mercator",
     "gauss_kruger": "Transverse_Mercator",
+    "transverse_mercator_south_orientated":
+        "Transverse_Mercator_South_Orientated",
     "lambert_conic_conformal_1sp": "Lambert_Conformal_Conic",
     "lambert_conic_conformal_2sp": "Lambert_Conformal_Conic",
     "lambert_azimuthal_equal_area": "Lambert_Azimuthal_Equal_Area",
@@ -3101,6 +3152,7 @@ _WKT2_METHOD_TO_WKT1 = {
 # carries a nonstandard display name but a proper ID["EPSG", code].
 _WKT2_METHOD_CODES = {
     9807: "transverse_mercator",
+    9808: "transverse_mercator_south_orientated",
     9801: "lambert_conic_conformal_1sp",
     9802: "lambert_conic_conformal_2sp",
     9820: "lambert_azimuthal_equal_area",
@@ -3134,7 +3186,6 @@ _WKT2_REFUSED_METHODS = {
     "lambert_conic_conformal_2sp_belgium",
     "lambert_conic_conformal_2sp_michigan",
     "lambert_conic_conformal_west_orientated",
-    "transverse_mercator_south_orientated",
     "polar_stereographic_variant_c",
     "modified_azimuthal_equidistant",
     "guam_projection",
@@ -3439,7 +3490,13 @@ def _projection_for_wkt2_node(root: _WKT2Node):
             "Krovak", params, a, inv_f)
         pr.sign = -1.0 if east_north else 1.0
         return pr
-    if dirs and not set(dirs) <= {"east", "north"}:
+    if key == "transverse_mercator_south_orientated":
+        # the method's output frame IS westing/southing — those axes
+        # (or GIS-style east/north relabels) are both the same numbers
+        if dirs and not set(dirs) <= {"east", "north", "west", "south"}:
+            raise CRSError(
+                f"WKT2 axis directions {dirs} are not supported")
+    elif dirs and not set(dirs) <= {"east", "north"}:
         raise CRSError(
             f"WKT2 axis directions {dirs} are not supported "
             "(east/north only)")

@@ -2475,3 +2475,59 @@ def test_lambert_cylindrical_equal_area_family():
     x1, y1 = crs.reproject_latlons(lats, lons, wkt=w2)
     x2, y2 = crs.reproject_latlons(lats, lons, epsg=6933)
     assert np.array_equal(x1, x2) and np.array_equal(y1, y2)
+
+
+def test_tm_south_orientated_lo_grids():
+    import numpy as np
+    # Hartebeesthoek94 / Lo19 (EPSG 2048): Cape Town area. South
+    # orientated: westing increases WESTWARD, southing SOUTHWARD —
+    # a point EAST of the 19E meridian has NEGATIVE westing; moving
+    # south increases southing.
+    x19, y19 = crs.reproject_latlons([-33.95, -34.95], [19.5, 19.5],
+                                     epsg=2048)
+    assert x19[0] < 0          # east of lon0 -> negative westing
+    assert y19[1] > y19[0]     # further south -> larger southing
+    assert y19[0] > 3_000_000
+    # magnitude sanity: |southing| ~ distance from equator ~ 3.76e6 m
+    assert abs(y19[0] - 3_759_000) < 15_000
+    # the south-orientated pair is the exact negation of plain TM
+    from opentopodata_spark.crs import TransverseMercator, _WGS84
+    tm = TransverseMercator(*_WGS84, lon0_deg=19.0, k0=1.0,
+                            false_easting=0.0, false_northing=0.0)
+    xt, yt = tm.forward(np.array([19.5]), np.array([-33.95]))
+    assert x19[0] == -xt[0] and y19[0] == -yt[0]
+    # round-trips across the belt family
+    for epsg in range(2046, 2056):
+        lo = 15 + 2 * (epsg - 2046)
+        lats = np.array([-34.0, -29.5, -23.0])
+        lons = np.array([lo - 0.9, lo + 0.0, lo + 0.9])
+        x, y = crs.reproject_latlons(lats, lons, epsg=epsg)
+        lon2, lat2 = crs.unproject_xys(x, y, epsg=epsg)
+        assert np.abs(lat2 - lats).max() < 1e-6, epsg
+        assert np.abs(lon2 - lons).max() < 1e-6, epsg
+    # WKT2 south-orientated spelling lands on the same projection
+    w2 = ('PROJCRS["Lo19",BASEGEOGCRS["H94",DATUM["d",'
+          'ELLIPSOID["WGS 84",6378137,298.257223563]],'
+          'PRIMEM["Greenwich",0]],CONVERSION["c",'
+          'METHOD["Transverse Mercator (South Orientated)",'
+          'ID["EPSG",9808]],'
+          'PARAMETER["Latitude of natural origin",0],'
+          'PARAMETER["Longitude of natural origin",19],'
+          'PARAMETER["Scale factor at natural origin",1],'
+          'PARAMETER["False easting",0],'
+          'PARAMETER["False northing",0]],'
+          'CS[Cartesian,2],AXIS["westing (Y)",west],'
+          'AXIS["southing (X)",south]]')
+    xw, yw = crs.reproject_latlons([-33.95], [19.5], wkt=w2)
+    assert xw[0] == x19[0] and yw[0] == y19[0]
+
+
+def test_utm_zen_codes():
+    import numpy as np
+    # ETRS89 / UTM 32N (zE-N) 4647: easting = 32.5e6-prefixed UTM32
+    x, y = crs.reproject_latlons([51.0], [9.0], epsg=4647)
+    x32, y32 = crs.reproject_latlons([51.0], [9.0], epsg=25832)
+    assert x[0] == x32[0] + 32_000_000.0 and y[0] == y32[0]
+    x, y = crs.reproject_latlons([51.0], [15.0], epsg=5650)
+    x33, y33 = crs.reproject_latlons([51.0], [15.0], epsg=25833)
+    assert x[0] == x33[0] + 33_000_000.0 and y[0] == y33[0]

@@ -401,7 +401,7 @@ def test_refusals():
         "distinct EPSG formula")
     _expect_refusal(
         _projcrs("x", WGS84_ELL,
-                 'METHOD["Transverse Mercator (South Orientated)"]', base),
+                 'METHOD["Bonne (South Orientated)"]', base),
         "distinct EPSG formula")
     _expect_refusal(
         _projcrs("x", WGS84_ELL, 'METHOD["Space Oblique Mercator"]', base),
