@@ -185,6 +185,32 @@ class TransverseMercator:
         return np.degrees(self.lon0 + lam), np.degrees(phi)
 
 
+def polar_stereographic_variant_c(a, inv_f, lat_ts_deg, lon0_deg,
+                                  easting_at_false_origin,
+                                  northing_at_false_origin):
+    """EPSG method 9830 'Polar Stereographic (variant C)' (Petrels /
+    Terre Adelie grids): variant B geometry with the false origin AT
+    the standard parallel on the longitude of origin — i.e. variant B
+    shifted so (lat_ts, lon0) maps to (EF, NF). Built by probing a
+    zero-offset variant B for rho_F and folding it into the northing
+    offset (GN7-2 §3.2.4: N = NF -/+ rho_F + ...)."""
+    import numpy as _np
+
+    probe = PolarStereographic(
+        a, inv_f, lat0_deg=90.0 if lat_ts_deg >= 0 else -90.0,
+        lon0_deg=lon0_deg, false_easting=0.0, false_northing=0.0,
+        lat_ts_deg=lat_ts_deg)
+    _x0, y0 = probe.forward(_np.array([lon0_deg]),
+                            _np.array([lat_ts_deg]))
+    # y at the standard parallel equals -/+ rho_F in the zero-offset
+    # frame; the variant-C false northing folds it away exactly
+    return PolarStereographic(
+        a, inv_f, lat0_deg=90.0 if lat_ts_deg >= 0 else -90.0,
+        lon0_deg=lon0_deg, false_easting=easting_at_false_origin,
+        false_northing=northing_at_false_origin - float(y0[0]),
+        lat_ts_deg=lat_ts_deg)
+
+
 class TransverseMercatorSouth:
     """Transverse Mercator (South Orientated), EPSG method 9808 — the
     South African Lo grids (Hartebeesthoek94 / Cape): coordinates are
@@ -2253,6 +2279,17 @@ def _projection_for_epsg(epsg: int):
             lon0_deg=0.0, false_easting=0.0, false_northing=0.0)
     if epsg == 3832:  # WGS 84 / PDC Mercator (Pacific-centred, lon0 150)
         return EllipsoidalMercator(*_WGS84, lon0_deg=150.0)
+    if epsg == 2985:
+        # Petrels 1972 / Terre Adelie Polar Stereographic (variant C):
+        # lat_ts 67S, lon0 140E, EF 300000, NF 200000, Intl 1924 with
+        # the published Petrels Helmert (negated towgs84 365,194,166)
+        proj = polar_stereographic_variant_c(
+            *_INTL1924, lat_ts_deg=-67.0, lon0_deg=140.0,
+            easting_at_false_origin=300000.0,
+            northing_at_false_origin=200000.0)
+        return DatumShifted(
+            proj, HelmertDatum(*_INTL1924, -365.0, -194.0, -166.0,
+                               0.0, 0.0, 0.0, 0.0))
     if 2046 <= epsg <= 2055:
         # Hartebeesthoek94 / Lo15..Lo33 (EPSG method 9808, TM South
         # Orientated) — the South African national belts; the datum is
@@ -3163,6 +3200,7 @@ _WKT2_METHOD_CODES = {
     9809: "oblique_stereographic",
     9810: "polar_stereographic_variant_a",
     9829: "polar_stereographic_variant_b",
+    9830: "polar_stereographic_variant_c",
     9812: "hotine_oblique_mercator_variant_a",
     9815: "hotine_oblique_mercator_variant_b",
     9813: "laborde_oblique_mercator",
@@ -3186,7 +3224,6 @@ _WKT2_REFUSED_METHODS = {
     "lambert_conic_conformal_2sp_belgium",
     "lambert_conic_conformal_2sp_michigan",
     "lambert_conic_conformal_west_orientated",
-    "polar_stereographic_variant_c",
     "modified_azimuthal_equidistant",
     "guam_projection",
     "bonne_south_orientated",
@@ -3457,6 +3494,19 @@ def _projection_for_wkt2_node(root: _WKT2Node):
         raise CRSError(
             f"WKT2 method '{key}' is a distinct EPSG formula this build "
             "does not implement")
+    if key == "polar_stereographic_variant_c":
+        params_c = {}
+        for pnode in conv.findall("PARAMETER"):
+            pk = _wkt2_norm(pnode.vals[0])
+            pk = _WKT2_PARAM_TO_WKT1.get(pk, pk)
+            params_c[pk] = _wkt2_param_value(pnode, pk)
+        return polar_stereographic_variant_c(
+            a, inv_f,
+            lat_ts_deg=params_c.get("latitude_of_origin", 0.0),
+            lon0_deg=params_c.get("central_meridian", 0.0),
+            easting_at_false_origin=params_c.get("false_easting", 0.0),
+            northing_at_false_origin=params_c.get("false_northing", 0.0),
+        )
     if key == "popular_visualisation_pseudo_mercator":
         if abs(a - 6378137.0) > 1e-6:
             raise CRSError(

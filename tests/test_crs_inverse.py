@@ -2531,3 +2531,38 @@ def test_utm_zen_codes():
     x, y = crs.reproject_latlons([51.0], [15.0], epsg=5650)
     x33, y33 = crs.reproject_latlons([51.0], [15.0], epsg=25833)
     assert x[0] == x33[0] + 33_000_000.0 and y[0] == y33[0]
+
+
+def test_polar_stereographic_variant_c():
+    import numpy as np
+    # GN7-2 worked example (Petrels 1972 / Terre Adelie, EPSG 2985):
+    # 66d36'18.820"S 140d04'17.040"E (PETRELS datum) -> E 303169.52
+    # N 244055.72 — the bare projection must reproduce it to the cm
+    lat = -(66 + 36 / 60 + 18.820 / 3600)
+    lon = 140 + 4 / 60 + 17.040 / 3600
+    p = crs.polar_stereographic_variant_c(
+        6378388.0, 297.0, -67.0, 140.0, 300000.0, 200000.0)
+    x, y = p.forward(np.array([lon]), np.array([lat]))
+    assert abs(x[0] - 303169.52) < 0.01
+    assert abs(y[0] - 244055.72) < 0.01
+    # defining property: the false origin IS (EF, NF)
+    x0, y0 = p.forward(np.array([140.0]), np.array([-67.0]))
+    assert abs(x0[0] - 300000.0) < 1e-6 and abs(y0[0] - 200000.0) < 1e-6
+    # full EPSG path (WGS84 in, Petrels Helmert applied) round-trips
+    xs, ys = crs.reproject_latlons([lat, -66.0], [lon, 141.0], epsg=2985)
+    lon2, lat2 = crs.unproject_xys(xs, ys, epsg=2985)
+    assert abs(lat2[0] - lat) < 1e-6 and abs(lon2[0] - lon) < 1e-6
+    # datum shift is metres-class, actually applied
+    assert 100 < abs(xs[0] - x[0]) + abs(ys[0] - y[0]) < 1500
+    # WKT2 spelling (method 9830) lands on the bare projection
+    w2 = ('PROJCRS["TA",BASEGEOGCRS["P72",DATUM["d",'
+          'ELLIPSOID["International 1924",6378388,297]],'
+          'PRIMEM["Greenwich",0]],CONVERSION["c",'
+          'METHOD["Polar Stereographic (variant C)",ID["EPSG",9830]],'
+          'PARAMETER["Latitude of standard parallel",-67],'
+          'PARAMETER["Longitude of origin",140],'
+          'PARAMETER["Easting at false origin",300000],'
+          'PARAMETER["Northing at false origin",200000]],'
+          'CS[Cartesian,2],AXIS["(E)",east],AXIS["(N)",north]]')
+    xw, yw = crs.reproject_latlons([lat], [lon], wkt=w2)
+    assert xw[0] == x[0] and yw[0] == y[0]

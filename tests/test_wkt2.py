@@ -392,7 +392,7 @@ def test_refusals():
             ("False easting", 0), ("False northing", 0)]
     _expect_refusal(
         _projcrs("x", WGS84_ELL,
-                 'METHOD["Polar Stereographic (variant C)",ID["EPSG",9830]]',
+                 'METHOD["Lambert Conic Conformal (West Orientated)"]',
                  base),
         "distinct EPSG formula")
     _expect_refusal(
