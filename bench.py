@@ -293,6 +293,24 @@ def main() -> None:
         ),
         file=sys.stderr,
     )
+    # box-weather control riding WITH the bench record: the r3/r4
+    # rounds showed per-query wall times swing 2-3x with co-tenant
+    # memory-bandwidth collapse (clean-day 1-stream ~55-60 GB/s vs
+    # collapsed ~15-25); recording the control next to the timings lets
+    # any later reader attribute drift without a separate session
+    try:
+        import importlib.util as _ilu
+
+        _spec = _ilu.spec_from_file_location(
+            "bench_controls", os.path.join(REPO, "tools",
+                                           "bench_controls.py"))
+        _bc = _ilu.module_from_spec(_spec)
+        _spec.loader.exec_module(_bc)
+        bw1 = _bc.run(_bc._bw_worker, 1, dur=3.0) / 1e9
+        bw8 = _bc.run(_bc._bw_worker, 8, dur=3.0) / 1e9
+        weather = {"bw_gbps_1": round(bw1, 1), "bw_gbps_8": round(bw8, 1)}
+    except Exception:
+        weather = {}
     # diagnostics that used to ride the stdout line: with 12 more bench
     # queries the single JSON line must stay under the driver's 2000-byte
     # tail window, so the derivable/secondary fields move to stderr
@@ -301,6 +319,7 @@ def main() -> None:
         + json.dumps(
             {
                 "runs_per_query": N_RUNS,
+                "weather": weather,
                 "elevation_coords": n_coords,
                 "elevation_wall_us_per_coord": round(
                     timings["elevation_e2e"] / n_coords * 1e6, 3
